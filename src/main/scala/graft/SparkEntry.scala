@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,9 +17,38 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Chroma-style metadata where-filter (SURVEY.md §7.1 item 2)
+    * compiled to a pushdown-friendly Column predicate. */
+  private val whereFilterJson =
+    """{"$and": [{"lang": {"$in": ["en", "fr"]}},
+      |         {"n_chars": {"$gt": 200}},
+      |         {"source": {"$ne": "src7"}}]}""".stripMargin
+
+  def whereFilterQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(WhereFilter.compile(whereFilterJson))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_topk_orders"     -> (Relational.q2TopkOrders _),
+    "q3_join_revenue"    -> (Relational.q3JoinRevenue _),
+    "q4_rollup"          -> (Relational.q4Rollup _),
+    "q5_semi_join"       -> (Relational.q5SemiJoin _),
+    "q6_anti_join"       -> (Relational.q6AntiJoin _),
+    "q7_running_total"   -> (Relational.q7RunningTotal _),
+    "q8_distinct_agg"    -> (Relational.q8DistinctAgg _),
+    "q9_set_ops"         -> (Relational.q9SetOps _),
+    "q10_sort_limit"     -> (Relational.q10SortLimit _),
+    "q11_cube"           -> (Relational.q11Cube _),
+    "q12_filter_project" -> (Relational.q12FilterProject _),
+    "q13_range_join"     -> (Relational.q13RangeJoin _),
+    "q14_where_filter"   -> (whereFilterQuery _),
+    "ev_hourly"          -> (Events.hourly _),
+    "ev_sessions"        -> (Events.sessions _),
+    "ev_asof_join"       -> (Events.purchaseAsofClick _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -37,5 +67,158 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_orders" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 5
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q4_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        |ORDER BY mktsegment, orderpriority""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers_without_big_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q7_running_total" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q8_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_distinct_customers,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q9_set_ops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0),
+        |     w AS (SELECT o_custkey AS c_custkey FROM orders)
+        |SELECT 'rich_with_orders' AS tag, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM w)
+        |UNION ALL
+        |SELECT 'rich_without_orders' AS tag, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM w)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q10_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q12_filter_project" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE 'STANDARD%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q13_range_join" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  count(*) AS n_fast_shipped,
+        |  round(sum(l_extendedprice), 2) AS fast_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY date_trunc('month', o_orderdate)
+        |ORDER BY order_month""".stripMargin,
+
+    "q14_where_filter" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'fr') AND n_chars > 200 AND source <> 'src7'
+        |ORDER BY doc_id""".stripMargin,
+
+    "ev_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN CAST(epoch(ts_s) AS BIGINT) -
+        |              CAST(epoch(lag(ts_s) OVER w) AS BIGINT) <= 1800
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  min(ts_s) AS session_start,
+        |  max(ts_s) AS session_end,
+        |  CAST(epoch(max(ts_s)) AS BIGINT) - CAST(epoch(min(ts_s)) AS BIGINT) AS duration_sec
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ev_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  date_trunc('second', p.ts) AS purchase_ts,
+        |  date_trunc('second', c.click_ts) AS click_ts_s,
+        |  c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics in batch form (SURVEY.md §7.1 item 8) so
+  * every query is DuckDB-oracle-checkable; the true Structured
+  * Streaming variants live in graft.streaming and are covered by
+  * ScalaTest (a streaming sink can't be hash-compared by the driver).
+  *
+  * Timestamp discipline: the events table carries nanosecond
+  * timestamps; Spark truncates to microseconds on read while DuckDB
+  * keeps nanos. Every output (and every value that feeds ordering or
+  * arithmetic that must match the oracle) is therefore truncated to
+  * whole seconds on BOTH engines first.
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregate — batch analogue of
+    * `groupBy(window($"ts", "1 hour"))`: map-side-combinable hash
+    * agg on (hour, type); one shuffle, ~3.6k groups/month — trivial
+    * at any scale.
+    */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization (30 min): lag → session-break flag →
+    * running sum = session id → per-session aggregate. Two window
+    * passes + one agg, all partitioned by user_id — a single shuffle
+    * key reused across stages, no self-join.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val runningBreaks = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("ts_s").cast("long") - col("prev_ts").cast("long") <= 1800, 0).otherwise(1))
+      .withColumn("session_seq", sum(col("new_session")).over(runningBreaks))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("session_start"),
+        max(col("ts_s")).as("session_end"),
+        (max(col("ts_s")).cast("long") - min(col("ts_s")).cast("long")).as("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Backward as-of join: each purchase matched to the user's most
+    * recent click at-or-before it. See [[AsOfJoin]] for the
+    * single-shuffle plan.
+    */
+  def purchaseAsofClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        Seq("click_ts", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        date_trunc("second", col("click_ts")).as("click_ts_s"),
+        col("click_value"))
+      .orderBy(col("event_id"))
+  }
+}

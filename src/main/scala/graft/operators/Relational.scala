@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -9,7 +10,8 @@ import graft.Tables
   * delegates to its server. Pure declarative DataFrame pipelines —
   * Catalyst handles pushdown, pruning and join selection; explicit
   * `broadcast()` only where a dimension is guaranteed tiny at any SF
-  * (region=5, nation=25 rows).
+  * (region=5, nation=25 rows — constant-size lookup tables even at
+  * 100 TB; everything else is left to AQE's size-based join choice).
   *
   * Determinism contract for the DuckDB oracle: every query ends in a
   * total-order sort, every double aggregate is rounded, every output
@@ -35,4 +37,185 @@ object Relational {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k per group via ranking window — the scalable top-k shape:
+    * partial top-k happens inside the window exec per partition after
+    * one shuffle on the partition key; no global sort of the fact
+    * table, no driver-side collection.
+    */
+  def q2TopkOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long")) // match DuckDB's BIGINT row_number
+      .filter(col("rk") <= 5)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** 5-way star join: fact `lineitem` ⋈ `orders` ⋈ `customer` ⋈
+    * broadcast(`nation`) ⋈ broadcast(`region`). The two fact-side
+    * joins shuffle on their keys (AQE picks SMJ/SHJ by size); the two
+    * dimension joins are broadcast so they add no shuffle at any
+    * scale (25 / 5 rows are constants of the schema).
+    */
+  def q3JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = broadcast(Tables.nation(s, dir))
+    val reg = broadcast(Tables.region(s, dir))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** ROLLUP aggregation (grouping sets): subtotal rows use an 'ALL'
+    * sentinel instead of NULL so Spark/DuckDB null-ordering
+    * differences can't break the total order.
+    */
+  def q4Rollup(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("mktsegment"), col("orderpriority"))
+  }
+
+  /** Left-semi join: customers having ≥1 order, counted per segment.
+    * Semi join shuffles only the keys of the build side — no
+    * row-multiplication, safe on skew.
+    */
+  def q5SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers_with_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no large (>400k) order, per
+    * nation. The anti-join's build side is pre-filtered so only
+    * qualifying keys shuffle.
+    */
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val bigOrders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers_without_big_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Running-total window per customer: one shuffle on o_custkey,
+    * then an in-partition sort — the frame is computed streamingly
+    * (rows unbounded preceding), no buffering of the whole partition.
+    */
+  def q7RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Distinct aggregation: count(distinct) expands to a two-phase
+    * aggregate in Spark (partial distinct per partition first) — no
+    * single-point bottleneck.
+    */
+  def q8DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_distinct_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Set operations: INTERSECT / EXCEPT over customer-key sets.
+    * Output: high-balance customers who do have orders (intersect)
+    * and those who don't (except), as one tagged, totally-ordered
+    * relation.
+    */
+  def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0).select(col("c_custkey"))
+    val withOrders = Tables.orders(s, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    val both = rich.intersect(withOrders).withColumn("tag", lit("rich_with_orders"))
+    val only = rich.except(withOrders).withColumn("tag", lit("rich_without_orders"))
+    both.unionByName(only)
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** Global sort + limit (top-N): Spark runs TakeOrderedAndProject —
+    * per-partition top-N then a single small merge, never a full
+    * global sort.
+    */
+  def q10SortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity"), col("l_shipdate"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  /** CUBE over two low-cardinality dims with an 'ALL' sentinel. */
+  def q11Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Selective filter + projection: exists to prove pushdown — the
+    * parquet scan must show PushedFilters on p_size/p_type and a
+    * 4-column ReadSchema.
+    */
+  def q12FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type").startsWith("STANDARD"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  /** Equi-join with an interval predicate (range join): lineitems
+    * shipped within 30 days of their order's date. The equi-key keeps
+    * it a hash/SMJ join (the range predicate is a post-join filter) —
+    * no nested-loop blowup at scale.
+    */
+  def q13RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_fast_shipped"),
+        round(sum(col("l_extendedprice")), 2).as("fast_revenue"))
+      .orderBy(col("order_month"))
+  }
 }

@@ -29,6 +29,11 @@ for name, sql in sorted(oracle.items()):
     if list(duck.columns) != list(spark.columns):
         print(f"FAIL {name}: cols duck={list(duck.columns)} spark={list(spark.columns)}")
         fails += 1; continue
+    dt = [(c, str(duck[c].dtype), str(spark[c].dtype)) for c in duck.columns
+          if str(duck[c].dtype) != str(spark[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype mismatch {dt}")
+        fails += 1; continue
     if len(duck) != len(spark):
         print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}")
         fails += 1; continue

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import graft.catalog.ChromaSpark
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +31,41 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Replays the reference's e2e trace (tests/end-to-en.rs:5-45)
+    * against the catalog layer and returns the observations as a
+    * relation. Deterministic: ids are name-based UUIDs, metadata is
+    * sorted-key JSON — so the oracle is a literal VALUES table.
+    */
+  def catalogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    val c = new ChromaSpark(s, wh)
+    val meta = Map(
+      "description" -> "my first collection into a vector db",
+      "other-metadata" -> "testing get or create fn with metadata...")
+    c.createCollection("collection-1")
+    c.getOrCreateCollection("collection-2", Some(meta))
+    c.createCollection("collection-3")
+    val after3 = c.listCollections().length.toLong
+    // second getOrCreate with different metadata must keep the original
+    val kept = c.getOrCreateCollection("collection-2", Some(Map("k" -> "v2")))
+    c.deleteCollection("collection-1")
+    c.deleteCollection("collection-2")
+    val after2del = c.listCollections().length.toLong
+    val got = c.getCollection("collection-3")
+    c.deleteCollection("collection-3")
+    val end = c.listCollections().length.toLong
+    Seq(
+      (1L, "list_after_3_creates", after3.toString),
+      (2L, "get_or_create_keeps_original_metadata",
+        kept.metadata.map(graft.catalog.CollectionMeta.sortedJson).getOrElse("null")),
+      (3L, "list_after_2_deletes", after2del.toString),
+      (4L, "get_collection_3_name", got.name),
+      (5L, "get_collection_3_id", got.id),
+      (6L, "list_after_final_delete", end.toString)
+    ).toDF("step", "check", "observed").orderBy(col("step"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -49,6 +85,7 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
+    "catalog_lifecycle"  -> (catalogLifecycle _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -220,5 +257,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "catalog_lifecycle" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'list_after_3_creates', '3'),
+        |  (CAST(2 AS BIGINT), 'get_or_create_keeps_original_metadata',
+        |   '{"description":"my first collection into a vector db","other-metadata":"testing get or create fn with metadata..."}'),
+        |  (CAST(3 AS BIGINT), 'list_after_2_deletes', '1'),
+        |  (CAST(4 AS BIGINT), 'get_collection_3_name', 'collection-3'),
+        |  (CAST(5 AS BIGINT), 'get_collection_3_id', '39821096-f282-3d24-9fcf-4d81c625e96f'),
+        |  (CAST(6 AS BIGINT), 'list_after_final_delete', '0')
+        |) AS t(step, "check", observed)
+        |ORDER BY step""".stripMargin,
   )
 }

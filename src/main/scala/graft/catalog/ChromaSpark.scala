@@ -1,0 +1,188 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Behavior-compatible Spark analogue of the reference's
+  * `ChromaClient` (reference: src/client.rs:12-35): the collection
+  * catalog surface of a vector store, backed by a `_collections`
+  * parquet table under a warehouse directory instead of a remote
+  * server. Tenant/database scoping mirrors the reference's
+  * `?tenant&database` query params (src/client.rs:58-67) as catalog
+  * columns.
+  *
+  * Faithfully reproduced server-side semantics (SURVEY.md §2.2):
+  * name uniqueness per tenant+database; `getOrCreateCollection`
+  * returns the EXISTING collection with its original metadata;
+  * `reset` is global, destructive, and gated (the server's
+  * `ALLOW_RESET=TRUE`, src/client.rs:277). The reference's per-call
+  * pre-flight round trip (src/client.rs:37-52) collapses into one
+  * check at construction — re-issuing it per call is pure overhead
+  * in-process (SURVEY.md §4).
+  *
+  * Scale note: catalog rows are the ONLY place this engine may
+  * `collect()` — a catalog is O(thousands) of rows regardless of
+  * data volume. Collection ids are deterministic name-based UUIDs so
+  * a 1000-executor job never needs a catalog round trip to locate a
+  * collection's data directory.
+  */
+class ChromaSpark(
+    val spark: SparkSession,
+    val warehouseDir: String,
+    val tenant: String = ChromaSpark.DefaultTenant,
+    val database: String = ChromaSpark.DefaultDatabase,
+    val allowReset: Boolean = false) {
+
+  import spark.implicits._
+  import EngineError._
+
+  checkPreFlight()
+
+  /** reference src/client.rs:37-52 — here: warehouse reachable + session alive. */
+  private def checkPreFlight(): Unit = {
+    if (spark == null || spark.sparkContext.isStopped)
+      throw PreflightError("Spark session is not active")
+    val p = Paths.get(warehouseDir)
+    try Files.createDirectories(p)
+    catch { case e: Exception => throw PreflightError(s"warehouse '$warehouseDir' not writable: ${e.getMessage}") }
+  }
+
+  private def catalogPath: String = s"$warehouseDir/_collections"
+
+  private def validateName(name: String): Unit = {
+    if (name == null || name.isEmpty)
+      throw InvalidPathError(String.valueOf(name), "collection name must be non-empty")
+    if (name.contains('/') || name.contains('\\') || name == "." || name == "..")
+      throw InvalidPathError(name, "collection name must not contain path separators")
+  }
+
+  /** Directory holding a collection's data; derivable executor-side
+    * without reading the catalog.
+    */
+  def dataDir(name: String): String = s"$warehouseDir/$tenant/$database/$name"
+
+  private def readCatalog(): Seq[CollectionMeta] = {
+    if (!Files.exists(Paths.get(catalogPath))) return Seq.empty
+    try spark.read.parquet(catalogPath).as[CollectionMeta].collect().toSeq
+    catch { case e: Exception => throw StorageError(s"reading catalog at $catalogPath", e) }
+  }
+
+  private def writeCatalog(rows: Seq[CollectionMeta]): Unit =
+    try rows.toDS().coalesce(1).write.mode("overwrite").parquet(catalogPath)
+    catch { case e: Exception => throw StorageError(s"writing catalog at $catalogPath", e) }
+
+  private def scoped(rows: Seq[CollectionMeta]): Seq[CollectionMeta] =
+    rows.filter(r => r.tenant == tenant && r.database == database)
+
+  /** reference src/client.rs:70-91 — liveness probe returning nanoseconds. */
+  def heartbeat(): Long = {
+    if (spark.sparkContext.isStopped) throw PreflightError("Spark session stopped")
+    spark.range(1).count() // exercises the scheduler end to end
+    System.nanoTime()
+  }
+
+  /** reference src/client.rs:285-303 — raw version string. */
+  def version(): String = s"graft 0.1.0 (spark ${spark.version})"
+
+  /** reference src/client.rs:94-133. Unlike the reference client —
+    * which forwards a duplicate-name create to the server and
+    * surfaces the rejection as an opaque parse error
+    * (src/client.rs:148-156 pattern) — the engine checks the catalog
+    * first and raises a typed [[EngineError.CollectionStateError]].
+    */
+  def createCollection(name: String, metadata: Option[Map[String, String]] = None): Collection = {
+    validateName(name)
+    val rows = readCatalog()
+    if (scoped(rows).exists(_.name == name))
+      throw CollectionStateError(s"collection '$name' already exists in $tenant/$database")
+    val meta = CollectionMeta(
+      name = name,
+      id = CollectionMeta.deterministicId(tenant, database, name),
+      metadata = metadata,
+      metadataJson = metadata.map(CollectionMeta.sortedJson),
+      tenant = tenant,
+      database = database)
+    writeCatalog(rows :+ meta)
+    Files.createDirectories(Paths.get(dataDir(name)))
+    meta.toCollection
+  }
+
+  /** reference src/client.rs:136-157 — point lookup by name. */
+  def getCollection(name: String): Collection = {
+    validateName(name)
+    scoped(readCatalog()).find(_.name == name)
+      .getOrElse(throw CollectionStateError(s"collection '$name' not found in $tenant/$database"))
+      .toCollection
+  }
+
+  /** reference src/client.rs:160-199 — idempotent create. On hit the
+    * EXISTING collection (original metadata) is returned and the new
+    * metadata is ignored — §2.2 semantic 2.
+    */
+  def getOrCreateCollection(name: String, metadata: Option[Map[String, String]] = None): Collection = {
+    validateName(name)
+    scoped(readCatalog()).find(_.name == name) match {
+      case Some(existing) => existing.toCollection
+      case None           => createCollection(name, metadata)
+    }
+  }
+
+  /** reference src/client.rs:202-226 — status-checked delete. */
+  def deleteCollection(name: String): Unit = {
+    validateName(name)
+    val rows = readCatalog()
+    if (!scoped(rows).exists(_.name == name))
+      throw CollectionStateError(s"collection '$name' not found in $tenant/$database")
+    writeCatalog(rows.filterNot(r => r.tenant == tenant && r.database == database && r.name == name))
+    deleteRecursively(Paths.get(dataDir(name)))
+  }
+
+  /** reference src/client.rs:229-258 — list within tenant/database
+    * scope; sorted by name for determinism (the server's order is
+    * unspecified).
+    */
+  def listCollections(): Seq[Collection] =
+    scoped(readCatalog()).sortBy(_.name).map(_.toCollection)
+
+  /** Catalog as a DataFrame — the engine-native view the reference
+    * can't offer; lets catalog metadata join against data tables.
+    */
+  def collectionsDF(): Dataset[CollectionMeta] = {
+    if (!Files.exists(Paths.get(catalogPath)))
+      spark.emptyDataset[CollectionMeta]
+    else
+      spark.read.parquet(catalogPath).as[CollectionMeta]
+        .filter(col("tenant") === tenant && col("database") === database)
+  }
+
+  /** reference src/client.rs:261-282 — global destructive reset,
+    * gated like the server's ALLOW_RESET=TRUE (hint at
+    * src/client.rs:277).
+    */
+  def reset(): Unit = {
+    if (!allowReset)
+      throw CollectionStateError(
+        "Reset is disabled. Construct ChromaSpark with allowReset=true (mirrors ALLOW_RESET=TRUE)")
+    val all = readCatalog()
+    all.foreach { r =>
+      deleteRecursively(Paths.get(s"$warehouseDir/${r.tenant}/${r.database}/${r.name}"))
+    }
+    deleteRecursively(Paths.get(catalogPath))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      require(p.toAbsolutePath.startsWith(Paths.get(warehouseDir).toAbsolutePath),
+        s"refusing to delete outside warehouse: $p")
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+  }
+}
+
+object ChromaSpark {
+  /** reference src/client.rs:336-337 defaults. */
+  val DefaultTenant = "default_tenant"
+  val DefaultDatabase = "default_database"
+}

@@ -1,0 +1,120 @@
+package graft.catalog
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.catalog.EngineError._
+
+class ChromaSparkSpec extends SparkSpec {
+
+  private def freshClient(allowReset: Boolean = false,
+                          tenant: String = ChromaSpark.DefaultTenant,
+                          database: String = ChromaSpark.DefaultDatabase): ChromaSpark = {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    new ChromaSpark(spark, dir, tenant, database, allowReset)
+  }
+
+  test("lifecycle golden replay of reference tests/end-to-en.rs:5-45") {
+    val c = freshClient()
+    val meta = Map(
+      "description" -> "my first collection into a vector db",
+      "other-metadata" -> "testing get or create fn with metadata...")
+
+    c.createCollection("collection-1")                       // :8
+    c.getOrCreateCollection("collection-2", Some(meta))      // :10-24
+    c.createCollection("collection-3")                       // :26
+    assert(c.listCollections().length === 3)                 // :31
+    c.deleteCollection("collection-1")                       // :33
+    c.deleteCollection("collection-2")                       // :34
+    assert(c.listCollections().length === 1)                 // :37
+    assert(c.getCollection("collection-3").name === "collection-3") // :39-40
+    c.deleteCollection("collection-3")                       // :42
+    assert(c.listCollections().isEmpty)
+  }
+
+  test("create enforces name uniqueness (§2.2 semantic 1)") {
+    val c = freshClient()
+    c.createCollection("dup")
+    assertThrows[CollectionStateError] { c.createCollection("dup") }
+  }
+
+  test("getOrCreate on hit returns ORIGINAL metadata (§2.2 semantic 2)") {
+    val c = freshClient()
+    val original = Map("k" -> "v1")
+    c.createCollection("gc", Some(original))
+    val got = c.getOrCreateCollection("gc", Some(Map("k" -> "v2", "extra" -> "x")))
+    assert(got.metadata === Some(original))
+  }
+
+  test("tenant/database isolation (§2.2 semantic 3)") {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    val a = new ChromaSpark(spark, dir, "tenant_a", "db_a")
+    val b = new ChromaSpark(spark, dir, "tenant_b", "db_b")
+    a.createCollection("same-name")
+    b.createCollection("same-name") // no collision across scopes
+    assert(a.listCollections().map(_.name) === Seq("same-name"))
+    assert(b.listCollections().map(_.name) === Seq("same-name"))
+    a.deleteCollection("same-name")
+    assert(a.listCollections().isEmpty)
+    assert(b.listCollections().map(_.name) === Seq("same-name"))
+  }
+
+  test("reset is gated (§2.2 semantic 4) and global when allowed") {
+    val c = freshClient(allowReset = false)
+    c.createCollection("x")
+    assertThrows[CollectionStateError] { c.reset() }
+    assert(c.listCollections().length === 1)
+
+    val c2 = freshClient(allowReset = true)
+    c2.createCollection("y")
+    c2.reset()
+    assert(c2.listCollections().isEmpty)
+  }
+
+  test("list reflects mutations immediately (§2.2 semantic 5)") {
+    val c = freshClient()
+    assert(c.listCollections().isEmpty)
+    c.createCollection("a")
+    assert(c.listCollections().map(_.name) === Seq("a"))
+    c.createCollection("b")
+    assert(c.listCollections().map(_.name) === Seq("a", "b"))
+    c.deleteCollection("a")
+    assert(c.listCollections().map(_.name) === Seq("b"))
+  }
+
+  test("get/delete of missing collection raise typed errors") {
+    val c = freshClient()
+    assertThrows[CollectionStateError] { c.getCollection("nope") }
+    assertThrows[CollectionStateError] { c.deleteCollection("nope") }
+  }
+
+  test("invalid names rejected") {
+    val c = freshClient()
+    assertThrows[InvalidPathError] { c.createCollection("") }
+    assertThrows[InvalidPathError] { c.createCollection("a/b") }
+    assertThrows[InvalidPathError] { c.getCollection("..") }
+  }
+
+  test("metadata round-trips through the catalog parquet") {
+    val c = freshClient()
+    val meta = Map("k1" -> "v1", "weird \"chars\"\n" -> "tab\there")
+    c.createCollection("rt", Some(meta))
+    assert(c.getCollection("rt").metadata === Some(meta))
+    // JSON column is sorted-key canonical form
+    val row = c.collectionsDF().collect().head
+    assert(row.metadataJson.get.startsWith("{"))
+  }
+
+  test("ids are deterministic name-based UUIDs") {
+    val c1 = freshClient()
+    val c2 = freshClient()
+    assert(c1.createCollection("same").id === c2.createCollection("same").id)
+    assert(c1.getCollection("same").id ===
+      CollectionMeta.deterministicId(c1.tenant, c1.database, "same"))
+  }
+
+  test("heartbeat returns nanos and version names spark") {
+    val c = freshClient()
+    assert(c.heartbeat() > 0L)
+    assert(c.version().contains("spark"))
+  }
+}

@@ -86,6 +86,10 @@ object SparkEntry {
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
+    "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
+    "txt_quality"        -> (TextAnalysis.qualityScore _),
+    "txt_langid"         -> (TextAnalysis.langIdConfusion _),
+    "txt_dedup_exact"    -> (TextAnalysis.dedupExact _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -269,5 +273,52 @@ object SparkEntry {
         |  (CAST(6 AS BIGINT), 'list_after_final_delete', '0')
         |) AS t(step, "check", observed)
         |ORDER BY step""".stripMargin,
+
+    "txt_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE) AS stop_hits,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  floor((stop_hits / n_toks) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((punct / len) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  floor(least(n_toks / 64.0, 1.0) * 10000.0 + 0.5) / 10000.0 AS length_factor,
+        |  floor((0.3 * (stop_hits / n_toks)
+        |      + 0.3 * (1.0 - least((punct / len) * 4.0, 1.0))
+        |      + 0.4 * least(n_toks / 64.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT lang, predicted_lang, count(*) AS n_docs FROM (
+        |  SELECT lang, CASE
+        |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |    WHEN len(regexp_extract_all(text, '[äöüß]')) > 0 THEN 'de'
+        |    WHEN len(regexp_extract_all(text, '[éèêàçœ]')) > 0 THEN 'fr'
+        |    WHEN len(regexp_extract_all(text, '[ñáíóú¿¡]')) > 0 THEN 'es'
+        |    ELSE 'en' END AS predicted_lang
+        |  FROM documents)
+        |GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
+
+    "txt_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin,
   )
 }

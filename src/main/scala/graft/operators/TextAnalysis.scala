@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language
+  * identification, content fingerprinting and exact dedup.
+  *
+  * Everything is built from codegen'd built-in functions (string ops,
+  * regex, higher-order array functions) — no UDFs — so each operator
+  * stays inside whole-stage codegen and runs embarrassingly parallel:
+  * per-row work, no shuffle except the final aggregations. At 100 TB
+  * these are scan-bound map stages, exactly what you want.
+  */
+object TextAnalysis {
+
+  /** Canonical whitespace-token column. */
+  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Half-up rounding via floor arithmetic. Unlike `round()`, whose
+    * half-way behavior differs between engines at binary .5
+    * boundaries, `floor(x*1e4+0.5)/1e4` is the same double-op
+    * sequence on Spark and DuckDB → bitwise-identical results.
+    */
+  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** BPE-ish token pattern: letter runs, digit runs, or single
+    * non-alphanumeric symbols — the shape of byte-pair pre-tokenizers.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Function words per language for the lang-id heuristic. Tiny fixed
+    * sets keep the generated code small and identical on the oracle
+    * side.
+    */
+  val StopwordsEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Per-document token counts: whitespace tokens and BPE-ish tokens.
+    * Pure map stage; the parquet scan reads only (doc_id, text).
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("bpeish_tokens"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score in [0,1] from length, punctuation and
+    * stopword ratios — the standard cheap pre-filter before expensive
+    * dedup/embedding stages. All ratios are double-divided and
+    * rounded identically on the oracle side.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val stopHits = size(expr(
+      s"filter(split(trim(text), '\\\\s+'), t -> t in (${StopwordsEn.map("'" + _ + "'").mkString(",")}))"))
+      .cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val len = length(col("text")).cast("double")
+    val stopRatio = stopHits / nToks
+    val punctRatio = punct / len
+    val lengthFactor = least(nToks / lit(64.0), lit(1.0))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        rnd4(stopRatio).as("stop_ratio"),
+        rnd4(punctRatio).as("punct_ratio"),
+        rnd4(lengthFactor).as("length_factor"),
+        rnd4(lit(0.3) * stopRatio + lit(0.3) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) +
+          lit(0.4) * lengthFactor).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: script detection (CJK ranges) first, then
+    * diacritic profiles, defaulting to English. Returns the confusion
+    * matrix against the labeled `lang` column. (On this synthetic
+    * corpus every language shares one vocabulary, so the interesting
+    * output IS the confusion matrix; on real text the script +
+    * diacritic tiers do the work.)
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val predicted =
+      when(regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+        .when(regexp_count(t, lit("[äöüß]")) > 0, "de")
+        .when(regexp_count(t, lit("[éèêàçœ]")) > 0, "fr")
+        .when(regexp_count(t, lit("[ñáíóú¿¡]")) > 0, "es")
+        .otherwise("en")
+    Tables.documents(s, dir)
+      .select(col("lang"), predicted.as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** Canonical content fingerprint: md5 over whitespace-normalized,
+    * lowercased text. Identical builtin exists in DuckDB, so exact
+    * dedup is fully oracle-checkable.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Exact dedup via fingerprint: one hash-aggregate keyed on the
+    * digest (map-side combine, no row comparison), keeping the lowest
+    * doc_id per group — the scalable exact-dedup shape at any volume.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("fingerprint"))
+}

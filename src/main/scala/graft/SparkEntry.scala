@@ -90,6 +90,9 @@ object SparkEntry {
     "txt_quality"        -> (TextAnalysis.qualityScore _),
     "txt_langid"         -> (TextAnalysis.langIdConfusion _),
     "txt_dedup_exact"    -> (TextAnalysis.dedupExact _),
+    "vec_knn"            -> (VectorOps.knnQuery _),
+    "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
+    "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -320,5 +323,27 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY fingerprint""".stripMargin,
+
+    // vec_ann_lsh / vec_ann_ivf are intentionally omitted: approximate
+    // results aren't SQL-expressible; ScalaTest asserts their recall
+    // against vec_knn instead (driver records a rows-only check).
+    "vec_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", vec_id,
+        |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM ranked WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector similarity operators over `embeddings.embedding:
+  * array<float>` — the data-plane capability the reference's vector
+  * store implies but delegates to its server (SURVEY.md §0, §7.1
+  * items 3-4).
+  *
+  * All math uses built-in higher-order functions (`zip_with` +
+  * `aggregate`) computed in DOUBLE with left-to-right folds, so
+  * results are bitwise deterministic and the whole pipeline stays in
+  * whole-stage codegen — no UDF boxing per row.
+  *
+  * Scale design:
+  *  - Brute-force kNN broadcasts the (small) query set and streams
+  *    the corpus once: a map-only stage plus one shuffle for the
+  *    per-query top-k window. 100 TB of corpus = pure scan
+  *    parallelism; cost is linear, no candidate blowup.
+  *  - The LSH path buckets the corpus by a 16-bit random-hyperplane
+  *    signature (seeded, coordination-free), turning kNN into an
+  *    equi-join on signature — the index build is one column
+  *    derivation, incremental-friendly, and the probe touches
+  *    1/2^bits of the data in expectation.
+  *  - The IVF path uses learned coarse centroids (here: per-label
+  *    means) and probes the nearest `nprobe` partitions.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x))
+
+  /** Cross-engine-stable half-up rounding (see TextAnalysis.rnd4). */
+  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Exact top-k per query by cosine: broadcast(queries) ⋈ corpus →
+    * score map stage → ranking window on query_id. The broadcast join
+    * is mandatory here — a shuffle join on a cross-product key would
+    * be catastrophic; with broadcast the corpus is read exactly once.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("query_id"), col("qvec")))
+    val scored = corpus.select(col("vec_id"), col("vec"))
+      .join(q) // broadcast nested loop over the tiny query side
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: fixed seed, JVM-stable gaussian
+    * sequence — every executor derives identical planes, no broadcast
+    * of state needed.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** 16-bit signature: bit i = sign(v · plane_i), packed by a left
+    * fold — one derived column, no shuffle: this IS the index build.
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val planesLit = typedLit(planes)
+    val bits = transform(planesLit, p =>
+      when(aggregate(zip_with(vec, p, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** Multi-table LSH ANN: `tables` independent signatures of
+    * `bitsPerTable` hyperplane bits each. Each side derives one
+    * (table, signature) pair per table (an array column + posexplode
+    * — still a map stage), candidates come from ONE equi-join on
+    * (table, sig), are deduped, then exact re-ranked. Expected
+    * candidates per query ≈ tables × corpus / 2^bits — tune the two
+    * knobs for the recall/cost point; the join stays a plain hash
+    * join at any corpus size and never degenerates into a cross
+    * product.
+    */
+  def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+             tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+             seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(bitsPerTable, dim, seed + t))
+
+    def sigArray(vec: Column): Column =
+      array(allPlanes.map(p => lshSignature(vec, p)): _*)
+
+    val qSig = broadcast(
+      queries.select(col("query_id"), col("qvec"), posexplode(sigArray(col("qvec"))).as(Seq("t", "sig"))))
+    val cSig = corpus.select(col("vec_id"), col("vec"), posexplode(sigArray(col("vec"))).as(Seq("t", "sig")))
+
+    val candidates = cSig.join(qSig, Seq("t", "sig"))
+      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"))
+      .dropDuplicates("query_id", "vec_id") // same pair can collide in several tables
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse centroids (one per corpus partition label)
+    * are broadcast; each query probes its `nprobe` nearest centroids
+    * and exact-searches only those partitions. At scale the corpus is
+    * laid out partitioned-by-label (bucketed parquet), so the probe
+    * prunes file reads, not just rows.
+    */
+  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    // Column-mean centroid per label without UDAFs: explode positions,
+    // average per (label, pos), re-assemble sorted by pos.
+    val exploded = corpus.select(col("label"), posexplode(col("vec")).as(Seq("pos", "comp")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("comp")).as("mean_comp"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_comp")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("mean_comp")).as("centroid"))
+
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_score").desc, col("c_label").asc)
+    val probes = queries.select(col("query_id"), col("qvec"))
+      .join(broadcast(exploded))
+      .select(col("query_id"), col("qvec"), col("c_label"),
+        cosine(col("qvec"), col("centroid")).as("c_score"))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("c_label"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    corpus.select(col("vec_id"), col("vec"), col("label"))
+      .join(broadcast(probes), col("label") === col("c_label"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- SparkEntry query wrappers over the embeddings table ----
+
+  private def querySet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  private def corpusSet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+
+  /** Oracle-checked exact kNN: 10 queries × corpus, top-10 cosine. */
+  def knnQuery(s: SparkSession, dir: String): DataFrame =
+    knnBrute(querySet(s, dir), corpusSet(s, dir), k = 10)
+
+  /** LSH ANN over the same query set (rows-only check; recall is
+    * asserted against brute force in ScalaTest).
+    */
+  def annLshQuery(s: SparkSession, dir: String): DataFrame =
+    annLsh(querySet(s, dir), corpusSet(s, dir), k = 10)
+
+  /** IVF ANN probing 3 of the label partitions. */
+  def annIvfQuery(s: SparkSession, dir: String): DataFrame =
+    annIvf(querySet(s, dir), corpusSet(s, dir), k = 10, nprobe = 3)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("cosine identities: cos(v,v)=1, symmetry, orthogonality") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f, 2.0f), Seq(1.0f, 0.0f, 2.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("ab"),
+      VectorOps.cosine(col("b"), col("a")).as("ba")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(0).getDouble(0) === out(0).getDouble(1)) // symmetry
+  }
+
+  test("dot and l2 agree with hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.l2(col("a"), col("b")).as("e")).collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(8.0)) < 1e-12)
+  }
+
+  test("knnBrute returns the true nearest neighbor first on planted data") {
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.05f)),  // nearly parallel → best
+      (2L, Seq(0.0f, 1.0f)),    // orthogonal
+      (3L, Seq(-1.0f, 0.0f))    // opposite
+    ).toDF("vec_id", "vec")
+    val out = VectorOps.knnBrute(queries, corpus, k = 2).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("lsh signature is deterministic and in range") {
+    val planes = VectorOps.hyperplanes(8, 2)
+    assert(planes === VectorOps.hyperplanes(8, 2)) // seeded → stable
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(Seq(-1.0f, -2.0f))).toDF("vec")
+    val sigs = df.select(VectorOps.lshSignature(col("vec"), planes).as("sig"))
+      .as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < 256))
+    val again = df.select(VectorOps.lshSignature(col("vec"), planes).as("sig"))
+      .as[Long].collect()
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("ann lsh achieves nonzero recall@10 vs brute force on sf0.001") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.annLsh(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall@10 = $recall%.3f")
+    assert(recall > 0.3, s"LSH recall collapsed: $recall")
+  }
+
+  test("ann ivf returns k ranked rows per query with valid scores") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val out = VectorOps.annIvf(queries, corpus, k = 5, nprobe = 2).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 5)
+    byQuery.values.foreach { rows =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      rows.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0001))
+    }
+  }
+}

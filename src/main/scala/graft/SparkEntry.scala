@@ -93,6 +93,11 @@ object SparkEntry {
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
+    "dd_signatures"      -> (Dedup.signaturesQuery _),
+    "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
+    "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
+    "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
+    "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -345,5 +350,30 @@ object SparkEntry {
         |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
         |FROM ranked WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // dd_signatures / dd_minhash_pairs / dd_simhash_pairs / dd_embed_top
+    // rely on xxhash64/LSH, which DuckDB can't mirror → rows-only
+    // checks; planted-duplicate recovery is asserted in ScalaTest.
+    "dd_ngram_top" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) AS DOUBLE) AS la, CAST(len(b.sh) AS DOUBLE) AS lb
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  floor((inter / (la + lb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs
+        |ORDER BY jaccard DESC, doc_a, doc_b
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import EventStreams._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed counts finalize after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:20:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 10:40:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark hasn't passed 11:00
+      assert(spark.table("hourly_out").count() === 0)
+
+      // an event far enough ahead pushes the watermark past 11:00
+      input.addData(Event(4, ts("2024-01-01 12:30:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq === Seq(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 13:00:00"), 2, "click", 1.0)) // watermark → 12:50
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 10:30:00"), 1, "click", 99.0)) // late, dropped
+      q.processAllAvailable()
+      val hour10 = spark.table("late_out")
+        .filter($"window_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(hour10.length === 1)
+      assert(hour10.head.getLong(2) === 1L) // late event not counted
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h gap, then one more
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      // the in-batch gap close emits the first session
+      val afterGap = spark.table("sessions_out").collect()
+      assert(afterGap.length === 1)
+      val s1 = afterGap.head
+      assert(s1.getLong(0) === 1L)
+      assert(s1.getTimestamp(1) === ts("2024-01-01 10:00:00"))
+      assert(s1.getTimestamp(2) === ts("2024-01-01 10:10:00"))
+      assert(s1.getLong(3) === 2L && s1.getDouble(4) === 3.0)
+
+      // push watermark far ahead → open session times out and flushes
+      input.addData(Event(99, ts("2024-01-01 23:00:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(100, ts("2024-01-02 12:00:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").orderBy("session_start").collect()
+      assert(all.exists(r => r.getLong(0) === 1L &&
+        r.getTimestamp(1) === ts("2024-01-01 12:30:00") && r.getLong(3) === 1L))
+    } finally q.stop()
+  }
+}

@@ -98,6 +98,7 @@ object SparkEntry {
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
+    "mm_features"        -> (Multimodal.featuresQuery _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("synthesis is deterministic and kinds partition by id") {
+    val a = Multimodal.synthesize(spark, sfDir).collect().sortBy(_.media_id)
+    val b = Multimodal.synthesize(spark, sfDir).collect().sortBy(_.media_id)
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.media_id === y.media_id && x.kind === y.kind)
+      assert(x.content.toSeq === y.content.toSeq)
+    }
+    assert(a.map(_.kind).toSet === Set("image", "audio", "video"))
+  }
+
+  test("feature extraction computes histogram/mean/entropy correctly") {
+    val rec = MediaRecord(1L, "image",
+      Array[Byte](0, 0, 16, 16, 32, 32, 48, 48), MediaMeta(4, 2, 1, 0, 1, "fake-gray8"))
+    val out = Multimodal.extractFeatures(Seq(rec).toDS()).collect().head
+    assert(out.n_bytes === 8L)
+    assert(out.mean_intensity === (0 + 0 + 16 + 16 + 32 + 32 + 48 + 48) / 8.0)
+    assert(out.histogram.toSeq.take(4) === Seq(2L, 2L, 2L, 2L)) // bins 0..3
+    assert(math.abs(out.entropy - 2.0) < 1e-12) // 4 equal bins → 2 bits
+  }
+
+  test("resize produces width*height payload and updates metadata") {
+    val rec = MediaRecord(1L, "image",
+      Array.tabulate[Byte](32)(i => i.toByte), MediaMeta(8, 4, 1, 0, 1, "fake-gray8"))
+    val out = Multimodal.resize(Seq(rec).toDS(), targetWidth = 4).collect().head
+    assert(out.meta.width === 4 && out.meta.height === 4)
+    assert(out.content.length === 16)
+    // nearest-neighbor: row 0 of src [0..7] sampled at x*2 → 0,2,4,6
+    assert(out.content.take(4).toSeq === Seq[Byte](0, 2, 4, 6))
+  }
+
+  test("frame sampling keeps every stride-th frame of video rows only") {
+    val vid = MediaRecord(7L, "video",
+      Array.tabulate[Byte](40)(_.toByte), MediaMeta(2, 4, 1, 0, 5, "fake-rawvid"))
+    val img = MediaRecord(8L, "image", Array[Byte](1, 2), MediaMeta(2, 1, 1, 0, 1, "fake-gray8"))
+    val out = Multimodal.sampleFrames(Seq(vid, img).toDS(), stride = 2).collect()
+    // frame size = width*4 = 8 bytes → 5 frames; stride 2 → idx 0,2,4
+    assert(out.map(_.media_id).toSet === Set(7L))
+    assert(out.map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    assert(out.forall(f => f.frame.length <= 8))
+  }
+
+  test("features query output is stable across runs and non-empty") {
+    val a = Multimodal.featuresQuery(spark, sfDir).collect()
+    val b = Multimodal.featuresQuery(spark, sfDir).collect()
+    assert(a.length > 0)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+}

@@ -30,14 +30,17 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** 64-permutation MinHash signature. Permutation i of shingle s is
-    * `xxhash64(i, s)` — seeded re-hashing instead of (a*x+b) mod p
-    * arithmetic, which would overflow-throw under ANSI mode. One
-    * array column per doc; embarrassingly parallel.
+  /** 64-permutation MinHash signature. Each shingle string is hashed
+    * to a long ONCE; permutation i then re-hashes the longs with seed
+    * column i (`xxhash64(i, h)`) — seeded re-hashing instead of
+    * (a*x+b) mod p arithmetic, which would overflow-throw under ANSI
+    * mode, and ~10× cheaper than hashing the strings per permutation.
     */
-  def minhashSignature(sh: Column, perms: Int = 64): Column =
+  def minhashSignature(sh: Column, perms: Int = 64): Column = {
+    val hashes = transform(sh, s => xxhash64(s))
     transform(sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(sh, s => xxhash64(i.cast("string"), s))))
+      i => array_min(transform(hashes, h => xxhash64(i, h))))
+  }
 
   /** LSH band hashes: split the signature into `bands` rows of
     * `signature/bands` values; equal band-hash = candidate pair.
@@ -159,14 +162,22 @@ object Dedup {
   /** Embedding-cosine near-dup: multi-table LSH self-join for
     * candidates (never all-pairs), exact cosine re-rank, top pairs.
     */
+  /** bitsPerTable is wider here than in query-time ANN (10 vs 6): a
+    * self-join's candidate count grows with the SQUARE of bucket
+    * occupancy, so near-dup mining wants many small buckets — truly
+    * similar vectors still collide, random ones mostly don't.
+    */
   def embeddingNearDupTop(embeddings: DataFrame, topK: Int = 50,
-                          tables: Int = 8, bitsPerTable: Int = 6,
+                          tables: Int = 8, bitsPerTable: Int = 10,
                           dim: Int = 64): DataFrame = {
     val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
     def sigArray(vec: Column): Column =
       array(allPlanes.map(p => VectorOps.lshSignature(vec, p)): _*)
+    // persist: both self-join sides read the signatures; without it the
+    // 80 hyperplane dot-products per vector run twice.
     val signed = embeddings.select(col("vec_id"), col("embedding").as("vec"))
       .withColumn("sigs", sigArray(col("vec")))
+      .persist()
     val banded = signed.select(col("vec_id"), col("vec"),
       posexplode(col("sigs")).as(Seq("t", "sig")))
     banded.as("a")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.catalog.ChromaSpark
+import graft.catalog.{ChromaSpark, CollectionData}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,64 @@ object SparkEntry {
     ).toDF("step", "check", "observed").orderBy(col("step"))
   }
 
+  /** Filtered kNN — Chroma's `query(where=...)` semantics over the
+    * raw tables so it stays DuckDB-oracle-checkable: corpus is
+    * embeddings whose paired document (vec_id = doc_id) is English,
+    * queries are vec_id < 10; filter first, then score.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .join(Tables.documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    corpus.join(q)
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (floor(col("score") * 10000.0 + 0.5) / 10000.0).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Item-API lifecycle over a scratch collection: add / upsert /
+    * where-filtered query / delete / count, with vectors chosen so
+    * every cosine is an exact decimal — the oracle is a VALUES table.
+    */
+  def collectionItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-items-q").toString
+    val client = new ChromaSpark(s, wh)
+    client.createCollection("items")
+    val d = new CollectionData(client)
+    d.add("items", Seq(
+      ("a", Seq(3f, 4f), "doc a", """{"tier":"gold","stars":5}"""),
+      ("b", Seq(4f, 3f), "doc b", """{"tier":"gold","stars":2}"""),
+      ("c", Seq(0f, 1f), "doc c", """{"tier":"silver","stars":4}"""),
+      ("d", Seq(1f, 0f), "doc d", """{"tier":"bronze","stars":1}"""))
+      .toDF("id", "embedding", "document", "metadata_json"))
+    d.upsert("items", Seq(("c", Seq(5f, 12f), "doc c v2", """{"tier":"silver","stars":4}"""))
+      .toDF("id", "embedding", "document", "metadata_json"))
+    d.delete("items", ids = Seq("d"))
+    val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    val gold = d.query("items", q, nResults = 10, whereJson = Some("""{"tier":"gold"}"""))
+      .select(col("id"), (org.apache.spark.sql.functions.floor(col("score") * 10000.0 + 0.5) / 10000.0).as("score"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val n = d.count("items")
+    import org.apache.spark.sql.functions.lit
+    (gold.zipWithIndex.map { case ((id, sc), i) =>
+      (i.toLong + 1, s"gold_rank_${i + 1}", id, sc)
+    } :+ ((gold.length + 1).toLong, "live_count", n.toString, -1.0))
+      .toDF("step", "check", "observed", "score")
+      .orderBy(col("step"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -99,6 +157,8 @@ object SparkEntry {
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
     "mm_features"        -> (Multimodal.featuresQuery _),
+    "vec_knn_filtered"   -> (knnFiltered _),
+    "collection_items"   -> (collectionItems _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -351,6 +411,37 @@ object SparkEntry {
         |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
         |FROM ranked WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "vec_knn_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT e.vec_id, e.embedding AS vec
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.vec_id >= 10 AND d.lang = 'en'),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", vec_id,
+        |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM ranked WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // cos((1,0),(4,3)) = 4/5 = .8 ; cos((1,0),(3,4)) = 3/5 = .6 ;
+    // item c upserted away, item d tombstoned → 3 live items.
+    "collection_items" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.8),
+        |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 0.6),
+        |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0)
+        |) AS t(step, "check", observed, score)
+        |ORDER BY step""".stripMargin,
 
     // dd_signatures / dd_minhash_pairs / dd_simhash_pairs / dd_embed_top
     // rely on xxhash64/LSH, which DuckDB can't mirror → rows-only

@@ -1,0 +1,193 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{VectorOps, WhereFilter}
+
+/** Item-level data plane for collections — the document API the
+  * reference's Chroma server exposes (`add` / `upsert` / `get` /
+  * `delete` / `query` / `count`) but its client never calls
+  * (SURVEY.md §0: the 573-line client has no item operations at
+  * all). Modeled on the public Chroma v1 REST surface; implemented
+  * as an LSM-style parquet log, not a translation of any server
+  * internals.
+  *
+  * Storage layout (per collection data dir):
+  *   one parquet file-set per write batch, rows carrying
+  *   (_batch, _deleted) bookkeeping columns. Writes are APPEND-ONLY —
+  *   upsert appends a newer version, delete appends a tombstone, and
+  *   readers resolve latest-version-per-id with one window pass
+  *   (merge-on-read). That makes every mutation an O(batch) parquet
+  *   append with no read-modify-write of existing data — the only
+  *   write pattern that survives 100 TB collections; a periodic
+  *   `compact()` folds the log back to one resolved snapshot.
+  *
+  * Schema: id STRING, embedding ARRAY<FLOAT>, document STRING,
+  * metadata_json STRING (+ _batch LONG, _deleted BOOLEAN at rest).
+  */
+class CollectionData(client: ChromaSpark) {
+  import EngineError._
+
+  private def spark: SparkSession = client.spark
+
+  private def dir(collection: String): String = {
+    client.getCollection(collection) // raises CollectionStateError if absent
+    client.dataDir(collection)
+  }
+
+  private def nextBatch(path: String): Long = {
+    val p = Paths.get(path, "_batches")
+    Files.createDirectories(p.getParent)
+    val n = if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong + 1 else 0L
+    Files.write(p, n.toString.getBytes)
+    n
+  }
+
+  private val ItemCols = Seq("id", "embedding", "document", "metadata_json")
+
+  private def normalize(items: DataFrame): DataFrame = {
+    val cols = items.columns.toSet
+    require(cols.contains("id"), "items need an 'id' column")
+    items.select(
+      col("id").cast("string").as("id"),
+      (if (cols.contains("embedding")) col("embedding").cast("array<float>")
+       else lit(null).cast("array<float>")).as("embedding"),
+      (if (cols.contains("document")) col("document").cast("string")
+       else lit(null).cast("string")).as("document"),
+      (if (cols.contains("metadata_json")) col("metadata_json").cast("string")
+       else lit(null).cast("string")).as("metadata_json"))
+  }
+
+  private def appendBatch(collection: String, items: DataFrame, deleted: Boolean): Unit = {
+    val d = dir(collection)
+    val batch = nextBatch(d)
+    normalize(items)
+      .withColumn("_batch", lit(batch))
+      .withColumn("_deleted", lit(deleted))
+      .write.mode("append").parquet(s"$d/log")
+  }
+
+  private def readLog(collection: String): DataFrame = {
+    val d = dir(collection)
+    if (!Files.exists(Paths.get(d, "log")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING, _batch BIGINT, _deleted BOOLEAN"))
+    spark.read.parquet(s"$d/log")
+  }
+
+  /** Latest version per id, tombstones dropped — the merge-on-read
+    * resolution. One shuffle on id; at scale the log is additionally
+    * partitioned so old batches prune out after compaction.
+    */
+  private def resolved(collection: String): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("_batch").desc)
+    readLog(collection)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .select(ItemCols.map(col): _*)
+  }
+
+  /** Chroma `add`: fails if any id already exists (live). */
+  def add(collection: String, items: DataFrame): Unit = {
+    val dupes = normalize(items).select("id")
+      .join(resolved(collection).select("id"), "id").limit(1).count()
+    if (dupes > 0)
+      throw CollectionStateError(s"add to '$collection': some ids already exist (use upsert)")
+    appendBatch(collection, items, deleted = false)
+  }
+
+  /** Chroma `upsert`: insert-or-replace by id. Pure append. */
+  def upsert(collection: String, items: DataFrame): Unit =
+    appendBatch(collection, items, deleted = false)
+
+  /** Chroma `delete` by ids and/or metadata `where` filter. Appends
+    * tombstones for the matching live rows.
+    */
+  def delete(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None): Unit = {
+    var victims = resolved(collection)
+    if (ids.nonEmpty) victims = victims.filter(col("id").isin(ids: _*))
+    whereJson.foreach(w => victims = victims.filter(metadataPredicate(w)))
+    appendBatch(collection, victims, deleted = true)
+  }
+
+  /** Chroma `get`: by ids and/or `where`, with limit/offset paging on
+    * id order.
+    */
+  def get(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None,
+          limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    var out = resolved(collection)
+    if (ids.nonEmpty) out = out.filter(col("id").isin(ids: _*))
+    whereJson.foreach(w => out = out.filter(metadataPredicate(w)))
+    out = out.orderBy(col("id"))
+    if (offset > 0 || limit.isDefined) {
+      val w = Window.orderBy(col("id"))
+      out = out.withColumn("_pos", row_number().over(w))
+        .filter(col("_pos") > offset)
+      limit.foreach(l => out = out.filter(col("_pos") <= offset + l))
+      out = out.drop("_pos")
+    }
+    out
+  }
+
+  def count(collection: String): Long = resolved(collection).count()
+
+  /** Chroma `query`: per query vector, the `nResults` nearest live
+    * items by cosine, optionally pre-filtered by metadata `where` —
+    * filter FIRST, then score: the predicate prunes the scan before
+    * any vector math runs.
+    */
+  def query(collection: String, queryEmbeddings: DataFrame, nResults: Int = 10,
+            whereJson: Option[String] = None): DataFrame = {
+    var corpus = resolved(collection).filter(col("embedding").isNotNull)
+    whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
+    val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    corpus.join(q)
+      .select(col("query_id"), col("id"), col("document"), col("metadata_json"),
+        VectorOps.cosine(col("qvec"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nResults)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Fold the log into a single resolved snapshot (batch 0 of a fresh
+    * log) — run periodically so merge-on-read stays O(live rows).
+    */
+  def compact(collection: String): Unit = {
+    val d = dir(collection)
+    val snapshot = resolved(collection).persist()
+    snapshot.count() // materialize before the log is replaced
+    val tmp = s"$d/log_compacting"
+    snapshot
+      .withColumn("_batch", lit(0L))
+      .withColumn("_deleted", lit(false))
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite").parquet(tmp)
+    snapshot.unpersist()
+    val logPath = Paths.get(s"$d/log")
+    val old = Paths.get(s"$d/log_old")
+    if (Files.exists(logPath)) Files.move(logPath, old)
+    Files.move(Paths.get(tmp), logPath)
+    if (Files.exists(old)) {
+      import java.util.Comparator
+      Files.walk(old).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+    Files.write(Paths.get(d, "_batches"), "0".getBytes)
+  }
+
+  /** Metadata `where` over the JSON column: rewrite field references
+    * to typed JSON extractions, then reuse the standard WhereFilter
+    * compiler. Numeric comparisons coerce via double.
+    */
+  private def metadataPredicate(whereJson: String): Column =
+    WhereFilter.compileWith(whereJson, (field, wantNumeric) => {
+      val raw = get_json_object(col("metadata_json"), s"$$.${field}")
+      if (wantNumeric) raw.cast("double") else raw
+    })
+}

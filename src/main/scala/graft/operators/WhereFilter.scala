@@ -20,44 +20,65 @@ import org.json4s.jackson.JsonMethods
   * participates in predicate pushdown into the parquet scan like any
   * hand-written filter — the engine never materializes unfiltered
   * rows.
+  *
+  * Field references resolve through a pluggable `FieldResolver` so
+  * the same grammar filters plain columns (documents table) or JSON
+  * metadata extractions (collection items): the resolver receives the
+  * field name and whether the comparison value is numeric (JSON
+  * extractions need a cast in that case).
   */
 object WhereFilter {
 
-  def compile(whereJson: String): Column =
-    compileFilter(JsonMethods.parse(whereJson))
+  /** (fieldName, comparisonIsNumeric) → column to compare. */
+  type FieldResolver = (String, Boolean) => Column
 
-  private def compileFilter(v: JValue): Column = v match {
+  private val plainColumns: FieldResolver = (field, _) => col(field)
+
+  def compile(whereJson: String): Column = compileWith(whereJson, plainColumns)
+
+  def compileWith(whereJson: String, resolver: FieldResolver): Column =
+    compileFilter(JsonMethods.parse(whereJson), resolver)
+
+  private def compileFilter(v: JValue, r: FieldResolver): Column = v match {
     case JObject(fields) =>
       fields.map {
-        case ("$and", JArray(fs)) => fs.map(compileFilter).reduce(_ && _)
-        case ("$or", JArray(fs))  => fs.map(compileFilter).reduce(_ || _)
-        case (field, cond)        => compileField(field, cond)
+        case ("$and", JArray(fs)) => fs.map(compileFilter(_, r)).reduce(_ && _)
+        case ("$or", JArray(fs))  => fs.map(compileFilter(_, r)).reduce(_ || _)
+        case (field, cond)        => compileField(field, cond, r)
       }.reduce(_ && _) // multiple top-level fields = implicit $and
     case other => throw new IllegalArgumentException(s"where filter must be an object, got $other")
   }
 
-  private def compileField(field: String, cond: JValue): Column = cond match {
+  private def compileField(field: String, cond: JValue, r: FieldResolver): Column = cond match {
     case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
-      ops.map { case (op, value) => applyOp(field, op, value) }.reduce(_ && _)
-    case value => col(field) === literal(value) // implicit $eq
+      ops.map { case (op, value) => applyOp(field, op, value, r) }.reduce(_ && _)
+    case value => r(field, isNumeric(value)) === literal(value) // implicit $eq
   }
 
-  private def applyOp(field: String, op: String, value: JValue): Column = op match {
-    case "$eq"  => col(field) === literal(value)
-    case "$ne"  => col(field) =!= literal(value)
-    case "$gt"  => col(field) > literal(value)
-    case "$gte" => col(field) >= literal(value)
-    case "$lt"  => col(field) < literal(value)
-    case "$lte" => col(field) <= literal(value)
-    case "$in"  => value match {
-      case JArray(vs) => col(field).isin(vs.map(scalaValue): _*)
-      case v          => throw new IllegalArgumentException(s"$$in needs an array, got $v")
+  private def applyOp(field: String, op: String, value: JValue, r: FieldResolver): Column = {
+    def f: Column = r(field, isNumeric(value))
+    op match {
+      case "$eq"  => f === literal(value)
+      case "$ne"  => f =!= literal(value)
+      case "$gt"  => f > literal(value)
+      case "$gte" => f >= literal(value)
+      case "$lt"  => f < literal(value)
+      case "$lte" => f <= literal(value)
+      case "$in"  => value match {
+        case JArray(vs) => r(field, vs.exists(isNumeric)).isin(vs.map(scalaValue): _*)
+        case v          => throw new IllegalArgumentException(s"$$in needs an array, got $v")
+      }
+      case "$nin" => value match {
+        case JArray(vs) => !r(field, vs.exists(isNumeric)).isin(vs.map(scalaValue): _*)
+        case v          => throw new IllegalArgumentException(s"$$nin needs an array, got $v")
+      }
+      case other  => throw new IllegalArgumentException(s"unsupported where operator: $other")
     }
-    case "$nin" => value match {
-      case JArray(vs) => !col(field).isin(vs.map(scalaValue): _*)
-      case v          => throw new IllegalArgumentException(s"$$nin needs an array, got $v")
-    }
-    case other  => throw new IllegalArgumentException(s"unsupported where operator: $other")
+  }
+
+  private def isNumeric(v: JValue): Boolean = v match {
+    case _: JInt | _: JLong | _: JDouble | _: JDecimal => true
+    case _ => false
   }
 
   private def literal(v: JValue): Column = lit(scalaValue(v))

@@ -1,0 +1,122 @@
+package graft.catalog
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.catalog.EngineError._
+
+class CollectionDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (ChromaSpark, CollectionData) = {
+    val wh = Files.createTempDirectory("graft-items").toString
+    val c = new ChromaSpark(spark, wh)
+    c.createCollection("col")
+    (c, new CollectionData(c))
+  }
+
+  private def items(rows: (String, Seq[Float], String, String)*) =
+    rows.toDF("id", "embedding", "document", "metadata_json")
+
+  test("add + get + count round-trip") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 0f), "doc a", """{"lang":"en","stars":5}"""),
+      ("b", Seq(0f, 1f), "doc b", """{"lang":"fr","stars":2}""")))
+    assert(d.count("col") === 2)
+    val got = d.get("col").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(got.head.getString(2) === "doc a")
+  }
+
+  test("add rejects duplicate live ids; upsert replaces them") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "v1", "{}")))
+    assertThrows[CollectionStateError] {
+      d.add("col", items(("a", Seq(1f, 0f), "v2", "{}")))
+    }
+    d.upsert("col", items(("a", Seq(1f, 0f), "v2", "{}")))
+    val got = d.get("col", ids = Seq("a")).collect()
+    assert(got.length === 1 && got.head.getString(2) === "v2")
+    assert(d.count("col") === 1)
+  }
+
+  test("delete by id appends a tombstone; re-add then works") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc", "{}"), ("b", Seq(0f, 1f), "doc", "{}")))
+    d.delete("col", ids = Seq("a"))
+    assert(d.count("col") === 1)
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("b"))
+    d.add("col", items(("a", Seq(1f, 1f), "doc3", "{}"))) // id free again
+    assert(d.count("col") === 2)
+  }
+
+  test("get with metadata where-filter and paging") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 0f), "x", """{"lang":"en","stars":5}"""),
+      ("b", Seq(0f, 1f), "y", """{"lang":"fr","stars":2}"""),
+      ("c", Seq(1f, 1f), "z", """{"lang":"en","stars":1}""")))
+    val en = d.get("col", whereJson = Some("""{"lang": "en"}""")).collect()
+    assert(en.map(_.getString(0)).toSeq === Seq("a", "c"))
+    val manyStars = d.get("col", whereJson = Some("""{"stars": {"$gte": 2}}""")).collect()
+    assert(manyStars.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val page = d.get("col", limit = Some(1), offset = 1).collect()
+    assert(page.map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("delete by where-filter") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 0f), "x", """{"keep":"no"}"""),
+      ("b", Seq(0f, 1f), "y", """{"keep":"yes"}""")))
+    d.delete("col", whereJson = Some("""{"keep": "no"}"""))
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("query returns nearest live items, respects where-filter") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("near", Seq(0.99f, 0.05f), "close", """{"tier":"a"}"""),
+      ("orth", Seq(0f, 1f), "far", """{"tier":"a"}"""),
+      ("alsoNear", Seq(0.98f, 0.01f), "close2", """{"tier":"b"}""")))
+    val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    val top = d.query("col", q, nResults = 1).collect()
+    assert(top.head.getString(1) === "alsoNear") // highest cosine
+    val topA = d.query("col", q, nResults = 1, whereJson = Some("""{"tier": "a"}""")).collect()
+    assert(topA.head.getString(1) === "near") // filter first, then score
+  }
+
+  test("query ignores deleted and re-ranks after upsert") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 0f), "v1", "{}"),
+      ("b", Seq(0.9f, 0.1f), "v1", "{}")))
+    d.delete("col", ids = Seq("a"))
+    val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    assert(d.query("col", q, 5).collect().map(_.getString(1)).toSeq === Seq("b"))
+    d.upsert("col", items(("b", Seq(0f, 1f), "v2", "{}"))) // moved away
+    val after = d.query("col", q, 5).collect()
+    assert(after.length === 1 && after.head.getDouble(4) < 0.5)
+  }
+
+  test("compact folds the log and preserves resolved state") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("b", Seq(0f, 1f), "w", "{}")))
+    d.upsert("col", items(("a", Seq(1f, 0f), "v2", "{}")))
+    d.delete("col", ids = Seq("b"))
+    val before = d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    d.compact("col")
+    val after = d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(before === after && after === Seq(("a", "v2")))
+    // further writes keep working after compaction
+    d.add("col", items(("c", Seq(1f, 1f), "new", "{}")))
+    assert(d.count("col") === 2)
+  }
+
+  test("operations on a missing collection raise") {
+    val wh = Files.createTempDirectory("graft-items").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    assertThrows[CollectionStateError] { d.count("nope") }
+  }
+}

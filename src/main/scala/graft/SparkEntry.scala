@@ -140,6 +140,10 @@ object SparkEntry {
     "q12_filter_project" -> (Relational.q12FilterProject _),
     "q13_range_join"     -> (Relational.q13RangeJoin _),
     "q14_where_filter"   -> (whereFilterQuery _),
+    "q15_grouping_sets"  -> (Relational.q15GroupingSets _),
+    "q16_window_suite"   -> (Relational.q16WindowSuite _),
+    "q17_corr_subquery"  -> (Relational.q17CorrelatedSubquery _),
+    "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
@@ -284,6 +288,48 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'fr') AND n_chars > 200 AND source <> 'src7'
         |ORDER BY doc_id""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q16_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER wd AS prev_price,
+        |  lead(o_totalprice, 1) OVER wd AS next_price,
+        |  CAST(dense_rank() OVER wp AS BIGINT) AS price_rank,
+        |  CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+        |  floor(percent_rank() OVER wp * 10000.0 + 0.5) / 10000.0 AS price_pct_rank
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q17_corr_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above_avg,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "ev_props_json" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "ev_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -57,6 +57,22 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Semi-structured props: typed JSON extraction feeding a grouped
+    * aggregate — the schema-on-read path for event payloads. Long
+    * sums stay exact across engines.
+    */
+  def propsStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Backward as-of join: each purchase matched to the user's most
     * recent click at-or-before it. See [[AsOfJoin]] for the
     * single-shuffle plan.

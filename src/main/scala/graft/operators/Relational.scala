@@ -201,6 +201,59 @@ object Relational {
       .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
 
+  /** GROUPING SETS through the SQL entry point (the DataFrame API
+    * only exposes rollup/cube): independent subtotals by status and
+    * by priority plus a grand total, one aggregation pass.
+    */
+  def q15GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Window-function breadth on one shuffle: lag/lead, dense_rank,
+    * ntile and percent_rank all share the same partition key so the
+    * window exec sorts each customer's rows once.
+    */
+  def q16WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        dense_rank().over(byPrice).cast("long").as("price_rank"),
+        ntile(4).over(byPrice).cast("long").as("price_quartile"),
+        (floor(percent_rank().over(byPrice) * 10000.0 + 0.5) / 10000.0).as("price_pct_rank"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a
+    * join against the per-group aggregate): orders above their own
+    * customer's average.
+    */
+  def q17CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_above_avg,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders_cs o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM orders_cs o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   /** Equi-join with an interval predicate (range join): lineitems
     * shipped within 30 days of their order's date. The equi-key keeps
     * it a hash/SMJ join (the range predicate is a post-join filter) —

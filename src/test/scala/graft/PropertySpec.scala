@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.catalog.CollectionMeta
+import graft.operators.{Dedup, VectorOps, WhereFilter}
+
+/** Property-based invariants (SURVEY.md §5): metadata round-trip,
+  * deterministic ids, metric identities, filter-compiler/SQL
+  * equivalence. Spark-touching properties batch their cases into one
+  * job; pure-JVM properties run the full default 100 cases.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("PropertySpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
+    .getOrCreate()
+
+  // ---- pure-JVM properties ----
+
+  private val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val valGen = Gen.asciiPrintableStr // includes quotes/backslashes
+  private val metadataGen =
+    Gen.choose(0, 8).flatMap(n => Gen.mapOfN(n, Gen.zip(keyGen, valGen)))
+
+  property("metadata map → sorted json → map round-trips") =
+    forAll(metadataGen) { m =>
+      val parsed = JsonMethods.parse(CollectionMeta.sortedJson(m)) match {
+        case JObject(fields) => fields.map { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      parsed == m
+    }
+
+  property("sorted json is canonical: equal maps serialize identically") =
+    forAll(metadataGen) { m =>
+      val shuffled = scala.util.Random.shuffle(m.toSeq).toMap
+      CollectionMeta.sortedJson(m) == CollectionMeta.sortedJson(shuffled)
+    }
+
+  property("deterministic ids: stable, and distinct names ⇒ distinct ids") =
+    forAll(keyGen, keyGen) { (a, b) =>
+      val ida = CollectionMeta.deterministicId("t", "d", a)
+      (ida == CollectionMeta.deterministicId("t", "d", a)) &&
+        ((a == b) == (ida == CollectionMeta.deterministicId("t", "d", b)))
+    }
+
+  property("hyperplanes are seed-deterministic") =
+    forAll(Gen.choose(0L, 1000L)) { seed =>
+      VectorOps.hyperplanes(4, 8, seed) == VectorOps.hyperplanes(4, 8, seed)
+    }
+
+  // ---- Spark-batched properties ----
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.choose(-10.0f, 10.0f)).suchThat(v => v.exists(x => math.abs(x) > 0.01))
+
+  property("cosine: symmetric, self≈1, bounded") = {
+    import spark.implicits._
+    val pairs = Gen.listOfN(60, Gen.zip(vecGen, vecGen)).sample.get
+    val df = pairs.toDF("a", "b").select(
+      VectorOps.cosine(col("a"), col("b")).as("ab"),
+      VectorOps.cosine(col("b"), col("a")).as("ba"),
+      VectorOps.cosine(col("a"), col("a")).as("aa"))
+    val rows = df.collect()
+    Prop(rows.forall { r =>
+      r.getDouble(0) == r.getDouble(1) && // bitwise symmetric (same fold order)
+        math.abs(r.getDouble(2) - 1.0) < 1e-9 &&
+        math.abs(r.getDouble(0)) <= 1.0 + 1e-12
+    }) :| "cosine identities over 60 random pairs"
+  }
+
+  property("jaccard: self=1, bounded, symmetric") = {
+    import spark.implicits._
+    val setGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.distinct)
+    val pairs = Gen.listOfN(60, Gen.zip(setGen, setGen)).sample.get
+    val rows = pairs.toDF("a", "b").select(
+      Dedup.jaccard(col("a"), col("b")).as("ab"),
+      Dedup.jaccard(col("b"), col("a")).as("ba"),
+      Dedup.jaccard(col("a"), col("a")).as("aa")).collect()
+    Prop(rows.forall { r =>
+      r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == 1.0 &&
+        r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0
+    }) :| "jaccard identities over 60 random pairs"
+  }
+
+  property("where-filter compiles to the same rows as hand-written SQL") = {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, Seq("en", "fr", "de")(i.toInt % 3), s"src${i % 5}", i * 10))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("prop_docs")
+
+    def ids(c: org.apache.spark.sql.Column): Seq[Long] =
+      docs.filter(c).select("doc_id").as[Long].collect().toSeq.sorted
+
+    val cases: Seq[(String, String)] = Seq(
+      ("""{"lang": "en"}""", "lang = 'en'"),
+      ("""{"n_chars": {"$gt": 250}}""", "n_chars > 250"),
+      ("""{"n_chars": {"$gte": 100, "$lte": 300}}""", "n_chars >= 100 AND n_chars <= 300"),
+      ("""{"lang": {"$in": ["en", "de"]}}""", "lang IN ('en','de')"),
+      ("""{"source": {"$nin": ["src0"]}}""", "source NOT IN ('src0')"),
+      ("""{"$or": [{"lang": "fr"}, {"n_chars": {"$lt": 60}}]}""", "lang = 'fr' OR n_chars < 60"),
+      ("""{"$and": [{"lang": {"$ne": "de"}}, {"source": "src1"}]}""", "lang <> 'de' AND source = 'src1'"))
+    Prop(cases.forall { case (json, sql) =>
+      ids(WhereFilter.compile(json)) == ids(expr(sql))
+    }) :| "7 filter-grammar cases match their SQL twins"
+  }
+
+  property("simhash: hamming(x,x)=0 and signatures fit in 32 bits") = {
+    import spark.implicits._
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "spark", "query", "vector", "hash", "join", "scan", "merge", "sort")).map(_.mkString(" "))
+    val texts = Gen.listOfN(40, textGen).sample.get
+    val rows = texts.toDF("text").select(Dedup.simhashColumn(col("text")).as("sig")).collect()
+    Prop(rows.forall { r =>
+      val s = r.getLong(0)
+      s >= 0L && s < (1L << 32)
+    }) :| "40 random signatures in range"
+  }
+}

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook: add
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to any
+  * cluster config and the graft SQL functions exist in every session
+  * — the deployment path for clusters where sessions are built by a
+  * platform, not by user code. (In-process callers can use
+  * [[VectorExpressions.register]] on a live session instead.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo("graft.functions", "graft_cosine"),
+      args => { require(args.length == 2); CosineSimilarity(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo("graft.functions", "graft_dot"),
+      args => { require(args.length == 2); DotProduct(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_l2"),
+      new ExpressionInfo("graft.functions", "graft_l2"),
+      args => { require(args.length == 2); L2Distance(args(0), args(1)) }))
+  }
+}

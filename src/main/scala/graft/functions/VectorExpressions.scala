@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector distance — the codegen'd
+  * replacement for the higher-order-function folds in
+  * `graft.operators.VectorOps` (HOFs are CodegenFallback: every
+  * element evaluation boxes through the interpreter, which dominates
+  * the hot loops of kNN scoring and LSH re-rank at scale).
+  *
+  * Semantics are BITWISE-identical to the HOF formulation: one
+  * left-to-right double-precision accumulation per statistic, division
+  * and sqrt applied in the same order — so swapping implementations
+  * cannot change oracle-checked results.
+  *
+  * All three kernels share [[VectorKernel]]: a single generated loop
+  * over the two float arrays with per-kernel accumulator/finish code.
+  */
+sealed abstract class VectorKernel extends BinaryExpression with Serializable {
+
+  private def numericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numericArray(left.dataType) && numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString(10)} / ${right.dataType.simpleString(10)}")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def isDouble(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].elementType == DoubleType
+
+  /** Element accessor matching the HOF formulation's cast-to-double. */
+  protected final def get(xs: ArrayData, double: Boolean, i: Int): Double =
+    if (double) xs.getDouble(i) else xs.getFloat(i).toDouble
+
+  protected final def genGet(arr: String, double: Boolean, i: String): String =
+    if (double) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+
+  /** (accumulator declarations, per-element statement using x/y, finish expression) */
+  protected def kernel: (String, String, String)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    evalLoop(x, y, n)
+  }
+
+  protected def evalLoop(x: ArrayData, y: ArrayData, n: Int): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (decls, step, finish) = kernel
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |$decls
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = ${genGet(a, isDouble(left.dataType), i)};
+         |  double y = ${genGet(b, isDouble(right.dataType), i)};
+         |  $step
+         |}
+         |${ev.value} = $finish;
+       """.stripMargin
+    })
+}
+
+/** cos(a,b) = Σxy / (√Σx² · √Σy²), accumulated left-to-right. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "graft_cosine"
+  protected def kernel: (String, String, String) = (
+    "double dot = 0.0; double na = 0.0; double nb = 0.0;",
+    "dot += x * y; na += x * x; nb += y * y;",
+    "dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))")
+  protected def evalLoop(xs: ArrayData, ys: ArrayData, n: Int): Double = {
+    val (dl, dr) = (isDouble(left.dataType), isDouble(right.dataType))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(xs, dl, i); val y = get(ys, dr, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "graft_dot"
+  protected def kernel: (String, String, String) =
+    ("double dot = 0.0;", "dot += x * y;", "dot")
+  protected def evalLoop(xs: ArrayData, ys: ArrayData, n: Int): Double = {
+    val (dl, dr) = (isDouble(left.dataType), isDouble(right.dataType))
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(xs, dl, i) * get(ys, dr, i); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Distance(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "graft_l2"
+  protected def kernel: (String, String, String) = (
+    "double acc = 0.0;",
+    "double d = x - y; acc += d * d;",
+    "java.lang.Math.sqrt(acc)")
+  protected def evalLoop(xs: ArrayData, ys: ArrayData, n: Int): Double = {
+    val (dl, dr) = (isDouble(left.dataType), isDouble(right.dataType))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(xs, dl, i) - get(ys, dr, i)
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers + SQL registration. */
+object VectorExpressions {
+
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def l2(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) }),
+    ("graft_dot",    { args => require(args.length == 2); DotProduct(args(0), args(1)) }),
+    ("graft_l2",     { args => require(args.length == 2); L2Distance(args(0), args(1)) }))
+
+  /** Runtime registration: `SELECT graft_cosine(a, b)` works on the
+    * given session afterwards.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+}

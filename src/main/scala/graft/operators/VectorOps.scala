@@ -30,16 +30,28 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Distance kernels: the public entry points delegate to the
+    * codegen'd Catalyst expressions in [[graft.functions.VectorExpressions]];
+    * the `*Hof` variants keep the original higher-order-function
+    * formulation (CodegenFallback, interpreted) — retained as the
+    * executable spec the kernels are proven bitwise-equal against.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
+
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
+
+  def l2(a: Column, b: Column): Column = graft.functions.VectorExpressions.l2(a, b)
+
+  /** Sequential-fold dot product in double precision (reference impl). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (normHof(a) * normHof(b))
 
-  def l2(a: Column, b: Column): Column =
+  def l2Hof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x))

@@ -143,6 +143,8 @@ object SparkEntry {
     "q15_grouping_sets"  -> (Relational.q15GroupingSets _),
     "q16_window_suite"   -> (Relational.q16WindowSuite _),
     "q17_corr_subquery"  -> (Relational.q17CorrelatedSubquery _),
+    "q18_stats"          -> (Relational.q18Stats _),
+    "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
@@ -320,6 +322,25 @@ object SparkEntry {
         |                      WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q18_stats" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS stddev_price,
+        |  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS qty_price_corr
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q19_percentiles" ->
+      """SELECT o_orderpriority,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50_price,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
+        |  floor(quantile_cont(o_totalprice, 0.99) * 100.0 + 0.5) / 100.0 AS p99_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

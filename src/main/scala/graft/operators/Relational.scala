@@ -254,6 +254,40 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** Statistical aggregates: stddev/corr computed by different
+    * (numerically stable) algorithms on each engine — rounding is
+    * magnitude-aware: 2 decimals for ~1e5-scale stddev, 4 for
+    * unit-scale correlation, so accumulation-order noise (≪1e-4)
+    * can't flip a digit.
+    */
+  def q18Stats(s: SparkSession, dir: String): DataFrame = {
+    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r2(stddev_samp(col("l_extendedprice"))).as("stddev_price"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("qty_price_corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (not the approximate sketch):
+    * per-group sort + linear interpolation, matching DuckDB's
+    * quantile_cont definition.
+    */
+  def q19Percentiles(s: SparkSession, dir: String): DataFrame = {
+    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.5)")).as("p50_price"),
+        r2(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+        r2(expr("percentile(o_totalprice, 0.99)")).as("p99_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Equi-join with an interval predicate (range join): lineitems
     * shipped within 30 days of their order's date. The equi-key keeps
     * it a hash/SMJ join (the range predicate is a post-join filter) —

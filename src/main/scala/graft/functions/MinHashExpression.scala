@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd MinHash signature over a shingle array — the sketch-build
+  * kernel for near-dup detection. Replaces the nested HOF
+  * formulation (`transform(sequence(0,63), i -> array_min(transform(
+  * hashes, h -> xxhash64(i, h))))`), which evaluates interpreted and
+  * dominates the dedup map stage.
+  *
+  * Hash semantics mirror Spark's `xxhash64` fold EXACTLY so the
+  * kernel is bitwise-interchangeable with the HOF version:
+  *   base(s)  = XXH64(bytes(s), seed=42)            — xxhash64(s)
+  *   perm_i   = XXH64.hashLong(base, XXH64.hashLong(i, 42))
+  *                                                  — xxhash64(i, base)
+  *   sig[i]   = min over shingles of perm_i
+  * One pass over the strings (each hashed once), a tight perms-wide
+  * inner loop of hashLong — no boxing, no per-element lambda frames.
+  */
+case class MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression with Serializable {
+
+  require(perms >= 1 && perms <= 1024, s"perms out of range: $perms")
+
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty shingle arrays yield null
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.simpleString(10)}")
+  }
+
+  /** seeds[i] = XXH64.hashInt(i, 42) — the inner fold's per-perm seed
+    * (the HOF's `sequence(0, perms-1)` yields INT elements, which
+    * Spark's xxhash64 hashes with hashInt, not hashLong).
+    */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(perms)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var i = 0
+      while (i < perms) {
+        val v = XXH64.hashLong(base, seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$perms];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
+         |    long $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $i = 0; $i < $perms; $i++) {
+         |      long $v = $xxh.hashLong($base, $seedsRef[$i]);
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(shingles: Column, perms: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles), perms))
+}

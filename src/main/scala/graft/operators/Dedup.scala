@@ -30,13 +30,19 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** 64-permutation MinHash signature. Each shingle string is hashed
-    * to a long ONCE; permutation i then re-hashes the longs with seed
-    * column i (`xxhash64(i, h)`) — seeded re-hashing instead of
+  /** 64-permutation MinHash signature — delegates to the codegen'd
+    * kernel ([[graft.functions.MinHashSignature]]); permutation i is
+    * seeded re-hashing (`xxhash64(i, xxhash64(s))`) rather than
     * (a*x+b) mod p arithmetic, which would overflow-throw under ANSI
-    * mode, and ~10× cheaper than hashing the strings per permutation.
+    * mode.
     */
-  def minhashSignature(sh: Column, perms: Int = 64): Column = {
+  def minhashSignature(sh: Column, perms: Int = 64): Column =
+    graft.functions.MinHashSignature(sh, perms)
+
+  /** HOF reference formulation — retained as the executable spec the
+    * codegen kernel is proven bitwise-equal against.
+    */
+  def minhashSignatureHof(sh: Column, perms: Int = 64): Column = {
     val hashes = transform(sh, s => xxhash64(s))
     transform(sequence(lit(0), lit(perms - 1)),
       i => array_min(transform(hashes, h => xxhash64(i, h))))

@@ -18,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hash semantics mirror Spark's `xxhash64` fold EXACTLY so the
   * kernel is bitwise-interchangeable with the HOF version:
   *   base(s)  = XXH64(bytes(s), seed=42)            — xxhash64(s)
-  *   perm_i   = XXH64.hashLong(base, XXH64.hashLong(i, 42))
-  *                                                  — xxhash64(i, base)
+  *              (a NULL shingle contributes the seed itself, 42 —
+  *               xxhash64 skips null inputs)
+  *   perm_i   = XXH64.hashLong(base, XXH64.hashInt(i, 42))
+  *                                                  — xxhash64(i, base),
+  *              where i is INT (sequence() yields ints → hashInt)
   *   sig[i]   = min over shingles of perm_i
+  *   sig of an EMPTY array = [null × perms]          — array_min([]) is
+  *              null per position, matching the HOF exactly
   * One pass over the strings (each hashed once), a tight perms-wide
   * inner loop of hashLong — no boxing, no per-element lambda frames.
   */
@@ -30,9 +35,9 @@ case class MinHashSignature(child: Expression, perms: Int)
   require(perms >= 1 && perms <= 1024, s"perms out of range: $perms")
 
   override def prettyName: String = "graft_minhash"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an empty shingle array yields [null × perms]
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
-  override def nullable: Boolean = true // empty shingle arrays yield null
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -50,12 +55,15 @@ case class MinHashSignature(child: Expression, perms: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
+    if (n == 0) return new GenericArrayData(new Array[Any](perms)) // [null × perms]
     val mins = Array.fill(perms)(Long.MaxValue)
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      // null shingle → xxhash64(NULL) = the seed itself (42)
+      val base =
+        if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       var i = 0
       while (i < perms) {
         val v = XXH64.hashLong(base, seeds(i))
@@ -81,13 +89,14 @@ case class MinHashSignature(child: Expression, perms: Int)
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
-         |  ${ev.isNull} = true;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$perms]);
          |} else {
          |  long[] $mins = new long[$perms];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $j = 0; $j < $n; $j++) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
-         |    long $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    long $base = ($s == null) ? 42L
+         |      : $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
          |    for (int $i = 0; $i < $perms; $i++) {
          |      long $v = $xxh.hashLong($base, $seedsRef[$i]);
          |      if ($v < $mins[$i]) $mins[$i] = $v;

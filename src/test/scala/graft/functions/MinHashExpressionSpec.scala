@@ -9,14 +9,26 @@ class MinHashExpressionSpec extends SparkSpec {
 
   test("codegen minhash is BITWISE identical to the HOF formulation") {
     val rnd = new scala.util.Random(11)
-    val docs = Seq.fill(80)(
-      Seq.fill(3 + rnd.nextInt(40))(s"tok${rnd.nextInt(500)}").distinct)
+    val docs = (Seq.fill(80)(
+      Seq.fill(3 + rnd.nextInt(40))(s"tok${rnd.nextInt(500)}").distinct) ++
+      Seq(Seq.empty[String], Seq("solo"))) // the edge cases where parity could break
       .toDF("sh")
     val rows = docs.select(
       MinHashSignature(col("sh"), 64).as("fast"),
       Dedup.minhashSignatureHof(col("sh"), 64).as("hof")).collect()
     rows.foreach { r =>
-      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[java.lang.Long](0) === r.getSeq[java.lang.Long](1))
+    }
+  }
+
+  test("null elements hash like xxhash64(NULL) — parity with the HOF") {
+    val docs = Seq(Seq(Some("a"), None, Some("b")), Seq(None)).toDF("sh")
+    val rows = docs.select(
+      MinHashSignature(col("sh"), 16).as("fast"),
+      Dedup.minhashSignatureHof(col("sh"), 16).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[java.lang.Long](0) === r.getSeq[java.lang.Long](1))
     }
   }
 
@@ -43,7 +55,9 @@ class MinHashExpressionSpec extends SparkSpec {
     val df = Seq(Some(Seq("x")), Some(Seq.empty[String]), None).toDF("sh")
     val out = df.select(MinHashSignature(col("sh"), 8)).collect()
     assert(!out(0).isNullAt(0))
-    assert(out(1).isNullAt(0)) // empty → null, matches array_min-of-empty HOF
-    assert(out(2).isNullAt(0))
+    // empty array → [null × perms], exactly like array_min-of-empty per position
+    assert(!out(1).isNullAt(0))
+    assert(out(1).getSeq[java.lang.Long](0) === Seq.fill(8)(null))
+    assert(out(2).isNullAt(0)) // null input → null output
   }
 }

@@ -37,6 +37,12 @@ class CollectionData(client: ChromaSpark) {
     client.dataDir(collection)
   }
 
+  /** SINGLE-WRITER assumption (like the reference's educational
+    * single-user client): the counter read-increment-write and the
+    * catalog's read-modify-write are not atomic across concurrent
+    * writers. Multi-writer deployments need a transactional table
+    * format or an external lock — see ARCHITECTURE.md tradeoffs.
+    */
   private def nextBatch(path: String): Long = {
     val p = Paths.get(path, "_batches")
     Files.createDirectories(p.getParent)
@@ -62,8 +68,18 @@ class CollectionData(client: ChromaSpark) {
 
   private def appendBatch(collection: String, items: DataFrame, deleted: Boolean): Unit = {
     val d = dir(collection)
+    val normalized = normalize(items)
+    if (!deleted) {
+      // duplicate ids within one write batch share the same _batch
+      // number, making resolved()'s latest-wins nondeterministic —
+      // reject them up front (delete batches derive from resolved(),
+      // whose ids are already unique)
+      val dupes = normalized.groupBy("id").count().filter(col("count") > 1).limit(1).count()
+      if (dupes > 0)
+        throw CollectionStateError(s"write to '$collection': duplicate ids within the batch")
+    }
     val batch = nextBatch(d)
-    normalize(items)
+    normalized
       .withColumn("_batch", lit(batch))
       .withColumn("_deleted", lit(deleted))
       .write.mode("append").parquet(s"$d/log")
@@ -91,7 +107,9 @@ class CollectionData(client: ChromaSpark) {
       .select(ItemCols.map(col): _*)
   }
 
-  /** Chroma `add`: fails if any id already exists (live). */
+  /** Chroma `add`: fails if any id already exists (live); in-batch
+    * duplicates are rejected by [[appendBatch]].
+    */
   def add(collection: String, items: DataFrame): Unit = {
     val dupes = normalize(items).select("id")
       .join(resolved(collection).select("id"), "id").limit(1).count()
@@ -105,9 +123,14 @@ class CollectionData(client: ChromaSpark) {
     appendBatch(collection, items, deleted = false)
 
   /** Chroma `delete` by ids and/or metadata `where` filter. Appends
-    * tombstones for the matching live rows.
+    * tombstones for the matching live rows. A call with NEITHER
+    * selector is rejected (like the server API) — otherwise a
+    * forgotten argument would silently wipe the collection.
     */
   def delete(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None): Unit = {
+    if (ids.isEmpty && whereJson.isEmpty)
+      throw CollectionStateError(
+        s"delete from '$collection': provide ids and/or a where filter (refusing a full wipe)")
     var victims = resolved(collection)
     if (ids.nonEmpty) victims = victims.filter(col("id").isin(ids: _*))
     whereJson.foreach(w => victims = victims.filter(metadataPredicate(w)))
@@ -124,11 +147,16 @@ class CollectionData(client: ChromaSpark) {
     whereJson.foreach(w => out = out.filter(metadataPredicate(w)))
     out = out.orderBy(col("id"))
     if (offset > 0 || limit.isDefined) {
+      // Bound the global-window cost: take the first offset+limit rows
+      // with TakeOrderedAndProject (distributed top-N), THEN number the
+      // small prefix — the single-partition window only ever sees
+      // offset+limit rows, not the collection.
+      limit.foreach(l => out = out.limit(offset + l))
       val w = Window.orderBy(col("id"))
       out = out.withColumn("_pos", row_number().over(w))
         .filter(col("_pos") > offset)
-      limit.foreach(l => out = out.filter(col("_pos") <= offset + l))
-      out = out.drop("_pos")
+        .drop("_pos")
+        .orderBy(col("id"))
     }
     out
   }
@@ -183,10 +211,17 @@ class CollectionData(client: ChromaSpark) {
 
   /** Metadata `where` over the JSON column: rewrite field references
     * to typed JSON extractions, then reuse the standard WhereFilter
-    * compiler. Numeric comparisons coerce via double.
+    * compiler. Numeric comparisons coerce via double. Field names are
+    * restricted to identifier characters — JSON-path metacharacters
+    * ('.', '[', quotes) would silently address the wrong path.
     */
+  private val SafeField = "^[A-Za-z0-9_-]+$".r
+
   private def metadataPredicate(whereJson: String): Column =
     WhereFilter.compileWith(whereJson, (field, wantNumeric) => {
+      if (SafeField.findFirstIn(field).isEmpty)
+        throw InvalidPathError(field,
+          "metadata filter fields must match [A-Za-z0-9_-]+ (JSON-path metacharacters unsupported)")
       val raw = get_json_object(col("metadata_json"), s"$$.${field}")
       if (wantNumeric) raw.cast("double") else raw
     })

@@ -39,6 +39,8 @@ sealed abstract class VectorKernel extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // length-mismatched inputs yield NULL (see doGenCode), like the HOF
+  override def nullable: Boolean = true
 
   protected def isDouble(dt: DataType): Boolean =
     dt.asInstanceOf[ArrayType].elementType == DoubleType
@@ -56,8 +58,11 @@ sealed abstract class VectorKernel extends BinaryExpression with Serializable {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    evalLoop(x, y, n)
+    // dimension mismatch → NULL, matching the HOF spec (zip_with pads
+    // the shorter side with nulls, which nulls the whole fold) — a
+    // wrong-dimension embedding must be excluded, not prefix-scored
+    if (x.numElements() != y.numElements()) null
+    else evalLoop(x, y, x.numElements())
   }
 
   protected def evalLoop(x: ArrayData, y: ArrayData, n: Int): Double
@@ -68,14 +73,18 @@ sealed abstract class VectorKernel extends BinaryExpression with Serializable {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |$decls
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = ${genGet(a, isDouble(left.dataType), i)};
-         |  double y = ${genGet(b, isDouble(right.dataType), i)};
-         |  $step
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $decls
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = ${genGet(a, isDouble(left.dataType), i)};
+         |    double y = ${genGet(b, isDouble(right.dataType), i)};
+         |    $step
+         |  }
+         |  ${ev.value} = $finish;
          |}
-         |${ev.value} = $finish;
        """.stripMargin
     })
 }

@@ -38,28 +38,38 @@ object AsOfJoin {
 
     // Right side sorts BEFORE left at equal ts (side 0 < 1) → ties are
     // inclusive: a right row at exactly left.ts matches.
+    //
+    // The payload travels as ONE struct so the whole matched row is
+    // carried atomically — per-column last(ignoreNulls) would skip a
+    // legitimately-NULL payload field and stitch together values from
+    // DIFFERENT right rows. The struct itself is non-null for every
+    // right row (even when all its fields are null), so
+    // last(ignoreNulls=true) always lands on the latest matching row.
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p))))
     val taggedLeft = left
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_side", lit(1))
       .select(keys.map(col) ++ Seq(col("_asof_ts"), col("_asof_side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        nullPayload.as("_asof_payload"): _*)
     val taggedRight = right
       .withColumn("_asof_ts", col(rightTs))
       .withColumn("_asof_side", lit(0))
       .select(keys.map(col) ++ Seq(col("_asof_ts"), col("_asof_side")) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("_asof_payload"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts").asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_asof_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("_asof_payload", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_asof_payload").getField(p).as(p)): _*)
   }
 }

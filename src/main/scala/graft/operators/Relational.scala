@@ -296,9 +296,12 @@ object Relational {
   def q13RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val ord = Tables.orders(s, dir)
+    // interval arithmetic, NOT date_add: date_add truncates the
+    // timestamp to a date, which would silently diverge from the
+    // oracle's `+ INTERVAL 30 DAY` on any non-midnight order date
     li.join(ord, col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
       .agg(
         count(lit(1)).as("n_fast_shipped"),

@@ -40,11 +40,16 @@ object WhereFilter {
     compileFilter(JsonMethods.parse(whereJson), resolver)
 
   private def compileFilter(v: JValue, r: FieldResolver): Column = v match {
+    case JObject(Nil) => lit(true) // empty where = match everything
     case JObject(fields) =>
       fields.map {
-        case ("$and", JArray(fs)) => fs.map(compileFilter(_, r)).reduce(_ && _)
-        case ("$or", JArray(fs))  => fs.map(compileFilter(_, r)).reduce(_ || _)
-        case (field, cond)        => compileField(field, cond, r)
+        // identity elements, not reduce-on-empty crashes:
+        // AND of nothing is true, OR of nothing is false
+        case ("$and", JArray(fs)) =>
+          fs.map(compileFilter(_, r)).reduceOption(_ && _).getOrElse(lit(true))
+        case ("$or", JArray(fs)) =>
+          fs.map(compileFilter(_, r)).reduceOption(_ || _).getOrElse(lit(false))
+        case (field, cond) => compileField(field, cond, r)
       }.reduce(_ && _) // multiple top-level fields = implicit $and
     case other => throw new IllegalArgumentException(s"where filter must be an object, got $other")
   }

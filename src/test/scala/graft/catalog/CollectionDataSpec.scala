@@ -28,6 +28,32 @@ class CollectionDataSpec extends SparkSpec {
     assert(got.head.getString(2) === "doc a")
   }
 
+  test("add and upsert reject duplicate ids within one batch") {
+    val (_, d) = fresh()
+    assertThrows[CollectionStateError] {
+      d.add("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("a", Seq(0f, 1f), "v2", "{}")))
+    }
+    assertThrows[CollectionStateError] {
+      d.upsert("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("a", Seq(0f, 1f), "v2", "{}")))
+    }
+    assert(d.count("col") === 0) // nothing partially written
+  }
+
+  test("delete with no selector is refused instead of wiping the collection") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", "{}")))
+    assertThrows[CollectionStateError] { d.delete("col") }
+    assert(d.count("col") === 1)
+  }
+
+  test("metadata filter fields with JSON-path metacharacters are rejected") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", """{"a.b":"x"}""")))
+    assertThrows[InvalidPathError] {
+      d.get("col", whereJson = Some("""{"a.b": "x"}""")).collect()
+    }
+  }
+
   test("add rejects duplicate live ids; upsert replaces them") {
     val (_, d) = fresh()
     d.add("col", items(("a", Seq(1f, 0f), "v1", "{}")))

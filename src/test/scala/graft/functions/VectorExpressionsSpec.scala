@@ -59,6 +59,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.forall(row => !row.isNullAt(0) && math.abs(row.getDouble(0)) <= 1.0 + 1e-12))
   }
 
+  test("dimension-mismatched vectors yield NULL like the HOF, not a prefix score") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.cosine(col("a"), col("b")).as("fast"),
+      VectorOps.cosineHof(col("a"), col("b")).as("hof")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("null inputs propagate null; type mismatch fails analysis") {
     val withNull = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val out = withNull.select(VectorExpressions.cosine(col("a"), col("b"))).collect()

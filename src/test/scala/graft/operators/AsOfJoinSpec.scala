@@ -44,6 +44,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("rval")))
   }
 
+  test("a matched row with NULL payload fields is carried atomically, not skipped") {
+    val left = Seq((1L, "u1", ts("2024-01-01 11:00:00"))).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), Some(5.0)),
+      ("u1", ts("2024-01-01 10:30:00"), Option.empty[Double]) // latest match, null value
+    ).toDF("user", "rts", "rval")
+    val out = AsOfJoin.backward(left, right, Seq("user"), "ts", "rts", Seq("rts", "rval"))
+      .collect().head
+    // must take BOTH fields from the 10:30 row: ts=10:30, value=NULL —
+    // not stitch value=5.0 from the older row
+    assert(out.getAs[java.sql.Timestamp]("rts") === ts("2024-01-01 10:30:00"))
+    assert(out.isNullAt(out.fieldIndex("rval")))
+  }
+
   test("colliding payload names are rejected") {
     val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "ts")
     val right = Seq(("u1", ts("2024-01-01 09:00:00"), 1.0)).toDF("user", "rts", "id")

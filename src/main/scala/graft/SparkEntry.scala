@@ -144,6 +144,8 @@ object SparkEntry {
     "q16_window_suite"   -> (Relational.q16WindowSuite _),
     "q17_corr_subquery"  -> (Relational.q17CorrelatedSubquery _),
     "q18_stats"          -> (Relational.q18Stats _),
+    "q20_cond_pivot"     -> (Relational.q20ConditionalPivot _),
+    "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
@@ -332,6 +334,24 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q20_cond_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  floor(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0) * 100.0 + 0.5) / 100.0 AS f_total,
+        |  floor(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0) * 100.0 + 0.5) / 100.0 AS o_total,
+        |  floor(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0.0) * 100.0 + 0.5) / 100.0 AS p_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "txt_top_tokens" ->
+      """SELECT token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin,
 
     "q19_percentiles" ->
       """SELECT o_orderpriority,

@@ -254,6 +254,22 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** Conditional (pivot-style) aggregation: one pass, per-status
+    * sums via filtered aggregates — the shuffle-free way to pivot a
+    * low-cardinality column into measures.
+    */
+  def q20ConditionalPivot(s: SparkSession, dir: String): DataFrame = {
+    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
+    val ord = Tables.orders(s, dir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r2(coalesce(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), lit(0.0))).as("f_total"),
+        r2(coalesce(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), lit(0.0))).as("o_total"),
+        r2(coalesce(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), lit(0.0))).as("p_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Statistical aggregates: stddev/corr computed by different
     * (numerically stable) algorithms on each engine — rounding is
     * magnitude-aware: 2 decimals for ~1e5-scale stddev, 4 for

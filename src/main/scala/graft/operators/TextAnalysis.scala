@@ -105,6 +105,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Corpus token frequencies via a generator (explode): the flatMap
+    * row shape — one row in, N token rows out — then a hash agg and
+    * distributed top-N. The generate + partial-agg pipeline stays in
+    * one stage before the single shuffle.
+    */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
   /** Exact dedup via fingerprint: one hash-aggregate keyed on the
     * digest (map-side combine, no row comparison), keeping the lowest
     * doc_id per group — the scalable exact-dedup shape at any volume.

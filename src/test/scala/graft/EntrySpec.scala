@@ -1,0 +1,21 @@
+package graft
+
+/** Mirrors the driver's t1 smoke gate: the flagship entry must return
+  * rows on sf0.001.
+  */
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every query has either an oracle or documented rows-only status") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
+      "dd_embed_top", "vec_ann_lsh", "vec_ann_ivf", "mm_features")
+    assert(rowsOnly === expected,
+      s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
+    // no orphan oracles either
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}

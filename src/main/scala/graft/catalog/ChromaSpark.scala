@@ -146,6 +146,36 @@ class ChromaSpark(
   def listCollections(): Seq[Collection] =
     scoped(readCatalog()).sortBy(_.name).map(_.toCollection)
 
+  /** Chroma server's `modify` (rename and/or replace metadata) — not
+    * surfaced by the reference client but part of the implied server
+    * API (SURVEY.md §0). Rename moves the data directory and re-derives
+    * the deterministic id; metadata replacement is whole-map (the
+    * server's PUT semantics).
+    */
+  def modifyCollection(name: String, newName: Option[String] = None,
+                       newMetadata: Option[Map[String, String]] = None): Collection = {
+    validateName(name)
+    newName.foreach(validateName)
+    val rows = readCatalog()
+    val existing = scoped(rows).find(_.name == name)
+      .getOrElse(throw CollectionStateError(s"collection '$name' not found in $tenant/$database"))
+    newName.filter(_ != name).foreach { nn =>
+      if (scoped(rows).exists(_.name == nn))
+        throw CollectionStateError(s"collection '$nn' already exists in $tenant/$database")
+    }
+    val renamed = newName.getOrElse(name)
+    val updated = existing.copy(
+      name = renamed,
+      id = CollectionMeta.deterministicId(tenant, database, renamed),
+      metadata = newMetadata.orElse(existing.metadata),
+      metadataJson = newMetadata.map(CollectionMeta.sortedJson).orElse(existing.metadataJson))
+    writeCatalog(rows.filterNot(r =>
+      r.tenant == tenant && r.database == database && r.name == name) :+ updated)
+    if (renamed != name && Files.exists(Paths.get(dataDir(name))))
+      Files.move(Paths.get(dataDir(name)), Paths.get(dataDir(renamed)))
+    updated.toCollection
+  }
+
   /** Catalog as a DataFrame — the engine-native view the reference
     * can't offer; lets catalog metadata join against data tables.
     */

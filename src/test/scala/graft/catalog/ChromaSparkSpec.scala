@@ -112,6 +112,30 @@ class ChromaSparkSpec extends SparkSpec {
       CollectionMeta.deterministicId(c1.tenant, c1.database, "same"))
   }
 
+  test("modify renames (moving data + re-deriving id) and replaces metadata") {
+    val c = freshClient()
+    c.createCollection("old-name", Some(Map("k" -> "v")))
+    val d = new CollectionData(c)
+    d.upsert("old-name", {
+      import spark.implicits._
+      Seq(("a", Seq(1f, 0f), "doc", "{}")).toDF("id", "embedding", "document", "metadata_json")
+    })
+    val modified = c.modifyCollection("old-name", newName = Some("new-name"))
+    assert(modified.name === "new-name")
+    assert(modified.id === CollectionMeta.deterministicId(c.tenant, c.database, "new-name"))
+    assert(modified.metadata === Some(Map("k" -> "v"))) // metadata untouched on rename
+    assertThrows[CollectionStateError] { c.getCollection("old-name") }
+    assert(d.count("new-name") === 1) // data moved with the rename
+
+    val remeta = c.modifyCollection("new-name", newMetadata = Some(Map("k2" -> "v2")))
+    assert(remeta.metadata === Some(Map("k2" -> "v2"))) // whole-map replace
+    // rename onto an existing name is rejected
+    c.createCollection("taken")
+    assertThrows[CollectionStateError] {
+      c.modifyCollection("new-name", newName = Some("taken"))
+    }
+  }
+
   test("heartbeat returns nanos and version names spark") {
     val c = freshClient()
     assert(c.heartbeat() > 0L)

@@ -145,6 +145,7 @@ object SparkEntry {
     "q17_corr_subquery"  -> (Relational.q17CorrelatedSubquery _),
     "q18_stats"          -> (Relational.q18Stats _),
     "q20_cond_pivot"     -> (Relational.q20ConditionalPivot _),
+    "q21_setops_all"     -> (Relational.q21SetOpsAll _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
@@ -334,6 +335,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q21_setops_all" ->
+      """WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
+        |     discounted AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05)
+        |SELECT 'intersect_all' AS tag, l_suppkey
+        |FROM (SELECT l_suppkey FROM cheap INTERSECT ALL SELECT l_suppkey FROM discounted)
+        |UNION ALL
+        |SELECT 'except_all' AS tag, l_suppkey
+        |FROM (SELECT l_suppkey FROM cheap EXCEPT ALL SELECT l_suppkey FROM discounted)
+        |ORDER BY tag, l_suppkey""".stripMargin,
 
     "q20_cond_pivot" ->
       """SELECT o_orderpriority,

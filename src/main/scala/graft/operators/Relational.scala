@@ -167,6 +167,21 @@ object Relational {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    * occurrences are preserved per bag semantics — Spark plans these
+    * as aggregates over per-row counts, one shuffle each.
+    */
+  def q21SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cheap = li.filter(col("l_quantity") < 10).select(col("l_suppkey"))
+    val discounted = li.filter(col("l_discount") >= 0.05).select(col("l_suppkey"))
+    val both = cheap.intersectAll(discounted).withColumn("tag", lit("intersect_all"))
+    val only = cheap.exceptAll(discounted).withColumn("tag", lit("except_all"))
+    both.unionByName(only)
+      .select(col("tag"), col("l_suppkey"))
+      .orderBy(col("tag"), col("l_suppkey"))
+  }
+
   /** Global sort + limit (top-N): Spark runs TakeOrderedAndProject —
     * per-partition top-N then a single small merge, never a full
     * global sort.

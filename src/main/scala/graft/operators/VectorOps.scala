@@ -111,15 +111,26 @@ object VectorOps {
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
              tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(bitsPerTable, dim, seed + t))
 
     def sigArray(vec: Column): Column =
       array(allPlanes.map(p => lshSignature(vec, p)): _*)
 
+    // Multi-probe: the QUERY side also probes every hamming-1
+    // neighbor of its signature (vectors near a hyperplane land on
+    // either side). Probes multiply only the tiny broadcast side —
+    // bits+1 probes/table — while the corpus keeps exactly one bucket
+    // per table, so recall rises with NO extra corpus-side cost.
+    def probeSigs(sig: Column): Column =
+      if (!multiProbe) array(sig)
+      else array(sig +: (0 until bitsPerTable).map(b => sig.bitwiseXOR(lit(1L << b))): _*)
+
     val qSig = broadcast(
-      queries.select(col("query_id"), col("qvec"), posexplode(sigArray(col("qvec"))).as(Seq("t", "sig"))))
+      queries.select(col("query_id"), col("qvec"), posexplode(sigArray(col("qvec"))).as(Seq("t", "sig0")))
+        .select(col("query_id"), col("qvec"), col("t"),
+          explode(probeSigs(col("sig0"))).as("sig")))
     val cSig = corpus.select(col("vec_id"), col("vec"), posexplode(sigArray(col("vec"))).as(Seq("t", "sig")))
 
     val candidates = cSig.join(qSig, Seq("t", "sig"))

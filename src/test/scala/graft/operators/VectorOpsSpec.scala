@@ -60,11 +60,15 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").as("vec"), col("label"))
     val brute = VectorOps.knnBrute(queries, corpus, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = VectorOps.annLsh(queries, corpus, 10)
+    val single = VectorOps.annLsh(queries, corpus, 10, multiProbe = false)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute intersect lsh).size.toDouble / brute.size
-    info(f"LSH recall@10 = $recall%.3f")
-    assert(recall > 0.3, s"LSH recall collapsed: $recall")
+    val multi = VectorOps.annLsh(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSingle = (brute intersect single).size.toDouble / brute.size
+    val recallMulti = (brute intersect multi).size.toDouble / brute.size
+    info(f"LSH recall@10: single-probe=$recallSingle%.3f multi-probe=$recallMulti%.3f")
+    assert(recallMulti >= recallSingle)
+    assert(recallMulti > 0.4, s"multi-probe LSH recall collapsed: $recallMulti")
   }
 
   test("ann ivf returns k ranked rows per query with valid scores") {

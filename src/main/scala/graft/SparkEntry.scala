@@ -146,6 +146,7 @@ object SparkEntry {
     "q18_stats"          -> (Relational.q18Stats _),
     "q20_cond_pivot"     -> (Relational.q20ConditionalPivot _),
     "q21_setops_all"     -> (Relational.q21SetOpsAll _),
+    "q22_array_agg"      -> (Relational.q22ArrayAgg _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
@@ -335,6 +336,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q22_array_agg" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderpriority)) AS priorities,
+        |  count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey < 200
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q21_setops_all" ->
       """WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),

@@ -167,6 +167,19 @@ object Relational {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** Array aggregation: per-customer bag of order priorities as a
+    * sorted array column — collect_list is order-nondeterministic
+    * across shuffles, so sort_array canonicalizes before comparison.
+    */
+  def q22ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
   /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
     * occurrences are preserved per bag semantics — Spark plans these
     * as aggregates over per-row counts, one shuffle each.

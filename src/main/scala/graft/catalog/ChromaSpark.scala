@@ -169,10 +169,25 @@ class ChromaSpark(
       id = CollectionMeta.deterministicId(tenant, database, renamed),
       metadata = newMetadata.orElse(existing.metadata),
       metadataJson = newMetadata.map(CollectionMeta.sortedJson).orElse(existing.metadataJson))
-    writeCatalog(rows.filterNot(r =>
-      r.tenant == tenant && r.database == database && r.name == name) :+ updated)
-    if (renamed != name && Files.exists(Paths.get(dataDir(name))))
+    // Move the data FIRST: if the move fails (stale destination dir,
+    // I/O error) the catalog still points at the old, intact name. A
+    // catalog-write failure after the move is recoverable by retrying
+    // (we move back on failure); the reverse order would orphan the
+    // data under a name the catalog no longer knows.
+    val moved = renamed != name && Files.exists(Paths.get(dataDir(name)))
+    if (moved) {
+      if (Files.exists(Paths.get(dataDir(renamed))))
+        throw CollectionStateError(
+          s"rename '$name' -> '$renamed': destination data dir already exists")
       Files.move(Paths.get(dataDir(name)), Paths.get(dataDir(renamed)))
+    }
+    try writeCatalog(rows.filterNot(r =>
+      r.tenant == tenant && r.database == database && r.name == name) :+ updated)
+    catch {
+      case e: Throwable =>
+        if (moved) Files.move(Paths.get(dataDir(renamed)), Paths.get(dataDir(name)))
+        throw e
+    }
     updated.toCollection
   }
 

@@ -19,6 +19,16 @@ import graft.Tables
   */
 object Relational {
 
+  /** Cross-engine-stable half-up rounding (same double-op sequence as
+    * the DuckDB oracle's floor(x*scale+0.5)/scale — see
+    * ARCHITECTURE.md determinism contract). Load-bearing for oracle
+    * hash-matching; keep all call sites on these two helpers.
+    */
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100.0 + 0.5) / 100.0
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
   /** TPC-H Q1-style pricing summary: filter → partial+final hash agg
     * → sort. Scales as a single map-side-combinable aggregation on a
     * low-cardinality key (6 groups) — no skew risk, one shuffle.
@@ -261,7 +271,7 @@ object Relational {
         lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
         dense_rank().over(byPrice).cast("long").as("price_rank"),
         ntile(4).over(byPrice).cast("long").as("price_quartile"),
-        (floor(percent_rank().over(byPrice) * 10000.0 + 0.5) / 10000.0).as("price_pct_rank"))
+        r4(percent_rank().over(byPrice)).as("price_pct_rank"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
@@ -287,7 +297,6 @@ object Relational {
     * low-cardinality column into measures.
     */
   def q20ConditionalPivot(s: SparkSession, dir: String): DataFrame = {
-    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
     val ord = Tables.orders(s, dir)
     ord.groupBy(col("o_orderpriority"))
       .agg(
@@ -305,8 +314,6 @@ object Relational {
     * can't flip a digit.
     */
   def q18Stats(s: SparkSession, dir: String): DataFrame = {
-    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
-    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -322,7 +329,6 @@ object Relational {
     * quantile_cont definition.
     */
   def q19Percentiles(s: SparkSession, dir: String): DataFrame = {
-    def r2(c: org.apache.spark.sql.Column) = floor(c * 100.0 + 0.5) / 100.0
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(

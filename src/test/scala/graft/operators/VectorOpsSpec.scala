@@ -67,6 +67,7 @@ class VectorOpsSpec extends SparkSpec {
     val recallSingle = (brute intersect single).size.toDouble / brute.size
     val recallMulti = (brute intersect multi).size.toDouble / brute.size
     info(f"LSH recall@10: single-probe=$recallSingle%.3f multi-probe=$recallMulti%.3f")
+    assert(recallSingle > 0.25, s"single-probe LSH recall collapsed: $recallSingle")
     assert(recallMulti >= recallSingle)
     assert(recallMulti > 0.4, s"multi-probe LSH recall collapsed: $recallMulti")
   }

@@ -49,7 +49,7 @@ class ChromaSpark(
     catch { case e: Exception => throw PreflightError(s"warehouse '$warehouseDir' not writable: ${e.getMessage}") }
   }
 
-  private def catalogPath: String = s"$warehouseDir/_collections"
+  private def catalogPath: String = s"$warehouseDir/_collections.json"
 
   private def validateName(name: String): Unit = {
     if (name == null || name.isEmpty)
@@ -63,15 +63,29 @@ class ChromaSpark(
     */
   def dataDir(name: String): String = s"$warehouseDir/$tenant/$database/$name"
 
+  /** The catalog itself is a JSON file, not a parquet table: it is
+    * O(collections) metadata mutated per operation, and a Spark job
+    * per read-modify-write costs ~300 ms where a file read costs ~1 ms
+    * — the same reasoning that makes transaction-log table formats
+    * keep their metadata in JSON. The DataFrame view for joining
+    * against data ([[collectionsDF]]) is derived on demand. Catalog
+    * throughput thereby matches the reference's 2-RTT-per-op cost
+    * model (BASELINE.md) instead of losing 100× to job overhead.
+    */
   private def readCatalog(): Seq[CollectionMeta] = {
     if (!Files.exists(Paths.get(catalogPath))) return Seq.empty
-    try spark.read.parquet(catalogPath).as[CollectionMeta].collect().toSeq
+    try CatalogCodec.fromJson(new String(Files.readAllBytes(Paths.get(catalogPath)), "UTF-8"))
     catch { case e: Exception => throw StorageError(s"reading catalog at $catalogPath", e) }
   }
 
   private def writeCatalog(rows: Seq[CollectionMeta]): Unit =
-    try rows.toDS().coalesce(1).write.mode("overwrite").parquet(catalogPath)
-    catch { case e: Exception => throw StorageError(s"writing catalog at $catalogPath", e) }
+    try {
+      val tmp = Paths.get(catalogPath + ".tmp")
+      Files.write(tmp, CatalogCodec.toJson(rows).getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(catalogPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Exception => throw StorageError(s"writing catalog at $catalogPath", e) }
 
   private def scoped(rows: Seq[CollectionMeta]): Seq[CollectionMeta] =
     rows.filter(r => r.tenant == tenant && r.database == database)
@@ -194,13 +208,8 @@ class ChromaSpark(
   /** Catalog as a DataFrame — the engine-native view the reference
     * can't offer; lets catalog metadata join against data tables.
     */
-  def collectionsDF(): Dataset[CollectionMeta] = {
-    if (!Files.exists(Paths.get(catalogPath)))
-      spark.emptyDataset[CollectionMeta]
-    else
-      spark.read.parquet(catalogPath).as[CollectionMeta]
-        .filter(col("tenant") === tenant && col("database") === database)
-  }
+  def collectionsDF(): Dataset[CollectionMeta] =
+    spark.createDataset(scoped(readCatalog()))
 
   /** reference src/client.rs:261-282 — global destructive reset,
     * gated like the server's ALLOW_RESET=TRUE (hint at

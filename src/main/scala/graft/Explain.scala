@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan inspector: prints the formatted physical plan of each (or the
   * named) SparkEntry query — used to audit pushdown (PushedFilters /
@@ -18,10 +18,24 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The dedup pair queries eagerly materialize + release their
+    // signature cache by default (no lazy plan left to inspect) —
+    // audit them through release=false variants instead, which keep
+    // the full pipeline visible. The Explain JVM exits right after,
+    // so the un-released cache is harmless here.
+    val planOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "dd_minhash_pairs" -> ((s, d) =>
+        operators.Dedup.minhashPairs(operators.Dedup.plantedDocs(s, d), threshold = 0.4, release = false)),
+      "dd_simhash_pairs" -> ((s, d) =>
+        operators.Dedup.simhashPairs(operators.Dedup.plantedDocs(s, d), maxHamming = 3, release = false)),
+      "dd_ngram_top" -> ((s, d) =>
+        operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d), release = false)),
+      "dd_embed_top" -> ((s, d) =>
+        operators.Dedup.embeddingNearDupTop(Tables.embeddings(s, d), release = false)))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n======== $n ========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      planOverrides.getOrElse(n, SparkEntry.queries(n))(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

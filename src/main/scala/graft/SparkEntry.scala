@@ -93,8 +93,9 @@ object SparkEntry {
   }
 
   /** Item-API lifecycle over a scratch collection: add / upsert /
-    * where-filtered query / delete / count, with vectors chosen so
-    * every cosine is an exact decimal — the oracle is a VALUES table.
+    * where-filtered query / delete / count / include projection /
+    * offset paging, with vectors chosen so every distance is an exact
+    * decimal — the oracle is a VALUES table.
     */
   def collectionItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -113,14 +114,52 @@ object SparkEntry {
     d.delete("items", ids = Seq("d"))
     val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
     val gold = d.query("items", q, nResults = 10, whereJson = Some("""{"tier":"gold"}"""))
-      .select(col("id"), (org.apache.spark.sql.functions.floor(col("score") * 10000.0 + 0.5) / 10000.0).as("score"))
+      .select(col("id"), (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0).as("distance"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val n = d.count("items")
-    import org.apache.spark.sql.functions.lit
-    (gold.zipWithIndex.map { case ((id, sc), i) =>
-      (i.toLong + 1, s"gold_rank_${i + 1}", id, sc)
-    } :+ ((gold.length + 1).toLong, "live_count", n.toString, -1.0))
-      .toDF("step", "check", "observed", "score")
+    val includeCols = d.get("items", include = Seq("documents")).columns.mkString(",")
+    val page = d.get("items", limit = Some(2), offset = 1)
+      .select(col("id")).collect().map(_.getString(0)).mkString(",")
+    (gold.zipWithIndex.map { case ((id, dist), i) =>
+      (i.toLong + 1, s"gold_rank_${i + 1}", id, dist)
+    } ++ Seq(
+      ((gold.length + 1).toLong, "live_count", n.toString, -1.0),
+      ((gold.length + 2).toLong, "get_include_cols", includeCols, -1.0),
+      ((gold.length + 3).toLong, "page_limit2_offset1", page, -1.0)))
+      .toDF("step", "check", "observed", "distance")
+      .orderBy(col("step"))
+  }
+
+  /** Per-collection distance metric (`hnsw:space` — the metadata
+    * surface the reference round-trips, reference src/client.rs:97,
+    * 351-359): two scratch collections declared `l2` and `ip`, same
+    * items, same query — ranked by squared-euclidean and 1−⟨a,b⟩
+    * respectively. Integer-component vectors make every distance an
+    * exact double, so the oracle is a VALUES table.
+    */
+  def collectionMetric(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-metric-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("m-l2", Some(Map("hnsw:space" -> "l2")))
+    client.createCollection("m-ip", Some(Map("hnsw:space" -> "ip")))
+    val items = Seq(("a", Seq(1f, 2f)), ("b", Seq(3f, 4f)), ("c", Seq(0f, 0f)))
+      .toDF("id", "embedding")
+    d.add("m-l2", items)
+    d.add("m-ip", items)
+    val q = Seq((1L, Seq(1f, 1f))).toDF("query_id", "qvec")
+    def ranks(coll: String): Seq[(String, Double)] =
+      d.query(coll, q, nResults = 10, include = Nil)
+        .select(col("id"), col("distance"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val l2r = ranks("m-l2")
+    val ipr = ranks("m-ip")
+    (l2r.zipWithIndex.map { case ((id, dist), i) =>
+      ((i + 1).toLong, s"l2_rank_${i + 1}", id, dist)
+    } ++ ipr.zipWithIndex.map { case ((id, dist), i) =>
+      ((i + 1 + l2r.length).toLong, s"ip_rank_${i + 1}", id, dist)
+    }).toDF("step", "check", "observed", "distance")
       .orderBy(col("step"))
   }
 
@@ -147,6 +186,7 @@ object SparkEntry {
     "q20_cond_pivot"     -> (Relational.q20ConditionalPivot _),
     "q21_setops_all"     -> (Relational.q21SetOpsAll _),
     "q22_array_agg"      -> (Relational.q22ArrayAgg _),
+    "q23_supplier_rev"   -> (Relational.q23SupplierRevenue _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
@@ -167,8 +207,10 @@ object SparkEntry {
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
     "mm_features"        -> (Multimodal.featuresQuery _),
+    "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
+    "collection_metric"  -> (collectionMetric _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -339,12 +381,26 @@ object SparkEntry {
 
     "q22_array_agg" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderpriority)) AS priorities,
+        |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
         |  count(*) AS n_orders
         |FROM orders
         |WHERE o_custkey < 200
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q23_supplier_rev" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS local_revenue,
+        |  count(*) AS n_items,
+        |  count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q21_setops_all" ->
       """WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
@@ -541,38 +597,81 @@ object SparkEntry {
         |FROM ranked WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
 
-    // cos((1,0),(4,3)) = 4/5 = .8 ; cos((1,0),(3,4)) = 3/5 = .6 ;
-    // item c upserted away, item d tombstoned → 3 live items.
+    // cosine distance 1-cos: 1-4/5 = .2 for b, 1-3/5 = .4 for a;
+    // item c upserted away, item d tombstoned → 3 live items;
+    // include=[documents] projects exactly (id, document); page
+    // (limit 2, offset 1) of live ids (a,b,c) is (b,c).
     "collection_items" ->
       """SELECT * FROM (VALUES
-        |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.8),
-        |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 0.6),
-        |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0)
-        |) AS t(step, "check", observed, score)
+        |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.2),
+        |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 0.4),
+        |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0),
+        |  (CAST(4 AS BIGINT), 'get_include_cols', 'id,document', -1.0),
+        |  (CAST(5 AS BIGINT), 'page_limit2_offset1', 'b,c', -1.0)
+        |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,
+
+    // l2 (squared euclidean) from q=(1,1): a=(1,2)→1, c=(0,0)→2,
+    // b=(3,4)→13; ip distance 1-dot: b→1-7=-6, a→1-3=-2, c→1-0=1.
+    "collection_metric" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'l2_rank_1', 'a', 1.0),
+        |  (CAST(2 AS BIGINT), 'l2_rank_2', 'c', 2.0),
+        |  (CAST(3 AS BIGINT), 'l2_rank_3', 'b', 13.0),
+        |  (CAST(4 AS BIGINT), 'ip_rank_1', 'b', -6.0),
+        |  (CAST(5 AS BIGINT), 'ip_rank_2', 'a', -2.0),
+        |  (CAST(6 AS BIGINT), 'ip_rank_3', 'c', 1.0)
+        |) AS t(step, "check", observed, distance)
+        |ORDER BY step""".stripMargin,
+
+    // BMP 2x2 [10,20,30,40]: mean 25, bins {0:1,1:2,2:1} → entropy 1.5;
+    // BMP 3x1 [1,2,3] (padded rows): mean 2, one bin → entropy 0;
+    // WAV [-32768,0,32767,256] → intensities [0,128,255,129]: mean 128,
+    // bins {0:1,8:2,15:1} → entropy 1.5.
+    "mm_codec_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'image', CAST(4 AS BIGINT), 25.0, 1.5),
+        |  (CAST(2 AS BIGINT), 'image', CAST(3 AS BIGINT), 2.0, 0.0),
+        |  (CAST(3 AS BIGINT), 'audio', CAST(4 AS BIGINT), 128.0, 1.5)
+        |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
+        |ORDER BY case_id""".stripMargin,
 
     // dd_signatures / dd_minhash_pairs / dd_simhash_pairs / dd_embed_top
     // rely on xxhash64/LSH, which DuckDB can't mirror → rows-only
     // checks; planted-duplicate recovery is asserted in ScalaTest.
+    //
+    // dd_ngram_top IS oracle-checkable because prefix filtering has
+    // recall exactly 1: the engine's candidate generation provably
+    // finds every pair with Jaccard ≥ τ, so a brute-force all-pairs
+    // DuckDB twin (with the same recall-safe length filter) computes
+    // the identical set. Thresholds compare the RAW jaccard on both
+    // engines (identical integer counts ⇒ identical doubles).
     "dd_ngram_top" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text
+        |  FROM documents WHERE doc_id < 5),
+        |d AS (
+        |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(toks) >= 3
         |      THEN list_transform(range(1, len(toks) - 1),
         |             i -> array_to_string(toks[i:i+2], ' '))
         |      ELSE [array_to_string(toks, ' ')] END) AS sh
-        |  FROM (SELECT doc_id, lang, n_chars,
-        |          string_split_regex(trim(text), '\s+') AS toks
-        |        FROM documents)),
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM base)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
         |    CAST(len(a.sh) AS DOUBLE) AS la, CAST(len(b.sh) AS DOUBLE) AS lb
         |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |    ON a.doc_id < b.doc_id
+        |    AND CAST(len(b.sh) AS DOUBLE) >= CAST(len(a.sh) AS DOUBLE) * 0.6 - 1e-9
+        |    AND CAST(len(a.sh) AS DOUBLE) >= CAST(len(b.sh) AS DOUBLE) * 0.6 - 1e-9)
         |SELECT doc_a, doc_b,
         |  floor((inter / (la + lb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
         |FROM pairs
+        |WHERE inter / (la + lb - inter) >= 0.6
         |ORDER BY jaccard DESC, doc_a, doc_b
         |LIMIT 100""".stripMargin,
   )

@@ -38,6 +38,11 @@ class ChromaSpark(
   import spark.implicits._
   import EngineError._
 
+  // tenant/database become path segments of dataDir — the same
+  // traversal rules as collection names apply (a tenant of "../x"
+  // would escape the warehouse root).
+  validateName(tenant)
+  validateName(database)
   checkPreFlight()
 
   /** reference src/client.rs:37-52 — here: warehouse reachable + session alive. */

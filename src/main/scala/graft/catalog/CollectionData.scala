@@ -87,12 +87,21 @@ class CollectionData(client: ChromaSpark) {
 
   private def readLog(collection: String): DataFrame = {
     val d = dir(collection)
-    if (!Files.exists(Paths.get(d, "log")))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING, _batch BIGINT, _deleted BOOLEAN"))
-    spark.read.parquet(s"$d/log")
+    // log_old fallback: a compact() killed between its two renames
+    // leaves the pre-compaction log under log_old — still a complete,
+    // readable history.
+    val live =
+      if (Files.exists(Paths.get(d, "log"))) Some("log")
+      else if (Files.exists(Paths.get(d, "log_old"))) Some("log_old")
+      else None
+    live match {
+      case Some(name) => spark.read.parquet(s"$d/$name")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING, _batch BIGINT, _deleted BOOLEAN"))
+    }
   }
 
   /** Latest version per id, tombstones dropped — the merge-on-read
@@ -137,50 +146,100 @@ class CollectionData(client: ChromaSpark) {
     appendBatch(collection, victims, deleted = true)
   }
 
+  /** Chroma `include` projection: which payload columns `get`/`query`
+    * return. `id` always; defaults mirror the server (documents +
+    * metadatas, embeddings on request). Narrowing here is not
+    * cosmetic: the unselected columns prune out of the parquet scan.
+    */
+  private val IncludeMap = Map(
+    "embeddings" -> "embedding", "documents" -> "document", "metadatas" -> "metadata_json")
+
+  val DefaultInclude: Seq[String] = Seq("documents", "metadatas")
+
+  private def projectInclude(df: DataFrame, include: Seq[String],
+                             lead: Seq[String] = Nil, trail: Seq[String] = Nil): DataFrame = {
+    val unknown = include.filterNot(IncludeMap.contains)
+    if (unknown.nonEmpty)
+      throw CollectionStateError(
+        s"unknown include item(s): ${unknown.mkString(", ")} (valid: ${IncludeMap.keys.toSeq.sorted.mkString(", ")})")
+    val picked = Seq("embedding", "document", "metadata_json")
+      .filter(c => include.exists(i => IncludeMap(i) == c))
+    df.select((lead ++ Seq("id") ++ picked ++ trail).map(col): _*)
+  }
+
   /** Chroma `get`: by ids and/or `where`, with limit/offset paging on
-    * id order.
+    * id order and `include` projection.
     */
   def get(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None,
-          limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+          limit: Option[Int] = None, offset: Int = 0,
+          include: Seq[String] = DefaultInclude): DataFrame = {
     var out = resolved(collection)
     if (ids.nonEmpty) out = out.filter(col("id").isin(ids: _*))
     whereJson.foreach(w => out = out.filter(metadataPredicate(w)))
-    out = out.orderBy(col("id"))
-    if (offset > 0 || limit.isDefined) {
-      // Bound the global-window cost: take the first offset+limit rows
-      // with TakeOrderedAndProject (distributed top-N), THEN number the
-      // small prefix — the single-partition window only ever sees
-      // offset+limit rows, not the collection.
-      limit.foreach(l => out = out.limit(offset + l))
-      val w = Window.orderBy(col("id"))
-      out = out.withColumn("_pos", row_number().over(w))
-        .filter(col("_pos") > offset)
-        .drop("_pos")
-        .orderBy(col("id"))
+    if (offset > 0) {
+      // Distributed offset paging with NO global window: the boundary
+      // id (the offset-th smallest) comes from a distributed top-N +
+      // max aggregate, and the page is a plain filter past it. ids are
+      // unique (resolved() keeps one row per id) so `id > boundary`
+      // skips exactly `offset` rows; a collection smaller than
+      // `offset` yields boundary = its max id (or NULL when empty) and
+      // an empty page — offset-past-the-end semantics either way.
+      val boundary = out.select(col("id").as("_bid")).orderBy(col("_bid"))
+        .limit(offset).agg(max(col("_bid")).as("_boundary"))
+      out = out.crossJoin(broadcast(boundary))
+        .filter(col("id") > col("_boundary"))
+        .drop("_boundary")
     }
-    out
+    limit.foreach(l => out = out.orderBy(col("id")).limit(l))
+    projectInclude(out.orderBy(col("id")), include)
   }
 
   def count(collection: String): Long = resolved(collection).count()
 
+  /** The collection's distance function, from its `hnsw:space`
+    * metadata — the same metadata surface the reference round-trips
+    * verbatim (reference src/client.rs:97,351-359). Chroma's three
+    * spaces; absent metadata means cosine (the server default).
+    */
+  private def distanceMetric(collection: String): String =
+    client.getCollection(collection).metadata
+      .flatMap(_.get("hnsw:space")).getOrElse("cosine") match {
+      case m @ ("cosine" | "l2" | "ip") => m
+      case other => throw CollectionStateError(
+        s"collection '$collection': unsupported hnsw:space '$other' (cosine | l2 | ip)")
+    }
+
+  /** Chroma distance semantics per space (lower = closer): cosine
+    * distance 1−cos, inner-product distance 1−⟨a,b⟩, and SQUARED
+    * euclidean — computed as ‖a‖²−2⟨a,b⟩+‖b‖² from the codegen'd dot
+    * kernel (exact in double for the small-integer test vectors).
+    */
+  private[catalog] def distanceExpr(metric: String, a: Column, b: Column): Column = metric match {
+    case "cosine" => lit(1.0) - VectorOps.cosine(a, b)
+    case "ip"     => lit(1.0) - VectorOps.dot(a, b)
+    case "l2"     => VectorOps.dot(a, a) - lit(2.0) * VectorOps.dot(a, b) + VectorOps.dot(b, b)
+  }
+
   /** Chroma `query`: per query vector, the `nResults` nearest live
-    * items by cosine, optionally pre-filtered by metadata `where` —
-    * filter FIRST, then score: the predicate prunes the scan before
-    * any vector math runs.
+    * items by the collection's metric, optionally pre-filtered by
+    * metadata `where` — filter FIRST, then score: the predicate
+    * prunes the scan before any vector math runs.
     */
   def query(collection: String, queryEmbeddings: DataFrame, nResults: Int = 10,
-            whereJson: Option[String] = None): DataFrame = {
+            whereJson: Option[String] = None,
+            include: Seq[String] = DefaultInclude): DataFrame = {
+    val metric = distanceMetric(collection)
     var corpus = resolved(collection).filter(col("embedding").isNotNull)
     whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
     val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id").asc)
-    corpus.join(q)
-      .select(col("query_id"), col("id"), col("document"), col("metadata_json"),
-        VectorOps.cosine(col("qvec"), col("embedding")).as("score"))
+      .orderBy(col("distance").asc, col("id").asc)
+    val ranked = corpus.join(q)
+      .withColumn("distance", distanceExpr(metric, col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= nResults)
       .orderBy(col("query_id"), col("rank"))
+    projectInclude(ranked, include, lead = Seq("query_id"), trail = Seq("distance", "rank"))
   }
 
   /** Fold the log into a single resolved snapshot (batch 0 of a fresh
@@ -199,8 +258,16 @@ class CollectionData(client: ChromaSpark) {
     snapshot.unpersist()
     val logPath = Paths.get(s"$d/log")
     val old = Paths.get(s"$d/log_old")
-    if (Files.exists(logPath)) Files.move(logPath, old)
-    Files.move(Paths.get(tmp), logPath)
+    // Swap order keeps the collection readable through any single
+    // failure: if the second move throws, the first is rolled back;
+    // if the process dies between the two, readLog falls back to
+    // log_old (snapshot data in log_compacting is redundant and a
+    // re-run of compact overwrites it).
+    if (Files.exists(logPath)) {
+      Files.move(logPath, old)
+      try Files.move(Paths.get(tmp), logPath)
+      catch { case e: Throwable => Files.move(old, logPath); throw e }
+    } else Files.move(Paths.get(tmp), logPath)
     if (Files.exists(old)) {
       import java.util.Comparator
       Files.walk(old).sorted(Comparator.reverseOrder[java.nio.file.Path]())

@@ -39,10 +39,20 @@ case class MinHashSignature(child: Expression, perms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
 
+  /** Accepts raw shingle strings OR pre-hashed shingles (array<long>,
+    * e.g. from [[ShingleHashes]]) — the long path skips re-hashing the
+    * strings and produces the IDENTICAL signature, because the string
+    * path's per-shingle base value is exactly `xxhash64(s)`.
+    */
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<string>, got ${other.simpleString(10)}")
+      s"$prettyName needs array<string> or array<long>, got ${other.simpleString(10)}")
+  }
+
+  private def hashedInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   /** seeds[i] = XXH64.hashInt(i, 42) — the inner fold's per-perm seed
@@ -57,13 +67,17 @@ case class MinHashSignature(child: Expression, perms: Int)
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](perms)) // [null × perms]
     val mins = Array.fill(perms)(Long.MaxValue)
+    val hashed = hashedInput
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
       // null shingle → xxhash64(NULL) = the seed itself (42)
       val base =
-        if (s == null) 42L
-        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        if (arr.isNullAt(j)) 42L
+        else if (hashed) arr.getLong(j)
+        else {
+          val s = arr.getUTF8String(j)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
       var i = 0
       while (i < perms) {
         val v = XXH64.hashLong(base, seeds(i))
@@ -86,6 +100,13 @@ case class MinHashSignature(child: Expression, perms: Int)
       val s = ctx.freshName("s")
       val base = ctx.freshName("base")
       val v = ctx.freshName("v")
+      val baseExpr =
+        if (hashedInput)
+          s"long $base = $a.isNullAt($j) ? 42L : $a.getLong($j);"
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
+             |    long $base = ($s == null) ? 42L
+             |      : $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);""".stripMargin
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
@@ -94,9 +115,7 @@ case class MinHashSignature(child: Expression, perms: Int)
          |  long[] $mins = new long[$perms];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $j = 0; $j < $n; $j++) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
-         |    long $base = ($s == null) ? 42L
-         |      : $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $baseExpr
          |    for (int $i = 0; $i < $perms; $i++) {
          |      long $v = $xxh.hashLong($base, $seedsRef[$i]);
          |      if ($v < $mins[$i]) $mins[$i] = $v;

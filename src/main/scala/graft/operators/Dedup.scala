@@ -1,21 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Near-duplicate detection for training-data pipelines, in the four
-  * standard flavors: MinHash+LSH, SimHash, blocked exact n-gram
-  * Jaccard, and embedding-cosine near-dup. (Exact dedup lives in
-  * [[TextAnalysis.dedupExact]].)
+  * standard flavors: MinHash+LSH, SimHash, exact thresholded n-gram
+  * Jaccard (prefix filtering), and embedding-cosine near-dup. (Exact
+  * dedup lives in [[TextAnalysis.dedupExact]].)
   *
   * Scale shape shared by all four: derive a compact per-document
-  * signature in a map stage (HOFs over token/shingle arrays — no
-  * UDFs), generate candidate pairs with ONE equi-join on a bucket
-  * key, then verify candidates exactly. Nothing here ever compares
-  * all pairs: the quadratic step is confined to within-bucket
-  * collisions, which the signature width tunes.
+  * signature in a map stage (codegen'd kernels / HOFs — no UDFs),
+  * generate candidate pairs with ONE equi-join on a sparse key, then
+  * verify candidates exactly. Nothing here ever compares all pairs:
+  * the quadratic step is confined to key collisions, and every key
+  * (LSH band of ≥16 bits, rarest-first prefix token) is sized so
+  * collision groups stay small as the corpus grows.
   */
 object Dedup {
 
@@ -65,144 +65,252 @@ object Dedup {
 
   private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
+  /** Cache scope for the signature relation every pair pipeline
+    * self-joins against. The persist() is load-bearing (without it
+    * CollapseProject inlines the signature expression tree into every
+    * downstream reference — a ~1000× expression blowup observed as a
+    * 10-minute stall — and the self-join recomputes the whole
+    * derivation once per side). With `release` (the default) the
+    * small pair result is eagerly materialized via localCheckpoint
+    * and the cache dropped before returning, so repeated invocations
+    * in a long-lived session leave no cached blocks behind. Pass
+    * `release = false` to get the lazy, fully-inspectable plan
+    * instead (plan audits); the caller then owns cache cleanup.
+    */
+  private def withSigCache(release: Boolean)(caches: DataFrame*)
+                          (build: => DataFrame): DataFrame = {
+    caches.foreach(_.persist())
+    val out = build
+    if (!release) out
+    else {
+      val materialized = out.localCheckpoint(true)
+      caches.foreach(_.unpersist())
+      materialized
+    }
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → sign → band → ONE
-    * self-equi-join on (band, hash) → dedup → exact-Jaccard verify.
-    * `docs` needs (doc_id, text).
+    * self-equi-join on (band, hash) → dedup → signature-estimate
+    * prune → exact-Jaccard verify. `docs` needs (doc_id, text).
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, bands: Int = 16,
-                   rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
-    // Materialize (shingles, signature) ONCE. Without the persist(),
-    // CollapseProject inlines the signature tree into all 16 band
-    // slices and the plan recomputes it for every downstream join —
-    // a ~1000× expression blowup observed as a 10-minute stall at
-    // sf0.01. The cached relation is tiny: one 64-long array + one
-    // shingle array per doc.
+                   rowsPerBand: Int = 4, threshold: Double = 0.7,
+                   estimateMargin: Double = 0.2,
+                   release: Boolean = true): DataFrame = {
+    val perms = bands * rowsPerBand
+    // ShingleHashes + the long-input MinHash path: one compiled pass
+    // per document (tokenize → slide → hash → sign), no interpreted
+    // HOFs anywhere in the map stage.
     val signed = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-      .persist()
-    val banded = signed.select(col("doc_id"),
-      posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withShingles = candidates
-      .join(signed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(signed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    withShingles
-      .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("doc_id"), graft.functions.ShingleHashes(col("text"), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), perms))
+    withSigCache(release)(signed) {
+      val banded = signed.select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
+      val candidates = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // Estimate-then-verify: the fraction of agreeing signature
+      // components is an unbiased Jaccard estimate (σ ≈ √(j(1−j)/64)
+      // ≤ 0.063 at 64 perms). Candidates whose estimate falls more
+      // than `estimateMargin` (>3σ by default) below the threshold
+      // are pruned BEFORE the expensive shingle-carrying joins — so
+      // the wide shingle arrays travel only for near-threshold pairs.
+      // A true pair needs an estimate error > margin to be mis-pruned
+      // (P < 1e-3 per pair at the default); survivors are verified
+      // exactly, so the emitted set matches the verify-everything
+      // pipeline (margin = 1.0 disables pruning; equality proven in
+      // DedupSpec).
+      val sigs = signed.select(col("doc_id"), col("sig"))
+      val estimated = candidates
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / lit(perms.toDouble) >= lit(threshold - estimateMargin))
+        .select(col("doc_a"), col("doc_b"))
+      val shs = signed.select(col("doc_id"), col("sh"))
+      estimated
+        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   /** Hamming distance between two packed signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** SimHash near-dup pairs: candidates from band slices of the
-    * 32-bit signature, verified by full hamming distance ≤
+    * 64-bit signature, verified by full hamming distance ≤
     * `maxHamming`. Band count is maxHamming+1 so pigeonhole
     * GUARANTEES every true pair shares at least one untouched band —
-    * recall 1.0 within the radius, selectivity from the remaining
-    * bits.
+    * recall 1.0 within the radius. At the default radius 3 that is
+    * 4 bands × 16 bits = 65536 values per band, so expected
+    * candidates grow O(N²/2¹⁶) per band — 256× more selective than a
+    * 32-bit signature's 8-bit bands.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = math.min(maxHamming + 1, 32)
-    val width = (32 + bands - 1) / bands
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   release: Boolean = true): DataFrame = {
+    val bands = math.min(maxHamming + 1, 64)
+    val width = (64 + bands - 1) / bands
     val mask = (1L << width) - 1
-    // persist: the signature feeds both sides of the self-join (see
-    // the expression-blowup note in minhashPairs).
-    val signed = docs.select(col("doc_id"), simhashColumn(col("text")).as("sig")).persist()
-    val banded = signed.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bhash")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // SimHash64 kernel: one compiled pass per document; bitwise parity
+    // with the HOF reference simhashColumn is proven in DedupSpec.
+    val signed = docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sig"))
+    withSigCache(release)(signed) {
+      // shiftright is an arithmetic shift, so high bands of a negative
+      // signature carry sign-extension copies of bit 63 — masked to
+      // `width` bits they are deterministic and identical on both join
+      // sides, and a flip of bit b only ever changes band b/width, so
+      // the pigeonhole guarantee is unaffected.
+      val banded = signed.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bhash")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+        .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
-  /** 32-bit SimHash: per bit b (0..31), sum over distinct token
-    * hashes of ±1 by bit b; signature bit = vote ≥ 0. 32 bits keeps
-    * the packed value positive in a long under ANSI arithmetic.
+  /** 64-bit SimHash: per bit b (0..63), sum over distinct token
+    * hashes of ±1 by bit b of the token's xxhash64; signature bit =
+    * vote ≥ 0. Packed as two 32-bit halves — each half's acc*2+x fold
+    * stays well below Long.MaxValue, and the final shiftleft/OR are
+    * bitwise (sign-safe) ops, so ANSI overflow checking never fires
+    * even though the packed value may be negative.
     */
   def simhashColumn(text: Column): Column = {
     val toks = array_distinct(split(trim(text), "\\s+"))
     val hashes = transform(toks, t => xxhash64(t))
     // Bit positions unrolled in Scala (shiftright needs a literal count).
-    val bits = array((0 until 32).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)) >= 0,
-        lit(1L)).otherwise(lit(0L))
-    }: _*)
-    aggregate(bits, lit(0L), (acc, x) => acc * 2 + x)
+    def half(offset: Int): Column = {
+      val bits = array((0 until 32).map { b =>
+        when(aggregate(hashes, lit(0L),
+          (acc, h) => acc + shiftright(h, offset + b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)) >= 0,
+          lit(1L)).otherwise(lit(0L))
+      }: _*)
+      aggregate(bits, lit(0L), (acc, x) => acc * 2 + x)
+    }
+    shiftleft(half(32), 32).bitwiseOR(half(0))
   }
 
-  /** Blocked exact n-gram Jaccard: all pairs within (lang,
-    * length-bucket) blocks — the exact-verification path when blocking
-    * keys exist. Quadratic ONLY within a block; block sizing is the
-    * scale knob. Fully oracle-expressible (no hashing involved).
+  /** Exact thresholded n-gram Jaccard similarity join via PREFIX
+    * FILTERING (the AllPairs/PPJoin family of set-similarity joins):
+    * order every shingle set by ascending document frequency (rarest
+    * first; ties by hash), and emit each set's first
+    * |sh| − max(1, ⌊τ·|sh|⌋) + 1 elements as its prefix. Two sets
+    * with Jaccard ≥ τ MUST share a prefix element (pigeonhole on the
+    * global order), so an equi-join on prefix tokens has recall
+    * EXACTLY 1 — unlike LSH banding — which keeps the brute-force
+    * DuckDB oracle hash-identical. Candidate volume stays sparse at
+    * any corpus size because prefixes hold the RAREST shingles: a
+    * token's candidate group is quadratic only in its document
+    * frequency, not in corpus size — this replaces the round-1
+    * fixed-block all-pairs design whose blocks grew linearly with the
+    * corpus.
+    *
+    * A length filter (τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, necessary for
+    * Jaccard ≥ τ) prunes candidates inside the join condition; the
+    * εLen slack keeps the double multiply from over-pruning exact
+    * boundaries. Shingles are hashed to longs before the pairwise
+    * intersects — integer set-intersection is several times cheaper
+    * than string comparison on the verify stage, and |A∩B| matches
+    * the string-set oracle unless two shingles of one doc collide
+    * (P ≈ |sh|²/2⁶⁵).
     */
-  def ngramJaccardTop(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame = {
-    // Shingles are hashed to longs BEFORE the pairwise intersects:
-    // |A∩B| over 64-bit hashes equals the string intersection unless
-    // two distinct shingles of one doc collide (P ≈ |sh|²/2⁶⁵ ≈ 1e-14)
-    // — integer set-intersection is several times cheaper than string
-    // comparison on the quadratic verify stage. The DuckDB oracle
-    // intersects the strings directly; the counts agree.
-    val d = docs.select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / 50).cast("long").as("bucket"),
-      transform(shingles(col("text"), n), s => xxhash64(s)).as("sh"))
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        rnd4(jaccard(col("a.sh"), col("b.sh"))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(topK)
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+                        topK: Int = 100, release: Boolean = true): DataFrame = {
+    val epsLen = 1e-9
+    // The hashed-shingle relation is cached too: the df pass and the
+    // ordered re-assembly both read it, and the ShingleHashes kernel
+    // should run exactly once per document.
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text"), n).as("sh0"))
+    val tok = hashed.select(col("doc_id"), explode(col("sh0")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // Re-assemble each doc's shingle set sorted by (df, hash): linear
+    // work, equi-join keyed by shingle hash (no skew — every key's
+    // row count IS its df), one aggregation.
+    val ordered = tok.join(dfreq, "t")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ord"))
+      .select(col("doc_id"), transform(col("ord"), p => p.getField("t")).as("sh"))
+    withSigCache(release)(hashed, ordered) {
+      // floor (not ceil) of τ·|sh| under-estimates the required
+      // overlap, which only LENGTHENS the prefix — safe against
+      // double-rounding artifacts at exact-integer boundaries.
+      val len = size(col("sh"))
+      val prefixLen = (len.cast("double") - greatest(lit(1.0), floor(len * lit(threshold))) + lit(1.0)).cast("int")
+      val pre = ordered.select(col("doc_id"), len.as("len"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
+      val candidates = pre.as("a")
+        .join(pre.as("b"),
+          col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.len") >= col("a.len") * lit(threshold) - lit(epsLen) &&
+            col("a.len") >= col("b.len") * lit(threshold) - lit(epsLen))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val shs = ordered.select(col("doc_id"), col("sh"))
+      candidates
+        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b")))
+        // threshold on the RAW jaccard (both engines compute the same
+        // integer counts, hence bitwise-identical doubles); round only
+        // for display
+        .filter(col("jaccard_raw") >= lit(threshold))
+        .select(col("doc_a"), col("doc_b"), rnd4(col("jaccard_raw")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(topK)
+    }
   }
 
   /** Embedding-cosine near-dup: multi-table LSH self-join for
     * candidates (never all-pairs), exact cosine re-rank, top pairs.
-    */
-  /** bitsPerTable is wider here than in query-time ANN (10 vs 6): a
+    *
+    * bitsPerTable is wider here than in query-time ANN (10 vs 6): a
     * self-join's candidate count grows with the SQUARE of bucket
     * occupancy, so near-dup mining wants many small buckets — truly
     * similar vectors still collide, random ones mostly don't.
     */
   def embeddingNearDupTop(embeddings: DataFrame, topK: Int = 50,
                           tables: Int = 8, bitsPerTable: Int = 10,
-                          dim: Int = 64): DataFrame = {
+                          dim: Int = 64, release: Boolean = true): DataFrame = {
     val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
     def sigArray(vec: Column): Column =
       array(allPlanes.map(p => VectorOps.lshSignature(vec, p)): _*)
-    // persist: both self-join sides read the signatures; without it the
+    // cache: both self-join sides read the signatures; without it the
     // 80 hyperplane dot-products per vector run twice.
     val signed = embeddings.select(col("vec_id"), col("embedding").as("vec"))
       .withColumn("sigs", sigArray(col("vec")))
-      .persist()
-    val banded = signed.select(col("vec_id"), col("vec"),
-      posexplode(col("sigs")).as(Seq("t", "sig")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
-      .distinct()
-      .select(col("vec_a"), col("vec_b"),
-        rnd4(VectorOps.cosine(col("va"), col("vb"))).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-      .limit(topK)
+    withSigCache(release)(signed) {
+      val banded = signed.select(col("vec_id"), col("vec"),
+        posexplode(col("sigs")).as(Seq("t", "sig")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.vec").as("va"), col("b.vec").as("vb"))
+        .distinct()
+        .select(col("vec_a"), col("vec_b"),
+          rnd4(VectorOps.cosine(col("va"), col("vb"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+        .limit(topK)
+    }
   }
 
   // ---- SparkEntry query wrappers ----
@@ -212,12 +320,12 @@ object Dedup {
     * planted duplicates in ScalaTest).
     */
   def signaturesQuery(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(col("text"), 3)
+    val sh = graft.functions.ShingleHashes(col("text"), 3)
     Tables.documents(s, dir)
       .select(col("doc_id"),
         xxhash64(concat_ws(",", transform(minhashSignature(sh), v => v.cast("string"))))
           .as("minhash_digest"),
-        simhashColumn(col("text")).as("simhash32"),
+        graft.functions.SimHash64(col("text")).as("simhash64"),
         size(sh).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
   }
@@ -242,7 +350,7 @@ object Dedup {
     simhashPairs(plantedDocs(s, dir), maxHamming = 3)
 
   def ngramTopQuery(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardTop(Tables.documents(s, dir))
+    ngramJaccardPairs(plantedDocs(s, dir))
 
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupTop(Tables.embeddings(s, dir))

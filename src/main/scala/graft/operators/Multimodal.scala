@@ -15,7 +15,7 @@ final case class MediaMeta(width: Int, height: Int, channels: Int,
 final case class MediaRecord(media_id: Long, kind: String,
                              content: Array[Byte], meta: MediaMeta)
 
-final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+final case class MediaFeatures(media_id: Long, kind: String, n_samples: Long,
                                mean_intensity: Double, entropy: Double,
                                histogram: Array[Long])
 
@@ -29,12 +29,12 @@ final case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
   * per partition, streaming through rows without materializing the
   * partition).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * [[decodeStub]] derives a deterministic fake pixel buffer from the
-  * payload bytes. The Spark-side mechanics — schema, partitioning,
-  * batch iteration, binary-in/binary-out transforms — are real and
-  * tested; swapping [[decodeStub]] for a JNI/javax.imageio call is a
-  * one-function change.
+  * Decode is REAL for images (uncompressed 24-bit BMP) and audio
+  * (16-bit PCM WAV) via the pure-JVM [[MediaCodec]]; only video
+  * remains a raw-byte passthrough (`rawvid`) because no pure-JVM
+  * video container is reasonable to hand-roll — its frame-sampling
+  * plumbing is format-agnostic anyway. Swapping in further codecs is
+  * one new case in [[decode]].
   *
   * Scale notes: binaries shuffle at most once (the initial
   * `repartition` by media_id); every transform after that is a map
@@ -44,9 +44,9 @@ final case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
   */
 object Multimodal {
 
-  /** Deterministic fake "media" synthesized from the documents table —
-    * stands in for an ingest of real binary columns; same text ⇒ same
-    * bytes ⇒ reproducible downstream assertions.
+  /** Deterministic media synthesized from the documents table — real
+    * BMP/WAV binary payloads derived from the text bytes; same text ⇒
+    * same bytes ⇒ reproducible downstream assertions.
     */
   def synthesize(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
@@ -61,22 +61,37 @@ object Multimodal {
           case _ => "video"
         }
         val width = math.max(4, (nChars % 32).toInt)
-        val meta = kind match {
-          case "image" => MediaMeta(width, math.max(1, bytes.length / math.max(width, 1)), 1, 0, 1, "fake-gray8")
-          case "audio" => MediaMeta(0, 0, 1, 16000, 1, "fake-pcm8")
-          case _       => MediaMeta(width, 4, 1, 0, math.max(1, bytes.length / math.max(width * 4, 1)), "fake-rawvid")
+        kind match {
+          case "image" =>
+            // text bytes as a gray pixel grid, zero-padded to the last row
+            val height = math.max(1, (bytes.length + width - 1) / width)
+            val gray = new Array[Int](width * height)
+            var i = 0
+            while (i < bytes.length) { gray(i) = bytes(i) & 0xff; i += 1 }
+            MediaRecord(id, kind, MediaCodec.encodeBmp(width, height, gray),
+              MediaMeta(width, height, 1, 0, 1, "bmp"))
+          case "audio" =>
+            // text bytes as centered 16-bit samples
+            val samples = bytes.map(b => ((b & 0xff) - 128) * 256)
+            MediaRecord(id, kind, MediaCodec.encodeWav(samples, 16000),
+              MediaMeta(0, 0, 1, 16000, 1, "wav"))
+          case _ =>
+            MediaRecord(id, kind, bytes,
+              MediaMeta(width, 4, 1, 0, math.max(1, bytes.length / math.max(width * 4, 1)), "rawvid"))
         }
-        MediaRecord(id, kind, bytes, meta)
       }
   }
 
-  /** STUB decode — deterministic fake: treats payload bytes as an
-    * unsigned-8bit sample/pixel stream. A real implementation decodes
-    * `content` with an image/audio codec here; everything downstream
-    * is agnostic to the difference.
+  /** Format-dispatched decode to a 0..255 intensity stream: BMP →
+    * grayscale pixels, WAV → 16-bit samples rescaled to unsigned 8-bit
+    * (so histogram/entropy binning is uniform across modalities),
+    * anything else → raw bytes (the `rawvid` passthrough).
     */
-  def decodeStub(r: MediaRecord): Array[Int] =
-    r.content.map(b => b & 0xff)
+  def decode(r: MediaRecord): Array[Int] = r.meta.format match {
+    case "bmp" => MediaCodec.decodeBmp(r.content).samples
+    case "wav" => MediaCodec.decodeWav(r.content).samples.map(sm => (sm >> 8) + 128)
+    case _     => r.content.map(b => b & 0xff)
+  }
 
   /** Per-partition feature extraction: 16-bin histogram, mean
     * intensity, byte entropy. One pass per partition, iterator-to-
@@ -86,7 +101,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val px = decodeStub(r)
+        val px = decode(r)
         val hist = new Array[Long](16)
         var sum = 0L
         px.foreach { v => hist(v >> 4) += 1; sum += v }
@@ -104,31 +119,42 @@ object Multimodal {
     }
   }
 
-  /** Binary-in/binary-out transform: nearest-neighbor "resize" of the
-    * fake pixel grid to `targetWidth` columns (keeps every row's
-    * metadata consistent with its new payload).
+  /** Binary-in/binary-out transform: nearest-neighbor resize to
+    * `targetWidth` columns. BMP payloads are decoded, resampled, and
+    * RE-ENCODED (true decode→transform→encode round trip); other
+    * formats resample their raw byte grid (keeps every row's metadata
+    * consistent with its new payload).
     */
   def resize(media: Dataset[MediaRecord], targetWidth: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
+    def nearest(src: Array[Int], w: Int, h: Int): Array[Int] = {
+      val scale = w.toDouble / targetWidth
+      val out = new Array[Int](targetWidth * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < targetWidth) {
+          val srcIdx = y * w + math.min(w - 1, (x * scale).toInt)
+          out(y * targetWidth + x) = if (srcIdx < src.length) src(srcIdx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
     media.mapPartitions { it =>
       it.map { r =>
-        val w = math.max(1, r.meta.width)
-        val h = math.max(1, r.content.length / w)
-        val scale = w.toDouble / targetWidth
-        val out = new Array[Byte](targetWidth * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < targetWidth) {
-            val srcX = math.min(w - 1, (x * scale).toInt)
-            val srcIdx = y * w + srcX
-            out(y * targetWidth + x) =
-              if (srcIdx < r.content.length) r.content(srcIdx) else 0
-            x += 1
-          }
-          y += 1
+        if (r.meta.format == "bmp") {
+          val img = MediaCodec.decodeBmp(r.content)
+          val out = nearest(img.samples, img.width, img.height)
+          r.copy(content = MediaCodec.encodeBmp(targetWidth, img.height, out),
+            meta = r.meta.copy(width = targetWidth, height = img.height))
+        } else {
+          val w = math.max(1, r.meta.width)
+          val h = math.max(1, r.content.length / w)
+          val out = nearest(r.content.map(_ & 0xff), w, h).map(_.toByte)
+          r.copy(content = out, meta = r.meta.copy(width = targetWidth, height = h))
         }
-        r.copy(content = out, meta = r.meta.copy(width = targetWidth, height = h))
       }
     }
   }
@@ -156,15 +182,38 @@ object Multimodal {
     import s.implicits._
     val media = synthesize(s, dir).repartition(col("media_id"))
     val feats = extractFeatures(media)
-      .select(col("media_id"), col("kind"), col("n_bytes"),
+      .select(col("media_id"), col("kind"), col("n_samples"),
         (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
         (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
     val frameCounts = sampleFrames(media, stride = 2)
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled_frames"))
     feats.join(frameCounts, Seq("media_id"), "left")
-      .select(col("media_id"), col("kind"), col("n_bytes"),
+      .select(col("media_id"), col("kind"), col("n_samples"),
         col("mean_intensity"), col("entropy"),
         coalesce(col("n_sampled_frames"), lit(0L)).as("n_sampled_frames"))
       .orderBy(col("media_id"))
+  }
+
+  /** Oracle-checked codec round trip: golden BMP/WAV payloads built
+    * by [[MediaCodec]], decoded DISTRIBUTED through the same
+    * `mapPartitions` feature path as the main pipeline; the expected
+    * stats are hand-computed constants (a VALUES-table oracle). Case
+    * 2 exercises BMP row padding (width 3 ⇒ 9-byte rows padded to
+    * 12); case 3 exercises the full 16-bit WAV sample range.
+    */
+  def codecRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image", MediaCodec.encodeBmp(2, 2, Array(10, 20, 30, 40)),
+        MediaMeta(2, 2, 1, 0, 1, "bmp")),
+      MediaRecord(2L, "image", MediaCodec.encodeBmp(3, 1, Array(1, 2, 3)),
+        MediaMeta(3, 1, 1, 0, 1, "bmp")),
+      MediaRecord(3L, "audio", MediaCodec.encodeWav(Array(-32768, 0, 32767, 256), 16000),
+        MediaMeta(0, 0, 1, 16000, 1, "wav")))
+    extractFeatures(s.createDataset(recs))
+      .select(col("media_id").as("case_id"), col("kind"), col("n_samples"),
+        (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
+        (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
+      .orderBy(col("case_id"))
   }
 }

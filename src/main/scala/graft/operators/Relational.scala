@@ -86,6 +86,37 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q5-shaped 6-way join — the local-supplier revenue query:
+    * `lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region`
+    * with the n_nationkey = s_nationkey = c_nationkey cross-filter
+    * (revenue counts only when the supplier serves a same-nation
+    * customer). Fact-side joins shuffle on their keys; `supplier` is
+    * a dimension here (sf-proportional but small next to lineitem) so
+    * its join stays a plain hash join; nation/region broadcast. The
+    * cross-filter is an equi-predicate on two already-joined columns,
+    * so it costs a filter, not an extra join.
+    */
+  def q23SupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nat = broadcast(Tables.nation(s, dir))
+    val reg = broadcast(Tables.region(s, dir))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("local_revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** ROLLUP aggregation (grouping sets): subtotal rows use an 'ALL'
     * sentinel instead of NULL so Spark/DuckDB null-ordering
     * differences can't break the total order.
@@ -177,16 +208,18 @@ object Relational {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
-  /** Array aggregation: per-customer bag of order priorities as a
-    * sorted array column — collect_list is order-nondeterministic
-    * across shuffles, so sort_array canonicalizes before comparison.
+  /** Array aggregation: per-customer bag of order priorities —
+    * collect_list is order-nondeterministic across shuffles, so
+    * sort_array canonicalizes, and the array is serialized to one
+    * comma-joined string so the result stays hashable/sortable for
+    * the cross-engine compare (list cells aren't).
     */
   def q22ArrayAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .filter(col("o_custkey") < 200)
       .groupBy(col("o_custkey"))
       .agg(
-        sort_array(collect_list(col("o_orderpriority"))).as("priorities"),
+        concat_ws(",", sort_array(collect_list(col("o_orderpriority")))).as("priorities"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_custkey"))
 

@@ -68,7 +68,10 @@ object EventStreams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+            // min() on start: an out-of-order event from a later
+            // micro-batch can precede the open session's start and
+            // must extend it backwards (matches the batch twin).
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1, s.total + e.value))
           case Some(s) => // gap exceeded → close previous, open new
             emitted ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
             cur = Some(SessionState(t, t, 1L, e.value))

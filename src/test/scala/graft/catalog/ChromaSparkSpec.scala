@@ -31,6 +31,12 @@ class ChromaSparkSpec extends SparkSpec {
     assert(c.listCollections().isEmpty)
   }
 
+  test("tenant/database names with path traversal are rejected at construction") {
+    assertThrows[InvalidPathError] { freshClient(tenant = "../escape") }
+    assertThrows[InvalidPathError] { freshClient(database = "a/b") }
+    assertThrows[InvalidPathError] { freshClient(tenant = "..") }
+  }
+
   test("create enforces name uniqueness (§2.2 semantic 1)") {
     val c = freshClient()
     c.createCollection("dup")

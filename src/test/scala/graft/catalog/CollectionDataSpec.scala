@@ -23,9 +23,9 @@ class CollectionDataSpec extends SparkSpec {
       ("a", Seq(1f, 0f), "doc a", """{"lang":"en","stars":5}"""),
       ("b", Seq(0f, 1f), "doc b", """{"lang":"fr","stars":2}""")))
     assert(d.count("col") === 2)
-    val got = d.get("col").collect()
+    val got = d.get("col").collect() // default include: (id, document, metadata_json)
     assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
-    assert(got.head.getString(2) === "doc a")
+    assert(got.head.getString(1) === "doc a")
   }
 
   test("add and upsert reject duplicate ids within one batch") {
@@ -62,7 +62,7 @@ class CollectionDataSpec extends SparkSpec {
     }
     d.upsert("col", items(("a", Seq(1f, 0f), "v2", "{}")))
     val got = d.get("col", ids = Seq("a")).collect()
-    assert(got.length === 1 && got.head.getString(2) === "v2")
+    assert(got.length === 1 && got.head.getString(1) === "v2")
     assert(d.count("col") === 1)
   }
 
@@ -122,7 +122,7 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.query("col", q, 5).collect().map(_.getString(1)).toSeq === Seq("b"))
     d.upsert("col", items(("b", Seq(0f, 1f), "v2", "{}"))) // moved away
     val after = d.query("col", q, 5).collect()
-    assert(after.length === 1 && after.head.getDouble(4) < 0.5)
+    assert(after.length === 1 && after.head.getAs[Double]("distance") > 0.5)
   }
 
   test("compact folds the log and preserves resolved state") {
@@ -130,13 +130,63 @@ class CollectionDataSpec extends SparkSpec {
     d.add("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("b", Seq(0f, 1f), "w", "{}")))
     d.upsert("col", items(("a", Seq(1f, 0f), "v2", "{}")))
     d.delete("col", ids = Seq("b"))
-    val before = d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    val before = d.get("col").collect().map(r => (r.getString(0), r.getString(1))).toSeq
     d.compact("col")
-    val after = d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    val after = d.get("col").collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(before === after && after === Seq(("a", "v2")))
     // further writes keep working after compaction
     d.add("col", items(("c", Seq(1f, 1f), "new", "{}")))
     assert(d.count("col") === 2)
+  }
+
+  test("per-collection distance metric: l2 and ip rank by their own distances") {
+    val wh = Files.createTempDirectory("graft-items").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("l2c", Some(Map("hnsw:space" -> "l2")))
+    c.createCollection("ipc", Some(Map("hnsw:space" -> "ip")))
+    c.createCollection("badc", Some(Map("hnsw:space" -> "hamming")))
+    val vecs = Seq(("a", Seq(1f, 2f)), ("b", Seq(3f, 4f)), ("c", Seq(0f, 0f)))
+      .toDF("id", "embedding")
+    d.add("l2c", vecs); d.add("ipc", vecs); d.add("badc", vecs)
+    val q = Seq((1L, Seq(1f, 1f))).toDF("query_id", "qvec")
+    val l2 = d.query("l2c", q, 10, include = Nil).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(l2 === Seq(("a", 1.0), ("c", 2.0), ("b", 13.0))) // squared euclidean
+    val ip = d.query("ipc", q, 10, include = Nil).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(ip === Seq(("b", -6.0), ("a", -2.0), ("c", 1.0))) // 1 − ⟨a,b⟩
+    assertThrows[CollectionStateError] { d.query("badc", q, 10) }
+  }
+
+  test("include projection controls returned columns on get and query") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc a", """{"k":"v"}""")))
+    assert(d.get("col").columns.toSeq === Seq("id", "document", "metadata_json"))
+    assert(d.get("col", include = Seq("embeddings")).columns.toSeq === Seq("id", "embedding"))
+    assert(d.get("col", include = Seq("embeddings", "documents", "metadatas")).columns.toSeq
+      === Seq("id", "embedding", "document", "metadata_json"))
+    val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    assert(d.query("col", q, 1, include = Seq("documents")).columns.toSeq
+      === Seq("query_id", "id", "document", "distance", "rank"))
+    assertThrows[CollectionStateError] { d.get("col", include = Seq("docs")) }
+  }
+
+  test("offset paging is window-free and bounded without a limit") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", "{}"), ("b", Seq(0f, 1f), "y", "{}"),
+      ("c", Seq(1f, 1f), "z", "{}")))
+    val page = d.get("col", offset = 1) // no limit: must still be distributed-safe
+    assert(page.collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+    // resolved()'s merge-on-read window partitions by id (fine); what
+    // must NOT appear is a GLOBAL window — one whose spec begins with
+    // an ordered column (no partition columns), which would funnel the
+    // collection through a single task.
+    val plan = page.queryExecution.executedPlan.toString
+    val globalWindow = "windowspecdefinition\\([^,)]+ (ASC|DESC)".r
+    assert(globalWindow.findFirstIn(plan).isEmpty,
+      s"partition-less window operator in:\n$plan")
+    assert(d.get("col", offset = 99).collect().isEmpty) // past the end
   }
 
   test("operations on a missing collection raise") {

@@ -29,6 +29,34 @@ class DedupSpec extends SparkSpec {
     assert(j(0) === 1.0 && j(1) === 0.0)
   }
 
+  test("ShingleHashes kernel is hash-set equal to the HOF shingle chain") {
+    val docs = (base ++ Seq((4L, "a b"), (5L, "  padded   text  here now  "))).toDF("doc_id", "text")
+    val rows = docs.select(
+      graft.functions.ShingleHashes(col("text"), 3).as("k"),
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+    }
+  }
+
+  test("SimHash64 kernel is bitwise equal to the HOF reference simhashColumn") {
+    val docs = (base ++ Seq((4L, "x"), (5L, "  padded   text  here now  "))).toDF("doc_id", "text")
+    val rows = docs.select(
+      graft.functions.SimHash64(col("text")).as("k"),
+      Dedup.simhashColumn(col("text")).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("MinHash long-input path (hashed shingles) matches the string path bitwise") {
+    val docs = base.toDF("doc_id", "text")
+    val rows = docs.select(
+      Dedup.minhashSignature(graft.functions.ShingleHashes(col("text"), 3)).as("viaHashes"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3)).as("viaStrings")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("minhash LSH recovers planted near-duplicates and skips unrelated docs") {
     // plant: doc 11 = doc 1 with one word changed
     val docs = (base :+
@@ -59,12 +87,70 @@ class DedupSpec extends SparkSpec {
     assert(tight.isEmpty)
   }
 
-  test("ngram top pairs ranks the planted duplicate first") {
-    val docs = (base.map { case (id, t) => (id, "en", t.length.toLong, t) } :+
-      (11L, "en", 70L, "the quick brown fox jumps over the lazy cat near the river bank today"))
-      .toDF("doc_id", "lang", "n_chars", "text")
-    val top = Dedup.ngramJaccardTop(docs, topK = 5).collect()
-    assert(top.head.getLong(0) === 1L && top.head.getLong(1) === 11L)
+  test("prefix-filtered ngram join finds exactly the pairs above threshold") {
+    val docs = (base :+
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    val top = Dedup.ngramJaccardPairs(docs, threshold = 0.5, topK = 5).collect()
+    // brute-force ground truth over the same shingle sets
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    assert(expected === Set((1L, 11L))) // the planted near-dup, nothing else
+  }
+
+  test("prefix filtering matches brute force on a clustered corpus (recall = 1)") {
+    // several planted families at different similarity levels
+    val docs = (base ++ Seq(
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (12L, "zz the quick brown fox jumps over the lazy dog near the river bank today"),
+      (21L, "a completely different document about flink query engines and shuffles"),
+      (31L, "totally unrelated words about gardening tomatoes and weather patterns")))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, threshold = 0.4, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.4
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(expected.size >= 3) // non-trivial: 1-11, 1-12, 11-12, 2-21 …
+  }
+
+  test("minhash estimate-then-verify emits the same pairs as exhaustive verification") {
+    val docs = (base ++ Seq(
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (12L, "xq the quick brown fox jumps over the lazy dog near the river bank today"),
+      (21L, "a completely different document about flink query engines and shuffles")))
+      .toDF("doc_id", "text")
+    // margin 1.0 disables the estimate prune → exhaustive verification
+    val exhaustive = Dedup.minhashPairs(docs, threshold = 0.4, estimateMargin = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Dedup.minhashPairs(docs, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === exhaustive)
+    assert(exhaustive.map(t => (t._1, t._2)).contains((1L, 12L))) // j ≈ 0.92 planted pair
+    assert(exhaustive.size >= 2)
+  }
+
+  test("pair queries release their signature caches (session-reuse safe)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val docs = (base :+
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashPairs(docs, threshold = 0.4).collect()
+    Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    assert(GraftSqlBridge.cacheIsEmpty(spark),
+      "dedup pipelines left persisted plans behind")
   }
 
   test("embedding near-dup top pairs surfaces a planted duplicate vector") {

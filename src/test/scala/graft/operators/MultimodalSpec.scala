@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
     val rec = MediaRecord(1L, "image",
       Array[Byte](0, 0, 16, 16, 32, 32, 48, 48), MediaMeta(4, 2, 1, 0, 1, "fake-gray8"))
     val out = Multimodal.extractFeatures(Seq(rec).toDS()).collect().head
-    assert(out.n_bytes === 8L)
+    assert(out.n_samples === 8L)
     assert(out.mean_intensity === (0 + 0 + 16 + 16 + 32 + 32 + 48 + 48) / 8.0)
     assert(out.histogram.toSeq.take(4) === Seq(2L, 2L, 2L, 2L)) // bins 0..3
     assert(math.abs(out.entropy - 2.0) < 1e-12) // 4 equal bins → 2 bits
@@ -48,6 +48,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.media_id).toSet === Set(7L))
     assert(out.map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
     assert(out.forall(f => f.frame.length <= 8))
+  }
+
+  test("BMP encode/decode round-trips pixels exactly (incl. row padding)") {
+    // width 3 → 9-byte rows padded to 12: exercises stride handling
+    val gray = Array(0, 1, 127, 128, 254, 255)
+    val img = MediaCodec.decodeBmp(MediaCodec.encodeBmp(3, 2, gray))
+    assert(img.width === 3 && img.height === 2)
+    assert(img.samples.toSeq === gray.toSeq)
+  }
+
+  test("WAV encode/decode round-trips 16-bit samples and the sample rate") {
+    val samples = Array(-32768, -1, 0, 1, 32767, 256)
+    val audio = MediaCodec.decodeWav(MediaCodec.encodeWav(samples, 44100))
+    assert(audio.sampleRate === 44100 && audio.channels === 1)
+    assert(audio.samples.toSeq === samples.toSeq)
+  }
+
+  test("codecs reject malformed payloads instead of mis-decoding") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp("definitely not a bitmap at all .......".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav("RIFFxxxxNOPE".getBytes)
+    }
+  }
+
+  test("synthesized image/audio records decode with the real codecs") {
+    val recs = Multimodal.synthesize(spark, sfDir).collect()
+    val img = recs.find(_.kind === "image").get
+    val decodedImg = MediaCodec.decodeBmp(img.content)
+    assert(decodedImg.width === img.meta.width && decodedImg.height === img.meta.height)
+    val aud = recs.find(_.kind === "audio").get
+    assert(MediaCodec.decodeWav(aud.content).sampleRate === 16000)
+  }
+
+  test("bmp resize re-encodes a valid, narrower BMP") {
+    val rec = MediaRecord(1L, "image",
+      MediaCodec.encodeBmp(8, 2, Array.tabulate(16)(i => i * 10 % 256)),
+      MediaMeta(8, 2, 1, 0, 1, "bmp"))
+    val out = Multimodal.resize(Seq(rec).toDS(), targetWidth = 4).collect().head
+    val img = MediaCodec.decodeBmp(out.content)
+    assert(img.width === 4 && img.height === 2)
+    // nearest-neighbor: row 0 of src [0,10,…,70] sampled at x*2
+    assert(img.samples.take(4).toSeq === Seq(0, 20, 40, 60))
   }
 
   test("features query output is stable across runs and non-empty") {

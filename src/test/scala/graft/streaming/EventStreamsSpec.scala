@@ -90,4 +90,27 @@ class EventStreamsSpec extends SparkSpec {
         r.getTimestamp(1) === ts("2024-01-01 12:30:00") && r.getLong(3) === 1L))
     } finally q.stop()
   }
+
+  test("out-of-order event within the gap extends an open session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:30:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // arrives in a LATER micro-batch, above the watermark, earlier
+      // than the open session's start — must extend it backwards
+      input.addData(Event(2, ts("2024-01-01 10:15:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 23:00:00"), 8, "click", 0.5)) // flush via timeout
+      q.processAllAvailable()
+      val s = spark.table("ooo_sessions").filter($"user_id" === 7L).collect()
+      assert(s.length === 1)
+      assert(s.head.getTimestamp(1) === ts("2024-01-01 10:15:00"))
+      assert(s.head.getTimestamp(2) === ts("2024-01-01 10:30:00"))
+      assert(s.head.getLong(3) === 2L)
+    } finally q.stop()
+  }
 }

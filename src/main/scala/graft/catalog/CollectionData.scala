@@ -85,16 +85,18 @@ class CollectionData(client: ChromaSpark) {
       .write.mode("append").parquet(s"$d/log")
   }
 
+  /** log_old fallback: a compact() killed between its two renames
+    * leaves the pre-compaction log under log_old — still a complete,
+    * readable history.
+    */
+  private def liveLogName(d: String): Option[String] =
+    if (Files.exists(Paths.get(d, "log"))) Some("log")
+    else if (Files.exists(Paths.get(d, "log_old"))) Some("log_old")
+    else None
+
   private def readLog(collection: String): DataFrame = {
     val d = dir(collection)
-    // log_old fallback: a compact() killed between its two renames
-    // leaves the pre-compaction log under log_old — still a complete,
-    // readable history.
-    val live =
-      if (Files.exists(Paths.get(d, "log"))) Some("log")
-      else if (Files.exists(Paths.get(d, "log_old"))) Some("log_old")
-      else None
-    live match {
+    liveLogName(d) match {
       case Some(name) => spark.read.parquet(s"$d/$name")
       case None =>
         spark.createDataFrame(
@@ -120,10 +122,15 @@ class CollectionData(client: ChromaSpark) {
     * duplicates are rejected by [[appendBatch]].
     */
   def add(collection: String, items: DataFrame): Unit = {
-    val dupes = normalize(items).select("id")
-      .join(resolved(collection).select("id"), "id").limit(1).count()
-    if (dupes > 0)
-      throw CollectionStateError(s"add to '$collection': some ids already exist (use upsert)")
+    // the existing-id check needs a resolve pass only when a log
+    // exists — a fresh collection can't have conflicts, and skipping
+    // the join saves the empty-scan job on first ingest
+    if (liveLogName(dir(collection)).isDefined) {
+      val dupes = normalize(items).select("id")
+        .join(resolved(collection).select("id"), "id").limit(1).count()
+      if (dupes > 0)
+        throw CollectionStateError(s"add to '$collection': some ids already exist (use upsert)")
+    }
     appendBatch(collection, items, deleted = false)
   }
 

@@ -291,7 +291,7 @@ object Dedup {
                           dim: Int = 64, release: Boolean = true): DataFrame = {
     val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
     def sigArray(vec: Column): Column =
-      array(allPlanes.map(p => VectorOps.lshSignature(vec, p)): _*)
+      graft.functions.LshSignatures(vec, allPlanes)
     // cache: both self-join sides read the signatures; without it the
     // 80 hyperplane dot-products per vector run twice.
     val signed = embeddings.select(col("vec_id"), col("embedding").as("vec"))

@@ -115,8 +115,10 @@ object VectorOps {
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(bitsPerTable, dim, seed + t))
 
+    // One compiled pass for all tables' signatures (bitwise equal to
+    // the per-plane HOF fold; parity in VectorOpsSpec).
     def sigArray(vec: Column): Column =
-      array(allPlanes.map(p => lshSignature(vec, p)): _*)
+      graft.functions.LshSignatures(vec, allPlanes)
 
     // Multi-probe: the QUERY side also probes every hamming-1
     // neighbor of its signature (vectors near a hyperplane land on

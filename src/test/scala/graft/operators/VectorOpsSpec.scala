@@ -30,6 +30,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(8.0)) < 1e-12)
   }
 
+  test("LshSignatures kernel is bitwise equal to the per-plane HOF fold") {
+    val tables = 4
+    val bits = 6
+    val dim = 8
+    val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bits, dim, 7L + t))
+    val df = Seq(
+      Seq.tabulate(dim)(i => math.sin(i + 1).toFloat),
+      Seq.tabulate(dim)(i => -math.cos(i).toFloat),
+      Seq.fill(dim)(0.0f),
+      Seq(1.0f, 2.0f) // dimension mismatch → all-zero signatures
+    ).toDF("vec")
+    val rows = df.select(
+      graft.functions.LshSignatures(col("vec"), allPlanes).as("kernel"),
+      array(allPlanes.map(p => VectorOps.lshSignature(col("vec"), p)): _*).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    assert(rows.last.getSeq[Long](0) === Seq.fill(tables)(0L)) // mismatch case
+  }
+
   test("knnBrute returns the true nearest neighbor first on planted data") {
     val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
     val corpus = Seq(

@@ -198,6 +198,8 @@ object SparkEntry {
     "txt_quality"        -> (TextAnalysis.qualityScore _),
     "txt_langid"         -> (TextAnalysis.langIdConfusion _),
     "txt_dedup_exact"    -> (TextAnalysis.dedupExact _),
+    "txt_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "txt_split"          -> (TextAnalysis.splitCounts _),
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
@@ -553,6 +555,35 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY fingerprint""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf,
+        |  floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 10000.0 + 0.5) / 10000.0 AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id, token
+        |LIMIT 100""".stripMargin,
+
+    "txt_split" ->
+      """WITH assigned AS (
+        |  SELECT lang,
+        |    CASE WHEN bucket < 900 THEN 'train'
+        |         WHEN bucket < 950 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000 AS bucket
+        |        FROM documents))
+        |SELECT lang, split, count(*) AS n_docs
+        |FROM assigned
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin,
 
     // vec_ann_lsh / vec_ann_ivf are intentionally omitted: approximate
     // results aren't SQL-expressible; ScalaTest asserts their recall

@@ -22,5 +22,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_l2"),
       new ExpressionInfo("graft.functions", "graft_l2"),
       args => { require(args.length == 2); L2Distance(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo("graft.functions", "graft_shingle_hashes"),
+      args => {
+        require(args.length == 2)
+        ShingleHashes(args(0), GraftExtensions.intLiteral(args(1), "n"))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo("graft.functions", "graft_simhash64"),
+      args => { require(args.length == 1); SimHash64(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo("graft.functions", "graft_minhash"),
+      args => {
+        require(args.length == 2)
+        MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Kernel shape parameters (shingle width, permutation count) must
+    * be plan-time constants — reject column arguments up front.
+    */
+  private[functions] def intLiteral(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                    name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
   }
 }

@@ -161,7 +161,14 @@ object VectorExpressions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) }),
     ("graft_dot",    { args => require(args.length == 2); DotProduct(args(0), args(1)) }),
-    ("graft_l2",     { args => require(args.length == 2); L2Distance(args(0), args(1)) }))
+    ("graft_l2",     { args => require(args.length == 2); L2Distance(args(0), args(1)) }),
+    ("graft_shingle_hashes", { args =>
+      require(args.length == 2)
+      ShingleHashes(args(0), GraftExtensions.intLiteral(args(1), "n")) }),
+    ("graft_simhash64", { args => require(args.length == 1); SimHash64(args(0)) }),
+    ("graft_minhash", { args =>
+      require(args.length == 2)
+      MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }))
 
   /** Runtime registration: `SELECT graft_cosine(a, b)` works on the
     * given session afterwards.

@@ -118,6 +118,49 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** Smoothed TF-IDF over whitespace tokens, top-`topK` terms:
+    * tf per (doc, token) and df per token are two hash aggregations
+    * with map-side combine; the corpus size joins in as a broadcast
+    * 1-row aggregate (never a driver-side collect); idf =
+    * ln((N+1)/(df+1))+1. The scan→explode→partial-agg front half is
+    * one stage — at 100 TB this is the standard two-shuffle vocab
+    * pipeline.
+    */
+  def tfidfTop(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        rnd4(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))))
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+      .limit(topK)
+  }
+
+  /** Deterministic train/validation/test assignment: bucket =
+    * first-4-hex-chars of md5(doc_id) mod 1000 → 90/5/5. Hash-based
+    * (not random) so the split is stable under reruns, re-partitioning
+    * and incremental ingest — the only split discipline that survives
+    * a 100 TB pipeline; md5 exists identically in the oracle engine so
+    * the assignment itself is verified, not just the counts' shape.
+    */
+  def splitCounts(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 1000
+    val split = when(bucket < 900, "train")
+      .when(bucket < 950, "validation")
+      .otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Exact dedup via fingerprint: one hash-aggregate keyed on the
     * digest (map-side combine, no row comparison), keeping the lowest
     * doc_id per group — the scalable exact-dedup shape at any volume.

@@ -59,6 +59,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.forall(row => !row.isNullAt(0) && math.abs(row.getDouble(0)) <= 1.0 + 1e-12))
   }
 
+  test("SQL registration: text kernels callable from SQL, shape args must be literals") {
+    VectorExpressions.register(spark)
+    Seq((1L, "the quick brown fox jumps high")).toDF("id", "text")
+      .createOrReplaceTempView("tx")
+    val r = spark.sql(
+      """SELECT graft_simhash64(text) sh,
+        |       size(graft_shingle_hashes(text, 3)) n_sh,
+        |       size(graft_minhash(graft_shingle_hashes(text, 3), 64)) n_sig
+        |FROM tx""".stripMargin).collect().head
+    assert(!r.isNullAt(0))
+    assert(r.getInt(1) === 4) // 6 tokens → 4 trigrams
+    assert(r.getInt(2) === 64)
+    // a column where a literal is required fails analysis, not codegen
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(text, id) FROM tx").collect()
+    }
+  }
+
   test("dimension-mismatched vectors yield NULL like the HOF, not a prefix score") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
     val out = df.select(

@@ -264,7 +264,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val shs = ordered.select(col("doc_id"), col("sh"))
-      candidates
+      val verified = candidates
         .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b")))
@@ -273,8 +273,10 @@ object Dedup {
         // for display
         .filter(col("jaccard_raw") >= lit(threshold))
         .select(col("doc_a"), col("doc_b"), rnd4(col("jaccard_raw")).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-        .limit(topK)
+      // topK ≤ 0 → ALL pairs, unordered (consumers like dedupGroups
+      // need the complete edge set and no single-task global sort)
+      if (topK <= 0) verified
+      else verified.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(topK)
     }
   }
 
@@ -310,6 +312,60 @@ object Dedup {
           rnd4(VectorOps.cosine(col("va"), col("vb"))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
         .limit(topK)
+    }
+  }
+
+  /** Connected components over a near-dup pair graph — the "keeper
+    * selection" stage of a dedup pipeline: every document gets the
+    * MINIMUM doc_id reachable through near-dup edges as its group id
+    * (keep one doc per group, drop the rest). Iterative min-label
+    * propagation: each round, every node takes the min of its own and
+    * its neighbors' labels — converges in O(component diameter)
+    * rounds, and near-dup components are shallow (duplicates of a
+    * common source), so the driver-side loop runs a handful of
+    * O(|edges|) shuffle rounds at ANY corpus size; `maxIters` bounds
+    * pathological chains. Only the per-round CHANGED count reaches
+    * the driver (one long), never rows.
+    */
+  def dedupGroups(pairs: DataFrame, maxIters: Int = 25,
+                  release: Boolean = true): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
+      val stepped = labels
+        .join(neighborMin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .persist()
+      changed = stepped.filter(col("next_label") =!= col("label")).count()
+      val next = stepped.select(col("doc_id"), col("next_label").as("label")).persist()
+      next.count()
+      labels.unpersist()
+      stepped.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    val out = labels
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy(col("group_id"), col("doc_id"))
+    if (!release) out
+    else {
+      val materialized = out.localCheckpoint(true)
+      labels.unpersist()
+      edges.unpersist()
+      materialized
     }
   }
 
@@ -351,6 +407,14 @@ object Dedup {
 
   def ngramTopQuery(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(plantedDocs(s, dir))
+
+  /** Dedup groups over the UNTRUNCATED n-gram pair set (no topK — the
+    * grouping must see every edge or components split).
+    */
+  def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
+    dedupGroups(
+      ngramJaccardPairs(plantedDocs(s, dir), threshold = 0.6, topK = 0)
+        .select(col("doc_a"), col("doc_b")))
 
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame =
     embeddingNearDupTop(Tables.embeddings(s, dir))

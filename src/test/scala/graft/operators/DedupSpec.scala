@@ -141,6 +141,17 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive.size >= 2)
   }
 
+  test("dedupGroups collapses chained pairs into min-id components") {
+    // chain 1-2-3-7 (diameter 3 → needs several propagation rounds)
+    // plus a separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (7L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("pair queries release their signature caches (session-reuse safe)") {
     import org.apache.spark.sql.GraftSqlBridge
     val docs = (base :+
@@ -149,6 +160,7 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashPairs(docs, threshold = 0.4).collect()
     Dedup.simhashPairs(docs, maxHamming = 3).collect()
     Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    Dedup.dedupGroups(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")).collect()
     assert(GraftSqlBridge.cacheIsEmpty(spark),
       "dedup pipelines left persisted plans behind")
   }

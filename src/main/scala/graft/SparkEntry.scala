@@ -112,6 +112,8 @@ object SparkEntry {
     d.upsert("items", Seq(("c", Seq(5f, 12f), "doc c v2", """{"tier":"silver","stars":4}"""))
       .toDF("id", "embedding", "document", "metadata_json"))
     d.delete("items", ids = Seq("d"))
+    d.update("items", Seq(("a", Seq(3f, 4f), "doc a v2", """{"tier":"gold","stars":5}"""))
+      .toDF("id", "embedding", "document", "metadata_json"))
     val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
     val gold = d.query("items", q, nResults = 10, whereJson = Some("""{"tier":"gold"}"""))
       .select(col("id"), (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0).as("distance"))
@@ -120,12 +122,14 @@ object SparkEntry {
     val includeCols = d.get("items", include = Seq("documents")).columns.mkString(",")
     val page = d.get("items", limit = Some(2), offset = 1)
       .select(col("id")).collect().map(_.getString(0)).mkString(",")
+    val updatedDoc = d.get("items", ids = Seq("a")).collect().head.getString(1)
     (gold.zipWithIndex.map { case ((id, dist), i) =>
       (i.toLong + 1, s"gold_rank_${i + 1}", id, dist)
     } ++ Seq(
       ((gold.length + 1).toLong, "live_count", n.toString, -1.0),
       ((gold.length + 2).toLong, "get_include_cols", includeCols, -1.0),
-      ((gold.length + 3).toLong, "page_limit2_offset1", page, -1.0)))
+      ((gold.length + 3).toLong, "page_limit2_offset1", page, -1.0),
+      ((gold.length + 4).toLong, "updated_doc_a", updatedDoc, -1.0)))
       .toDF("step", "check", "observed", "distance")
       .orderBy(col("step"))
   }
@@ -632,14 +636,16 @@ object SparkEntry {
     // cosine distance 1-cos: 1-4/5 = .2 for b, 1-3/5 = .4 for a;
     // item c upserted away, item d tombstoned → 3 live items;
     // include=[documents] projects exactly (id, document); page
-    // (limit 2, offset 1) of live ids (a,b,c) is (b,c).
+    // (limit 2, offset 1) of live ids (a,b,c) is (b,c); update
+    // replaced a's document in place (same embedding → ranks hold).
     "collection_items" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.2),
         |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 0.4),
         |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0),
         |  (CAST(4 AS BIGINT), 'get_include_cols', 'id,document', -1.0),
-        |  (CAST(5 AS BIGINT), 'page_limit2_offset1', 'b,c', -1.0)
+        |  (CAST(5 AS BIGINT), 'page_limit2_offset1', 'b,c', -1.0),
+        |  (CAST(6 AS BIGINT), 'updated_doc_a', 'doc a v2', -1.0)
         |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,
 

@@ -138,6 +138,24 @@ class CollectionData(client: ChromaSpark) {
   def upsert(collection: String, items: DataFrame): Unit =
     appendBatch(collection, items, deleted = false)
 
+  /** Chroma `update`: replace EXISTING items only — the dual of
+    * [[add]]: every id must already be live, else the call is
+    * rejected (no partial write). Same O(batch) append afterwards.
+    */
+  def update(collection: String, items: DataFrame): Unit = {
+    val missing = normalize(items).select("id")
+      .join(resolved(collection).select("id"), Seq("id"), "left_anti")
+      .limit(1).count()
+    if (missing > 0)
+      throw CollectionStateError(s"update to '$collection': some ids do not exist (use upsert)")
+    appendBatch(collection, items, deleted = false)
+  }
+
+  /** Chroma `peek`: the first `n` items by id order. */
+  def peek(collection: String, n: Int = 10,
+           include: Seq[String] = DefaultInclude): DataFrame =
+    get(collection, limit = Some(n), include = include)
+
   /** Chroma `delete` by ids and/or metadata `where` filter. Appends
     * tombstones for the matching live rows. A call with NEITHER
     * selector is rejected (like the server API) — otherwise a

@@ -139,6 +139,19 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.count("col") === 2)
   }
 
+  test("update replaces existing items only; peek pages from the front") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("b", Seq(0f, 1f), "w", "{}")))
+    d.update("col", items(("a", Seq(1f, 0f), "v2", "{}")))
+    assert(d.get("col", ids = Seq("a")).collect().head.getString(1) === "v2")
+    // an unknown id rejects the whole batch, nothing partially written
+    assertThrows[CollectionStateError] {
+      d.update("col", items(("a", Seq(1f, 0f), "v3", "{}"), ("zz", Seq(0f, 0f), "x", "{}")))
+    }
+    assert(d.get("col", ids = Seq("a")).collect().head.getString(1) === "v2")
+    assert(d.peek("col", 1).collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("per-collection distance metric: l2 and ip rank by their own distances") {
     val wh = Files.createTempDirectory("graft-items").toString
     val c = new ChromaSpark(spark, wh)

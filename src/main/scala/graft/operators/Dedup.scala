@@ -332,10 +332,16 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    val initial = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
-    labels.count()
+    initial.count()
+    // ONE Spark job per round: the changed-count action materializes
+    // the persisted `stepped` frame, and the next round's labels are a
+    // lazy projection of that cache — per-round scheduler overhead is
+    // what dominates on small graphs, so job count is the knob.
+    var prevCache: DataFrame = initial
+    var labels: DataFrame = initial
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -348,11 +354,9 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
         .persist()
       changed = stepped.filter(col("next_label") =!= col("label")).count()
-      val next = stepped.select(col("doc_id"), col("next_label").as("label")).persist()
-      next.count()
-      labels.unpersist()
-      stepped.unpersist()
-      labels = next
+      prevCache.unpersist() // safe: stepped is materialized now
+      prevCache = stepped
+      labels = stepped.select(col("doc_id"), col("next_label").as("label"))
       iter += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
@@ -363,7 +367,7 @@ object Dedup {
     if (!release) out
     else {
       val materialized = out.localCheckpoint(true)
-      labels.unpersist()
+      prevCache.unpersist()
       edges.unpersist()
       materialized
     }

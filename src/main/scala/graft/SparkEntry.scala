@@ -191,6 +191,7 @@ object SparkEntry {
     "q21_setops_all"     -> (Relational.q21SetOpsAll _),
     "q22_array_agg"      -> (Relational.q22ArrayAgg _),
     "q23_supplier_rev"   -> (Relational.q23SupplierRevenue _),
+    "q24_skew_join"      -> (Relational.q24SkewJoin _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
@@ -408,6 +409,18 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    // plain join on the oracle side — the engine's salted join must
+    // produce the identical result set
+    "q24_skew_join" ->
+      """SELECT p_brand,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q21_setops_all" ->
       """WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),

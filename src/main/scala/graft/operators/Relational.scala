@@ -117,6 +117,26 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Salted skew join, oracle-proven: routes the (potentially hot)
+    * fact keys over `buckets` reducers via [[SkewJoin.saltedInner]]
+    * and aggregates — the DuckDB twin runs the PLAIN join, so the
+    * hash-match certifies that salting changes the distribution, not
+    * the result set.
+    */
+  def q24SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val smallParts = Tables.part(s, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    SkewJoin.saltedInner(li, smallParts, "l_partkey", buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** ROLLUP aggregation (grouping sets): subtotal rows use an 'ALL'
     * sentinel instead of NULL so Spark/DuckDB null-ordering
     * differences can't break the total order.

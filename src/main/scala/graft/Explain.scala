@@ -31,7 +31,14 @@ object Explain {
       "dd_ngram_top" -> ((s, d) =>
         operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d), release = false)),
       "dd_embed_top" -> ((s, d) =>
-        operators.Dedup.embeddingNearDupTop(Tables.embeddings(s, d), release = false)))
+        operators.Dedup.embeddingNearDupTop(Tables.embeddings(s, d), release = false)),
+      "dd_groups" -> ((s, d) =>
+        operators.Dedup.dedupGroups(
+          operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d),
+            threshold = 0.6, topK = 0, release = false)
+            .select(org.apache.spark.sql.functions.col("doc_a"),
+              org.apache.spark.sql.functions.col("doc_b")),
+          release = false)))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n======== $n ========")

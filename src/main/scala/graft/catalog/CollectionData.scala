@@ -68,6 +68,7 @@ class CollectionData(client: ChromaSpark) {
 
   private def appendBatch(collection: String, items: DataFrame, deleted: Boolean): Unit = {
     val d = dir(collection)
+    recoverLog(d)
     val normalized = normalize(items)
     if (!deleted) {
       // duplicate ids within one write batch share the same _batch
@@ -93,6 +94,29 @@ class CollectionData(client: ChromaSpark) {
     if (Files.exists(Paths.get(d, "log"))) Some("log")
     else if (Files.exists(Paths.get(d, "log_old"))) Some("log_old")
     else None
+
+  /** Complete any compaction interrupted by a crash BEFORE the next
+    * write; without this, an append would create a fresh `log` that
+    * shadows the entire pre-crash history sitting in `log_old`.
+    *  - log_old without log  (died between the two renames): the old
+    *    log is the one true history — move it back.
+    *  - log_old AND log      (died after the swap, before cleanup):
+    *    the compacted log superseded log_old — delete the leftover.
+    */
+  private def recoverLog(d: String): Unit = {
+    val logPath = Paths.get(d, "log")
+    val old = Paths.get(d, "log_old")
+    if (Files.exists(old)) {
+      if (!Files.exists(logPath)) Files.move(old, logPath)
+      else deleteTree(old)
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.util.Comparator
+    Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+  }
 
   private def readLog(collection: String): DataFrame = {
     val d = dir(collection)
@@ -140,15 +164,25 @@ class CollectionData(client: ChromaSpark) {
 
   /** Chroma `update`: replace EXISTING items only — the dual of
     * [[add]]: every id must already be live, else the call is
-    * rejected (no partial write). Same O(batch) append afterwards.
+    * rejected (no partial write). Merge is FIELD-WISE like the
+    * server's: columns absent from the input keep their current
+    * value (a document-only update must not null out the embedding);
+    * columns present replace, including explicit nulls.
     */
   def update(collection: String, items: DataFrame): Unit = {
-    val missing = normalize(items).select("id")
-      .join(resolved(collection).select("id"), Seq("id"), "left_anti")
+    val present = items.columns.toSet
+    val incoming = normalize(items)
+    val existing = resolved(collection)
+    val missing = incoming.select("id")
+      .join(existing.select("id"), Seq("id"), "left_anti")
       .limit(1).count()
     if (missing > 0)
       throw CollectionStateError(s"update to '$collection': some ids do not exist (use upsert)")
-    appendBatch(collection, items, deleted = false)
+    val merged = incoming.alias("n").join(existing.alias("o"), "id")
+      .select(col("id") +: ItemCols.tail.map { c =>
+        (if (present.contains(c)) col(s"n.$c") else col(s"o.$c")).as(c)
+      }: _*)
+    appendBatch(collection, merged, deleted = false)
   }
 
   /** Chroma `peek`: the first `n` items by id order. */
@@ -272,6 +306,7 @@ class CollectionData(client: ChromaSpark) {
     */
   def compact(collection: String): Unit = {
     val d = dir(collection)
+    recoverLog(d) // clear any stale log_old so the swap below can't collide
     val snapshot = resolved(collection).persist()
     snapshot.count() // materialize before the log is replaced
     val tmp = s"$d/log_compacting"
@@ -293,11 +328,7 @@ class CollectionData(client: ChromaSpark) {
       try Files.move(Paths.get(tmp), logPath)
       catch { case e: Throwable => Files.move(old, logPath); throw e }
     } else Files.move(Paths.get(tmp), logPath)
-    if (Files.exists(old)) {
-      import java.util.Comparator
-      Files.walk(old).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-    }
+    if (Files.exists(old)) deleteTree(old)
     Files.write(Paths.get(d, "_batches"), "0".getBytes)
   }
 

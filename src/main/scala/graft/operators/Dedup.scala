@@ -158,7 +158,10 @@ object Dedup {
                    release: Boolean = true): DataFrame = {
     val bands = math.min(maxHamming + 1, 64)
     val width = (64 + bands - 1) / bands
-    val mask = (1L << width) - 1
+    // width can be 64 (maxHamming=0): 1L<<64 wraps to 1 in Scala/JVM
+    // shift semantics, which would zero the mask and collapse every
+    // doc into one bucket — an accidental all-pairs join
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     // SimHash64 kernel: one compiled pass per document; bitwise parity
     // with the HOF reference simhashColumn is proven in DedupSpec.
     val signed = docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sig"))
@@ -359,6 +362,10 @@ object Dedup {
       labels = stepped.select(col("doc_id"), col("next_label").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge in $maxIters rounds (component diameter too " +
+          s"large) — raise maxIters; refusing to emit partial groups")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     val out = labels
       .join(sizes, "label")

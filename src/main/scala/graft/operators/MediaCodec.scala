@@ -110,8 +110,13 @@ object MediaCodec {
     while (pos + 8 <= bytes.length) {
       val id = tag(bytes, pos)
       val sz = buf.getInt(pos + 4)
+      // a negative or overlong declared size would loop forever /
+      // read out of bounds — fail like any other malformed payload
+      require(sz >= 0 && pos + 8 + sz <= bytes.length,
+        s"decodeWav: chunk '$id' declares $sz bytes at offset $pos (payload ${bytes.length})")
       id match {
         case "fmt " =>
+          require(sz >= 16, s"decodeWav: fmt chunk too short ($sz bytes)")
           val fmt = buf.getShort(pos + 8)
           require(fmt == 1, s"decodeWav: unsupported format code $fmt (PCM only)")
           channels = buf.getShort(pos + 10)

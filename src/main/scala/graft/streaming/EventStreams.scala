@@ -67,10 +67,17 @@ object EventStreams {
       events.foreach { e =>
         val t = e.ts.getTime
         cur match {
+          case Some(s) if t < s.start - gapMs =>
+            // Out-of-order event MORE than a gap before the open
+            // session: in event-time order it is its own session
+            // (the batch twin splits on the t → s.start gap). It is
+            // emitted closed immediately — by watermark contract no
+            // still-older event can arrive to extend it.
+            emitted ::= Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
           case Some(s) if t - s.end <= gapMs =>
-            // min() on start: an out-of-order event from a later
-            // micro-batch can precede the open session's start and
-            // must extend it backwards (matches the batch twin).
+            // min() on start: an out-of-order event within the gap
+            // BEFORE the session start extends it backwards (matches
+            // the batch twin).
             cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1, s.total + e.value))
           case Some(s) => // gap exceeded → close previous, open new
             emitted ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)

@@ -202,6 +202,45 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.get("col", offset = 99).collect().isEmpty) // past the end
   }
 
+  test("writes after a simulated mid-compact crash keep the full history") {
+    val (c, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", "{}"), ("b", Seq(0f, 1f), "y", "{}")))
+    val dataDir = java.nio.file.Paths.get(c.dataDir("col"))
+    // simulate dying between compact's two renames: log moved away,
+    // nothing replaced it
+    Files.move(dataDir.resolve("log"), dataDir.resolve("log_old"))
+    assert(d.count("col") === 2) // read-only fallback still sees history
+    d.add("col", items(("c", Seq(1f, 1f), "z", "{}"))) // must NOT shadow history
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // and the add-must-not-exist invariant still holds for old ids
+    assertThrows[CollectionStateError] {
+      d.add("col", items(("a", Seq(1f, 0f), "dup", "{}")))
+    }
+  }
+
+  test("compact succeeds after a crash that left a stale log_old behind") {
+    val (c, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", "{}")))
+    val dataDir = java.nio.file.Paths.get(c.dataDir("col"))
+    // simulate dying after the swap but before cleanup
+    Files.createDirectories(dataDir.resolve("log_old"))
+    Files.write(dataDir.resolve("log_old").resolve("junk"), "x".getBytes)
+    d.compact("col") // must not collide with the stale directory
+    assert(d.count("col") === 1)
+    assert(!Files.exists(dataDir.resolve("log_old")))
+  }
+
+  test("update merges field-wise: omitted columns keep their values") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "v1", """{"k":"v"}""")))
+    d.update("col", Seq(("a", "v2")).toDF("id", "document"))
+    val row = d.get("col", include = Seq("embeddings", "documents", "metadatas"))
+      .collect().head
+    assert(row.getString(2) === "v2")             // document replaced
+    assert(row.getSeq[Float](1) === Seq(1f, 0f))  // embedding preserved
+    assert(row.getString(3) === """{"k":"v"}""")  // metadata preserved
+  }
+
   test("operations on a missing collection raise") {
     val wh = Files.createTempDirectory("graft-items").toString
     val c = new ChromaSpark(spark, wh)

@@ -141,6 +141,14 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive.size >= 2)
   }
 
+  test("simhashPairs at radius 0 buckets on the full signature (no mask wrap)") {
+    // doc 11 is an exact copy of doc 1 → identical signature
+    val docs = (base :+ (11L, base.head._2)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 11L)))
+  }
+
   test("dedupGroups collapses chained pairs into min-id components") {
     // chain 1-2-3-7 (diameter 3 → needs several propagation rounds)
     // plus a separate pair 10-11

@@ -72,6 +72,16 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaCodec.decodeWav("RIFFxxxxNOPE".getBytes)
     }
+    // a chunk declaring a NEGATIVE size must fail, not loop forever
+    val evil = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(-8)
+    intercept[IllegalArgumentException] { MediaCodec.decodeWav(evil.array()) }
+    // a truncated fmt chunk must fail the size check, not read past it
+    val shortFmt = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(4).putInt(1)
+    intercept[IllegalArgumentException] { MediaCodec.decodeWav(shortFmt.array()) }
   }
 
   test("synthesized image/audio records decode with the real codecs") {

@@ -91,6 +91,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an event more than a gap before the open session becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "2 hours")
+      .writeStream.format("memory").queryName("stray_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      // 09:30 is above the watermark (08:30) but a full hour before the
+      // open session — the batch twin would split on that gap
+      input.addData(Event(2, ts("2024-01-01 09:30:00"), 9, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-02 12:00:00"), 8, "click", 0.5)) // flush
+      q.processAllAvailable()
+      val s = spark.table("stray_sessions").filter($"user_id" === 9L)
+        .orderBy("session_start").collect()
+      assert(s.length === 2)
+      assert(s(0).getTimestamp(1) === ts("2024-01-01 09:30:00") && s(0).getLong(3) === 1L)
+      assert(s(1).getTimestamp(1) === ts("2024-01-01 10:30:00") && s(1).getLong(3) === 1L)
+    } finally q.stop()
+  }
+
   test("out-of-order event within the gap extends an open session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

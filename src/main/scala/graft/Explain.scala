@@ -32,13 +32,20 @@ object Explain {
         operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d), release = false)),
       "dd_embed_top" -> ((s, d) =>
         operators.Dedup.embeddingNearDupTop(Tables.embeddings(s, d), release = false)),
-      "dd_groups" -> ((s, d) =>
-        operators.Dedup.dedupGroups(
-          operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d),
-            threshold = 0.6, topK = 0, release = false)
-            .select(org.apache.spark.sql.functions.col("doc_a"),
-              org.apache.spark.sql.functions.col("doc_b")),
-          release = false)))
+      "dd_groups" -> ((s, d) => {
+        // One propagation ROUND over the real pair plan: the converged
+        // loop's lazy lineage nests every round (>100k plan lines) —
+        // the per-round join/agg shape is the thing worth auditing.
+        import org.apache.spark.sql.functions.col
+        val pairs = operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d),
+          threshold = 0.6, topK = 0, release = false)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+        operators.Dedup.labelPropagationStep(edges, labels)
+      }))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -348,14 +348,7 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
-      val stepped = labels
-        .join(neighborMin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
-        .persist()
+      val stepped = labelPropagationStep(edges, labels).persist()
       changed = stepped.filter(col("next_label") =!= col("label")).count()
       prevCache.unpersist() // safe: stepped is materialized now
       prevCache = stepped
@@ -378,6 +371,22 @@ object Dedup {
       edges.unpersist()
       materialized
     }
+  }
+
+  /** One min-label propagation round over (src,dst) edges and
+    * (doc_id,label) assignments: every node takes the min of its own
+    * and its neighbors' labels. Public so plan audits can inspect the
+    * per-round shape — the converged loop's lazy lineage nests every
+    * round and is not a useful artifact.
+    */
+  def labelPropagationStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.select(col("doc_id").as("dst"), col("label").as("nlabel")), "dst")
+      .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
+    labels
+      .join(neighborMin.select(col("src").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
   }
 
   // ---- SparkEntry query wrappers ----

@@ -210,6 +210,7 @@ object SparkEntry {
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
+    "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),

@@ -142,6 +142,56 @@ object Dedup {
     }
   }
 
+  /** Incremental near-dup detection: find pairs where AT LEAST ONE
+    * side is a new (`delta`) document — the shape of continuous-ingest
+    * dedup, where the corpus is already indexed and only the delta's
+    * band collisions cost anything. corpus×corpus pairs are pruned
+    * inside the candidate join, so incremental cost scales with the
+    * delta's collisions, never with corpus²; at production scale the
+    * corpus side of the band join reads a precomputed signature index
+    * (bucketed by (band, bhash)) instead of re-signing the corpus.
+    * Emits (doc_a, doc_b, jaccard) with the same estimate-then-verify
+    * discipline as [[minhashPairs]].
+    */
+  def minhashPairsIncremental(corpus: DataFrame, delta: DataFrame, n: Int = 3,
+                              bands: Int = 16, rowsPerBand: Int = 4,
+                              threshold: Double = 0.7,
+                              estimateMargin: Double = 0.2,
+                              release: Boolean = true): DataFrame = {
+    val perms = bands * rowsPerBand
+    val all = corpus.select(col("doc_id"), col("text")).withColumn("_new", lit(false))
+      .unionByName(delta.select(col("doc_id"), col("text")).withColumn("_new", lit(true)))
+    val signed = all
+      .select(col("doc_id"), col("_new"), graft.functions.ShingleHashes(col("text"), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), perms))
+    withSigCache(release)(signed) {
+      val banded = signed.select(col("doc_id"), col("_new"),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
+      val candidates = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            (col("a._new") || col("b._new"))) // prune corpus-internal pairs
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sigs = signed.select(col("doc_id"), col("sig"))
+      val estimated = candidates
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / lit(perms.toDouble) >= lit(threshold - estimateMargin))
+        .select(col("doc_a"), col("doc_b"))
+      val shs = signed.select(col("doc_id"), col("sh"))
+      estimated
+        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
   /** Hamming distance between two packed signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
@@ -421,6 +471,18 @@ object Dedup {
 
   def minhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     minhashPairs(plantedDocs(s, dir), threshold = 0.4)
+
+  /** Incremental dedup query: the corpus is the documents table, the
+    * delta is the planted near-dups — every emitted pair must involve
+    * a delta doc.
+    */
+  def incrementalPairsQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("xq "), col("text")).as("text"))
+    minhashPairsIncremental(docs, delta, threshold = 0.4)
+  }
 
   def simhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(plantedDocs(s, dir), maxHamming = 3)

@@ -141,6 +141,20 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive.size >= 2)
   }
 
+  test("incremental minhash finds delta-involving pairs, prunes corpus-internal ones") {
+    // corpus contains its own internal exact dup (1 ↔ 4) which must
+    // NOT be emitted; the delta doc is a near-dup of both
+    val corpus = (base :+ (4L, base.head._2)).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsIncremental(corpus, delta, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a == 11L || b == 11L },
+      s"corpus-internal pair leaked: $pairs")
+    assert(pairs.contains((1L, 11L)) && pairs.contains((4L, 11L)))
+  }
+
   test("simhashPairs at radius 0 buckets on the full signature (no mask wrap)") {
     // doc 11 is an exact copy of doc 1 → identical signature
     val docs = (base :+ (11L, base.head._2)).toDF("doc_id", "text")

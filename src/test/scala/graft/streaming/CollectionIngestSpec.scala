@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.catalog.{ChromaSpark, CollectionData}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class CollectionIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed micro-batches upsert into a collection and are query-visible") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val client = new ChromaSpark(spark, wh)
+    client.createCollection("live")
+    val data = new CollectionData(client)
+    val input = MemoryStream[(String, Seq[Float], String, String)]
+    val stream = input.toDF().toDF("id", "embedding", "document", "metadata_json")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val q = CollectionIngest.start(data, "live", stream, ckpt)
+    try {
+      input.addData(("a", Seq(1f, 0f), "doc a", "{}"), ("b", Seq(0f, 1f), "doc b", "{}"))
+      q.processAllAvailable()
+      assert(data.count("live") === 2)
+      // a later micro-batch upserting an existing id replaces it
+      input.addData(("a", Seq(0f, 1f), "doc a v2", "{}"))
+      q.processAllAvailable()
+      assert(data.count("live") === 2)
+      assert(data.get("live", ids = Seq("a")).collect().head.getString(1) === "doc a v2")
+      // and the vector search sees the ingested state immediately
+      val qdf = Seq((1L, Seq(0f, 1f))).toDF("query_id", "qvec")
+      val top = data.query("live", qdf, nResults = 1).collect()
+      assert(top.head.getString(1) === "a") // moved onto the query vector
+    } finally q.stop()
+  }
+}

@@ -189,6 +189,63 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Distributed Lloyd's k-means for IVF coarse centroids: assignment
+    * and mean updates run as joins/aggregations over the corpus; only
+    * the k centroid vectors (model parameters, not data rows) round-
+    * trip through the driver per iteration — k·dim doubles, the same
+    * discipline as any distributed k-means. Seeds are the k vectors
+    * with the lowest xxhash64(vec_id): deterministic, corpus-order
+    * independent. A centroid that loses every member drops out (k
+    * shrinks) rather than being re-seeded nondeterministically.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(xxhash64(col("vec_id").cast("string")))
+      .limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("c_id", "centroid"))
+      val assigned = corpus.join(centDf)
+        .select(col("vec_id"), col("vec"), col("c_id"),
+          l2(col("vec"), col("centroid")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("c_id"), col("vec")), col("d")).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.vec").as("vec"))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "comp")))
+        .groupBy(col("c_id"), col("pos")).agg(avg(col("comp")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    }
+    cents
+  }
+
+  /** IVF over LEARNED k-means clusters (vs [[annIvf]]'s supplied
+    * partition labels): train coarse centroids, assign the corpus
+    * once, then run the same probe-and-search tail — at scale the
+    * assignment is a write-time step (corpus laid out bucketed by
+    * cluster) and queries prune whole partitions.
+    */
+  def annIvfKmeans(queries: DataFrame, corpus: DataFrame, k: Int,
+                   kClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, kClusters, iters)
+    val centDf = broadcast(cents.toDF("c_id", "centroid"))
+    val labeled = corpus.join(centDf)
+      .select(col("vec_id"), col("vec"), col("c_id"),
+        l2(col("vec"), col("centroid")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c_id"), col("vec")), col("d")).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("label"), col("best.vec").as("vec"))
+    annIvf(queries, labeled, k, nprobe)
+  }
+
   // ---- SparkEntry query wrappers over the embeddings table ----
 
   private def querySet(s: SparkSession, dir: String): DataFrame =
@@ -212,4 +269,10 @@ object VectorOps {
   /** IVF ANN probing 3 of the label partitions. */
   def annIvfQuery(s: SparkSession, dir: String): DataFrame =
     annIvf(querySet(s, dir), corpusSet(s, dir), k = 10, nprobe = 3)
+
+  /** IVF ANN over learned k-means clusters (rows-only; recall vs
+    * brute force asserted in ScalaTest).
+    */
+  def annKmeansQuery(s: SparkSession, dir: String): DataFrame =
+    annIvfKmeans(querySet(s, dir), corpusSet(s, dir), k = 10)
 }

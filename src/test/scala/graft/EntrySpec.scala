@@ -12,7 +12,8 @@ class EntrySpec extends SparkSpec {
   test("every query has either an oracle or documented rows-only status") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
-      "dd_embed_top", "dd_incremental", "vec_ann_lsh", "vec_ann_ivf", "mm_features")
+      "dd_embed_top", "dd_incremental", "vec_ann_lsh", "vec_ann_ivf",
+      "vec_ann_kmeans", "mm_features")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

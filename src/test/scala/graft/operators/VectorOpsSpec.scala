@@ -92,6 +92,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(recallMulti > 0.4, s"multi-probe LSH recall collapsed: $recallMulti")
   }
 
+  test("k-means IVF trains deterministic centroids and beats a recall floor") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val c1 = VectorOps.kmeansCentroids(corpus, k = 8, iters = 2)
+    val c2 = VectorOps.kmeansCentroids(corpus, k = 8, iters = 2)
+    assert(c1 === c2, "k-means training is not deterministic")
+    assert(c1.nonEmpty && c1.forall(_._2.length === 64))
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.annIvfKmeans(queries, corpus, 10, kClusters = 8, iters = 2, nprobe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"k-means IVF recall@10 (nprobe 4/8) = $recall%.3f")
+    assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
+  }
+
   test("ann ivf returns k ranked rows per query with valid scores") {
     val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

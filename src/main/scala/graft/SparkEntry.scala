@@ -205,6 +205,8 @@ object SparkEntry {
     "txt_dedup_exact"    -> (TextAnalysis.dedupExact _),
     "txt_tfidf"          -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "txt_split"          -> (TextAnalysis.splitCounts _),
+    "txt_chunks"         -> ((s, d) => TextAnalysis.chunks(s, d)),
+    "txt_scrub"          -> (TextAnalysis.scrub _),
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
@@ -590,6 +592,30 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
         |ORDER BY tfidf DESC, doc_id, token
         |LIMIT 100""".stripMargin,
+
+    "txt_chunks" ->
+      """SELECT doc_id,
+        |  CAST((start - 1) / 150 AS BIGINT) AS chunk_idx,
+        |  CAST(length(substr(text, start, 200)) AS BIGINT) AS n_chars,
+        |  md5(substr(text, start, 200)) AS chunk_fp
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, greatest(1, length(text)), 150)) AS start
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "txt_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |          'https?://[^ \t\n]+', '<URL>', 'g'),
+        |        '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_split" ->
       """WITH assigned AS (

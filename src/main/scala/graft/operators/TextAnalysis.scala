@@ -161,6 +161,54 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Fixed-window document chunking with overlap — the standard prep
+    * for context-bounded training/embedding: windows of `chunkChars`
+    * starting every `chunkChars − overlap` characters. A generator
+    * (explode over the start sequence) + substring: pure map stage,
+    * 0..N rows out per row in, no shuffle until the final sort. The
+    * chunk text itself is emitted as an md5 fingerprint so the
+    * cross-engine compare stays cell-hashable.
+    */
+  def chunks(s: SparkSession, dir: String,
+             chunkChars: Int = 200, overlap: Int = 50): DataFrame = {
+    val step = chunkChars - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(lit(1), length(col("text"))), lit(step))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / step).cast("long").as("chunk_idx"),
+        length(col("text").substr(col("start"), lit(chunkChars))).cast("long").as("n_chars"),
+        md5(col("text").substr(col("start"), lit(chunkChars))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** PII-style scrubbing: count and redact emails, URLs and long
+    * digit runs (the cheap regex tier of a training-data privacy
+    * pass). Pure map stage; the scrubbed text round-trips as an md5
+    * fingerprint so the oracle verifies the REPLACEMENT itself, not
+    * just the counts.
+    */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val url = "https?://[^ \\t\\n]+"
+    val longNum = "[0-9]{6,}"
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          url, "<URL>"),
+        longNum, "<NUM>")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(longNum)).cast("long").as("n_longnums"),
+        md5(scrubbed).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup via fingerprint: one hash-aggregate keyed on the
     * digest (map-side combine, no row comparison), keeping the lowest
     * doc_id per group — the scalable exact-dedup shape at any volume.

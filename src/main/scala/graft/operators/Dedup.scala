@@ -387,8 +387,7 @@ object Dedup {
       .persist()
     val initial = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist()
-    initial.count()
+      .persist() // materialized by the first round's action
     // ONE Spark job per round: the changed-count action materializes
     // the persisted `stepped` frame, and the next round's labels are a
     // lazy projection of that cache — per-round scheduler overhead is

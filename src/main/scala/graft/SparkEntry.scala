@@ -198,6 +198,7 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
+    "ev_funnel"          -> (Events.funnel _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
     "txt_quality"        -> (TextAnalysis.qualityScore _),
@@ -504,6 +505,25 @@ object SparkEntry {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_s) AS t2
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND ts_s > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_s) AS t3
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+        |    (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click_after_view', (SELECT count(*) FROM c)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase_after_click', (SELECT count(*) FROM p))
+        |ORDER BY step""".stripMargin,
 
     "ev_asof_join" ->
       """WITH p AS (

@@ -73,6 +73,37 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Ordered funnel: view → click → purchase, strictly increasing
+    * second-truncated timestamps per user. Each stage is a per-user
+    * min over the prior stage's anchor (aggregate → join → filter —
+    * no window over raw events), so the whole funnel is three
+    * shuffles on user_id regardless of event volume; the tiny stage
+    * counts cross-join into one output relation. Strict `>` at
+    * second granularity matches the oracle exactly (sub-second
+    * precision differs between the engines).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts_s") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts_s") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+    views.agg(count(lit(1)).as("n_users")).withColumn("step", lit(1L))
+      .withColumn("stage", lit("view"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit(2L)).withColumn("stage", lit("click_after_view")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit(3L)).withColumn("stage", lit("purchase_after_click")))
+      .select(col("step"), col("stage"), col("n_users"))
+      .orderBy(col("step"))
+  }
+
   /** Backward as-of join: each purchase matched to the user's most
     * recent click at-or-before it. See [[AsOfJoin]] for the
     * single-shuffle plan.

@@ -199,6 +199,8 @@ object SparkEntry {
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
+    "ev_retention"       -> (Events.retention _),
+    "vec_quantize"       -> (VectorOps.quantizeStats _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
     "txt_quality"        -> (TextAnalysis.qualityScore _),
@@ -524,6 +526,38 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase_after_click', (SELECT count(*) FROM p))
         |ORDER BY step""".stripMargin,
+
+    "ev_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, w.wk) / 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    "vec_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding, 127.0 / max_abs AS scale FROM t WHERE max_abs > 0),
+        |e AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x ->
+        |      abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)) AS err,
+        |    len(embedding) AS n
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 10000.0 + 0.5) / 10000.0 AS scale,
+        |  floor(list_max(err) * 10000.0 + 0.5) / 10000.0 AS max_err,
+        |  floor(list_reduce(list_prepend(0.0, err), (a, x) -> a + x) / n * 10000.0 + 0.5) / 10000.0 AS mean_err
+        |FROM e
+        |ORDER BY vec_id""".stripMargin,
 
     "ev_asof_join" ->
       """WITH p AS (

@@ -104,6 +104,26 @@ object Events {
       .orderBy(col("step"))
   }
 
+  /** Weekly cohort retention: users grouped by the week of their
+    * first event; each later active week counts into (cohort_week,
+    * week_offset). Two hash aggregations and one join, all keyed by
+    * user — the standard O(users) retention matrix at any event
+    * volume. Both engines truncate weeks to Monday and the offsets
+    * are exact multiples of 7 days, so the matrix hash-matches.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    weekly.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Backward as-of join: each purchase matched to the user's most
     * recent click at-or-before it. See [[AsOfJoin]] for the
     * single-shuffle plan.

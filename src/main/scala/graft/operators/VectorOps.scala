@@ -246,6 +246,31 @@ object VectorOps {
     annIvf(queries, labeled, k, nprobe)
   }
 
+  /** Symmetric int8 quantization quality stats — the storage-shrink
+    * step of an embedding pipeline (float32 → int8 is 4× smaller and
+    * what most ANN index formats store). Per vector: scale =
+    * 127/max|x|, elementwise error |x − dequant(quant(x))| computed
+    * without materializing the quantized array (err is a pure
+    * function of x and the scalar scale). Map stage; the floor-based
+    * half-up rounding matches the oracle bit-for-bit.
+    */
+  def quantizeStats(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = lit(127.0) / col("max_abs")
+    val err = transform(v, x =>
+      abs(x.cast("double") - floor(x.cast("double") * scale + lit(0.5)) / scale))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), v.as("embedding"), maxAbs.as("max_abs"))
+      .filter(col("max_abs") > 0) // a zero vector has no scale
+      .select(
+        col("vec_id"),
+        rnd4(scale).as("scale"),
+        rnd4(array_max(err)).as("max_err"),
+        rnd4(aggregate(err, lit(0.0), (a, x) => a + x) / size(col("embedding"))).as("mean_err"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- SparkEntry query wrappers over the embeddings table ----
 
   private def querySet(s: SparkSession, dir: String): DataFrame =

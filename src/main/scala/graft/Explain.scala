@@ -40,11 +40,8 @@ object Explain {
         val pairs = operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d),
           threshold = 0.6, topK = 0, release = false)
           .select(col("doc_a"), col("doc_b"))
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id"))
-        operators.Dedup.labelPropagationStep(edges, labels)
+        val edges = operators.Dedup.symmetrizedEdges(pairs)
+        operators.Dedup.labelPropagationStep(edges, operators.Dedup.initialLabels(edges))
       }))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>

@@ -113,33 +113,39 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // Estimate-then-verify: the fraction of agreeing signature
-      // components is an unbiased Jaccard estimate (σ ≈ √(j(1−j)/64)
-      // ≤ 0.063 at 64 perms). Candidates whose estimate falls more
-      // than `estimateMargin` (>3σ by default) below the threshold
-      // are pruned BEFORE the expensive shingle-carrying joins — so
-      // the wide shingle arrays travel only for near-threshold pairs.
-      // A true pair needs an estimate error > margin to be mis-pruned
-      // (P < 1e-3 per pair at the default); survivors are verified
-      // exactly, so the emitted set matches the verify-everything
-      // pipeline (margin = 1.0 disables pruning; equality proven in
-      // DedupSpec).
-      val sigs = signed.select(col("doc_id"), col("sig"))
-      val estimated = candidates
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .filter(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-            .cast("double") / lit(perms.toDouble) >= lit(threshold - estimateMargin))
-        .select(col("doc_a"), col("doc_b"))
-      val shs = signed.select(col("doc_id"), col("sh"))
-      estimated
-        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .orderBy(col("doc_a"), col("doc_b"))
+      estimateVerify(candidates, signed, perms, threshold, estimateMargin)
     }
+  }
+
+  /** Shared estimate-then-verify tail for the MinHash pipelines: the
+    * fraction of agreeing signature components is an unbiased Jaccard
+    * estimate (σ ≈ √(j(1−j)/64) ≤ 0.063 at 64 perms); candidates
+    * whose estimate falls more than `estimateMargin` (>3σ by default)
+    * below the threshold are pruned BEFORE the expensive
+    * shingle-carrying joins — the wide shingle arrays travel only for
+    * near-threshold pairs. A true pair needs an estimate error >
+    * margin to be mis-pruned (P < 1e-3 per pair at the default);
+    * survivors are verified exactly, so the emitted set matches the
+    * verify-everything pipeline (margin = 1.0 disables pruning;
+    * equality proven in DedupSpec).
+    */
+  private def estimateVerify(candidates: DataFrame, signed: DataFrame, perms: Int,
+                             threshold: Double, estimateMargin: Double): DataFrame = {
+    val sigs = signed.select(col("doc_id"), col("sig"))
+    val estimated = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(perms.toDouble) >= lit(threshold - estimateMargin))
+      .select(col("doc_a"), col("doc_b"))
+    val shs = signed.select(col("doc_id"), col("sh"))
+    estimated
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Incremental near-dup detection: find pairs where AT LEAST ONE
@@ -167,28 +173,21 @@ object Dedup {
     withSigCache(release)(signed) {
       val banded = signed.select(col("doc_id"), col("_new"),
         posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
+      // PROBE-side restriction, not a post-join filter: only delta
+      // rows sit on the build side of the band join, so corpus ×
+      // corpus collisions are never enumerated — the join's work is
+      // genuinely proportional to the delta's collisions. least/
+      // greatest canonicalize pair order (a delta-delta pair arrives
+      // in both orientations) before the dedup.
+      val probe = banded.filter(col("_new"))
       val candidates = banded.as("a")
-        .join(banded.as("b"),
+        .join(probe.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            (col("a._new") || col("b._new"))) // prune corpus-internal pairs
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
         .distinct()
-      val sigs = signed.select(col("doc_id"), col("sig"))
-      val estimated = candidates
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .filter(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-            .cast("double") / lit(perms.toDouble) >= lit(threshold - estimateMargin))
-        .select(col("doc_a"), col("doc_b"))
-      val shs = signed.select(col("doc_id"), col("sh"))
-      estimated
-        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), rnd4(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .orderBy(col("doc_a"), col("doc_b"))
+      estimateVerify(candidates, signed, perms, threshold, estimateMargin)
     }
   }
 
@@ -380,13 +379,23 @@ object Dedup {
     * pathological chains. Only the per-round CHANGED count reaches
     * the driver (one long), never rows.
     */
+  /** Both directions of every pair — the adjacency the propagation
+    * joins against. Public (with [[initialLabels]]) so plan audits
+    * inspect exactly the construction the operator runs.
+    */
+  def symmetrizedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  /** Every node starts labeled with itself. */
+  def initialLabels(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+
   def dedupGroups(pairs: DataFrame, maxIters: Int = 25,
                   release: Boolean = true): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    val initial = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    val edges = symmetrizedEdges(pairs).persist()
+    val initial = initialLabels(edges)
       .persist() // materialized by the first round's action
     // ONE Spark job per round: the changed-count action materializes
     // the persisted `stepped` frame, and the next round's labels are a

@@ -212,7 +212,10 @@ object VectorOps {
         .select(col("vec_id"), col("vec"), col("c_id"),
           l2(col("vec"), col("centroid")).as("d"))
         .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("c_id"), col("vec")), col("d")).as("best"))
+        // tie-break equal distances on c_id so assignment (and
+        // therefore training) is deterministic even with duplicate
+        // seed vectors
+        .agg(min_by(struct(col("c_id"), col("vec")), struct(col("d"), col("c_id"))).as("best"))
         .select(col("best.c_id").as("c_id"), col("best.vec").as("vec"))
       cents = assigned
         .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "comp")))
@@ -220,7 +223,8 @@ object VectorOps {
         .groupBy(col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq // collect() order is not guaranteed
     }
     cents
   }
@@ -241,7 +245,7 @@ object VectorOps {
       .select(col("vec_id"), col("vec"), col("c_id"),
         l2(col("vec"), col("centroid")).as("d"))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("c_id"), col("vec")), col("d")).as("best"))
+      .agg(min_by(struct(col("c_id"), col("vec")), struct(col("d"), col("c_id"))).as("best"))
       .select(col("vec_id"), col("best.c_id").as("label"), col("best.vec").as("vec"))
     annIvf(queries, labeled, k, nprobe)
   }

@@ -20,6 +20,15 @@ object CollectionIngest {
 
   /** Start upserting `stream` (id, embedding, document, metadata_json
     * — missing columns null like any upsert) into `collection`.
+    *
+    * The batch is deduplicated per id first: a trigger interval that
+    * delivered two versions of one document would otherwise trip the
+    * log's in-batch duplicate rejection and poison the query (the
+    * replayed batch fails identically forever). Streams carry no
+    * intra-batch order, so the surviving row per id is arbitrary but
+    * the ingest never wedges; sources that need last-writer-wins
+    * within a trigger should carry a version column and pre-aggregate.
+    * The batch is cached for its two passes (dedup-check + write).
     */
   def start(data: CollectionData, collection: String, stream: DataFrame,
             checkpointDir: String,
@@ -28,7 +37,10 @@ object CollectionIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) data.upsert(collection, batch)
+        val cached = batch.dropDuplicates("id").persist()
+        try {
+          if (!cached.isEmpty) data.upsert(collection, cached)
+        } finally cached.unpersist()
       }
       .start()
 }

@@ -117,6 +117,23 @@ object PropertySpec extends Properties("graft") {
     }) :| "7 filter-grammar cases match their SQL twins"
   }
 
+  property("text kernels match their HOF references on random text") = {
+    import spark.implicits._
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "spark", "query", "vector", "hash", "join", "scan", "merge", "sort",
+      "a", "the", "xq")).map(_.mkString(" "))
+    // genuine forAll: fresh texts generated (and shrunk) per trial
+    Prop.forAll(Gen.listOfN(2, textGen)) { texts =>
+      val rows = texts.toDF("text").select(
+        graft.functions.ShingleHashes(col("text"), 3).as("ksh"),
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("hsh"),
+        graft.functions.SimHash64(col("text")).as("ksim"),
+        Dedup.simhashColumn(col("text")).as("hsim")).collect()
+      rows.forall(r => r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet) &&
+        rows.forall(r => r.getLong(2) == r.getLong(3))
+    }
+  }
+
   property("simhash: 64-bit signatures use the full width and match a JVM-side oracle") = {
     import spark.implicits._
     val textGen = Gen.nonEmptyListOf(Gen.oneOf(

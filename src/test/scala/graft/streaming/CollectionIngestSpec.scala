@@ -32,4 +32,25 @@ class CollectionIngestSpec extends SparkSpec {
       assert(top.head.getString(1) === "a") // moved onto the query vector
     } finally q.stop()
   }
+
+  test("a micro-batch with duplicate ids does not poison the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-ingest-dup").toString
+    val client = new ChromaSpark(spark, wh)
+    client.createCollection("live")
+    val data = new CollectionData(client)
+    val input = MemoryStream[(String, Seq[Float], String, String)]
+    val stream = input.toDF().toDF("id", "embedding", "document", "metadata_json")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-dup-ckpt").toString
+    val q = CollectionIngest.start(data, "live", stream, ckpt)
+    try {
+      // two versions of 'a' inside ONE trigger interval: without the
+      // per-batch dedup this trips the log's duplicate-id rejection
+      // and the replayed batch fails forever
+      input.addData(("a", Seq(1f, 0f), "v1", "{}"), ("a", Seq(1f, 0f), "v2", "{}"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      assert(data.count("live") === 1)
+    } finally q.stop()
+  }
 }

@@ -192,6 +192,7 @@ object SparkEntry {
     "q22_array_agg"      -> (Relational.q22ArrayAgg _),
     "q23_supplier_rev"   -> (Relational.q23SupplierRevenue _),
     "q24_skew_join"      -> (Relational.q24SkewJoin _),
+    "q25_range_window"   -> (Relational.q25RangeWindow _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "ev_props_json"      -> (Events.propsStats _),
@@ -428,6 +429,15 @@ object SparkEntry {
         |WHERE p_size = 1
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q25_range_window" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM orders
+        |WHERE o_custkey < 300
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q21_setops_all" ->
       """WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),

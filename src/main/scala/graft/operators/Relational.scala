@@ -137,6 +137,27 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** RANGE-frame window (vs the rows-frame suite in q7/q16): 30-day
+    * trailing revenue per customer — the frame is bounded by VALUE
+    * distance on the epoch-seconds ordering, so same-day peers all
+    * enter the frame together regardless of row order. One shuffle on
+    * the partition key; range frames stream like rows frames.
+    */
+  def q25RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-2592000L, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 300)
+      // NTZ → timestamp (session tz is UTC) → epoch seconds; a direct
+      // NTZ→long cast is rejected under ANSI
+      .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trailing_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"), col("trailing_30d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** ROLLUP aggregation (grouping sets): subtotal rows use an 'ALL'
     * sentinel instead of NULL so Spark/DuckDB null-ordering
     * differences can't break the total order.

@@ -134,6 +134,27 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("media codecs round-trip arbitrary sample grids exactly") = {
+    val bmpGen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 6)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px.toArray)
+    val wavGen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      n <- Gen.choose(1, 64)
+      sm <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, sm.toArray)
+    Prop.forAll(bmpGen, wavGen) { case ((w, h, px), (rate, samples)) =>
+      val img = graft.operators.MediaCodec.decodeBmp(
+        graft.operators.MediaCodec.encodeBmp(w, h, px))
+      val aud = graft.operators.MediaCodec.decodeWav(
+        graft.operators.MediaCodec.encodeWav(samples, rate))
+      img.width == w && img.height == h && img.samples.toSeq == px.toSeq &&
+        aud.sampleRate == rate && aud.samples.toSeq == samples.toSeq
+    }
+  }
+
   property("simhash: 64-bit signatures use the full width and match a JVM-side oracle") = {
     import spark.implicits._
     val textGen = Gen.nonEmptyListOf(Gen.oneOf(

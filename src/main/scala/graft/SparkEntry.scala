@@ -201,6 +201,7 @@ object SparkEntry {
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
     "ev_retention"       -> (Events.retention _),
+    "ev_props_map"       -> (Events.propsMapStats _),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
@@ -536,6 +537,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase_after_click', (SELECT count(*) FROM p))
         |ORDER BY step""".stripMargin,
+
+    "ev_props_map" ->
+      """SELECT k AS key, count(*) AS n_entries,
+        |  CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_value,
+        |  min(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS min_value,
+        |  max(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS max_value
+        |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k
+        |ORDER BY key""".stripMargin,
 
     "ev_retention" ->
       """WITH weekly AS (

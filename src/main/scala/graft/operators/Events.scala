@@ -104,6 +104,25 @@ object Events {
       .orderBy(col("step"))
   }
 
+  /** Schema-on-read into a MAP column: parse the JSON payload to
+    * map<string,long>, explode the entries (one row per key), and
+    * aggregate per key — the generic path when payload keys are NOT
+    * known up front (vs [[propsStats]]'s fixed-path extraction).
+    * Generate + partial agg in one stage, a single shuffle on key.
+    */
+  def propsMapStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, dir)
+      .select(explode(from_json(col("props"), MapType(StringType, LongType))).as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("key"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their
     * first event; each later active week counts into (cohort_week,
     * week_offset). Two hash aggregations and one join, all keyed by

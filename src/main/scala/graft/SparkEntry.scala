@@ -225,6 +225,7 @@ object SparkEntry {
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
+    "mm_resize"          -> (Multimodal.resizeQuery _),
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),

@@ -194,6 +194,21 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Rows-only driver query exercising the full binary-in/binary-out
+    * chain on real payloads: synthesize BMP images → decode → resize
+    * → RE-ENCODE → decode again for features. Deterministic output;
+    * golden-value checks live in MultimodalSpec.
+    */
+  def resizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = synthesize(s, dir).filter(_.kind == "image")
+    extractFeatures(resize(images, targetWidth = 8))
+      .select(col("media_id"), col("kind"), col("n_samples"),
+        (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
+        (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracle-checked codec round trip: golden BMP/WAV payloads built
     * by [[MediaCodec]], decoded DISTRIBUTED through the same
     * `mapPartitions` feature path as the main pipeline; the expected

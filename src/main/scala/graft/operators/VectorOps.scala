@@ -275,6 +275,96 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Product quantization: split each vector into `m` subvectors,
+    * train a k-codeword k-means codebook per block (reusing
+    * [[kmeansCentroids]] on the sliced corpus), and store each vector
+    * as `m` small codes — 64 float32 dims become 8 bytes (32×
+    * compression), the standard memory shape for billion-vector ANN.
+    *
+    * Returns the flat codebook array laid out
+    * [block][codeword][dim], failing loudly if any block lost a
+    * cluster (uniform k is required for LUT indexing).
+    */
+  def pqTrain(corpus: DataFrame, m: Int, kCodes: Int, iters: Int,
+              dim: Int): Array[Double] = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"dim $dim not divisible into $m blocks")
+    val flat = new Array[Double](m * kCodes * subDim)
+    for (b <- 0 until m) {
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("vec"), b * subDim + 1, subDim).as("vec"))
+      val cents = kmeansCentroids(sliced, kCodes, iters)
+      require(cents.length == kCodes,
+        s"PQ block $b trained ${cents.length}/$kCodes codewords (empty cluster) — lower kCodes")
+      for ((c, centroid) <- cents.map(_._2).zipWithIndex.map(_.swap))
+        centroid.copyToArray(flat, (b * kCodes + c) * subDim)
+    }
+    flat
+  }
+
+  /** PQ-ADC approximate nearest neighbors with exact re-rank: encode
+    * the corpus once (per-block argmin against the codebook — at
+    * production scale this is a write-time step and only the m-byte
+    * codes are resident), precompute each query's asymmetric-distance
+    * lookup table (m×k codeword distances — tiny, broadcast), score
+    * every corpus code by m table lookups, shortlist per query, and
+    * re-rank the shortlist EXACTLY by cosine. The expensive exact
+    * math touches only `shortlist` candidates per query; everything
+    * before it reads compressed codes, never the float vectors.
+    */
+  def annPq(queries: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+            dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    val subDim = dim / m
+    val flat = pqTrain(corpus, m, kCodes, iters, dim)
+    val cbLit = typedLit(flat.toSeq)
+
+    // per-block squared distance between a slice of `v` and codeword c
+    def blockDist(v: Column, b: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0), (acc, i) => {
+        val x = element_at(v, b * subDim + i + 1).cast("double")
+        val w = element_at(cbLit, (b * lit(kCodes) + c) * subDim + i + 1)
+        acc + (x - w) * (x - w)
+      })
+
+    // corpus encoding: per block, the index of the nearest codeword
+    // (struct sort breaks distance ties on the lower code —
+    // deterministic). HOF-interpreted by design: encoding runs once
+    // per corpus write, not per query.
+    val codesExpr = transform(sequence(lit(0), lit(m - 1)), b =>
+      element_at(array_sort(transform(sequence(lit(0), lit(kCodes - 1)), c =>
+        struct(blockDist(col("vec"), b, c).as("d"), c.as("c")))), 1).getField("c"))
+    val encoded = corpus.select(col("vec_id"), col("vec"), codesExpr.as("codes"))
+
+    // query LUT: distance from the query's block b slice to codeword c,
+    // laid out [b*kCodes + c]
+    val lutExpr = transform(sequence(lit(0), lit(m * kCodes - 1)), idx =>
+      blockDist(col("qvec"), (idx / kCodes).cast("int"), idx % kCodes))
+    val q = broadcast(queries.select(col("query_id"), col("qvec"), lutExpr.as("lut")))
+
+    val adcScore = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlisted = encoded.join(q)
+      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"),
+        adcScore.as("adist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    shortlisted
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- SparkEntry query wrappers over the embeddings table ----
 
   private def querySet(s: SparkSession, dir: String): DataFrame =
@@ -304,4 +394,10 @@ object VectorOps {
     */
   def annKmeansQuery(s: SparkSession, dir: String): DataFrame =
     annIvfKmeans(querySet(s, dir), corpusSet(s, dir), k = 10)
+
+  /** PQ-ADC ANN with exact re-rank (rows-only; recall + compression
+    * asserted in ScalaTest).
+    */
+  def annPqQuery(s: SparkSession, dir: String): DataFrame =
+    annPq(querySet(s, dir), corpusSet(s, dir), k = 10)
 }

@@ -110,6 +110,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("PQ-ADC with exact re-rank beats a recall floor at 32x compression") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.annPq(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    info(f"PQ recall@10 (m=8, k=16, shortlist 50) = $recall%.3f")
+    assert(recall > 0.3, s"PQ recall collapsed: $recall")
+    // training is deterministic
+    val f1 = VectorOps.pqTrain(corpus, m = 8, kCodes = 16, iters = 2, dim = 64)
+    val f2 = VectorOps.pqTrain(corpus, m = 8, kCodes = 16, iters = 2, dim = 64)
+    assert(f1.toSeq === f2.toSeq)
+  }
+
   test("ann ivf returns k ranked rows per query with valid scores") {
     val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -287,18 +287,54 @@ object VectorOps {
     */
   def pqTrain(corpus: DataFrame, m: Int, kCodes: Int, iters: Int,
               dim: Int): Array[Double] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim not divisible into $m blocks")
-    val flat = new Array[Double](m * kCodes * subDim)
-    for (b <- 0 until m) {
-      val sliced = corpus.select(col("vec_id"),
-        slice(col("vec"), b * subDim + 1, subDim).as("vec"))
-      val cents = kmeansCentroids(sliced, kCodes, iters)
-      require(cents.length == kCodes,
-        s"PQ block $b trained ${cents.length}/$kCodes codewords (empty cluster) — lower kCodes")
-      for ((c, centroid) <- cents.map(_._2).zipWithIndex.map(_.swap))
-        centroid.copyToArray(flat, (b * kCodes + c) * subDim)
+    // All m blocks train TOGETHER: one exploded (vec_id, block, sub)
+    // relation, one assignment join and one mean aggregation per
+    // Lloyd iteration — versus m independent trainings each scanning
+    // the corpus (m× the jobs for identical results).
+    val sub = corpus.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        b => slice(col("vec"), b * subDim + 1, lit(subDim)))).as(Seq("block", "sub")))
+      .persist()
+    // deterministic seeds: per block, the subvectors of the kCodes
+    // lowest-hash vec_ids
+    val seedW = Window.partitionBy(col("block"))
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+    var cents: Seq[(Int, Int, Seq[Double])] = sub
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= kCodes)
+      .select(col("block"), (col("rn") - 1).as("c_id"), col("sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("block", "c_id", "centroid"))
+      val assigned = sub.join(centDf, "block")
+        .select(col("vec_id"), col("block"), col("sub"), col("c_id"),
+          l2(col("sub"), col("centroid")).as("d"))
+        .groupBy(col("vec_id"), col("block"))
+        .agg(min_by(struct(col("c_id"), col("sub")), struct(col("d"), col("c_id"))).as("best"))
+        .select(col("block"), col("best.c_id").as("c_id"), col("best.sub").as("sub"))
+      cents = assigned
+        .select(col("block"), col("c_id"), posexplode(col("sub")).as(Seq("pos", "comp")))
+        .groupBy(col("block"), col("c_id"), col("pos")).agg(avg(col("comp")).as("mval"))
+        .groupBy(col("block"), col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pairs"))
+        .select(col("block"), col("c_id"),
+          transform(col("pairs"), p => p.getField("mval")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
     }
+    sub.unpersist()
+    require(cents.length == m * kCodes,
+      s"PQ trained ${cents.length}/${m * kCodes} codewords (empty cluster) — lower kCodes")
+    val flat = new Array[Double](m * kCodes * subDim)
+    for ((b, c, centroid) <- cents)
+      centroid.copyToArray(flat, (b * kCodes + c) * subDim)
     flat
   }
 

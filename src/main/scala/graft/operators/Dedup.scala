@@ -63,7 +63,7 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
-  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def rnd4(c: Column): Column = CrossEngine.rnd4(c)
 
   /** Cache scope for the signature relation every pair pipeline
     * self-joins against. The persist() is load-bearing (without it

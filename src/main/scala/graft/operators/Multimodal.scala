@@ -9,8 +9,7 @@ final case class MediaMeta(width: Int, height: Int, channels: Int,
                            sample_rate: Int, n_frames: Int, format: String)
 
 /** One media asset: opaque bytes + typed metadata. The engine never
-  * interprets `content` except inside the explicitly-stubbed decode
-  * step.
+  * interprets `content` except inside [[Multimodal.decode]].
   */
 final case class MediaRecord(media_id: Long, kind: String,
                              content: Array[Byte], meta: MediaMeta)
@@ -183,8 +182,8 @@ object Multimodal {
     val media = synthesize(s, dir).repartition(col("media_id"))
     val feats = extractFeatures(media)
       .select(col("media_id"), col("kind"), col("n_samples"),
-        (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
-        (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
+        CrossEngine.rnd4(col("mean_intensity")).as("mean_intensity"),
+        CrossEngine.rnd4(col("entropy")).as("entropy"))
     val frameCounts = sampleFrames(media, stride = 2)
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled_frames"))
     feats.join(frameCounts, Seq("media_id"), "left")
@@ -196,16 +195,18 @@ object Multimodal {
 
   /** Rows-only driver query exercising the full binary-in/binary-out
     * chain on real payloads: synthesize BMP images → decode → resize
-    * → RE-ENCODE → decode again for features. Deterministic output;
-    * golden-value checks live in MultimodalSpec.
+    * (up- AND down-scale: source widths straddle the target) →
+    * RE-ENCODE → decode again for features. Deterministic output;
+    * up/down-scale golden checks and a stability check live in
+    * MultimodalSpec.
     */
   def resizeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val images = synthesize(s, dir).filter(_.kind == "image")
     extractFeatures(resize(images, targetWidth = 8))
       .select(col("media_id"), col("kind"), col("n_samples"),
-        (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
-        (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
+        CrossEngine.rnd4(col("mean_intensity")).as("mean_intensity"),
+        CrossEngine.rnd4(col("entropy")).as("entropy"))
       .orderBy(col("media_id"))
   }
 
@@ -227,8 +228,8 @@ object Multimodal {
         MediaMeta(0, 0, 1, 16000, 1, "wav")))
     extractFeatures(s.createDataset(recs))
       .select(col("media_id").as("case_id"), col("kind"), col("n_samples"),
-        (floor(col("mean_intensity") * 10000.0 + 0.5) / 10000.0).as("mean_intensity"),
-        (floor(col("entropy") * 10000.0 + 0.5) / 10000.0).as("entropy"))
+        CrossEngine.rnd4(col("mean_intensity")).as("mean_intensity"),
+        CrossEngine.rnd4(col("entropy")).as("entropy"))
       .orderBy(col("case_id"))
   }
 }

@@ -19,12 +19,7 @@ object TextAnalysis {
   /** Canonical whitespace-token column. */
   private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Half-up rounding via floor arithmetic. Unlike `round()`, whose
-    * half-way behavior differs between engines at binary .5
-    * boundaries, `floor(x*1e4+0.5)/1e4` is the same double-op
-    * sequence on Spark and DuckDB → bitwise-identical results.
-    */
-  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def rnd4(c: Column): Column = CrossEngine.rnd4(c)
 
   /** BPE-ish token pattern: letter runs, digit runs, or single
     * non-alphanumeric symbols — the shape of byte-pair pre-tokenizers.

@@ -56,8 +56,7 @@ object VectorOps {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x))
 
-  /** Cross-engine-stable half-up rounding (see TextAnalysis.rnd4). */
-  private def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def rnd4(c: Column): Column = CrossEngine.rnd4(c)
 
   /** Exact top-k per query by cosine: broadcast(queries) ⋈ corpus →
     * score map stage → ranking window on query_id. The broadcast join
@@ -276,10 +275,12 @@ object VectorOps {
   }
 
   /** Product quantization: split each vector into `m` subvectors,
-    * train a k-codeword k-means codebook per block (reusing
-    * [[kmeansCentroids]] on the sliced corpus), and store each vector
-    * as `m` small codes — 64 float32 dims become 8 bytes (32×
-    * compression), the standard memory shape for billion-vector ANN.
+    * train a k-codeword k-means codebook per block (blocked Lloyd's —
+    * same seeding/tie-break discipline as [[kmeansCentroids]], but
+    * all blocks train together in one exploded relation), and store
+    * each vector as `m` small codes — 64 float32 dims become 8 bytes
+    * (32× compression), the standard memory shape for billion-vector
+    * ANN.
     *
     * Returns the flat codebook array laid out
     * [block][codeword][dim], failing loudly if any block lost a
@@ -351,6 +352,8 @@ object VectorOps {
   def annPq(queries: DataFrame, corpus: DataFrame, k: Int,
             m: Int = 8, kCodes: Int = 16, iters: Int = 2,
             dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
     val subDim = dim / m
     val flat = pqTrain(corpus, m, kCodes, iters, dim)
     val cbLit = typedLit(flat.toSeq)
@@ -370,29 +373,35 @@ object VectorOps {
     val codesExpr = transform(sequence(lit(0), lit(m - 1)), b =>
       element_at(array_sort(transform(sequence(lit(0), lit(kCodes - 1)), c =>
         struct(blockDist(col("vec"), b, c).as("d"), c.as("c")))), 1).getField("c"))
-    val encoded = corpus.select(col("vec_id"), col("vec"), codesExpr.as("codes"))
+    val encoded = corpus.select(col("vec_id"), codesExpr.as("codes"))
 
     // query LUT: distance from the query's block b slice to codeword c,
     // laid out [b*kCodes + c]
     val lutExpr = transform(sequence(lit(0), lit(m * kCodes - 1)), idx =>
       blockDist(col("qvec"), (idx / kCodes).cast("int"), idx % kCodes))
-    val q = broadcast(queries.select(col("query_id"), col("qvec"), lutExpr.as("lut")))
+    val q = broadcast(queries.select(col("query_id"), lutExpr.as("lut")))
 
     val adcScore = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
       lit(0.0), (acc, x) => acc + x)
+    // the ADC scoring/shortlist stage carries ONLY (query_id, vec_id,
+    // codes-derived score) — the float vectors are fetched afterwards
+    // for just the shortlisted ids, preserving PQ's memory premise
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    val shortlisted = encoded.join(q)
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"),
-        adcScore.as("adist"))
+    val shortlisted = encoded.select(col("vec_id"), col("codes"))
+      .join(q)
+      .select(col("query_id"), col("vec_id"), adcScore.as("adist"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
 
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     shortlisted
+      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("qvec"), col("vec")).as("score"))
       .withColumn("rank", row_number().over(wExact).cast("long"))

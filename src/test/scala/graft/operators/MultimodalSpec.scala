@@ -104,6 +104,26 @@ class MultimodalSpec extends SparkSpec {
     assert(img.samples.take(4).toSeq === Seq(0, 20, 40, 60))
   }
 
+  test("bmp resize UPSCALES correctly (nearest-neighbor, scale < 1)") {
+    val rec = MediaRecord(1L, "image",
+      MediaCodec.encodeBmp(4, 1, Array(0, 30, 60, 90)),
+      MediaMeta(4, 1, 1, 0, 1, "bmp"))
+    val out = Multimodal.resize(Seq(rec).toDS(), targetWidth = 8).collect().head
+    val img = MediaCodec.decodeBmp(out.content)
+    assert(img.width === 8 && img.height === 1)
+    // scale = 0.5: srcX = (x*0.5).toInt → each source pixel doubled
+    assert(img.samples.toSeq === Seq(0, 0, 30, 30, 60, 60, 90, 90))
+  }
+
+  test("resize query output is stable across runs and non-empty") {
+    val a = Multimodal.resizeQuery(spark, sfDir).collect()
+    val b = Multimodal.resizeQuery(spark, sfDir).collect()
+    assert(a.length > 0)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // every resized image decodes to exactly 8 columns per row
+    assert(a.forall(r => r.getAs[Long]("n_samples") % 8 === 0))
+  }
+
   test("features query output is stable across runs and non-empty") {
     val a = Multimodal.featuresQuery(spark, sfDir).collect()
     val b = Multimodal.featuresQuery(spark, sfDir).collect()

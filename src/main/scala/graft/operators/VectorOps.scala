@@ -349,6 +349,23 @@ object VectorOps {
     * math touches only `shortlist` candidates per query; everything
     * before it reads compressed codes, never the float vectors.
     */
+  /** HOF reference formulation of PQ encoding — the executable spec
+    * the codegen kernel is proven bitwise-equal against.
+    */
+  def pqEncodeHof(vec: Column, flat: Array[Double], m: Int, kCodes: Int,
+                  subDim: Int): Column = {
+    val cbLit = typedLit(flat.toSeq)
+    def dist(b: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0), (acc, i) => {
+        val x = element_at(vec, b * subDim + i + 1).cast("double")
+        val w = element_at(cbLit, (b * lit(kCodes) + c) * subDim + i + 1)
+        acc + (x - w) * (x - w)
+      })
+    transform(sequence(lit(0), lit(m - 1)), b =>
+      element_at(array_sort(transform(sequence(lit(0), lit(kCodes - 1)), c =>
+        struct(dist(b, c).as("d"), c.as("c")))), 1).getField("c"))
+  }
+
   def annPq(queries: DataFrame, corpus: DataFrame, k: Int,
             m: Int = 8, kCodes: Int = 16, iters: Int = 2,
             dim: Int = 64, shortlist: Int = 50): DataFrame = {
@@ -366,14 +383,11 @@ object VectorOps {
         acc + (x - w) * (x - w)
       })
 
-    // corpus encoding: per block, the index of the nearest codeword
-    // (struct sort breaks distance ties on the lower code —
-    // deterministic). HOF-interpreted by design: encoding runs once
-    // per corpus write, not per query.
-    val codesExpr = transform(sequence(lit(0), lit(m - 1)), b =>
-      element_at(array_sort(transform(sequence(lit(0), lit(kCodes - 1)), c =>
-        struct(blockDist(col("vec"), b, c).as("d"), c.as("c")))), 1).getField("c"))
-    val encoded = corpus.select(col("vec_id"), codesExpr.as("codes"))
+    // corpus encoding: one compiled pass per vector (distance ties
+    // break to the lower code — bitwise parity with the HOF
+    // formulation in pqEncodeHof is spec-proven)
+    val encoded = corpus.select(col("vec_id"),
+      graft.functions.PqEncode(col("vec"), flat.toSeq, m, kCodes, subDim).as("codes"))
 
     // query LUT: distance from the query's block b slice to codeword c,
     // laid out [b*kCodes + c]

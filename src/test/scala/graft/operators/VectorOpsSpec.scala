@@ -110,6 +110,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("PqEncode kernel is bitwise equal to the HOF encoding") {
+    val corpus = graft.Tables.embeddings(spark, sfDir).limit(100)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val flat = VectorOps.pqTrain(corpus, m = 8, kCodes = 16, iters = 1, dim = 64)
+    val rows = corpus.select(
+      graft.functions.PqEncode(col("vec"), flat.toSeq, 8, 16, 8).as("kernel"),
+      VectorOps.pqEncodeHof(col("vec"), flat, 8, 16, 8).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
   test("PQ-ADC with exact re-rank beats a recall floor at 32x compression") {
     val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

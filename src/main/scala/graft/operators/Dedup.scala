@@ -274,48 +274,76 @@ object Dedup {
     * fixed-block all-pairs design whose blocks grew linearly with the
     * corpus.
     *
-    * A length filter (τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, necessary for
-    * Jaccard ≥ τ) prunes candidates inside the join condition; the
-    * εLen slack keeps the double multiply from over-pruning exact
-    * boundaries. Shingles are hashed to longs before the pairwise
-    * intersects — integer set-intersection is several times cheaper
-    * than string comparison on the verify stage, and |A∩B| matches
-    * the string-set oracle unless two shingles of one doc collide
-    * (P ≈ |sh|²/2⁶⁵).
+    * Prefixes are derived as ROWS — a per-doc `row_number` window
+    * over (df, hash) keeps only the `rank ≤ prefixLen` rows for the
+    * candidate join — never by re-assembling full df-sorted arrays
+    * per document (the round-2 shape, whose collect_list + array_sort
+    * + re-explode carried every shingle of every doc through two
+    * extra shuffles before a single candidate existed). The verify
+    * stage reads the ORIGINAL unsorted hashed-shingle arrays:
+    * `array_intersect` is order-independent, so df order is only
+    * needed for the prefix pigeonhole, not for the exact Jaccard.
+    *
+    * Candidate pruning inside the join condition (pure arithmetic,
+    * no extra shuffles):
+    *  - length filter: τ·|A| ≤ |B| ∧ τ·|B| ≤ |A| (necessary for
+    *    Jaccard ≥ τ); the εLen slack keeps the double multiply from
+    *    over-pruning exact boundaries.
+    *  - PPJoin positional filter: a collision at (1-based) sorted
+    *    positions (i, j) bounds the overlap by
+    *    1 + min(|A|−i, |B|−j); pairs need overlap ≥ τ·(|A|+|B|)/(1+τ)
+    *    for Jaccard ≥ τ. A true pair's FIRST shared prefix token
+    *    always passes (no shared tokens precede it in the global
+    *    order), so pruning later collision rows never drops a pair —
+    *    recall stays exactly 1 while hot-token candidate groups (a
+    *    boilerplate shingle whose df grows with the corpus) shrink.
+    *
+    * Shingles are hashed to longs before the pairwise intersects —
+    * integer set-intersection is several times cheaper than string
+    * comparison on the verify stage, and |A∩B| matches the string-set
+    * oracle unless two shingles of one doc collide (P ≈ |sh|²/2⁶⁵).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
                         topK: Int = 100, release: Boolean = true): DataFrame = {
     val epsLen = 1e-9
-    // The hashed-shingle relation is cached too: the df pass and the
-    // ordered re-assembly both read it, and the ShingleHashes kernel
-    // should run exactly once per document.
+    // The only cached relation: the ShingleHashes kernel runs exactly
+    // once per document; the prefix derivation and the verify joins
+    // both read this cache.
     val hashed = docs.select(col("doc_id"),
       graft.functions.ShingleHashes(col("text"), n).as("sh0"))
-    val tok = hashed.select(col("doc_id"), explode(col("sh0")).as("t"))
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    // Re-assemble each doc's shingle set sorted by (df, hash): linear
-    // work, equi-join keyed by shingle hash (no skew — every key's
-    // row count IS its df), one aggregation.
-    val ordered = tok.join(dfreq, "t")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ord"))
-      .select(col("doc_id"), transform(col("ord"), p => p.getField("t")).as("sh"))
-    withSigCache(release)(hashed, ordered) {
-      // floor (not ceil) of τ·|sh| under-estimates the required
+    withSigCache(release)(hashed) {
+      val tok = hashed.select(col("doc_id"), size(col("sh0")).as("len"),
+        explode(col("sh0")).as("t"))
+      val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // floor (not ceil) of τ·len under-estimates the required
       // overlap, which only LENGTHENS the prefix — safe against
       // double-rounding artifacts at exact-integer boundaries.
-      val len = size(col("sh"))
-      val prefixLen = (len.cast("double") - greatest(lit(1.0), floor(len * lit(threshold))) + lit(1.0)).cast("int")
-      val pre = ordered.select(col("doc_id"), len.as("len"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
+      val prefixLen = (col("len").cast("double") -
+        greatest(lit(1.0), floor(col("len") * lit(threshold))) + lit(1.0)).cast("int")
+      // Join keyed by shingle hash (no skew — every key's row count
+      // IS its df), then one window shuffle by doc_id ranks tokens
+      // rarest-first; rk is the token's 1-based position in the doc's
+      // full (df, hash) order, so `rk ≤ prefixLen` rows ARE the
+      // prefix — no array re-assembly, no re-explode.
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      val pre = tok.join(dfreq, "t")
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= prefixLen)
+        .select(col("doc_id"), col("len"), col("rk"), col("t").as("p"))
+      // overlap ≥ τ/(1+τ)·(|A|+|B|) is necessary for Jaccard ≥ τ
+      val minOverlap =
+        (col("a.len") + col("b.len")).cast("double") * lit(threshold / (1.0 + threshold))
       val candidates = pre.as("a")
         .join(pre.as("b"),
           col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
             col("b.len") >= col("a.len") * lit(threshold) - lit(epsLen) &&
-            col("a.len") >= col("b.len") * lit(threshold) - lit(epsLen))
+            col("a.len") >= col("b.len") * lit(threshold) - lit(epsLen) &&
+            (least(col("a.len") - col("a.rk"), col("b.len") - col("b.rk")) + lit(1))
+              .cast("double") >= minOverlap - lit(epsLen))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val shs = ordered.select(col("doc_id"), col("sh"))
+      val shs = hashed.select(col("doc_id"), col("sh0").as("sh"))
       val verified = candidates
         .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -188,36 +188,52 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Distributed Lloyd's k-means for IVF coarse centroids: assignment
-    * and mean updates run as joins/aggregations over the corpus; only
-    * the k centroid vectors (model parameters, not data rows) round-
-    * trip through the driver per iteration — k·dim doubles, the same
-    * discipline as any distributed k-means. Seeds are the k vectors
-    * with the lowest xxhash64(vec_id): deterministic, corpus-order
+  /** Nearest-centroid id for `vec` against a driver-side codebook —
+    * a MAP-STAGE argmin, zero shuffles: reuses the compiled
+    * [[graft.functions.PqEncode]] kernel with m=1 (one block spanning
+    * the whole vector) and maps the codebook INDEX back to the
+    * surviving centroid id (ids need not be contiguous once an empty
+    * cluster drops out). The kernel's strict `<` keeps the lowest
+    * index on exact distance ties and the codebook is laid out in
+    * ascending c_id order, so ties break to the lowest c_id — the
+    * same tie discipline as a join + min_by(struct(d, c_id))
+    * formulation (argmin over squared L2 equals argmin over L2: sqrt
+    * is monotone). Parity with the join formulation is spec-proven.
+    */
+  def nearestCentroidId(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val idx = graft.functions.PqEncode(vec, sorted.flatMap(_._2), 1, sorted.length, dim)
+      .getItem(0)
+    element_at(typedLit(sorted.map(_._1)), idx + 1)
+  }
+
+  /** Distributed Lloyd's k-means for IVF coarse centroids. Assignment
+    * is a pure map stage ([[nearestCentroidId]] — nearest centroid is
+    * a function of (vec, broadcast codebook) alone), so the ONLY
+    * shuffle per Lloyd iteration is the per-(centroid, position)
+    * mean aggregation, whose partial aggregation reduces each map
+    * partition to ≤ k·dim rows before the exchange — the corpus
+    * itself is never shuffled (the round-2 shape re-shuffled all
+    * corpus rows through a groupBy(vec_id) min_by every iteration).
+    * Only the k centroid vectors (model parameters, not data rows)
+    * round-trip through the driver per iteration — k·dim doubles, the
+    * standard distributed-ML discipline. Seeds are the k vectors with
+    * the lowest (xxhash64(vec_id), vec_id): deterministic (the vec_id
+    * tie-break makes hash collisions harmless), corpus-order
     * independent. A centroid that loses every member drops out (k
     * shrinks) rather than being re-seeded nondeterministically.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     var cents: Seq[(Int, Seq[Double])] = corpus
-      .orderBy(xxhash64(col("vec_id").cast("string")))
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
       .select(col("vec")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("c_id", "centroid"))
-      val assigned = corpus.join(centDf)
-        .select(col("vec_id"), col("vec"), col("c_id"),
-          l2(col("vec"), col("centroid")).as("d"))
-        .groupBy(col("vec_id"))
-        // tie-break equal distances on c_id so assignment (and
-        // therefore training) is deterministic even with duplicate
-        // seed vectors
-        .agg(min_by(struct(col("c_id"), col("vec")), struct(col("d"), col("c_id"))).as("best"))
-        .select(col("best.c_id").as("c_id"), col("best.vec").as("vec"))
-      cents = assigned
-        .select(col("c_id"), posexplode(col("vec")).as(Seq("pos", "comp")))
+      cents = corpus
+        .select(nearestCentroidId(col("vec"), cents).as("c_id"),
+          posexplode(col("vec")).as(Seq("pos", "comp")))
         .groupBy(col("c_id"), col("pos")).agg(avg(col("comp")).as("m"))
         .groupBy(col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
@@ -236,16 +252,11 @@ object VectorOps {
     */
   def annIvfKmeans(queries: DataFrame, corpus: DataFrame, k: Int,
                    kClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = kmeansCentroids(corpus, kClusters, iters)
-    val centDf = broadcast(cents.toDF("c_id", "centroid"))
-    val labeled = corpus.join(centDf)
-      .select(col("vec_id"), col("vec"), col("c_id"),
-        l2(col("vec"), col("centroid")).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("c_id"), col("vec")), struct(col("d"), col("c_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("label"), col("best.vec").as("vec"))
+    // final assignment is the same map-stage argmin as training — at
+    // scale this is the write-time bucketing step, still zero shuffles
+    val labeled = corpus.select(col("vec_id"),
+      nearestCentroidId(col("vec"), cents).as("label"), col("vec"))
     annIvf(queries, labeled, k, nprobe)
   }
 
@@ -288,39 +299,49 @@ object VectorOps {
     */
   def pqTrain(corpus: DataFrame, m: Int, kCodes: Int, iters: Int,
               dim: Int): Array[Double] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim not divisible into $m blocks")
-    // All m blocks train TOGETHER: one exploded (vec_id, block, sub)
-    // relation, one assignment join and one mean aggregation per
-    // Lloyd iteration — versus m independent trainings each scanning
-    // the corpus (m× the jobs for identical results).
-    val sub = corpus.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        b => slice(col("vec"), b * subDim + 1, lit(subDim)))).as(Seq("block", "sub")))
-      .persist()
-    // deterministic seeds: per block, the subvectors of the kCodes
-    // lowest-hash vec_ids
-    val seedW = Window.partitionBy(col("block"))
+    def flatOf(cs: Seq[(Int, Int, Seq[Double])]): Array[Double] = {
+      val arr = new Array[Double](m * kCodes * subDim)
+      for ((b, c, centroid) <- cs) centroid.copyToArray(arr, (b * kCodes + c) * subDim)
+      arr
+    }
+    def requireUniform(cs: Seq[(Int, Int, Seq[Double])]): Unit =
+      require(cs.length == m * kCodes,
+        s"PQ trained ${cs.length}/${m * kCodes} codewords (empty cluster) — lower kCodes")
+    // Deterministic seeds: every block seeds from the subvectors of
+    // the SAME kCodes lowest-(hash, vec_id) vectors (the round-2
+    // per-block seed window ordered identically for every block), so
+    // ONE driver-side fetch of those vectors, sliced per block on the
+    // driver, replaces the persisted exploded seed relation entirely.
+    val seedVecs = corpus
       .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
-    var cents: Seq[(Int, Int, Seq[Double])] = sub
-      .withColumn("rn", row_number().over(seedW))
-      .filter(col("rn") <= kCodes)
-      .select(col("block"), (col("rn") - 1).as("c_id"), col("sub"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toSeq))
-      .sortBy(t => (t._1, t._2)).toSeq
+      .limit(kCodes)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      (for { b <- 0 until m; c <- seedVecs.indices }
+        yield (b, c, seedVecs(c).slice(b * subDim, (b + 1) * subDim).toSeq)).toSeq
+    // All m blocks train TOGETHER, and assignment is a pure map stage:
+    // the compiled PqEncode kernel emits all m block codes in ONE pass
+    // over each vector (the round-2 shape shuffled the exploded
+    // subvector relation through a groupBy(vec_id, block) min_by every
+    // Lloyd iteration). The only shuffle per iteration is the
+    // per-(block, codeword, position) mean aggregation — partial
+    // aggregation reduces each map partition to ≤ m·k·subDim rows
+    // before the exchange. The flat codebook layout needs uniform k
+    // per block, so an empty cluster fails loudly at the iteration it
+    // first appears (it can never recover — a dropped codeword stays
+    // dropped) with the same message the final layout check uses.
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("block", "c_id", "centroid"))
-      val assigned = sub.join(centDf, "block")
-        .select(col("vec_id"), col("block"), col("sub"), col("c_id"),
-          l2(col("sub"), col("centroid")).as("d"))
-        .groupBy(col("vec_id"), col("block"))
-        .agg(min_by(struct(col("c_id"), col("sub")), struct(col("d"), col("c_id"))).as("best"))
-        .select(col("block"), col("best.c_id").as("c_id"), col("best.sub").as("sub"))
-      cents = assigned
-        .select(col("block"), col("c_id"), posexplode(col("sub")).as(Seq("pos", "comp")))
+      requireUniform(cents)
+      cents = corpus
+        .select(col("vec"),
+          posexplode(graft.functions.PqEncode(col("vec"), flatOf(cents).toSeq, m, kCodes, subDim))
+            .as(Seq("block", "c_id")))
+        .select(col("block"), col("c_id"),
+          posexplode(slice(col("vec"), col("block") * subDim + 1, lit(subDim)))
+            .as(Seq("pos", "comp")))
         .groupBy(col("block"), col("c_id"), col("pos")).agg(avg(col("comp")).as("mval"))
         .groupBy(col("block"), col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pairs"))
@@ -330,13 +351,8 @@ object VectorOps {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         .sortBy(t => (t._1, t._2)).toSeq
     }
-    sub.unpersist()
-    require(cents.length == m * kCodes,
-      s"PQ trained ${cents.length}/${m * kCodes} codewords (empty cluster) — lower kCodes")
-    val flat = new Array[Double](m * kCodes * subDim)
-    for ((b, c, centroid) <- cents)
-      centroid.copyToArray(flat, (b * kCodes + c) * subDim)
-    flat
+    requireUniform(cents)
+    flatOf(cents)
   }
 
   /** PQ-ADC approximate nearest neighbors with exact re-rank: encode

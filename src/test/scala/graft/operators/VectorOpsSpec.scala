@@ -110,6 +110,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("map-stage nearest-centroid assignment matches the join+min_by formulation") {
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val cents = VectorOps.kmeansCentroids(corpus, k = 8, iters = 1)
+    val mapSide = corpus
+      .select(col("vec_id"), VectorOps.nearestCentroidId(col("vec"), cents).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the round-2 formulation: broadcast-join corpus × centroids,
+    // then per-vector min_by on (distance, c_id)
+    val centDf = broadcast(cents.toDF("c_id", "centroid"))
+    val joined = corpus.join(centDf)
+      .select(col("vec_id"), col("c_id"),
+        VectorOps.l2(col("vec"), col("centroid")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(col("d"), col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mapSide.size === joined.size)
+    assert(mapSide === joined)
+  }
+
   test("PqEncode kernel is bitwise equal to the HOF encoding") {
     val corpus = graft.Tables.embeddings(spark, sfDir).limit(100)
       .select(col("vec_id"), col("embedding").as("vec"))

@@ -94,8 +94,9 @@ object SparkEntry {
 
   /** Item-API lifecycle over a scratch collection: add / upsert /
     * where-filtered query / delete / count / include projection /
-    * offset paging, with vectors chosen so every distance is an exact
-    * decimal — the oracle is a VALUES table.
+    * offset paging / where_document content filters, with vectors
+    * chosen so every distance is an exact decimal — the oracle is a
+    * VALUES table.
     */
   def collectionItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -123,13 +124,34 @@ object SparkEntry {
     val page = d.get("items", limit = Some(2), offset = 1)
       .select(col("id")).collect().map(_.getString(0)).mkString(",")
     val updatedDoc = d.get("items", ids = Seq("a")).collect().head.getString(1)
+    // where_document content filters ($contains/$not_contains/$or),
+    // after the update: live docs are "doc a v2", "doc b", "doc c v2"
+    def ids(df: org.apache.spark.sql.DataFrame): String =
+      df.select(col("id")).collect().map(_.getString(0)).mkString(",")
+    val wdocContains = ids(d.get("items", whereDocumentJson = Some("""{"$contains":"v2"}""")))
+    val wdocNot = ids(d.get("items", whereDocumentJson = Some("""{"$not_contains":"v2"}""")))
+    val wdocOr = ids(d.get("items", whereDocumentJson =
+      Some("""{"$or":[{"$contains":"a v2"},{"$contains":"doc b"}]}""")))
+    val wdocQ = d.query("items", q, nResults = 10,
+      whereDocumentJson = Some("""{"$not_contains":"v2"}"""))
+      .select(col("id"),
+        (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0).as("distance"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    d.delete("items", whereDocumentJson = Some("""{"$contains":"doc c"}"""))
+    val afterWdocDelete = d.count("items")
     (gold.zipWithIndex.map { case ((id, dist), i) =>
       (i.toLong + 1, s"gold_rank_${i + 1}", id, dist)
     } ++ Seq(
       ((gold.length + 1).toLong, "live_count", n.toString, -1.0),
       ((gold.length + 2).toLong, "get_include_cols", includeCols, -1.0),
       ((gold.length + 3).toLong, "page_limit2_offset1", page, -1.0),
-      ((gold.length + 4).toLong, "updated_doc_a", updatedDoc, -1.0)))
+      ((gold.length + 4).toLong, "updated_doc_a", updatedDoc, -1.0),
+      ((gold.length + 5).toLong, "wdoc_contains_v2", wdocContains, -1.0),
+      ((gold.length + 6).toLong, "wdoc_not_contains_v2", wdocNot, -1.0),
+      ((gold.length + 7).toLong, "wdoc_or", wdocOr, -1.0),
+      ((gold.length + 8).toLong, "wdoc_query_not_v2",
+        wdocQ.map(_._1).mkString(","), wdocQ.head._2),
+      ((gold.length + 9).toLong, "wdoc_delete_count", afterWdocDelete.toString, -1.0)))
       .toDF("step", "check", "observed", "distance")
       .orderBy(col("step"))
   }
@@ -755,6 +777,10 @@ object SparkEntry {
     // include=[documents] projects exactly (id, document); page
     // (limit 2, offset 1) of live ids (a,b,c) is (b,c); update
     // replaced a's document in place (same embedding → ranks hold).
+    // where_document over live docs {a:"doc a v2", b:"doc b",
+    // c:"doc c v2"}: $contains v2 → a,c; $not_contains v2 → b;
+    // $or(a v2, doc b) → a,b; query b only from q=(1,0) → dist .2;
+    // delete $contains "doc c" tombstones c → 2 live.
     "collection_items" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.2),
@@ -762,7 +788,12 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0),
         |  (CAST(4 AS BIGINT), 'get_include_cols', 'id,document', -1.0),
         |  (CAST(5 AS BIGINT), 'page_limit2_offset1', 'b,c', -1.0),
-        |  (CAST(6 AS BIGINT), 'updated_doc_a', 'doc a v2', -1.0)
+        |  (CAST(6 AS BIGINT), 'updated_doc_a', 'doc a v2', -1.0),
+        |  (CAST(7 AS BIGINT), 'wdoc_contains_v2', 'a,c', -1.0),
+        |  (CAST(8 AS BIGINT), 'wdoc_not_contains_v2', 'b', -1.0),
+        |  (CAST(9 AS BIGINT), 'wdoc_or', 'a,b', -1.0),
+        |  (CAST(10 AS BIGINT), 'wdoc_query_not_v2', 'b', 0.2),
+        |  (CAST(11 AS BIGINT), 'wdoc_delete_count', '2', -1.0)
         |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,
 

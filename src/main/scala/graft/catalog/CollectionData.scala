@@ -190,18 +190,21 @@ class CollectionData(client: ChromaSpark) {
            include: Seq[String] = DefaultInclude): DataFrame =
     get(collection, limit = Some(n), include = include)
 
-  /** Chroma `delete` by ids and/or metadata `where` filter. Appends
-    * tombstones for the matching live rows. A call with NEITHER
-    * selector is rejected (like the server API) — otherwise a
-    * forgotten argument would silently wipe the collection.
+  /** Chroma `delete` by ids, metadata `where`, and/or document
+    * `where_document` filter. Appends tombstones for the matching
+    * live rows. A call with NO selector at all is rejected (like the
+    * server API) — otherwise a forgotten argument would silently wipe
+    * the collection.
     */
-  def delete(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None): Unit = {
-    if (ids.isEmpty && whereJson.isEmpty)
+  def delete(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None,
+             whereDocumentJson: Option[String] = None): Unit = {
+    if (ids.isEmpty && whereJson.isEmpty && whereDocumentJson.isEmpty)
       throw CollectionStateError(
-        s"delete from '$collection': provide ids and/or a where filter (refusing a full wipe)")
+        s"delete from '$collection': provide ids and/or a where/where_document filter (refusing a full wipe)")
     var victims = resolved(collection)
     if (ids.nonEmpty) victims = victims.filter(col("id").isin(ids: _*))
     whereJson.foreach(w => victims = victims.filter(metadataPredicate(w)))
+    whereDocumentJson.foreach(w => victims = victims.filter(documentPredicate(w)))
     appendBatch(collection, victims, deleted = true)
   }
 
@@ -226,15 +229,17 @@ class CollectionData(client: ChromaSpark) {
     df.select((lead ++ Seq("id") ++ picked ++ trail).map(col): _*)
   }
 
-  /** Chroma `get`: by ids and/or `where`, with limit/offset paging on
-    * id order and `include` projection.
+  /** Chroma `get`: by ids, `where`, and/or `where_document`, with
+    * limit/offset paging on id order and `include` projection.
     */
   def get(collection: String, ids: Seq[String] = Nil, whereJson: Option[String] = None,
           limit: Option[Int] = None, offset: Int = 0,
-          include: Seq[String] = DefaultInclude): DataFrame = {
+          include: Seq[String] = DefaultInclude,
+          whereDocumentJson: Option[String] = None): DataFrame = {
     var out = resolved(collection)
     if (ids.nonEmpty) out = out.filter(col("id").isin(ids: _*))
     whereJson.foreach(w => out = out.filter(metadataPredicate(w)))
+    whereDocumentJson.foreach(w => out = out.filter(documentPredicate(w)))
     if (offset > 0) {
       // Distributed offset paging with NO global window: the boundary
       // id (the offset-th smallest) comes from a distributed top-N +
@@ -286,10 +291,12 @@ class CollectionData(client: ChromaSpark) {
     */
   def query(collection: String, queryEmbeddings: DataFrame, nResults: Int = 10,
             whereJson: Option[String] = None,
-            include: Seq[String] = DefaultInclude): DataFrame = {
+            include: Seq[String] = DefaultInclude,
+            whereDocumentJson: Option[String] = None): DataFrame = {
     val metric = distanceMetric(collection)
     var corpus = resolved(collection).filter(col("embedding").isNotNull)
     whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
+    whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
     val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
@@ -339,6 +346,12 @@ class CollectionData(client: ChromaSpark) {
     * ('.', '[', quotes) would silently address the wrong path.
     */
   private val SafeField = "^[A-Za-z0-9_-]+$".r
+
+  /** Document-content `where_document` predicate — the sibling filter
+    * of the metadata `where`, over the `document` column.
+    */
+  private def documentPredicate(whereDocJson: String): Column =
+    WhereFilter.compileDocument(whereDocJson, col("document"))
 
   private def metadataPredicate(whereJson: String): Column =
     WhereFilter.compileWith(whereJson, (field, wantNumeric) => {

@@ -440,6 +440,26 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-query recall@k vs exact brute force on the same frames,
+    * attached as a constant `recall_at_k` column — the driver's
+    * rows-only artifact then certifies retrieval QUALITY, not just
+    * row counts (ScalaTest asserts the floors). The truth set is one
+    * extra broadcast-kNN pass; the per-query hit counts are a tiny
+    * aggregation broadcast back onto the ANN result.
+    */
+  def withRecallAt(ann: DataFrame, queries: DataFrame, corpus: DataFrame,
+                   k: Int): DataFrame = {
+    val truth = knnBrute(queries, corpus, k).select(col("query_id"), col("vec_id"))
+    val hits = ann.select(col("query_id"), col("vec_id"))
+      .join(truth, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+    ann.join(broadcast(hits), Seq("query_id"), "left")
+      .withColumn(s"recall_at_$k",
+        coalesce(col("_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+      .drop("_hits")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- SparkEntry query wrappers over the embeddings table ----
 
   private def querySet(s: SparkSession, dir: String): DataFrame =
@@ -454,25 +474,31 @@ object VectorOps {
   def knnQuery(s: SparkSession, dir: String): DataFrame =
     knnBrute(querySet(s, dir), corpusSet(s, dir), k = 10)
 
-  /** LSH ANN over the same query set (rows-only check; recall is
-    * asserted against brute force in ScalaTest).
+  /** LSH ANN over the same query set (rows check + driver-visible
+    * recall_at_10 column; floors asserted in ScalaTest).
     */
-  def annLshQuery(s: SparkSession, dir: String): DataFrame =
-    annLsh(querySet(s, dir), corpusSet(s, dir), k = 10)
+  def annLshQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annLsh(q, c, k = 10), q, c, k = 10)
+  }
 
   /** IVF ANN probing 3 of the label partitions. */
-  def annIvfQuery(s: SparkSession, dir: String): DataFrame =
-    annIvf(querySet(s, dir), corpusSet(s, dir), k = 10, nprobe = 3)
+  def annIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annIvf(q, c, k = 10, nprobe = 3), q, c, k = 10)
+  }
 
-  /** IVF ANN over learned k-means clusters (rows-only; recall vs
-    * brute force asserted in ScalaTest).
-    */
-  def annKmeansQuery(s: SparkSession, dir: String): DataFrame =
-    annIvfKmeans(querySet(s, dir), corpusSet(s, dir), k = 10)
+  /** IVF ANN over learned k-means clusters. */
+  def annKmeansQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annIvfKmeans(q, c, k = 10), q, c, k = 10)
+  }
 
-  /** PQ-ADC ANN with exact re-rank (rows-only; recall + compression
-    * asserted in ScalaTest).
+  /** PQ-ADC ANN with exact re-rank (compression asserted in
+    * ScalaTest).
     */
-  def annPqQuery(s: SparkSession, dir: String): DataFrame =
-    annPq(querySet(s, dir), corpusSet(s, dir), k = 10)
+  def annPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annPq(q, c, k = 10), q, c, k = 10)
+  }
 }

@@ -39,6 +39,37 @@ object WhereFilter {
   def compileWith(whereJson: String, resolver: FieldResolver): Column =
     compileFilter(JsonMethods.parse(whereJson), resolver)
 
+  /** Compiler for the `where_document` document-content filter Chroma
+    * pairs with the metadata `where` grammar above:
+    *   {$contains: "substr"} | {$not_contains: "substr"}
+    *   {$and|$or: [document filters...]}
+    * Compiles to a plain `Column` predicate over the supplied document
+    * column (a `contains` — codegen'd, pushdown-eligible), so it
+    * composes with the metadata predicate in the same scan filter. A
+    * NULL document matches nothing, $not_contains included — matching
+    * the tri-state SQL semantics the oracle computes.
+    */
+  def compileDocument(whereDocJson: String, doc: Column): Column =
+    compileDocFilter(JsonMethods.parse(whereDocJson), doc)
+
+  private def compileDocFilter(v: JValue, doc: Column): Column = v match {
+    case JObject(Nil) => lit(true)
+    case JObject(fields) =>
+      fields.map {
+        case ("$and", JArray(fs)) =>
+          fs.map(compileDocFilter(_, doc)).reduceOption(_ && _).getOrElse(lit(true))
+        case ("$or", JArray(fs)) =>
+          fs.map(compileDocFilter(_, doc)).reduceOption(_ || _).getOrElse(lit(false))
+        case ("$contains", JString(s))     => doc.contains(lit(s))
+        case ("$not_contains", JString(s)) => !doc.contains(lit(s))
+        case (op, value) => throw new IllegalArgumentException(
+          s"unsupported where_document clause: $op: $value " +
+            "($contains | $not_contains | $and | $or, string operands)")
+      }.reduce(_ && _) // multiple top-level clauses = implicit $and
+    case other =>
+      throw new IllegalArgumentException(s"where_document filter must be an object, got $other")
+  }
+
   private def compileFilter(v: JValue, r: FieldResolver): Column = v match {
     case JObject(Nil) => lit(true) // empty where = match everything
     case JObject(fields) =>

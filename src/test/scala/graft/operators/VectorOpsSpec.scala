@@ -110,6 +110,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("withRecallAt attaches the true per-query recall@10 column") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val out = VectorOps.withRecallAt(VectorOps.annLsh(queries, corpus, 10),
+      queries, corpus, 10).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (qid, rows) =>
+      val returned = rows.map(_.getAs[Long]("vec_id")).toSet
+      val expected = (returned intersect brute(qid)).size / 10.0
+      val cols = rows.map(_.getAs[Double]("recall_at_10")).distinct
+      assert(cols.length === 1, s"recall column not constant for query $qid")
+      assert(cols.head === expected, s"recall mismatch for query $qid")
+    }
+    // floors for the driver-visible wrappers
+    val floors = Seq(
+      VectorOps.annLshQuery(spark, sfDir) -> 0.3,
+      VectorOps.annKmeansQuery(spark, sfDir) -> 0.4,
+      VectorOps.annPqQuery(spark, sfDir) -> 0.3)
+    floors.foreach { case (df, floor) =>
+      val mean = df.agg(avg(col("recall_at_10"))).collect().head.getDouble(0)
+      assert(mean > floor, s"mean recall $mean under floor $floor")
+    }
+  }
+
   test("map-stage nearest-centroid assignment matches the join+min_by formulation") {
     val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("embedding").as("vec"))

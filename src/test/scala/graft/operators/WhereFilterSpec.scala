@@ -53,4 +53,50 @@ class WhereFilterSpec extends SparkSpec {
   test("non-object filter rejected") {
     assertThrows[IllegalArgumentException] { WhereFilter.compile("""["not", "an", "object"]""") }
   }
+
+  // ---- where_document (document-content) grammar ----
+
+  private lazy val contentDocs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "lazy dog sleeps"),
+    (3L, "quick quick slow"),
+    (4L, null.asInstanceOf[String])
+  ).toDF("doc_id", "document")
+
+  private def docIds(json: String): Seq[Long] =
+    contentDocs.filter(WhereFilter.compileDocument(json,
+      org.apache.spark.sql.functions.col("document")))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+
+  test("where_document $contains / $not_contains") {
+    assert(docIds("""{"$contains": "quick"}""") === Seq(1L, 3L))
+    assert(docIds("""{"$not_contains": "quick"}""") === Seq(2L))
+  }
+
+  test("where_document null documents match nothing, even $not_contains") {
+    assert(!docIds("""{"$not_contains": "zzz"}""").contains(4L))
+  }
+
+  test("where_document $and / $or nesting") {
+    assert(docIds("""{"$and": [{"$contains": "quick"}, {"$contains": "fox"}]}""") === Seq(1L))
+    assert(docIds("""{"$or": [{"$contains": "fox"}, {"$contains": "dog"}]}""") === Seq(1L, 2L))
+    assert(docIds(
+      """{"$or": [{"$and": [{"$contains": "quick"}, {"$not_contains": "fox"}]},
+        |{"$contains": "lazy"}]}""".stripMargin) === Seq(2L, 3L))
+  }
+
+  test("where_document rejects metadata-style clauses and non-objects") {
+    assertThrows[IllegalArgumentException] {
+      WhereFilter.compileDocument("""{"field": "x"}""",
+        org.apache.spark.sql.functions.col("document"))
+    }
+    assertThrows[IllegalArgumentException] {
+      WhereFilter.compileDocument("""{"$contains": 7}""",
+        org.apache.spark.sql.functions.col("document"))
+    }
+    assertThrows[IllegalArgumentException] {
+      WhereFilter.compileDocument(""""just a string"""",
+        org.apache.spark.sql.functions.col("document"))
+    }
+  }
 }

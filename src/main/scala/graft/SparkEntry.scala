@@ -813,12 +813,15 @@ object SparkEntry {
     // BMP 2x2 [10,20,30,40]: mean 25, bins {0:1,1:2,2:1} → entropy 1.5;
     // BMP 3x1 [1,2,3] (padded rows): mean 2, one bin → entropy 0;
     // WAV [-32768,0,32767,256] → intensities [0,128,255,129]: mean 128,
-    // bins {0:1,8:2,15:1} → entropy 1.5.
+    // bins {0:1,8:2,15:1} → entropy 1.5;
+    // Y4M 2x2×2 frames [0,16,..,112]: 8 luma samples, mean 56,
+    // 8 singleton bins → entropy 3.
     "mm_codec_roundtrip" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'image', CAST(4 AS BIGINT), 25.0, 1.5),
         |  (CAST(2 AS BIGINT), 'image', CAST(3 AS BIGINT), 2.0, 0.0),
-        |  (CAST(3 AS BIGINT), 'audio', CAST(4 AS BIGINT), 128.0, 1.5)
+        |  (CAST(3 AS BIGINT), 'audio', CAST(4 AS BIGINT), 128.0, 1.5),
+        |  (CAST(4 AS BIGINT), 'video', CAST(8 AS BIGINT), 56.0, 3.0)
         |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
         |ORDER BY case_id""".stripMargin,
 

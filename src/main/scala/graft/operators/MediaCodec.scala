@@ -4,14 +4,16 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 final case class DecodedImage(width: Int, height: Int, samples: Array[Int])
 final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+final case class DecodedVideo(width: Int, height: Int, frames: Array[Array[Int]])
 
-/** Pure-JVM codecs for the two self-describing formats the multimodal
-  * pipeline decodes for real (no native/codec dependencies exist in
-  * this environment): uncompressed 24-bit BMP and 16-bit PCM WAV —
-  * both trivial, fully-public container formats whose layouts are
-  * re-implemented here from their well-known public structure.
-  * Executors call these inside `mapPartitions`; everything is
-  * allocation-lean single-pass code over the payload bytes.
+/** Pure-JVM codecs for the three self-describing formats the
+  * multimodal pipeline decodes for real (no native/codec dependencies
+  * exist in this environment): uncompressed 24-bit BMP, 16-bit PCM
+  * WAV, and YUV4MPEG2 (Y4M) video — all trivial, fully-public
+  * container formats whose layouts are re-implemented here from their
+  * well-known public structure. Executors call these inside
+  * `mapPartitions`; everything is allocation-lean single-pass code
+  * over the payload bytes.
   */
 object MediaCodec {
 
@@ -58,13 +60,25 @@ object MediaCodec {
     val width = buf.getInt(18)
     val rawHeight = buf.getInt(22)
     val topDown = rawHeight < 0
+    // math.abs(Int.MinValue) is Int.MinValue — the explicit > 0 check
+    // below rejects it either way
     val height = math.abs(rawHeight)
     val bpp = buf.getShort(28)
     val compression = buf.getInt(30)
     require(bpp == 24 && compression == 0,
       s"decodeBmp: unsupported bpp=$bpp compression=$compression (24bpp uncompressed only)")
-    val rowSize = (width * 3 + 3) / 4 * 4
-    require(bytes.length >= dataOffset + rowSize * height, "decodeBmp: truncated pixel array")
+    // All size math in Long BEFORE any bound check: header-supplied
+    // width/height/dataOffset are attacker-ish inputs, and int
+    // arithmetic (width*3+3, rowSize*height, dataOffset+...) can wrap
+    // past a naive require and then crash with NegativeArraySize /
+    // ArrayIndexOutOfBounds instead of the intended clean rejection.
+    require(width > 0 && height > 0, s"decodeBmp: implausible dimensions ${width}x$rawHeight")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"decodeBmp: implausible pixel-array offset $dataOffset")
+    val rowSizeL = (width.toLong * 3 + 3) / 4 * 4
+    require(dataOffset.toLong + rowSizeL * height <= bytes.length,
+      "decodeBmp: truncated pixel array")
+    val rowSize = rowSizeL.toInt // bounded by bytes.length above
     val out = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -139,4 +153,84 @@ object MediaCodec {
 
   private def tag(bytes: Array[Byte], off: Int): String =
     new String(bytes, off, 4, "US-ASCII")
+
+  // ---- Y4M (YUV4MPEG2): plain-text stream header + FRAME-delimited raw planar frames ----
+
+  /** Encode grayscale frames as a Y4M stream with the `Cmono`
+    * colorspace (luma plane only — the natural container for the
+    * pipeline's intensity grids): one `YUV4MPEG2 W.. H.. ..` header
+    * line, then `FRAME\n` + width×height luma bytes per frame.
+    */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeY4m: implausible dimensions ${width}x$height")
+    frames.foreach(f => require(f.length == width * height,
+      s"encodeY4m: frame has ${f.length} samples for ${width}x$height"))
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val buf = ByteBuffer.allocate(
+      header.length + frames.length * (frameHdr.length + width * height))
+    buf.put(header)
+    frames.foreach { f =>
+      buf.put(frameHdr)
+      f.foreach(v => buf.put((v & 0xff).toByte))
+    }
+    buf.array()
+  }
+
+  /** Decode a Y4M stream to per-frame luma grids: `Cmono` frames are
+    * read whole; `C420*` frames read the luma plane and skip the two
+    * quarter-size chroma planes (grayscale analysis needs luma only).
+    * Header-supplied dimensions are validated with Long size math
+    * before any allocation, like [[decodeBmp]].
+    */
+  def decodeY4m(bytes: Array[Byte]): DecodedVideo = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+      require(i < bytes.length, "decodeY4m: unterminated header line")
+      i
+    }
+    require(bytes.length >= 10 &&
+      new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2",
+      "decodeY4m: not a YUV4MPEG2 payload")
+    val hdrEnd = lineEnd(0)
+    val header = new String(bytes, 0, hdrEnd, "US-ASCII")
+    var w = -1
+    var h = -1
+    var cs = "420" // Y4M default colorspace when no C tag is present
+    header.split(' ').drop(1).filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'C' => cs = t.drop(1)
+        case _   => () // F/I/A/X params don't affect decoding
+      }
+    }
+    require(w > 0 && h > 0, s"decodeY4m: implausible dimensions ${w}x$h")
+    val lumaLen = w.toLong * h
+    val frameLen: Long =
+      if (cs == "mono") lumaLen
+      else if (cs.startsWith("420")) lumaLen + 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      else throw new IllegalArgumentException(
+        s"decodeY4m: unsupported colorspace C$cs (mono | 420*)")
+    // a header-only stream (zero frames) is valid at any declared
+    // size, so truncation is checked per-frame BEFORE each allocation
+    require(lumaLen <= Int.MaxValue,
+      s"decodeY4m: frame size $frameLen implausible for payload ${bytes.length}")
+    val frames = Array.newBuilder[Array[Int]]
+    var pos = hdrEnd + 1
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(pos)
+      require(fEnd - pos >= 5 && new String(bytes, pos, 5, "US-ASCII") == "FRAME",
+        s"decodeY4m: expected FRAME marker at offset $pos")
+      pos = fEnd + 1
+      require(pos + frameLen <= bytes.length, "decodeY4m: truncated frame")
+      val luma = new Array[Int](lumaLen.toInt)
+      var i = 0
+      while (i < luma.length) { luma(i) = bytes(pos + i) & 0xff; i += 1 }
+      frames += luma
+      pos += frameLen.toInt // ≤ bytes.length, Int-safe
+    }
+    DecodedVideo(w, h, frames.result())
+  }
 }

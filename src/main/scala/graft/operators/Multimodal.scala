@@ -28,12 +28,11 @@ final case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
   * per partition, streaming through rows without materializing the
   * partition).
   *
-  * Decode is REAL for images (uncompressed 24-bit BMP) and audio
-  * (16-bit PCM WAV) via the pure-JVM [[MediaCodec]]; only video
-  * remains a raw-byte passthrough (`rawvid`) because no pure-JVM
-  * video container is reasonable to hand-roll — its frame-sampling
-  * plumbing is format-agnostic anyway. Swapping in further codecs is
-  * one new case in [[decode]].
+  * Decode is REAL for all three modalities via the pure-JVM
+  * [[MediaCodec]]: uncompressed 24-bit BMP images, 16-bit PCM WAV
+  * audio, and YUV4MPEG2 (Y4M) video — frame sampling and resize
+  * decode actual FRAME-delimited luma planes and re-encode real
+  * streams. Swapping in further codecs is one new case in [[decode]].
   *
   * Scale notes: binaries shuffle at most once (the initial
   * `repartition` by media_id); every transform after that is a map
@@ -75,8 +74,21 @@ object Multimodal {
             MediaRecord(id, kind, MediaCodec.encodeWav(samples, 16000),
               MediaMeta(0, 0, 1, 16000, 1, "wav"))
           case _ =>
-            MediaRecord(id, kind, bytes,
-              MediaMeta(width, 4, 1, 0, math.max(1, bytes.length / math.max(width * 4, 1)), "rawvid"))
+            // text bytes as mono luma frames of a real Y4M stream,
+            // zero-padded to the last frame
+            val fh = 4
+            val frameSize = width * fh
+            val nFrames = math.max(1, (bytes.length + frameSize - 1) / frameSize)
+            val frames = (0 until nFrames).map { f =>
+              val arr = new Array[Int](frameSize)
+              var i = 0
+              while (i < frameSize && f * frameSize + i < bytes.length) {
+                arr(i) = bytes(f * frameSize + i) & 0xff; i += 1
+              }
+              arr
+            }
+            MediaRecord(id, kind, MediaCodec.encodeY4m(width, fh, frames),
+              MediaMeta(width, fh, 1, 0, nFrames, "y4m"))
         }
       }
   }
@@ -84,11 +96,13 @@ object Multimodal {
   /** Format-dispatched decode to a 0..255 intensity stream: BMP →
     * grayscale pixels, WAV → 16-bit samples rescaled to unsigned 8-bit
     * (so histogram/entropy binning is uniform across modalities),
-    * anything else → raw bytes (the `rawvid` passthrough).
+    * Y4M → concatenated per-frame luma planes, anything else → raw
+    * bytes (legacy passthrough for unknown formats).
     */
   def decode(r: MediaRecord): Array[Int] = r.meta.format match {
     case "bmp" => MediaCodec.decodeBmp(r.content).samples
     case "wav" => MediaCodec.decodeWav(r.content).samples.map(sm => (sm >> 8) + 128)
+    case "y4m" => MediaCodec.decodeY4m(r.content).frames.flatten
     case _     => r.content.map(b => b & 0xff)
   }
 
@@ -148,6 +162,12 @@ object Multimodal {
           val out = nearest(img.samples, img.width, img.height)
           r.copy(content = MediaCodec.encodeBmp(targetWidth, img.height, out),
             meta = r.meta.copy(width = targetWidth, height = img.height))
+        } else if (r.meta.format == "y4m") {
+          // per-frame decode → resample → re-encode a real stream
+          val vid = MediaCodec.decodeY4m(r.content)
+          val out = vid.frames.map(f => nearest(f, vid.width, vid.height)).toSeq
+          r.copy(content = MediaCodec.encodeY4m(targetWidth, vid.height, out),
+            meta = r.meta.copy(width = targetWidth, height = vid.height))
         } else {
           val w = math.max(1, r.meta.width)
           val h = math.max(1, r.content.length / w)
@@ -158,18 +178,27 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" rows: split the payload into
-    * meta.width*4-byte frames and keep every `stride`-th one — the
+  /** Frame sampling for "video" rows: decode the Y4M stream's
+    * FRAME-delimited luma planes and keep every `stride`-th one — the
     * flatMap shape (0..n rows out per row in) used for real video
-    * frame extraction.
+    * frame extraction. Unknown formats fall back to a fixed-size byte
+    * split so the plumbing stays format-agnostic.
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val frameSize = math.max(1, r.meta.width * 4)
-      r.content.grouped(frameSize).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .map { case (bytes, i) => FrameSample(r.media_id, i, bytes) }
+      r.meta.format match {
+        case "y4m" =>
+          MediaCodec.decodeY4m(r.content).frames.iterator.zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .map { case (luma, i) =>
+              FrameSample(r.media_id, i, luma.map(v => (v & 0xff).toByte)) }
+        case _ =>
+          val frameSize = math.max(1, r.meta.width * 4)
+          r.content.grouped(frameSize).zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .map { case (bytes, i) => FrameSample(r.media_id, i, bytes) }
+      }
     }
   }
 
@@ -210,12 +239,13 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Oracle-checked codec round trip: golden BMP/WAV payloads built
-    * by [[MediaCodec]], decoded DISTRIBUTED through the same
+  /** Oracle-checked codec round trip: golden BMP/WAV/Y4M payloads
+    * built by [[MediaCodec]], decoded DISTRIBUTED through the same
     * `mapPartitions` feature path as the main pipeline; the expected
     * stats are hand-computed constants (a VALUES-table oracle). Case
     * 2 exercises BMP row padding (width 3 ⇒ 9-byte rows padded to
-    * 12); case 3 exercises the full 16-bit WAV sample range.
+    * 12); case 3 exercises the full 16-bit WAV sample range; case 4
+    * exercises multi-FRAME Y4M luma decoding.
     */
   def codecRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -225,7 +255,10 @@ object Multimodal {
       MediaRecord(2L, "image", MediaCodec.encodeBmp(3, 1, Array(1, 2, 3)),
         MediaMeta(3, 1, 1, 0, 1, "bmp")),
       MediaRecord(3L, "audio", MediaCodec.encodeWav(Array(-32768, 0, 32767, 256), 16000),
-        MediaMeta(0, 0, 1, 16000, 1, "wav")))
+        MediaMeta(0, 0, 1, 16000, 1, "wav")),
+      MediaRecord(4L, "video", MediaCodec.encodeY4m(2, 2,
+        Seq(Array(0, 16, 32, 48), Array(64, 80, 96, 112))),
+        MediaMeta(2, 2, 1, 0, 2, "y4m")))
     extractFeatures(s.createDataset(recs))
       .select(col("media_id").as("case_id"), col("kind"), col("n_samples"),
         CrossEngine.rnd4(col("mean_intensity")).as("mean_intensity"),

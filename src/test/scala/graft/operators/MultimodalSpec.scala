@@ -84,13 +84,92 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodec.decodeWav(shortFmt.array()) }
   }
 
-  test("synthesized image/audio records decode with the real codecs") {
+  test("synthesized image/audio/video records decode with the real codecs") {
     val recs = Multimodal.synthesize(spark, sfDir).collect()
     val img = recs.find(_.kind === "image").get
     val decodedImg = MediaCodec.decodeBmp(img.content)
     assert(decodedImg.width === img.meta.width && decodedImg.height === img.meta.height)
     val aud = recs.find(_.kind === "audio").get
     assert(MediaCodec.decodeWav(aud.content).sampleRate === 16000)
+    val vid = recs.find(_.kind === "video").get
+    val decodedVid = MediaCodec.decodeY4m(vid.content)
+    assert(decodedVid.width === vid.meta.width && decodedVid.height === vid.meta.height)
+    assert(decodedVid.frames.length === vid.meta.n_frames)
+  }
+
+  test("Y4M encode/decode round-trips luma frames exactly") {
+    val frames = Seq(Array(0, 1, 127, 255), Array(16, 32, 64, 128), Array(5, 6, 7, 8))
+    val vid = MediaCodec.decodeY4m(MediaCodec.encodeY4m(2, 2, frames))
+    assert(vid.width === 2 && vid.height === 2)
+    assert(vid.frames.length === 3)
+    vid.frames.zip(frames).foreach { case (got, want) => assert(got.toSeq === want.toSeq) }
+  }
+
+  test("Y4M decoder reads the luma plane of C420 streams and skips chroma") {
+    // hand-build a 2x2 C420 stream: 4 luma + 2*1 chroma bytes per frame
+    val header = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frame = "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40) ++ Array[Byte](99, 98) // luma ++ Cb,Cr
+    val vid = MediaCodec.decodeY4m(header ++ frame ++ frame)
+    assert(vid.frames.length === 2)
+    assert(vid.frames.head.toSeq === Seq(10, 20, 30, 40))
+  }
+
+  test("Y4M decoder rejects malformed payloads instead of mis-decoding") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m("MPEG4YUV2 W2 H2\nFRAME\nxxxx".getBytes("US-ASCII"))
+    }
+    // truncated frame: header promises 2x2 but only 2 luma bytes follow
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m("YUV4MPEG2 W2 H2 Cmono\nFRAME\nab".getBytes("US-ASCII"))
+    }
+    // implausible dimensions must fail the Long-math bound, not allocate
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(
+        "YUV4MPEG2 W1000000 H1000000 Cmono\nFRAME\nxx".getBytes("US-ASCII"))
+    }
+    // unsupported colorspace named explicitly
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m("YUV4MPEG2 W2 H2 C444\nFRAME\nxxxxxxxxxxxx".getBytes("US-ASCII"))
+    }
+  }
+
+  test("video frame sampling decodes real Y4M frames") {
+    val frames = (0 until 5).map(f => Array.fill(8)(f * 10))
+    val vid = MediaRecord(7L, "video", MediaCodec.encodeY4m(4, 2, frames),
+      MediaMeta(4, 2, 1, 0, 5, "y4m"))
+    val out = Multimodal.sampleFrames(Seq(vid).toDS(), stride = 2).collect()
+    assert(out.map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    out.sortBy(_.frame_idx).zip(Seq(0, 20, 40)).foreach { case (f, v) =>
+      assert(f.frame.toSeq === Seq.fill(8)(v.toByte))
+    }
+  }
+
+  test("y4m resize re-encodes a valid stream with resampled frames") {
+    val vid = MediaRecord(9L, "video",
+      MediaCodec.encodeY4m(4, 1, Seq(Array(0, 30, 60, 90))),
+      MediaMeta(4, 1, 1, 0, 1, "y4m"))
+    val narrowed = Multimodal.resize(Seq(vid).toDS(), targetWidth = 2).collect().head
+    val dec = MediaCodec.decodeY4m(narrowed.content)
+    assert(dec.width === 2 && narrowed.meta.width === 2)
+    assert(dec.frames.head.toSeq === Seq(0, 60)) // x*2 sampling
+    val widened = Multimodal.resize(Seq(vid).toDS(), targetWidth = 8).collect().head
+    assert(MediaCodec.decodeY4m(widened.content).frames.head.toSeq
+      === Seq(0, 0, 30, 30, 60, 60, 90, 90))
+  }
+
+  test("BMP decoder rejects overflow-crafted headers cleanly") {
+    // huge width*height whose int arithmetic wraps: must reject via
+    // the Long-math require, not crash with a runtime array error
+    val evil = MediaCodec.encodeBmp(2, 2, Array(1, 2, 3, 4))
+    val buf = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(18, 0x40000000) // width 2^30 → width*3 wraps negative
+    buf.putInt(22, 0x40000000)
+    intercept[IllegalArgumentException] { MediaCodec.decodeBmp(evil) }
+    val neg = MediaCodec.encodeBmp(2, 2, Array(1, 2, 3, 4))
+    java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, -500) // negative pixel-array offset
+    intercept[IllegalArgumentException] { MediaCodec.decodeBmp(neg) }
   }
 
   test("bmp resize re-encodes a valid, narrower BMP") {

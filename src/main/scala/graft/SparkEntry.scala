@@ -116,42 +116,56 @@ object SparkEntry {
     d.update("items", Seq(("a", Seq(3f, 4f), "doc a v2", """{"tier":"gold","stars":5}"""))
       .toDF("id", "embedding", "document", "metadata_json"))
     val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    import org.apache.spark.sql.{functions => F}
+    def r4(c: org.apache.spark.sql.Column) = F.floor(c * 10000.0 + 0.5) / 10000.0
+    def stepRow(step: Long, check: String, observed: org.apache.spark.sql.Column) = Seq(
+      F.lit(step).as("step"), F.lit(check).as("check"),
+      observed.cast("string").as("observed"), F.lit(-1.0).as("distance"))
+    // ids in id order as one string — ids are unique so array_sort of
+    // the collected list is exactly the get() ordering
+    def idsStep(df: org.apache.spark.sql.DataFrame, step: Long, check: String) =
+      df.select(F.col("id"))
+        .agg(F.array_join(F.array_sort(F.collect_list(F.col("id"))), ",").as("v"))
+        .select(stepRow(step, check, F.col("v")): _*)
     val gold = d.query("items", q, nResults = 10, whereJson = Some("""{"tier":"gold"}"""))
-      .select(col("id"), (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0).as("distance"))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-    val n = d.count("items")
+      .select(F.col("rank").cast("long").as("step"),
+        F.concat(F.lit("gold_rank_"), F.col("rank")).as("check"),
+        F.col("id").as("observed"), r4(F.col("distance")).as("distance"))
+    val liveCount = d.get("items", include = Nil).agg(F.count(F.lit(1)).as("n"))
+      .select(stepRow(3L, "live_count", F.col("n")): _*)
+    // schema-only probe — no Spark job runs for the column list
     val includeCols = d.get("items", include = Seq("documents")).columns.mkString(",")
-    val page = d.get("items", limit = Some(2), offset = 1)
-      .select(col("id")).collect().map(_.getString(0)).mkString(",")
-    val updatedDoc = d.get("items", ids = Seq("a")).collect().head.getString(1)
+    val incl = Seq((4L, "get_include_cols", includeCols, -1.0))
+      .toDF("step", "check", "observed", "distance")
+    val page = idsStep(d.get("items", limit = Some(2), offset = 1), 5L, "page_limit2_offset1")
+    val updatedDoc = d.get("items", ids = Seq("a")).limit(1)
+      .select(stepRow(6L, "updated_doc_a", F.col("document")): _*)
     // where_document content filters ($contains/$not_contains/$or),
     // after the update: live docs are "doc a v2", "doc b", "doc c v2"
-    def ids(df: org.apache.spark.sql.DataFrame): String =
-      df.select(col("id")).collect().map(_.getString(0)).mkString(",")
-    val wdocContains = ids(d.get("items", whereDocumentJson = Some("""{"$contains":"v2"}""")))
-    val wdocNot = ids(d.get("items", whereDocumentJson = Some("""{"$not_contains":"v2"}""")))
-    val wdocOr = ids(d.get("items", whereDocumentJson =
-      Some("""{"$or":[{"$contains":"a v2"},{"$contains":"doc b"}]}""")))
-    val wdocQ = d.query("items", q, nResults = 10,
+    val wContains = idsStep(d.get("items", whereDocumentJson = Some("""{"$contains":"v2"}""")),
+      7L, "wdoc_contains_v2")
+    val wNot = idsStep(d.get("items", whereDocumentJson = Some("""{"$not_contains":"v2"}""")),
+      8L, "wdoc_not_contains_v2")
+    val wOr = idsStep(d.get("items", whereDocumentJson =
+      Some("""{"$or":[{"$contains":"a v2"},{"$contains":"doc b"}]}""")), 9L, "wdoc_or")
+    val wQuery = d.query("items", q, nResults = 10,
       whereDocumentJson = Some("""{"$not_contains":"v2"}"""))
-      .select(col("id"),
-        (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0).as("distance"))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .agg(
+        F.array_join(F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("id")))),
+          p => p.getField("id")), ",").as("ids"),
+        F.max(F.when(F.col("rank") === 1, r4(F.col("distance")))).as("d1"))
+      .select(F.lit(10L).as("step"), F.lit("wdoc_query_not_v2").as("check"),
+        F.col("ids").as("observed"), F.col("d1").as("distance"))
+    // ONE action materializes every pre-delete step (vs one collect per
+    // step in round 2 — ~10 tiny jobs on a 4-item collection); the
+    // collect must happen BEFORE the tombstoning delete below.
+    val preDelete = Seq(gold, liveCount, incl, page, updatedDoc, wContains, wNot, wOr, wQuery)
+      .reduce(_.unionByName(_)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
     d.delete("items", whereDocumentJson = Some("""{"$contains":"doc c"}"""))
     val afterWdocDelete = d.count("items")
-    (gold.zipWithIndex.map { case ((id, dist), i) =>
-      (i.toLong + 1, s"gold_rank_${i + 1}", id, dist)
-    } ++ Seq(
-      ((gold.length + 1).toLong, "live_count", n.toString, -1.0),
-      ((gold.length + 2).toLong, "get_include_cols", includeCols, -1.0),
-      ((gold.length + 3).toLong, "page_limit2_offset1", page, -1.0),
-      ((gold.length + 4).toLong, "updated_doc_a", updatedDoc, -1.0),
-      ((gold.length + 5).toLong, "wdoc_contains_v2", wdocContains, -1.0),
-      ((gold.length + 6).toLong, "wdoc_not_contains_v2", wdocNot, -1.0),
-      ((gold.length + 7).toLong, "wdoc_or", wdocOr, -1.0),
-      ((gold.length + 8).toLong, "wdoc_query_not_v2",
-        wdocQ.map(_._1).mkString(","), wdocQ.head._2),
-      ((gold.length + 9).toLong, "wdoc_delete_count", afterWdocDelete.toString, -1.0)))
+    (preDelete :+ ((11L, "wdoc_delete_count", afterWdocDelete.toString, -1.0)))
       .toDF("step", "check", "observed", "distance")
       .orderBy(col("step"))
   }
@@ -772,19 +786,20 @@ object SparkEntry {
         |FROM ranked WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
 
-    // cosine distance 1-cos: 1-4/5 = .2 for b, 1-3/5 = .4 for a;
-    // item c upserted away, item d tombstoned → 3 live items;
+    // default metric is l2 (squared euclidean — upstream Chroma's
+    // default hnsw:space): from q=(1,0), b=(4,3)→9+9=18, a=(3,4)→
+    // 4+16=20; item c upserted away, item d tombstoned → 3 live items;
     // include=[documents] projects exactly (id, document); page
     // (limit 2, offset 1) of live ids (a,b,c) is (b,c); update
     // replaced a's document in place (same embedding → ranks hold).
     // where_document over live docs {a:"doc a v2", b:"doc b",
     // c:"doc c v2"}: $contains v2 → a,c; $not_contains v2 → b;
-    // $or(a v2, doc b) → a,b; query b only from q=(1,0) → dist .2;
+    // $or(a v2, doc b) → a,b; query b only from q=(1,0) → dist 18;
     // delete $contains "doc c" tombstones c → 2 live.
     "collection_items" ->
       """SELECT * FROM (VALUES
-        |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 0.2),
-        |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 0.4),
+        |  (CAST(1 AS BIGINT), 'gold_rank_1', 'b', 18.0),
+        |  (CAST(2 AS BIGINT), 'gold_rank_2', 'a', 20.0),
         |  (CAST(3 AS BIGINT), 'live_count', '3', -1.0),
         |  (CAST(4 AS BIGINT), 'get_include_cols', 'id,document', -1.0),
         |  (CAST(5 AS BIGINT), 'page_limit2_offset1', 'b,c', -1.0),
@@ -792,7 +807,7 @@ object SparkEntry {
         |  (CAST(7 AS BIGINT), 'wdoc_contains_v2', 'a,c', -1.0),
         |  (CAST(8 AS BIGINT), 'wdoc_not_contains_v2', 'b', -1.0),
         |  (CAST(9 AS BIGINT), 'wdoc_or', 'a,b', -1.0),
-        |  (CAST(10 AS BIGINT), 'wdoc_query_not_v2', 'b', 0.2),
+        |  (CAST(10 AS BIGINT), 'wdoc_query_not_v2', 'b', 18.0),
         |  (CAST(11 AS BIGINT), 'wdoc_delete_count', '2', -1.0)
         |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,

@@ -263,11 +263,12 @@ class CollectionData(client: ChromaSpark) {
   /** The collection's distance function, from its `hnsw:space`
     * metadata — the same metadata surface the reference round-trips
     * verbatim (reference src/client.rs:97,351-359). Chroma's three
-    * spaces; absent metadata means cosine (the server default).
+    * spaces; absent metadata means l2, upstream Chroma's documented
+    * default `hnsw:space`.
     */
   private def distanceMetric(collection: String): String =
     client.getCollection(collection).metadata
-      .flatMap(_.get("hnsw:space")).getOrElse("cosine") match {
+      .flatMap(_.get("hnsw:space")).getOrElse("l2") match {
       case m @ ("cosine" | "l2" | "ip") => m
       case other => throw CollectionStateError(
         s"collection '$collection': unsupported hnsw:space '$other' (cosine | l2 | ip)")

@@ -5,11 +5,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Mutable-session accumulator carried in stream state. Top-level (not
+/** One pending (not yet watermark-finalized) session. Top-level (not
   * nested in the object) so the state encoder's generated code can
   * construct it.
   */
-final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+/** Stream state per user: ALL sessions the watermark has not yet
+  * sealed, ordered by start. More than one can be pending at once —
+  * an out-of-order event older than (open-session start − gap) opens
+  * its own earlier session, and that stray must stay mergeable with
+  * further strays and with late in-gap arrivals until the watermark
+  * passes its end + gap.
+  */
+final case class SessionState(pending: List[SessionAcc])
 
 /** Structured Streaming surface (SURVEY.md §7.1 item 8): the true
   * streaming analogues of the batch `graft.operators.Events` queries.
@@ -48,49 +57,51 @@ object EventStreams {
     * after `gapSeconds` of user inactivity (event-time, enforced via
     * watermark timeout). The streaming twin of
     * `graft.operators.Events.sessions`.
+    *
+    * Parity with the batch twin for every event the watermark admits:
+    * each micro-batch merges the incoming events with ALL pending
+    * sessions by a single start-ordered sweep (any two intervals
+    * within `gap` coalesce — strays merge with each other and late
+    * in-gap arrivals extend earlier strays), and a session is emitted
+    * only once the watermark strictly passes its end + gap, at which
+    * point no admissible event (ts ≥ watermark) can still coalesce
+    * with it.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
                  watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
 
+    /** Coalesce start-sorted intervals whose gap is ≤ gapMs. */
+    def sweep(sorted: List[SessionAcc]): List[SessionAcc] =
+      sorted.foldLeft(List.empty[SessionAcc]) {
+        case (cur :: done, next) if next.start - cur.end <= gapMs =>
+          SessionAcc(cur.start, math.max(cur.end, next.end),
+            cur.n + next.n, cur.total + next.total) :: done
+        case (acc, next) => next :: acc
+      }.reverse
+
     def update(userId: Long, batch: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+      val wm = state.getCurrentWatermarkMs()
+      val prior = state.getOption.map(_.pending).getOrElse(Nil)
+      val fresh = batch.toList.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1L, e.value))
+      val merged =
+        if (fresh.isEmpty) prior // timeout wake-up: nothing new to merge
+        else sweep((prior ++ fresh).sortBy(s => (s.start, s.end)))
+      // Ripe = no admissible future event can coalesce: an event with
+      // ts == end + gap would still merge, and ts ≥ wm is admissible,
+      // so finalize only when end + gap < wm (strict).
+      val (ripe, keep) = merged.partition(s => s.end + gapMs < wm)
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(SessionState(keep))
+        // Wake when the earliest pending session becomes ripe; the
+        // timestamp must stay ahead of the current watermark.
+        state.setTimeoutTimestamp(math.max(keep.map(_.end + gapMs).min, wm + 1L))
       }
-      val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var emitted = List.empty[Session]
-      var cur = state.getOption
-      events.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t < s.start - gapMs =>
-            // Out-of-order event MORE than a gap before the open
-            // session: in event-time order it is its own session
-            // (the batch twin splits on the t → s.start gap). It is
-            // emitted closed immediately — by watermark contract no
-            // still-older event can arrive to extend it.
-            emitted ::= Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
-          case Some(s) if t - s.end <= gapMs =>
-            // min() on start: an out-of-order event within the gap
-            // BEFORE the session start extends it backwards (matches
-            // the batch twin).
-            cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1, s.total + e.value))
-          case Some(s) => // gap exceeded → close previous, open new
-            emitted ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-            cur = Some(SessionState(t, t, 1L, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1L, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
-      }
-      emitted.reverseIterator
+      ripe.iterator.map(s =>
+        Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
     }
 
     events

@@ -114,6 +114,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mutually-in-gap strays merge, and late in-gap arrivals extend a stray") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "2 hours")
+      .writeStream.format("memory").queryName("stray_merge_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 12:00:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      // stray: above watermark (10:00) but >gap before the open session
+      input.addData(Event(2, ts("2024-01-01 10:30:00"), 5, "view", 2.0))
+      q.processAllAvailable()
+      // later micro-batch, in-gap AFTER the stray: must extend the
+      // stray's session, not start a third one (the round-2 code had
+      // already emitted the stray closed at this point)
+      input.addData(Event(3, ts("2024-01-01 10:45:00"), 5, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts("2024-01-02 12:00:00"), 6, "click", 0.5)) // flush
+      q.processAllAvailable()
+      val s = spark.table("stray_merge_sessions").filter($"user_id" === 5L)
+        .orderBy("session_start").collect()
+      assert(s.length === 2)
+      assert(s(0).getTimestamp(1) === ts("2024-01-01 10:30:00"))
+      assert(s(0).getTimestamp(2) === ts("2024-01-01 10:45:00"))
+      assert(s(0).getLong(3) === 2L && s(0).getDouble(4) === 6.0)
+      assert(s(1).getTimestamp(1) === ts("2024-01-01 12:00:00") && s(1).getLong(3) === 1L)
+    } finally q.stop()
+  }
+
   test("out-of-order event within the gap extends an open session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -248,6 +248,8 @@ object SparkEntry {
     "txt_split"          -> (TextAnalysis.splitCounts _),
     "txt_chunks"         -> ((s, d) => TextAnalysis.chunks(s, d)),
     "txt_scrub"          -> (TextAnalysis.scrub _),
+    "txt_decontaminate"  -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "txt_bm25"           -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
@@ -728,6 +730,80 @@ object SparkEntry {
         |        '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Same string-shingle CTE as the dd_ngram oracles; containment
+    // divides two identical integers on both engines, so the rounded
+    // value and the >= 0.8 flag are bit-identical.
+    "txt_decontaminate" ->
+      """WITH esh AS (
+        |  SELECT eval_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id + 1000000 AS eval_id,
+        |          string_split_regex(trim('xq ' || text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 5)),
+        |tsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT e.eval_id, t.doc_id,
+        |    CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+        |      / CAST(len(e.sh) AS DOUBLE) AS c
+        |  FROM esh e JOIN tsh t ON len(list_intersect(e.sh, t.sh)) > 0),
+        |ranked AS (
+        |  SELECT eval_id, doc_id, c,
+        |    row_number() OVER (PARTITION BY eval_id ORDER BY c DESC, doc_id) AS rn
+        |  FROM pairs)
+        |SELECT eval_id, doc_id AS train_doc_id,
+        |  floor(c * 10000.0 + 0.5) / 10000.0 AS containment,
+        |  c >= 0.8 AS contaminated
+        |FROM ranked WHERE rn = 1
+        |ORDER BY eval_id""".stripMargin,
+
+    // Arithmetic mirrors the Spark expression operation-for-operation;
+    // per-term scores are floored to integer micros BEFORE the sum, so
+    // aggregation order cannot produce float drift on either engine.
+    "txt_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+')[1:8])) AS token
+        |  FROM documents WHERE doc_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN n CROSS JOIN avgs),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, doc_id) AS rk
+        |  FROM agg)
+        |SELECT query_id, CAST(rk AS BIGINT) AS "rank", doc_id,
+        |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     "txt_split" ->
       """WITH assigned AS (

@@ -215,4 +215,110 @@ object TextAnalysis {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
       .orderBy(col("fingerprint"))
+
+  /** Benchmark DECONTAMINATION: n-gram containment of an eval set
+    * against the training corpus — the standard check that evaluation
+    * data did not leak into training data. For each eval document,
+    * containment = |sh(eval) ∩ sh(train)| / |sh(eval)| against its
+    * best-matching train document; ≥ `threshold` flags contamination.
+    * (Containment, not Jaccard: a short eval item fully embedded in a
+    * long train document must still flag, so no length filter applies.)
+    *
+    * Scale design: the EVAL side is small by nature (benchmarks are
+    * thousands of items, the corpus is the 100 TB side), so its
+    * exploded shingle index broadcasts; the train corpus streams ONCE
+    * through a map-side broadcast-hash join keyed on shingle hash, and
+    * the only shuffle is the partial-aggregated (eval_id, doc_id)
+    * overlap count — rows bounded by actual shingle collisions, never
+    * corpus × eval. The demo eval set is planted: the first 5 docs,
+    * mutated with the same 'xq ' prefix the near-dup queries use, ids
+    * shifted by 1e6 — so ground truth is contamination ≈ (L−2)/(L−1).
+    *
+    * The kernel dedups shingles and the oracle uses `list_distinct`,
+    * so intersect counts match the string-set oracle exactly (hash
+    * collisions aside, P ≈ |sh|²/2⁶⁵).
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val eval = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("eval_id"),
+        concat(lit("xq "), col("text")).as("text"))
+    val evalSh = eval.select(col("eval_id"),
+      graft.functions.ShingleHashes(col("text"), n).as("sh"))
+    val evalTok = evalSh.select(col("eval_id"),
+      size(col("sh")).cast("long").as("eval_len"), explode(col("sh")).as("t"))
+    val trainTok = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), n)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("eval_id"))
+      .orderBy(col("containment_raw").desc, col("doc_id").asc)
+    trainTok.join(broadcast(evalTok), "t")
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("inter"), max(col("eval_len")).as("eval_len"))
+      .withColumn("containment_raw", col("inter") / col("eval_len").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("doc_id").as("train_doc_id"),
+        rnd4(col("containment_raw")).as("containment"),
+        (col("containment_raw") >= lit(threshold)).as("contaminated"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75, Lucene-style idf) —
+    * the lexical relevance scorer of a training-data curation loop
+    * (mining documents relevant to a seed query set). Corpus-side
+    * stats (tf, df, dl, avgdl, N) are the same two-shuffle vocab
+    * pipeline as [[tfidfTop]]; the query terms (with their idf) are a
+    * broadcast-joined small side, so scoring touches only rows whose
+    * token appears in some query, and the per-(query, doc) sum is a
+    * partial-aggregated shuffle on bounded rows.
+    *
+    * Per-term scores are micro-scaled to BIGINT (⌊x·10⁶+0.5⌋) BEFORE
+    * summation: integer partial sums are associative, so the
+    * aggregated score is bit-identical regardless of partitioning or
+    * engine — float summation order can never flip the ranking against
+    * the oracle.
+    */
+  def bm25(docs: DataFrame, queries: DataFrame, topK: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl")) // exact: integer-valued partials < 2^53
+    val qTok = queries.select(col("query_id"),
+      explode(array_distinct(wsTokens(col("query_text")))).as("token"))
+    // restrict df to query terms FIRST (tiny), then broadcast the
+    // (query_id, token, df) side against the corpus-wide tf relation
+    val qTerms = qTok.join(dfreq, "token")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(broadcast(qTerms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .select(col("query_id"), col("doc_id"),
+        floor(termScore * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver query wrapper: queries are the first 8 whitespace tokens
+    * of docs 0-2 searched against the whole corpus.
+    */
+  def bm25TopK(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(wsTokens(col("text")), 1, 8), " ").as("query_text"))
+    bm25(docs, queries, topK)
+  }
 }

@@ -58,4 +58,53 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     predicted.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("decontaminate flags the planted eval docs against their sources") {
+    val out = TextAnalysis.decontaminate(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val evalId = r.getAs[Long]("eval_id")
+      // best match is the unmutated source document
+      assert(r.getAs[Long]("train_doc_id") === evalId - 1000000L)
+      // 'xq ' prefix adds one token: shared shingles (L-2) of (L-1)
+      assert(r.getAs[Double]("containment") > 0.8)
+      assert(r.getAs[Boolean]("contaminated"))
+    }
+  }
+
+  test("decontaminate containment stays below 1 (the prefix shingle is novel)") {
+    val out = TextAnalysis.decontaminate(spark, "/root/testdata/sf0.001").collect()
+    out.foreach(r => assert(r.getAs[Double]("containment") < 1.0))
+  }
+
+  test("bm25 favors short docs with both terms, weights rare terms, drops non-matches") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple"),
+      (3L, "dog egg fig"),
+      (4L, "apple banana")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple banana")).toDF("query_id", "query_text")
+    val out = TextAnalysis.bm25(docs, queries, topK = 10).collect()
+    val ranked = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    // doc 4 (both terms, shortest) > doc 1 (both terms, longer) >
+    // doc 2 (only the common term, tf-saturated); doc 3 matches nothing
+    assert(ranked === Seq(4L, 1L, 2L))
+    val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
+  }
+
+  test("bm25 driver query has 3 full result sets with positive descending scores") {
+    val out = TextAnalysis.bm25TopK(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 15) // 3 queries x top-5
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq === (1L to 5L))
+      val scores = ranked.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0.0))
+    }
+  }
 }

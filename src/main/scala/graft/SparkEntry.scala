@@ -250,6 +250,8 @@ object SparkEntry {
     "txt_scrub"          -> (TextAnalysis.scrub _),
     "txt_decontaminate"  -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "txt_bm25"           -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "txt_repetition"     -> (TextAnalysis.repetition _),
+    "txt_pack"           -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
@@ -804,6 +806,47 @@ object SparkEntry {
         |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
         |FROM ranked WHERE rk <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM base WHERE len(toks) >= 2),
+        |top AS (
+        |  SELECT doc_id, max(n) AS top_bigram_n FROM (
+        |    SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY doc_id, bigram)
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |        * 10000.0 + 0.5) / 10000.0 AS dup_token_frac,
+        |  CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  floor((CASE WHEN len(toks) > 1
+        |         THEN CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / (len(toks) - 1)
+        |         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "txt_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |seqd AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+        |      AS seq_id
+        |  FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM seqd GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin,
 
     "txt_split" ->
       """WITH assigned AS (

@@ -321,4 +321,80 @@ object TextAnalysis {
         array_join(slice(wsTokens(col("text")), 1, 8), " ").as("query_text"))
     bm25(docs, queries, topK)
   }
+
+  /** Intra-document REPETITION metrics — the MassiveText/Gopher-style
+    * quality filter that catches boilerplate and degenerate generation
+    * loops: the fraction of tokens that are duplicates of an earlier
+    * token, and the fraction of bigram slots occupied by the single
+    * most-repeated bigram. Per-row array math plus one (doc, bigram)
+    * hash aggregation — map-side combine keeps the shuffle at distinct
+    * bigrams, and nothing is corpus-global, so the operator is pure
+    * scan parallelism at any corpus size.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    // guard: sequence(0, -1) would be DESCENDING for 1-token docs —
+    // emit no bigram rows instead (explode drops the empty array)
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+        .as("bigram"))
+    val topBigram = bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        rnd4(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        // a 1-token doc has zero bigram slots → frac 0 by convention
+        rnd4(when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1).cast("double")).otherwise(lit(0.0)))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SEQUENCE PACKING summary — the concat-and-chunk discipline that
+    * turns variable-length documents into fixed-`maxTokens` training
+    * sequences. Documents are sharded by the same stable md5 bucketing
+    * as [[splitCounts]] (pack-parallelism = shards; at 100 TB each
+    * shard packs independently on its executor), ordered by doc_id
+    * within a shard, and a document starts sequence
+    * ⌊(tokens before it) / maxTokens⌋. Emits per-sequence document and
+    * token counts. The running sum is a per-shard window — Spark never
+    * sees a global (single-partition) ordering, which is the only way
+    * packing survives at scale.
+    */
+  def packSequences(s: SparkSession, dir: String, maxTokens: Int = 512,
+                    shards: Int = 8): DataFrame =
+    packSequencesOf(Tables.documents(s, dir), maxTokens, shards)
+
+  def packSequencesOf(docs: DataFrame, maxTokens: Int = 512,
+                      shards: Int = 8): DataFrame = {
+    val tokc = size(wsTokens(col("text"))).cast("long")
+    val shard =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), shard, tokc.as("n_tok"))
+      .withColumn("seq_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(maxTokens)).cast("long"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
 }

@@ -94,6 +94,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
   }
 
+  test("repetition computes duplicate-token and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),        // dup_token_frac 1 - 2/4 = .5; top bigram "a a" x2 of 3 slots
+      (2L, "w x y z"),        // no repetition
+      (3L, "solo")            // 1 token: zero bigram slots
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionOf(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("dup_token_frac") === 0.5)
+    assert(byId(1L).getAs[Long]("top_bigram_n") === 2L)
+    assert(byId(1L).getAs[Double]("top_bigram_frac") === 0.6667)
+    assert(byId(2L).getAs[Double]("dup_token_frac") === 0.0)
+    assert(byId(2L).getAs[Long]("top_bigram_n") === 1L)
+    assert(byId(3L).getAs[Long]("top_bigram_n") === 0L)
+    assert(byId(3L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("sequence packing chunks shards at the token budget, conserving docs and tokens") {
+    // single shard (shards=1) with 5 docs of 300 tokens each, budget
+    // 512: doc starts at cumulative 0,300,600,900,1200 → seqs 0,0,1,1,2
+    val text = Seq.fill(300)("tok").mkString(" ")
+    val docs = (0L until 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequencesOf(docs, maxTokens = 512, shards = 1)
+      .collect().sortBy(_.getAs[Long]("seq_id"))
+    assert(out.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"))).toSeq ===
+      Seq((0L, 2L, 600L), (1L, 2L, 600L), (2L, 1L, 300L)))
+    // conservation: every doc and every token lands in exactly one seq
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 5L)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === 1500L)
+  }
+
   test("bm25 driver query has 3 full result sets with positive descending scores") {
     val out = TextAnalysis.bm25TopK(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 15) // 3 queries x top-5

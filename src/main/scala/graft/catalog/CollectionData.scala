@@ -66,15 +66,20 @@ class CollectionData(client: ChromaSpark) {
        else lit(null).cast("string")).as("metadata_json"))
   }
 
-  private def appendBatch(collection: String, items: DataFrame, deleted: Boolean): Unit = {
+  /** `checkedUnique = false` skips the in-batch duplicate-id check:
+    * only for callers whose input provably has unique ids already
+    * (delete batches derive from resolved(); add/update fold the
+    * check into their existence validation — one job instead of two).
+    */
+  private def appendBatch(collection: String, items: DataFrame, deleted: Boolean,
+                          checkedUnique: Boolean = false): Unit = {
     val d = dir(collection)
     recoverLog(d)
     val normalized = normalize(items)
-    if (!deleted) {
+    if (!deleted && !checkedUnique) {
       // duplicate ids within one write batch share the same _batch
       // number, making resolved()'s latest-wins nondeterministic —
-      // reject them up front (delete batches derive from resolved(),
-      // whose ids are already unique)
+      // reject them up front
       val dupes = normalized.groupBy("id").count().filter(col("count") > 1).limit(1).count()
       if (dupes > 0)
         throw CollectionStateError(s"write to '$collection': duplicate ids within the batch")
@@ -142,20 +147,24 @@ class CollectionData(client: ChromaSpark) {
       .select(ItemCols.map(col): _*)
   }
 
-  /** Chroma `add`: fails if any id already exists (live); in-batch
-    * duplicates are rejected by [[appendBatch]].
+  /** Chroma `add`: fails if any id already exists (live) or repeats
+    * within the batch. Both violations surface from ONE validation
+    * job: the batch ids and the live ids union into a single count
+    * per id — any id seen twice is either an in-batch duplicate or an
+    * existing-id conflict, and add rejects both with the same remedy.
     */
   def add(collection: String, items: DataFrame): Unit = {
-    // the existing-id check needs a resolve pass only when a log
-    // exists — a fresh collection can't have conflicts, and skipping
-    // the join saves the empty-scan job on first ingest
+    // a fresh collection (no log) can't have existence conflicts —
+    // check only in-batch duplicates there
     if (liveLogName(dir(collection)).isDefined) {
-      val dupes = normalize(items).select("id")
-        .join(resolved(collection).select("id"), "id").limit(1).count()
-      if (dupes > 0)
-        throw CollectionStateError(s"add to '$collection': some ids already exist (use upsert)")
-    }
-    appendBatch(collection, items, deleted = false)
+      val ids = normalize(items).select("id")
+      val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
+        .groupBy("id").count().filter(col("count") > 1).limit(1).count()
+      if (clashes > 0)
+        throw CollectionStateError(
+          s"add to '$collection': duplicate ids in the batch or ids that already exist (use upsert)")
+      appendBatch(collection, items, deleted = false, checkedUnique = true)
+    } else appendBatch(collection, items, deleted = false)
   }
 
   /** Chroma `upsert`: insert-or-replace by id. Pure append. */
@@ -173,16 +182,26 @@ class CollectionData(client: ChromaSpark) {
     val present = items.columns.toSet
     val incoming = normalize(items)
     val existing = resolved(collection)
-    val missing = incoming.select("id")
-      .join(existing.select("id"), Seq("id"), "left_anti")
+    // ONE validation job finds both failure modes: an incoming id with
+    // no live counterpart (missing → reject like the server), and an
+    // id repeated within the batch (write-order nondeterminism).
+    val bad = incoming.select("id").withColumn("_n", lit(1))
+      .unionByName(existing.select("id").withColumn("_n", lit(0)))
+      .groupBy("id")
+      .agg(sum(col("_n")).as("n_in"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_all"))
+      .filter(col("n_in") > 1 || (col("n_in") === 1 && col("n_all") === col("n_in")))
       .limit(1).count()
-    if (missing > 0)
-      throw CollectionStateError(s"update to '$collection': some ids do not exist (use upsert)")
+    if (bad > 0)
+      throw CollectionStateError(
+        s"update to '$collection': duplicate ids in the batch or ids that do not exist (use upsert)")
     val merged = incoming.alias("n").join(existing.alias("o"), "id")
       .select(col("id") +: ItemCols.tail.map { c =>
         (if (present.contains(c)) col(s"n.$c") else col(s"o.$c")).as(c)
       }: _*)
-    appendBatch(collection, merged, deleted = false)
+    // merged ids are unique: incoming ids proved unique above, and the
+    // inner join with resolved() (one row per id) cannot fan out
+    appendBatch(collection, merged, deleted = false, checkedUnique = true)
   }
 
   /** Chroma `peek`: the first `n` items by id order. */

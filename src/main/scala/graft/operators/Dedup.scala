@@ -534,6 +534,55 @@ object Dedup {
       ngramJaccardPairs(plantedDocs(s, dir), threshold = 0.6, topK = 0)
         .select(col("doc_a"), col("doc_b")))
 
-  def embedNearDupQuery(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDupTop(Tables.embeddings(s, dir))
+  /** Exact all-pairs cosine pairs at/above `minCosine` — the truth
+    * set for certifying the LSH path's recall. One broadcast
+    * nested-loop join (the whole vector table broadcasts at
+    * certification scale); quadratic BY DESIGN and only ever run as a
+    * certification artifact, never as the production dedup path.
+    */
+  def embeddingExactPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    v.as("a").join(broadcast(v.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= lit(minCosine))
+      .select(col("vec_a"), col("vec_b"), rnd4(col("cosine_raw")).as("cosine"))
+  }
+
+  /** The embeddings table plus perturbed copies of the first 5
+    * vectors (one component scaled by 1.01, ids shifted by 1e6) — the
+    * vector-side analogue of [[plantedDocs]]: the synthetic embedding
+    * table has NO true near-dup pairs (max pairwise cosine ≈ 0.5), so
+    * near-dup recall is only measurable against planted ones.
+    */
+  def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.unionByName(
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding")))
+  }
+
+  /** Driver query: LSH near-dup top pairs over [[plantedEmbeddings]]
+    * carrying a constant `recall_planted` column — the fraction of the
+    * brute-force cosine ≥ 0.95 truth set (= the planted pairs) that
+    * the LSH index surfaced. The rows-only artifact thereby certifies
+    * retrieval quality the same way the `vec_ann_*` queries do.
+    */
+  def embedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = plantedEmbeddings(s, dir)
+    val top = embeddingNearDupTop(emb)
+    val truth = embeddingExactPairs(emb, minCosine = 0.95)
+      .select(col("vec_a"), col("vec_b"))
+    val stats = top.select(col("vec_a"), col("vec_b")).join(truth, Seq("vec_a", "vec_b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_hits"))
+      .crossJoin(broadcast(truth.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("_truth"))))
+    top.crossJoin(broadcast(stats))
+      .withColumn("recall_planted",
+        col("_hits").cast("double") / greatest(col("_truth").cast("double"), lit(1.0)))
+      .drop("_hits", "_truth")
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
 }

@@ -198,4 +198,21 @@ class DedupSpec extends SparkSpec {
     assert((top.head.getLong(0), top.head.getLong(1)) === (1L, 3L))
     assert(top.head.getAs[Double]("cosine") > 0.999)
   }
+
+  test("planted embedding near-dups: truth set is exactly the 5 planted pairs, LSH finds all") {
+    val dir = "/root/testdata/sf0.001"
+    val truth = Dedup.embeddingExactPairs(Dedup.plantedEmbeddings(spark, dir), 0.95)
+      .collect()
+    // the base table has no pair above ~0.5 cosine, so the ≥0.95 truth
+    // set is precisely source↔perturbed-copy for the 5 planted vectors
+    assert(truth.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      (0L until 5L).map(i => (i, i + 1000000L)))
+    truth.foreach(r => assert(r.getAs[Double]("cosine") > 0.999))
+    val q = Dedup.embedNearDupQuery(spark, dir).collect()
+    val recalls = q.map(_.getAs[Double]("recall_planted")).distinct
+    assert(recalls.length === 1)
+    assert(recalls.head === 1.0, s"LSH missed planted near-dups: recall ${recalls.head}")
+    // the planted pairs dominate the top of the ranked output
+    assert(q.take(5).forall(_.getAs[Double]("cosine") > 0.999))
+  }
 }

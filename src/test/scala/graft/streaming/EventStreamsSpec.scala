@@ -143,6 +143,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized batch-parity: streaming sessions equal the batch gap-split") {
+    // Deterministic fuzz: random event times across random micro-batch
+    // splits must produce EXACTLY the sessions of a batch gap-split,
+    // because the 24h watermark admits every in-trial event. This is
+    // the contract the pending-session state claims; the hand-written
+    // cases above are its corners.
+    val rnd = new scala.util.Random(20260812L)
+    val gapMs = 1800L * 1000L
+    val base = ts("2024-01-01 00:00:00").getTime
+    for (trial <- 1 to 4) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = sessionize(input.toDS(), gapSeconds = 1800, watermark = "24 hours")
+        .writeStream.format("memory").queryName(s"fuzz_sessions_$trial")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val events = for {
+          u <- 1 to 2
+          i <- 1 to (5 + rnd.nextInt(8))
+        } yield Event(u * 100L + i, new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+          u.toLong, "e", rnd.nextInt(5).toDouble)
+        val shuffled = rnd.shuffle(events.toList)
+        val nBatches = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nBatches - 1) / nBatches))
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // flush: a far-future sentinel user advances the watermark past
+        // every trial session's end + gap
+        input.addData(Event(9999L, new Timestamp(base + 40L * 86400 * 1000), 999L, "f", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(s"fuzz_sessions_$trial")
+          .filter($"user_id" =!= 999L).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+            r.getLong(3), r.getDouble(4))).toSet
+        // independent batch twin: per user, sort, split where the gap
+        // is exceeded
+        val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+          val sorted = evs.map(e => (e.ts.getTime, e.value)).sorted.toList
+          val splits = sorted.tail.foldLeft(List(List(sorted.head))) {
+            case (acc @ cur :: done, e) =>
+              if (e._1 - cur.head._1 <= gapMs) (e :: cur) :: done
+              else List(e) :: acc
+          }
+          splits.map { seg =>
+            val times = seg.map(_._1)
+            (u, times.min, times.max, seg.size.toLong, seg.map(_._2).sum)
+          }
+        }.toSet
+        assert(got === expected, s"trial $trial diverged from the batch twin")
+      } finally q.stop()
+    }
+  }
+
   test("out-of-order event within the gap extends an open session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

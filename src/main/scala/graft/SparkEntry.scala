@@ -170,6 +170,30 @@ object SparkEntry {
       .orderBy(col("step"))
   }
 
+  /** Auto-embedding ingest + query-by-text (Chroma's default-embedder
+    * path: `add(documents=...)` with no embeddings, then
+    * `query(query_texts=...)`): documents embed via the deterministic
+    * md5 feature-hash embedder, so the DuckDB oracle re-derives every
+    * stored component in SQL and the ranked distances hash-match.
+    */
+  def collectionAutoEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-autoembed-q").toString
+    val client = new ChromaSpark(s, wh)
+    client.createCollection("auto") // default metric: l2
+    val d = new CollectionData(client)
+    d.add("auto", Seq(
+      ("a", "alpha beta gamma"),
+      ("b", "beta gamma delta"),
+      ("c", "delta epsilon zeta"),
+      ("d", "alpha beta gamma delta")).toDF("id", "document"))
+    d.queryTexts("auto", Seq("alpha beta gamma"), nResults = 4, include = Nil)
+      .select(col("rank"), col("id"),
+        (org.apache.spark.sql.functions.floor(col("distance") * 10000.0 + 0.5) / 10000.0)
+          .as("distance"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-collection distance metric (`hnsw:space` — the metadata
     * surface the reference round-trips, reference src/client.rs:97,
     * 351-359): two scratch collections declared `l2` and `ip`, same
@@ -270,6 +294,7 @@ object SparkEntry {
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),
+    "collection_autoembed" -> (collectionAutoEmbed _),
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
@@ -930,6 +955,58 @@ object SparkEntry {
         |  (CAST(11 AS BIGINT), 'wdoc_delete_count', '2', -1.0)
         |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,
+
+    // The oracle re-derives the feature-hash embeddings end-to-end in
+    // SQL: same tokenization, same md5 index/sign, same double
+    // accumulation, same float32 cast, same sequential-fold dot
+    // products and the same l2 identity (q·q − 2q·v + v·v) — so the
+    // ranked distances are bit-identical before the shared rounding.
+    "collection_autoembed" ->
+      """WITH txt(id, t) AS (VALUES
+        |    ('a', 'alpha beta gamma'), ('b', 'beta gamma delta'),
+        |    ('c', 'delta epsilon zeta'), ('d', 'alpha beta gamma delta'),
+        |    ('_q', 'alpha beta gamma')),
+        |tok AS (
+        |  SELECT id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS token
+        |  FROM txt),
+        |feat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS idx,
+        |    CASE WHEN substr(md5(token), 9, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM tok),
+        |sums AS (SELECT id, idx, sum(s) AS v FROM feat GROUP BY id, idx),
+        |maps AS (
+        |  SELECT id, map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM sums GROUP BY id),
+        |dense AS (
+        |  SELECT id, list_transform(range(0, 16),
+        |           i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM maps),
+        |fvec AS (
+        |  SELECT id, list_transform(raw, x -> CAST(
+        |           x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |         AS REAL)) AS vec
+        |  FROM dense),
+        |q AS (SELECT vec AS qv FROM fvec WHERE id = '_q'),
+        |scored AS (
+        |  SELECT f.id,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+        |    - 2.0 * list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(f.vec[i] AS DOUBLE)), 'sum')
+        |    + list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(f.vec[i] AS DOUBLE) * CAST(f.vec[i] AS DOUBLE)), 'sum')
+        |      AS dist
+        |  FROM fvec f, q WHERE f.id <> '_q'),
+        |ranked AS (
+        |  SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rk
+        |  FROM scored)
+        |SELECT CAST(rk AS BIGINT) AS "rank", id,
+        |  floor(dist * 10000.0 + 0.5) / 10000.0 AS distance
+        |FROM ranked
+        |ORDER BY "rank"""".stripMargin,
 
     // l2 (squared euclidean) from q=(1,1): a=(1,2)→1, c=(0,0)→2,
     // b=(3,4)→13; ip distance 1-dot: b→1-7=-6, a→1-3=-2, c→1-0=1.

@@ -53,15 +53,25 @@ class CollectionData(client: ChromaSpark) {
 
   private val ItemCols = Seq("id", "embedding", "document", "metadata_json")
 
+  /** Rows arriving with a document but NO embedding are auto-embedded
+    * (Chroma semantics: the server derives embeddings when the caller
+    * supplies only documents) by the deterministic feature-hash
+    * embedder — see [[graft.functions.HashEmbed]].
+    */
   private def normalize(items: DataFrame): DataFrame = {
     val cols = items.columns.toSet
     require(cols.contains("id"), "items need an 'id' column")
+    val doc = (if (cols.contains("document")) col("document").cast("string")
+               else lit(null).cast("string"))
+    val explicitEmb =
+      if (cols.contains("embedding")) col("embedding").cast("array<float>")
+      else lit(null).cast("array<float>")
     items.select(
       col("id").cast("string").as("id"),
-      (if (cols.contains("embedding")) col("embedding").cast("array<float>")
-       else lit(null).cast("array<float>")).as("embedding"),
-      (if (cols.contains("document")) col("document").cast("string")
-       else lit(null).cast("string")).as("document"),
+      coalesce(explicitEmb,
+        when(doc.isNotNull, graft.functions.HashEmbed(doc, CollectionData.AutoEmbedDim)))
+        .as("embedding"),
+      doc.as("document"),
       (if (cols.contains("metadata_json")) col("metadata_json").cast("string")
        else lit(null).cast("string")).as("metadata_json"))
   }
@@ -197,7 +207,12 @@ class CollectionData(client: ChromaSpark) {
         s"update to '$collection': duplicate ids in the batch or ids that do not exist (use upsert)")
     val merged = incoming.alias("n").join(existing.alias("o"), "id")
       .select(col("id") +: ItemCols.tail.map { c =>
-        (if (present.contains(c)) col(s"n.$c") else col(s"o.$c")).as(c)
+        // a document update without an explicit embedding RE-EMBEDS
+        // (normalize() already derived it) — upstream Chroma's update
+        // semantics for auto-embedded collections
+        val takeNew = present.contains(c) ||
+          (c == "embedding" && present.contains("document"))
+        (if (takeNew) col(s"n.$c") else col(s"o.$c")).as(c)
       }: _*)
     // merged ids are unique: incoming ids proved unique above, and the
     // inner join with resolved() (one row per id) cannot fan out
@@ -359,6 +374,24 @@ class CollectionData(client: ChromaSpark) {
     Files.write(Paths.get(d, "_batches"), "0".getBytes)
   }
 
+  /** Chroma `query(query_texts=...)`: embed the texts with the SAME
+    * feature-hash embedder the ingest path uses, then delegate to
+    * [[query]] — identical text therefore lands at distance 0 from
+    * its document under every metric.
+    */
+  def queryTexts(collection: String, texts: Seq[String], nResults: Int = 10,
+                 whereJson: Option[String] = None,
+                 include: Seq[String] = DefaultInclude,
+                 whereDocumentJson: Option[String] = None): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val q = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .select(col("query_id"),
+        graft.functions.HashEmbed(col("qtext"), CollectionData.AutoEmbedDim).as("qvec"))
+    query(collection, q, nResults, whereJson, include, whereDocumentJson)
+  }
+
   /** Metadata `where` over the JSON column: rewrite field references
     * to typed JSON extractions, then reuse the standard WhereFilter
     * compiler. Numeric comparisons coerce via double. Field names are
@@ -381,4 +414,13 @@ class CollectionData(client: ChromaSpark) {
       val raw = get_json_object(col("metadata_json"), s"$$.${field}")
       if (wantNumeric) raw.cast("double") else raw
     })
+}
+
+object CollectionData {
+  /** Dimension of the built-in feature-hash auto-embedder (see
+    * [[graft.functions.HashEmbed]]) — small because it only needs to
+    * separate the demo/test vocabulary, and the oracle re-derives all
+    * 16 components in SQL.
+    */
+  val AutoEmbedDim = 16
 }

@@ -230,15 +230,48 @@ class CollectionDataSpec extends SparkSpec {
     assert(!Files.exists(dataDir.resolve("log_old")))
   }
 
-  test("update merges field-wise: omitted columns keep their values") {
+  test("update merges field-wise; a document update re-embeds, metadata-only preserves") {
     val (_, d) = fresh()
     d.add("col", items(("a", Seq(1f, 0f), "v1", """{"k":"v"}""")))
+    // document-only update: document replaced, embedding RE-DERIVED
+    // from the new text (upstream Chroma update semantics), metadata kept
     d.update("col", Seq(("a", "v2")).toDF("id", "document"))
     val row = d.get("col", include = Seq("embeddings", "documents", "metadatas"))
       .collect().head
-    assert(row.getString(2) === "v2")             // document replaced
-    assert(row.getSeq[Float](1) === Seq(1f, 0f))  // embedding preserved
-    assert(row.getString(3) === """{"k":"v"}""")  // metadata preserved
+    assert(row.getString(2) === "v2")
+    val expected = spark.sql("SELECT 1")
+      .select(graft.functions.HashEmbed(
+        org.apache.spark.sql.functions.lit("v2"), CollectionData.AutoEmbedDim))
+      .collect().head.getSeq[Float](0)
+    assert(row.getSeq[Float](1) === expected)
+    assert(row.getString(3) === """{"k":"v"}""")
+    // metadata-only update: embedding and document both preserved
+    d.update("col", Seq(("a", """{"k":"w"}""")).toDF("id", "metadata_json"))
+    val row2 = d.get("col", include = Seq("embeddings", "documents", "metadatas"))
+      .collect().head
+    assert(row2.getString(2) === "v2")
+    assert(row2.getSeq[Float](1) === expected)
+    assert(row2.getString(3) === """{"k":"w"}""")
+  }
+
+  test("add without embeddings auto-embeds; queryTexts finds the same-text doc at distance 0") {
+    val (_, d) = fresh()
+    d.add("col", Seq(
+      ("a", "alpha beta gamma", "{}"),
+      ("b", "delta epsilon zeta", "{}"),
+      ("c", "alpha beta delta", "{}"))
+      .toDF("id", "document", "metadata_json"))
+    val got = d.get("col", include = Seq("embeddings")).collect()
+    got.foreach(r => assert(r.getSeq[Float](1).length === CollectionData.AutoEmbedDim))
+    // unit norm
+    got.foreach { r =>
+      val n = math.sqrt(r.getSeq[Float](1).map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6)
+    }
+    val top = d.queryTexts("col", Seq("alpha beta gamma"), nResults = 3).collect()
+    assert(top.head.getString(1) === "a") // identical text → identical vector
+    assert(top.head.getAs[Double]("distance") < 1e-12)
+    assert(top.map(_.getString(1)).toSeq === Seq("a", "c", "b")) // shared tokens rank c over b
   }
 
   test("operations on a missing collection raise") {

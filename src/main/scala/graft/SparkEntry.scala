@@ -276,6 +276,7 @@ object SparkEntry {
     "txt_bm25"           -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "txt_repetition"     -> (TextAnalysis.repetition _),
     "txt_pack"           -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "txt_funnel"         -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "vec_knn"            -> (VectorOps.knnQuery _),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
@@ -831,6 +832,49 @@ object SparkEntry {
         |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
         |FROM ranked WHERE rk <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // Each stage predicate mirrors its standalone oracled operator's
+    // expression exactly (quality/langid/fingerprint/split above), so
+    // the raw-double quality threshold compares identical values.
+    "txt_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE) AS stop_hits,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (0.3 * (stop_hits / n_toks)
+        |      + 0.3 * (1.0 - least((punct / len) * 4.0, 1.0))
+        |      + 0.4 * least(n_toks / 64.0, 1.0)) >= 0.5 AS q,
+        |    (CASE
+        |       WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN len(regexp_extract_all(text, '[äöüß]')) > 0 THEN 'de'
+        |       WHEN len(regexp_extract_all(text, '[éèêàçœ]')) > 0 THEN 'fr'
+        |       WHEN len(regexp_extract_all(text, '[ñáíóú¿¡]')) > 0 THEN 'es'
+        |       ELSE 'en' END) = lang AS l,
+        |    doc_id = min(doc_id) OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000) < 900 AS tr
+        |  FROM t)
+        |SELECT stage, stage_name, n_docs FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
+        |         CAST(count(*) AS BIGINT) AS n_docs FROM f
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) FILTER (q) AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'lang_agreement',
+        |         CAST(count(*) FILTER (q AND l) AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'dedup_keeper',
+        |         CAST(count(*) FILTER (q AND l AND keep) AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), 'train_split',
+        |         CAST(count(*) FILTER (q AND l AND keep AND tr) AS BIGINT) FROM f)
+        |ORDER BY stage""".stripMargin,
 
     "txt_repetition" ->
       """WITH base AS (

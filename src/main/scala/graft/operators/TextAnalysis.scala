@@ -365,6 +365,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation FUNNEL — the composition every training-data
+    * pipeline runs: ingest → quality floor → language agreement →
+    * exact-dedup keeper → train split, reported as per-stage survivor
+    * counts (each stage is the conjunction of everything before it).
+    * One corpus scan computes all stage flags (the dedup-keeper flag
+    * is the only shuffle: a min-over-fingerprint window, hash
+    * partitioned), a single 1-row aggregation sums the survivors, and
+    * the row explodes into the funnel table — no per-stage rescans, so
+    * at 100 TB the funnel costs one pass + one window, not five jobs.
+    * Every stage predicate mirrors its standalone oracled operator
+    * ([[qualityScore]], [[langIdConfusion]], [[fingerprint]],
+    * [[splitCounts]]) expression-for-expression.
+    */
+  def curationFunnel(s: SparkSession, dir: String,
+                     minQuality: Double = 0.5): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val stopHits = size(expr(
+      s"filter(split(trim(text), '\\\\s+'), t -> t in (${StopwordsEn.map("'" + _ + "'").mkString(",")}))"))
+      .cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val len = length(col("text")).cast("double")
+    val quality = lit(0.3) * (stopHits / nToks) +
+      lit(0.3) * (lit(1.0) - least((punct / len) * 4.0, lit(1.0))) +
+      lit(0.4) * least(nToks / lit(64.0), lit(1.0))
+    val predicted =
+      when(regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+        .when(regexp_count(col("text"), lit("[äöüß]")) > 0, "de")
+        .when(regexp_count(col("text"), lit("[éèêàçœ]")) > 0, "fr")
+        .when(regexp_count(col("text"), lit("[ñáíóú¿¡]")) > 0, "es")
+        .otherwise("en")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 1000
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (quality >= lit(minQuality)).as("q"),
+        (predicted === col("lang")).as("l"),
+        fingerprint(col("text")).as("fp"),
+        (bucket < 900).as("tr"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    def survivors(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+      count(lit(1)).as("n0"),
+      survivors(col("q")).as("n1"),
+      survivors(col("q") && col("l")).as("n2"),
+      survivors(col("q") && col("l") && col("keep")).as("n3"),
+      survivors(col("q") && col("l") && col("keep") && col("tr")).as("n4"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("ingest").as("stage_name"), col("n0").as("n_docs")),
+        struct(lit(2L).as("stage"), lit("quality").as("stage_name"), col("n1").as("n_docs")),
+        struct(lit(3L).as("stage"), lit("lang_agreement").as("stage_name"), col("n2").as("n_docs")),
+        struct(lit(4L).as("stage"), lit("dedup_keeper").as("stage_name"), col("n3").as("n_docs")),
+        struct(lit(5L).as("stage"), lit("train_split").as("stage_name"), col("n4").as("n_docs"))))
+        .as("st"))
+      .select(col("st.stage").as("stage"), col("st.stage_name").as("stage_name"),
+        col("st.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
   /** SEQUENCE PACKING summary — the concat-and-chunk discipline that
     * turns variable-length documents into fixed-`maxTokens` training
     * sequences. Documents are sharded by the same stable md5 bucketing

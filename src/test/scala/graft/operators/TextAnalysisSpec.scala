@@ -126,6 +126,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_tokens")).sum === 1500L)
   }
 
+  test("curation funnel stages are monotone and anchored at the corpus size") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.curationFunnel(spark, dir).collect()
+    assert(out.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("ingest", "quality", "lang_agreement", "dedup_keeper", "train_split"))
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.head === graft.Tables.documents(spark, dir).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }) // each stage filters
+    assert(counts.last > 0) // something survives end-to-end
+  }
+
   test("bm25 driver query has 3 full result sets with positive descending scores") {
     val out = TextAnalysis.bm25TopK(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 15) // 3 queries x top-5

@@ -37,6 +37,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // Between queries, release leftover state so one query's debris
+      // never taxes the next: the dedup/ANN pipelines eagerly
+      // localCheckpoint their results, and those blocks survive until
+      // a driver GC lets the ContextCleaner drop them — observed as a
+      // late-suite query measuring 15× its isolated median under the
+      // accumulated memory pressure.
+      spark.catalog.clearCache()
+      System.gc()
       name -> median(times)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -255,6 +255,7 @@ object SparkEntry {
     "q25_range_window"   -> (Relational.q25RangeWindow _),
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
+    "q26_sketch_bounds"  -> (Relational.q26SketchBounds _),
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
@@ -544,6 +545,21 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // The oracle pins the EXACT values and literal TRUE accuracy
+    // flags — Spark's sketches must land inside their error envelopes
+    // or the row goes red (the flags are deterministic: HLL register
+    // merge is a commutative max, approx_percentile merge is
+    // order-insensitive).
+    "q26_sketch_bounds" ->
+      """SELECT
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders_exact,
+        |  TRUE AS cd_within_5pct,
+        |  floor(quantile_cont(l_quantity, 0.5) * 100.0 + 0.5) / 100.0 AS p50_exact,
+        |  TRUE AS p50_within_1pct,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95_price_exact,
+        |  TRUE AS p95_within_1pct
+        |FROM lineitem""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

@@ -432,4 +432,39 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("fast_revenue"))
       .orderBy(col("order_month"))
   }
+
+  /** Sketch aggregates with DRIVER-VISIBLE accuracy certification:
+    * HLL++ distinct counts and t-digest-style approximate percentiles
+    * are the single-pass, mergeable, fixed-memory summaries a 100 TB
+    * profile job runs where exact distinct/percentile would shuffle
+    * the world. The approximate values themselves are
+    * engine-specific, so the query emits the EXACT values (oracled)
+    * plus in-row booleans asserting each sketch landed within its
+    * error envelope — both sketches are deterministic under
+    * re-partitioning (HLL register merge is a commutative max;
+    * approx_percentile merges are order-insensitive), so the booleans
+    * are stable facts, and a sketch drifting out of bounds turns the
+    * driver artifact red.
+    */
+  def q26SketchBounds(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.agg(
+        countDistinct(col("l_orderkey")).as("orders_exact"),
+        approx_count_distinct(col("l_orderkey")).as("orders_approx"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price_exact"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double")
+          .as("p95_price_approx"))
+      .select(
+        col("orders_exact"),
+        (abs(col("orders_approx") - col("orders_exact")).cast("double") /
+          col("orders_exact").cast("double") <= 0.05).as("cd_within_5pct"),
+        r2(col("p50_exact")).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          greatest(abs(col("p50_exact")) * 0.01, lit(1.0))).as("p50_within_1pct"),
+        r2(col("p95_price_exact")).as("p95_price_exact"),
+        (abs(col("p95_price_approx") - col("p95_price_exact")) <=
+          greatest(abs(col("p95_price_exact")) * 0.01, lit(1.0))).as("p95_within_1pct"))
+  }
 }

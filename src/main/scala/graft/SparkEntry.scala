@@ -282,6 +282,7 @@ object SparkEntry {
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
+    "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),

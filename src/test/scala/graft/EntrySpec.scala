@@ -13,7 +13,8 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
       "dd_embed_top", "dd_incremental", "vec_ann_lsh", "vec_ann_ivf",
-      "vec_ann_kmeans", "vec_ann_pq", "mm_features", "mm_resize")
+      "vec_ann_kmeans", "vec_ann_pq", "vec_ann_ivf_index",
+      "mm_features", "mm_resize")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

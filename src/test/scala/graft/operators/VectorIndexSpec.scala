@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpusAndQueries = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    (corpus, queries)
+  }
+
+  test("probing the persisted layout reads only the probed partition directories") {
+    val (corpus, queries) = corpusAndQueries
+    val dir = Files.createTempDirectory("ivf-index-prune").toString
+    VectorIndex.build(corpus, dir, kClusters = 8, iters = 2)
+    val all = spark.read.parquet(s"$dir/vectors")
+    val allFiles = all.inputFiles.length
+    // one query, one probe: exactly one cluster directory survives
+    // (ten spread queries would legitimately probe every cluster)
+    val oneQuery = queries.filter(col("query_id") === 0)
+    val probed = VectorIndex.probedVectors(spark, dir, oneQuery, nprobe = 1)
+    // the label filter is a static partition predicate — the scan's
+    // selectedPartitions (planning-time pruning result) holds only the
+    // probed directory (inputFiles would list the whole relation)
+    val scan = probed.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val scannedFiles = scan.selectedPartitions.totalNumberOfFiles
+    assert(scan.selectedPartitions.partitionCount === 1) // exactly the probed label
+    assert(scannedFiles > 0)
+    assert(scannedFiles < allFiles, s"no pruning: scanned $scannedFiles of $allFiles files")
+    // and only the probed label survives in the data
+    assert(probed.select(col("label")).distinct().count() === 1)
+  }
+
+  test("index query matches the shape and recall of the inline IVF path") {
+    val (corpus, queries) = corpusAndQueries
+    val dir = Files.createTempDirectory("ivf-index-query").toString
+    VectorIndex.build(corpus, dir, kClusters = 8, iters = 2)
+    val out = VectorIndex.query(spark, dir, queries, k = 10, nprobe = 4).collect()
+    assert(out.length === 100) // 10 queries x top-10
+    // recall vs brute force on the same frames
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    assert(hits >= 60, s"recall@10 too low: $hits/100")
+    // scores are non-increasing per query
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("centroids table is model-sized") {
+    val (corpus, _) = corpusAndQueries
+    val dir = Files.createTempDirectory("ivf-index-cent").toString
+    VectorIndex.build(corpus, dir, kClusters = 8, iters = 1)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.count() <= 8)
+    assert(cents.columns.toSeq === Seq("c_id", "centroid"))
+  }
+}

@@ -33,6 +33,27 @@ class CollectionIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("document-only streamed items auto-embed and become text-queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-ingest-ae").toString
+    val client = new ChromaSpark(spark, wh)
+    client.createCollection("live")
+    val data = new CollectionData(client)
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("id", "document")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ae-ckpt").toString
+    val q = CollectionIngest.start(data, "live", stream, ckpt)
+    try {
+      input.addData(("a", "alpha beta gamma"), ("b", "delta epsilon zeta"))
+      q.processAllAvailable()
+      // the ingest path derived embeddings; query-by-text finds the
+      // identical document at distance 0 (same embedder both sides)
+      val top = data.queryTexts("live", Seq("alpha beta gamma"), nResults = 1).collect()
+      assert(top.head.getString(1) === "a")
+      assert(top.head.getAs[Double]("distance") < 1e-12)
+    } finally q.stop()
+  }
+
   test("a micro-batch with duplicate ids does not poison the query") {
     implicit val sqlCtx = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory("graft-ingest-dup").toString

@@ -256,6 +256,8 @@ object SparkEntry {
     "txt_top_tokens"     -> (TextAnalysis.topTokens _),
     "q19_percentiles"    -> (Relational.q19Percentiles _),
     "q26_sketch_bounds"  -> (Relational.q26SketchBounds _),
+    "q27_outer_join"     -> (Relational.q27OuterJoin _),
+    "ev_resample"        -> ((s, d) => Events.resample(s, d)),
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "ev_sessions"        -> (Events.sessions _),
@@ -561,6 +563,50 @@ object SparkEntry {
         |  floor(quantile_cont(l_extendedprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95_price_exact,
         |  TRUE AS p95_within_1pct
         |FROM lineitem""".stripMargin,
+
+    "q27_outer_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+        |  FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+        |SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers,
+        |  c.nk IS NOT NULL AS in_customers,
+        |  s.nk IS NOT NULL AS in_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+
+    // Same whole-second truncation discipline as the other event
+    // oracles: floor(epoch(ts)) matches Spark's cast-to-long; the
+    // TIMESTAMPTZ from to_timestamp casts back to naive TIMESTAMP so
+    // dtypes line up.
+    "ev_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 14400) AS BIGINT) * 14400 AS bin_s, value
+        |  FROM events WHERE user_id < 10),
+        |binned AS (
+        |  SELECT user_id, bin_s, CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 2) AS v_sum
+        |  FROM ev GROUP BY user_id, bin_s),
+        |spine AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1, 14400)) AS bin_s
+        |  FROM (SELECT user_id, min(bin_s) AS lo, max(bin_s) AS hi
+        |        FROM binned GROUP BY user_id)),
+        |filled AS (
+        |  SELECT s.user_id, s.bin_s,
+        |    coalesce(n_events, CAST(0 AS BIGINT)) AS n_events, v_sum
+        |  FROM spine s LEFT JOIN binned b USING (user_id, bin_s))
+        |SELECT user_id, CAST(to_timestamp(bin_s) AS TIMESTAMP) AS bin_ts,
+        |  n_events, v_sum,
+        |  last_value(v_sum IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bin_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM filled
+        |ORDER BY user_id, bin_ts""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

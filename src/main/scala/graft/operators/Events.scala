@@ -161,4 +161,36 @@ object Events {
         col("click_value"))
       .orderBy(col("event_id"))
   }
+
+  /** Time-series RESAMPLE with gap-fill and forward-fill: per-user
+    * 4-hour bins, a generated spine closing the gaps between each
+    * user's first and last bin, and the last observed value carried
+    * forward — the regularization step before feeding irregular event
+    * streams into windowed models. The spine is a per-user generator
+    * (each user's range explodes independently — no global calendar
+    * relation), the fill is one `last(ignoreNulls)` running window on
+    * the same user partitioning as the bin agg, so the whole operator
+    * is one shuffle key end to end.
+    */
+  def resample(s: SparkSession, dir: String, binSeconds: Long = 14400L): DataFrame = {
+    val binned = Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("user_id"),
+        (floor(col("ts").cast("long") / binSeconds) * binSeconds).cast("long").as("bin_s"),
+        col("value"))
+      .groupBy(col("user_id"), col("bin_s"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v_sum"))
+    val spine = binned.groupBy(col("user_id"))
+      .agg(min(col("bin_s")).as("lo"), max(col("bin_s")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(binSeconds))).as("bin_s"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bin_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(binned, Seq("user_id", "bin_s"), "left")
+      .select(col("user_id"), col("bin_s"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("v_sum"))
+      .withColumn("v_ffill", last(col("v_sum"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("bin_s").cast("timestamp").as("bin_ts"),
+        col("n_events"), col("v_sum"), col("v_ffill"))
+      .orderBy(col("user_id"), col("bin_ts"))
+  }
 }

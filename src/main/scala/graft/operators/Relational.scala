@@ -433,6 +433,31 @@ object Relational {
       .orderBy(col("order_month"))
   }
 
+  /** FULL OUTER join with engineered one-sided keys: customer counts
+    * (nations 0-14) against supplier counts (nations 10-24), so the
+    * result carries left-only, both-sides and right-only rows and the
+    * null-handling of every outer flavor is driver-checked in one
+    * query. Two partial-agg'd counts then a tiny join — at scale both
+    * inputs are already reduced to ≤ |nations| rows before the
+    * exchange.
+    */
+  def q27OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, dir).filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).cast("long").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        col("c_nk").isNotNull.as("in_customers"),
+        col("s_nk").isNotNull.as("in_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Sketch aggregates with DRIVER-VISIBLE accuracy certification:
     * HLL++ distinct counts and t-digest-style approximate percentiles
     * are the single-pass, mergeable, fixed-memory summaries a 100 TB

@@ -296,6 +296,7 @@ object SparkEntry {
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
+    "mm_image_dups"      -> (Multimodal.imageDupsQuery _),
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),

@@ -205,35 +205,49 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    release: Boolean = true): DataFrame = {
+    // SimHash64 kernel: one compiled pass per document; bitwise parity
+    // with the HOF reference simhashColumn is proven in DedupSpec.
+    val signed = docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sig"))
+    hammingBandPairs(signed, "doc_id", maxHamming, release)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /** Generic Hamming-radius self-join over 64-bit signatures — the
+    * banded-pigeonhole core shared by text SimHash and image
+    * perceptual-hash dedup. `signed` needs (`idCol`, sig: Long);
+    * output is (id_a, id_b, hamming), ordered. Band count is
+    * maxHamming+1 so pigeonhole GUARANTEES every pair within the
+    * radius shares at least one untouched band — recall 1.0.
+    */
+  def hammingBandPairs(signed: DataFrame, idCol: String, maxHamming: Int,
+                       release: Boolean = true): DataFrame = {
     val bands = math.min(maxHamming + 1, 64)
     val width = (64 + bands - 1) / bands
     // width can be 64 (maxHamming=0): 1L<<64 wraps to 1 in Scala/JVM
     // shift semantics, which would zero the mask and collapse every
     // doc into one bucket — an accidental all-pairs join
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    // SimHash64 kernel: one compiled pass per document; bitwise parity
-    // with the HOF reference simhashColumn is proven in DedupSpec.
-    val signed = docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sig"))
-    withSigCache(release)(signed) {
+    val keyed = signed.select(col(idCol).as("_id"), col("sig"))
+    withSigCache(release)(keyed) {
       // shiftright is an arithmetic shift, so high bands of a negative
       // signature carry sign-extension copies of bit 63 — masked to
       // `width` bits they are deterministic and identical on both join
       // sides, and a flip of bit b only ever changes band b/width, so
       // the pigeonhole guarantee is unaffected.
-      val banded = signed.select(col("doc_id"), col("sig"),
+      val banded = keyed.select(col("_id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bhash")))
       banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a._id") < col("b._id"))
+        .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .distinct()
         .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
         .filter(col("hamming") <= maxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   }
 

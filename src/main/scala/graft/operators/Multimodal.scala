@@ -239,6 +239,113 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a grayscale image:
+    * box-mean downsample to a 9×8 grid, then bit r*8+c = 1 iff
+    * grid(r,c+1) > grid(r,c) — the standard row-gradient fingerprint.
+    * Box-averaging (not point sampling) makes single-pixel
+    * perturbations move a cell mean by at most Δ/boxArea, so visually
+    * near-identical images land within a small Hamming radius.
+    * Upsampled cells (source narrower than 9 columns) fall back to the
+    * nearest source pixel.
+    */
+  def dHash(samples: Array[Int], w: Int, h: Int): Long = {
+    val cols = 9; val rows = 8
+    val grid = Array.ofDim[Double](rows, cols)
+    var r = 0
+    while (r < rows) {
+      val y0 = r * h / rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { sum += samples(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        grid(r)(c) = if (n == 0) 0.0 else sum.toDouble / n
+        c += 1
+      }
+      r += 1
+    }
+    var sig = 0L
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (grid(r)(c + 1) > grid(r)(c)) sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** (media_id, sig) perceptual hashes for the image rows — decode +
+    * dHash in one iterator-to-iterator map stage; payloads never leave
+    * the stage.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { r =>
+        val img = MediaCodec.decodeBmp(r.content)
+        (r.media_id, dHash(img.samples, img.width, img.height))
+      }
+    }.toDF("media_id", "sig")
+  }
+
+  /** Images plus planted perturbed copies (ids shifted by 1e6, one
+    * pixel brightened by 8): the image-side analogue of
+    * [[Dedup.plantedDocs]] — the synthetic corpus has no natural
+    * near-dup images, so near-dup recall is only measurable against
+    * planted ones.
+    */
+  def plantedImages(s: SparkSession, dir: String, nPlanted: Int = 5): Dataset[MediaRecord] = {
+    import s.implicits._
+    val images = synthesize(s, dir).filter(_.kind == "image")
+    val planted = images.filter(_.media_id < nPlanted * 3L).map { r =>
+      val img = MediaCodec.decodeBmp(r.content)
+      val px = img.samples.clone()
+      px(0) = math.min(255, px(0) + 8)
+      r.copy(media_id = r.media_id + 1000000L,
+        content = MediaCodec.encodeBmp(img.width, img.height, px))
+    }
+    images.unionByName(planted)
+  }
+
+  /** Driver query: perceptual-hash near-dup image pairs over
+    * [[plantedImages]] — decode → dHash map stage, then the same
+    * banded-pigeonhole Hamming join as text SimHash
+    * ([[Dedup.hammingBandPairs]]). Carries a constant
+    * `recall_planted` column (fraction of planted original/perturbed
+    * pairs surfaced within the radius) so the rows-only artifact
+    * certifies retrieval quality. Rows-only: binary decode isn't
+    * DuckDB-expressible.
+    */
+  def imageDupsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = plantedImages(s, dir)
+    val hashes = imageHashes(media)
+    val pairs = Dedup.hammingBandPairs(hashes, "media_id", maxHamming = 6)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+    val truth = hashes.filter(col("media_id") >= 1000000L)
+      .select((col("media_id") - 1000000L).as("media_a"),
+        col("media_id").as("media_b"))
+    val stats = pairs.select(col("media_a"), col("media_b"))
+      .join(truth, Seq("media_a", "media_b"))
+      .agg(count(lit(1)).as("_hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("_truth"))))
+    pairs.crossJoin(broadcast(stats))
+      .withColumn("recall_planted",
+        col("_hits").cast("double") / greatest(col("_truth").cast("double"), lit(1.0)))
+      .drop("_hits", "_truth")
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Oracle-checked codec round trip: golden BMP/WAV/Y4M payloads
     * built by [[MediaCodec]], decoded DISTRIBUTED through the same
     * `mapPartitions` feature path as the main pipeline; the expected

@@ -209,4 +209,51 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length > 0)
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
+
+  test("dHash: gradient structure, determinism, invariance to brightness shift") {
+    // left-to-right ramp: every row-gradient bit set
+    val ramp = Array.tabulate(9 * 8)(i => (i % 9) * 28)
+    val sig = Multimodal.dHash(ramp, 9, 8)
+    assert(java.lang.Long.bitCount(sig) === 64)
+    // flat image: no gradients
+    assert(Multimodal.dHash(Array.fill(9 * 8)(128), 9, 8) === 0L)
+    // dHash compares ADJACENT cells, so a uniform brightness shift
+    // preserves every bit
+    val brighter = ramp.map(v => math.min(255, v + 40))
+    assert(Multimodal.dHash(brighter, 9, 8) === sig)
+    // deterministic on a real synthesized BMP
+    val img = Multimodal.synthesize(spark, sfDir).filter(_.kind == "image").head()
+    val d = MediaCodec.decodeBmp(img.content)
+    assert(Multimodal.dHash(d.samples, d.width, d.height) ===
+      Multimodal.dHash(d.samples, d.width, d.height))
+  }
+
+  test("perturbed images stay within the Hamming radius of their originals") {
+    val hashes = Multimodal.imageHashes(Multimodal.plantedImages(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = hashes.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { pid =>
+      val orig = hashes(pid - 1000000L)
+      val ham = java.lang.Long.bitCount(hashes(pid) ^ orig)
+      assert(ham <= 6, s"planted $pid drifted $ham bits from its original")
+    }
+  }
+
+  test("image near-dup query surfaces every planted pair (recall_planted = 1)") {
+    val rows = Multimodal.imageDupsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val recall = rows.head.getAs[Double]("recall_planted")
+    assert(recall >= 0.8, s"recall_planted $recall below floor")
+    val pairs = rows.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    // the five planted (original, original+1e6) pairs must be present
+    // whenever their signatures are within the radius — cross-checked
+    // against the hash map rather than assumed
+    val hashes = Multimodal.imageHashes(Multimodal.plantedImages(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hashes.keys.filter(_ >= 1000000L).foreach { pid =>
+      if (java.lang.Long.bitCount(hashes(pid) ^ hashes(pid - 1000000L)) <= 6)
+        assert(pairs.contains((pid - 1000000L, pid)), s"missing planted pair for $pid")
+    }
+  }
 }

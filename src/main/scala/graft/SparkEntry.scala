@@ -213,12 +213,15 @@ object SparkEntry {
     d.add("m-l2", items)
     d.add("m-ip", items)
     val q = Seq((1L, Seq(1f, 1f))).toDF("query_id", "qvec")
-    def ranks(coll: String): Seq[(String, Double)] =
+    // both collections' rankings union into ONE action
+    import org.apache.spark.sql.{functions => F}
+    def rankFrame(coll: String, space: String) =
       d.query(coll, q, nResults = 10, include = Nil)
-        .select(col("id"), col("distance"))
-        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-    val l2r = ranks("m-l2")
-    val ipr = ranks("m-ip")
+        .select(F.lit(space).as("space"), col("rank"), col("id"), col("distance"))
+    val both = rankFrame("m-l2", "l2").unionByName(rankFrame("m-ip", "ip"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val l2r = both.filter(_._1 == "l2").sortBy(_._2).map(t => (t._3, t._4)).toSeq
+    val ipr = both.filter(_._1 == "ip").sortBy(_._2).map(t => (t._3, t._4)).toSeq
     (l2r.zipWithIndex.map { case ((id, dist), i) =>
       ((i + 1).toLong, s"l2_rank_${i + 1}", id, dist)
     } ++ ipr.zipWithIndex.map { case ((id, dist), i) =>

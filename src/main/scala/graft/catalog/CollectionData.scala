@@ -76,26 +76,70 @@ class CollectionData(client: ChromaSpark) {
        else lit(null).cast("string")).as("metadata_json"))
   }
 
+  /** True iff the batch lives on the driver AND is small: `Seq.toDF`
+    * inputs optimize to a `LocalRelation` (`Dataset.isLocal` misses
+    * them — `toDF(names...)` wraps the relation in column aliases, so
+    * the ANALYZED plan is a Project; ConvertToLocalRelation folds it
+    * back only in the OPTIMIZED plan). The row bound keeps a
+    * pathological million-row driver-side Seq on the distributed
+    * validation/write paths.
+    */
+  private def isSmallLocal(items: DataFrame): Boolean =
+    items.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.lengthCompare(10000) <= 0
+      case _ => false
+    }
+
+  /** Driver-resident batch ids, WITHOUT a Spark job: a pure
+    * projection of a `LocalRelation` folds back to a `LocalRelation`
+    * (Catalyst's ConvertToLocalRelation), so `collect()` never leaves
+    * the driver. None for distributed inputs — those take the normal
+    * job-based validation paths.
+    */
+  private def localBatchIds(items: DataFrame): Option[Seq[String]] =
+    if (isSmallLocal(items))
+      Some(items.select(col("id").cast("string")).collect().map(_.getString(0)).toSeq)
+    else None
+
   /** `checkedUnique = false` skips the in-batch duplicate-id check:
     * only for callers whose input provably has unique ids already
     * (delete batches derive from resolved(); add/update fold the
     * check into their existence validation — one job instead of two).
     */
+  /** `smallBounded = true` asserts the caller PROVED the batch's row
+    * count is bounded by a small driver-local input (e.g. update's
+    * merge of a small local batch — an inner join cannot fan out past
+    * it): those batches collect to the driver and write as one file
+    * with no Spark job at all. Never set it for data-sized frames.
+    */
   private def appendBatch(collection: String, items: DataFrame, deleted: Boolean,
-                          checkedUnique: Boolean = false): Unit = {
+                          checkedUnique: Boolean = false,
+                          smallBounded: Boolean = false): Unit = {
     val d = dir(collection)
     recoverLog(d)
     val normalized = normalize(items)
     if (!deleted && !checkedUnique) {
       // duplicate ids within one write batch share the same _batch
       // number, making resolved()'s latest-wins nondeterministic —
-      // reject them up front
-      val dupes = normalized.groupBy("id").count().filter(col("count") > 1).limit(1).count()
-      if (dupes > 0)
+      // reject them up front. Driver-local batches check in-memory
+      // (zero jobs); distributed batches pay one aggregation job.
+      val dup = localBatchIds(items) match {
+        case Some(ids) => ids.size != ids.distinct.size
+        case None =>
+          normalized.groupBy("id").count().filter(col("count") > 1).limit(1).count() > 0
+      }
+      if (dup)
         throw CollectionStateError(s"write to '$collection': duplicate ids within the batch")
     }
     val batch = nextBatch(d)
-    normalized
+    if (smallBounded || isSmallLocal(items)) {
+      // catalog-style mutation: one driver-written file, no job, no
+      // commit protocol — a LocalRelation-foldable plan never even
+      // launches tasks for the collect()
+      DriverParquet.writeBatch(spark.sessionState.newHadoopConf(), s"$d/log",
+        normalized.collect().toSeq, batch, deleted)
+    } else normalized
       .withColumn("_batch", lit(batch))
       .withColumn("_deleted", lit(deleted))
       .write.mode("append").parquet(s"$d/log")
@@ -133,15 +177,20 @@ class CollectionData(client: ChromaSpark) {
       .forEach(f => Files.delete(f))
   }
 
+  /** The at-rest log schema is FIXED (appendBatch always writes these
+    * six columns), so readers declare it instead of paying parquet
+    * footer-based schema inference on every merge-on-read.
+    */
+  private val LogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING, _batch BIGINT, _deleted BOOLEAN")
+
   private def readLog(collection: String): DataFrame = {
     val d = dir(collection)
     liveLogName(d) match {
-      case Some(name) => spark.read.parquet(s"$d/$name")
+      case Some(name) => spark.read.schema(LogSchema).parquet(s"$d/$name")
       case None =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING, _batch BIGINT, _deleted BOOLEAN"))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema)
     }
   }
 
@@ -167,12 +216,24 @@ class CollectionData(client: ChromaSpark) {
     // a fresh collection (no log) can't have existence conflicts —
     // check only in-batch duplicates there
     if (liveLogName(dir(collection)).isDefined) {
-      val ids = normalize(items).select("id")
-      val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
-        .groupBy("id").count().filter(col("count") > 1).limit(1).count()
-      if (clashes > 0)
-        throw CollectionStateError(
-          s"add to '$collection': duplicate ids in the batch or ids that already exist (use upsert)")
+      localBatchIds(items) match {
+        case Some(ids) =>
+          // driver-local batch: in-batch dup check costs no job, and
+          // the existence probe is ONE pushed-down isin filter
+          if (ids.size != ids.distinct.size)
+            throw CollectionStateError(s"add to '$collection': duplicate ids within the batch")
+          val clash = resolved(collection).filter(col("id").isin(ids: _*)).limit(1).count()
+          if (clash > 0)
+            throw CollectionStateError(
+              s"add to '$collection': ids that already exist (use upsert)")
+        case None =>
+          val ids = normalize(items).select("id")
+          val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
+            .groupBy("id").count().filter(col("count") > 1).limit(1).count()
+          if (clashes > 0)
+            throw CollectionStateError(
+              s"add to '$collection': duplicate ids in the batch or ids that already exist (use upsert)")
+      }
       appendBatch(collection, items, deleted = false, checkedUnique = true)
     } else appendBatch(collection, items, deleted = false)
   }
@@ -195,14 +256,22 @@ class CollectionData(client: ChromaSpark) {
     // ONE validation job finds both failure modes: an incoming id with
     // no live counterpart (missing → reject like the server), and an
     // id repeated within the batch (write-order nondeterminism).
-    val bad = incoming.select("id").withColumn("_n", lit(1))
-      .unionByName(existing.select("id").withColumn("_n", lit(0)))
-      .groupBy("id")
-      .agg(sum(col("_n")).as("n_in"),
-        org.apache.spark.sql.functions.count(lit(1)).as("n_all"))
-      .filter(col("n_in") > 1 || (col("n_in") === 1 && col("n_all") === col("n_in")))
-      .limit(1).count()
-    if (bad > 0)
+    // Driver-local batches check dups in-memory and probe existence
+    // with a pushed-down isin filter instead of a union+shuffle.
+    val bad = localBatchIds(items) match {
+      case Some(ids) =>
+        ids.size != ids.distinct.size ||
+          existing.filter(col("id").isin(ids: _*)).count() != ids.distinct.size
+      case None =>
+        incoming.select("id").withColumn("_n", lit(1))
+          .unionByName(existing.select("id").withColumn("_n", lit(0)))
+          .groupBy("id")
+          .agg(sum(col("_n")).as("n_in"),
+            org.apache.spark.sql.functions.count(lit(1)).as("n_all"))
+          .filter(col("n_in") > 1 || (col("n_in") === 1 && col("n_all") === col("n_in")))
+          .limit(1).count() > 0
+    }
+    if (bad)
       throw CollectionStateError(
         s"update to '$collection': duplicate ids in the batch or ids that do not exist (use upsert)")
     val merged = incoming.alias("n").join(existing.alias("o"), "id")
@@ -215,8 +284,10 @@ class CollectionData(client: ChromaSpark) {
         (if (takeNew) col(s"n.$c") else col(s"o.$c")).as(c)
       }: _*)
     // merged ids are unique: incoming ids proved unique above, and the
-    // inner join with resolved() (one row per id) cannot fan out
-    appendBatch(collection, merged, deleted = false, checkedUnique = true)
+    // inner join with resolved() (one row per id) cannot fan out —
+    // so a small local batch also bounds the merged row count
+    appendBatch(collection, merged, deleted = false, checkedUnique = true,
+      smallBounded = isSmallLocal(items))
   }
 
   /** Chroma `peek`: the first `n` items by id order. */
@@ -239,7 +310,19 @@ class CollectionData(client: ChromaSpark) {
     if (ids.nonEmpty) victims = victims.filter(col("id").isin(ids: _*))
     whereJson.foreach(w => victims = victims.filter(metadataPredicate(w)))
     whereDocumentJson.foreach(w => victims = victims.filter(documentPredicate(w)))
-    appendBatch(collection, victims, deleted = true)
+    // A tombstone only needs the id (resolved() drops the whole id
+    // once the newest row is deleted) — and most deletes hit few
+    // rows, so probe with a BOUNDED collect first: small victim sets
+    // append driver-side with no write job; anything larger falls
+    // back to the distributed append, having paid only one cheap
+    // limit-probe job extra.
+    val bound = 10000
+    val probe = victims.select(col("id")).limit(bound + 1).collect()
+    if (probe.length <= bound) {
+      val sp = spark
+      import sp.implicits._
+      appendBatch(collection, probe.map(_.getString(0)).toSeq.toDF("id"), deleted = true)
+    } else appendBatch(collection, victims.select(col("id")), deleted = true)
   }
 
   /** Chroma `include` projection: which payload columns `get`/`query`

@@ -60,6 +60,32 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("buildIfAbsent builds once per (content, params) and reuses the completed index") {
+    val (corpus, queries) = corpusAndQueries
+    val root = Files.createTempDirectory("ivf-index-cache").toString
+    val dir1 = VectorIndex.buildIfAbsent(corpus, root, kClusters = 8, iters = 2)
+    val files1 = spark.read.parquet(s"$dir1/vectors").inputFiles.sorted
+    val mtime1 = Files.getLastModifiedTime(java.nio.file.Paths.get(dir1, "_INDEX_OK"))
+    // identical corpus + params: same dir, nothing rewritten
+    val dir2 = VectorIndex.buildIfAbsent(corpus, root, kClusters = 8, iters = 2)
+    assert(dir2 === dir1)
+    assert(spark.read.parquet(s"$dir2/vectors").inputFiles.sorted === files1)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(dir2, "_INDEX_OK")) === mtime1)
+    // different params → a different index
+    val dir3 = VectorIndex.buildIfAbsent(corpus, root, kClusters = 4, iters = 2)
+    assert(dir3 !== dir1)
+    // changed content → a different index
+    val dir4 = VectorIndex.buildIfAbsent(corpus.filter(col("vec_id") =!= 11L), root,
+      kClusters = 8, iters = 2)
+    assert(dir4 !== dir1)
+    // the reused index answers queries identically to a fresh build
+    val viaCache = VectorIndex.query(spark, dir1, queries, k = 5).collect().toSeq
+    val freshDir = Files.createTempDirectory("ivf-index-fresh").toString
+    VectorIndex.build(corpus, freshDir, kClusters = 8, iters = 2)
+    val viaFresh = VectorIndex.query(spark, freshDir, queries, k = 5).collect().toSeq
+    assert(viaCache === viaFresh)
+  }
+
   test("centroids table is model-sized") {
     val (corpus, _) = corpusAndQueries
     val dir = Files.createTempDirectory("ivf-index-cent").toString

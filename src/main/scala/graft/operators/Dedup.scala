@@ -328,20 +328,23 @@ object Dedup {
     withSigCache(release)(hashed) {
       val tok = hashed.select(col("doc_id"), size(col("sh0")).as("len"),
         explode(col("sh0")).as("t"))
-      val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
       // floor (not ceil) of τ·len under-estimates the required
       // overlap, which only LENGTHENS the prefix — safe against
       // double-rounding artifacts at exact-integer boundaries.
       val prefixLen = (col("len").cast("double") -
         greatest(lit(1.0), floor(col("len") * lit(threshold))) + lit(1.0)).cast("int")
-      // Join keyed by shingle hash (no skew — every key's row count
-      // IS its df), then one window shuffle by doc_id ranks tokens
-      // rarest-first; rk is the token's 1-based position in the doc's
-      // full (df, hash) order, so `rk ≤ prefixLen` rows ARE the
-      // prefix — no array re-assembly, no re-explode.
+      // df via an unbounded window over the shingle hash — ONE shuffle
+      // of the token relation where groupBy-then-join-back costs two
+      // (the join side shuffles every token row again). Skew bound:
+      // a key's partition load IS its df, same as the join layout.
+      val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      // Then one window shuffle by doc_id ranks tokens rarest-first;
+      // rk is the token's 1-based position in the doc's full (df,
+      // hash) order, so `rk ≤ prefixLen` rows ARE the prefix — no
+      // array re-assembly, no re-explode.
       val rankW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
-      val pre = tok.join(dfreq, "t")
+      val pre = tok.withColumn("df", count(lit(1)).over(dfW))
         .withColumn("rk", row_number().over(rankW))
         .filter(col("rk") <= prefixLen)
         .select(col("doc_id"), col("len"), col("rk"), col("t").as("p"))
@@ -439,16 +442,23 @@ object Dedup {
     val edges = symmetrizedEdges(pairs).persist()
     val initial = initialLabels(edges)
       .persist() // materialized by the first round's action
-    // ONE Spark job per round: the changed-count action materializes
-    // the persisted `stepped` frame, and the next round's labels are a
-    // lazy projection of that cache — per-round scheduler overhead is
-    // what dominates on small graphs, so job count is the knob.
+    // ONE Spark job per TWO propagation rounds: the changed-count
+    // action materializes the persisted double-stepped frame, and the
+    // next iteration's labels are a lazy projection of that cache —
+    // per-round scheduler overhead is what dominates on small graphs,
+    // so job count is the knob. Checking change only on the SECOND
+    // sub-step is a sound fixpoint test: labels are monotone
+    // non-increasing and the step is idempotent at the fixpoint, so
+    // "sub-step 2 changed nothing" means its input already was the
+    // fixpoint — regardless of what sub-step 1 did.
     var prevCache: DataFrame = initial
     var labels: DataFrame = initial
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val stepped = labelPropagationStep(edges, labels).persist()
+      val mid = labelPropagationStep(edges, labels)
+        .select(col("doc_id"), col("next_label").as("label"))
+      val stepped = labelPropagationStep(edges, mid).persist()
       changed = stepped.filter(col("next_label") =!= col("label")).count()
       prevCache.unpersist() // safe: stepped is materialized now
       prevCache = stepped
@@ -457,8 +467,8 @@ object Dedup {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupGroups did not converge in $maxIters rounds (component diameter too " +
-          s"large) — raise maxIters; refusing to emit partial groups")
+        s"dedupGroups did not converge in $maxIters double-rounds (component " +
+          s"diameter too large) — raise maxIters; refusing to emit partial groups")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     val out = labels
       .join(sizes, "label")

@@ -268,6 +268,10 @@ object SparkEntry {
     "ev_funnel"          -> (Events.funnel _),
     "ev_retention"       -> (Events.retention _),
     "ev_props_map"       -> (Events.propsMapStats _),
+    "ev_scd2"            -> (Events.scd2 _),
+    "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
+    "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
@@ -611,6 +615,60 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
         |FROM filled
         |ORDER BY user_id, bin_ts""".stripMargin,
+
+    "ev_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type AS state
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_s, state, lag(state) OVER w AS prev_state
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |v AS (
+        |  SELECT user_id, event_id, ts_s, state
+        |  FROM chg WHERE prev_state IS NULL OR state <> prev_state),
+        |numbered AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version, state,
+        |    ts_s AS valid_from, lead(ts_s) OVER w2 AS valid_to
+        |  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+        |SELECT user_id, version, state, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM numbered
+        |ORDER BY user_id, version""".stripMargin,
+
+    // mean/variance derive from exact integer window sums in the SAME
+    // expression order as the Spark side, so every double op is
+    // IEEE-identical — a built-in windowed stddev would leave moment
+    // accumulation order (and last-bit rounding) engine-specific.
+    "ev_anomaly" ->
+      """WITH series AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |winsum AS (
+        |  SELECT event_type, hour, n_events,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2,
+        |    count(n_events) OVER w AS n_base
+        |  FROM series
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT event_type, hour, n_events,
+        |    CAST(s1 AS DOUBLE) / 24.0 AS mu,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0) / 23.0
+        |      AS variance
+        |  FROM winsum WHERE n_base = 24),
+        |z AS (
+        |  SELECT event_type, hour, n_events, mu,
+        |    (n_events - mu) / sqrt(variance) AS z
+        |  FROM scored WHERE variance > 0)
+        |SELECT event_type, hour, n_events,
+        |  floor(mu * 10000.0 + 0.5) / 10000.0 AS mu,
+        |  floor(z * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM z WHERE abs(z) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,
@@ -983,6 +1041,64 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM seqd GROUP BY shard, seq_id
         |ORDER BY shard, seq_id""".stripMargin,
+
+    "txt_sample" ->
+      """WITH a AS (
+        |  SELECT lang, doc_id,
+        |    (CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |       AS INTEGER) % 1000)
+        |      < (CASE WHEN lang = 'en' THEN 900
+        |              WHEN lang = 'de' THEN 500
+        |              ELSE 250 END) AS kept
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) FILTER (kept) AS BIGINT) AS kept_id_sum
+        |FROM a GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // Reproduces plantedBoilerplateDocs (same 32-token passage, same
+    // 5 + doc_id%10 splice offset) and the salted-md5 chunk
+    // boundaries token for token; chunk text re-assembles from
+    // position-ordered tokens on both engines.
+    "txt_cdc_dedup" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 10 THEN
+        |      trim(array_to_string(list_slice(toks, 1, 5 + doc_id % 10), ' ')
+        |        || ' ' || '""" + graft.operators.TextAnalysis.BoilerplateText + """'
+        |        || ' ' || array_to_string(list_slice(toks, 6 + doc_id % 10, len(toks)), ' '))
+        |    ELSE text END AS text2
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(toks2) + 1)) AS pos,
+        |    unnest(toks2) AS token
+        |  FROM (SELECT doc_id, string_split_regex(trim(text2), '\s+') AS toks2
+        |        FROM planted)),
+        |chunked AS (
+        |  SELECT doc_id, pos, token,
+        |    sum(CASE WHEN CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % 16 = 0
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        |  FROM tok),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+        |    count(*) AS n_tokens
+        |  FROM chunked GROUP BY doc_id, chunk_id)
+        |SELECT md5(chunk_text) AS chunk_fp,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS example_doc
+        |FROM chunks GROUP BY md5(chunk_text)
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_fp""").stripMargin,
 
     "txt_split" ->
       """WITH assigned AS (

@@ -162,6 +162,71 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Slowly-changing-dimension type 2 from a change log: each user's
+    * event stream is read as attribute updates (state = event_type),
+    * consecutive duplicates collapse, and each surviving change opens
+    * a validity interval closed by the next change — the standard
+    * CDC-to-warehouse merge every large pipeline runs. One shuffle
+    * key (user_id) end to end: the change-detection lag, the
+    * version-numbering row_number, and the interval-closing lead all
+    * share the same window partitioning, so Spark plans a single
+    * exchange feeding three window passes.
+    *
+    * Ties at second granularity break by event_id (both engines),
+    * making the version history deterministic.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"), col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("state") =!= col("prev_state"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to", lead(col("ts_s"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("state"),
+        col("ts_s").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Rolling z-score anomaly detection on the hourly event-count
+    * series, per event type: each hour scores against the mean/stddev
+    * of the PRIOR 24 fully-observed hours (trailing frame excludes
+    * the current row — an anomaly must not dilute its own baseline),
+    * and |z| ≥ 2 flags it. Hash agg to hours first (map-side
+    * combine), then one window pass over the tiny hourly series —
+    * event volume only touches the first aggregation, so the operator
+    * is one data-sized shuffle at any scale.
+    */
+  def anomaly(s: SparkSession, dir: String, zThreshold: Double = 2.0): DataFrame = {
+    val series = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val trailing = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    // mean/variance are DERIVED from exact integer window sums (s1,
+    // s2 ≤ 2⁵³ — no float drift), in a fixed expression order both
+    // engines evaluate identically in IEEE doubles; a built-in
+    // windowed stddev would leave the moment-accumulation order (and
+    // its last-bit rounding) to each engine
+    val mu = col("s1").cast("double") / lit(24.0)
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / lit(24.0)) / lit(23.0)
+    series
+      .withColumn("s1", sum(col("n_events")).over(trailing))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(trailing))
+      .withColumn("n_base", count(col("n_events")).over(trailing))
+      // score only hours with a full baseline and nonzero spread
+      .filter(col("n_base") === 24 && variance > 0)
+      .withColumn("z", (col("n_events") - mu) / sqrt(variance))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        CrossEngine.rnd4(mu).as("mu"), CrossEngine.rnd4(col("z")).as("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Time-series RESAMPLE with gap-fill and forward-fill: per-user
     * 4-hour bins, a generated spine closing the gaps between each
     * user's first and last bin, and the last observed value carried

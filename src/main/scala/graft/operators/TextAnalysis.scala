@@ -204,6 +204,109 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic STRATIFIED sampling: per-language keep rates in
+    * per-mille, assignment by salted md5 bucket (salt decorrelates it
+    * from the train/val/test split's buckets, so sampling within a
+    * split stays unbiased). Hash-based membership is rerun- and
+    * ingest-stable like [[splitCounts]] — the only sampling that
+    * composes across incremental 100 TB pipeline runs. The kept-id
+    * sum certifies exact MEMBERSHIP cross-engine, not just counts.
+    * Pure map stage + one hash agg.
+    */
+  def stratifiedSample(s: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map("en" -> 900, "de" -> 500),
+                       defaultRate: Int = 250): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))),
+      1, 4), 16, 10).cast("long") % 1000
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), (bucket < rate).as("kept"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Content-defined chunking (CDC) dedup: token-hash-selected
+    * boundaries cut every document into variable chunks whose edges
+    * depend only on LOCAL content, so a boilerplate passage repeated
+    * at different offsets in different documents still yields
+    * byte-identical interior chunks — the property fixed-window
+    * chunking fundamentally lacks (any offset shift breaks alignment).
+    * This is the rsync/LBFS chunking discipline applied to corpus
+    * boilerplate mining.
+    *
+    * Plan shape: tokenize+posexplode (map), one window pass per doc
+    * for the running boundary count, one hash agg to assemble chunks,
+    * one hash agg on the chunk fingerprint — two shuffle keys
+    * (doc_id, then fingerprint), both data-sized, no joins.
+    *
+    * Output: every chunk fingerprint seen in ≥ 2 distinct documents
+    * (the cross-corpus boilerplate), with its spread and an example
+    * location. Deterministic: planted boilerplate (inserted at
+    * DIFFERENT token offsets per doc) guarantees non-empty output on
+    * the synthetic corpus.
+    */
+  def cdcDedup(s: SparkSession, dir: String, modulus: Int = 16): DataFrame = {
+    val docs = plantedBoilerplateDocs(s, dir)
+    val tok = docs.select(col("doc_id"),
+      posexplode(wsTokens(col("text"))).as(Seq("pos", "token")))
+    // a token opens a new chunk when its salted md5 bucket hits 0 —
+    // expected chunk length = modulus tokens
+    val isBoundary = (conv(substring(md5(col("token")), 1, 4), 16, 10)
+      .cast("long") % modulus === 0).cast("int")
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val chunks = tok
+      .withColumn("chunk_id", sum(isBoundary).over(runW))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+    chunks
+      .groupBy(md5(col("chunk_text")).as("chunk_fp"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_fp"))
+  }
+
+  /** A fixed 32-token boilerplate passage spliced into the first ten
+    * documents at a doc-dependent offset (5 + doc_id tokens in), so
+    * chunk-alignment-sensitive methods would miss it but CDC must
+    * not. It contains three interior boundary tokens under the
+    * default modulus ("reserved", "granted", "please"), guaranteeing
+    * two byte-identical interior chunks across all ten docs. Public:
+    * the oracle SQL and the spec reproduce it verbatim.
+    */
+  val BoilerplateText: String =
+    "this content is provided under the standard license agreement all rights " +
+      "reserved worldwide permission is granted to view the material for personal " +
+      "use only please contact the publisher for any other use"
+
+  def plantedBoilerplateDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = wsTokens(col("text"))
+    val cut = lit(5) + (col("doc_id") % 10).cast("int")
+    docs.filter(col("doc_id") >= 10)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            array_join(slice(toks, lit(1), cut), " "),
+            lit(BoilerplateText),
+            array_join(slice(toks, cut + 1, greatest(size(toks) - cut, lit(0))), " "))
+            .as("text")))
+  }
+
   /** Exact dedup via fingerprint: one hash-aggregate keyed on the
     * digest (map-side combine, no row comparison), keeping the lowest
     * doc_id per group — the scalable exact-dedup shape at any volume.

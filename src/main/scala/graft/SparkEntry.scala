@@ -300,6 +300,9 @@ object SparkEntry {
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
+    "dd_semantic"        -> (Dedup.semanticNearDupQuery _),
+    "q28_profile"        -> (Profile.profileQuery _),
+    "q29_zorder"         -> (Layout.zorderQuery _),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
@@ -615,6 +618,69 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
         |FROM filled
         |ORDER BY user_id, bin_ts""".stripMargin,
+
+    "q28_profile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_discount, l_returnflag,
+        |    CAST(l_shipdate AS DATE) AS l_shipdate
+        |  FROM lineitem)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+        |  SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM li
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_quantity) AS BIGINT),
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |    CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM li
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_discount) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR) FROM li
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM li
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_shipdate) AS BIGINT),
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |    CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM li)
+        |ORDER BY col_name""".stripMargin,
+
+    // The mask-doubling bit-spread sequence written out in ANSI bit
+    // arithmetic — the oracle recomputes the Morton curve itself.
+    "q29_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x0,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      % 65536 AS BIGINT) AS day0,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |sx AS (
+        |  SELECT o_orderkey, o_custkey, day, day0,
+        |    ((x0 | (x0 << 8)) & 16711935) AS x1
+        |  FROM base),
+        |sx2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2 FROM sx),
+        |sx3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3 FROM sx2),
+        |sx4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS xs FROM sx3),
+        |sy AS (SELECT *, ((day0 | (day0 << 8)) & 16711935) AS y1 FROM sx4),
+        |sy2 AS (SELECT *, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sy),
+        |sy3 AS (SELECT *, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sy2),
+        |sy4 AS (SELECT *, ((y3 | (y3 << 1)) & 1431655765) AS ys FROM sy3),
+        |z AS (SELECT o_custkey, day, (xs | (ys << 1)) AS z FROM sy4)
+        |SELECT CAST(floor(z / 1048576.0) AS BIGINT) AS z_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM z GROUP BY 1
+        |ORDER BY z_bucket""".stripMargin,
 
     "ev_scd2" ->
       """WITH e AS (

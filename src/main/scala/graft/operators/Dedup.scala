@@ -588,6 +588,60 @@ object Dedup {
             (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding")))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's discipline):
+    * k-means-cluster the embedding space, then search for near-dups
+    * EXACTLY but only WITHIN each cluster — candidates scale with
+    * Σ cluster_size², not corpus², and truly similar vectors share a
+    * cluster by construction. Complementary to the LSH path
+    * ([[embeddingNearDupTop]]): LSH bounds candidates by hash
+    * collisions, SemDeDup by the learned partition — the latter is
+    * what the published semantic-dedup pipelines run at scale.
+    *
+    * Plan: training is [[VectorOps.kmeansCentroids]] (map-stage
+    * argmin, centroid-only aggregates), assignment a broadcast
+    * map stage, the search one equi-join on cluster label with
+    * `vec_id <` dedup — no all-pairs anywhere.
+    */
+  def semanticNearDup(embeddings: DataFrame, kClusters: Int = 16, iters: Int = 2,
+                      minCosine: Double = 0.9, topK: Int = 50): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    val cents = VectorOps.kmeansCentroids(v, kClusters, iters)
+    val labeled = v.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
+    labeled.as("a")
+      .join(labeled.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("cluster"),
+        VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= lit(minCosine))
+      .select(col("vec_a"), col("vec_b"), col("cluster"),
+        rnd4(col("cosine_raw")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(topK)
+  }
+
+  /** Driver query: semantic near-dup pairs over [[plantedEmbeddings]]
+    * with the same driver-visible `recall_planted` certification
+    * column as the LSH path — a planted pair is only found if both
+    * copies land in the same learned cluster AND pass the exact
+    * cosine bar.
+    */
+  def semanticNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = plantedEmbeddings(s, dir)
+    val top = semanticNearDup(emb, minCosine = 0.9)
+    val truth = embeddingExactPairs(emb, minCosine = 0.95)
+      .select(col("vec_a"), col("vec_b"))
+    val stats = top.select(col("vec_a"), col("vec_b")).join(truth, Seq("vec_a", "vec_b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_hits"))
+      .crossJoin(broadcast(truth.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("_truth"))))
+    top.crossJoin(broadcast(stats))
+      .withColumn("recall_planted",
+        col("_hits").cast("double") / greatest(col("_truth").cast("double"), lit(1.0)))
+      .drop("_hits", "_truth")
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+  }
+
   /** Driver query: LSH near-dup top pairs over [[plantedEmbeddings]]
     * carrying a constant `recall_planted` column — the fraction of the
     * brute-force cosine ≥ 0.95 truth set (= the planted pairs) that

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: per-column null counts, exact distinct
+  * cardinality, and min/max — the first pass every ingestion pipeline
+  * runs over an unknown 100 TB drop before committing compute to it.
+  *
+  * Plan shape: ONE aggregation job over the table computes every
+  * column's metrics side by side (count/min/max partial-aggregate
+  * map-side; the exact distincts share a single expand + two-phase
+  * aggregate — the standard multi-distinct plan). The wide one-row
+  * result then unpivots driver-free via `stack` into the long
+  * (column, metrics) form. No per-column scans: a 40-column profile
+  * reads the table once, not 40 times.
+  */
+object Profile {
+
+  /** Long-format profile of `cols` — one output row per column:
+    * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value),
+    * min/max rendered as strings so heterogeneous column types share
+    * one relation.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val wide = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __total, __total - ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Driver query: profile the five representative lineitem columns
+    * (integer key, two doubles, a flag, a date).
+    */
+  def profileQuery(s: SparkSession, dir: String): DataFrame =
+    profile(
+      graft.Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date")),
+      Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"))
+}

@@ -215,4 +215,29 @@ class DedupSpec extends SparkSpec {
     // the planted pairs dominate the top of the ranked output
     assert(q.take(5).forall(_.getAs[Double]("cosine") > 0.999))
   }
+
+  test("semantic dedup finds every planted pair within its learned cluster") {
+    val emb = Dedup.plantedEmbeddings(spark, "/root/testdata/sf0.001")
+    val out = Dedup.semanticNearDup(emb, minCosine = 0.9).collect()
+    // the 5 planted (v, v+1e6) pairs are the only cosine ≥ 0.9 pairs
+    // in the corpus, and a perturbed copy must land in its twin's
+    // cluster — SemDeDup's premise
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(v => assert(pairs.contains((v, v + 1000000L)),
+      s"planted pair $v missing from $pairs"))
+    out.foreach(r => assert(r.getDouble(3) >= 0.9))
+  }
+
+  test("semantic dedup pair clusters agree with a direct assignment recomputation") {
+    val emb = Dedup.plantedEmbeddings(spark, "/root/testdata/sf0.001")
+    val v = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val cents = VectorOps.kmeansCentroids(v, 16, 2)
+    val labels = v.select(col("vec_id"),
+      VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Dedup.semanticNearDup(emb, minCosine = 0.9).collect().foreach { r =>
+      assert(labels(r.getLong(0)) === r.getInt(2))
+      assert(labels(r.getLong(1)) === r.getInt(2))
+    }
+  }
 }

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes nulls, distincts and min/max per column in one relation") {
+    val df = Seq(
+      (Some(1), Some("a")),
+      (Some(2), None),
+      (Some(2), Some("c")),
+      (None, Some("a"))
+    ).toDF("num", "str")
+    val out = Profile.profile(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("num") === ((4L, 1L, 2L, "1", "2")))
+    assert(out("str") === ((4L, 1L, 2L, "a", "c")))
+  }
+
+  test("profile reads the table once: a single aggregate, no per-column scans") {
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = Profile.profile(df, Seq("l_orderkey", "l_quantity", "l_returnflag"))
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 1, s"expected one scan, got ${scans.length}")
+  }
+}

@@ -272,6 +272,7 @@ object SparkEntry {
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
+    "txt_lm_score"       -> (TextAnalysis.lmScore _),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
@@ -1107,6 +1108,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM seqd GROUP BY shard, seq_id
         |ORDER BY shard, seq_id""".stripMargin,
+
+    // Mirrors lmScore's micro-flooring: per-bigram log-probs floor to
+    // integer micros BEFORE summation, so aggregation order cannot
+    // drift the doubles on either engine.
+    "txt_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        |  FROM base WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u) AS v
+        |      FROM (SELECT unnest(toks) AS u FROM base)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_logp
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_sample" ->
       """WITH a AS (

@@ -204,6 +204,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Self-trained bigram language-model scoring — the in-pipeline
+    * stand-in for a KenLM-style perplexity quality filter: train
+    * add-one-smoothed bigram probabilities ON the corpus itself, then
+    * score every document by its mean bigram log-probability. Docs
+    * whose word transitions are unusual for the corpus (boilerplate,
+    * wrong language, garbled text) score low and fall to a filter.
+    *
+    * Determinism discipline (same as bm25): each bigram's log-prob is
+    * floored to integer MICROS before any aggregation, so the per-doc
+    * sums are exact integers and aggregation order can't drift the
+    * doubles on either engine.
+    *
+    * Plan shape: explode → two hash-agg count tables (bigram,
+    * context) → re-join the bigram stream against both — three
+    * shuffles, all data-sized with map-side partial aggregation, plus
+    * one broadcast vocabulary scalar. The model IS two count
+    * relations: nothing model-sized ever reaches the driver.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val base = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(base.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v")))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("micro",
+        floor(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd4(col("sum_micro").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic STRATIFIED sampling: per-language keep rates in
     * per-mille, assignment by salted md5 bucket (salt decorrelates it
     * from the train/val/test split's buckets, so sampling within a

@@ -20,6 +20,15 @@ final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
   */
 final case class SessionState(pending: List[SessionAcc])
 
+/** One finalized hourly count in the anomaly baseline. */
+final case class HourCount(hour: Long, n: Long)
+
+/** Streaming anomaly-detector state per event type: counts for hours
+  * the watermark has not yet sealed, plus the trailing window of
+  * finalized hourly baselines. Top-level for the state encoder.
+  */
+final case class AnomalyState(pending: Map[Long, Long], history: List[HourCount])
+
 /** Structured Streaming surface (SURVEY.md §7.1 item 8): the true
   * streaming analogues of the batch `graft.operators.Events` queries.
   * Transforms are expressed as Dataset→Dataset functions so they run
@@ -107,6 +116,75 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  final case class AnomalyFlag(event_type: String, hour: Timestamp, n_events: Long,
+                               mu: Double, z: Double)
+
+  /** Streaming twin of `graft.operators.Events.anomaly`: per event
+    * type, hourly counts accumulate in state until the watermark
+    * seals an hour; each sealed hour then scores against the trailing
+    * `baseline` sealed hours (mean/σ from exact integer sums — the
+    * SAME expression order as the batch twin, so flags agree
+    * bit-for-bit on watermark-admitted data) and |z| ≥ threshold
+    * emits a flag.
+    *
+    * Like the batch twin, the baseline window is over OBSERVED hours
+    * (an hour with zero events occupies no slot). State per key is
+    * O(pending hours + baseline) — bounded by the watermark delay and
+    * the 24-hour window, never by history length.
+    */
+  def anomalies(events: Dataset[Event], zThreshold: Double = 2.0,
+                baseline: Int = 24,
+                watermark: String = "1 hour"): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+
+    def update(eventType: String, batch: Iterator[Event],
+               state: GroupState[AnomalyState]): Iterator[AnomalyFlag] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prior = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+      // accumulate admitted events into their (pending) hours; events
+      // in already-sealed hours are beyond the watermark contract
+      val pending = batch.foldLeft(prior.pending) { (acc, e) =>
+        val h = math.floorDiv(e.ts.getTime, hourMs) * hourMs
+        acc.updated(h, acc.getOrElse(h, 0L) + 1L)
+      }
+      // hours whose end the watermark passed are sealed — score them
+      // in ascending order against the trailing baseline
+      val (closed, open) = pending.partition { case (h, _) => h + hourMs <= wm }
+      var history = prior.history
+      val flags = List.newBuilder[AnomalyFlag]
+      closed.toList.sortBy(_._1).foreach { case (h, n) =>
+        if (history.length == baseline) {
+          val s1 = history.map(_.n).sum
+          val s2 = history.map(hc => hc.n * hc.n).sum
+          val nb = baseline.toDouble
+          val mu = s1.toDouble / nb
+          val variance = (s2.toDouble - s1.toDouble * s1.toDouble / nb) / (nb - 1.0)
+          if (variance > 0) {
+            val z = (n - mu) / math.sqrt(variance)
+            if (math.abs(z) >= zThreshold)
+              flags += AnomalyFlag(eventType, new Timestamp(h), n,
+                math.floor(mu * 10000.0 + 0.5) / 10000.0,
+                math.floor(z * 10000.0 + 0.5) / 10000.0)
+          }
+        }
+        history = (history :+ HourCount(h, n)).takeRight(baseline)
+      }
+      if (open.isEmpty && history.isEmpty) state.remove()
+      else {
+        state.update(AnomalyState(open, history))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(math.max(open.keys.min + hourMs, wm + 1L))
+      }
+      flags.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -217,4 +217,52 @@ class EventStreamsSpec extends SparkSpec {
       assert(s.head.getLong(3) === 2L)
     } finally q.stop()
   }
+
+  test("streaming anomaly flags match the batch twin's formula on sealed hours") {
+    implicit val sqlCtx = spark.sqlContext
+    // 30 hours of a deterministic series: counts cycle 1..4 per hour,
+    // with a 25-count spike in hour 27 — exactly one anomaly once
+    // 24 baseline hours precede it
+    val counts = (0 until 30).map(h => if (h == 27) 25 else 1 + (h % 4))
+    // build per-hour batches across two days
+    def evAt(h: Int, i: Int): Event = {
+      val base = Timestamp.valueOf("2024-01-01 00:10:00").getTime
+      Event(h * 1000 + i, new Timestamp(base + h * 3600000L), i.toLong, "click", 1.0)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalies(input.toDS(), zThreshold = 2.0, baseline = 24,
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (0 until 30).foreach { h =>
+        input.addData((0 until counts(h)).map(i => evAt(h, i)))
+        q.processAllAvailable()
+      }
+      // push the watermark far past hour 29 so everything seals
+      input.addData(evAt(40, 0))
+      q.processAllAvailable()
+      val flags = spark.table("anomaly_out")
+        .select("event_type", "hour", "n_events", "mu", "z").collect()
+      // recompute expected flags with the batch twin's exact formula
+      val expected = (24 until 30).flatMap { h =>
+        val hist = (h - 24 until h).map(counts(_).toLong)
+        val s1 = hist.sum; val s2 = hist.map(x => x * x).sum
+        val mu = s1.toDouble / 24.0
+        val variance = (s2.toDouble - s1.toDouble * s1.toDouble / 24.0) / 23.0
+        val z = (counts(h) - mu) / math.sqrt(variance)
+        if (math.abs(z) >= 2.0) Some((h, counts(h).toLong,
+          math.floor(mu * 10000.0 + 0.5) / 10000.0,
+          math.floor(z * 10000.0 + 0.5) / 10000.0))
+        else None
+      }
+      assert(expected.nonEmpty && expected.exists(_._1 == 27))
+      val got = flags.map { r =>
+        val h = ((r.getTimestamp(1).getTime -
+          Timestamp.valueOf("2024-01-01 00:00:00").getTime) / 3600000L).toInt
+        (h, r.getLong(2), r.getDouble(3), r.getDouble(4))
+      }.toSet
+      assert(got === expected.toSet)
+    } finally q.stop()
+  }
 }

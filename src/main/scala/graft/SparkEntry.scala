@@ -269,6 +269,8 @@ object SparkEntry {
     "ev_retention"       -> (Events.retention _),
     "ev_props_map"       -> (Events.propsMapStats _),
     "ev_scd2"            -> (Events.scd2 _),
+    "ev_delta_agg"       -> (Events.deltaAgg _),
+    "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -682,6 +684,30 @@ object SparkEntry {
         |  min(day) AS min_day, max(day) AS max_day
         |FROM z GROUP BY 1
         |ORDER BY z_bucket""".stripMargin,
+
+    // single-pass recompute: hash-matching it proves the three-way
+    // incremental merge lost nothing
+    "ev_delta_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY date_trunc('day', ts), event_type
+        |ORDER BY day, event_type""".stripMargin,
+
+    // plain join: the Bloom pre-filter must be row-invisible (no
+    // false negatives; false positives die in the exact join)
+    "q30_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |      WHERE o_totalprice > 400000.0) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "ev_scd2" ->
       """WITH e AS (

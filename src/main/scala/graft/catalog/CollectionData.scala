@@ -196,15 +196,41 @@ class CollectionData(client: ChromaSpark) {
 
   /** Latest version per id, tombstones dropped — the merge-on-read
     * resolution. One shuffle on id; at scale the log is additionally
-    * partitioned so old batches prune out after compaction.
+    * partitioned so old batches prune out after compaction. `asOf`
+    * restricts resolution to batches ≤ the given number: because the
+    * log is APPEND-ONLY, every historical snapshot is still fully
+    * present, so time travel is a pushed-down filter, not a restore.
     */
-  private def resolved(collection: String): DataFrame = {
+  private def resolved(collection: String, asOf: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("_batch").desc)
-    readLog(collection)
+    val log = asOf match {
+      case Some(b) => readLog(collection).filter(col("_batch") <= b)
+      case None    => readLog(collection)
+    }
+    log
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_deleted"))
       .select(ItemCols.map(col): _*)
   }
+
+  /** The newest batch number in the collection's log (−1 when no
+    * write has happened yet) — the handle [[getAsOf]] snapshots
+    * against.
+    */
+  def currentBatch(collection: String): Long = {
+    val p = Paths.get(dir(collection), "_batches")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong else -1L
+  }
+
+  /** TIME TRAVEL read: the collection exactly as it stood after
+    * `batch` — later upserts, deletes and updates invisible. Same
+    * include-projection contract as [[get]]. A compact() folds
+    * history into batch 0 and truncates time travel to post-compact
+    * batches, which is the usual retention tradeoff.
+    */
+  def getAsOf(collection: String, batch: Long,
+              include: Seq[String] = DefaultInclude): DataFrame =
+    projectInclude(resolved(collection, Some(batch)).orderBy(col("id")), include)
 
   /** Chroma `add`: fails if any id already exists (live) or repeats
     * within the batch. Both violations surface from ONE validation

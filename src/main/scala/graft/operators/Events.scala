@@ -227,6 +227,62 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** INCREMENTAL aggregate maintenance (the materialized-view /
+    * incremental-view-maintenance discipline): daily aggregate state
+    * is kept in ALGEBRAIC form — (n, sum, min, max) per (day, type) —
+    * so merging a new delta is `unionByName` + the same hash
+    * aggregate, touching only state + delta, never historical raw
+    * events. Derived values (avg) compute at READ time from the
+    * algebraic parts; storing them would make the state non-mergeable.
+    * At 100 TB this is the difference between reprocessing a day and
+    * reprocessing a history.
+    */
+  def dailyAggState(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Merge an existing state with a new delta's state: same-key rows
+    * combine by the aggregates' own merge functions (count+count,
+    * sum+sum, min(min), max(max)).
+    */
+  def mergeDailyAggs(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
+  /** Driver query: fold the event history through THREE chronological
+    * delta merges (as an incremental pipeline would day by day) and
+    * read out the final state with derived averages — the oracle is a
+    * single-pass aggregate over everything, so the hash-match PROVES
+    * the merge path is lossless.
+    */
+  def deltaAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
+    val cut1 = to_timestamp(lit("2024-01-08 00:00:00"))
+    val cut2 = to_timestamp(lit("2024-01-15 00:00:00"))
+    val deltas = Seq(
+      ev.filter(col("ts") < cut1),
+      ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+      ev.filter(col("ts") >= cut2))
+    val finalState = deltas.map(dailyAggState)
+      .reduce((st, d) => mergeDailyAggs(st, d))
+    finalState
+      .select(col("day"), col("event_type"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("min_value"), col("max_value"),
+        round(col("sum_value") / col("n_events"), 4).as("avg_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Time-series RESAMPLE with gap-fill and forward-fill: per-user
     * 4-hour bins, a generated spine closing the gaps between each
     * user's first and last bin, and the last observed value carried

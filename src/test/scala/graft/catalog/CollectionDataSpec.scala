@@ -280,4 +280,29 @@ class CollectionDataSpec extends SparkSpec {
     val d = new CollectionData(c)
     assertThrows[CollectionStateError] { d.count("nope") }
   }
+
+  test("time travel: getAsOf reads every historical snapshot from the append-only log") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc a v1", "{}"),
+      ("b", Seq(0f, 1f), "doc b", "{}")))
+    val b0 = d.currentBatch("col")
+    d.upsert("col", items(("a", Seq(1f, 1f), "doc a v2", "{}")))
+    val b1 = d.currentBatch("col")
+    d.delete("col", ids = Seq("b"))
+    val b2 = d.currentBatch("col")
+    assert(b0 < b1 && b1 < b2)
+    // snapshot after the add: original doc a, b alive
+    val s0 = d.getAsOf("col", b0).collect()
+    assert(s0.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(s0.head.getString(1) === "doc a v1")
+    // snapshot after the upsert: doc a replaced, b still alive
+    val s1 = d.getAsOf("col", b1).collect()
+    assert(s1.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(s1.head.getString(1) === "doc a v2")
+    // snapshot after the delete == current state
+    assert(d.getAsOf("col", b2).collect().map(_.getString(0)).toSeq === Seq("a"))
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("a"))
+    // a pre-history batch number is an empty collection, not an error
+    assert(d.getAsOf("col", -1L).count() === 0)
+  }
 }

@@ -47,10 +47,42 @@ object Bench {
       System.gc()
       name -> median(times)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness that records this line keeps only the LAST 2000
+    // chars of stdout (sbt appends its own ~75-char success line), so
+    // the JSON must stay under ~1900 chars or it is truncated mid-line
+    // and unparseable — exactly what happened to the round-3 artifact.
+    // Compact the printed values to 3 significant digits and, if the
+    // suite outgrows the budget, keep the most expensive queries in
+    // the printed dict; the full-precision breakdown always goes to
+    // BENCH_LOCAL.json alongside the repo for offline reading.
+    def fmt(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
+      else if (v >= 1) f"$v%.2f" else f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val fullJson = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    }
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    val budget = 1800
+    val overhead =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = {
+      var used = overhead
+      entries.takeWhile { e =>
+        used += e.length + 1; used <= budget
+      }
+    }
+    val omitted = entries.size - kept.size
+    val qs = kept.mkString("{", ",", "}")
+    val suffix = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
     spark.stop()
   }
 }

@@ -306,6 +306,10 @@ object SparkEntry {
     "dd_semantic"        -> (Dedup.semanticNearDupQuery _),
     "q28_profile"        -> (Profile.profileQuery _),
     "q29_zorder"         -> (Layout.zorderQuery _),
+    "q31_integrity"      -> (Relational.qIntegrity _),
+    "q32_skew_agg"       -> (Relational.qSkewAgg _),
+    "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
+    "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
@@ -708,6 +712,120 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // NOT EXISTS ≡ Spark's LEFT ANTI (incl. NULL-key semantics)
+    "q31_integrity" ->
+      """WITH checks(constraint_name, n_child, n_orphans) AS (
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |       (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |       (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |       (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |       (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
+        |SELECT constraint_name, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM checks ORDER BY constraint_name""".stripMargin,
+
+    // plain GROUP BY: the salted two-phase aggregate must be
+    // algebraically invisible (avg derives from the ROUNDED sum on
+    // both sides, mirroring the Spark read-time derivation)
+    "q32_skew_agg" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_quantity <= 25 THEN 'bulk'
+        |              ELSE 's' || CAST(l_suppkey % 100 AS VARCHAR) END AS grp,
+        |    l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |    floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |    floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+        |  FROM keyed GROUP BY grp)
+        |SELECT grp, n_rows, sum_qty, sum_price,
+        |  floor(sum_qty / n_rows * 10000.0 + 0.5) / 10000.0 AS avg_qty
+        |FROM agg ORDER BY grp""".stripMargin,
+
+    // 3 unrolled power iterations, damping 0.85; the co-purchase
+    // graph is symmetric so every node has in/out degree (no
+    // dangling-mass term); ranks normalized to mean 1 then rounded
+    // by the shared floor contract BEFORE the top-k ordering
+    "q33_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r0.r / deg.outdeg) AS r
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r1.r / deg.outdeg) AS r
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r2.r / deg.outdeg) AS r
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst)
+        |SELECT r3.node AS p_partkey,
+        |  floor(r3.r * (SELECT n FROM nn) * 10000.0 + 0.5) / 10000.0 AS rank_x_n,
+        |  deg.outdeg AS n_copurchase
+        |FROM r3 JOIN deg ON r3.node = deg.src
+        |ORDER BY rank_x_n DESC, p_partkey
+        |LIMIT 50""".stripMargin,
+
+    // thresholds derive from the corpus's own counts in the same
+    // double-op order as the Spark side; membership is the salted
+    // md5 bucket shared with txt_sample/txt_split
+    "txt_mixture" ->
+      """WITH tot AS (
+        |  SELECT floor(0.5 * count(*)) AS target FROM documents),
+        |thr AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(least(1000, floor(
+        |      (CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.20
+        |                 WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+        |                 WHEN 'zh' THEN 0.10 ELSE 0.0 END)
+        |      * (SELECT target FROM tot) * 1000.0 / count(*)))
+        |      AS BIGINT) AS threshold
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT d.lang, d.doc_id,
+        |    (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |       AS INTEGER) % 1000) < thr.threshold AS kept,
+        |    thr.n_docs, thr.threshold
+        |  FROM documents d JOIN thr ON d.lang = thr.lang)
+        |SELECT lang, n_docs, threshold,
+        |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id) FILTER (kept) AS BIGINT) AS sampled_id_sum
+        |FROM s GROUP BY lang, n_docs, threshold
+        |ORDER BY lang""".stripMargin,
 
     "ev_scd2" ->
       """WITH e AS (

@@ -492,4 +492,77 @@ object Relational {
         (abs(col("p95_price_approx") - col("p95_price_exact")) <=
           greatest(abs(col("p95_price_exact")) * 0.01, lit(1.0))).as("p95_within_1pct"))
   }
+
+  /** Referential-integrity audit across the whole star schema: for
+    * every FK → PK edge, the child row count and the orphan count
+    * (child rows whose key has no parent). Each check is one LEFT
+    * ANTI join — broadcast when the parent is a dim table, shuffled
+    * hash otherwise — followed by a count, so the audit is a linear
+    * scan per edge with no row ever widened. This is the standing
+    * data-quality gate a 100 TB warehouse runs after every load; the
+    * oracle proves the anti-join orphan semantics (including the
+    * NULL-key behavior NOT IN would get wrong) match NOT EXISTS.
+    */
+  def qIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("constraint_name"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      check("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      check("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      check("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      check("customer.c_nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      check("supplier.s_nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      check("nation.n_regionkey->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("constraint_name"))
+  }
+
+  /** Salted TWO-PHASE aggregation for skewed group keys, proven
+    * algebraically equal to the plain aggregate by the oracle. A
+    * synthetic 'bulk' key absorbs roughly half of lineitem (the
+    * classic hot-key shape that makes a single reducer the straggler
+    * at 100 TB); phase 1 aggregates on (key, salt) — 32 salts spread
+    * the hot key across reducers — and phase 2 combines the 32
+    * algebraic partials per key. count/sum re-merge losslessly
+    * (sum-of-sums); avg derives from the merged parts at read time,
+    * never averaged-of-averages. The hash-match against a plain
+    * GROUP BY is the correctness proof that salting changes the
+    * schedule, not the answer.
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(s, dir)
+      .select(
+        when(col("l_quantity") <= 25, lit("bulk"))
+          .otherwise(concat(lit("s"), pmod(col("l_suppkey"), lit(100)).cast("string")))
+          .as("grp"),
+        col("l_quantity"), col("l_extendedprice"), col("l_orderkey"))
+    val phase1 = keyed
+      .groupBy(col("grp"), pmod(col("l_orderkey"), lit(32)).as("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_quantity")).as("pq"),
+        sum(col("l_extendedprice")).as("pp"))
+    phase1.groupBy(col("grp"))
+      .agg(
+        sum(col("pn")).as("n_rows"),
+        r2(sum(col("pq"))).as("sum_qty"),
+        r2(sum(col("pp"))).as("sum_price"))
+      .withColumn("avg_qty", r4(col("sum_qty") / col("n_rows")))
+      .orderBy(col("grp"))
+  }
 }

@@ -278,6 +278,52 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic MIXTURE sampling: hit a target domain composition
+    * (the training-data "data mixing" step — e.g. 40 % en / 20 % de …)
+    * regardless of how skewed the raw corpus is. Per-language accept
+    * thresholds derive from the corpus's own counts — threshold_l =
+    * min(1000, ⌊w_l · T · 1000 / n_l⌋) per-mille, T the overall target
+    * size — then membership is the same salted-md5-bucket test as
+    * [[stratifiedSample]], so the sample is rerun- and ingest-stable
+    * and composes across incremental runs. Languages scarcer than
+    * their target weight saturate at keep-all (threshold 1000) rather
+    * than upsampling, which is the standard single-epoch behavior.
+    *
+    * Plan shape: one tiny per-language count agg (≤ #langs rows,
+    * broadcast back), then a pure map-stage membership test and one
+    * final hash agg — two data-sized shuffles total at any scale. The
+    * kept-id sum certifies exact membership cross-engine.
+    */
+  def mixtureSample(s: SparkSession, dir: String,
+                    weights: Map[String, Double] = Map(
+                      "en" -> 0.40, "de" -> 0.20, "fr" -> 0.15,
+                      "es" -> 0.15, "zh" -> 0.10),
+                    targetFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("lang"), col("doc_id"))
+    val total = docs.count() // scalar corpus size (driver-side by design)
+    val target = math.floor(targetFrac * total).toLong
+    val w = weights.foldLeft(lit(0.0): Column) {
+      case (acc, (l, v)) => when(col("lang") === l, lit(v)).otherwise(acc)
+    }
+    val thresholds = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        least(lit(1000L),
+          floor(w * lit(target.toDouble) * lit(1000.0) / col("n_docs")))
+          .cast("long").as("threshold"))
+    val bucket = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+      1, 4), 16, 10).cast("long") % 1000
+    docs
+      .join(broadcast(thresholds), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("threshold"), col("doc_id"),
+        (bucket < col("threshold")).as("kept"))
+      .groupBy(col("lang"), col("n_docs"), col("threshold"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("kept"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** Content-defined chunking (CDC) dedup: token-hash-selected
     * boundaries cut every document into variable chunks whose edges
     * depend only on LOCAL content, so a boilerplate passage repeated

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a directed cycle is uniform (rank_x_n = 1)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pagerankOnEdges(edges, iters = 3, topK = 10).collect()
+    assert(out.length === 3)
+    out.foreach(r => assert(r.getAs[Double]("rank_x_n") === 1.0))
+  }
+
+  test("pagerank on a symmetric star matches the hand-computed power iteration") {
+    // center 0 <-> leaves 1,2,3 (symmetric edges, so no dangling nodes)
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    // closed-form power iteration: outdeg(center)=3, outdeg(leaf)=1
+    var c = 0.25; var l = 0.25
+    for (_ <- 1 to 3) {
+      val c2 = 0.15 / 4 + 0.85 * (3 * l) // leaves all point at center
+      val l2 = 0.15 / 4 + 0.85 * (c / 3) // each leaf fed by center/3
+      c = c2; l = l2
+    }
+    val out = Graph.pagerankOnEdges(edges, iters = 3, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank_x_n")).toMap
+    def rnd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(out(0L) === rnd4(c * 4))
+    Seq(1L, 2L, 3L).foreach(k => assert(out(k) === rnd4(l * 4)))
+    // probability mass is conserved by the iteration
+    assert(math.abs(c + 3 * l - 1.0) < 1e-12)
+  }
+
+  test("topK cuts deterministically and output is rank-descending") {
+    val out = Graph.pagerank(spark, "/root/testdata/sf0.001", iters = 2, topK = 15).collect()
+    assert(out.length === 15)
+    val ranks = out.map(_.getAs[Double]("rank_x_n")).toSeq
+    assert(ranks === ranks.sorted.reverse)
+    // ties after rounding must be ordered by ascending part key
+    ranks.zip(ranks.tail).zipWithIndex.foreach { case ((a, b), i) =>
+      if (a == b)
+        assert(out(i).getAs[Long]("p_partkey") < out(i + 1).getAs[Long]("p_partkey"))
+    }
+  }
+
+  test("co-purchase edge list is symmetric and self-loop-free") {
+    val e = Graph.copurchaseEdges(spark, "/root/testdata/sf0.001")
+    assert(e.filter($"src" === $"dst").count() === 0)
+    val asym = e.as("a").join(e.as("b"),
+        $"a.src" === $"b.dst" && $"a.dst" === $"b.src", "left_anti").count()
+    assert(asym === 0, "every co-purchase edge must have its reverse")
+  }
+}

@@ -307,9 +307,11 @@ object SparkEntry {
     "q28_profile"        -> (Profile.profileQuery _),
     "q29_zorder"         -> (Layout.zorderQuery _),
     "q31_integrity"      -> (Relational.qIntegrity _),
+    "q34_histogram"      -> ((s, d) => Relational.q34Histogram(s, d)),
     "q32_skew_agg"       -> (Relational.qSkewAgg _),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "txt_sentence_dedup" -> (TextAnalysis.sentenceDedup _),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
@@ -766,13 +768,14 @@ object SparkEntry {
         |  floor(sum_qty / n_rows * 10000.0 + 0.5) / 10000.0 AS avg_qty
         |FROM agg ORDER BY grp""".stripMargin,
 
-    // 3 unrolled power iterations, damping 0.85; the co-purchase
+    // 3 unrolled power iterations, damping 0.85, over edge INSTANCES
+    // (multigraph — co-purchase frequency weights the walk); the
     // graph is symmetric so every node has in/out degree (no
     // dangling-mass term); ranks normalized to mean 1 then rounded
     // by the shared floor contract BEFORE the top-k ordering
     "q33_pagerank" ->
       """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
@@ -826,6 +829,57 @@ object SparkEntry {
         |  CAST(sum(doc_id) FILTER (kept) AS BIGINT) AS sampled_id_sum
         |FROM s GROUP BY lang, n_docs, threshold
         |ORDER BY lang""".stripMargin,
+
+    // bucket edges derive from the data in the same double-op order
+    // on both engines; the cumulative distribution windows over the
+    // tiny bucket relation only
+    "q34_histogram" ->
+      """WITH bounds AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(19, CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo))
+        |    AS BIGINT)) AS bucket, l_extendedprice AS x, lo, hi
+        |  FROM lineitem, bounds),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |    floor(sum(x) * 100.0 + 0.5) / 100.0 AS sum_price,
+        |    floor((any_value(lo) + bucket * (any_value(hi) - any_value(lo)) / 20.0)
+        |      * 100.0 + 0.5) / 100.0 AS bucket_lo
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, bucket_lo, n_rows, sum_price,
+        |  CAST(sum(n_rows) OVER cum AS BIGINT) AS cum_rows,
+        |  floor(CAST(sum(n_rows) OVER cum AS DOUBLE)
+        |    / (SELECT sum(n_rows) FROM g) * 10000.0 + 0.5) / 10000.0 AS cum_pct
+        |FROM g
+        |WINDOW cum AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |ORDER BY bucket""".stripMargin,
+
+    // first-occurrence rank keyed on the sentence text itself; the
+    // reassembly re-sorts by original position so the fingerprint
+    // proves span ORDER, not just membership
+    "txt_sentence_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+        |exploded AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> i)) AS pos,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> parts[i])) AS raw
+        |  FROM base),
+        |sent AS (
+        |  SELECT doc_id, pos, trim(raw) AS sent
+        |  FROM exploded WHERE trim(raw) <> ''),
+        |ranked AS (
+        |  SELECT doc_id, pos, sent,
+        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+        |  FROM sent)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |  CASE WHEN count(*) FILTER (rn = 1) > 0
+        |    THEN md5(string_agg(sent, '.' ORDER BY pos) FILTER (rn = 1)) END AS kept_fp
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "ev_scd2" ->
       """WITH e AS (

@@ -620,6 +620,25 @@ object Dedup {
       .limit(topK)
   }
 
+  /** The cosine ≥ `minCosine` truth pairs that involve a PLANTED copy
+    * (vec_id ≥ 1e6): one broadcast of the handful of planted vectors
+    * against the corpus — O(N·planted) instead of
+    * [[embeddingExactPairs]]'s O(N²). By [[plantedEmbeddings]]'s
+    * construction the synthetic corpus has no organic pair above
+    * ~0.5 cosine, so at the 0.95 bar this IS the full truth set —
+    * DedupSpec asserts that equality against the quadratic
+    * formulation, which stays the general-purpose certification tool.
+    */
+  def plantedTruthPairs(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    val planted = v.filter(col("vec_id") >= 1000000L)
+    v.as("a").join(broadcast(planted.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= lit(minCosine))
+      .select(col("vec_a"), col("vec_b"), rnd4(col("cosine_raw")).as("cosine"))
+  }
+
   /** Driver query: semantic near-dup pairs over [[plantedEmbeddings]]
     * with the same driver-visible `recall_planted` certification
     * column as the LSH path — a planted pair is only found if both
@@ -629,7 +648,7 @@ object Dedup {
   def semanticNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = plantedEmbeddings(s, dir)
     val top = semanticNearDup(emb, minCosine = 0.9)
-    val truth = embeddingExactPairs(emb, minCosine = 0.95)
+    val truth = plantedTruthPairs(emb, minCosine = 0.95)
       .select(col("vec_a"), col("vec_b"))
     val stats = top.select(col("vec_a"), col("vec_b")).join(truth, Seq("vec_a", "vec_b"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("_hits"))
@@ -651,7 +670,7 @@ object Dedup {
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = plantedEmbeddings(s, dir)
     val top = embeddingNearDupTop(emb)
-    val truth = embeddingExactPairs(emb, minCosine = 0.95)
+    val truth = plantedTruthPairs(emb, minCosine = 0.95)
       .select(col("vec_a"), col("vec_b"))
     val stats = top.select(col("vec_a"), col("vec_b")).join(truth, Seq("vec_a", "vec_b"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("_hits"))

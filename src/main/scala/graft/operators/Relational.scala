@@ -532,6 +532,42 @@ object Relational {
       .orderBy(col("constraint_name"))
   }
 
+  /** Equi-width HISTOGRAM with cumulative distribution over
+    * l_extendedprice: two passes — a scalar min/max agg (broadcast
+    * back as a 1-row frame), then a map-stage bucket assignment and
+    * one hash agg on ≤ `buckets` groups, plus a window over the tiny
+    * bucket relation for the running distribution. The histogram of a
+    * 100 TB column costs exactly two linear scans and shuffles only
+    * `buckets` rows; bucket edges derive from the data itself in a
+    * fixed double-op order both engines evaluate identically.
+    */
+  def q34Histogram(s: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val b = li.crossJoin(broadcast(bounds))
+      .select(least(lit(buckets - 1),
+        floor((col("x") - col("lo")) * lit(buckets.toDouble) / (col("hi") - col("lo"))))
+        .cast("long").as("bucket"),
+        col("x"), col("lo"), col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), r2(sum(col("x"))).as("sum_price"),
+        r2(first(col("lo")) + col("bucket") * (first(col("hi")) - first(col("lo")))
+          / lit(buckets.toDouble)).as("bucket_lo"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    b.withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("cum_pct",
+        r4(col("cum_rows").cast("double") / sum(col("n_rows")).over(total)))
+      .select(col("bucket"), col("bucket_lo"), col("n_rows"), col("sum_price"),
+        col("cum_rows"), col("cum_pct"))
+      .orderBy(col("bucket"))
+  }
+
   /** Salted TWO-PHASE aggregation for skewed group keys, proven
     * algebraically equal to the plain aggregate by the oracle. A
     * synthetic 'bulk' key absorbs roughly half of lineitem (the

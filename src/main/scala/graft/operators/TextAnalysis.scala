@@ -324,6 +324,48 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** C4-style SENTENCE-LEVEL corpus dedup: every sentence is kept
+    * only at its FIRST occurrence corpus-wide (ordered by doc_id,
+    * then position — deterministic and ingest-stable), all later
+    * occurrences are dropped, and each document is reassembled from
+    * its surviving sentences in original order. This is the span
+    * dedup C4/RefinedWeb run between exact and fuzzy dedup: it kills
+    * boilerplate (cookie banners, license headers) that document-level
+    * dedup can't see because the surrounding text differs.
+    *
+    * Plan shape: split+posexplode (map stage) → ONE row_number window
+    * keyed by sentence text (the only data-sized shuffle — exactly the
+    * hash-partition-by-span discipline you'd run at 100 TB) → one
+    * hash agg back to doc_id reassembling kept spans. The reassembled
+    * text leaves the operator as an md5 fingerprint.
+    */
+  def sentenceDedup(s: SparkSession, dir: String): DataFrame =
+    sentenceDedupOn(Tables.documents(s, dir))
+
+  /** [[sentenceDedup]] over an arbitrary (doc_id, text) frame. */
+  def sentenceDedupOn(docs: DataFrame): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\.")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+      .filter(col("sent") =!= "")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sent")).orderBy(col("doc_id"), col("pos"))
+    sents
+      .withColumn("rn", row_number().over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(".",
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("sent"))))),
+            x => x.getField("sent"))).as("kept_text"))
+      .select(col("doc_id"), col("n_sentences"), col("n_kept"),
+        when(col("n_kept") > 0, md5(col("kept_text"))).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-defined chunking (CDC) dedup: token-hash-selected
     * boundaries cut every document into variable chunks whose edges
     * depend only on LOCAL content, so a boilerplate passage repeated

@@ -208,6 +208,11 @@ class DedupSpec extends SparkSpec {
     assert(truth.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
       (0L until 5L).map(i => (i, i + 1000000L)))
     truth.foreach(r => assert(r.getAs[Double]("cosine") > 0.999))
+    // the O(N·planted) truth restriction the driver queries use is
+    // lossless vs the quadratic formulation at the 0.95 bar
+    val restricted = Dedup.plantedTruthPairs(Dedup.plantedEmbeddings(spark, dir), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(restricted === truth.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
     val q = Dedup.embedNearDupQuery(spark, dir).collect()
     val recalls = q.map(_.getAs[Double]("recall_planted")).distinct
     assert(recalls.length === 1)

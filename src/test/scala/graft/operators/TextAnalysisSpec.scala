@@ -195,4 +195,40 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(sum(col("n"))).head().getLong(0)
     assert(chunkTokens === totalTokens)
   }
+
+  test("sentence dedup keeps a shared sentence only in its first document") {
+    val docs = Seq(
+      (1L, "unique one. shared banner text. tail one"),
+      (2L, "shared banner text. unique two"),
+      (3L, "unique three. shared banner text. shared banner text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_sentences") === 3 && out(1L).getAs[Long]("n_kept") === 3)
+    // doc 2 loses the banner (first seen in doc 1)
+    assert(out(2L).getAs[Long]("n_sentences") === 2 && out(2L).getAs[Long]("n_kept") === 1)
+    // doc 3 loses BOTH banner copies (cross-doc AND in-doc repeat)
+    assert(out(3L).getAs[Long]("n_kept") === 1)
+  }
+
+  test("sentence dedup reassembles surviving spans in original order") {
+    val docs = Seq(
+      (1L, "b span. z span"),
+      (2L, "a keep. b span. c keep")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("kept_fp")).toMap
+    // doc 2 keeps "a keep" and "c keep" IN THAT ORDER (not sorted by text)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a keep.c keep".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(2L) === expected)
+  }
+
+  test("sentence dedup emits null fingerprint for a fully-deduped document") {
+    val docs = Seq((1L, "only sentence"), (2L, "only sentence")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("kept_fp"))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+  }
 }

@@ -547,16 +547,46 @@ object Dedup {
   def simhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(plantedDocs(s, dir), maxHamming = 3)
 
+  /** PERSISTED n-gram pair-set index: the UNTRUNCATED verified pair
+    * set materialized once per (corpus content, n, threshold) under
+    * the [[IndexCache]] discipline. Pair mining is the expensive half
+    * of every dedup consumer (top-pairs report, grouping, keeper
+    * selection) and is a pure function of the corpus — at 100 TB you
+    * mine once and every consumer (and every incremental rerun over
+    * unchanged data) reads the artifact; re-mining per query is the
+    * difference between a metadata check and re-shuffling the corpus.
+    */
+  def ngramPairsIndexIfAbsent(docs: DataFrame, indexRoot: String,
+                              n: Int = 3, threshold: Double = 0.6): String = {
+    val row = docs
+      .select(xxhash64(col("doc_id").cast("string"), col("text")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt"))
+      .head()
+    val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x-n$n-t${math.round(threshold * 1000)}"
+    IndexCache.getOrBuild(indexRoot, "ngrampairs", fp) { scratch =>
+      ngramJaccardPairs(docs, n, threshold, topK = 0)
+        .write.parquet(scratch.resolve("pairs").toString)
+    }
+  }
+
+  private def plantedPairsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = ngramPairsIndexIfAbsent(plantedDocs(s, dir),
+      s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache")
+    s.read.parquet(s"$idx/pairs")
+  }
+
   def ngramTopQuery(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(plantedDocs(s, dir))
+    plantedPairsIndexed(s, dir)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
 
   /** Dedup groups over the UNTRUNCATED n-gram pair set (no topK — the
-    * grouping must see every edge or components split).
+    * grouping must see every edge or components split). Reads the
+    * same persisted pair-set index as [[ngramTopQuery]]: one mining
+    * pass feeds both consumers.
     */
   def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
-    dedupGroups(
-      ngramJaccardPairs(plantedDocs(s, dir), threshold = 0.6, topK = 0)
-        .select(col("doc_a"), col("doc_b")))
+    dedupGroups(plantedPairsIndexed(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** Exact all-pairs cosine pairs at/above `minCosine` — the truth
     * set for certifying the LSH path's recall. One broadcast

@@ -60,30 +60,10 @@ object VectorIndex {
     * scratch dir and renames into place, marker written last.
     */
   def buildIfAbsent(corpus: DataFrame, indexRoot: String,
-                    kClusters: Int = 16, iters: Int = 2): String = {
-    val fp = fingerprint(corpus, kClusters, iters)
-    val dir = java.nio.file.Paths.get(indexRoot, s"ivf-$fp")
-    val marker = dir.resolve("_INDEX_OK")
-    if (java.nio.file.Files.exists(marker)) return dir.toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexRoot))
-    val scratch = java.nio.file.Paths.get(indexRoot,
-      s"ivf-$fp.building-${java.util.UUID.randomUUID}")
-    build(corpus, scratch.toString, kClusters, iters)
-    java.nio.file.Files.write(scratch.resolve("_INDEX_OK"), fp.getBytes)
-    try java.nio.file.Files.move(scratch, dir,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException =>
-        // another builder won the race with an identical index — keep
-        // theirs, drop ours
-        import java.util.Comparator
-        java.nio.file.Files.walk(scratch)
-          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
+                    kClusters: Int = 16, iters: Int = 2): String =
+    IndexCache.getOrBuild(indexRoot, "ivf", fingerprint(corpus, kClusters, iters)) {
+      scratch => build(corpus, scratch.toString, kClusters, iters)
     }
-    dir.toString
-  }
 
   /** The probed scan: vectors of the union of every query's `nprobe`
     * nearest clusters, with the partition filter applied as LITERALS

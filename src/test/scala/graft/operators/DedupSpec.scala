@@ -174,6 +174,24 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("persisted pair-set index reproduces direct mining exactly, build-once") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = Dedup.ngramJaccardPairs(Dedup.plantedDocs(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Dedup.ngramTopQuery(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed === direct)
+    // second resolve is a metadata check on the SAME completed artifact
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache"
+    val p1 = Dedup.ngramPairsIndexIfAbsent(Dedup.plantedDocs(spark, dir), root)
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p1, "_INDEX_OK"))
+    val p2 = Dedup.ngramPairsIndexIfAbsent(Dedup.plantedDocs(spark, dir), root)
+    assert(p1 === p2)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p2, "_INDEX_OK")) === mtime)
+  }
+
   test("pair queries release their signature caches (session-reuse safe)") {
     import org.apache.spark.sql.GraftSqlBridge
     val docs = (base :+

@@ -308,6 +308,7 @@ object SparkEntry {
     "q29_zorder"         -> (Layout.zorderQuery _),
     "q31_integrity"      -> (Relational.qIntegrity _),
     "q34_histogram"      -> ((s, d) => Relational.q34Histogram(s, d)),
+    "q35_heavy_hitters"  -> (Relational.q35HeavyHitters _),
     "q32_skew_agg"       -> (Relational.qSkewAgg _),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
@@ -829,6 +830,16 @@ object SparkEntry {
         |  CAST(sum(doc_id) FILTER (kept) AS BIGINT) AS sampled_id_sum
         |FROM s GROUP BY lang, n_docs, threshold
         |ORDER BY lang""".stripMargin,
+
+    // exact values + literal-true bounds: the Spark side COMPUTES the
+    // booleans from the sketch (CMS never undercounts; overshoot
+    // bounded by eps*N), so a sketch out of contract reds the artifact
+    "q35_heavy_hitters" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS est_ge_exact, true AS within_eps_n
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY n_exact DESC, l_suppkey
+        |LIMIT 10""".stripMargin,
 
     // bucket edges derive from the data in the same double-op order
     // on both engines; the cumulative distribution windows over the

@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2)
         MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms"))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo("graft.functions", "graft_cms_estimate"),
+      args => { require(args.length == 2); CmsEstimate(args(0), args(1)) }))
   }
 }
 

@@ -168,7 +168,9 @@ object VectorExpressions {
     ("graft_simhash64", { args => require(args.length == 1); SimHash64(args(0)) }),
     ("graft_minhash", { args =>
       require(args.length == 2)
-      MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }))
+      MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }),
+    ("graft_cms_estimate", { args =>
+      require(args.length == 2); CmsEstimate(args(0), args(1)) }))
 
   /** Runtime registration: `SELECT graft_cosine(a, b)` works on the
     * given session afterwards.

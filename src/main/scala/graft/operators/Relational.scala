@@ -568,6 +568,41 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Heavy hitters via a MERGEABLE count-min sketch, with the same
+    * driver-visible accuracy certification as [[q26SketchBounds]]:
+    * the exact top-10 supplier keys (oracled) are looked up in a
+    * `count_min_sketch` aggregate — single-pass, fixed-memory
+    * (depth×width counters regardless of input size), partial-agg
+    * merged across partitions, exactly what replaces an exact
+    * groupBy at 100 TB when only the heads matter. The lookup uses
+    * the custom [[graft.functions.CmsEstimate]] expression (Spark
+    * ships the sketch aggregate but no SQL-side estimator). In-row
+    * booleans certify the CMS contract: estimates never undercount,
+    * and land within ε·N above the true count (fixed seed → the
+    * sketch, hence the booleans, are deterministic under
+    * re-partitioning; a sketch drifting out of bounds turns the
+    * driver artifact red).
+    */
+  def q35HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_suppkey"))
+    val sketch = li.agg(
+      expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n_total"))
+    val exact = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_suppkey"))
+      .limit(10)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("l_suppkey"), col("n_exact"),
+        graft.functions.CmsEstimate(col("cms"), col("l_suppkey")).as("est"),
+        col("n_total"))
+      .select(col("l_suppkey"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("est_ge_exact"),
+        (col("est") - col("n_exact") <=
+          ceil(col("n_total").cast("double") * lit(0.001))).as("within_eps_n"))
+      .orderBy(col("n_exact").desc, col("l_suppkey"))
+  }
+
   /** Salted TWO-PHASE aggregation for skewed group keys, proven
     * algebraically equal to the plain aggregate by the oracle. A
     * synthetic 'bulk' key absorbs roughly half of lineitem (the

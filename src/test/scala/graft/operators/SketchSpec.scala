@@ -53,4 +53,43 @@ class SketchSpec extends SparkSpec {
     // groups overlap in orderkeys, so the per-group sum must be ≥ global
     assert(summed >= global)
   }
+
+  test("cms estimate is exact when the sketch is collision-free") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 10).toLong).toDF("k")
+    val sk = df.agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+    val out = df.groupBy($"k").count().crossJoin(broadcast(sk))
+      .select($"k", $"count",
+        graft.functions.CmsEstimate($"cms", $"k").as("est"))
+      .collect()
+    assert(out.length === 10)
+    // 10 keys in a 2719-wide, depth-7 sketch: no row has all-colliding
+    // cells, so every estimate equals the exact count
+    out.foreach(r => assert(r.getAs[Long]("est") === r.getAs[Long]("count")))
+  }
+
+  test("cms sketches merge across partitions without changing estimates") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 50).toLong).toDF("k")
+    val one = df.coalesce(1)
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+    val many = df.repartition(16)
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+    val probe = (0L until 50L).toDF("k")
+    def estimates(sk: org.apache.spark.sql.DataFrame) =
+      probe.crossJoin(broadcast(sk))
+        .select($"k", graft.functions.CmsEstimate($"cms", $"k").as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(estimates(one) === estimates(many))
+  }
+
+  test("graft_cms_estimate is callable from SQL after registration") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("cms_probe_t")
+    val est = spark.sql(
+      """SELECT graft_cms_estimate(count_min_sketch(a, 0.001d, 0.99d, 42), 1L) AS e
+        |FROM cms_probe_t""".stripMargin)
+    assert(est.collect().head.getLong(0) === 1L)
+  }
 }

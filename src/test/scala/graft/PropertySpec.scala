@@ -173,4 +173,61 @@ object PropertySpec extends Properties("graft") {
     (Prop(usesHigh && usesLow) :| "signature spans both 32-bit halves") &&
       (Prop(deterministic) :| "same text, same signature")
   }
+
+  property("sentence dedup: every distinct sentence survives exactly once corpus-wide") = {
+    import spark.implicits._
+    // small vocab of sentences forces heavy cross-document duplication
+    val sentGen = Gen.oneOf("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa", "lambda mu")
+    val docGen = Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, sentGen))
+      .map(_.mkString(". "))
+    val docs = Gen.listOfN(12, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.sentenceDedupOn(df).collect()
+    val distinctSents = docs.flatMap(_._2.split("\\.")).map(_.trim)
+      .filter(_.nonEmpty).distinct.length
+    val totalKept = out.map(_.getAs[Long]("n_kept")).sum
+    val perDocBounded = out.forall(r =>
+      r.getAs[Long]("n_kept") <= r.getAs[Long]("n_sentences"))
+    (Prop(totalKept == distinctSents) :|
+      s"kept $totalKept != distinct $distinctSents") &&
+      (Prop(perDocBounded) :| "kept exceeds sentence count in a doc")
+  }
+
+  property("pagerank conserves probability mass on random symmetric multigraphs") = {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(3, 8)
+      m <- Gen.choose(n, 3 * n)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield es.filter { case (a, b) => a != b }
+    val raw = edgeGen.sample.get
+    if (raw.isEmpty) Prop.passed
+    else {
+      val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+      val out = graft.operators.Graph.pagerankOnEdges(sym, iters = 3, topK = 1000)
+        .collect()
+      val n = out.length.toDouble
+      // rank_x_n is rank·N rounded to 1e-4, so the mean must be 1
+      // within the rounding budget, and every rank positive
+      val mean = out.map(_.getAs[Double]("rank_x_n")).sum / n
+      val positive = out.forall(_.getAs[Double]("rank_x_n") > 0.0)
+      (Prop(math.abs(mean - 1.0) <= 1e-3) :| s"mean rank*N $mean drifted from 1") &&
+        (Prop(positive) :| "non-positive rank")
+    }
+  }
+
+  property("count-min estimates never undercount on random keys") = {
+    import spark.implicits._
+    val keysGen = Gen.listOfN(300, Gen.choose(0L, 40L))
+    val keys = keysGen.sample.get
+    val df = keys.toDF("k")
+    val sk = df.agg(expr("count_min_sketch(k, 0.01d, 0.9d, 7)").as("cms"))
+    val out = df.groupBy($"k").count().crossJoin(broadcast(sk))
+      .select($"k", $"count", graft.functions.CmsEstimate($"cms", $"k").as("est"))
+      .collect()
+    Prop(out.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("count"))) :|
+      "CMS undercounted a key"
+  }
 }

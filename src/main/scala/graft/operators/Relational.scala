@@ -504,14 +504,20 @@ object Relational {
     * NULL-key behavior NOT IN would get wrong) match NOT EXISTS.
     */
   def qIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan per edge: the left join surfaces orphans as NULL parent
+    // keys, so n_child and n_orphans come out of the same aggregation
+    // (a separate count + anti-join would scan the child twice). The
+    // parent key is a primary key, so the left join cannot duplicate
+    // child rows and count(*) stays exact; a NULL child key never
+    // matches and counts as an orphan — identical to LEFT ANTI / NOT
+    // EXISTS semantics.
     def check(name: String, child: DataFrame, fk: String,
-              parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(fk))
-        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+              parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("constraint_name"), col("n_child"), col("n_orphans"))
-    }
     val li = Tables.lineitem(s, dir)
     Seq(
       check("lineitem.l_orderkey->orders", li, "l_orderkey",

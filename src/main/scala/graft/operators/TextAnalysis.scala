@@ -333,11 +333,17 @@ object TextAnalysis {
     * boilerplate (cookie banners, license headers) that document-level
     * dedup can't see because the surrounding text differs.
     *
-    * Plan shape: split+posexplode (map stage) → ONE row_number window
-    * keyed by sentence text (the only data-sized shuffle — exactly the
-    * hash-partition-by-span discipline you'd run at 100 TB) → one
-    * hash agg back to doc_id reassembling kept spans. The reassembled
-    * text leaves the operator as an md5 fingerprint.
+    * Plan shape: split+posexplode (map stage) → a MAP-SIDE-COMBINABLE
+    * `min(struct(doc_id, pos))` aggregate per sentence (each map
+    * partition pre-reduces its own occurrences, so a boilerplate
+    * sentence with 10⁹ copies shuffles one row per partition, not 10⁹
+    * rows to one reducer) → join back on sentence to flag keepers →
+    * one hash agg to doc_id reassembling kept spans. A row_number
+    * window keyed on the sentence would be the obvious plan, but a
+    * window CANNOT pre-aggregate and AQE cannot split a skewed window
+    * partition — the agg+join shape is both combinable and
+    * AQE-skew-splittable, which is what survives a hot span at
+    * 100 TB. The reassembled text leaves as an md5 fingerprint.
     */
   def sentenceDedup(s: SparkSession, dir: String): DataFrame =
     sentenceDedupOn(Tables.documents(s, dir))
@@ -348,17 +354,20 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(split(col("text"), "\\.")).as(Seq("pos", "raw")))
       .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
       .filter(col("sent") =!= "")
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sent")).orderBy(col("doc_id"), col("pos"))
-    sents
-      .withColumn("rn", row_number().over(firstOcc))
+    // struct comparison is lexicographic (doc_id, then pos): min ≡
+    // the row_number()=1 row of ORDER BY doc_id, pos
+    val firstOcc = sents.groupBy(col("sent"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    sents.join(firstOcc, "sent")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_sentences"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(".",
           transform(
-            array_sort(collect_list(when(col("rn") === 1,
+            array_sort(collect_list(when(col("kept"),
               struct(col("pos"), col("sent"))))),
             x => x.getField("sent"))).as("kept_text"))
       .select(col("doc_id"), col("n_sentences"), col("n_kept"),

@@ -119,6 +119,44 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class Span(doc_id: Long, pos: Int, sent: String)
+  final case class KeptSpan(doc_id: Long, pos: Int, sent: String)
+
+  /** Streaming first-occurrence span filter — the continuous-ingest
+    * twin of `graft.operators.TextAnalysis.sentenceDedup`: the first
+    * span with a given text passes, every later duplicate is dropped.
+    * State per distinct span is ONE boolean (seen), sharded by the
+    * span text — the same hash-partition-by-span layout as the batch
+    * operator's aggregate.
+    *
+    * Parity contract: WITHIN a micro-batch ties resolve by
+    * (doc_id, pos) — identical to the batch twin — so a stream whose
+    * batches arrive in doc_id order reproduces the batch keeper set
+    * exactly (spec-asserted). Across out-of-order batches the
+    * earliest ARRIVAL wins instead: with no event-time column there
+    * is no watermark to re-order by, and "first seen wins" is the
+    * standard semantics of continuous dedup (same divergence class
+    * as any streaming `dropDuplicates`). State is unbounded by
+    * design here (a dedup index never forgets); production bounds it
+    * the way the batch pipeline does — periodic compaction against
+    * the persisted pair/span index.
+    */
+  def dedupSpans(spans: Dataset[Span]): Dataset[KeptSpan] = {
+    import spans.sparkSession.implicits._
+    spans
+      .groupByKey(_.sent)
+      .flatMapGroupsWithState[Boolean, KeptSpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sent: String, batch: Iterator[Span], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = batch.minBy(s => (s.doc_id, s.pos))
+            Iterator(KeptSpan(first.doc_id, first.pos, sent))
+          }
+      }
+  }
+
   final case class AnomalyFlag(event_type: String, hour: Timestamp, n_events: Long,
                                mu: Double, z: Double)
 

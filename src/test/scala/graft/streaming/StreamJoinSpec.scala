@@ -67,4 +67,38 @@ class StreamJoinSpec extends SparkSpec {
       assert(ids.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming span dedup reproduces the batch keeper set on doc-ordered input") {
+    import EventStreams.Span
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "unique one. shared banner. tail one"),
+      (2L, "shared banner. unique two"),
+      (3L, "unique three. shared banner. another shared"),
+      (4L, "another shared. unique four"))
+    val spans = docs.flatMap { case (id, text) =>
+      text.split("\\.").map(_.trim).filter(_.nonEmpty).zipWithIndex
+        .map { case (s, p) => Span(id, p, s) }
+    }
+    val input = MemoryStream[Span]
+    val q = EventStreams.dedupSpans(input.toDS())
+      .writeStream.format("memory").queryName("span_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two doc-ordered micro-batches (docs 1-2, then 3-4)
+      input.addData(spans.filter(_.doc_id <= 2): _*)
+      q.processAllAvailable()
+      input.addData(spans.filter(_.doc_id > 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("span_dedup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sent"))).toSet
+      // batch twin's keeper set: first (doc_id, pos) per distinct span
+      val batchKept = spans.groupBy(_.sent).values.map { ss =>
+        val f = ss.minBy(s => (s.doc_id, s.pos)); (f.doc_id, f.sent)
+      }.toSet
+      assert(streamed === batchKept)
+      // every span text survives exactly once
+      assert(streamed.size === spans.map(_.sent).distinct.length)
+    } finally q.stop()
+  }
 }

@@ -270,6 +270,8 @@ object SparkEntry {
     "ev_props_map"       -> (Events.propsMapStats _),
     "ev_scd2"            -> (Events.scd2 _),
     "ev_delta_agg"       -> (Events.deltaAgg _),
+    "ev_paths"           -> (Events.paths _),
+    "ev_hopping"         -> (Events.hopping _),
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -296,6 +298,7 @@ object SparkEntry {
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
+    "vec_ann_sq"         -> (VectorOps.annSqQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -313,6 +316,9 @@ object SparkEntry {
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "txt_sentence_dedup" -> (TextAnalysis.sentenceDedup _),
+    "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
+    "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
@@ -702,6 +708,45 @@ object SparkEntry {
         |  round(sum(value) / count(*), 4) AS avg_value
         |FROM events GROUP BY date_trunc('day', ts), event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // lead() over the identically-keyed (ts_s, event_id) order; the
+    // probability is derived from the transition counts themselves so
+    // both engines divide the same integers
+    "ev_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type AS state
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, state, lead(state) OVER w AS next_state
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |agg AS (
+        |  SELECT state, next_state,
+        |    CAST(count(*) AS BIGINT) AS n_transitions,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM t WHERE next_state IS NOT NULL
+        |  GROUP BY state, next_state)
+        |SELECT state, next_state, n_transitions, n_users,
+        |  floor(CAST(n_transitions AS DOUBLE)
+        |        / CAST(sum(n_transitions) OVER (PARTITION BY state) AS DOUBLE)
+        |        * 10000.0 + 0.5) / 10000.0 AS p
+        |FROM agg
+        |ORDER BY state, next_state""".stripMargin,
+
+    // hopping windows: 4 slide offsets per event; whole-second window
+    // boundaries make floored-second membership exact
+    "ev_hopping" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS i),
+        |e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |      FROM events)
+        |SELECT CAST(to_timestamp((CAST(floor(sec / 900) AS BIGINT) - i) * 900) AS TIMESTAMP)
+        |    AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e CROSS JOIN k
+        |WHERE (CAST(floor(sec / 900) AS BIGINT) - i) * 900 > sec - 3600
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // plain join: the Bloom pre-filter must be row-invisible (no
     // false negatives; false positives die in the exact join)
@@ -1100,6 +1145,67 @@ object SparkEntry {
         |      + 0.4 * least(n_toks / 64.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+
+    // per-doc score fixed to integer 1e-4ths BEFORE the sum so the
+    // mean is exact integer math + one division on both engines
+    "txt_source_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    CAST(floor((0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+        |      + 0.3 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 4.0, 1.0))
+        |      + 0.4 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0))
+        |      * 10000.0 + 0.5) AS BIGINT) AS q4
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    floor(CAST(sum(q4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |          / 10000.0 * 10000.0 + 0.5) / 10000.0 AS mean_quality,
+        |    floor((1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |          * 10000.0 + 0.5) / 10000.0 AS dup_rate
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_langs, mean_quality, dup_rate,
+        |  mean_quality >= 0.61 AND dup_rate <= 0.2 AS keep
+        |FROM agg
+        |ORDER BY source""".stripMargin,
+
+    // pairs counted over the vocabulary (word, n), never the corpus
+    "txt_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY tok),
+        |pairs AS (
+        |  SELECT substring(word, CAST(i AS INT), 2) AS pair, n, word
+        |  FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i) r
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair
+        |LIMIT 30""".stripMargin,
+
+    // canonical zero-padded doc:tf postings make list order exact
+    "txt_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY token, doc_id),
+        |idx AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf,
+        |    string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0') || ':' || CAST(tf AS VARCHAR),
+        |               ',' ORDER BY doc_id) AS postings
+        |  FROM tf GROUP BY token)
+        |SELECT token, df, total_tf, postings
+        |FROM idx ORDER BY df DESC, token LIMIT 20""".stripMargin,
 
     "txt_langid" ->
       """SELECT lang, predicted_lang, count(*) AS n_docs FROM (

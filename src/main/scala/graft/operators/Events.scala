@@ -314,4 +314,57 @@ object Events {
         col("n_events"), col("v_sum"), col("v_ffill"))
       .orderBy(col("user_id"), col("bin_ts"))
   }
+
+  /** HOPPING (sliding) window aggregate — `window(ts, 1h, 15m)`: each
+    * event lands in windowSec/slideSec overlapping windows. Spark's
+    * `window()` generator expands memberships map-side (a bounded ×4
+    * factor here), then it is the same single map-side-combinable
+    * hash agg as [[hourly]] — the batch shape of the streaming
+    * sliding-window aggregation in `graft.streaming`. Window starts
+    * are whole multiples of the slide, so second-floored oracle
+    * arithmetic agrees exactly with Spark's microsecond membership.
+    */
+  def hopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Markov transition matrix over per-user event sequences — the
+    * "what happens next" model behind user-path analysis and
+    * sequence-level data curation (e.g. filtering sessions with
+    * degenerate next-step entropy). One shuffle on user_id orders
+    * each user's history; `lead` pairs every event with its
+    * successor entirely within that partition; the transition counts
+    * then hash-aggregate into at most |event_type|² groups, so the
+    * second exchange carries a few dozen rows regardless of corpus
+    * size. Transition probability is derived per source state with a
+    * window over that tiny aggregate (no second pass over events),
+    * and rounded via the [[CrossEngine.rnd4]] contract.
+    *
+    * 100 TB: the only data-sized operation is the per-user sort —
+    * the same exchange every sessionize/funnel/SCD2 pass in this file
+    * reuses; everything after it is constant-sized.
+    */
+  def paths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val byState = Window.partitionBy(col("state"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type").as("state"))
+      .withColumn("next_state", lead(col("state"), 1).over(byUser))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p", CrossEngine.rnd4(
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(byState).cast("double")))
+      .orderBy(col("state"), col("next_state"))
+  }
 }

@@ -49,7 +49,11 @@ object TextAnalysis {
     * dedup/embedding stages. All ratios are double-divided and
     * rounded identically on the oracle side.
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The three quality signals as raw (unrounded) double columns over
+    * a `text` column, shared by the per-doc score and the per-source
+    * gate so both derive from ONE formula definition.
+    */
+  private def qualitySignals: (Column, Column, Column) = {
     val toks = wsTokens(col("text"))
     val nToks = size(toks).cast("double")
     val stopHits = size(expr(
@@ -57,18 +61,60 @@ object TextAnalysis {
       .cast("double")
     val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
     val len = length(col("text")).cast("double")
-    val stopRatio = stopHits / nToks
-    val punctRatio = punct / len
-    val lengthFactor = least(nToks / lit(64.0), lit(1.0))
+    (stopHits / nToks, punct / len, least(nToks / lit(64.0), lit(1.0)))
+  }
+
+  /** Raw composite quality score (unrounded). */
+  private def rawQuality: Column = {
+    val (stopRatio, punctRatio, lengthFactor) = qualitySignals
+    lit(0.3) * stopRatio + lit(0.3) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) +
+      lit(0.4) * lengthFactor
+  }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val (stopRatio, punctRatio, lengthFactor) = qualitySignals
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         rnd4(stopRatio).as("stop_ratio"),
         rnd4(punctRatio).as("punct_ratio"),
         rnd4(lengthFactor).as("length_factor"),
-        rnd4(lit(0.3) * stopRatio + lit(0.3) * (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) +
-          lit(0.4) * lengthFactor).as("quality_score"))
+        rnd4(rawQuality).as("quality_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-SOURCE quality gating (the RefinedWeb/C4 "domain filter"
+    * shape): aggregate each source's document count, language spread,
+    * mean quality and within-source exact-duplicate rate, then gate.
+    * Sources, like web domains, are a tiny keyspace next to the
+    * corpus, so this is one scan + one hash agg on `source` (the two
+    * DISTINCTs expand the scan 3× before the partial agg — still one
+    * shuffle whose volume is ~3×|sources|, not the corpus).
+    *
+    * Cross-engine mean: the per-doc score is fixed to integer
+    * ten-thousandths BEFORE summing, so the sum is exact integer math
+    * and the final division is the only float op — summation order
+    * cannot flip last bits between engines.
+    */
+  def sourceStats(s: SparkSession, dir: String,
+                  minQuality: Double = 0.61, maxDupRate: Double = 0.2): DataFrame = {
+    val q4 = floor(rawQuality * lit(10000.0) + lit(0.5)).cast("long")
+    val meanQ = floor(sum(col("q4")).cast("double") / count(lit(1)).cast("double") /
+      lit(10000.0) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    val dupRate = floor((lit(1.0) - countDistinct(col("fp")).cast("double") /
+      count(lit(1)).cast("double")) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), fingerprint(col("text")).as("fp"),
+        q4.as("q4"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        meanQ.as("mean_quality"),
+        dupRate.as("dup_rate"))
+      .withColumn("keep",
+        col("mean_quality") >= minQuality && col("dup_rate") <= maxDupRate)
+      .orderBy(col("source"))
   }
 
   /** Language-ID heuristic: script detection (CJK ranges) first, then
@@ -112,6 +158,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
+
+  /** BPE merge-candidate mining — round one of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016,
+    * https://arxiv.org/abs/1508.07909): count adjacent character
+    * pairs and surface the top merges. The scale trick is the
+    * standard one: pairs are counted over the VOCABULARY (distinct
+    * word × its corpus frequency), never over the raw corpus — the
+    * first hash agg collapses 100 TB of text to a vocab-sized
+    * relation, and the pair expansion (a generator over
+    * `sequence(1, len-1)`, all codegen'd) multiplies only that.
+    * Two shuffles total, both vocabulary-bounded.
+    */
+  def bpePairs(s: SparkSession, dir: String, topK: Int = 30): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(wsTokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("n_occurrences"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+
+  /** Inverted-index construction — the posting lists themselves
+    * (token → sorted (doc, tf) list), the artifact behind the BM25 /
+    * TF-IDF scorers above. tf is one hash agg on (token, doc); the
+    * posting list is one more agg on token, with the list rendered in
+    * a canonical zero-padded `doc:tf` form so the cross-engine
+    * compare is exact (Spark's `collect_list` order is
+    * partition-dependent; `array_sort` on the padded form fixes it,
+    * and the oracle's `string_agg ... ORDER BY` matches). Restricted
+    * to the `topK` highest-df tokens for the driver check; the
+    * unrestricted index is the same two aggregations. Posting lists
+    * of web-scale stopwords are the classic skew point — a real
+    * deployment shards postings beyond a length cap (doc-id range
+    * splits), which composes with this plan as a post-agg repartition.
+    */
+  def invertedIndex(s: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(array_sort(collect_list(
+          concat(lpad(col("doc_id").cast("string"), 6, "0"), lit(":"), col("tf")))), ",")
+          .as("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topK)
 
   /** Smoothed TF-IDF over whitespace tokens, top-`topK` terms:
     * tf per (doc, token) and df per token are two hash aggregations

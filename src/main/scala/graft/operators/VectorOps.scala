@@ -285,6 +285,72 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Scalar int8 quantization of one vector: symmetric per-vector
+    * max-abs scaling (the no-training-pass variant of faiss's SQ8 —
+    * per-vector scales need no global stats job, so the entire
+    * encode is a map stage). Returns (codes array<tinyint>, scale,
+    * norm): `codes[i] * scale ≈ v[i]`, `norm ≈ |v|`.
+    */
+  private[operators] def sq8Encode(vec: Column): (Column, Column, Column) = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, maxAbs / lit(127.0)).otherwise(lit(1.0))
+    val codes = transform(vec, x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x.cast("double") / scale + lit(0.5)))).cast("tinyint"))
+    (codes, scale, maxAbs) // norm filled in by caller from the codes
+  }
+
+  /** Signed integer dot product of two int8 code arrays. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** ANN via scalar int8 quantization + exact re-rank: the corpus is
+    * carried through the scoring join as int8 codes plus two floats
+    * per vector (4× less memory/bandwidth than float32 — the point of
+    * SQ at 100 TB: the hot scoring scan reads a quarter of the
+    * bytes), approximate cosine is an INTEGER dot product rescaled by
+    * the two scalar factors, and only the `shortlist` survivors fetch
+    * their float vectors for the exact top-k. Same
+    * broadcast-queries / one-corpus-scan / per-query-window shape as
+    * [[knnBrute]] — no shuffle touches the corpus beyond the
+    * shortlist window.
+    */
+  def annSq(queries: DataFrame, corpus: DataFrame, k: Int,
+            shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    def enc(df: DataFrame, idCol: String, vec: String): DataFrame = {
+      val (codes, scale, _) = sq8Encode(col(vec))
+      df.select(col(idCol), codes.as("_c8"), scale.as("_s"))
+        .withColumn("_n", sqrt(intDot(col("_c8"), col("_c8")).cast("double")) * col("_s"))
+    }
+    val c = enc(corpus, "vec_id", "vec")
+    val q = broadcast(enc(queries.withColumnRenamed("qvec", "_qv"), "query_id", "_qv")
+      .withColumnsRenamed(Map("_c8" -> "_qc8", "_s" -> "_qs", "_n" -> "_qn")))
+    val approx = intDot(col("_qc8"), col("_c8")).cast("double") *
+      col("_qs") * col("_s") / (col("_qn") * col("_n"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").desc, col("vec_id").asc)
+    val shortlisted = c.join(q)
+      .filter(col("_n") > 0 && col("_qn") > 0)
+      .select(col("query_id"), col("vec_id"), approx.as("adist"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    shortlisted
+      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Product quantization: split each vector into `m` subvectors,
     * train a k-codeword k-means codebook per block (blocked Lloyd's —
     * same seeding/tie-break discipline as [[kmeansCentroids]], but
@@ -500,5 +566,11 @@ object VectorOps {
   def annPqQuery(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = (querySet(s, dir), corpusSet(s, dir))
     withRecallAt(annPq(q, c, k = 10), q, c, k = 10)
+  }
+
+  /** Scalar-quantized int8 ANN with exact re-rank. */
+  def annSqQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annSq(q, c, k = 10), q, c, k = 10)
   }
 }

@@ -62,6 +62,41 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** HOPPING-window counts with a watermark — the streaming twin of
+    * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands
+    * each admitted event into its 4 overlapping windows map-side;
+    * state is one row per open (window, type) — bounded by the
+    * watermark horizon, not the stream length.
+    */
+  def hoppingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming HEAVY HITTERS state: the count-min sketch itself as
+    * the streaming aggregate — `count_min_sketch` is an algebraic
+    * (mergeable) aggregate, so Structured Streaming keeps ONE
+    * sketch-sized state blob per grouping key regardless of how many
+    * distinct values flow past: the memory contract that makes
+    * frequency tracking viable on an unbounded 100 TB/day stream
+    * where exact per-key streaming state (`groupBy(key).count`) would
+    * grow without bound. Complete-mode output; estimates are read
+    * from the emitted sketch with the same
+    * [[graft.functions.CmsEstimate]] expression as the batch
+    * `q35_heavy_hitters`, and because CMS cell updates commute, the
+    * final streamed sketch is BIT-FOR-BIT the batch sketch on the
+    * same admitted data (parity spec in EventStreamsSpec).
+    */
+  def cmsState(events: DataFrame, keyCol: String,
+               eps: Double = 0.001, confidence: Double = 0.99,
+               seed: Int = 42): DataFrame =
+    events.groupBy()
+      .agg(expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)").as("cms"),
+        count(lit(1)).as("n_total"))
+
   /** Gap-based sessionization with explicit state: sessions close
     * after `gapSeconds` of user inactivity (event-time, enforced via
     * watermark timeout). The streaming twin of

@@ -79,4 +79,20 @@ class EventsSpec extends SparkSpec {
     assert(at3.subsetOf(at2))
     assert(at3.size < at2.size)
   }
+
+  test("paths transition mass: total transitions = events - users, rows per state sum to ~1") {
+    val events = graft.Tables.events(spark, sfDir)
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    val out = Events.paths(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum === nEvents - nUsers,
+      "every event except each user's last must emit exactly one transition")
+    out.groupBy(_.getString(0)).foreach { case (state, rows) =>
+      val pSum = rows.map(_.getDouble(4)).sum
+      // each p is rounded to 4dp, so the sum drifts at most 5e-5 per row
+      assert(math.abs(pSum - 1.0) <= 5e-5 * rows.length + 1e-9,
+        s"state $state: probabilities sum to $pSum")
+      assert(rows.forall(_.getLong(2) > 0))
+    }
+  }
 }

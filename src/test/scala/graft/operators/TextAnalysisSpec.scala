@@ -231,4 +231,59 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getAs[String]("kept_fp"))).toMap
     assert(out(1L).isDefined && out(2L).isEmpty)
   }
+
+  test("source stats partition the corpus and the gate is exactly the declared predicate") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = TextAnalysis.sourceStats(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    assert(out.map(_.getLong(1)).sum === docs.count(), "n_docs must tile the corpus")
+    out.foreach { r =>
+      val (q, dup, keep) = (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(q >= 0.0 && q <= 1.0 && dup >= 0.0 && dup <= 1.0)
+      assert(keep === (q >= 0.61 && dup <= 0.2), s"gate mismatch on ${r.getString(0)}")
+    }
+  }
+
+  test("bpe pair counts equal a brute-force recount of the same vocabulary") {
+    val sfDir = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .collect().map(_.getString(0)).filter(_.matches("^[a-z]+$"))
+    val brute = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .toSeq.flatMap { case (w, n) =>
+        w.sliding(2).filter(_.length == 2).toSeq.distinct.map(p => (p, n, w))
+      }
+      .groupBy(_._1)
+      .map { case (p, xs) =>
+        // a pair repeated inside one word counts once per position
+        val occ = xs.map { case (_, n, w) =>
+          n * w.sliding(2).count(_ == p)
+        }.sum
+        p -> ((occ, xs.map(_._3).distinct.length.toLong))
+      }
+    val out = TextAnalysis.bpePairs(spark, sfDir, topK = 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (occ, nw) = brute(r.getString(0))
+      assert(r.getLong(1) === occ && r.getLong(2) === nw, s"pair ${r.getString(0)}")
+    }
+    // descending by count, pair as tiebreak
+    assert(out.map(r => (-r.getLong(1), r.getString(0))).toSeq ===
+      out.map(r => (-r.getLong(1), r.getString(0))).sortBy(identity).toSeq)
+  }
+
+  test("inverted index postings are sorted, df-consistent and tf-consistent") {
+    val out = TextAnalysis.invertedIndex(spark, "/root/testdata/sf0.001", topK = 15).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val postings = r.getString(3).split(",").map { e =>
+        val Array(d, tf) = e.split(":"); (d, tf.toLong)
+      }
+      assert(postings.length === r.getLong(1), "df = posting count")
+      assert(postings.map(_._2).sum === r.getLong(2), "total_tf = sum of posting tf")
+      assert(postings.map(_._1).toSeq === postings.map(_._1).sorted.toSeq,
+        "postings sorted by padded doc id")
+    }
+  }
 }

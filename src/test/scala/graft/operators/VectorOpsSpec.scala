@@ -202,4 +202,20 @@ class VectorOpsSpec extends SparkSpec {
       rows.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0001))
     }
   }
+
+  test("SQ8 ANN: int8 codes (4x compression), high recall, deterministic") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val brute = VectorOps.knnBrute(queries, corpus, 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = VectorOps.annSq(queries, corpus, 10)
+    val got = sq.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"SQ8 recall@10 (shortlist 50) = $recall%.3f")
+    // int8 is a far gentler approximation than PQ — recall should be near-exact
+    assert(recall > 0.9, s"SQ8 recall collapsed: $recall")
+    assert(sq.collect().toSeq === VectorOps.annSq(queries, corpus, 10).collect().toSeq)
+  }
 }

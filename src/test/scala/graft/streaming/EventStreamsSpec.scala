@@ -265,4 +265,71 @@ class EventStreamsSpec extends SparkSpec {
       assert(got === expected.toSet)
     } finally q.stop()
   }
+
+  test("hopping windows finalize with the batch twin's memberships and counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hoppingCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hopping_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:20:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 10:40:00"), 1, "view", 3.0))
+      input.addData(data)
+      input.addData(Event(4, ts("2024-01-01 14:00:00"), 3, "click", 4.0)) // seal hour-10 windows
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_out")
+        .filter($"window_start" < ts("2024-01-01 11:00:00"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = data.toDF()
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"value").as("v"))
+        .select($"window.start", $"event_type", $"n", $"v")
+        .filter($"start" < ts("2024-01-01 11:00:00"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // every event sits in exactly 4 overlapping windows
+      assert(batch.toSeq.map(_._3).sum === 4L * data.length)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streamed count-min sketch is bit-for-bit the batch sketch (mergeable state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = cmsState(input.toDF(), "user_id", eps = 0.01)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val data = (0 until 500).map { i =>
+        Event(i.toLong, ts("2024-01-01 10:00:00"), (i % 37).toLong, "click", 1.0)
+      }
+      // arrival order differs from batch scan order: stream in 3
+      // shuffled slices — commutativity must make the state identical
+      val shuffled = new scala.util.Random(7).shuffle(data)
+      shuffled.grouped(200).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+      val streamedCms = spark.table("cms_out").collect().head.getAs[Array[Byte]]("cms")
+      val batchRow = cmsState(data.toDF(), "user_id", eps = 0.01).collect().head
+      val batchCms = batchRow.getAs[Array[Byte]]("cms")
+      assert(java.util.Arrays.equals(streamedCms, batchCms),
+        "streamed sketch diverged from the batch sketch on identical admitted data")
+      // and the estimate read path agrees with exact counts (eps-bounded)
+      val est = data.toDF().select($"user_id").distinct()
+        .crossJoin(spark.table("cms_out"))
+        .select($"user_id",
+          graft.functions.CmsEstimate($"cms", $"user_id").as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = data.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n && est(k) <= n + math.ceil(0.01 * data.length).toLong,
+          s"estimate for $k out of CMS bounds: ${est(k)} vs $n")
+      }
+    } finally q.stop()
+  }
 }

@@ -201,6 +201,57 @@ object SparkEntry {
     * respectively. Integer-component vectors make every distance an
     * exact double, so the oracle is a VALUES table.
     */
+  /** Copy-on-write fork lifecycle: snapshot isolation in both
+    * directions, fork-local deletes, O(1) fork cost, and compaction
+    * severing the fork edge — every observation pinned by the oracle.
+    */
+  def collectionFork(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fork-q").toString
+    val client = new ChromaSpark(s, wh)
+    client.createCollection("parent")
+    val d = new CollectionData(client)
+    import org.apache.spark.sql.functions.{lit => flit}
+    def items(rows: (String, String)*) =
+      rows.toSeq.toDF("id", "document")
+        .select(col("id"), flit(null).cast("array<float>").as("embedding"),
+          col("document"), flit(null).cast("string").as("metadata_json"))
+    d.add("parent", items("a" -> "doc a", "b" -> "doc b"))
+    d.fork("parent", "branch")
+    // diverge both sides AFTER the fork
+    d.upsert("parent", items("b" -> "doc b v2"))
+    d.add("parent", items("c" -> "doc c"))
+    d.add("branch", items("d" -> "doc d"))
+    d.delete("branch", ids = Seq("a"))
+    def ids(c: String) = d.get(c, include = Nil)
+      .agg(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.collect_list(col("id"))), ",")).as[String]
+      .collect().headOption.getOrElse("")
+    def docOf(c: String, id: String) = d.get(c, ids = Seq(id))
+      .select(col("document")).as[String].collect().headOption.getOrElse("null")
+    val parentIds = ids("parent")
+    val branchIds = ids("branch")
+    val branchB = docOf("branch", "b") // parent's pre-fork version
+    val parentB = docOf("parent", "b")
+    val branchN = d.count("branch")
+    d.compact("branch")
+    val afterCompactIds = ids("branch")
+    val severed = client.getCollection("branch").metadata
+      .exists(m => m.contains("graft:fork_parent")).toString
+    val parentAfter = ids("parent")
+    Seq(
+      (1L, "parent_ids_after_divergence", parentIds),
+      (2L, "branch_ids_after_divergence", branchIds),
+      (3L, "branch_b_is_pre_fork_version", branchB),
+      (4L, "parent_b_is_post_fork_version", parentB),
+      (5L, "branch_live_count", branchN.toString),
+      (6L, "branch_ids_after_compact", afterCompactIds),
+      (7L, "fork_edge_severed_by_compact", severed),
+      (8L, "parent_untouched_by_branch_compact", parentAfter)
+    ).toDF("step", "check", "observed").orderBy(col("step"))
+  }
+
   def collectionMetric(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-metric-q").toString
@@ -272,6 +323,8 @@ object SparkEntry {
     "ev_delta_agg"       -> (Events.deltaAgg _),
     "ev_paths"           -> (Events.paths _),
     "ev_hopping"         -> (Events.hopping _),
+    "ev_sliding_distinct" -> (Events.slidingDistinct _),
+    "ev_pit_join"        -> (Events.pitJoin _),
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -319,13 +372,16 @@ object SparkEntry {
     "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "txt_global_ids"     -> ((s, d) => TextAnalysis.globalIds(s, d)),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
     "mm_image_dups"      -> (Multimodal.imageDupsQuery _),
+    "mm_audio_dups"      -> (Multimodal.audioDupsQuery _),
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),
+    "collection_fork"    -> (collectionFork _),
     "collection_autoembed" -> (collectionAutoEmbed _),
   )
 
@@ -748,6 +804,47 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // interval-membership formulation of the point-in-time join; the
+    // Spark side derives it as a backward as-of against version starts
+    "ev_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type AS state
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_s, state, lag(state) OVER w AS prev_state
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |v AS (
+        |  SELECT user_id, event_id, ts_s, state
+        |  FROM chg WHERE prev_state IS NULL OR state <> prev_state),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version, state,
+        |    ts_s AS valid_from, lead(ts_s) OVER w2 AS valid_to
+        |  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |f AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    round(value, 2) AS value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.ts_s, f.value, d.version, d.state
+        |FROM f JOIN dim d
+        |  ON f.user_id = d.user_id
+        | AND f.ts_s >= d.valid_from
+        | AND (d.valid_to IS NULL OR f.ts_s < d.valid_to)
+        |ORDER BY f.user_id, f.ts_s, f.event_id""".stripMargin,
+
+    // the TRUE literal pins the HLL-vs-exact 5% contract: a drifting
+    // sketch flips the Spark-side boolean and fails the hash-match
+    "ev_sliding_distinct" ->
+      """WITH au AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+        |hours AS (SELECT DISTINCT h FROM au),
+        |cov AS (SELECT DISTINCT user_id, h + to_hours(CAST(i AS BIGINT)) AS wend
+        |        FROM au CROSS JOIN (SELECT unnest(range(0, 24)) AS i) k),
+        |ex AS (SELECT wend, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM cov JOIN hours ON wend = h GROUP BY wend)
+        |SELECT wend AS window_end, n_exact, TRUE AS hll_within_5pct
+        |FROM ex ORDER BY wend""".stripMargin,
+
     // plain join: the Bloom pre-filter must be row-invisible (no
     // false negatives; false positives die in the exact join)
     "q30_bloom_join" ->
@@ -1119,6 +1216,21 @@ object SparkEntry {
         |) AS t(step, "check", observed)
         |ORDER BY step""".stripMargin,
 
+    // copy-on-write fork contract: snapshot isolation both ways,
+    // fork-local deletes, compaction severs the edge
+    "collection_fork" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'parent_ids_after_divergence', 'a,b,c'),
+        |  (CAST(2 AS BIGINT), 'branch_ids_after_divergence', 'b,d'),
+        |  (CAST(3 AS BIGINT), 'branch_b_is_pre_fork_version', 'doc b'),
+        |  (CAST(4 AS BIGINT), 'parent_b_is_post_fork_version', 'doc b v2'),
+        |  (CAST(5 AS BIGINT), 'branch_live_count', '2'),
+        |  (CAST(6 AS BIGINT), 'branch_ids_after_compact', 'b,d'),
+        |  (CAST(7 AS BIGINT), 'fork_edge_severed_by_compact', 'false'),
+        |  (CAST(8 AS BIGINT), 'parent_untouched_by_branch_compact', 'a,b,c')
+        |) AS t(step, "check", observed)
+        |ORDER BY step""".stripMargin,
+
     "txt_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
@@ -1190,6 +1302,14 @@ object SparkEntry {
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair
         |LIMIT 30""".stripMargin,
+
+    // the naive global row_number IS the oracle: the sharded
+    // offset+local derivation must equal it exactly
+    "txt_global_ids" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) - 1 AS global_id
+        |FROM documents
+        |ORDER BY global_id""".stripMargin,
 
     // canonical zero-padded doc:tf postings make list order exact
     "txt_inverted_index" ->

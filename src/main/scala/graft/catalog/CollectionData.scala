@@ -194,23 +194,81 @@ class CollectionData(client: ChromaSpark) {
     }
   }
 
+  /** Fork-edge metadata keys: a forked collection records its parent
+    * and the parent batch it snapshots (copy-on-write — see [[fork]]).
+    */
+  private val ForkParentKey = "graft:fork_parent"
+  private val ForkAsOfKey = "graft:fork_asof"
+
+  private def forkEdge(collection: String): Option[(String, Long)] =
+    client.getCollection(collection).metadata.flatMap { m =>
+      (m.get(ForkParentKey), m.get(ForkAsOfKey)) match {
+        case (Some(p), Some(a)) => Some((p, a.toLong))
+        case _                  => None
+      }
+    }
+
+  /** The collection's EFFECTIVE log: its own log stacked on top of
+    * its (recursively resolved) parent chain, each fork edge frozen
+    * at its recorded parent batch. `_lvl` tags chain depth (root 0);
+    * resolution orders by (depth, batch) so a fork's writes always
+    * override inherited rows, and within one level the usual batch
+    * order applies. Returns (log-with-_lvl, own depth).
+    */
+  private def effLog(collection: String,
+                     seen: Set[String] = Set.empty): (DataFrame, Int) = {
+    if (seen.contains(collection))
+      throw CollectionStateError(s"fork cycle detected at '$collection'")
+    val own = readLog(collection)
+    forkEdge(collection) match {
+      case None => (own.withColumn("_lvl", lit(0)), 0)
+      case Some((parent, asof)) =>
+        val (plog, pdepth) = effLog(parent, seen + collection)
+        val frozen = plog.filter(col("_lvl") =!= pdepth || col("_batch") <= asof)
+        (frozen.unionByName(own.withColumn("_lvl", lit(pdepth + 1))), pdepth + 1)
+    }
+  }
+
   /** Latest version per id, tombstones dropped — the merge-on-read
     * resolution. One shuffle on id; at scale the log is additionally
     * partitioned so old batches prune out after compaction. `asOf`
-    * restricts resolution to batches ≤ the given number: because the
-    * log is APPEND-ONLY, every historical snapshot is still fully
-    * present, so time travel is a pushed-down filter, not a restore.
+    * restricts resolution to batches ≤ the given number ON THE
+    * COLLECTION'S OWN LEVEL (a fork's inherited history is already
+    * frozen by its edge): because the log is APPEND-ONLY, every
+    * historical snapshot is still fully present, so time travel is a
+    * pushed-down filter, not a restore.
     */
   private def resolved(collection: String, asOf: Option[Long] = None): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("_batch").desc)
+    val (log0, depth) = effLog(collection)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("_lvl").desc, col("_batch").desc)
     val log = asOf match {
-      case Some(b) => readLog(collection).filter(col("_batch") <= b)
-      case None    => readLog(collection)
+      case Some(b) => log0.filter(col("_lvl") =!= depth || col("_batch") <= b)
+      case None    => log0
     }
     log
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("_deleted"))
       .select(ItemCols.map(col): _*)
+  }
+
+  /** COPY-ON-WRITE fork: a new collection whose reads see the source
+    * exactly as of its current batch and whose writes land only in
+    * its own log. O(1) in collection size — no bytes copy at fork
+    * time (the catalog row + two metadata keys are the whole write),
+    * which is the only viable branch semantics at 100 TB. Subsequent
+    * source writes are invisible to the fork (snapshot isolation) and
+    * fork writes never touch the source. Forks of forks chain;
+    * [[compact]] on a fork materializes the inherited view and severs
+    * the edge. Source metadata (e.g. `hnsw:space`) carries over, so
+    * queries rank identically on both branches.
+    */
+  def fork(source: String, forkName: String): Collection = {
+    val src = client.getCollection(source) // throws if absent
+    val meta = src.metadata.getOrElse(Map.empty) ++ Map(
+      ForkParentKey -> source,
+      ForkAsOfKey -> currentBatch(source).toString)
+    client.createCollection(forkName, Some(meta))
   }
 
   /** The newest batch number in the collection's log (−1 when no
@@ -481,6 +539,14 @@ class CollectionData(client: ChromaSpark) {
     } else Files.move(Paths.get(tmp), logPath)
     if (Files.exists(old)) deleteTree(old)
     Files.write(Paths.get(d, "_batches"), "0".getBytes)
+    // compacting a fork materialized its inherited view into the own
+    // log — sever the edge or resolution would double-count the parent
+    if (forkEdge(collection).isDefined) {
+      val cleaned = client.getCollection(collection).metadata
+        .map(_ -- Seq(ForkParentKey, ForkAsOfKey)).filter(_.nonEmpty)
+      client.modifyCollection(collection,
+        newMetadata = Some(cleaned.getOrElse(Map.empty)))
+    }
   }
 
   /** Chroma `query(query_texts=...)`: embed the texts with the SAME

@@ -191,6 +191,36 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** POINT-IN-TIME (temporal) join — enrich each purchase fact with
+    * the SCD2 dimension version valid AT the fact's event time, the
+    * correctness discipline that prevents feature leakage in training
+    * pipelines (a fact must never see a dimension version from its
+    * future). Implemented as the backward as-of join against the
+    * version-START table ([[AsOfJoin.backward]]): one shuffle on
+    * user_id, no interval range-join — attaching the latest version
+    * with `valid_from <= ts` is exactly "the version whose validity
+    * interval covers ts" because versions tile each user's timeline
+    * (proven by the scd2 spec). The oracle cross-checks with the
+    * explicit BETWEEN formulation.
+    */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    // zero-length versions (two changes in the same second) cover no
+    // instant: the interval formulation can never match them, and
+    // dropping them makes valid_from unique per user, so the as-of
+    // tie-break is deterministic
+    val dim = scd2(s, dir)
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col("user_id"), col("version"), col("state"), col("valid_from"))
+    val facts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        round(col("value"), 2).as("value"))
+    AsOfJoin.backward(facts, dim, Seq("user_id"), "ts_s", "valid_from",
+      Seq("version", "state"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
   /** Rolling z-score anomaly detection on the hourly event-count
     * series, per event type: each hour scores against the mean/stddev
     * of the PRIOR 24 fully-observed hours (trailing frame excludes
@@ -332,6 +362,54 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding-window DISTINCT users (trailing 24 h per hour) two ways:
+    * exact via coverage expansion, and approximate via per-hour HLL
+    * sketches merged across the window — with the sketch's accuracy
+    * certified IN-ROW against the exact count (the
+    * `q26_sketch_bounds` discipline: the oracle pins TRUE, so a
+    * sketch drifting past 5 % fails the driver hash-match).
+    *
+    * Exact branch: each active (user, hour) pair covers the 24
+    * window-ends it can influence — a bounded ×24 generator over the
+    * DISTINCT pairs (never the raw events), then one dedup + count.
+    * Sliding distinct does not decompose algebraically, so any exact
+    * method pays per-(user,window) work somewhere; this shape makes
+    * it map-side and shuffle-bounded.
+    *
+    * HLL branch — the one that survives 100 TB: per-hour
+    * `hll_sketch_agg` state is CONSTANT-size per hour regardless of
+    * user cardinality, the 24-way merge happens on the tiny
+    * hours-level relation (`hll_union_agg` over an hour self-join),
+    * and the estimate replaces the exact branch wholesale when users
+    * no longer fit a dedup shuffle. Mirrors the streaming
+    * heavy-hitter discipline in [[graft.streaming.EventStreams]]:
+    * mergeable sketch state, arrival-order independent.
+    */
+  def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val au = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+    val hours = au.select(col("h")).distinct()
+    val cov = au.select(col("user_id"),
+        explode(sequence(col("h"), col("h") + expr("INTERVAL 23 HOURS"),
+          expr("INTERVAL 1 HOUR"))).as("wend"))
+      .distinct()
+    val exact = cov.join(hours.withColumnRenamed("h", "wend"), "wend")
+      .groupBy(col("wend"))
+      .agg(count(lit(1)).as("n_exact"))
+    val perHour = au.groupBy(col("h")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perHour.toDF("eh", "esk").as("e")
+      .join(perHour.as("w"),
+        col("w.h") >= col("eh") - expr("INTERVAL 23 HOURS") && col("w.h") <= col("eh"))
+      .groupBy(col("eh").as("wend"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("w.sk"))).as("n_hll"))
+    exact.join(merged, "wend")
+      .select(col("wend").as("window_end"), col("n_exact"),
+        (abs(col("n_hll").cast("double") - col("n_exact").cast("double")) <=
+          col("n_exact").cast("double") * lit(0.05)).as("hll_within_5pct"))
+      .orderBy(col("window_end"))
+  }
 
   /** Markov transition matrix over per-user event sequences — the
     * "what happens next" model behind user-path analysis and

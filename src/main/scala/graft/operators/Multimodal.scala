@@ -346,6 +346,107 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** 64-bit spectral-delta audio fingerprint (chromaprint's shape at
+    * toy scale): frame the PCM into 9 time slices, measure energy in
+    * 8 DFT bands per slice, and set bit (band, slice) when the band's
+    * energy RISES into the next slice — the same gradient-sign
+    * discipline as [[dHash]], so the two modalities share the banded
+    * Hamming join. Energy ratios are invariant under uniform gain
+    * (g² scales every cell), so re-levelled copies hash identically
+    * and small additive noise lands within a few bits.
+    */
+  def aHash(samples: Array[Int]): Long = {
+    val frames = 9; val bands = 8
+    val n = samples.length
+    if (n == 0) return 0L
+    val grid = Array.ofDim[Double](bands, frames)
+    var f = 0
+    while (f < frames) {
+      val s0 = f * n / frames
+      val s1 = math.max(s0 + 1, (f + 1) * n / frames)
+      val len = s1 - s0
+      var b = 0
+      while (b < bands) {
+        var re = 0.0; var im = 0.0
+        var i = s0
+        while (i < s1 && i < n) {
+          val ang = -2.0 * math.Pi * (b + 1) * (i - s0) / len
+          re += samples(i) * math.cos(ang)
+          im += samples(i) * math.sin(ang)
+          i += 1
+        }
+        grid(b)(f) = re * re + im * im
+        b += 1
+      }
+      f += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bands) {
+      var ff = 0
+      while (ff < frames - 1) {
+        if (grid(b)(ff + 1) > grid(b)(ff)) sig |= 1L << (b * 8 + ff)
+        ff += 1
+      }
+      b += 1
+    }
+    sig
+  }
+
+  /** (media_id, sig) spectral hashes for the audio rows — decode +
+    * aHash in one iterator-to-iterator map stage.
+    */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { r => (r.media_id, aHash(MediaCodec.decodeWav(r.content).samples)) }
+    }.toDF("media_id", "sig")
+  }
+
+  /** Audio corpus with planted perturbed copies: gain 0.9 (exactly
+    * hash-invariant) plus small additive noise (a few bits of drift)
+    * — the copy a loudness-normalized re-encode would produce.
+    */
+  def plantedAudio(s: SparkSession, dir: String, nPlanted: Int = 5): Dataset[MediaRecord] = {
+    import s.implicits._
+    val audio = synthesize(s, dir).filter(_.kind == "audio")
+    val planted = audio.filter(_.media_id < nPlanted * 3L).map { r =>
+      val pcm = MediaCodec.decodeWav(r.content).samples.zipWithIndex.map { case (x, i) =>
+        val noisy = x * 9 / 10 + ((i * 31) % 13 - 6) * 8
+        math.max(-32768, math.min(32767, noisy))
+      }
+      r.copy(media_id = r.media_id + 1000000L,
+        content = MediaCodec.encodeWav(pcm, 16000))
+    }
+    audio.unionByName(planted)
+  }
+
+  /** Driver query: spectral-hash near-dup audio pairs over
+    * [[plantedAudio]] — decode → aHash map stage, then the SAME
+    * banded-pigeonhole Hamming join as image dHash and text SimHash.
+    * Carries the `recall_planted` certification column. Rows-only:
+    * binary decode isn't DuckDB-expressible.
+    */
+  def audioDupsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = plantedAudio(s, dir)
+    val hashes = audioHashes(media)
+    val pairs = Dedup.hammingBandPairs(hashes, "media_id", maxHamming = 8)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+    val truth = hashes.filter(col("media_id") >= 1000000L)
+      .select((col("media_id") - 1000000L).as("media_a"),
+        col("media_id").as("media_b"))
+    val stats = pairs.select(col("media_a"), col("media_b"))
+      .join(truth, Seq("media_a", "media_b"))
+      .agg(count(lit(1)).as("_hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("_truth"))))
+    pairs.crossJoin(broadcast(stats))
+      .withColumn("recall_planted",
+        col("_hits").cast("double") / greatest(col("_truth").cast("double"), lit(1.0)))
+      .drop("_hits", "_truth")
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Oracle-checked codec round trip: golden BMP/WAV/Y4M payloads
     * built by [[MediaCodec]], decoded DISTRIBUTED through the same
     * `mapPartitions` feature path as the main pipeline; the expected

@@ -805,4 +805,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"), col("seq_id"))
   }
+
+  /** Contiguous global ids 0..N-1 in (lang, doc_id) order WITHOUT a
+    * global single-partition window — the scalable zipWithIndex
+    * idiom. A naive `row_number() OVER (ORDER BY ...)` funnels 100 TB
+    * through one reducer (Spark itself warns "No Partition Defined
+    * for Window"); instead: range-partition on the order key (order
+    * slices stay contiguous across partitions), count rows per
+    * partition (tiny driver-side offsets — one long per partition),
+    * then local rank + partition offset. Two linear jobs, no
+    * partition ever holds more than its slice. The range boundaries
+    * come from Spark's deterministic sampler, and wherever they land
+    * the ids are identical — only the slicing moves. The oracle IS
+    * the naive global row_number, proving the sharded derivation
+    * exactly equals it.
+    */
+  def globalIds(s: SparkSession, dir: String, partitions: Int = 32): DataFrame = {
+    import s.implicits._
+    val parted = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .repartitionByRange(partitions, col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsetOf = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("pid", "offset")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("lang"), col("doc_id"))
+    parted
+      .withColumn("local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsetOf), "pid")
+      .select(col("doc_id"), col("lang"),
+        (col("offset") + col("local") - lit(1L)).as("global_id"))
+      .orderBy(col("global_id"))
+  }
 }

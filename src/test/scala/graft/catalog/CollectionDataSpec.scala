@@ -305,4 +305,56 @@ class CollectionDataSpec extends SparkSpec {
     // a pre-history batch number is an empty collection, not an error
     assert(d.getAsOf("col", -1L).count() === 0)
   }
+
+  test("fork: snapshot isolation both directions, fork-local delete, inherited conflicts") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc a", "{}"), ("b", Seq(0f, 1f), "doc b", "{}")))
+    d.fork("col", "branch")
+    // divergence: parent edits invisible to fork, fork edits invisible to parent
+    d.upsert("col", items(("b", Seq(0f, 1f), "doc b v2", "{}")))
+    d.add("branch", items(("c", Seq(1f, 1f), "doc c", "{}")))
+    d.delete("branch", ids = Seq("a"))
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(d.get("branch").collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+    assert(d.get("branch", ids = Seq("b")).collect().head.getString(1) === "doc b")
+    // an id inherited from the parent is a real conflict for add
+    assertThrows[CollectionStateError] {
+      d.add("branch", items(("b", Seq(1f, 0f), "clash", "{}")))
+    }
+  }
+
+  test("fork of fork chains, and compact severs the edge without changing content") {
+    val (c, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc a", "{}")))
+    d.fork("col", "f1")
+    d.add("f1", items(("b", Seq(0f, 1f), "doc b", "{}")))
+    d.fork("f1", "f2")
+    d.add("f2", items(("x", Seq(1f, 1f), "doc x", "{}")))
+    // f1 write after f2's fork point is invisible to f2
+    d.add("f1", items(("y", Seq(2f, 1f), "doc y", "{}")))
+    assert(d.get("f2").collect().map(_.getString(0)).toSeq === Seq("a", "b", "x"))
+    d.compact("f2")
+    assert(c.getCollection("f2").metadata
+      .forall(m => !m.contains("graft:fork_parent")))
+    assert(d.get("f2").collect().map(_.getString(0)).toSeq === Seq("a", "b", "x"))
+    // post-compact, parent history changes can no longer leak in
+    d.add("f1", items(("z", Seq(3f, 1f), "doc z", "{}")))
+    assert(d.get("f2").collect().map(_.getString(0)).toSeq === Seq("a", "b", "x"))
+    // fork cost is O(1): the branch data dir holds no parent bytes
+    d.fork("col", "cheap")
+    val branchDir = java.nio.file.Paths.get(c.dataDir("cheap"))
+    assert(!java.nio.file.Files.exists(branchDir.resolve("log")),
+      "fork must not copy parent data")
+  }
+
+  test("fork time travel: asOf applies to the fork's own writes over the frozen base") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "doc a", "{}")))
+    d.fork("col", "tbr")
+    d.add("tbr", items(("b", Seq(0f, 1f), "doc b", "{}")))
+    val b0 = d.currentBatch("tbr")
+    d.delete("tbr", ids = Seq("a"))
+    assert(d.getAsOf("tbr", b0).collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(d.get("tbr").collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
 }

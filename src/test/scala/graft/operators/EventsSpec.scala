@@ -80,6 +80,49 @@ class EventsSpec extends SparkSpec {
     assert(at3.size < at2.size)
   }
 
+  test("pit join covers every purchase exactly once with the state valid at its time") {
+    val out = Events.pitJoin(spark, sfDir).collect()
+    val nPurchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length.toLong === nPurchases, "temporal join must not drop or duplicate facts")
+    // brute force: user's state at ts = event_type of the latest state
+    // CHANGE at or before ts (ordered by ts, event_id)
+    val hist = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    out.foreach { r =>
+      val (u, eid, t) = (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      val seq = hist(u)
+      val states = seq.foldLeft(List.empty[(Long, String)]) { case (acc, (_, _, ts, st)) =>
+        if (acc.headOption.exists(_._2 == st)) acc else (ts, st) :: acc
+      }.reverse
+      val expected = states.takeWhile(_._1 <= t).lastOption.map(_._2)
+      assert(Option(r.getString(5)) === expected, s"user $u event $eid")
+    }
+  }
+
+  test("sliding distinct equals a brute recount per window and HLL stays in bounds") {
+    val out = Events.slidingDistinct(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // brute force: for each reported window end, distinct users with
+    // an event in (wend - 24h, wend]
+    val hourMs = 3600000L
+    val pairs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / hourMs * hourMs))
+      .distinct
+    out.foreach { r =>
+      val wend = r.getTimestamp(0).getTime
+      val expected = pairs.filter { case (_, h) => h <= wend && h > wend - 24 * hourMs }
+        .map(_._1).distinct.length.toLong
+      assert(r.getLong(1) === expected, s"window $wend exact count")
+      assert(r.getBoolean(2), s"window $wend: HLL drifted past 5%")
+    }
+  }
+
   test("paths transition mass: total transitions = events - users, rows per state sum to ~1") {
     val events = graft.Tables.events(spark, sfDir)
     val nEvents = events.count()

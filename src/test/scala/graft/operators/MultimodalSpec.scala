@@ -256,4 +256,31 @@ class MultimodalSpec extends SparkSpec {
         assert(pairs.contains((pid - 1000000L, pid)), s"missing planted pair for $pid")
     }
   }
+
+  test("audio spectral hash is exactly gain-invariant and noise moves few bits") {
+    val pcm = (0 until 320).map(i =>
+      (math.sin(i * 0.21) * 8000 + math.sin(i * 0.045) * 4000).toInt).toArray
+    val base = Multimodal.aHash(pcm)
+    val gained = Multimodal.aHash(pcm.map(x => x * 7 / 10))
+    assert(base === gained, "uniform gain must not move any bit")
+    val noisy = Multimodal.aHash(pcm.zipWithIndex.map { case (x, i) =>
+      x + ((i * 17) % 11 - 5) * 16
+    })
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 8,
+      "small additive noise drifted too many bits")
+  }
+
+  test("audio near-dup query certifies planted recall over the shared hamming join") {
+    val rows = Multimodal.audioDupsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val recall = rows.head.getAs[Double]("recall_planted")
+    assert(recall >= 0.8, s"recall_planted $recall below floor")
+    val hashes = Multimodal.audioHashes(Multimodal.plantedAudio(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = rows.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    hashes.keys.filter(_ >= 1000000L).foreach { pid =>
+      if (java.lang.Long.bitCount(hashes(pid) ^ hashes(pid - 1000000L)) <= 8)
+        assert(pairs.contains((pid - 1000000L, pid)), s"missing planted pair for $pid")
+    }
+  }
 }

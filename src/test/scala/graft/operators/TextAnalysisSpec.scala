@@ -273,6 +273,20 @@ class TextAnalysisSpec extends SparkSpec {
       out.map(r => (-r.getLong(1), r.getString(0))).sortBy(identity).toSeq)
   }
 
+  test("global ids are dense 0..N-1 in (lang, doc_id) order for any partition count") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    for (parts <- Seq(1, 4, 32)) {
+      val out = TextAnalysis.globalIds(spark, dir, partitions = parts).collect()
+      assert(out.map(_.getLong(2)).toSeq === (0L until docs.length.toLong),
+        s"ids not dense with $parts partitions")
+      assert(out.map(r => (r.getString(1), r.getLong(0))).toSeq === docs.toSeq,
+        s"order broken with $parts partitions")
+    }
+  }
+
   test("inverted index postings are sorted, df-consistent and tf-consistent") {
     val out = TextAnalysis.invertedIndex(spark, "/root/testdata/sf0.001", topK = 15).collect()
     assert(out.nonEmpty)

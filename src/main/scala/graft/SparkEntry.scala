@@ -366,7 +366,9 @@ object SparkEntry {
     "q34_histogram"      -> ((s, d) => Relational.q34Histogram(s, d)),
     "q35_heavy_hitters"  -> (Relational.q35HeavyHitters _),
     "q32_skew_agg"       -> (Relational.qSkewAgg _),
+    "q37_expectations"   -> (Relational.q37Expectations _),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
+    "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "txt_sentence_dedup" -> (TextAnalysis.sentenceDedup _),
     "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
@@ -857,6 +859,67 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // ordered two-join chain counts each triangle once (a<b<c baked
+    // into canonical edges); clustering uses the core-subgraph degree
+    "q38_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY node),
+        |top AS (SELECT node FROM deg ORDER BY degree DESC, node LIMIT 100),
+        |e AS (
+        |  SELECT src, dst FROM e0
+        |  WHERE src IN (SELECT node FROM top) AND dst IN (SELECT node FROM top)),
+        |degsub AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY node),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |pernode AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT p.node AS p_partkey, p.n_triangles, d.degree,
+        |  floor(2.0 * p.n_triangles / (d.degree * (d.degree - 1.0)) * 10000.0 + 0.5)
+        |    / 10000.0 AS clustering
+        |FROM pernode p JOIN degsub d USING (node)
+        |ORDER BY p.n_triangles DESC, p.node LIMIT 10""".stripMargin,
+
+    // each expectation is a conditional aggregate; the tight tax
+    // bound intentionally shows nonzero violations flowing through
+    "q37_expectations" ->
+      """WITH t AS (
+        |  SELECT 'lineitem.l_orderkey not_null' AS expectation,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_returnflag in (A,N,R)', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_tax <= 0.06', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (l_tax > 0.06) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey references orders', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  FROM lineitem l
+        |)
+        |SELECT expectation, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM t ORDER BY expectation""".stripMargin,
 
     // NOT EXISTS ≡ Spark's LEFT ANTI (incl. NULL-key semantics)
     "q31_integrity" ->

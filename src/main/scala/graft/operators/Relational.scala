@@ -642,4 +642,46 @@ object Relational {
       .withColumn("avg_qty", r4(col("sum_qty") / col("n_rows")))
       .orderBy(col("grp"))
   }
+
+  /** Declarative data-quality EXPECTATIONS audit (the dbt-test /
+    * Great-Expectations shape): not_null, accepted_values, range and
+    * uniqueness checks evaluate as conditional aggregates in ONE scan
+    * per table — adding an expectation adds a column to the agg, not
+    * a pass over the data — and the referential check is the same
+    * left-anti shape as [[qIntegrity]]. Each expectation reports
+    * (checked, violations, pass); the deliberately-tight tax bound
+    * shows real violations flowing through, the rest hold. At 100 TB
+    * this is exactly 2 scans + 1 join however many expectations run.
+    */
+  def q37Expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val liRows = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_av"),
+        sum(when(col("l_tax") > 0.06, 1L).otherwise(0L)).as("v_rng"))
+      .select(col("n").as("n_checked"), expr(
+        """stack(3,
+          |  'lineitem.l_orderkey not_null', v_nn,
+          |  'lineitem.l_returnflag in (A,N,R)', v_av,
+          |  'lineitem.l_tax <= 0.06', v_rng) AS (expectation, n_violations)""".stripMargin))
+    val ordRows = ord.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uq"))
+      .select(col("n").as("n_checked"), expr(
+        "stack(1, 'orders.o_orderkey unique', v_uq) AS (expectation, n_violations)"))
+    val refRows = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked"))))
+      .select(col("n_checked"),
+        lit("lineitem.l_orderkey references orders").as("expectation"),
+        col("n_violations"))
+    liRows.unionByName(ordRows).unionByName(refRows)
+      .select(col("expectation"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("expectation"))
+  }
 }

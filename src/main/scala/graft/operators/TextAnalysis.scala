@@ -816,9 +816,13 @@ object TextAnalysis {
     * then local rank + partition offset. Two linear jobs, no
     * partition ever holds more than its slice. The range boundaries
     * come from Spark's deterministic sampler, and wherever they land
-    * the ids are identical — only the slicing moves. The oracle IS
-    * the naive global row_number, proving the sharded derivation
-    * exactly equals it.
+    * the ids are identical — only the slicing moves. (The local-rank
+    * window declares hashpartitioning(pid), so the plan carries one
+    * extra narrow 3-column exchange after the range partition — the
+    * price of staying in pure DataFrame ops instead of mapPartitions;
+    * both shuffles move only (lang, doc_id, pid).) The oracle IS the
+    * naive global row_number, proving the sharded derivation exactly
+    * equals it.
     */
   def globalIds(s: SparkSession, dir: String, partitions: Int = 32): DataFrame = {
     import s.implicits._

@@ -52,4 +52,30 @@ class GraphSpec extends SparkSpec {
         $"a.src" === $"b.dst" && $"a.dst" === $"b.src", "left_anti").count()
     assert(asym === 0, "every co-purchase edge must have its reverse")
   }
+
+  test("triangle counts match a brute-force recount on the heavy core") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Graph.triangles(spark, dir, topNodes = 50, topK = 10).collect()
+    assert(out.nonEmpty)
+    // brute force the same construction in scala
+    val canon = Graph.copurchaseEdges(spark, dir)
+      .filter($"src" < $"dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degree = canon.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val top = degree.toSeq.sortBy { case (n, d) => (-d, n) }.take(50).map(_._1).toSet
+    val core = canon.filter(e => top(e._1) && top(e._2)).toSet
+    val adj = core.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- core; c <- adj.getOrElse(b, Set.empty) if core((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    out.foreach { r =>
+      assert(r.getLong(1) === triCount(r.getLong(0)),
+        s"triangle count mismatch at node ${r.getLong(0)}")
+    }
+    // descending with node tiebreak
+    val keys = out.map(r => (-r.getLong(1), r.getLong(0))).toSeq
+    assert(keys === keys.sorted)
+  }
 }

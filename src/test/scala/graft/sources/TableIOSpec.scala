@@ -71,4 +71,44 @@ class TableIOSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     TableIO.write(sample, dir, mode = SaveMode.Append)
     assert(TableIO.read(spark, dir).count() === 6)
   }
+
+  test("schema evolution: widened writers merge; old files read the new column as null") {
+    // a 100 TB table is written over months by evolving jobs — new
+    // columns must be additive, never a rewrite of old files
+    val dir = Files.createTempDirectory("graft-io-evolve").toString + "/t"
+    TableIO.write(sample, dir)
+    TableIO.write(sample.withColumn("quality", col("score") * 2), dir,
+      mode = SaveMode.Append)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "lang", "score", "name", "quality"))
+    assert(merged.count() === 6)
+    // rows from pre-evolution files surface the new column as null
+    assert(merged.filter(col("quality").isNull).count() === 3)
+    assert(merged.filter(col("quality") === col("score") * 2).count() === 3)
+  }
+
+  test("streaming file-source ingest: files appearing in a directory flow through a stream") {
+    val srcDir = Files.createTempDirectory("graft-io-stream-src").toString
+    val out = "file_stream_out"
+    TableIO.write(sample, srcDir + "/batch1", mode = SaveMode.Overwrite)
+    // move the written part-files up so the stream source sees a flat dir
+    val q = spark.readStream
+      .schema(sample.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir + "/batch1")
+      .groupBy(col("lang")).count()
+      .writeStream.format("memory").queryName(out)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table(out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map("en" -> 2L, "fr" -> 1L))
+      // a file landing AFTER the stream started is picked up incrementally
+      sample.filter(col("lang") === "en").limit(1)
+        .write.mode(SaveMode.Append).parquet(srcDir + "/batch1")
+      q.processAllAvailable()
+      val counts2 = spark.table(out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts2("en") === 3L)
+    } finally q.stop()
+  }
 }

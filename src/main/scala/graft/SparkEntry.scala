@@ -352,6 +352,8 @@ object SparkEntry {
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),
+    "vec_range_search"   -> ((s, d) => HybridSearch.rangeSearch(s, d)),
+    "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -1725,6 +1727,77 @@ object SparkEntry {
         |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
         |FROM ranked WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // radius query: a pure filter after the scan — no ranking window
+    "vec_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS s
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, vec_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM scored WHERE s >= 0.30
+        |ORDER BY query_id, vec_id""".stripMargin,
+
+    // both rankers re-derived (same CTE stacks as txt_bm25 / vec_knn)
+    // plus the RRF fusion arithmetic, all in one oracle
+    "txt_hybrid_rrf" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 3),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM corpus),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+')[1:8])) AS token
+        |  FROM documents WHERE doc_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN n CROSS JOIN avgs),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY query_id, doc_id),
+        |trank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS text_rank
+        |  FROM agg QUALIFY text_rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |vc AS (SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 3),
+        |vscored AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS s
+        |  FROM vq CROSS JOIN vc),
+        |vrank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS vec_rank
+        |  FROM vscored QUALIFY vec_rank <= 10),
+        |fused AS (
+        |  SELECT query_id, doc_id, text_rank, vec_rank,
+        |    coalesce(1.0 / (60 + text_rank), 0.0) + coalesce(1.0 / (60 + vec_rank), 0.0)
+        |      AS rrf_raw
+        |  FROM trank FULL OUTER JOIN vrank USING (query_id, doc_id)),
+        |final AS (
+        |  SELECT query_id, doc_id, text_rank, vec_rank, rrf_raw,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_raw DESC, doc_id ASC) AS BIGINT) AS "rank"
+        |  FROM fused QUALIFY "rank" <= 5)
+        |SELECT query_id, "rank", doc_id, text_rank, vec_rank,
+        |  floor(rrf_raw * 10000.0 + 0.5) / 10000.0 AS rrf
+        |FROM final ORDER BY query_id, "rank"""".stripMargin,
 
     "vec_knn_filtered" ->
       """WITH q AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for vector distance — the codegen'd
   * replacement for the higher-order-function folds in
@@ -35,7 +35,7 @@ sealed abstract class VectorKernel extends BinaryExpression with Serializable {
     else
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs array<float|double> inputs, got " +
-          s"${left.dataType.simpleString(10)} / ${right.dataType.simpleString(10)}")
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -146,6 +146,65 @@ case class L2Distance(left: Expression, right: Expression) extends VectorKernel 
     copy(left = l, right = r)
 }
 
+/** Σ a[i]·b[i] over two int8 code arrays with a 64-bit integer
+  * accumulator — the SQ8 scoring kernel
+  * ([[graft.operators.VectorOps.annSq]]): quantized search wins come
+  * from streaming quarter-width codes through a tight integer loop,
+  * which only materializes if the loop is generated, not interpreted.
+  * Integer math, so (unlike the double kernels) accumulation order
+  * can't even matter. Dimension mismatch → NULL, same contract as
+  * the float kernels.
+  */
+case class Int8Dot(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<tinyint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def prettyName: String = "graft_int8_dot"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      val n = x.numElements()
+      while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long acc = 0L;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration. */
 object VectorExpressions {
 
@@ -158,10 +217,14 @@ object VectorExpressions {
   def l2(a: Column, b: Column): Column =
     GraftSqlBridge.column(L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(Int8Dot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) }),
     ("graft_dot",    { args => require(args.length == 2); DotProduct(args(0), args(1)) }),
     ("graft_l2",     { args => require(args.length == 2); L2Distance(args(0), args(1)) }),
+    ("graft_int8_dot", { args => require(args.length == 2); Int8Dot(args(0), args(1)) }),
     ("graft_shingle_hashes", { args =>
       require(args.length == 2)
       ShingleHashes(args(0), GraftExtensions.intLiteral(args(1), "n")) }),

@@ -285,23 +285,16 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
-  /** Scalar int8 quantization of one vector: symmetric per-vector
-    * max-abs scaling (the no-training-pass variant of faiss's SQ8 —
-    * per-vector scales need no global stats job, so the entire
-    * encode is a map stage). Returns (codes array<tinyint>, scale,
-    * norm): `codes[i] * scale ≈ v[i]`, `norm ≈ |v|`.
+  /** Signed integer dot product of two int8 code arrays — the
+    * codegen'd [[graft.functions.Int8Dot]] kernel (the interpreted
+    * HOF fold below is retained as its executable spec; parity in
+    * VectorOpsSpec).
     */
-  private[operators] def sq8Encode(vec: Column): (Column, Column, Column) = {
-    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(maxAbs > 0, maxAbs / lit(127.0)).otherwise(lit(1.0))
-    val codes = transform(vec, x =>
-      greatest(lit(-127.0), least(lit(127.0),
-        floor(x.cast("double") / scale + lit(0.5)))).cast("tinyint"))
-    (codes, scale, maxAbs) // norm filled in by caller from the codes
-  }
-
-  /** Signed integer dot product of two int8 code arrays. */
   private def intDot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.int8Dot(a, b)
+
+  /** HOF reference formulation of [[intDot]] (CodegenFallback). */
+  private[operators] def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 
@@ -320,11 +313,19 @@ object VectorOps {
             shortlist: Int = 50): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    def enc(df: DataFrame, idCol: String, vec: String): DataFrame = {
-      val (codes, scale, _) = sq8Encode(col(vec))
-      df.select(col(idCol), codes.as("_c8"), scale.as("_s"))
+    // scale materializes as a COLUMN before the quantize lambda — if
+    // the lambda referenced the scale expression tree directly, the
+    // array_max sub-expression would re-evaluate per element (O(dim²)
+    // per row); staged projections keep the encode O(dim)
+    def enc(df: DataFrame, idCol: String, vec: String): DataFrame =
+      df.select(col(idCol), col(vec).as("_v"),
+          array_max(transform(col(vec), x => abs(x.cast("double")))).as("_ma"))
+        .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
+        .withColumn("_c8", transform(col("_v"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(x.cast("double") / col("_s") + lit(0.5)))).cast("tinyint")))
         .withColumn("_n", sqrt(intDot(col("_c8"), col("_c8")).cast("double")) * col("_s"))
-    }
+        .drop("_v", "_ma")
     val c = enc(corpus, "vec_id", "vec")
     val q = broadcast(enc(queries.withColumnRenamed("qvec", "_qv"), "query_id", "_qv")
       .withColumnsRenamed(Map("_c8" -> "_qc8", "_s" -> "_qs", "_n" -> "_qn")))

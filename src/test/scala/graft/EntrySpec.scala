@@ -13,8 +13,9 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
       "dd_embed_top", "dd_incremental", "vec_ann_lsh", "vec_ann_ivf",
-      "vec_ann_kmeans", "vec_ann_pq", "vec_ann_ivf_index",
-      "mm_features", "mm_resize", "mm_image_dups", "dd_semantic")
+      "vec_ann_kmeans", "vec_ann_pq", "vec_ann_ivf_index", "vec_ann_sq",
+      "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups",
+      "dd_semantic")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

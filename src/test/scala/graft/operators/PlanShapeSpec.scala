@@ -62,4 +62,47 @@ class PlanShapeSpec extends SparkSpec {
       "threshold join must broadcast the tiny per-domain relation")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("expectations audit is conditional aggregates, not one scan per expectation") {
+    val plan = sparkPlanOf(Relational.q37Expectations(spark, sf))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // lineitem agg + orders agg + referential (lineitem + orders) +
+    // n_checked recount = 5 scans for 5 expectations; adding a
+    // non-referential expectation must NOT add a scan
+    assert(scans.length === 5, s"expected 5 scans, got ${scans.length}")
+  }
+
+  test("range search plans no shuffle after the scan (pure broadcast filter)") {
+    val plan = sparkPlanOf(HybridSearch.rangeSearch(spark, sf))
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the only exchange allowed is the final ORDER BY range partition
+    assert(exchanges.length <= 1,
+      s"radius search must not shuffle the corpus: ${exchanges.length} exchanges")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastExchange"),
+      "queries must broadcast")
+  }
+
+  test("triangle core restriction joins are broadcasts, not shuffles of the edge list") {
+    val plan = sparkPlanOf(Graph.triangles(spark, sf, topNodes = 50)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "top-node restriction must broadcast the tiny core set")
+  }
+
+  test("sq8 scoring carries only codes + scalars through the shortlist stage") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val c = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 5)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val plan = sparkPlanOf(VectorOps.annSq(q, c, k = 5)).toString
+    assert(plan.contains("graft_int8_dot"),
+      "scoring must run the codegen'd Int8Dot kernel, not the HOF fold")
+  }
 }

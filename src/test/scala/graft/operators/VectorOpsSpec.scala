@@ -203,6 +203,23 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("Int8Dot kernel is bitwise equal to the HOF fold and null on length mismatch") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val both = df.select(
+      graft.functions.VectorExpressions.int8Dot(col("a"), col("b")).as("k"),
+      VectorOps.intDotHof(col("a"), col("b")).as("h")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val mismatch = spark.createDataFrame(
+      Seq((Seq[Byte](1, 2, 3), Seq[Byte](1, 2)))).toDF("a", "b")
+      .select(graft.functions.VectorExpressions.int8Dot(col("a"), col("b")).as("k"))
+      .collect()
+    assert(mismatch.head.isNullAt(0), "dimension mismatch must be NULL")
+  }
+
   test("SQ8 ANN: int8 codes (4x compression), high recall, deterministic") {
     val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

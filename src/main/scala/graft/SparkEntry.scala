@@ -223,33 +223,40 @@ object SparkEntry {
     d.add("parent", items("c" -> "doc c"))
     d.add("branch", items("d" -> "doc d"))
     d.delete("branch", ids = Seq("a"))
-    def ids(c: String) = d.get(c, include = Nil)
-      .agg(org.apache.spark.sql.functions.array_join(
-        org.apache.spark.sql.functions.array_sort(
-          org.apache.spark.sql.functions.collect_list(col("id"))), ",")).as[String]
-      .collect().headOption.getOrElse("")
-    def docOf(c: String, id: String) = d.get(c, ids = Seq(id))
-      .select(col("document")).as[String].collect().headOption.getOrElse("null")
-    val parentIds = ids("parent")
-    val branchIds = ids("branch")
-    val branchB = docOf("branch", "b") // parent's pre-fork version
-    val parentB = docOf("parent", "b")
-    val branchN = d.count("branch")
+    import org.apache.spark.sql.{functions => F}
+    // ONE action materializes all pre-compact observations (the
+    // collection_items discipline: union the step aggregates instead
+    // of one collect per step)
+    def stepRow(step: Long, check: String, observed: org.apache.spark.sql.Column) = Seq(
+      F.lit(step).as("step"), F.lit(check).as("check"), observed.cast("string").as("observed"))
+    def idsStep(c: String, step: Long, check: String) =
+      d.get(c, include = Nil)
+        .agg(F.array_join(F.array_sort(F.collect_list(F.col("id"))), ",").as("v"))
+        .select(stepRow(step, check, F.col("v")): _*)
+    def docStep(c: String, id: String, step: Long, check: String) =
+      d.get(c, ids = Seq(id)).limit(1)
+        .select(stepRow(step, check, F.col("document")): _*)
+    val countStep = d.get("branch", include = Nil)
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(stepRow(5L, "branch_live_count", F.col("n")): _*)
+    val preCompact = Seq(
+      idsStep("parent", 1L, "parent_ids_after_divergence"),
+      idsStep("branch", 2L, "branch_ids_after_divergence"),
+      docStep("branch", "b", 3L, "branch_b_is_pre_fork_version"),
+      docStep("parent", "b", 4L, "parent_b_is_post_fork_version"),
+      countStep
+    ).reduce(_.unionByName(_)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     d.compact("branch")
-    val afterCompactIds = ids("branch")
     val severed = client.getCollection("branch").metadata
       .exists(m => m.contains("graft:fork_parent")).toString
-    val parentAfter = ids("parent")
-    Seq(
-      (1L, "parent_ids_after_divergence", parentIds),
-      (2L, "branch_ids_after_divergence", branchIds),
-      (3L, "branch_b_is_pre_fork_version", branchB),
-      (4L, "parent_b_is_post_fork_version", parentB),
-      (5L, "branch_live_count", branchN.toString),
-      (6L, "branch_ids_after_compact", afterCompactIds),
-      (7L, "fork_edge_severed_by_compact", severed),
-      (8L, "parent_untouched_by_branch_compact", parentAfter)
-    ).toDF("step", "check", "observed").orderBy(col("step"))
+    val postCompact = Seq(
+      idsStep("branch", 6L, "branch_ids_after_compact"),
+      idsStep("parent", 8L, "parent_untouched_by_branch_compact")
+    ).reduce(_.unionByName(_)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    (preCompact ++ postCompact :+ ((7L, "fork_edge_severed_by_compact", severed)))
+      .toDF("step", "check", "observed").orderBy(col("step"))
   }
 
   def collectionMetric(s: SparkSession, dir: String): DataFrame = {

@@ -332,6 +332,7 @@ object SparkEntry {
     "ev_hopping"         -> (Events.hopping _),
     "ev_sliding_distinct" -> (Events.slidingDistinct _),
     "ev_pit_join"        -> (Events.pitJoin _),
+    "ev_heatmap"         -> (Events.heatmap _),
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -813,6 +814,18 @@ object SparkEntry {
         |FROM e CROSS JOIN k
         |WHERE (CAST(floor(sec / 900) AS BIGINT) - i) * 900 > sec - 3600
         |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // day-of-week from integer epoch arithmetic, not either engine's
+    // calendar function (week-start conventions differ)
+    "ev_heatmap" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+        |SELECT CAST((floor(sec / 86400) + 4) % 7 AS BIGINT) AS dow,
+        |  CAST(floor((sec % 86400) / 3600) AS BIGINT) AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
     // interval-membership formulation of the point-in-time join; the

@@ -363,6 +363,27 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Day-of-week × hour-of-day activity HEATMAP — the periodic-load
+    * matrix behind capacity planning and anomaly baselines. The
+    * day-of-week derives from pure integer epoch arithmetic
+    * ((day + 4) mod 7, 0 = Sunday) rather than either engine's
+    * calendar function, whose week-start conventions differ — the
+    * cross-engine determinism discipline applied to dates. One
+    * map-side-combinable hash agg into exactly 168 groups at any
+    * event volume.
+    */
+  def heatmap(s: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    Tables.events(s, dir)
+      .select(
+        ((floor(sec / 86400L) + 4L) % 7L).cast("long").as("dow"),
+        floor((sec % 86400L) / 3600L).cast("long").as("hour_of_day"),
+        col("value"))
+      .groupBy(col("dow"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("dow"), col("hour_of_day"))
+  }
+
   /** Sliding-window DISTINCT users (trailing 24 h per hour) two ways:
     * exact via coverage expansion, and approximate via per-hour HLL
     * sketches merged across the window — with the sketch's accuracy

@@ -154,6 +154,58 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class PendingEv(ts_s: Long, event_id: Long, state: String)
+  final case class TransitionState(pending: List[PendingEv], frontier: Option[PendingEv])
+  final case class Transition(user_id: Long, state: String, next_state: String)
+
+  /** Streaming MARKOV TRANSITIONS — the continuous twin of
+    * `graft.operators.Events.paths`: per-user consecutive-event pairs
+    * in EVENT-TIME order, emitted only once the watermark seals their
+    * order. Out-of-order arrivals buffer per user; an event is sealed
+    * when its (second-floored) timestamp lies strictly below the
+    * watermark's second — every admissible future event then sorts
+    * strictly after it, so the emitted pair sequence is exactly the
+    * batch `lead()` sequence over admitted events (parity
+    * fuzz-checked). State per user = the unsealed buffer + one
+    * frontier event (the last sealed one, needed to pair with the
+    * next seal); event-time timeout drains buffers when the watermark
+    * advances without new data for the user.
+    */
+  def transitions(events: Dataset[Event],
+                  watermark: String = "1 hour"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[TransitionState]): Iterator[Transition] = {
+      val wm = state.getCurrentWatermarkMs()
+      val wmSec = math.floorDiv(wm, 1000L) * 1000L
+      val prior = state.getOption.getOrElse(TransitionState(Nil, None))
+      val pending = prior.pending ++ batch.map(e =>
+        PendingEv(math.floorDiv(e.ts.getTime, 1000L) * 1000L, e.event_id, e.event_type))
+      val sorted = pending.sortBy(e => (e.ts_s, e.event_id))
+      // sealed: no admissible future event (raw ts ≥ wm ⇒ ts_s ≥ wmSec)
+      // can sort at-or-before it
+      val (sealedEvs, open) = sorted.partition(_.ts_s < wmSec)
+      val chain = prior.frontier.toList ++ sealedEvs
+      val out = chain.sliding(2).collect {
+        case Seq(a, b) => Transition(userId, a.state, b.state)
+      }.toList
+      val frontier = sealedEvs.lastOption.orElse(prior.frontier)
+      if (open.isEmpty && frontier.isEmpty) state.remove()
+      else {
+        state.update(TransitionState(open, frontier))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(math.max(open.map(_.ts_s).min + 1000L, wm + 1L))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   final case class Span(doc_id: Long, pos: Int, sent: String)
   final case class KeptSpan(doc_id: Long, pos: Int, sent: String)
 

@@ -266,6 +266,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized batch-parity: streamed transitions equal the batch lead() pairs") {
+    val rnd = new scala.util.Random(20260813L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val types = Array("click", "view", "purchase")
+    for (trial <- 1 to 4) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = transitions(input.toDS(), watermark = "24 hours")
+        .writeStream.format("memory").queryName(s"fuzz_paths_$trial")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val events = for {
+          u <- 1 to 2
+          i <- 1 to (6 + rnd.nextInt(8))
+        } yield Event(u * 100L + i, new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+          u.toLong, types(rnd.nextInt(3)), 0.0)
+        val shuffled = rnd.shuffle(events.toList)
+        val nBatches = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nBatches - 1) / nBatches))
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // sentinel advances the watermark past every trial event
+        input.addData(Event(9999L, new Timestamp(base + 40L * 86400 * 1000), 999L, "f", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(s"fuzz_paths_$trial")
+          .filter($"user_id" =!= 999L).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        // batch twin: per user, sort by (ts, event_id), consecutive pairs
+        val expected = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+          val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id)).toList
+          sorted.zip(sorted.tail).map { case (a, b) => (u, a.event_type, b.event_type) }
+        }.groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === expected, s"trial $trial transition multiset diverged")
+      } finally q.stop()
+    }
+  }
+
   test("hopping windows finalize with the batch twin's memberships and counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

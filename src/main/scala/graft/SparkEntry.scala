@@ -377,6 +377,7 @@ object SparkEntry {
     "q35_heavy_hitters"  -> (Relational.q35HeavyHitters _),
     "q32_skew_agg"       -> (Relational.qSkewAgg _),
     "q37_expectations"   -> (Relational.q37Expectations _),
+    "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
@@ -881,6 +882,36 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // PSI terms fixed to integer micros BEFORE the total sum, so the
+    // total is exact integer math (bm25 ln-parity discipline)
+    "q39_drift" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |e AS (
+        |  SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT)
+        |      AS bucket,
+        |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+        |  FROM orders CROSS JOIN b),
+        |c AS (
+        |  SELECT bucket, CAST(sum(is_a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - is_a) AS BIGINT) AS n_b
+        |  FROM e GROUP BY bucket),
+        |t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM c),
+        |terms AS (
+        |  SELECT bucket, n_a, n_b,
+        |    CAST(floor(
+        |      ((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE))
+        |        - (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + 10 AS DOUBLE)))
+        |      * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE))
+        |           / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + 10 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+        |  FROM c CROSS JOIN t)
+        |SELECT bucket, n_a, n_b,
+        |  CAST(psi_micro AS DOUBLE) / 1000000.0 AS psi,
+        |  CAST(sum(psi_micro) OVER () AS DOUBLE) / 1000000.0 AS psi_total,
+        |  sum(psi_micro) OVER () > 100000 AS drift
+        |FROM terms ORDER BY bucket""".stripMargin,
 
     // ordered two-join chain counts each triangle once (a<b<c baked
     // into canonical edges); clustering uses the core-subgraph degree

@@ -48,6 +48,57 @@ object Profile {
   /** Driver query: profile the five representative lineitem columns
     * (integer key, two doubles, a flag, a date).
     */
+  /** Distribution DRIFT detection via the Population Stability Index
+    * — the training-data monitor that flags when a feature's
+    * distribution in a new data window has moved from the reference
+    * window (PSI > 0.1 ≈ investigate, > 0.25 ≈ retrain). Reference =
+    * pre-1998 orders, comparison = the rest; o_totalprice histograms
+    * over 10 fixed-width buckets from one global min/max pass (the
+    * q34 discipline), Laplace-smoothed so empty buckets stay finite.
+    *
+    * Cross-engine determinism: each bucket's PSI term is fixed to
+    * integer MICRO units before the total is summed — the total is
+    * then exact integer math, immune to float summation order (the
+    * bm25 integer-micro discipline; `ln` itself is proven
+    * engine-identical at micro precision by the bm25 oracle). One
+    * scan for bounds + one counting agg into 10 groups — scan-bound
+    * at any volume.
+    */
+  def q39Drift(s: SparkSession, dir: String, buckets: Int = 10,
+               threshold: Double = 0.1): DataFrame =
+    psiDrift(graft.Tables.orders(s, dir)
+      .select(col("o_totalprice").as("value"),
+        when(col("o_orderdate") < lit(java.sql.Date.valueOf("1998-01-01")), 1L)
+          .otherwise(0L).as("is_a")),
+      buckets, threshold)
+
+  /** PSI over a pre-labeled (value, is_a) frame — see [[q39Drift]]. */
+  def psiDrift(data: DataFrame, buckets: Int = 10,
+               threshold: Double = 0.1): DataFrame = {
+    val bounds = data.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val counts = data.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("value") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(buckets.toDouble))), lit((buckets - 1).toDouble))
+          .cast("long").as("bucket"),
+        col("is_a"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_a")).as("n_a"), sum(lit(1L) - col("is_a")).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val p = (col("n_a") + lit(1L)).cast("double") / (col("tot_a") + lit(buckets.toLong)).cast("double")
+    val q = (col("n_b") + lit(1L)).cast("double") / (col("tot_b") + lit(buckets.toLong)).cast("double")
+    val psiMicro = floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.5)).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    counts.crossJoin(broadcast(totals))
+      .withColumn("psi_micro", psiMicro)
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("psi_micro").cast("double") / lit(1000000.0)).as("psi"),
+        (sum(col("psi_micro")).over(all).cast("double") / lit(1000000.0)).as("psi_total"),
+        (sum(col("psi_micro")).over(all) > lit((threshold * 1000000).toLong)).as("drift"))
+      .orderBy(col("bucket"))
+  }
+
   def profileQuery(s: SparkSession, dir: String): DataFrame =
     profile(
       graft.Tables.lineitem(s, dir)

@@ -32,4 +32,25 @@ class ProfileSpec extends SparkSpec {
     // aggregate through the distincts' expand copies (6× slower)
     assert(scans.length === 2, s"expected two scans, got ${scans.length}")
   }
+
+  test("psi drift fires on a planted distribution shift and stays quiet on identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // reference ~ U[0,100); comparison shifted to U[50,150) — severe drift
+    val shifted = (
+      Seq.fill(2000)((rnd.nextDouble() * 100.0, 1L)) ++
+      Seq.fill(2000)((50.0 + rnd.nextDouble() * 100.0, 0L))
+    ).toDF("value", "is_a")
+    val drifted = Profile.psiDrift(shifted).collect()
+    assert(drifted.forall(_.getBoolean(5)), "planted shift must flag drift")
+    assert(drifted.head.getDouble(4) > 0.25, "severe shift should exceed the retrain bar")
+    // identical windows: PSI ~ 0, no flag
+    val same = (
+      Seq.tabulate(2000)(i => ((i % 100).toDouble, 1L)) ++
+      Seq.tabulate(2000)(i => ((i % 100).toDouble, 0L))
+    ).toDF("value", "is_a")
+    val quiet = Profile.psiDrift(same).collect()
+    assert(quiet.forall(!_.getBoolean(5)))
+    assert(math.abs(quiet.head.getDouble(4)) < 1e-3)
+  }
 }

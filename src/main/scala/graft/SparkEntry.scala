@@ -380,6 +380,7 @@ object SparkEntry {
     "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
+    "q40_assoc_rules"    -> ((s, d) => Graph.assocRules(s, d)),
     "txt_mixture"        -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "txt_sentence_dedup" -> (TextAnalysis.sentenceDedup _),
     "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
@@ -882,6 +883,31 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // top-k cut orders by the ROUNDED lift + (pa,pb) tiebreak so the
+    // boundary is engine-deterministic
+    "q40_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |item_n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3)
+        |SELECT pa, pb, n_ab,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS support,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS conf_a_to_b,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS conf_b_to_a,
+        |  floor(CAST(n_orders AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |        / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+        |        * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM pairs JOIN item_n ia ON pa = ia.pk JOIN item_n ib ON pb = ib.pk
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
 
     // PSI terms fixed to integer micros BEFORE the total sum, so the
     // total is exact integer math (bm25 ln-parity discipline)

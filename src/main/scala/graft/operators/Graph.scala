@@ -101,6 +101,50 @@ object Graph {
       .limit(topK)
   }
 
+  /** ASSOCIATION-RULE mining over co-purchase baskets — market-basket
+    * support / confidence / lift, the relevance statistics next to
+    * the structural ones (PageRank, triangles) on the same graph.
+    * Basket shape: ONE exchange on l_orderkey, `collect_set` dedupes
+    * items per order, then a<b pairs expand map-side (bounded by the
+    * schema-capped basket size) — the basket never crosses the
+    * network twice, and pair counts hash-aggregate with map-side
+    * combine. Item counts are a part-sized relation joined back onto
+    * the (HAVING-pruned) pair list. All ratios are single-division /
+    * single-multiplication doubles over exact integers, rounded by
+    * the [[CrossEngine.rnd4]] contract, and the top-k orders by the
+    * ROUNDED lift with a (pa, pb) tiebreak so the cutoff is
+    * deterministic on both engines.
+    */
+  def assocRules(s: SparkSession, dir: String,
+                 minPairCount: Long = 3L, topK: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true)
+    val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val pairs = items
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(explode(col("parts")).as("pa"), col("parts"))
+      .select(col("pa"), explode(col("parts")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val r4 = CrossEngine.rnd4 _
+    pairs
+      .join(itemN.toDF("pa", "n_a"), "pa")
+      .join(itemN.toDF("pb", "n_b"), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        r4(col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        r4(col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a_to_b"),
+        r4(col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_b_to_a"),
+        r4(col("n_orders").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
   /** TRIANGLE counting + local clustering coefficient on the heavy
     * core of the co-purchase graph. The full-graph problem is the
     * classic quadratic trap (a hot node's neighborhood joins against

@@ -53,6 +53,34 @@ class GraphSpec extends SparkSpec {
     assert(asym === 0, "every co-purchase edge must have its reverse")
   }
 
+  test("association rules match a brute-force basket recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Graph.assocRules(spark, dir, minPairCount = 2L, topK = 15).collect()
+    assert(out.nonEmpty)
+    val baskets = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairN = baskets.groupBy(_._1).values.flatMap { items =>
+      val pks = items.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    out.foreach { r =>
+      val (pa, pb, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nab === pairN((pa, pb)).toLong, s"pair count ($pa,$pb)")
+      def rnd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      assert(r.getDouble(3) === rnd4(nab.toDouble / nOrders))
+      assert(r.getDouble(4) === rnd4(nab.toDouble / itemN(pa)))
+      assert(r.getDouble(5) === rnd4(nab.toDouble / itemN(pb)))
+      assert(r.getDouble(6) === rnd4(nOrders.toDouble * nab /
+        (itemN(pa).toDouble * itemN(pb).toDouble)))
+    }
+    // descending rounded lift with (pa, pb) tiebreak
+    val keys = out.map(r => (-r.getDouble(6), r.getLong(0), r.getLong(1))).toSeq
+    assert(keys === keys.sorted)
+  }
+
   test("triangle counts match a brute-force recount on the heavy core") {
     val dir = "/root/testdata/sf0.001"
     val out = Graph.triangles(spark, dir, topNodes = 50, topK = 10).collect()

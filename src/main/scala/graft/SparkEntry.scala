@@ -378,6 +378,7 @@ object SparkEntry {
     "q32_skew_agg"       -> (Relational.qSkewAgg _),
     "q37_expectations"   -> (Relational.q37Expectations _),
     "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
+    "q41_bins"           -> (Relational.q41Bins _),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "q40_assoc_rules"    -> ((s, d) => Graph.assocRules(s, d)),
@@ -883,6 +884,33 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // bin rule spelled as 1 + sum(value > boundary_i) so both engines
+    // share tie handling at duplicated boundary values
+    "q41_bins" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.1) AS b1, quantile_cont(o_totalprice, 0.2) AS b2,
+        |    quantile_cont(o_totalprice, 0.3) AS b3, quantile_cont(o_totalprice, 0.4) AS b4,
+        |    quantile_cont(o_totalprice, 0.5) AS b5, quantile_cont(o_totalprice, 0.6) AS b6,
+        |    quantile_cont(o_totalprice, 0.7) AS b7, quantile_cont(o_totalprice, 0.8) AS b8,
+        |    quantile_cont(o_totalprice, 0.9) AS b9
+        |  FROM orders),
+        |binned AS (
+        |  SELECT CAST(1 + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |    o_totalprice AS v
+        |  FROM orders CROSS JOIN b)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  floor(min(v) * 100.0 + 0.5) / 100.0 AS min_price,
+        |  floor(max(v) * 100.0 + 0.5) / 100.0 AS max_price
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     // top-k cut orders by the ROUNDED lift + (pa,pb) tiebreak so the
     // boundary is engine-deterministic

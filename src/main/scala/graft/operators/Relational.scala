@@ -643,6 +643,33 @@ object Relational {
       .orderBy(col("grp"))
   }
 
+  /** EQUI-DEPTH binning (quantile discretization) — the ML
+    * feature-binning dual of [[q34Histogram]]'s equi-width buckets,
+    * and the scalable shape for it: a naive `ntile()` is a GLOBAL
+    * window (one reducer sorts everything); instead the 9 internal
+    * decile boundaries come from ONE exact-percentile aggregate (the
+    * same interpolation contract the q19 oracle proves
+    * engine-identical), broadcast back, and bin assignment is a pure
+    * map stage — `1 + Σ (value > boundary_i)`, spelled out so both
+    * engines share the tie rule at duplicated boundary values. Two
+    * scans, no sort, bins exactly N/10 ± interpolation ties.
+    */
+  def q41Bins(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_totalprice"))
+    val bounds = o.agg(expr(
+      "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    val bin = (1 to 9).map(i =>
+      when(col("o_totalprice") > element_at(col("bs"), i), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    o.crossJoin(broadcast(bounds))
+      .select(bin.cast("long").as("bin"), col("o_totalprice").as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        (floor(min(col("v")) * 100.0 + 0.5) / 100.0).as("min_price"),
+        (floor(max(col("v")) * 100.0 + 0.5) / 100.0).as("max_price"))
+      .orderBy(col("bin"))
+  }
+
   /** Declarative data-quality EXPECTATIONS audit (the dbt-test /
     * Great-Expectations shape): not_null, accepted_values, range and
     * uniqueness checks evaluate as conditional aggregates in ONE scan

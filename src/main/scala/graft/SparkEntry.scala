@@ -388,6 +388,7 @@ object SparkEntry {
     "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "txt_global_ids"     -> ((s, d) => TextAnalysis.globalIds(s, d)),
+    "txt_pmi"            -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "mm_features"        -> (Multimodal.featuresQuery _),
     "mm_codec_roundtrip" -> (Multimodal.codecRoundtripQuery _),
     "mm_resize"          -> (Multimodal.resizeQuery _),
@@ -1480,6 +1481,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) - 1 AS global_id
         |FROM documents
         |ORDER BY global_id""".stripMargin,
+
+    // basket-shaped co-occurrence counts; pmi fixed to micros and the
+    // top-k cut ordered on the rounded value
+    "txt_pmi" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$')),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |tokn AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY tok),
+        |top AS (SELECT tok FROM tokn ORDER BY n_tok DESC, tok LIMIT 100),
+        |t2 AS (SELECT doc_id, tok FROM tok WHERE tok IN (SELECT tok FROM top)),
+        |pairs AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok HAVING count(*) >= 5)
+        |SELECT ta, tb, n_ab,
+        |  floor(ln(CAST(n_docs AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |        / (CAST(na.n_tok AS DOUBLE) * CAST(nb.n_tok AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM pairs JOIN tokn na ON ta = na.tok JOIN tokn nb ON tb = nb.tok
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, ta, tb LIMIT 25""".stripMargin,
 
     // canonical zero-padded doc:tf postings make list order exact
     "txt_inverted_index" ->

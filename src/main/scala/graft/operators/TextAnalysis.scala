@@ -185,6 +185,47 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
 
+  /** Word co-occurrence PMI — the word2vec/SGNS-era corpus statistic
+    * (pointwise mutual information over document-level co-occurrence)
+    * behind embedding training data and collocation mining.
+    * Restricted to the top-`topV` vocabulary (a broadcast-able set),
+    * co-occurrence counts come from the basket shape, NOT a
+    * self-join: one exchange on doc_id, `collect_set` of the doc's
+    * in-vocabulary tokens, then a<b pairs expand map-side bounded by
+    * topV per doc. PMI = ln(N·n_ab / (n_a·n_b)) fixed to micro
+    * precision (the bm25 ln-parity discipline), and the top-k orders
+    * by the ROUNDED pmi with a pair tiebreak.
+    */
+  def pmiPairs(s: SparkSession, dir: String, topV: Int = 100,
+               minPair: Long = 5L, topK: Int = 25): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .distinct()
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tokN = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val top = broadcast(tokN.orderBy(col("n_tok").desc, col("tok"))
+      .limit(topV).select(col("tok")))
+    val pairs = tok.join(top, "tok")
+      .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("ts"))
+      .select(explode(col("ts")).as("ta"), col("ts"))
+      .select(col("ta"), explode(col("ts")).as("tb"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    pairs
+      .join(tokN.toDF("ta", "n_a"), "ta")
+      .join(tokN.toDF("tb", "n_b"), "tb")
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        (floor(log(col("n_docs").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(topK)
+  }
+
   /** Inverted-index construction — the posting lists themselves
     * (token → sorted (doc, tf) list), the artifact behind the BM25 /
     * TF-IDF scorers above. tf is one hash agg on (token, doc); the

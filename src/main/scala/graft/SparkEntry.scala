@@ -394,6 +394,7 @@ object SparkEntry {
     "mm_resize"          -> (Multimodal.resizeQuery _),
     "mm_image_dups"      -> (Multimodal.imageDupsQuery _),
     "mm_audio_dups"      -> (Multimodal.audioDupsQuery _),
+    "mm_video_dups"      -> (Multimodal.videoDupsQuery _),
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),

@@ -447,6 +447,80 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** 64-bit video fingerprint: per-frame [[dHash]] collapsed by
+    * PER-BIT MAJORITY vote across frames — a bit survives if set in
+    * more than half the frames, so single-frame corruption, dropped
+    * frames or re-encoded noise move few bits while the temporal
+    * gradient structure persists. Completes the modality set: text
+    * SimHash, image dHash, audio aHash and video vHash all land in
+    * the SAME banded-pigeonhole Hamming join.
+    */
+  def vHash(frames: Array[Array[Int]], w: Int, h: Int): Long = {
+    if (frames.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    frames.foreach { f =>
+      val sig = dHash(f, w, h)
+      var b = 0
+      while (b < 64) { if (((sig >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > frames.length) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** (media_id, sig) majority-vote hashes for the video rows. */
+  def videoHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "video" && r.meta.format == "y4m").mapPartitions { it =>
+      it.map { r =>
+        val v = MediaCodec.decodeY4m(r.content)
+        (r.media_id, vHash(v.frames, v.width, v.height))
+      }
+    }.toDF("media_id", "sig")
+  }
+
+  /** Video corpus with planted perturbed copies: per-pixel noise on
+    * every frame — the copy a re-encode would produce.
+    */
+  def plantedVideos(s: SparkSession, dir: String, nPlanted: Int = 5): Dataset[MediaRecord] = {
+    import s.implicits._
+    val vids = synthesize(s, dir).filter(_.kind == "video")
+    val planted = vids.filter(_.media_id < nPlanted * 3L).map { r =>
+      val v = MediaCodec.decodeY4m(r.content)
+      val noisy = v.frames.map(_.zipWithIndex.map { case (px, i) =>
+        math.max(0, math.min(255, px + ((i * 7) % 3) - 1))
+      })
+      r.copy(media_id = r.media_id + 1000000L,
+        content = MediaCodec.encodeY4m(v.width, v.height, noisy.toSeq))
+    }
+    vids.unionByName(planted)
+  }
+
+  /** Driver query: majority-vote video near-dup pairs over
+    * [[plantedVideos]] with the `recall_planted` certification column
+    * — the third modality over the one shared Hamming join. Rows-only
+    * (binary decode isn't DuckDB-expressible).
+    */
+  def videoDupsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = videoHashes(plantedVideos(s, dir))
+    val pairs = Dedup.hammingBandPairs(hashes, "media_id", maxHamming = 8)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+    val truth = hashes.filter(col("media_id") >= 1000000L)
+      .select((col("media_id") - 1000000L).as("media_a"),
+        col("media_id").as("media_b"))
+    val stats = pairs.select(col("media_a"), col("media_b"))
+      .join(truth, Seq("media_a", "media_b"))
+      .agg(count(lit(1)).as("_hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("_truth"))))
+    pairs.crossJoin(broadcast(stats))
+      .withColumn("recall_planted",
+        col("_hits").cast("double") / greatest(col("_truth").cast("double"), lit(1.0)))
+      .drop("_hits", "_truth")
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Oracle-checked codec round trip: golden BMP/WAV/Y4M payloads
     * built by [[MediaCodec]], decoded DISTRIBUTED through the same
     * `mapPartitions` feature path as the main pipeline; the expected

@@ -270,6 +270,28 @@ class MultimodalSpec extends SparkSpec {
       "small additive noise drifted too many bits")
   }
 
+  test("video majority hash shrugs off single-frame corruption and per-pixel noise") {
+    val w = 8; val h = 8
+    val frames = Array.tabulate(6)(f =>
+      Array.tabulate(w * h)(i => (i * 3 + f * 5) % 256))
+    val base = Multimodal.vHash(frames, w, h)
+    // corrupt ONE frame completely: majority across the other 5 holds
+    val oneBad = frames.updated(2, Array.fill(w * h)(255))
+    assert(java.lang.Long.bitCount(base ^ Multimodal.vHash(oneBad, w, h)) <= 8)
+    // light per-pixel noise on every frame: few bits move
+    val noisy = frames.map(_.zipWithIndex.map { case (px, i) =>
+      math.max(0, math.min(255, px + ((i * 13) % 7) - 3))
+    })
+    assert(java.lang.Long.bitCount(base ^ Multimodal.vHash(noisy, w, h)) <= 8)
+  }
+
+  test("video near-dup query certifies planted recall over the shared hamming join") {
+    val rows = Multimodal.videoDupsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val recall = rows.head.getAs[Double]("recall_planted")
+    assert(recall >= 0.8, s"recall_planted $recall below floor")
+  }
+
   test("audio near-dup query certifies planted recall over the shared hamming join") {
     val rows = Multimodal.audioDupsQuery(spark, sfDir).collect()
     assert(rows.nonEmpty)

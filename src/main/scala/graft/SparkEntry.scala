@@ -333,6 +333,7 @@ object SparkEntry {
     "ev_sliding_distinct" -> (Events.slidingDistinct _),
     "ev_pit_join"        -> (Events.pitJoin _),
     "ev_heatmap"         -> (Events.heatmap _),
+    "ev_twap"            -> (Events.twap _),
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -820,6 +821,29 @@ object SparkEntry {
         |WHERE (CAST(floor(sec / 900) AS BIGINT) - i) * 900 > sec - 3600
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // values fixed to integer cents before weighting: the weighted
+    // sum is exact integer math on both engines
+    "ev_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50),
+        |seg AS (
+        |  SELECT user_id, cents, sec,
+        |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS next_sec
+        |  FROM e),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum((next_sec - sec) * cents) AS BIGINT) AS weighted_c,
+        |    CAST(sum(next_sec - sec) AS BIGINT) AS span,
+        |    CAST(count(*) + 1 AS BIGINT) AS n_events
+        |  FROM seg WHERE next_sec IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_events, span,
+        |  floor(CAST(weighted_c AS DOUBLE) / CAST(span AS DOUBLE) / 100.0
+        |        * 10000.0 + 0.5) / 10000.0 AS twap
+        |FROM agg WHERE span > 0 ORDER BY user_id""".stripMargin,
 
     // day-of-week from integer epoch arithmetic, not either engine's
     // calendar function (week-start conventions differ)

@@ -363,6 +363,38 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** TIME-WEIGHTED average (TWAP) per user — the metering/pricing
+    * aggregate where a value holds until the next observation, so
+    * each reading weighs by its holding interval, not its count.
+    * One user-keyed window (`lead` for the segment end — the same
+    * exchange every sequential operator in this file reuses) then a
+    * hash agg. Cross-engine exactness: values fix to integer CENTS
+    * before weighting, so the weighted sum is exact integer math —
+    * float summation order never matters (the integer-micro
+    * discipline).
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .withColumn("next_sec", lead(col("sec"), 1).over(byUser))
+      .filter(col("next_sec").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum((col("next_sec") - col("sec")) * col("cents")).as("weighted_c"),
+        sum(col("next_sec") - col("sec")).as("span"),
+        (count(lit(1)) + lit(1L)).as("n_events"))
+      .filter(col("span") > 0)
+      .select(col("user_id"), col("n_events"), col("span"),
+        (floor(col("weighted_c").cast("double") / col("span").cast("double") /
+          lit(100.0) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** Day-of-week × hour-of-day activity HEATMAP — the periodic-load
     * matrix behind capacity planning and anomaly baselines. The
     * day-of-week derives from pure integer epoch arithmetic

@@ -380,6 +380,7 @@ object SparkEntry {
     "q37_expectations"   -> (Relational.q37Expectations _),
     "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
     "q41_bins"           -> (Relational.q41Bins _),
+    "q42_ols"            -> (Relational.q42Ols _),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "q40_assoc_rules"    -> ((s, d) => Graph.assocRules(s, d)),
@@ -910,6 +911,30 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // sufficient statistics in exact integer hundredths; the final
+    // divisions are the only float ops, spelled identically
+    "q42_ols" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM t GROUP BY flag)
+        |SELECT flag, n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 AS slope,
+        |  floor((CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM s ORDER BY flag""".stripMargin,
 
     // bin rule spelled as 1 + sum(value > boundary_i) so both engines
     // share tie handling at duplicated boundary values

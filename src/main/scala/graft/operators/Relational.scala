@@ -643,6 +643,37 @@ object Relational {
       .orderBy(col("grp"))
   }
 
+  /** Closed-form OLS regression via NORMAL EQUATIONS — distributed ML
+    * as pure aggregation: slope/intercept of price ~ quantity per
+    * return flag derive from five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) collected in ONE map-side-combinable hash
+    * agg — the aggregate-only regression shape that needs no
+    * iteration and no shuffle beyond the group keys at any data
+    * volume. Inputs fix to integer hundredths first, so every
+    * sufficient statistic is exact integer math (sums of ≤2.5e11
+    * products stay far under Long range at bench scale; a 100 TB run
+    * promotes the accumulators to DECIMAL) and the final division is
+    * the only float op — spelled identically in the oracle.
+    */
+  def q42Ols(s: SparkSession, dir: String): DataFrame = {
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(100.0) + lit(0.5)).cast("long")
+    val stats = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val d = (c: String) => col(c).cast("double")
+    val slopeRaw = (d("n") * d("sxy") - d("sx") * d("sy")) /
+      (d("n") * d("sxx") - d("sx") * d("sx"))
+    stats.select(col("flag"), col("n"),
+      (floor(slopeRaw * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("slope"),
+      (floor((d("sy") - slopeRaw * d("sx")) / d("n") / lit(100.0) *
+        lit(10000.0) + lit(0.5)) / lit(10000.0)).as("intercept"))
+      .orderBy(col("flag"))
+  }
+
   /** EQUI-DEPTH binning (quantile discretization) — the ML
     * feature-binning dual of [[q34Histogram]]'s equi-width buckets,
     * and the scalable shape for it: a naive `ntile()` is a GLOBAL

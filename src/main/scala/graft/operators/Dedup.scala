@@ -618,36 +618,105 @@ object Dedup {
             (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding")))
   }
 
+  /** Corpus-derived cluster count for [[semanticNearDup]]:
+    * k = ⌈n / targetClusterSize⌉ (min 2). Fixing the MEAN cluster
+    * cardinality as the corpus grows keeps the within-cluster
+    * candidate count Σ cluster² ≈ n·targetClusterSize — LINEAR in n.
+    * A fixed k (the round-4 shape) makes it n²/k, a scale-killer.
+    */
+  def semanticK(n: Long, targetClusterSize: Int): Int =
+    math.max(2, math.ceil(n.toDouble / targetClusterSize).toInt)
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's discipline):
     * k-means-cluster the embedding space, then search for near-dups
-    * EXACTLY but only WITHIN each cluster — candidates scale with
-    * Σ cluster_size², not corpus², and truly similar vectors share a
-    * cluster by construction. Complementary to the LSH path
+    * EXACTLY but only WITHIN each cluster — truly similar vectors
+    * share a cluster by construction. Complementary to the LSH path
     * ([[embeddingNearDupTop]]): LSH bounds candidates by hash
     * collisions, SemDeDup by the learned partition — the latter is
     * what the published semantic-dedup pipelines run at scale.
     *
+    * Scale guards (all three by construction, not by tuning):
+    *  - k is CORPUS-DERIVED ([[semanticK]]): mean cluster cardinality
+    *    stays `targetClusterSize` at any n, so Σ cluster² grows
+    *    linearly with the corpus.
+    *  - a cluster that still exceeds `targetClusterSize ×
+    *    maxClusterFactor` (skewed data — k-means gives no size bound)
+    *    is NOT exact-searched: its members are re-bucketed by
+    *    multi-table LSH bands WITHIN the cluster (the
+    *    [[embeddingNearDupTop]] signature machinery), so a
+    *    pathological mega-cluster contributes band-bucket collisions,
+    *    never cluster².
+    *  - the candidate join carries int8 SQ codes (`VectorOps.annSq`'s
+    *    encoder — 4× smaller than the float vectors), scores
+    *    approximately with the codegen'd integer dot kernel, prunes at
+    *    `minCosine − sqMargin`, and fetches float vectors ONLY for the
+    *    verify-survivors. The shuffle that pairs vectors up never
+    *    moves a float array.
+    *
     * Plan: training is [[VectorOps.kmeansCentroids]] (map-stage
-    * argmin, centroid-only aggregates), assignment a broadcast
-    * map stage, the search one equi-join on cluster label with
-    * `vec_id <` dedup — no all-pairs anywhere.
+    * argmin, centroid-only aggregates), assignment a broadcast map
+    * stage, candidates from equi-joins on (label) / (label, band) —
+    * no all-pairs anywhere.
     */
-  def semanticNearDup(embeddings: DataFrame, kClusters: Int = 16, iters: Int = 2,
-                      minCosine: Double = 0.9, topK: Int = 50): DataFrame = {
+  def semanticNearDup(embeddings: DataFrame,
+                      targetClusterSize: Int = 32,
+                      maxClusterFactor: Int = 4,
+                      iters: Int = 2,
+                      minCosine: Double = 0.9,
+                      topK: Int = 50,
+                      sqMargin: Double = 0.05,
+                      bandOversized: Boolean = true,
+                      tables: Int = 8, bitsPerTable: Int = 10, dim: Int = 64,
+                      release: Boolean = true): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
-    val cents = VectorOps.kmeansCentroids(v, kClusters, iters)
-    val labeled = v.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
-    labeled.as("a")
-      .join(labeled.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    val k = semanticK(v.count(), targetClusterSize)
+    val cap = targetClusterSize.toLong * maxClusterFactor
+    val cents = VectorOps.kmeansCentroids(v, k, iters)
+    val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
+    val assigned = v.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
+    val sizes = assigned.groupBy(col("label")).agg(count(lit(1)).as("_csize"))
+    // the pair-join payload: cluster label, oversize flag, int8 codes,
+    // and (oversized rows only) the LSH band signatures — the float
+    // vector is DROPPED here and never enters a shuffle again
+    val coded = VectorOps.sqEncodeAll(
+        assigned.join(broadcast(sizes), "label")
+          .withColumn("_big", lit(bandOversized) && col("_csize") > cap), "vec")
+      .withColumn("sigs", when(col("_big"), graft.functions.LshSignatures(col("vec"), allPlanes)))
+      .select(col("vec_id"), col("label"), col("_big"),
+        col("_c8"), col("_s"), col("_n"), col("sigs"))
+    withSigCache(release)(assigned, coded) {
+      // approximate cosine from the int8 codes alone (annSq's scoring)
+      def pairSel(joined: DataFrame): DataFrame = joined.select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("cluster"),
-        VectorOps.cosine(col("a.vec"), col("b.vec")).as("cosine_raw"))
-      .filter(col("cosine_raw") >= lit(minCosine))
-      .select(col("vec_a"), col("vec_b"), col("cluster"),
-        rnd4(col("cosine_raw")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-      .limit(topK)
+        when(col("a._n") > 0 && col("b._n") > 0,
+          VectorOps.intDot(col("a._c8"), col("b._c8")).cast("double") *
+            col("a._s") * col("b._s") / (col("a._n") * col("b._n")))
+          .otherwise(lit(-1.0)).as("approx"))
+      val normal = coded.filter(!col("_big"))
+      val normalCand = pairSel(normal.as("a").join(normal.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")))
+      val big = coded.filter(col("_big"))
+        .select(col("vec_id"), col("label"), col("_c8"), col("_s"), col("_n"),
+          posexplode(col("sigs")).as(Seq("t", "sig")))
+      val bigCand = pairSel(big.as("a").join(big.as("b"),
+          col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+            col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")))
+        .dropDuplicates("vec_a", "vec_b") // a pair can collide in several bands
+      val cand = normalCand.unionByName(bigCand)
+        .filter(col("approx") >= lit(minCosine - sqMargin))
+      // exact verify: floats fetched for survivors only
+      cand
+        .join(v.as("fa"), col("vec_a") === col("fa.vec_id"))
+        .join(v.as("fb"), col("vec_b") === col("fb.vec_id"))
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          VectorOps.cosine(col("fa.vec"), col("fb.vec")).as("cosine_raw"))
+        .filter(col("cosine_raw") >= lit(minCosine))
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          rnd4(col("cosine_raw")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+        .limit(topK)
+    }
   }
 
   /** The cosine ≥ `minCosine` truth pairs that involve a PLANTED copy

@@ -290,8 +290,24 @@ object VectorOps {
     * HOF fold below is retained as its executable spec; parity in
     * VectorOpsSpec).
     */
-  private def intDot(a: Column, b: Column): Column =
+  private[operators] def intDot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.int8Dot(a, b)
+
+  /** Append symmetric-int8 SQ columns to `df`, PRESERVING every
+    * existing column: `_s` (dequant scale), `_c8` (int8 codes), `_n`
+    * (norm reconstructed from the codes). The staged projections keep
+    * the encode O(dim) — see the trap note in [[annSq]]. Shared by
+    * [[annSq]] and [[Dedup.semanticNearDup]]'s code-carrying
+    * candidate join.
+    */
+  private[operators] def sqEncodeAll(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("_ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
+      .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
+      .withColumn("_c8", transform(col(vec), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / col("_s") + lit(0.5)))).cast("tinyint")))
+      .withColumn("_n", sqrt(intDot(col("_c8"), col("_c8")).cast("double")) * col("_s"))
+      .drop("_ma")
 
   /** HOF reference formulation of [[intDot]] (CodegenFallback). */
   private[operators] def intDotHof(a: Column, b: Column): Column =
@@ -318,14 +334,7 @@ object VectorOps {
     // array_max sub-expression would re-evaluate per element (O(dim²)
     // per row); staged projections keep the encode O(dim)
     def enc(df: DataFrame, idCol: String, vec: String): DataFrame =
-      df.select(col(idCol), col(vec).as("_v"),
-          array_max(transform(col(vec), x => abs(x.cast("double")))).as("_ma"))
-        .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
-        .withColumn("_c8", transform(col("_v"), x =>
-          greatest(lit(-127.0), least(lit(127.0),
-            floor(x.cast("double") / col("_s") + lit(0.5)))).cast("tinyint")))
-        .withColumn("_n", sqrt(intDot(col("_c8"), col("_c8")).cast("double")) * col("_s"))
-        .drop("_v", "_ma")
+      sqEncodeAll(df.select(col(idCol), col(vec).as("_v")), "_v").drop("_v")
     val c = enc(corpus, "vec_id", "vec")
     val q = broadcast(enc(queries.withColumnRenamed("qvec", "_qv"), "query_id", "_qv")
       .withColumnsRenamed(Map("_c8" -> "_qc8", "_s" -> "_qs", "_n" -> "_qn")))

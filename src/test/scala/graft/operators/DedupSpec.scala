@@ -254,7 +254,7 @@ class DedupSpec extends SparkSpec {
   test("semantic dedup pair clusters agree with a direct assignment recomputation") {
     val emb = Dedup.plantedEmbeddings(spark, "/root/testdata/sf0.001")
     val v = emb.select(col("vec_id"), col("embedding").as("vec"))
-    val cents = VectorOps.kmeansCentroids(v, 16, 2)
+    val cents = VectorOps.kmeansCentroids(v, Dedup.semanticK(v.count(), 32), 2)
     val labels = v.select(col("vec_id"),
       VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -262,5 +262,50 @@ class DedupSpec extends SparkSpec {
       assert(labels(r.getLong(0)) === r.getInt(2))
       assert(labels(r.getLong(1)) === r.getInt(2))
     }
+  }
+
+  test("semanticK keeps mean cluster cardinality fixed as the corpus grows") {
+    assert(Dedup.semanticK(505L, 32) === 16)
+    assert(Dedup.semanticK(50500L, 32) === 1579)   // 100× corpus → 100× k
+    assert(Dedup.semanticK(3L, 32) === 2)          // floor
+  }
+
+  test("semantic dedup: oversized cluster is banded without losing pairs (scale guard)") {
+    // engineer a corpus whose dominant cluster exceeds the size cap:
+    // the sf0.001 embeddings plus 40 near-identical perturbations of
+    // vector 0 (component j scaled by 1 + i/1e4) — all 41 copies are
+    // mutual near-dups and must land in one k-means cluster
+    val dir = "/root/testdata/sf0.001"
+    val baseEmb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val copies = baseEmb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1), lit(40))).as("i"), col("embedding"))
+      .select((col("i") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x =>
+          (x.cast("double") * (lit(1.0) + col("i").cast("double") / lit(10000.0)))
+            .cast("float")).as("embedding"))
+    val emb = baseEmb.unionByName(copies)
+    val target = 8
+    val capFactor = 2 // cap = 16 < 41 ⇒ the big cluster MUST overflow
+    // precondition: some learned cluster really exceeds the cap
+    val v = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val cents = VectorOps.kmeansCentroids(v, Dedup.semanticK(v.count(), target), 2)
+    val maxCluster = v.select(VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
+      .groupBy(col("label")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxCluster > target.toLong * capFactor,
+      s"corpus failed to produce an oversized cluster (max $maxCluster)")
+    // the guarded (banded) path finds exactly what the unguarded
+    // exact within-cluster search finds — the guard changes cost
+    // shape, not output
+    def run(band: Boolean) =
+      Dedup.semanticNearDup(emb, targetClusterSize = target,
+        maxClusterFactor = capFactor, minCosine = 0.9, topK = 5000,
+        bandOversized = band)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val banded = run(band = true)
+    assert(banded === run(band = false))
+    // and the engineered copies are actually surfaced as near-dups
+    val pairs = banded.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 2000001L)), s"copy pair missing from ${pairs.take(5)}")
   }
 }

@@ -90,7 +90,7 @@ object VectorIndex {
     * probe-rank-window tail as the inline IVF path.
     */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
-            k: Int, nprobe: Int = 4): DataFrame = {
+            k: Int, nprobe: Int = 12): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)

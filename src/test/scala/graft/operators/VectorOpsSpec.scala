@@ -89,7 +89,8 @@ class VectorOpsSpec extends SparkSpec {
     info(f"LSH recall@10: single-probe=$recallSingle%.3f multi-probe=$recallMulti%.3f")
     assert(recallSingle > 0.25, s"single-probe LSH recall collapsed: $recallSingle")
     assert(recallMulti >= recallSingle)
-    assert(recallMulti > 0.4, s"multi-probe LSH recall collapsed: $recallMulti")
+    // production floor: 16 tables × hamming-1 multi-probe (swept r5)
+    assert(recallMulti >= 0.8, s"multi-probe LSH recall under floor: $recallMulti")
   }
 
   test("k-means IVF trains deterministic centroids and beats a recall floor") {
@@ -103,11 +104,12 @@ class VectorOpsSpec extends SparkSpec {
     assert(c1.nonEmpty && c1.forall(_._2.length === 64))
     val brute = VectorOps.knnBrute(queries, corpus, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = VectorOps.annIvfKmeans(queries, corpus, 10, kClusters = 8, iters = 2, nprobe = 4)
+    val ivf = VectorOps.annIvfKmeans(queries, corpus, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    info(f"k-means IVF recall@10 (nprobe 4/8) = $recall%.3f")
-    assert(recall > 0.5, s"k-means IVF recall collapsed: $recall")
+    info(f"k-means IVF recall@10 (default nprobe 12/16) = $recall%.3f")
+    // production floor at the swept default probe width
+    assert(recall >= 0.8, s"k-means IVF recall under floor: $recall")
   }
 
   test("withRecallAt attaches the true per-query recall@10 column") {
@@ -129,11 +131,12 @@ class VectorOpsSpec extends SparkSpec {
       assert(cols.length === 1, s"recall column not constant for query $qid")
       assert(cols.head === expected, s"recall mismatch for query $qid")
     }
-    // floors for the driver-visible wrappers
+    // production floors for the driver-visible wrappers (swept r5:
+    // lsh 16 tables, kmeans nprobe 12/16, pq kCodes 32 + shortlist 200)
     val floors = Seq(
-      VectorOps.annLshQuery(spark, sfDir) -> 0.3,
-      VectorOps.annKmeansQuery(spark, sfDir) -> 0.4,
-      VectorOps.annPqQuery(spark, sfDir) -> 0.3)
+      VectorOps.annLshQuery(spark, sfDir) -> 0.8,
+      VectorOps.annKmeansQuery(spark, sfDir) -> 0.8,
+      VectorOps.annPqQuery(spark, sfDir) -> 0.8)
     floors.foreach { case (df, floor) =>
       val mean = df.agg(avg(col("recall_at_10"))).collect().head.getDouble(0)
       assert(mean > floor, s"mean recall $mean under floor $floor")
@@ -180,8 +183,9 @@ class VectorOpsSpec extends SparkSpec {
     val pq = VectorOps.annPq(queries, corpus, 10)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect pq).size.toDouble / brute.size
-    info(f"PQ recall@10 (m=8, k=16, shortlist 50) = $recall%.3f")
-    assert(recall > 0.3, s"PQ recall collapsed: $recall")
+    info(f"PQ recall@10 (m=8, kCodes=32, shortlist 200) = $recall%.3f")
+    // production floor at the swept defaults
+    assert(recall >= 0.8, s"PQ recall under floor: $recall")
     // training is deterministic
     val f1 = VectorOps.pqTrain(corpus, m = 8, kCodes = 16, iters = 2, dim = 64)
     val f2 = VectorOps.pqTrain(corpus, m = 8, kCodes = 16, iters = 2, dim = 64)

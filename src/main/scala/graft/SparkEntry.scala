@@ -388,6 +388,7 @@ object SparkEntry {
     "txt_sentence_dedup" -> (TextAnalysis.sentenceDedup _),
     "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "txt_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "txt_global_ids"     -> ((s, d) => TextAnalysis.globalIds(s, d)),
     "txt_pmi"            -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
@@ -1523,6 +1524,10 @@ object SparkEntry {
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair
         |LIMIT 30""".stripMargin,
+
+    // M unrolled merge steps sharing bpeMerges' exact string-state
+    // representation — the hash compare checks the full train loop
+    "txt_bpe_merges" -> operators.TextAnalysis.bpeMergesOracleSql(),
 
     // the naive global row_number IS the oracle: the sharded
     // offset+local derivation must equal it exactly

@@ -185,6 +185,104 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
 
+  /** FULL BPE training loop (Sennrich et al. 2016) — the iterated
+    * merge-select → merge-apply → pair-recount cycle [[bpePairs]]
+    * only runs round one of. Returns the merge table: (step, pair,
+    * merged symbol, count at selection time).
+    *
+    * Scale shape: the corpus is scanned ONCE to build the (word,
+    * freq) vocabulary; every later step runs on that vocab-bounded
+    * relation (persisted), so M merges cost M small shuffles over at
+    * most |vocab| rows regardless of corpus size. Only the selected
+    * top-1 pair row reaches the driver per step (model parameters,
+    * the k-means discipline).
+    *
+    * State encoding: a word's symbol sequence is a string with
+    * DOUBLE-space separators and single-space boundaries
+    * (` h  e  l  l  o `). Merging pair (a,b) is then one literal
+    * `replace(seq, ' a  b ', ' ab ')` — replace scans left-to-right
+    * over non-overlapping matches, which is exactly BPE's merge
+    * discipline, and the doubled separator makes boundary sharing
+    * between adjacent matches impossible while the single-space
+    * pattern anchors both symbol edges (no partial-symbol false
+    * matches). The DuckDB twin runs the identical representation, so
+    * parity is structural, not coincidental.
+    */
+  def bpeMerges(s: SparkSession, dir: String, merges: Int = 10): DataFrame =
+    bpeMergesFrom(Tables.documents(s, dir), merges)
+
+  /** [[bpeMerges]] over any (doc_id, text) frame — spec entry point. */
+  def bpeMergesFrom(docs: DataFrame, merges: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val vocab = docs
+      .select(explode(wsTokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(expr("' ' || array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  ') || ' '").as("seq"),
+        col("n"))
+      .persist()
+    try {
+      var state = vocab
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (step <- 1 to merges) {
+        // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+        // would generate a DESCENDING range, not an empty one)
+        val top = state
+          .select(split(trim(col("seq")), "  ").as("syms"), col("n"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .head() // ONE row: the selected merge — model-parameter scale
+        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        out += ((step.toLong, l, r, l + r, cnt))
+        state = state.withColumn("seq",
+          expr(s"replace(seq, ' $l  $r ', ' $l$r ')"))
+      }
+      out.result().toDF("step", "left_sym", "right_sym", "merged", "n_occurrences")
+    } finally vocab.unpersist()
+  }
+
+  /** The M-step unrolled DuckDB twin of [[bpeMerges]] — identical
+    * state string representation, identical replace-based merge, so
+    * the hash compare checks the whole loop, not just round one.
+    * CTEs are MATERIALIZED: DuckDB inlines CTEs by default and the
+    * step chain would otherwise expand exponentially.
+    */
+  def bpeMergesOracleSql(merges: Int = 10): String = {
+    val sb = new StringBuilder(
+      """WITH words AS MATERIALIZED (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+        |  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok),
+        |v0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substring(word, i, 1)), '  ') || ' ' AS seq, n
+        |  FROM words WHERE length(word) >= 2)""".stripMargin)
+    for (k <- 1 to merges) {
+      val p = k - 1
+      sb ++= s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), '  ') AS syms, n FROM v$p),
+        |       LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+        |  GROUP BY 1, 2),
+        |t$k AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        |v$k AS MATERIALIZED (SELECT replace(seq, ' ' || (SELECT l FROM t$k) || '  ' || (SELECT r FROM t$k) || ' ',
+        |                     ' ' || (SELECT merged FROM t$k) || ' ') AS seq, n FROM v$p)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM ("
+    sb ++= (1 to merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym, merged, cnt AS n_occurrences FROM t$k")
+      .mkString(" UNION ALL ")
+    sb ++= ") ORDER BY step"
+    sb.toString
+  }
+
   /** Word co-occurrence PMI — the word2vec/SGNS-era corpus statistic
     * (pointwise mutual information over document-level co-occurrence)
     * behind embedding training data and collocation mining.

@@ -273,6 +273,20 @@ class TextAnalysisSpec extends SparkSpec {
       out.map(r => (-r.getLong(1), r.getString(0))).sortBy(identity).toSeq)
   }
 
+  test("bpe merge loop reproduces hand-computed merges on the Sennrich corpus") {
+    // freqs: low=3, lower=2, newest=4, widest=1
+    val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergesFrom(docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: w-e appears in lower(2) + newest(4) = 6 — the max
+    // round 2: after the we merge, l-o (3+2=5) ties s-t (4+1=5);
+    //          lexicographic tie-break selects (l, o)
+    assert(out.toSeq === Seq(
+      (1L, "w", "e", "we", 6L),
+      (2L, "l", "o", "lo", 5L)))
+  }
+
   test("global ids are dense 0..N-1 in (lang, doc_id) order for any partition count") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

@@ -369,6 +369,7 @@ object SparkEntry {
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),
+    "dd_repeats"         -> (Dedup.repeatedSubstringsQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
     "dd_semantic"        -> (Dedup.semanticNearDupQuery _),
     "q28_profile"        -> (Profile.profileQuery _),
@@ -2192,5 +2193,43 @@ object SparkEntry {
         |SELECT l.doc_id, l.group_id, s.group_size
         |FROM labels l JOIN sizes s USING (group_id)
         |ORDER BY group_id, doc_id""".stripMargin,
+
+    // Same anchor-window + diagonal gaps-and-islands construction as
+    // repeatedSubstrings, planted docs built from identical token
+    // slices — offsets and span lengths must agree exactly.
+    "dd_repeats" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |planted AS MATERIALIZED (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT CAST(3000001 AS BIGINT),
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 1), 1, 10) ||
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 0), 1, 30)
+        |  UNION ALL
+        |  SELECT CAST(3000002 AS BIGINT),
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 2), 1, 5) ||
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 0), 1, 30)),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 19), ' ') AS win
+        |  FROM planted, LATERAL (SELECT unnest(range(1, len(toks) - 18)) AS i) g
+        |  WHERE len(toks) >= 20),
+        |anchors AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |         a.pos - b.pos AS diag
+        |  FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag,
+        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp,
+        |         pa, pb
+        |  FROM anchors)
+        |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |       CAST(min(pb) AS BIGINT) AS start_b,
+        |       CAST(20 + count(*) - 1 AS BIGINT) AS match_len
+        |FROM runs GROUP BY doc_a, doc_b, diag, grp
+        |ORDER BY match_len DESC, doc_a, doc_b, start_a, start_b
+        |LIMIT 40""".stripMargin,
   )
 }

@@ -588,6 +588,81 @@ object Dedup {
   def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
     dedupGroups(plantedPairsIndexed(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** Repeated-substring mining — the suffix-array-class exact-dedup
+    * signal (longest token span shared between two documents, with
+    * exact offsets), found with joins instead of suffix structures:
+    *
+    *  1. every k-token window becomes an anchor row (doc, pos, win) —
+    *     one generator pass, rows linear in corpus token count;
+    *  2. candidate anchor pairs come from ONE equi-join on the window
+    *     content across documents (`doc_a < doc_b`);
+    *  3. maximal shared spans are the classic gaps-and-islands
+    *     grouping on the match DIAGONAL (pa − pb): r consecutive
+    *     anchors on a diagonal = one shared span of k + r − 1 tokens,
+    *     recovered by a window function — the text is never re-read.
+    *
+    * The join key here is the literal window string, which makes the
+    * result EXACT (no collision verification step needed) and lets
+    * DuckDB run the identical plan; at 100 TB the key would be a
+    * 128-bit window hash with a final slice-compare verify on the
+    * surviving spans — same shape, one more join.
+    */
+  def repeatedSubstrings(docs: DataFrame, k: Int = 20, topK: Int = 40,
+                         release: Boolean = true): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - $k + 1), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .as(Seq("pos", "win")))
+    withSigCache(release)(wins) {
+      val anchors = wins.as("a")
+        .join(wins.as("b"),
+          col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+      anchors
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(min(col("pa")).cast("long").as("start_a"),
+          min(col("pb")).cast("long").as("start_b"),
+          (lit(k) + count(lit(1)) - 1).cast("long").as("match_len"))
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("match_len"))
+        .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
+          col("start_a"), col("start_b"))
+        .limit(topK)
+    }
+  }
+
+  /** The documents table plus two constructed docs embedding doc 0's
+    * first 30 tokens at KNOWN offsets (after 10 tokens of doc 1 /
+    * after 5 tokens of doc 2) — the planted truth for
+    * [[repeatedSubstrings]]: the miner must surface the shared spans
+    * at exactly those offsets. Built with token slices, no driver
+    * collects; the oracle constructs the identical docs in SQL.
+    */
+  def plantedRepeatDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    def toksOf(id: Long, alias: String): DataFrame =
+      base.filter(col("doc_id") === id)
+        .select(TextAnalysis.wsTokens(lower(col("text"))).as(alias))
+    val p1 = toksOf(1L, "tA").crossJoin(toksOf(0L, "t0"))
+      .select(lit(3000001L).as("doc_id"),
+        concat_ws(" ", concat(slice(col("tA"), 1, 10), slice(col("t0"), 1, 30))).as("text"))
+    val p2 = toksOf(2L, "tB").crossJoin(toksOf(0L, "t0"))
+      .select(lit(3000002L).as("doc_id"),
+        concat_ws(" ", concat(slice(col("tB"), 1, 5), slice(col("t0"), 1, 30))).as("text"))
+    base.unionByName(p1).unionByName(p2)
+  }
+
+  /** Driver query: repeated-substring spans over [[plantedRepeatDocs]]. */
+  def repeatedSubstringsQuery(s: SparkSession, dir: String): DataFrame =
+    repeatedSubstrings(plantedRepeatDocs(s, dir))
+
   /** Exact all-pairs cosine pairs at/above `minCosine` — the truth
     * set for certifying the LSH path's recall. One broadcast
     * nested-loop join (the whole vector table broadcasts at

@@ -17,7 +17,7 @@ import graft.Tables
 object TextAnalysis {
 
   /** Canonical whitespace-token column. */
-  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+  private[operators] def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
   private def rnd4(c: Column): Column = CrossEngine.rnd4(c)
 

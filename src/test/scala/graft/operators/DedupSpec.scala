@@ -264,6 +264,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("repeated-substring miner surfaces planted spans at exact offsets") {
+    val out = Dedup.repeatedSubstringsQuery(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 0's first 30 tokens were planted after 10 tokens of doc 1
+    // (id 3000001) and after 5 tokens of doc 2 (id 3000002): the miner
+    // must recover all three sharing relations at those exact offsets
+    assert(out.contains((0L, 3000001L, 0L, 10L, 30L)))
+    assert(out.contains((0L, 3000002L, 0L, 5L, 30L)))
+    assert(out.contains((3000001L, 3000002L, 10L, 5L, 30L)))
+    // spans are maximal: no other row pairs doc 0 with a planted doc
+    assert(out.count(t => t._2 >= 3000000L || t._1 >= 3000000L) === 3)
+  }
+
+  test("repeated-substring miner: islands give exact maximal span lengths") {
+    import spark.implicits._
+    // two docs sharing exactly tokens 3..27 of a (25-token span) at
+    // different offsets, plus an unrelated doc
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span z1 z2"),
+      (2L, s"b1 $span y1 y2 y3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17 c18 c19 c20 c21")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstrings(docs, k = 20, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1L, 25L)))
+  }
+
   test("semanticK keeps mean cluster cardinality fixed as the corpus grows") {
     assert(Dedup.semanticK(505L, 32) === 16)
     assert(Dedup.semanticK(50500L, 32) === 1579)   // 100× corpus → 100× k

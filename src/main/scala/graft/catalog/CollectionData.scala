@@ -37,18 +37,74 @@ class CollectionData(client: ChromaSpark) {
     client.dataDir(collection)
   }
 
-  /** SINGLE-WRITER assumption (like the reference's educational
-    * single-user client): the counter read-increment-write and the
-    * catalog's read-modify-write are not atomic across concurrent
-    * writers. Multi-writer deployments need a transactional table
-    * format or an external lock — see ARCHITECTURE.md tradeoffs.
+  /** Batch-mint state is a DIRECTORY of one empty marker file per
+    * minted id (`_batches.d/N`); a legacy `_batches` counter file, if
+    * present, only contributes a floor (pre-upgrade logs keep their
+    * numbering and are never rewritten).
+    */
+  private def batchMarkerDir(path: String) = Paths.get(path, "_batches.d")
+
+  private def currentBatchIn(path: String): Long = {
+    val d = batchMarkerDir(path)
+    val fromDir =
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try {
+          var m = -1L
+          s.forEach { p =>
+            val name = p.getFileName.toString
+            if (name.forall(_.isDigit) && name.nonEmpty) m = math.max(m, name.toLong)
+          }
+          m
+        } finally s.close()
+      } else -1L
+    val legacy = Paths.get(path, "_batches")
+    val fromLegacy =
+      if (Files.exists(legacy)) new String(Files.readAllBytes(legacy)).trim.toLong
+      else -1L
+    math.max(fromDir, fromLegacy)
+  }
+
+  /** MULTI-WRITER-SAFE batch minting: claiming id N is
+    * `Files.createFile(_batches.d/N)`, and POSIX file creation is
+    * atomic — of two concurrent writers racing for N, exactly one
+    * succeeds and the loser retries at N+1, so every writer leaves
+    * with a DISTINCT batch id (the property latest-wins resolution
+    * depends on). The former counter file was an unlocked
+    * read-modify-write that could mint one id twice. Retries are
+    * bounded; a stampede past the bound fails with a clean
+    * [[EngineError.CollectionStateError]] rather than spinning.
     */
   private def nextBatch(path: String): Long = {
-    val p = Paths.get(path, "_batches")
-    Files.createDirectories(p.getParent)
-    val n = if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong + 1 else 0L
-    Files.write(p, n.toString.getBytes)
-    n
+    val d = batchMarkerDir(path)
+    Files.createDirectories(d)
+    var attempts = 0
+    while (attempts < 1000) {
+      val n = currentBatchIn(path) + 1
+      try {
+        Files.createFile(d.resolve(n.toString))
+        return n
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+      }
+    }
+    throw CollectionStateError(
+      s"batch minting under '$path' contended past 1000 attempts")
+  }
+
+  /** Reset mint state to exactly `batch` (compaction folds the log to
+    * batch 0). Marker dir is rebuilt beside the live one and swapped
+    * in; the legacy counter file is removed.
+    */
+  private def resetBatches(path: String, batch: Long): Unit = {
+    val d = batchMarkerDir(path)
+    val fresh = Paths.get(path, "_batches.d_new")
+    if (Files.exists(fresh)) deleteTree(fresh)
+    Files.createDirectories(fresh)
+    Files.createFile(fresh.resolve(batch.toString))
+    if (Files.exists(d)) deleteTree(d)
+    Files.move(fresh, d)
+    Files.deleteIfExists(Paths.get(path, "_batches"))
   }
 
   private val ItemCols = Seq("id", "embedding", "document", "metadata_json")
@@ -275,10 +331,7 @@ class CollectionData(client: ChromaSpark) {
     * write has happened yet) — the handle [[getAsOf]] snapshots
     * against.
     */
-  def currentBatch(collection: String): Long = {
-    val p = Paths.get(dir(collection), "_batches")
-    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong else -1L
-  }
+  def currentBatch(collection: String): Long = currentBatchIn(dir(collection))
 
   /** TIME TRAVEL read: the collection exactly as it stood after
     * `batch` — later upserts, deletes and updates invisible. Same
@@ -538,7 +591,7 @@ class CollectionData(client: ChromaSpark) {
       catch { case e: Throwable => Files.move(old, logPath); throw e }
     } else Files.move(Paths.get(tmp), logPath)
     if (Files.exists(old)) deleteTree(old)
-    Files.write(Paths.get(d, "_batches"), "0".getBytes)
+    resetBatches(d, 0L)
     // compacting a fork materialized its inherited view into the own
     // log — sever the edge or resolution would double-count the parent
     if (forkEdge(collection).isDefined) {

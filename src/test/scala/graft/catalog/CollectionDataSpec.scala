@@ -39,6 +39,43 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.count("col") === 0) // nothing partially written
   }
 
+  test("two interleaved writers mint distinct batch ids (atomic minting)") {
+    val (c, d) = fresh()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(ids: Seq[String]): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await() // maximize overlap of the two mint attempts
+          d.upsert("col", items(ids.map(i => (i, Seq(1f, 0f), s"doc $i", "{}")): _*))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    val threads = Seq(writer(Seq("w1a", "w1b")), writer(Seq("w2a", "w2b")))
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent writer failed: ${errs.peek()}")
+    // both batches landed under DISTINCT ids: latest-wins resolution
+    // stays well-defined and all four rows are live
+    val log = spark.read.parquet(s"${c.dataDir("col")}/log")
+    assert(log.select("_batch").distinct().count() === 2)
+    assert(d.count("col") === 4)
+    assert(d.currentBatch("col") === 1L)
+    // the mint CAS left one marker file per batch id
+    val markers = Files.list(java.nio.file.Paths.get(c.dataDir("col"), "_batches.d"))
+      .toArray.map(_.toString.split('/').last).sorted
+    assert(markers.toSeq === Seq("0", "1"))
+  }
+
+  test("legacy _batches counter file is honored as a floor and never re-minted") {
+    val (c, d) = fresh()
+    // simulate a pre-upgrade log: counter says the last batch was 4
+    Files.write(java.nio.file.Paths.get(c.dataDir("col"), "_batches"), "4".getBytes)
+    assert(d.currentBatch("col") === 4L)
+    d.upsert("col", items(("a", Seq(1f, 0f), "x", "{}")))
+    assert(d.currentBatch("col") === 5L) // minted ABOVE the legacy floor
+  }
+
   test("delete with no selector is refused instead of wiping the collection") {
     val (_, d) = fresh()
     d.add("col", items(("a", Seq(1f, 0f), "x", "{}")))

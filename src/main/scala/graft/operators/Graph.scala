@@ -45,6 +45,71 @@ object Graph {
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** ONE shared mining pass for the whole graph family, persisted
+    * under the [[IndexCache]] discipline (the n-gram pair set's):
+    * canonical a<b co-purchase pair counts with BOTH multiplicities —
+    * `n_inst` (line-item instance pairs, the multigraph weight
+    * PageRank walks) and `n_both` (order-distinct co-occurrence, the
+    * association-rule support count) — plus the item/order marginals.
+    * The expansion is ONE-SIDED (pa < pb) and map-side from the
+    * basket shape, generating half the rows of the old
+    * both-directions explode whose mirror half `triangles` threw away
+    * immediately; PageRank reconstitutes symmetry by reading each
+    * pair twice (a projection, not a second mining pass). q33/q38/q40
+    * all consume this single fingerprint-keyed build.
+    */
+  /** O(1) content fingerprint from file METADATA (sorted path, size,
+    * mtime triples) rather than a data scan: the index is consulted by
+    * three queries and a content-hash pass over lineitem per
+    * consultation would cost more than some of the queries it serves.
+    * Metadata staleness (same size+mtime, different bytes) requires a
+    * deliberate in-place byte-level rewrite — not a failure mode of
+    * the driver's immutable testdata or of production object stores.
+    */
+  private def fileFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val parts = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    f"${scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))}%08x-n${parts.length}"
+  }
+
+  def copurchaseIndexIfAbsent(s: SparkSession, dir: String,
+                              indexRoot: String): String = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val fp = fileFingerprint(Tables.lineitem(s, dir))
+    IndexCache.getOrBuild(indexRoot, "copurchase", fp) { scratch =>
+      val basket = li
+        .groupBy(col("ok"), col("pk")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("ok"))
+        .agg(collect_list(struct(col("pk"), col("cnt"))).as("parts"))
+        .persist()
+      basket
+        .select(explode(col("parts")).as("a"), col("parts"))
+        .select(col("a"), explode(col("parts")).as("b"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(sum(col("a.cnt") * col("b.cnt")).as("n_inst"),
+          count(lit(1)).as("n_both"))
+        .write.parquet(scratch.resolve("pairs").toString)
+      basket
+        .select(explode(col("parts")).as("a"))
+        .groupBy(col("a.pk").as("pk")).agg(count(lit(1)).as("n_item"))
+        .write.parquet(scratch.resolve("items").toString)
+      basket.agg(count(lit(1)).as("n_orders"))
+        .write.parquet(scratch.resolve("orders").toString)
+      basket.unpersist()
+      ()
+    }
+  }
+
+  private def indexDir(s: SparkSession, dir: String): String =
+    copurchaseIndexIfAbsent(s, dir,
+      s"${System.getProperty("java.io.tmpdir")}/graft-copurchase-cache")
+
   /** PageRank over the co-purchase multigraph, `iters` power
     * iterations at damping 0.85: each edge INSTANCE carries
     * r(src)/outdeg(src) with outdeg counting instances — the standard
@@ -57,19 +122,41 @@ object Graph {
     * the cutoff is deterministic on both engines.
     */
   def pagerank(s: SparkSession, dir: String,
-               iters: Int = 3, topK: Int = 50): DataFrame =
-    pagerankOnEdges(copurchaseEdges(s, dir), iters, topK)
+               iters: Int = 3, topK: Int = 50): DataFrame = {
+    // reconstitute the symmetric multigraph as WEIGHTED edges: each
+    // canonical pair explodes to both directions at instance weight in
+    // the SAME scan — a projection over the shared index, not a second
+    // mining pass (and not a second read of it either)
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/pairs")
+      .select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst"), col("n_inst").as("w")),
+        struct(col("pb").as("src"), col("pa").as("dst"), col("n_inst").as("w"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    pagerankOnWeightedEdges(edges, iters, topK)
       .withColumnRenamed("node", "p_partkey")
+  }
 
-  /** Power iteration over an arbitrary (src, dst) edge list where
-    * every node has out-degree ≥ 1 (callers with dangling nodes add
-    * self-loops or a dangling-mass term first).
+  /** Power iteration over an arbitrary (src, dst) edge-INSTANCE list
+    * where every node has out-degree ≥ 1 (callers with dangling nodes
+    * add self-loops or a dangling-mass term first). Instances fold to
+    * weights first; the walk itself is [[pagerankOnWeightedEdges]].
     */
-  def pagerankOnEdges(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+  def pagerankOnEdges(edges: DataFrame, iters: Int, topK: Int): DataFrame =
+    pagerankOnWeightedEdges(
+      edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")),
+      iters, topK)
+
+  /** Power iteration over a WEIGHTED (src, dst, w) edge list — the
+    * multigraph with parallel-edge multiplicity pre-aggregated, so the
+    * per-iteration edge scan reads one row per distinct pair instead
+    * of one per instance.
+    */
+  def pagerankOnWeightedEdges(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
     // localCheckpoint: the edge list feeds deg + every iteration; at
     // scale you would persist it once rather than re-derive per pass.
     val e = edges.localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
       .localCheckpoint(true)
     val n = deg.count() // scalar: node count (driver-side by design)
     // Vertex state is one row per node — orders of magnitude smaller
@@ -85,11 +172,11 @@ object Graph {
     for (_ <- 1 to iters) {
       // pre-fold r/outdeg into the tiny vertex frame so the edge-side
       // work per iteration is a single hash-probe + partial sum
-      val w = ranks.join(deg.withColumnRenamed("src", "node"), "node")
-        .select(col("node").as("src"), (col("r") / col("outdeg")).as("w"))
-      val contrib = e.join(broadcast(w), "src")
+      val rw = ranks.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("src"), (col("r") / col("outdeg")).as("rw"))
+      val contrib = e.join(broadcast(rw), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w")).as("in_c"))
+        .agg(sum(col("rw") * col("w")).as("in_c"))
       ranks = contrib.select(col("node"),
         (lit(0.15) / n + lit(0.85) * col("in_c")).as("r"))
     }
@@ -117,18 +204,14 @@ object Graph {
     */
   def assocRules(s: SparkSession, dir: String,
                  minPairCount: Long = 3L, topK: Int = 20): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(true)
-    val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
-    val pairs = items
-      .groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
-      .select(explode(col("parts")).as("pa"), col("parts"))
-      .select(col("pa"), explode(col("parts")).as("pb"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+    val idx = indexDir(s, dir)
+    val itemN = s.read.parquet(s"$idx/items")
+    val nOrders = s.read.parquet(s"$idx/orders")
+    // order-distinct co-occurrence count from the shared index (its
+    // n_both aggregates per order regardless of line-item repeats —
+    // exactly the collect_set semantics mined here before)
+    val pairs = s.read.parquet(s"$idx/pairs")
+      .select(col("pa"), col("pb"), col("n_both").as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     val r4 = CrossEngine.rnd4 _
     pairs
@@ -160,9 +243,10 @@ object Graph {
     */
   def triangles(s: SparkSession, dir: String,
                 topNodes: Int = 100, topK: Int = 10): DataFrame = {
-    val canon = copurchaseEdges(s, dir)
-      .filter(col("src") < col("dst"))
-      .distinct()
+    // the shared index's pair set IS the canonical src<dst edge list
+    // (a pair exists iff the two parts co-occur in some order)
+    val canon = s.read.parquet(s"${indexDir(s, dir)}/pairs")
+      .select(col("pa").as("src"), col("pb").as("dst"))
       .localCheckpoint(true)
     val deg0 = canon.select(col("src").as("node"))
       .unionByName(canon.select(col("dst").as("node")))

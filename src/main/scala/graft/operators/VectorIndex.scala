@@ -45,12 +45,45 @@ object VectorIndex {
     * 100 TB that's the difference between a metadata check and a
     * multi-hour job.
     */
-  def fingerprint(corpus: DataFrame, kClusters: Int, iters: Int): String = {
+  def contentHash(corpus: DataFrame): String = {
     val row = corpus
       .select(xxhash64(col("vec_id").cast("string"), col("vec").cast("string")).as("h"))
       .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"))
       .head()
-    f"${row.getLong(0)}%016x-${row.getLong(1)}x-k$kClusters-i$iters"
+    f"${row.getLong(0)}%016x-${row.getLong(1)}x"
+  }
+
+  def fingerprint(corpus: DataFrame, kClusters: Int, iters: Int): String =
+    s"${contentHash(corpus)}-k$kClusters-i$iters"
+
+  /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
+    * centroids and append to the label partitions — an O(delta)
+    * ingest with no retrain and no rewrite of resident postings,
+    * pairing with the incremental dedup path for the end-to-end
+    * "new data arrives daily" story. Frozen centroids are the
+    * standard IVF append contract: the partition function must stay
+    * stable or every resident vector would need reassignment; recall
+    * drifts only as the DATA distribution drifts, and the rebuild
+    * threshold is an ops policy, not an engine constraint. The
+    * completion marker is rewritten with the appended-state
+    * fingerprint so the directory self-describes; append is for
+    * caller-owned index dirs — a cache entry under [[buildIfAbsent]]
+    * is addressed by its ORIGINAL corpus content and must not be
+    * mutated in place.
+    */
+  def appendDelta(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    delta.select(col("vec_id"), col("vec"),
+        VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
+      .write.mode("append").partitionBy("label")
+      .parquet(s"$indexDir/vectors")
+    val marker = java.nio.file.Paths.get(indexDir, "_INDEX_OK")
+    if (java.nio.file.Files.exists(marker)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(marker))
+      java.nio.file.Files.write(marker,
+        s"$prev+delta:${contentHash(delta)}".getBytes)
+    }
   }
 
   /** Idempotent build: derives the index directory from the corpus

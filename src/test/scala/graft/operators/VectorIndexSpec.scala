@@ -86,6 +86,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaCache === viaFresh)
   }
 
+  test("delta-append equals re-laying-out the union under the frozen centroids") {
+    val (corpus, queries) = corpusAndQueries
+    val corpus0 = corpus.filter(col("vec_id") < 400)
+    val delta = corpus.filter(col("vec_id") >= 400)
+    assert(delta.count() > 0)
+    val dir = Files.createTempDirectory("ivf-append").toString
+    VectorIndex.build(corpus0, dir, kClusters = 8, iters = 2)
+    val filesBefore = spark.read.parquet(s"$dir/vectors").inputFiles.toSet
+    VectorIndex.appendDelta(spark, dir, delta)
+    // append-only: every resident file survives untouched
+    val filesAfter = spark.read.parquet(s"$dir/vectors").inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    assert(filesAfter.size > filesBefore.size)
+    val got = VectorIndex.query(spark, dir, queries, k = 10, nprobe = 4).collect().toSeq
+    // reference: a fresh layout of the FULL union assigned to the SAME
+    // frozen centroids (training only ever saw corpus0) — query
+    // results must be identical, which is the whole append contract
+    val refDir = Files.createTempDirectory("ivf-append-ref").toString
+    val cents = spark.read.parquet(s"$dir/centroids")
+    cents.write.parquet(s"$refDir/centroids")
+    val frozen = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    corpus0.unionByName(delta)
+      .select(col("vec_id"), col("vec"),
+        VectorOps.nearestCentroidId(col("vec"), frozen).as("label"))
+      .write.partitionBy("label").parquet(s"$refDir/vectors")
+    val ref = VectorIndex.query(spark, refDir, queries, k = 10, nprobe = 4).collect().toSeq
+    assert(got === ref)
+    // appended vectors are actually retrievable: a query AT a delta
+    // vector must find that exact vector first
+    val probe = delta.limit(1)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val self = VectorIndex.query(spark, dir, probe, k = 1, nprobe = 1).collect()
+    assert(self.head.getLong(2) === probe.collect().head.getLong(0))
+  }
+
   test("centroids table is model-sized") {
     val (corpus, _) = corpusAndQueries
     val dir = Files.createTempDirectory("ivf-index-cent").toString

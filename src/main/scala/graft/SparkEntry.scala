@@ -248,14 +248,14 @@ object SparkEntry {
     ).reduce(_.unionByName(_)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     d.compact("branch")
-    val severed = client.getCollection("branch").metadata
+    val forkEdgePresent = client.getCollection("branch").metadata
       .exists(m => m.contains("graft:fork_parent")).toString
     val postCompact = Seq(
       idsStep("branch", 6L, "branch_ids_after_compact"),
       idsStep("parent", 8L, "parent_untouched_by_branch_compact")
     ).reduce(_.unionByName(_)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    (preCompact ++ postCompact :+ ((7L, "fork_edge_severed_by_compact", severed)))
+    (preCompact ++ postCompact :+ ((7L, "fork_edge_present_after_compact", forkEdgePresent)))
       .toDF("step", "check", "observed").orderBy(col("step"))
   }
 
@@ -1449,7 +1449,7 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), 'parent_b_is_post_fork_version', 'doc b v2'),
         |  (CAST(5 AS BIGINT), 'branch_live_count', '2'),
         |  (CAST(6 AS BIGINT), 'branch_ids_after_compact', 'b,d'),
-        |  (CAST(7 AS BIGINT), 'fork_edge_severed_by_compact', 'false'),
+        |  (CAST(7 AS BIGINT), 'fork_edge_present_after_compact', 'false'),
         |  (CAST(8 AS BIGINT), 'parent_untouched_by_branch_compact', 'a,b,c')
         |) AS t(step, "check", observed)
         |ORDER BY step""".stripMargin,
@@ -1572,7 +1572,7 @@ object SparkEntry {
         |idx AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS df,
         |    CAST(sum(tf) AS BIGINT) AS total_tf,
-        |    string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0') || ':' || CAST(tf AS VARCHAR),
+        |    string_agg(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || CAST(tf AS VARCHAR),
         |               ',' ORDER BY doc_id) AS postings
         |  FROM tf GROUP BY token)
         |SELECT token, df, total_tf, postings
@@ -1924,8 +1924,10 @@ object SparkEntry {
         |  SELECT query_id, vec_id,
         |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS s
         |  FROM q CROSS JOIN c)
-        |SELECT query_id, vec_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score
-        |FROM scored WHERE s >= 0.30
+        |SELECT query_id, vec_id, score
+        |FROM (SELECT query_id, vec_id, floor(s * 10000.0 + 0.5) / 10000.0 AS score
+        |      FROM scored)
+        |WHERE score >= 0.30
         |ORDER BY query_id, vec_id""".stripMargin,
 
     // both rankers re-derived (same CTE stacks as txt_bm25 / vec_knn)

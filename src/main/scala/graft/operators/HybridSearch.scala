@@ -83,9 +83,13 @@ object HybridSearch {
       .select(col("vec_id"), col("embedding").as("vec"))
       .join(q)
       .select(col("query_id"), col("vec_id"),
-        VectorOps.cosine(col("qvec"), col("vec")).as("score_raw"))
-      .filter(col("score_raw") >= lit(minCosine))
-      .select(col("query_id"), col("vec_id"), rnd4(col("score_raw")).as("score"))
+        rnd4(VectorOps.cosine(col("qvec"), col("vec"))).as("score"))
+      // the radius test runs on the ROUNDED score (the cross-engine
+      // rounding contract): the two engines' cosine kernels can differ
+      // by an ulp, and a raw-double threshold would let that flip a
+      // boundary row's membership between them
+      .filter(col("score") >= lit(minCosine))
+      .select(col("query_id"), col("vec_id"), col("score"))
       .orderBy(col("query_id"), col("vec_id"))
   }
 }

@@ -348,7 +348,10 @@ object TextAnalysis {
         count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"),
         array_join(array_sort(collect_list(
-          concat(lpad(col("doc_id").cast("string"), 6, "0"), lit(":"), col("tf")))), ",")
+          // width 12 holds any realistic doc_id: both Spark and DuckDB
+          // lpad silently TRUNCATE inputs wider than the pad, which at
+          // width 6 would corrupt postings identity from doc_id 1e6 up
+          concat(lpad(col("doc_id").cast("string"), 12, "0"), lit(":"), col("tf")))), ",")
           .as("postings"))
       .orderBy(col("df").desc, col("token"))
       .limit(topK)

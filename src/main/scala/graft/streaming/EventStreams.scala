@@ -170,9 +170,19 @@ object EventStreams {
     * frontier event (the last sealed one, needed to pair with the
     * next seal); event-time timeout drains buffers when the watermark
     * advances without new data for the user.
+    *
+    * State is BOUNDED by `frontierRetentionMs`: a user whose buffer
+    * drained but whose frontier row lingered used to park that row
+    * forever if the user never returned — unbounded state growth over
+    * the stream's lifetime. The frontier now carries an event-time
+    * TTL one retention horizon past its timestamp; expiry drops the
+    * row, and a user returning after the horizon starts a fresh chain
+    * (the cross-horizon pair is the retention tradeoff, same as the
+    * compaction-truncates-time-travel one).
     */
   def transitions(events: Dataset[Event],
-                  watermark: String = "1 hour"): Dataset[Transition] = {
+                  watermark: String = "1 hour",
+                  frontierRetentionMs: Long = 7L * 86400 * 1000L): Dataset[Transition] = {
     import events.sparkSession.implicits._
 
     def update(userId: Long, batch: Iterator[Event],
@@ -192,10 +202,19 @@ object EventStreams {
       }.toList
       val frontier = sealedEvs.lastOption.orElse(prior.frontier)
       if (open.isEmpty && frontier.isEmpty) state.remove()
-      else {
+      else if (open.isEmpty &&
+               frontier.exists(f => wm >= f.ts_s + frontierRetentionMs)) {
+        // frontier-only row past the retention horizon: the user never
+        // returned — expire the state instead of keeping it forever
+        state.remove()
+      } else {
         state.update(TransitionState(open, frontier))
         if (open.nonEmpty)
           state.setTimeoutTimestamp(math.max(open.map(_.ts_s).min + 1000L, wm + 1L))
+        else
+          // frontier-only: schedule the TTL expiry (strictly above the
+          // current watermark by the branch guard above)
+          state.setTimeoutTimestamp(frontier.get.ts_s + frontierRetentionMs)
       }
       out.iterator
     }

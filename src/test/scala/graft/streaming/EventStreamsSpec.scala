@@ -303,6 +303,40 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transitions: frontier-only state expires at the retention horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // tight 2h retention so the horizon is crossable in-test
+    val q = transitions(input.toDS(), watermark = "1 hour",
+        frontierRetentionMs = 2L * 3600 * 1000)
+      .writeStream.format("memory").queryName("ttl_paths")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 8 under the horizon: the pair must still emit
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:00"), 8, "click", 1.0),
+        Event(3, ts("2024-01-01 10:10:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // wm -> 11:30: seals the events; user 7 becomes frontier-only
+      // (horizon 12:00 still ahead, TTL registered)
+      input.addData(Event(4, ts("2024-01-01 12:30:00"), 999, "f", 0.0))
+      q.processAllAvailable()
+      // wm -> 13:00: user 7's TTL fires, state dropped
+      input.addData(Event(5, ts("2024-01-01 14:00:00"), 999, "f", 0.0))
+      q.processAllAvailable()
+      // user 7 returns AFTER the horizon: fresh chain, no cross-horizon pair
+      input.addData(Event(6, ts("2024-01-01 13:30:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(7, ts("2024-01-03 00:00:00"), 999, "f", 0.0)) // flush
+      q.processAllAvailable()
+      val got = spark.table("ttl_paths").filter($"user_id" =!= 999L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((8L, "click", "view")),
+        s"expected only user 8's pair (user 7's frontier must have expired): $got")
+    } finally q.stop()
+  }
+
   test("hopping windows finalize with the batch twin's memberships and counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -2215,7 +2215,7 @@ object SparkEntry {
         |         list_slice((SELECT toks FROM base WHERE doc_id = 0), 1, 30)),
         |wins AS MATERIALIZED (
         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
-        |         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 19), ' ') AS win
+        |         md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 19), ' ')) AS win
         |  FROM planted, LATERAL (SELECT unnest(range(1, len(toks) - 18)) AS i) g
         |  WHERE len(toks) >= 20),
         |anchors AS MATERIALIZED (

@@ -601,11 +601,12 @@ object Dedup {
     *     anchors on a diagonal = one shared span of k + r − 1 tokens,
     *     recovered by a window function — the text is never re-read.
     *
-    * The join key here is the literal window string, which makes the
-    * result EXACT (no collision verification step needed) and lets
-    * DuckDB run the identical plan; at 100 TB the key would be a
-    * 128-bit window hash with a final slice-compare verify on the
-    * surviving spans — same shape, one more join.
+    * The join key is the 128-bit md5 of the window content — 4-6×
+    * smaller than the window string it digests, computed identically
+    * by both engines (so the oracle runs the same plan), with a
+    * collision probability (~2⁻¹²⁸ per pair) far below any hardware
+    * error rate; a paranoid deployment adds a final slice-compare
+    * verify join on the surviving spans — same shape, one more join.
     */
   def repeatedSubstrings(docs: DataFrame, k: Int = 20, topK: Int = 40,
                          release: Boolean = true): DataFrame = {
@@ -613,7 +614,7 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - $k + 1), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        s"transform(sequence(1, size(toks) - $k + 1), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
         .as(Seq("pos", "win")))
     withSigCache(release)(wins) {
       val anchors = wins.as("a")

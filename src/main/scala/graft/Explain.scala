@@ -32,6 +32,10 @@ object Explain {
         operators.Dedup.ngramJaccardPairs(operators.Dedup.plantedDocs(s, d), release = false)),
       "dd_embed_top" -> ((s, d) =>
         operators.Dedup.embeddingNearDupTop(Tables.embeddings(s, d), release = false)),
+      "dd_semantic" -> ((s, d) =>
+        operators.Dedup.semanticNearDup(operators.Dedup.plantedEmbeddings(s, d), release = false)),
+      "dd_repeats" -> ((s, d) =>
+        operators.Dedup.repeatedSubstrings(operators.Dedup.plantedRepeatDocs(s, d), release = false)),
       "dd_groups" -> ((s, d) => {
         // One propagation ROUND over the real pair plan: the converged
         // loop's lazy lineage nests every round (>100k plan lines) —

@@ -695,13 +695,19 @@ object Dedup {
   }
 
   /** Corpus-derived cluster count for [[semanticNearDup]]:
-    * k = ⌈n / targetClusterSize⌉ (min 2). Fixing the MEAN cluster
-    * cardinality as the corpus grows keeps the within-cluster
-    * candidate count Σ cluster² ≈ n·targetClusterSize — LINEAR in n.
-    * A fixed k (the round-4 shape) makes it n²/k, a scale-killer.
+    * k = ⌈n / targetClusterSize⌉ (min 2), CAPPED at `maxClusters`.
+    * Fixing the MEAN cluster cardinality as the corpus grows keeps
+    * the within-cluster candidate count Σ cluster² ≈
+    * n·targetClusterSize — LINEAR in n — where a fixed k (the round-4
+    * shape) made it n²/k. The cap bounds the OTHER cost axis:
+    * nearest-centroid assignment is O(n·k·dim), so an uncapped k ∝ n
+    * would turn assignment itself quadratic. Past the cap, clusters
+    * exceed the size cap and the LSH-band re-bucketing guard takes
+    * over candidate bounding — both axes stay linear at any n.
     */
-  def semanticK(n: Long, targetClusterSize: Int): Int =
-    math.max(2, math.ceil(n.toDouble / targetClusterSize).toInt)
+  def semanticK(n: Long, targetClusterSize: Int, maxClusters: Int = 16): Int =
+    math.min(maxClusters,
+      math.max(2, math.ceil(n.toDouble / targetClusterSize).toInt))
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's discipline):
     * k-means-cluster the embedding space, then search for near-dups
@@ -714,7 +720,9 @@ object Dedup {
     * Scale guards (all three by construction, not by tuning):
     *  - k is CORPUS-DERIVED ([[semanticK]]): mean cluster cardinality
     *    stays `targetClusterSize` at any n, so Σ cluster² grows
-    *    linearly with the corpus.
+    *    linearly with the corpus — capped so the O(n·k·dim)
+    *    assignment stays linear too (past the cap the band guard
+    *    below owns candidate bounding).
     *  - a cluster that still exceeds `targetClusterSize ×
     *    maxClusterFactor` (skewed data — k-means gives no size bound)
     *    is NOT exact-searched: its members are re-bucketed by

@@ -295,7 +295,11 @@ class DedupSpec extends SparkSpec {
 
   test("semanticK keeps mean cluster cardinality fixed as the corpus grows") {
     assert(Dedup.semanticK(505L, 32) === 16)
-    assert(Dedup.semanticK(50500L, 32) === 1579)   // 100× corpus → 100× k
+    assert(Dedup.semanticK(50500L, 32, maxClusters = 4096) === 1579) // 100× corpus → 100× k
+    // the cap bounds ASSIGNMENT cost (O(n·k·dim) would go quadratic
+    // with k ∝ n); past it the oversized-cluster LSH banding owns
+    // candidate bounding
+    assert(Dedup.semanticK(50500L, 32) === 16)
     assert(Dedup.semanticK(3L, 32) === 2)          // floor
   }
 

@@ -522,6 +522,103 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the composition the
+    * billion-vector serving stacks standardize on (FAISS
+    * `IndexIVFPQ`): coarse k-means cells bound the search to `nprobe`
+    * partitions, and each vector stores only the PQ codes of its
+    * RESIDUAL (vec − cell centroid). Residuals concentrate near the
+    * origin, so the same code budget quantizes them far more finely
+    * than raw vectors — the "residual refinement" upgrade over flat
+    * [[annPq]]. Scoring is ADC per (query, probed cell): the query's
+    * residual against THAT cell yields an m×kCodes lookup table
+    * (tiny, broadcast with the probe list), every code row in the
+    * cell scores with m table lookups, and only the `shortlist`
+    * survivors fetch float vectors for the exact cosine re-rank.
+    * At rest the index is codes + one label per vector (the
+    * [[VectorIndex]] layout with codes instead of floats): the hot
+    * scan reads m bytes per vector, floats only for shortlists.
+    */
+  def annIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+               kClusters: Int = 16, coarseIters: Int = 2, nprobe: Int = 12,
+               m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
+               dim: Int = 64, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    val subDim = dim / m
+    val cents = kmeansCentroids(corpus, kClusters, coarseIters)
+    val centLit = typedLit(cents.sortBy(_._1).map(_._2))
+    val centIds = cents.sortBy(_._1).map(_._1)
+    def centroidOf(label: Column): Column = {
+      // position of the (possibly non-contiguous) surviving cell id
+      val posMap = typedLit(centIds.zipWithIndex.toMap)
+      element_at(centLit, element_at(posMap, label) + 1)
+    }
+    // residual relation: label + (vec − centroid[label]); the residual
+    // materializes as an ATTRIBUTE before PQ training/encoding so the
+    // per-element kernels never re-evaluate the zip_with (O(dim²) trap)
+    val labeled = corpus
+      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("label"))
+    val residuals = labeled
+      .select(col("vec_id"), col("label"),
+        zip_with(col("vec"), centroidOf(col("label")),
+          (x, c) => x.cast("double") - c).cast("array<float>").as("vec"))
+    val flat = pqTrain(residuals, m, kCodes, pqIters, dim)
+    val encoded = residuals.select(col("vec_id"), col("label"),
+      graft.functions.PqEncode(col("vec"), flat.toSeq, m, kCodes, subDim).as("codes"))
+
+    // probe list: nprobe nearest cells per query, each carrying the
+    // query-residual ADC LUT against that cell
+    val cbLit = typedLit(flat.toSeq)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_score").desc, col("c_label").asc)
+    val centDf = broadcast(
+      queries.sparkSession.createDataFrame(
+        cents.map { case (id, c) => (id, c) }
+      ).toDF("c_label", "centroid"))
+    def blockDist(v: Column, b: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0), (acc, i) => {
+        val x = element_at(v, b * subDim + i + 1)
+        val w = element_at(cbLit, (b * lit(kCodes) + c) * subDim + i + 1)
+        acc + (x - w) * (x - w)
+      })
+    val probes = queries.select(col("query_id"), col("qvec"))
+      .join(centDf)
+      .select(col("query_id"), col("qvec"), col("c_label"),
+        cosine(col("qvec"), col("centroid")).as("c_score"), col("centroid"))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("c_label").as("label"),
+        zip_with(col("qvec"), col("centroid"), (x, c) => x.cast("double") - c).as("qres"))
+      .select(col("query_id"), col("label"),
+        transform(sequence(lit(0), lit(m * kCodes - 1)), idx =>
+          blockDist(col("qres"), (idx / kCodes).cast("int"), idx % kCodes)).as("lut"))
+
+    val adcScore = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlisted = encoded
+      .join(broadcast(probes), "label")
+      .select(col("query_id"), col("vec_id"), adcScore.as("adist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    shortlisted
+      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-query recall@k vs exact brute force on the same frames,
     * attached as a constant `recall_at_k` column — the driver's
     * rows-only artifact then certifies retrieval QUALITY, not just
@@ -594,5 +691,11 @@ object VectorOps {
   def annSqQuery(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = (querySet(s, dir), corpusSet(s, dir))
     withRecallAt(annSq(q, c, k = 10), q, c, k = 10)
+  }
+
+  /** IVF-PQ residual ANN (rows + recall_at_10; floor in ScalaTest). */
+  def annIvfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annIvfPq(q, c, k = 10), q, c, k = 10)
   }
 }

@@ -136,7 +136,8 @@ class VectorOpsSpec extends SparkSpec {
     val floors = Seq(
       VectorOps.annLshQuery(spark, sfDir) -> 0.8,
       VectorOps.annKmeansQuery(spark, sfDir) -> 0.8,
-      VectorOps.annPqQuery(spark, sfDir) -> 0.8)
+      VectorOps.annPqQuery(spark, sfDir) -> 0.8,
+      VectorOps.annIvfPqQuery(spark, sfDir) -> 0.8)
     floors.foreach { case (df, floor) =>
       val mean = df.agg(avg(col("recall_at_10"))).collect().head.getDouble(0)
       assert(mean > floor, s"mean recall $mean under floor $floor")

@@ -147,6 +147,71 @@ object VectorIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted IVF-PQ index: the [[build]] layout with CODES at rest
+    * instead of floats — each label partition stores (vec_id, codes)
+    * at m bytes of payload per vector (32× less than float32), and
+    * the two model tables (centroids + flat PQ codebook) persist
+    * beside them. The serving shape of the billion-vector stacks:
+    * queries prune to `nprobe` partition DIRECTORIES at planning
+    * time, scan only codes, and fetch floats (from the caller's base
+    * table) for the shortlist re-rank alone.
+    */
+  def buildPq(corpus: DataFrame, indexDir: String,
+              kClusters: Int = 16, coarseIters: Int = 2,
+              m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
+              dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cents, flat) =
+      VectorOps.ivfPqTrain(corpus, kClusters, coarseIters, m, kCodes, pqIters, dim)
+    VectorOps.ivfPqEncode(corpus, cents, flat, m, kCodes, dim)
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$indexDir/codes")
+    cents.toDF("c_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Seq((m, kCodes, dim, flat.toSeq))
+      .toDF("m", "k_codes", "dim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** Query the persisted IVF-PQ layout: probe labels collect to the
+    * driver (model metadata) and prune the codes scan to `nprobe`
+    * partition directories at planning time; ADC + shortlist + exact
+    * re-rank run through the shared [[VectorOps.ivfPqSearch]] tail.
+    * `floats` supplies (vec_id, vec) for the re-rank — the base
+    * table, not the index.
+    */
+  def queryPq(spark: SparkSession, indexDir: String, queries: DataFrame,
+              floats: DataFrame, k: Int, nprobe: Int = 12,
+              shortlist: Int = 100): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$indexDir/codebook").head()
+    val (m, kCodes, dim) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
+    val flat = cb.getSeq[Double](3).toArray
+    val probes = VectorOps.ivfPqProbes(queries, cents, flat, nprobe, m, kCodes, dim)
+    val probeLabels = probes.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("label").isin(probeLabels: _*))
+    VectorOps.ivfPqSearch(queries, codes, floats, probes, k, m, kCodes, shortlist)
+  }
+
+  /** Incremental maintenance for the PQ layout: encode `delta`
+    * against the FROZEN centroids AND the frozen codebook, append to
+    * the label partitions — the codes twin of [[appendDelta]], same
+    * O(delta) contract.
+    */
+  def appendDeltaPq(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$indexDir/codebook").head()
+    val (m, kCodes, dim) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
+    VectorOps.ivfPqEncode(delta, cents, cb.getSeq[Double](3).toArray, m, kCodes, dim)
+      .write.mode("append").partitionBy("label")
+      .parquet(s"$indexDir/codes")
+  }
+
   /** Driver query: build the index over the standard corpus in a
     * scratch dir, query the standard query set through the pruned
     * layout, and carry the same driver-visible recall column as the

@@ -538,36 +538,48 @@ object VectorOps {
     * [[VectorIndex]] layout with codes instead of floats): the hot
     * scan reads m bytes per vector, floats only for shortlists.
     */
-  def annIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
-               kClusters: Int = 16, coarseIters: Int = 2, nprobe: Int = 12,
-               m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
-               dim: Int = 64, shortlist: Int = 100): DataFrame = {
-    require(shortlist >= k,
-      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val subDim = dim / m
+  /** Train both IVF-PQ stages: coarse centroids, then a PQ codebook
+    * over the RESIDUALS against them.
+    */
+  private[operators] def ivfPqTrain(corpus: DataFrame, kClusters: Int,
+                                    coarseIters: Int, m: Int, kCodes: Int,
+                                    pqIters: Int, dim: Int)
+      : (Seq[(Int, Seq[Double])], Array[Double]) = {
     val cents = kmeansCentroids(corpus, kClusters, coarseIters)
-    val centLit = typedLit(cents.sortBy(_._1).map(_._2))
-    val centIds = cents.sortBy(_._1).map(_._1)
-    def centroidOf(label: Column): Column = {
-      // position of the (possibly non-contiguous) surviving cell id
-      val posMap = typedLit(centIds.zipWithIndex.toMap)
-      element_at(centLit, element_at(posMap, label) + 1)
-    }
-    // residual relation: label + (vec − centroid[label]); the residual
-    // materializes as an ATTRIBUTE before PQ training/encoding so the
-    // per-element kernels never re-evaluate the zip_with (O(dim²) trap)
-    val labeled = corpus
-      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("label"))
-    val residuals = labeled
-      .select(col("vec_id"), col("label"),
-        zip_with(col("vec"), centroidOf(col("label")),
-          (x, c) => x.cast("double") - c).cast("array<float>").as("vec"))
-    val flat = pqTrain(residuals, m, kCodes, pqIters, dim)
-    val encoded = residuals.select(col("vec_id"), col("label"),
-      graft.functions.PqEncode(col("vec"), flat.toSeq, m, kCodes, subDim).as("codes"))
+    val flat = pqTrain(ivfPqResiduals(corpus, cents), m, kCodes, pqIters, dim)
+    (cents, flat)
+  }
 
-    // probe list: nprobe nearest cells per query, each carrying the
-    // query-residual ADC LUT against that cell
+  /** (vec_id, label, vec=residual-as-float32): the residual
+    * materializes as an ATTRIBUTE before PQ training/encoding so the
+    * per-element kernels never re-evaluate the zip_with (O(dim²) trap).
+    */
+  private[operators] def ivfPqResiduals(corpus: DataFrame,
+                                        cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centLit = typedLit(cents.sortBy(_._1).map(_._2))
+    // position of the (possibly non-contiguous) surviving cell id
+    val posMap = typedLit(cents.sortBy(_._1).map(_._1).zipWithIndex.toMap)
+    corpus
+      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("vec"), element_at(centLit, element_at(posMap, col("label")) + 1),
+          (x, c) => x.cast("double") - c).cast("array<float>").as("vec"))
+  }
+
+  /** (vec_id, label, codes): the at-rest shape of an IVF-PQ index. */
+  private[operators] def ivfPqEncode(corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+                                     flat: Array[Double], m: Int, kCodes: Int,
+                                     dim: Int): DataFrame =
+    ivfPqResiduals(corpus, cents).select(col("vec_id"), col("label"),
+      graft.functions.PqEncode(col("vec"), flat.toSeq, m, kCodes, dim / m).as("codes"))
+
+  /** Probe list: `nprobe` nearest cells per query, each row carrying
+    * the query-residual ADC lookup table against THAT cell.
+    */
+  private[operators] def ivfPqProbes(queries: DataFrame, cents: Seq[(Int, Seq[Double])],
+                                     flat: Array[Double], nprobe: Int, m: Int,
+                                     kCodes: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
     val cbLit = typedLit(flat.toSeq)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_label").asc)
@@ -581,7 +593,7 @@ object VectorOps {
         val w = element_at(cbLit, (b * lit(kCodes) + c) * subDim + i + 1)
         acc + (x - w) * (x - w)
       })
-    val probes = queries.select(col("query_id"), col("qvec"))
+    queries.select(col("query_id"), col("qvec"))
       .join(centDf)
       .select(col("query_id"), col("qvec"), col("c_label"),
         cosine(col("qvec"), col("centroid")).as("c_score"), col("centroid"))
@@ -592,24 +604,34 @@ object VectorOps {
       .select(col("query_id"), col("label"),
         transform(sequence(lit(0), lit(m * kCodes - 1)), idx =>
           blockDist(col("qres"), (idx / kCodes).cast("int"), idx % kCodes)).as("lut"))
+  }
 
+  /** ADC score + shortlist + exact-cosine re-rank over any
+    * (vec_id, label, codes) relation — shared by the inline path and
+    * the persisted [[VectorIndex]] layout (which feeds a
+    * partition-pruned codes scan). `floats` supplies (vec_id, vec)
+    * for the shortlist re-rank only.
+    */
+  private[operators] def ivfPqSearch(queries: DataFrame, codes: DataFrame,
+                                     floats: DataFrame, probes: DataFrame,
+                                     k: Int, m: Int, kCodes: Int,
+                                     shortlist: Int): DataFrame = {
     val adcScore = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    val shortlisted = encoded
+    val shortlisted = codes
       .join(broadcast(probes), "label")
       .select(col("query_id"), col("vec_id"), adcScore.as("adist"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
-
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     shortlisted
-      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
+      .join(floats.select(col("vec_id"), col("vec")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("qvec"), col("vec")).as("score"))
@@ -617,6 +639,18 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+               kClusters: Int = 16, coarseIters: Int = 2, nprobe: Int = 12,
+               m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
+               dim: Int = 64, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    val (cents, flat) = ivfPqTrain(corpus, kClusters, coarseIters, m, kCodes, pqIters, dim)
+    val encoded = ivfPqEncode(corpus, cents, flat, m, kCodes, dim)
+    val probes = ivfPqProbes(queries, cents, flat, nprobe, m, kCodes, dim)
+    ivfPqSearch(queries, encoded, corpus, probes, k, m, kCodes, shortlist)
   }
 
   /** Per-query recall@k vs exact brute force on the same frames,

@@ -121,6 +121,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(self.head.getLong(2) === probe.collect().head.getLong(0))
   }
 
+  test("persisted IVF-PQ: pruned codes scan answers exactly like the inline path") {
+    val (corpus, queries) = corpusAndQueries
+    val dir = Files.createTempDirectory("ivfpq-index").toString
+    VectorIndex.buildPq(corpus, dir)
+    // training is deterministic, so the persisted path must reproduce
+    // the inline operator bit-for-bit
+    val viaIndex = VectorIndex.queryPq(spark, dir, queries, corpus, k = 10).collect().toSeq
+    val inline = VectorOps.annIvfPq(queries, corpus, k = 10).collect().toSeq
+    assert(viaIndex === inline)
+    // planning-time pruning: one query, one probe -> ONE codes
+    // partition directory survives in the scan
+    val oneQuery = queries.filter(col("query_id") === 0)
+    val plan = VectorIndex.queryPq(spark, dir, oneQuery, corpus, k = 5, nprobe = 1)
+      .queryExecution.sparkPlan
+    val codesScan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/codes")) => f
+    }.head
+    assert(codesScan.selectedPartitions.partitionCount === 1)
+  }
+
+  test("PQ delta-append equals re-encoding the union under the frozen models") {
+    val (corpus, queries) = corpusAndQueries
+    val corpus0 = corpus.filter(col("vec_id") < 400)
+    val delta = corpus.filter(col("vec_id") >= 400)
+    val dir = Files.createTempDirectory("ivfpq-append").toString
+    VectorIndex.buildPq(corpus0, dir)
+    VectorIndex.appendDeltaPq(spark, dir, delta)
+    val got = VectorIndex.queryPq(spark, dir, queries, corpus, k = 10).collect().toSeq
+    // reference: same frozen centroids AND codebook, codes re-laid-out
+    // from the full union
+    val refDir = Files.createTempDirectory("ivfpq-append-ref").toString
+    spark.read.parquet(s"$dir/centroids").write.parquet(s"$refDir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    cb.write.parquet(s"$refDir/codebook")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val row = cb.head()
+    VectorOps.ivfPqEncode(corpus0.unionByName(delta), cents,
+        row.getSeq[Double](3).toArray, row.getInt(0), row.getInt(1), row.getInt(2))
+      .write.partitionBy("label").parquet(s"$refDir/codes")
+    val ref = VectorIndex.queryPq(spark, refDir, queries, corpus, k = 10).collect().toSeq
+    assert(got === ref)
+  }
+
   test("centroids table is model-sized") {
     val (corpus, _) = corpusAndQueries
     val dir = Files.createTempDirectory("ivf-index-cent").toString

@@ -362,6 +362,7 @@ object SparkEntry {
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),
     "vec_ann_ivfpq"      -> (VectorOps.annIvfPqQuery _),
+    "vec_ann_curve"      -> (VectorOps.annCurveQuery _),
     "vec_range_search"   -> ((s, d) => HybridSearch.rangeSearch(s, d)),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),

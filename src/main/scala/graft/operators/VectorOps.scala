@@ -732,4 +732,71 @@ object VectorOps {
     val (q, c) = (querySet(s, dir), corpusSet(s, dir))
     withRecallAt(annIvfPq(q, c, k = 10), q, c, k = 10)
   }
+
+  /** The nprobe-vs-recall CURVE of the learned-k-means IVF path — the
+    * cost/recall tradeoff as a driver-visible artifact instead of a
+    * hand-run sweep. ONE train + ONE truth pass produce every point:
+    * each true top-k neighbor is tagged with the RANK its cell holds
+    * in its query's probe order (= the minimum nprobe that reaches
+    * it), and recall@nprobe for all nprobe at once is a cumulative
+    * count over that rank — never one search per curve point. The
+    * artifact certifies itself: probing every cell IS brute force, so
+    * the last row must read exactly 1.0 (spec-pinned), and the curve
+    * must be nondecreasing in nprobe.
+    */
+  def annRecallCurve(queries: DataFrame, corpus: DataFrame, k: Int,
+                     kClusters: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, kClusters, iters)
+    val labeledFull = corpus.select(col("vec_id"), col("vec"),
+      nearestCentroidId(col("vec"), cents).as("label"))
+    val labeled = labeledFull.select(col("vec_id"), col("label"))
+    val spark = queries.sparkSession
+    // probe ranking must mirror the SEARCH path exactly: annIvf ranks
+    // cells by the per-label MEAN of the labeled corpus (not the
+    // k-means training centroids), so the curve's point at the shipped
+    // nprobe equals the measured recall of the real query by
+    // construction
+    val meanCents = labeledFull
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "comp")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("comp")).as("mean_comp"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_comp")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("mean_comp")).as("centroid"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_score").desc, col("c_label").asc)
+    val cellRank = queries.select(col("query_id"), col("qvec"))
+      .join(broadcast(meanCents))
+      .select(col("query_id"), col("c_label"),
+        cosine(col("qvec"), col("centroid")).as("c_score"))
+      .withColumn("c_rank", row_number().over(probeW))
+      .select(col("query_id"), col("c_label").as("label"), col("c_rank"))
+    // every true neighbor tagged with the minimum nprobe reaching it
+    val truthRanked = knnBrute(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(labeled, "vec_id")
+      .join(cellRank, Seq("query_id", "label"))
+    val nQueries = queries.count().toDouble
+    // hits at EXACTLY rank r, then one cumulative window over the ≤
+    // kClusters aggregated rows gives the whole curve
+    val perRank = truthRanked.groupBy(col("c_rank")).agg(count(lit(1)).as("h"))
+    val full = spark.createDataFrame((1 to kClusters).map(Tuple1(_))).toDF("nprobe")
+      .join(perRank.withColumnRenamed("c_rank", "nprobe"), Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("h"), lit(0L)).as("h"))
+    val cum = Window.orderBy(col("nprobe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full
+      .select(col("nprobe").cast("long").as("nprobe"),
+        rnd4(sum(col("h")).over(cum).cast("double") / lit(k.toDouble) / lit(nQueries))
+          .as("recall_at_k"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Driver query: the kmeans-IVF recall curve over the standard
+    * frames (rows-only; the 1.0 endpoint and monotonicity are the
+    * in-row certification, spec-pinned).
+    */
+  def annCurveQuery(s: SparkSession, dir: String): DataFrame =
+    annRecallCurve(querySet(s, dir), corpusSet(s, dir), k = 10)
 }

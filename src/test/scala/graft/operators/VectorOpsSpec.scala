@@ -144,6 +144,29 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("nprobe-vs-recall curve is monotone and ends at exactly 1.0") {
+    val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val curve = VectorOps.annRecallCurve(queries, corpus, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(curve.map(_._1).toSeq === (1L to 16L))
+    // nondecreasing in nprobe
+    assert(curve.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    // probing every cell IS brute force — the endpoint certifies the
+    // whole derivation
+    assert(curve.last._2 === 1.0)
+    // the curve's point at the shipped default must agree with the
+    // independently-measured recall of the actual search path
+    val measured = VectorOps.annKmeansQuery(spark, sfDir)
+      .groupBy(col("query_id")).agg(first(col("recall_at_10")).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    val curveAt12 = curve(11)._2
+    assert(math.abs(curveAt12 - measured) < 1e-9,
+      s"curve point $curveAt12 disagrees with measured recall $measured")
+  }
+
   test("map-stage nearest-centroid assignment matches the join+min_by formulation") {
     val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("embedding").as("vec"))

@@ -392,6 +392,7 @@ object SparkEntry {
     "txt_source_stats"   -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "txt_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "txt_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncodeTop(s, d)),
     "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "txt_global_ids"     -> ((s, d) => TextAnalysis.globalIds(s, d)),
     "txt_pmi"            -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
@@ -1531,6 +1532,11 @@ object SparkEntry {
     // M unrolled merge steps sharing bpeMerges' exact string-state
     // representation — the hash compare checks the full train loop
     "txt_bpe_merges" -> operators.TextAnalysis.bpeMergesOracleSql(),
+
+    // the FINAL merged vocabulary exploded to token frequencies — a
+    // wrong replace order would pass the merge-table check but fail
+    // this one
+    "txt_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
 
     // the naive global row_number IS the oracle: the sharded
     // offset+local derivation must equal it exactly

@@ -211,40 +211,78 @@ object TextAnalysis {
   def bpeMerges(s: SparkSession, dir: String, merges: Int = 10): DataFrame =
     bpeMergesFrom(Tables.documents(s, dir), merges)
 
+  /** The shared train loop: persisted vocab in, merge table plus the
+    * post-merge vocab STATE (a lazy projection chain over `vocab`) out.
+    * Callers own the persist/release of `vocab` and must materialize
+    * anything derived from the returned state before unpersisting.
+    */
+  private def bpeLoop(vocab: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var state = vocab
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+      // would generate a DESCENDING range, not an empty one)
+      val top = state
+        .select(split(trim(col("seq")), "  ").as("syms"), col("n"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .head() // ONE row: the selected merge — model-parameter scale
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((step.toLong, l, r, l + r, cnt))
+      state = state.withColumn("seq",
+        expr(s"replace(seq, ' $l  $r ', ' $l$r ')"))
+    }
+    (out.result(), state)
+  }
+
+  private def bpeVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(wsTokens(lower(col("text")))).as("word"))
+    .filter(col("word").rlike("^[a-z]+$"))
+    .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    .filter(length(col("word")) >= 2)
+    .select(expr("' ' || array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  ') || ' '").as("seq"),
+      col("n"))
+
   /** [[bpeMerges]] over any (doc_id, text) frame — spec entry point. */
   def bpeMergesFrom(docs: DataFrame, merges: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val vocab = docs
-      .select(explode(wsTokens(lower(col("text")))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .filter(length(col("word")) >= 2)
-      .select(expr("' ' || array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  ') || ' '").as("seq"),
-        col("n"))
-      .persist()
+    val vocab = bpeVocab(docs).persist()
     try {
-      var state = vocab
-      val out = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (step <- 1 to merges) {
-        // single-symbol words carry no pairs (and Spark's sequence(1, 0)
-        // would generate a DESCENDING range, not an empty one)
-        val top = state
-          .select(split(trim(col("seq")), "  ").as("syms"), col("n"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1)
-          .head() // ONE row: the selected merge — model-parameter scale
-        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        out += ((step.toLong, l, r, l + r, cnt))
-        state = state.withColumn("seq",
-          expr(s"replace(seq, ' $l  $r ', ' $l$r ')"))
-      }
-      out.result().toDF("step", "left_sym", "right_sym", "merged", "n_occurrences")
+      val (out, _) = bpeLoop(vocab, merges)
+      out.toDF("step", "left_sym", "right_sym", "merged", "n_occurrences")
+    } finally vocab.unpersist()
+  }
+
+  /** TOKENIZE with the learned merges: the vocabulary after the full
+    * train loop, exploded back to per-token corpus frequencies — the
+    * artifact that certifies the merged STATE itself (the merge table
+    * alone can't: a wrong replace order would leave the right merges
+    * with the wrong survivors). Multi-char tokens surface exactly
+    * where the merge table promises them.
+    */
+  def bpeEncodeTop(s: SparkSession, dir: String, merges: Int = 10,
+                   topK: Int = 30): DataFrame =
+    bpeEncodeTopFrom(Tables.documents(s, dir), merges, topK)
+
+  /** [[bpeEncodeTop]] over any (doc_id, text) frame — spec entry point. */
+  def bpeEncodeTopFrom(docs: DataFrame, merges: Int, topK: Int): DataFrame = {
+    val vocab = bpeVocab(docs).persist()
+    try {
+      val (_, state) = bpeLoop(vocab, merges)
+      state
+        .select(explode(split(trim(col("seq")), "  ")).as("token"), col("n"))
+        .groupBy(col("token"))
+        .agg(sum(col("n")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(topK)
+        .localCheckpoint(true) // materialize before the vocab cache drops
     } finally vocab.unpersist()
   }
 
@@ -254,7 +292,25 @@ object TextAnalysis {
     * CTEs are MATERIALIZED: DuckDB inlines CTEs by default and the
     * step chain would otherwise expand exponentially.
     */
-  def bpeMergesOracleSql(merges: Int = 10): String = {
+  def bpeMergesOracleSql(merges: Int = 10): String =
+    bpeOracleCtes(merges) + "\nSELECT * FROM (" +
+      (1 to merges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym, merged, cnt AS n_occurrences FROM t$k")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY step"
+
+  /** DuckDB twin of [[bpeEncodeTop]]: the same unrolled merge chain,
+    * final state exploded to token frequencies.
+    */
+  def bpeEncodeOracleSql(merges: Int = 10, topK: Int = 30): String =
+    bpeOracleCtes(merges) + s"""
+      |SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences
+      |FROM (SELECT unnest(string_split(trim(seq), '  ')) AS token, n FROM v$merges)
+      |GROUP BY token
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT $topK""".stripMargin
+
+  private def bpeOracleCtes(merges: Int): String = {
     val sb = new StringBuilder(
       """WITH words AS MATERIALIZED (
         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
@@ -275,11 +331,6 @@ object TextAnalysis {
         |v$k AS MATERIALIZED (SELECT replace(seq, ' ' || (SELECT l FROM t$k) || '  ' || (SELECT r FROM t$k) || ' ',
         |                     ' ' || (SELECT merged FROM t$k) || ' ') AS seq, n FROM v$p)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM ("
-    sb ++= (1 to merges).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym, merged, cnt AS n_occurrences FROM t$k")
-      .mkString(" UNION ALL ")
-    sb ++= ") ORDER BY step"
     sb.toString
   }
 

@@ -287,6 +287,18 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "l", "o", "lo", 5L)))
   }
 
+  test("bpe encode reflects the merged state on the Sennrich corpus") {
+    val docs = Seq((1L, "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    // after merges [we, lo]: low=lo,w; lower=lo,we,r; newest=n,e,we,s,t;
+    // widest=w,i,d,e,s,t — hand-count each token weighted by word freq
+    val out = TextAnalysis.bpeEncodeTopFrom(docs, merges = 2, topK = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map(
+      "we" -> 6L, "lo" -> 5L, "e" -> 5L, "s" -> 5L, "t" -> 5L,
+      "w" -> 4L, "n" -> 4L, "r" -> 2L, "i" -> 1L, "d" -> 1L))
+  }
+
   test("global ids are dense 0..N-1 in (lang, doc_id) order for any partition count") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

@@ -36,6 +36,16 @@ object Explain {
         operators.Dedup.semanticNearDup(operators.Dedup.plantedEmbeddings(s, d), release = false)),
       "dd_repeats" -> ((s, d) =>
         operators.Dedup.repeatedSubstrings(operators.Dedup.plantedRepeatDocs(s, d), release = false)),
+      "vec_ann_sq" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        operators.VectorOps.annSq(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id"), col("embedding").as("vec")),
+          k = 10, release = false)
+      }),
       "dd_groups" -> ((s, d) => {
         // One propagation ROUND over the real pair plan: the converged
         // loop's lazy lineage nests every round (>100k plan lines) —

@@ -753,6 +753,23 @@ object Dedup {
                       tables: Int = 8, bitsPerTable: Int = 10, dim: Int = 64,
                       release: Boolean = true): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    val (assigned, coded) = semanticCoded(v, targetClusterSize,
+      maxClusterFactor, iters, bandOversized, tables, bitsPerTable, dim)
+    withSigCache(release)(assigned, coded) {
+      semanticPairs(coded, v, minCosine, topK, sqMargin)
+    }
+  }
+
+  /** The SemDeDup model applied to the corpus: train, assign, flag
+    * oversized clusters, SQ-encode, band-sign the oversized rows.
+    * Returns (assigned, coded) — callers cache or persist; `coded` is
+    * the pair-join payload ([[semanticPairs]]'s input) and the float
+    * vector is dropped from it, never entering a shuffle again.
+    */
+  private def semanticCoded(v: DataFrame, targetClusterSize: Int,
+                            maxClusterFactor: Int, iters: Int,
+                            bandOversized: Boolean, tables: Int,
+                            bitsPerTable: Int, dim: Int): (DataFrame, DataFrame) = {
     val k = semanticK(v.count(), targetClusterSize)
     val cap = targetClusterSize.toLong * maxClusterFactor
     val cents = VectorOps.kmeansCentroids(v, k, iters)
@@ -768,39 +785,93 @@ object Dedup {
       .withColumn("sigs", when(col("_big"), graft.functions.LshSignatures(col("vec"), allPlanes)))
       .select(col("vec_id"), col("label"), col("_big"),
         col("_c8"), col("_s"), col("_n"), col("sigs"))
-    withSigCache(release)(assigned, coded) {
-      // approximate cosine from the int8 codes alone (annSq's scoring)
-      def pairSel(joined: DataFrame): DataFrame = joined.select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("cluster"),
-        when(col("a._n") > 0 && col("b._n") > 0,
-          VectorOps.intDot(col("a._c8"), col("b._c8")).cast("double") *
-            col("a._s") * col("b._s") / (col("a._n") * col("b._n")))
-          .otherwise(lit(-1.0)).as("approx"))
-      val normal = coded.filter(!col("_big"))
-      val normalCand = pairSel(normal.as("a").join(normal.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")))
-      val big = coded.filter(col("_big"))
-        .select(col("vec_id"), col("label"), col("_c8"), col("_s"), col("_n"),
-          posexplode(col("sigs")).as(Seq("t", "sig")))
-      val bigCand = pairSel(big.as("a").join(big.as("b"),
-          col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
-            col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")))
-        .dropDuplicates("vec_a", "vec_b") // a pair can collide in several bands
-      val cand = normalCand.unionByName(bigCand)
-        .filter(col("approx") >= lit(minCosine - sqMargin))
-      // exact verify: floats fetched for survivors only
-      cand
-        .join(v.as("fa"), col("vec_a") === col("fa.vec_id"))
-        .join(v.as("fb"), col("vec_b") === col("fb.vec_id"))
-        .select(col("vec_a"), col("vec_b"), col("cluster"),
-          VectorOps.cosine(col("fa.vec"), col("fb.vec")).as("cosine_raw"))
-        .filter(col("cosine_raw") >= lit(minCosine))
-        .select(col("vec_a"), col("vec_b"), col("cluster"),
-          rnd4(col("cosine_raw")).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-        .limit(topK)
+    (assigned, coded)
+  }
+
+  /** The candidate-mine + exact-verify tail over a coded table (from
+    * [[semanticCoded]] inline or read back from a persisted index).
+    */
+  private def semanticPairs(coded: DataFrame, v: DataFrame,
+                            minCosine: Double, topK: Int,
+                            sqMargin: Double): DataFrame = {
+    // approximate cosine from the int8 codes alone (annSq's scoring)
+    def pairSel(joined: DataFrame): DataFrame = joined.select(
+      col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      col("a.label").as("cluster"),
+      when(col("a._n") > 0 && col("b._n") > 0,
+        VectorOps.intDot(col("a._c8"), col("b._c8")).cast("double") *
+          col("a._s") * col("b._s") / (col("a._n") * col("b._n")))
+        .otherwise(lit(-1.0)).as("approx"))
+    val normal = coded.filter(!col("_big"))
+    val normalCand = pairSel(normal.as("a").join(normal.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")))
+    val big = coded.filter(col("_big"))
+      .select(col("vec_id"), col("label"), col("_c8"), col("_s"), col("_n"),
+        posexplode(col("sigs")).as(Seq("t", "sig")))
+    val bigCand = pairSel(big.as("a").join(big.as("b"),
+        col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")))
+      .dropDuplicates("vec_a", "vec_b") // a pair can collide in several bands
+    val cand = normalCand.unionByName(bigCand)
+      .filter(col("approx") >= lit(minCosine - sqMargin))
+    // exact verify: floats fetched for survivors only
+    cand
+      .join(v.as("fa"), col("vec_a") === col("fa.vec_id"))
+      .join(v.as("fb"), col("vec_b") === col("fb.vec_id"))
+      .select(col("vec_a"), col("vec_b"), col("cluster"),
+        VectorOps.cosine(col("fa.vec"), col("fb.vec")).as("cosine_raw"))
+      .filter(col("cosine_raw") >= lit(minCosine))
+      .select(col("vec_a"), col("vec_b"), col("cluster"),
+        rnd4(col("cosine_raw")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(topK)
+  }
+
+  /** PERSISTED SemDeDup index: the trained model APPLIED to the corpus
+    * — cluster assignment, int8 codes, and the oversized-cluster band
+    * signatures — materialized once per (corpus content, build params)
+    * under the [[IndexCache]] discipline, partitioned by cluster
+    * label. Training + assignment is the expensive, pure-function-of-
+    * the-corpus half of semantic dedup; at 100 TB you encode once and
+    * every dedup pass (and every downstream consumer of the cluster
+    * structure) reads codes at rest — the same build-once/query-many
+    * contract as the IVF and n-gram pair-set indexes.
+    */
+  def semanticIndexIfAbsent(embeddings: DataFrame, indexRoot: String,
+                            targetClusterSize: Int = 32,
+                            maxClusterFactor: Int = 4, iters: Int = 2,
+                            bandOversized: Boolean = true,
+                            tables: Int = 8, bitsPerTable: Int = 10,
+                            dim: Int = 64): String = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    val row = v
+      .select(xxhash64(col("vec_id").cast("string"), col("vec").cast("string")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt"))
+      .head()
+    val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x" +
+      s"-c$targetClusterSize-f$maxClusterFactor-i$iters" +
+      s"-g$bandOversized-t$tables-b$bitsPerTable"
+    IndexCache.getOrBuild(indexRoot, "semdedup", fp) { scratch =>
+      val (assigned, coded) = semanticCoded(v, targetClusterSize,
+        maxClusterFactor, iters, bandOversized, tables, bitsPerTable, dim)
+      assigned.persist()
+      try coded.write.partitionBy("label")
+        .parquet(scratch.resolve("coded").toString)
+      finally assigned.unpersist()
     }
+  }
+
+  /** [[semanticNearDup]] served from the persisted [[semanticIndexIfAbsent]]
+    * artifact: the candidate tail runs over codes at rest; `embeddings`
+    * supplies the float vectors for the exact verify only.
+    */
+  def semanticNearDupIndexed(embeddings: DataFrame, indexRoot: String,
+                             minCosine: Double = 0.9, topK: Int = 50,
+                             sqMargin: Double = 0.05): DataFrame = {
+    val idx = semanticIndexIfAbsent(embeddings, indexRoot)
+    val coded = embeddings.sparkSession.read.parquet(s"$idx/coded")
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    semanticPairs(coded, v, minCosine, topK, sqMargin).localCheckpoint(true)
   }
 
   /** The cosine ≥ `minCosine` truth pairs that involve a PLANTED copy
@@ -830,7 +901,8 @@ object Dedup {
     */
   def semanticNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = plantedEmbeddings(s, dir)
-    val top = semanticNearDup(emb, minCosine = 0.9)
+    val top = semanticNearDupIndexed(emb,
+      s"${System.getProperty("java.io.tmpdir")}/graft-semdedup-cache")
     val truth = plantedTruthPairs(emb, minCosine = 0.95)
       .select(col("vec_a"), col("vec_b"))
     val stats = top.select(col("vec_a"), col("vec_b")).join(truth, Seq("vec_a", "vec_b"))

@@ -174,6 +174,22 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** Idempotent [[buildPq]]: fingerprint-keyed under `indexRoot`, the
+    * codes twin of [[buildIfAbsent]] — built once per (corpus content,
+    * model params), resolved by metadata check ever after.
+    */
+  def buildPqIfAbsent(corpus: DataFrame, indexRoot: String,
+                      kClusters: Int = 16, coarseIters: Int = 2,
+                      m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
+                      dim: Int = 64): String = {
+    val fp = s"${contentHash(corpus)}-k$kClusters-i$coarseIters" +
+      s"-m$m-c$kCodes-p$pqIters"
+    IndexCache.getOrBuild(indexRoot, "ivfpq", fp) { scratch =>
+      buildPq(corpus, scratch.toString, kClusters, coarseIters, m, kCodes,
+        pqIters, dim)
+    }
+  }
+
   /** Query the persisted IVF-PQ layout: probe labels collect to the
     * driver (model metadata) and prune the codes scan to `nprobe`
     * partition directories at planning time; ADC + shortlist + exact

@@ -326,7 +326,7 @@ object VectorOps {
     * shortlist window.
     */
   def annSq(queries: DataFrame, corpus: DataFrame, k: Int,
-            shortlist: Int = 50): DataFrame = {
+            shortlist: Int = 50, release: Boolean = true): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
     // scale materializes as a COLUMN before the quantize lambda — if
@@ -335,7 +335,14 @@ object VectorOps {
     // per row); staged projections keep the encode O(dim)
     def enc(df: DataFrame, idCol: String, vec: String): DataFrame =
       sqEncodeAll(df.select(col(idCol), col(vec).as("_v")), "_v").drop("_v")
-    val c = enc(corpus, "vec_id", "vec")
+    // the coded corpus MUST materialize before the scoring join: the
+    // encode is a chain of interpreted `transform` HOFs, and
+    // CollapseProject would otherwise inline it past the join so the
+    // O(dim) encode re-runs per (query, vector) OUTPUT pair — observed
+    // 5× the whole query's cost at |Q|=10. Caching is also the scale
+    // shape: codes are computed once per corpus row and the Q-way
+    // scoring fan-out reads bytes, never re-quantizes.
+    val c = enc(corpus, "vec_id", "vec").persist()
     val q = broadcast(enc(queries.withColumnRenamed("qvec", "_qv"), "query_id", "_qv")
       .withColumnsRenamed(Map("_c8" -> "_qc8", "_s" -> "_qs", "_n" -> "_qn")))
     val approx = intDot(col("_qc8"), col("_c8")).cast("double") *
@@ -350,7 +357,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    shortlisted
+    val out = shortlisted
       .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -359,6 +366,8 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
       .orderBy(col("query_id"), col("rank"))
+    if (!release) out
+    else { val m = out.localCheckpoint(true); c.unpersist(); m }
   }
 
   /** Product quantization: split each vector into `m` subvectors,
@@ -727,10 +736,18 @@ object VectorOps {
     withRecallAt(annSq(q, c, k = 10), q, c, k = 10)
   }
 
-  /** IVF-PQ residual ANN (rows + recall_at_10; floor in ScalaTest). */
+  /** IVF-PQ residual ANN (rows + recall_at_10; floor in ScalaTest),
+    * served from the PERSISTED codes-at-rest layout — spec-proven
+    * equal to the inline-trained [[annIvfPq]] (VectorIndexSpec), so
+    * the recall certification covers both; the first run builds the
+    * fingerprint-keyed index, every later run is a metadata check +
+    * pruned codes scan.
+    */
   def annIvfPqQuery(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = (querySet(s, dir), corpusSet(s, dir))
-    withRecallAt(annIvfPq(q, c, k = 10), q, c, k = 10)
+    val idx = VectorIndex.buildPqIfAbsent(c,
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-cache")
+    withRecallAt(VectorIndex.queryPq(s, idx, q, c, k = 10), q, c, k = 10)
   }
 
   /** The nprobe-vs-recall CURVE of the learned-k-means IVF path — the

@@ -251,6 +251,18 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(3) >= 0.9))
   }
 
+  test("indexed semantic dedup equals the inline path row for row") {
+    val emb = Dedup.plantedEmbeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("semdedup-spec").toString
+    val indexed = Dedup.semanticNearDupIndexed(emb, root).collect().toSeq
+    // second call resolves the completed artifact instead of rebuilding
+    val again = Dedup.semanticNearDupIndexed(emb, root).collect().toSeq
+    val inline = Dedup.semanticNearDup(emb, minCosine = 0.9).collect().toSeq
+    assert(indexed === inline)
+    assert(again === inline)
+  }
+
   test("semantic dedup pair clusters agree with a direct assignment recomputation") {
     val emb = Dedup.plantedEmbeddings(spark, "/root/testdata/sf0.001")
     val v = emb.select(col("vec_id"), col("embedding").as("vec"))

@@ -101,7 +101,7 @@ class PlanShapeSpec extends SparkSpec {
     val c = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 5)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding").as("vec"))
-    val plan = sparkPlanOf(VectorOps.annSq(q, c, k = 5)).toString
+    val plan = sparkPlanOf(VectorOps.annSq(q, c, k = 5, release = false)).toString
     assert(plan.contains("graft_int8_dot"),
       "scoring must run the codegen'd Int8Dot kernel, not the HOF fold")
   }

@@ -327,6 +327,7 @@ object SparkEntry {
     "ev_retention"       -> (Events.retention _),
     "ev_props_map"       -> (Events.propsMapStats _),
     "ev_scd2"            -> (Events.scd2 _),
+    "ev_cdc_apply"       -> (Events.cdcApply _),
     "ev_delta_agg"       -> (Events.deltaAgg _),
     "ev_paths"           -> (Events.paths _),
     "ev_hopping"         -> (Events.hopping _),
@@ -364,6 +365,7 @@ object SparkEntry {
     "vec_ann_ivfpq"      -> (VectorOps.annIvfPqQuery _),
     "vec_ann_curve"      -> (VectorOps.annCurveQuery _),
     "vec_range_search"   -> ((s, d) => HybridSearch.rangeSearch(s, d)),
+    "vec_mmr"            -> (HybridSearch.mmrQuery _),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
@@ -393,6 +395,7 @@ object SparkEntry {
     "txt_bpe_pairs"      -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "txt_bpe_merges"     -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "txt_bpe_encode"     -> ((s, d) => TextAnalysis.bpeEncodeTop(s, d)),
+    "txt_spell_pairs"    -> ((s, d) => TextAnalysis.spellPairsQuery(s, d)),
     "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "txt_global_ids"     -> ((s, d) => TextAnalysis.globalIds(s, d)),
     "txt_pmi"            -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
@@ -1281,6 +1284,31 @@ object SparkEntry {
         |FROM numbered
         |ORDER BY user_id, version""".stripMargin,
 
+    // CDC MERGE-apply: last-writer-wins snapshot from the op log,
+    // tombstoned keys absent, per-key audit counts
+    "ev_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_s DESC, event_id DESC) AS rk FROM log)
+        |  WHERE rk = 1),
+        |counts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        |  FROM log GROUP BY user_id)
+        |SELECT l.user_id, l.event_id AS last_event_id, l.ts_s AS last_ts,
+        |  l.event_type AS state, l.value, c.n_ops, c.n_deletes
+        |FROM last l JOIN counts c USING (user_id)
+        |WHERE l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
     // mean/variance derive from exact integer window sums in the SAME
     // expression order as the Spark side, so every double op is
     // IEEE-identical — a built-in windowed stddev would leave moment
@@ -1537,6 +1565,10 @@ object SparkEntry {
     // wrong replace order would pass the merge-table check but fail
     // this one
     "txt_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
+
+    // the NAIVE all-pairs levenshtein join IS the oracle: the
+    // deletion-neighborhood blocked join must reproduce it exactly
+    "txt_spell_pairs" -> operators.TextAnalysis.spellPairsOracleSql(),
 
     // the naive global row_number IS the oracle: the sharded
     // offset+local derivation must equal it exactly
@@ -1937,6 +1969,11 @@ object SparkEntry {
         |      FROM scored)
         |WHERE score >= 0.30
         |ORDER BY query_id, vec_id""".stripMargin,
+
+    // the greedy MMR selection unrolled as k chained CTEs — integer
+    // objective (7·rel4 − 3·red4 on the 1e-4 grid), so the argmax both
+    // engines take at every step is exact integer arithmetic
+    "vec_mmr" -> operators.HybridSearch.mmrOracleSql(),
 
     // both rankers re-derived (same CTE stacks as txt_bm25 / vec_knn)
     // plus the RRF fusion arithmetic, all in one oracle

@@ -92,4 +92,148 @@ object HybridSearch {
       .select(col("query_id"), col("vec_id"), col("score"))
       .orderBy(col("query_id"), col("vec_id"))
   }
+
+  /** Maximal-marginal-relevance DIVERSE top-k (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the re-rank that stops
+    * a training-data sampler or retrieval layer returning k copies of
+    * the same thing. All similarities are fixed to the 1e-4 grid as
+    * BIGINTs and λ = 0.7 enters as integer weights (`7·rel4 −
+    * 3·red4`), so every comparison both engines make is exact integer
+    * arithmetic — no float boundary can flip a selection.
+    *
+    * Scale shape: the corpus-sized work is ONE broadcast-queries scan
+    * (the [[VectorOps.knnBrute]] plan) cut to a `shortlist` of
+    * `n` per query; the quadratic part (pairwise sims, greedy loop)
+    * runs per query over that BOUNDED set — n² at n=20 — inside
+    * `flatMapGroups`, so a million queries parallelize across the
+    * cluster and nothing quadratic ever touches the corpus. The
+    * oracle unrolls the same greedy selection as k chained CTEs.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                shortlist: Int = 20): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def s4(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000.0) + lit(0.5)).cast("long")
+    val scored = corpus.select(col("vec_id"), col("vec"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))))
+      .select(col("query_id"), col("vec_id"), col("vec"),
+        s4(VectorOps.cosine(col("qvec"), col("vec"))).as("rel4"))
+    // shortlist on the ROUNDED score (the cross-engine boundary
+    // contract), ties by vec_id
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel4").desc, col("vec_id").asc)
+    val short = scored.withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("vec"), col("rel4"))
+    // pairwise sims within the shortlist only: n² per query, bounded
+    val sims = short.as("a").join(short.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        s4(VectorOps.cosine(col("a.vec"), col("b.vec"))).as("v4"))
+    // tag rel rows with vb = -1 (corpus ids are ≥ 0) and run the
+    // greedy selection per query over the bounded group
+    val tagged = short
+      .select(col("query_id"), col("vec_id").as("va"), lit(-1L).as("vb"),
+        col("rel4").as("v4"))
+      .unionByName(sims)
+      .as[(Long, Long, Long, Long)]
+    tagged.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toSeq
+      val rel = rows.collect { case (_, va, -1L, v4) => va -> v4 }.toMap
+      val sim = rows.collect { case (_, va, vb, v4) if vb != -1L =>
+        Seq((va, vb) -> v4, (vb, va) -> v4) }.flatten.toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (rank <- 1L to math.min(k.toLong, rel.size.toLong)) {
+        val (best, mmr) = rel.keysIterator
+          .filterNot(selected.contains)
+          .map { d =>
+            val red = if (selected.isEmpty) 0L
+              else selected.map(s => sim.getOrElse((d, s), 0L)).max
+            d -> (7L * rel(d) - 3L * red)
+          }
+          .reduceLeft { (x, y) => // max by (mmr desc, vec_id asc)
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+          }
+        selected += best
+        out += ((qid, rank, best, mmr))
+      }
+      out
+    }.toDF("query_id", "rank", "vec_id", "mmr_u")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver query: MMR over the standard 10-query / corpus split. */
+  def mmrQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    mmrRerank(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding").as("vec")))
+  }
+
+  /** DuckDB twin of [[mmrQuery]]: the identical greedy selection
+    * unrolled as k chained CTEs — each step anti-joins the selected
+    * set, recomputes the integer MMR objective against it, and picks
+    * the per-query argmax with the same (mmr desc, vec_id asc)
+    * tie-break.
+    */
+  def mmrOracleSql(k: Int = 10, shortlist: Int = 20): String = {
+    val sb = new StringBuilder(
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 10),
+         |rel AS MATERIALIZED (
+         |  SELECT query_id, vec_id, v,
+         |    CAST(floor(list_cosine_similarity(qv, v) * 10000 + 0.5) AS BIGINT) AS rel4
+         |  FROM q CROSS JOIN c),
+         |short AS MATERIALIZED (
+         |  SELECT query_id, vec_id, v, rel4 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel4 DESC, vec_id ASC) AS rk FROM rel)
+         |  WHERE rk <= $shortlist),
+         |sims AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) AS BIGINT) AS s4
+         |  FROM short a JOIN short b
+         |    ON a.query_id = b.query_id AND a.vec_id < b.vec_id),
+         |sel0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id,
+         |    CAST(NULL AS BIGINT) AS mmr_u, CAST(NULL AS BIGINT) AS "rank"
+         |  WHERE 1 = 0)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+         |red$i AS MATERIALIZED (
+         |  SELECT s.query_id, s.vec_id,
+         |    7 * s.rel4 - 3 * COALESCE((
+         |      SELECT max(m.s4) FROM sims m JOIN sel$p e
+         |        ON e.query_id = m.query_id AND
+         |           ((m.va = s.vec_id AND m.vb = e.vec_id) OR
+         |            (m.vb = s.vec_id AND m.va = e.vec_id))
+         |      WHERE m.query_id = s.query_id), 0) AS mmr_u
+         |  FROM short s
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p e
+         |    WHERE e.query_id = s.query_id AND e.vec_id = s.vec_id)),
+         |pick$i AS (
+         |  SELECT query_id, vec_id, mmr_u, CAST($i AS BIGINT) AS "rank" FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_u DESC, vec_id ASC) AS rk FROM red$i)
+         |  WHERE rk = 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel$p UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    sb ++= s"""
+         |SELECT query_id, "rank", vec_id, mmr_u FROM sel$k
+         |ORDER BY query_id, "rank"""".stripMargin
+    sb.toString
+  }
 }

@@ -1037,4 +1037,111 @@ object TextAnalysis {
         (col("offset") + col("local") - lit(1L)).as("global_id"))
       .orderBy(col("global_id"))
   }
+
+  /** Fixed typo passage for [[spellPairs]]: five distance-1
+    * misspellings of corpus words at low frequency, plus `costumer`
+    * (distance 2 from `customer` — two substitutions) as the NEGATIVE
+    * control: it must never pair, proving the bound is exact edit
+    * distance, not similarity vibes. Word counts sit above the
+    * `minFreq` floor and far below the true words' ~900, so every
+    * planted pair clears the frequency-ratio direction test.
+    */
+  private[operators] val plantedTypoText: String =
+    (Seq.fill(6)("tabl") ++ Seq.fill(5)("costumer") ++
+      Seq.fill(5)("filtar") ++ Seq.fill(7)("streem") ++
+      Seq.fill(6)("colum") ++ Seq.fill(5)("vecter")).mkString(" ")
+
+  /** The documents table plus the planted-typo doc — built from the
+    * same literal the oracle splices in, so both engines mine the
+    * identical corpus.
+    */
+  def plantedTypoDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((9000001L, plantedTypoText)).toDF("doc_id", "text"))
+  }
+
+  /** Spell-correction candidate mining (the SymSpell discipline):
+    * find vocabulary pairs at edit distance EXACTLY 1 where one side
+    * is ≥ `ratio`× more frequent — the frequent side is the
+    * correction, the rare side the misspelling.
+    *
+    * Scale shape: never the V² all-pairs join. Each word emits its
+    * DELETION NEIGHBORHOOD — itself plus every delete-one-char
+    * variant, O(len) keys per word — and candidates come from ONE
+    * equi-join on the shared key: any two words at distance ≤ 1
+    * share a key by construction (substitution → both drop the
+    * differing position; insert/delete → the shorter word IS one of
+    * the longer's variants), so the blocking is lossless and the
+    * exact `levenshtein == 1` verify runs only on hash collisions.
+    * A shared key can also join distance-2 pairs (`ab`/`ba` both
+    * emit `a` and `b`), which is exactly what the verify filter is
+    * for. The oracle runs the NAIVE quadratic join over the same
+    * bounded vocabulary — the blocked plan must reproduce it row for
+    * row ([[TextAnalysisSpec]] additionally pins the planted pairs
+    * and the distance-2 negative control).
+    */
+  def spellPairs(docs: DataFrame, minLen: Int = 4, maxLen: Int = 20,
+                 minFreq: Int = 5, vocabSize: Int = 2000,
+                 ratio: Int = 4, topK: Int = 50): DataFrame = {
+    val vocab = docs
+      .select(explode(wsTokens(lower(col("text")))).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$") &&
+        length(col("tok")).between(minLen, maxLen))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok").as("word"), col("n"))
+    val keyed = vocab.select(col("word"), col("n"),
+      explode(array_distinct(concat(
+        array(col("word")),
+        expr("transform(sequence(1, length(word)), i -> concat(substring(word, 1, i - 1), substring(word, i + 1)))"))))
+        .as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("w1"), col("a.n").as("n1"),
+        col("b.word").as("w2"), col("b.n").as("n2"))
+      .distinct() // a pair can collide on several deletion keys
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      .select(
+        when(col("n1") <= col("n2"), col("w1")).otherwise(col("w2")).as("wrong_word"),
+        when(col("n1") <= col("n2"), col("w2")).otherwise(col("w1")).as("right_word"),
+        least(col("n1"), col("n2")).as("wrong_n"),
+        greatest(col("n1"), col("n2")).as("right_n"))
+      .filter(col("right_n") >= col("wrong_n") * ratio)
+      .orderBy(col("right_n").desc, col("right_word"), col("wrong_word"))
+      .limit(topK)
+  }
+
+  /** Driver query: spell-pair mining over [[plantedTypoDocs]]. */
+  def spellPairsQuery(s: SparkSession, dir: String): DataFrame =
+    spellPairs(plantedTypoDocs(s, dir))
+
+  /** DuckDB twin of [[spellPairsQuery]]: the NAIVE all-pairs
+    * levenshtein join over the same bounded vocabulary — the oracle
+    * deliberately runs the quadratic plan the Spark side exists to
+    * avoid, proving the deletion-neighborhood blocking lossless.
+    */
+  def spellPairsOracleSql(minLen: Int = 4, maxLen: Int = 20,
+                          minFreq: Int = 5, vocabSize: Int = 2000,
+                          ratio: Int = 4, topK: Int = 50): String =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT CAST(9000001 AS BIGINT), '$plantedTypoText'),
+       |words AS MATERIALIZED (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM docs)
+       |  WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) BETWEEN $minLen AND $maxLen
+       |  GROUP BY tok HAVING count(*) >= $minFreq),
+       |vocab AS MATERIALIZED (
+       |  SELECT word, n FROM words ORDER BY n DESC, word LIMIT $vocabSize)
+       |SELECT wrong_word, right_word, wrong_n, right_n FROM (
+       |  SELECT CASE WHEN a.n <= b.n THEN a.word ELSE b.word END AS wrong_word,
+       |         CASE WHEN a.n <= b.n THEN b.word ELSE a.word END AS right_word,
+       |         least(a.n, b.n) AS wrong_n, greatest(a.n, b.n) AS right_n
+       |  FROM vocab a JOIN vocab b
+       |    ON a.word < b.word AND levenshtein(a.word, b.word) = 1)
+       |WHERE right_n >= $ratio * wrong_n
+       |ORDER BY right_n DESC, right_word, wrong_word LIMIT $topK""".stripMargin
 }

@@ -138,4 +138,57 @@ class EventsSpec extends SparkSpec {
       assert(rows.forall(_.getLong(2) > 0))
     }
   }
+
+  test("cdc apply: last-writer-wins snapshot, tombstones absent, audit counts") {
+    val out = Events.cdcApply(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val raw = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = raw.groupBy(_._1)
+    byUser.foreach { case (user, evs) =>
+      // ts_s order agrees with event_id order on this data only
+      // per-user-last; recompute via the operator's own key instead
+      val lastType = evs.maxBy(_._2)._3
+      val nDel = evs.count(_._3 == "error").toLong
+      out.get(user) match {
+        case None =>
+          assert(lastType === "error", s"user $user missing but last op is $lastType")
+        case Some(row) =>
+          assert(row.getLong(5) === evs.length.toLong) // n_ops
+          assert(row.getLong(6) === nDel)
+      }
+    }
+    // tombstoned users really exist in the data (the delete path runs)
+    assert(byUser.keys.toSet.diff(out.keySet).nonEmpty)
+  }
+
+  test("cdc apply on a crafted log: reinsert after delete, same-second ties by event_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the testdata stores ts as NANOS-since-epoch longs — mimic it so
+    // the operator runs through the real Tables.events reader
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Int): Long = (t0 + sec * 1000L) * 1000000L
+    val log = Seq(
+      // user 1: insert → update → delete = tombstone
+      (10L, ts(1), 1L, "signup", 1.0, "{}"),
+      (11L, ts(2), 1L, "click", 2.0, "{}"),
+      (12L, ts(3), 1L, "error", 0.0, "{}"),
+      // user 2: delete then REINSERT — the post-delete insert survives
+      (20L, ts(1), 2L, "error", 0.0, "{}"),
+      (21L, ts(2), 2L, "signup", 5.0, "{}"),
+      // user 3: two ops in the SAME second — event_id breaks the tie
+      (30L, ts(1), 3L, "view", 1.0, "{}"),
+      (31L, ts(1), 3L, "purchase", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-spec")
+    log.write.parquet(s"$tmp/events.parquet")
+    // reuse the real reader path by pointing the operator at the dir
+    val out = Events.cdcApply(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3), r.getLong(5), r.getLong(6)))).toMap
+    assert(!out.contains(1L), "user 1 ends deleted")
+    assert(out(2L) === ((21L, "signup", 2L, 1L)))
+    assert(out(3L) === ((31L, "purchase", 2L, 0L)))
+  }
 }

@@ -299,6 +299,41 @@ class TextAnalysisSpec extends SparkSpec {
       "w" -> 4L, "n" -> 4L, "r" -> 2L, "i" -> 1L, "d" -> 1L))
   }
 
+  test("spell pairs: planted typos pair with their corrections, distance-2 control stays out") {
+    val out = TextAnalysis.spellPairsQuery(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out.toSet === Set(
+      ("tabl", "table"), ("filtar", "filter"), ("vecter", "vector"),
+      ("streem", "stream"), ("colum", "column")))
+    // costumer/customer differ by TWO substitutions — the planted
+    // negative control for the exact distance bound
+    assert(!out.exists(p => p._1 == "costumer" || p._2 == "costumer"))
+  }
+
+  test("spell-pair deletion blocking is lossless vs the naive all-pairs join") {
+    // every edit class at distance 1 (sub/insert/delete), a distance-2
+    // shared-key pair (ab/ba-style), and frequency direction flips
+    val docs = Seq((1L, Seq.fill(40)("sparkle").mkString(" ")),
+      (2L, Seq.fill(8)("sparkly sparkles sparle barkle").mkString(" ")),
+      (3L, Seq.fill(9)("grab brag garb").mkString(" "))).toDF("doc_id", "text")
+    val blocked = TextAnalysis.spellPairs(docs, minFreq = 5).collect().toSeq
+    val vocab = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+    val naive = vocab.as("a").join(vocab.as("b"),
+        col("a.w") < col("b.w") && levenshtein(col("a.w"), col("b.w")) === 1)
+      .select(
+        when(col("a.n") <= col("b.n"), col("a.w")).otherwise(col("b.w")).as("wrong_word"),
+        when(col("a.n") <= col("b.n"), col("b.w")).otherwise(col("a.w")).as("right_word"),
+        least(col("a.n"), col("b.n")).as("wrong_n"),
+        greatest(col("a.n"), col("b.n")).as("right_n"))
+      .filter(col("right_n") >= col("wrong_n") * 4)
+      .orderBy(col("right_n").desc, col("right_word"), col("wrong_word"))
+      .collect().toSeq
+    assert(blocked === naive)
+    assert(blocked.nonEmpty)
+  }
+
   test("global ids are dense 0..N-1 in (lang, doc_id) order for any partition count") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)

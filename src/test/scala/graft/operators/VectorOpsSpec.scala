@@ -263,4 +263,54 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"SQ8 recall collapsed: $recall")
     assert(sq.collect().toSeq === VectorOps.annSq(queries, corpus, 10).collect().toSeq)
   }
+
+  test("MMR re-rank equals a naive in-memory greedy replay on real data") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val k = 5; val shortlist = 8
+    val out = HybridSearch.mmrRerank(queries, corpus, k, shortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // naive replay: same rounded sims (engine kernel), greedy in Scala
+    def s4(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000.0) + lit(0.5)).cast("long")
+    val rel = corpus.join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        s4(VectorOps.cosine(col("qvec"), col("vec"))).as("rel4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byQ = rel.groupBy(_._1._1)
+    val expected = byQ.keys.toSeq.sorted.flatMap { qid =>
+      val cands = byQ(qid).toSeq.map { case ((_, v), r) => (v, r) }
+        .sortBy { case (v, r) => (-r, v) }.take(shortlist)
+      val vecs = corpus.filter(col("vec_id").isin(cands.map(_._1): _*))
+      val sim = vecs.as("a").join(vecs.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          s4(VectorOps.cosine(col("a.vec"), col("b.vec"))).as("v4"))
+        .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+          (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+      var sel = List.empty[Long]
+      (1 to k).map { rank =>
+        val (best, mmr) = cands.filterNot(c => sel.contains(c._1))
+          .map { case (v, r) =>
+            val red = if (sel.isEmpty) 0L else sel.map(s => sim((v, s))).max
+            (v, 7L * r - 3L * red)
+          }
+          .minBy { case (v, m) => (-m, v) }
+        sel ::= best
+        (qid, rank.toLong, best, mmr)
+      }
+    }
+    assert(out.toSeq === expected)
+    // structural: rank 1 is the pure-relevance argmax; no repeats
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).distinct.length === rows.length)
+      val top = byQ(qid).toSeq.map { case ((_, v), r) => (v, r) }
+        .minBy { case (v, r) => (-r, v) }
+      assert(rows.find(_._2 == 1L).get._3 === top._1)
+    }
+  }
 }

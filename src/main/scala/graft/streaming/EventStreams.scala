@@ -331,4 +331,55 @@ object EventStreams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  final case class CdcState(tsS: Long, eventId: Long, op: String,
+                            state: String, value: Double,
+                            nOps: Long, nDeletes: Long)
+  final case class CdcRow(user_id: Long, last_event_id: Long,
+                          last_ts: Timestamp, state: String, value: Double,
+                          n_ops: Long, n_deletes: Long, tombstone: Boolean)
+
+  /** Streaming CDC MERGE-apply — the continuous twin of
+    * `graft.operators.Events.cdcApply`: per-key state holds the
+    * current snapshot row (the op that wins last-writer-wins on the
+    * shared (second-truncated ts, event_id) total order) plus the
+    * audit counters, re-emitted each micro-batch the key changes
+    * (Update mode — a continuously-maintained materialized view).
+    *
+    * The state merge is an ARGMAX on a total order plus counter sums —
+    * a commutative, associative fold — so NO watermark or ordering
+    * guarantee is needed: any arrival order across any micro-batch
+    * slicing converges to the batch twin's snapshot (the parity spec
+    * feeds adversarial orderings). State is one row per live key,
+    * independent of history length.
+    */
+  def cdcSnapshot(events: Dataset[Event]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    def opOf(t: String): String =
+      if (t == "error") "D" else if (t == "signup") "I" else "U"
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[CdcState]): CdcRow = {
+      var cur = state.getOption.orNull
+      batch.foreach { e =>
+        val tsS = math.floorDiv(e.ts.getTime, 1000L) * 1000L
+        val op = opOf(e.event_type)
+        val del = if (op == "D") 1L else 0L
+        cur =
+          if (cur == null)
+            CdcState(tsS, e.event_id, op, e.event_type, e.value, 1L, del)
+          else if (tsS > cur.tsS || (tsS == cur.tsS && e.event_id > cur.eventId))
+            CdcState(tsS, e.event_id, op, e.event_type, e.value,
+              cur.nOps + 1L, cur.nDeletes + del)
+          else cur.copy(nOps = cur.nOps + 1L, nDeletes = cur.nDeletes + del)
+      }
+      state.update(cur)
+      CdcRow(userId, cur.eventId, new Timestamp(cur.tsS), cur.state,
+        cur.value, cur.nOps, cur.nDeletes, cur.op == "D")
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -403,4 +403,38 @@ class EventStreamsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming CDC snapshot converges to the batch twin under adversarial arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val all = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // deterministic adversarial shuffle, sliced into 7 micro-batches
+    val shuffled = all.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val input = MemoryStream[Event]
+    val q = cdcSnapshot(input.toDS())
+      .writeStream.format("memory").queryName("cdc_snapshot")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.length / 7 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // the final snapshot per key = the Update row with the largest
+      // n_ops (counters strictly increase every batch the key sees)
+      val finalRows = spark.table("cdc_snapshot").collect()
+        .groupBy(_.getLong(0)).map { case (_, rows) => rows.maxBy(_.getLong(5)) }
+      val got = finalRows.filterNot(_.getBoolean(7))
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+        .toSet
+      val want = graft.operators.Events.cdcApply(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+        .toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
 }

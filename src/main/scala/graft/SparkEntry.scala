@@ -386,6 +386,7 @@ object SparkEntry {
     "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
     "q41_bins"           -> (Relational.q41Bins _),
     "q42_ols"            -> (Relational.q42Ols _),
+    "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "q40_assoc_rules"    -> ((s, d) => Graph.assocRules(s, d)),
@@ -1145,6 +1146,39 @@ object SparkEntry {
     // graph is symmetric so every node has in/out degree (no
     // dangling-mass term); ranks normalized to mean 1 then rounded
     // by the shared floor contract BEFORE the top-k ordering
+    // the layered frontier expansion as three chained min-hop CTEs:
+    // expanding from the FULL reached set with min() is equivalent to
+    // the Spark side's frontier-only expansion with an anti-join
+    "q43_khop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |seeds AS (
+        |  SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+        |  ORDER BY node LIMIT 5),
+        |r0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),
+        |r1 AS MATERIALIZED (
+        |  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM r0
+        |    UNION ALL
+        |    SELECT e.dst AS node, r0.hops + 1 AS hops FROM e JOIN r0 ON e.src = r0.node)
+        |  GROUP BY node),
+        |r2 AS MATERIALIZED (
+        |  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM r1
+        |    UNION ALL
+        |    SELECT e.dst AS node, r1.hops + 1 AS hops FROM e JOIN r1 ON e.src = r1.node)
+        |  GROUP BY node),
+        |r3 AS MATERIALIZED (
+        |  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+        |    SELECT node, hops FROM r2
+        |    UNION ALL
+        |    SELECT e.dst AS node, r2.hops + 1 AS hops FROM e JOIN r2 ON e.src = r2.node)
+        |  GROUP BY node)
+        |SELECT node AS p_partkey, hops FROM r3
+        |ORDER BY hops, p_partkey""".stripMargin,
+
     "q33_pagerank" ->
       """WITH e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -275,4 +275,49 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("p_partkey"))
       .limit(topK)
   }
+
+  /** Multi-source BFS: minimal hop distance from a seed set, layered
+    * frontier expansion. Each layer is one equi-join of the edge list
+    * against the PREVIOUS frontier only (never the full reached set),
+    * a distinct, and an anti-join to drop already-reached nodes — so
+    * layer i's cost is O(edges touching frontier_i), the textbook
+    * distributed-BFS shape. `localCheckpoint` truncates the iterative
+    * lineage each round (the [[pagerankOnWeightedEdges]] discipline);
+    * at 100 TB the edge list is bucketed by `src` so every layer's
+    * join is co-partitioned and the frontier alone moves.
+    */
+  def khopOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var reached = seeds.select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (i <- 1 to hops) {
+      val frontier = reached.filter(col("hops") === lit(i - 1L))
+        .select(col("node").as("src"))
+      val next = e.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+      reached = reached.unionByName(next).localCheckpoint(true)
+    }
+    reached.orderBy(col("hops"), col("node"))
+  }
+
+  /** Driver query: 3-hop reachability from the five smallest part
+    * keys over the symmetric co-purchase graph (distinct edges off
+    * the shared persisted pair index). Pure integer output; the
+    * oracle unrolls the same expansion as three chained min-hop CTEs
+    * over the lineitem-derived edge set.
+    */
+  def khopQuery(s: SparkSession, dir: String,
+                hops: Int = 3, nSeeds: Int = 5): DataFrame = {
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/pairs")
+      .select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    khopOnEdges(edges, seeds, hops)
+      .select(col("node").as("p_partkey"), col("hops"))
+  }
 }

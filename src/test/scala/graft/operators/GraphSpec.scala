@@ -106,4 +106,40 @@ class GraphSpec extends SparkSpec {
     val keys = out.map(r => (-r.getLong(1), r.getLong(0))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("k-hop BFS: layered min-hop on a path, shortcut wins, disconnected stays out") {
+    // path 1-2-3-4-5-6 plus a shortcut 1-4; isolated component 10-11
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (10L, 11L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.khopOnEdges(edges, seeds, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is 1 hop via the shortcut, NOT 3 via the path; 6 is 3 via 4-5
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L, 6L -> 3L))
+  }
+
+  test("k-hop driver query matches a naive unrolled expansion on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Graph.khopQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive replay from the raw lineitem self-join
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = e.map(_._1).distinct.sorted.take(5)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (h <- 1 to 3) {
+      val frontier = dist.filter(_._2 == h - 1L).keys
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+    }
+    assert(out === dist)
+    assert(out.nonEmpty)
+  }
 }

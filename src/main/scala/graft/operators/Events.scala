@@ -509,10 +509,13 @@ object Events {
     * plus per-key op/delete counts for audit.
     *
     * Plan: the ranking window and the count aggregate both hash on
-    * user_id, so ONE exchange feeds both sides and the final join is
-    * co-partitioned — no second shuffle of the log. At 100 TB the
-    * changelog applies in one pass regardless of how many ops a key
-    * accumulated; nothing ever materializes intermediate snapshots.
+    * user_id. At verification SF, AQE broadcasts the key-sized count
+    * relation (with WindowGroupLimit pre-pruning the per-key top-1
+    * BEFORE the window exchange); at a scale where counts outgrow
+    * broadcast, both sides already share the user_id partitioning, so
+    * the join degrades to a co-partitioned merge with the exchange
+    * reused — either way the changelog applies in one pass and
+    * nothing materializes intermediate snapshots.
     */
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
     val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),

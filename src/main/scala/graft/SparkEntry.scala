@@ -387,6 +387,7 @@ object SparkEntry {
     "q41_bins"           -> (Relational.q41Bins _),
     "q42_ols"            -> (Relational.q42Ols _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
+    "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
     "q40_assoc_rules"    -> ((s, d) => Graph.assocRules(s, d)),
@@ -1146,6 +1147,37 @@ object SparkEntry {
     // graph is symmetric so every node has in/out degree (no
     // dangling-mass term); ranks normalized to mean 1 then rounded
     // by the shared floor contract BEFORE the top-k ordering
+    // basket Jaccard re-derived from lineitem with exact integer
+    // counts; the top-k cut orders by the ROUNDED score + neighbor id
+    "q44_item_sim" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |items AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS pa, c.pk AS pb, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY a.pk, c.pk
+        |  HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT pa AS item, pb AS nbr, n_both FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS item, pa AS nbr, n_both FROM pairs),
+        |scored AS (
+        |  SELECT s.item, s.nbr, s.n_both,
+        |    floor(CAST(s.n_both AS DOUBLE) /
+        |      CAST(ia.n_item + ib.n_item - s.n_both AS DOUBLE) * 10000.0 + 0.5)
+        |      / 10000.0 AS jaccard
+        |  FROM sym s
+        |  JOIN items ia ON s.item = ia.pk
+        |  JOIN items ib ON s.nbr = ib.pk)
+        |SELECT item AS p_partkey, CAST(rk AS BIGINT) AS "rank",
+        |  nbr AS neighbor, n_both, jaccard
+        |FROM (SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY jaccard DESC, nbr ASC) AS rk FROM scored)
+        |WHERE rk <= 5
+        |ORDER BY p_partkey, "rank"""".stripMargin,
+
     // the layered frontier expansion as three chained min-hop CTEs:
     // expanding from the FULL reached set with min() is equivalent to
     // the Spark side's frontier-only expansion with an anti-join

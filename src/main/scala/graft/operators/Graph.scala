@@ -302,6 +302,44 @@ object Graph {
     reached.orderBy(col("hops"), col("node"))
   }
 
+  /** Item-item Jaccard neighbors — the classic co-occurrence
+    * collaborative-filtering table: for every part, its `topPerItem`
+    * most-similar parts by basket Jaccard
+    * `n_both / (n_a + n_b − n_both)`, read ENTIRELY off the shared
+    * persisted co-purchase index (pair co-occurrence counts + per-item
+    * order counts) — a third consumer proving the mine-once/serve-many
+    * contract; no basket is re-expanded here. The ranking window
+    * orders by the ROUNDED score (cross-engine boundary contract)
+    * with a neighbor-id tiebreak. At scale: pairs are
+    * co-occurrence-pruned at mining time (`minBoth` floors support),
+    * the item-count relation is part-sized and broadcasts, and the
+    * per-item window partitions by item — no global sort anywhere.
+    */
+  def itemSimQuery(s: SparkSession, dir: String,
+                   minBoth: Int = 2, topPerItem: Int = 5): DataFrame = {
+    val idx = indexDir(s, dir)
+    val items = s.read.parquet(s"$idx/items")
+    val sym = s.read.parquet(s"$idx/pairs")
+      .filter(col("n_both") >= minBoth)
+      .select(explode(array(
+        struct(col("pa").as("item"), col("pb").as("nbr"), col("n_both")),
+        struct(col("pb").as("item"), col("pa").as("nbr"), col("n_both"))))
+        .as("e"))
+      .select(col("e.item").as("item"), col("e.nbr").as("nbr"), col("e.n_both").as("n_both"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("jaccard").desc, col("nbr"))
+    sym
+      .join(broadcast(items.select(col("pk").as("item"), col("n_item").as("na"))), "item")
+      .join(broadcast(items.select(col("pk").as("nbr"), col("n_item").as("nb"))), "nbr")
+      .withColumn("jaccard", CrossEngine.rnd4(col("n_both").cast("double") /
+        (col("na") + col("nb") - col("n_both")).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topPerItem)
+      .select(col("item").as("p_partkey"), col("rank"),
+        col("nbr").as("neighbor"), col("n_both"), col("jaccard"))
+      .orderBy(col("p_partkey"), col("rank"))
+  }
+
   /** Driver query: 3-hop reachability from the five smallest part
     * keys over the symmetric co-purchase graph (distinct edges off
     * the shared persisted pair index). Pure integer output; the

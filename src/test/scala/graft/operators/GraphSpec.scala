@@ -119,6 +119,32 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L, 6L -> 3L))
   }
 
+  test("item-item Jaccard neighbors match a naive basket recount") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Graph.itemSimQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val baskets = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nItem = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { rows =>
+      val pks = rows.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def rnd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expected = pairCounts.toSeq.filter(_._2 >= 2L)
+      .flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .map { case (item, nbr, n) =>
+        (item, nbr, n, rnd4(n.toDouble / (nItem(item) + nItem(nbr) - n).toDouble))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (item, rows) =>
+        rows.sortBy { case (_, nbr, _, j) => (-j, nbr) }.take(5).zipWithIndex
+          .map { case ((_, nbr, n, j), i) => (item, i + 1L, nbr, n, j) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty)
+  }
+
   test("k-hop driver query matches a naive unrolled expansion on real data") {
     val dir = "/root/testdata/sf0.001"
     val out = Graph.khopQuery(spark, dir).collect()

@@ -81,7 +81,9 @@ object Graph {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val fp = fileFingerprint(Tables.lineitem(s, dir))
-    IndexCache.getOrBuild(indexRoot, "copurchase", fp) { scratch =>
+    // v2 layout adds the symmetric weighted edge list at rest (the
+    // prefix is the layout version — a v1 cache dir must not resolve)
+    IndexCache.getOrBuild(indexRoot, "copurchase2", fp) { scratch =>
       val basket = li
         .groupBy(col("ok"), col("pk")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("ok"))
@@ -101,6 +103,16 @@ object Graph {
         .write.parquet(scratch.resolve("items").toString)
       basket.agg(count(lit(1)).as("n_orders"))
         .write.parquet(scratch.resolve("orders").toString)
+      // the SYMMETRIC weighted edge list at rest: the walk-style
+      // consumers (PageRank, BFS) read it directly instead of
+      // re-exploding + re-materializing the mirror per query
+      s.read.parquet(scratch.resolve("pairs").toString)
+        .select(explode(array(
+          struct(col("pa").as("src"), col("pb").as("dst"), col("n_inst").as("w")),
+          struct(col("pb").as("src"), col("pa").as("dst"), col("n_inst").as("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+        .write.parquet(scratch.resolve("edges").toString)
       basket.unpersist()
       ()
     }
@@ -123,17 +135,11 @@ object Graph {
     */
   def pagerank(s: SparkSession, dir: String,
                iters: Int = 3, topK: Int = 50): DataFrame = {
-    // reconstitute the symmetric multigraph as WEIGHTED edges: each
-    // canonical pair explodes to both directions at instance weight in
-    // the SAME scan — a projection over the shared index, not a second
-    // mining pass (and not a second read of it either)
-    val edges = s.read.parquet(s"${indexDir(s, dir)}/pairs")
-      .select(explode(array(
-        struct(col("pa").as("src"), col("pb").as("dst"), col("n_inst").as("w")),
-        struct(col("pb").as("src"), col("pa").as("dst"), col("n_inst").as("w"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-    pagerankOnWeightedEdges(edges, iters, topK)
+    // the symmetric weighted edge list sits AT REST in the shared
+    // index — no per-query explode or re-materialization; parquet is
+    // the checkpoint
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")
+    pagerankOnWeightedEdges(edges, iters, topK, materialize = false)
       .withColumnRenamed("node", "p_partkey")
   }
 
@@ -152,10 +158,12 @@ object Graph {
     * per-iteration edge scan reads one row per distinct pair instead
     * of one per instance.
     */
-  def pagerankOnWeightedEdges(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
-    // localCheckpoint: the edge list feeds deg + every iteration; at
-    // scale you would persist it once rather than re-derive per pass.
-    val e = edges.localCheckpoint(true)
+  def pagerankOnWeightedEdges(edges: DataFrame, iters: Int, topK: Int,
+                              materialize: Boolean = true): DataFrame = {
+    // localCheckpoint: a DERIVED edge list feeds deg + every iteration,
+    // so it materializes once rather than re-deriving per pass; callers
+    // whose edges already sit at rest (the index's parquet) skip it.
+    val e = if (materialize) edges.localCheckpoint(true) else edges
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
       .localCheckpoint(true)
     val n = deg.count() // scalar: node count (driver-side by design)
@@ -286,8 +294,10 @@ object Graph {
     * at 100 TB the edge list is bucketed by `src` so every layer's
     * join is co-partitioned and the frontier alone moves.
     */
-  def khopOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+  def khopOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int,
+                  materialize: Boolean = true): DataFrame = {
+    val sel = edges.select(col("src"), col("dst"))
+    val e = if (materialize) sel.localCheckpoint(true) else sel
     var reached = seeds.select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (i <- 1 to hops) {
@@ -348,14 +358,10 @@ object Graph {
     */
   def khopQuery(s: SparkSession, dir: String,
                 hops: Int = 3, nSeeds: Int = 5): DataFrame = {
-    val edges = s.read.parquet(s"${indexDir(s, dir)}/pairs")
-      .select(explode(array(
-        struct(col("pa").as("src"), col("pb").as("dst")),
-        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
-    khopOnEdges(edges, seeds, hops)
+    khopOnEdges(edges, seeds, hops, materialize = false)
       .select(col("node").as("p_partkey"), col("hops"))
   }
 }

@@ -361,6 +361,7 @@ object SparkEntry {
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
+    "vec_ann_opq"        -> (VectorOps.annOpqQuery _),
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),
     "vec_ann_ivfpq"      -> (VectorOps.annIvfPqQuery _),
     "vec_ann_curve"      -> (VectorOps.annCurveQuery _),

@@ -473,13 +473,17 @@ object VectorOps {
         struct(dist(b, c).as("d"), c.as("c")))), 1).getField("c"))
   }
 
-  def annPq(queries: DataFrame, corpus: DataFrame, k: Int,
-            m: Int = 8, kCodes: Int = 32, iters: Int = 2,
-            dim: Int = 64, shortlist: Int = 200): DataFrame = {
-    require(shortlist >= k,
-      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val subDim = dim / m
-    val flat = pqTrain(corpus, m, kCodes, iters, dim)
+  /** ADC shortlist stage shared by the flat-PQ family ([[annPq]],
+    * [[annOpq]]): encode the corpus (compiled one-pass kernel),
+    * broadcast each query's m×kCodes distance lookup table, score
+    * every code row with m table lookups, keep the `shortlist` best
+    * per query. Carries ONLY (query_id, vec_id, codes-derived score)
+    * — the float vectors are fetched afterwards for just the
+    * shortlisted ids, preserving PQ's memory premise.
+    */
+  private def pqAdcShortlist(queries: DataFrame, corpus: DataFrame,
+                             flat: Array[Double], m: Int, kCodes: Int,
+                             subDim: Int, shortlist: Int): DataFrame = {
     val cbLit = typedLit(flat.toSeq)
 
     // per-block squared distance between a slice of `v` and codeword c
@@ -506,18 +510,22 @@ object VectorOps {
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
       lit(0.0), (acc, x) => acc + x)
-    // the ADC scoring/shortlist stage carries ONLY (query_id, vec_id,
-    // codes-derived score) — the float vectors are fetched afterwards
-    // for just the shortlisted ids, preserving PQ's memory premise
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    val shortlisted = encoded.select(col("vec_id"), col("codes"))
+    encoded.select(col("vec_id"), col("codes"))
       .join(q)
       .select(col("query_id"), col("vec_id"), adcScore.as("adist"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
+  }
 
+  /** Exact-cosine re-rank of a (query_id, vec_id) shortlist against
+    * the ORIGINAL float vectors — the final stage of every
+    * compressed-domain path.
+    */
+  private def exactRerank(shortlisted: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     shortlisted
@@ -529,6 +537,51 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), rnd4(col("score")).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annPq(queries: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 8, kCodes: Int = 32, iters: Int = 2,
+            dim: Int = 64, shortlist: Int = 200): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    val flat = pqTrain(corpus, m, kCodes, iters, dim)
+    val shortlisted = pqAdcShortlist(queries, corpus, flat, m, kCodes, dim / m, shortlist)
+    exactRerank(shortlisted, queries, corpus, k)
+  }
+
+  /** OPQ: flat PQ on PCA-ROTATED coordinates ([[OpqRotation]] — the
+    * parametric OPQ solution: decorrelate, then deal the principal
+    * directions into blocks balancing per-block variance). Train,
+    * encode, and LUT all run in the rotated basis; the exact re-rank
+    * reads the ORIGINAL floats, because rotation-about-the-mean
+    * preserves L2 but NOT cosine, and the certified output contract
+    * is cosine on the source vectors. The rotated corpus is
+    * localCheckpoint'd once — train iterates over it and encode reads
+    * it again, and re-deriving a dim² expression per pass would be
+    * the classic re-evaluation trap (the [[annSq]] staging note).
+    * At production scale the rotation is a write-time map stage and
+    * only rotated codes are resident, exactly like flat PQ.
+    */
+  def annOpq(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, kCodes: Int = 32, iters: Int = 2,
+             dim: Int = 64, shortlist: Int = 200): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)
+    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
+    val rot = OpqRotation.allocatedRotation(vals, vecs, m)
+    val corpusR = corpus
+      .select(col("vec_id"), OpqRotation.rotateExpr(col("vec"), rot, mean).as("vec"))
+      .localCheckpoint(true)
+    // materialized for the same reason: the LUT expression reads
+    // element_at(qvec, ·) m·kCodes·subDim times, and an unmaterialized
+    // projection would re-inline the dim² rotation into every read
+    val queriesR = queries
+      .select(col("query_id"), OpqRotation.rotateExpr(col("qvec"), rot, mean).as("qvec"))
+      .localCheckpoint(true)
+    val flat = pqTrain(corpusR, m, kCodes, iters, dim)
+    val shortlisted = pqAdcShortlist(queriesR, corpusR, flat, m, kCodes, dim / m, shortlist)
+    exactRerank(shortlisted, queries, corpus, k)
   }
 
   /** IVF-PQ with RESIDUAL encoding — the composition the
@@ -728,6 +781,15 @@ object VectorOps {
   def annPqQuery(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = (querySet(s, dir), corpusSet(s, dir))
     withRecallAt(annPq(q, c, k = 10), q, c, k = 10)
+  }
+
+  /** OPQ ANN (PCA rotation + eigenvalue allocation ahead of PQ) over
+    * the same query set — rows + driver-visible recall_at_10; the
+    * spec floors it and pins the rotation's isometry/orthogonality.
+    */
+  def annOpqQuery(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = (querySet(s, dir), corpusSet(s, dir))
+    withRecallAt(annOpq(q, c, k = 10), q, c, k = 10)
   }
 
   /** Scalar-quantized int8 ANN with exact re-rank. */

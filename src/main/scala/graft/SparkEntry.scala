@@ -360,6 +360,7 @@ object SparkEntry {
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
+    "vec_ann_filtered"   -> (VectorIndex.annIvfFilteredQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_opq"        -> (VectorOps.annOpqQuery _),
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),

@@ -22,15 +22,17 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   /** Learn centroids and lay the corpus out as an inverted file.
-    * `corpus` needs (vec_id, vec).
+    * `corpus` needs (vec_id, vec); any OTHER columns (metadata the
+    * filtered-query path predicates on) ride along into the partition
+    * layout, so a metadata filter over the index is a column-pruned
+    * parquet predicate, never a join back to a side table.
     */
   def build(corpus: DataFrame, indexDir: String,
             kClusters: Int = 16, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = VectorOps.kmeansCentroids(corpus, kClusters, iters)
-    corpus.select(col("vec_id"), col("vec"),
-        VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
+    corpus.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$indexDir/vectors")
     cents.toDF("c_id", "centroid")
@@ -53,8 +55,13 @@ object VectorIndex {
     f"${row.getLong(0)}%016x-${row.getLong(1)}x"
   }
 
-  def fingerprint(corpus: DataFrame, kClusters: Int, iters: Int): String =
-    s"${contentHash(corpus)}-k$kClusters-i$iters"
+  def fingerprint(corpus: DataFrame, kClusters: Int, iters: Int): String = {
+    // the column set is part of the identity: the same vectors with
+    // and without metadata columns are DIFFERENT layouts on disk, and
+    // resolving one for the other would break the filtered-query path
+    val cols = f"${corpus.columns.mkString(",").hashCode}%08x"
+    s"${contentHash(corpus)}-c$cols-k$kClusters-i$iters"
+  }
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)
@@ -74,8 +81,7 @@ object VectorIndex {
   def appendDelta(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    delta.select(col("vec_id"), col("vec"),
-        VectorOps.nearestCentroidId(col("vec"), cents).as("label"))
+    delta.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
       .write.mode("append").partitionBy("label")
       .parquet(s"$indexDir/vectors")
     val marker = java.nio.file.Paths.get(indexDir, "_INDEX_OK")
@@ -138,6 +144,84 @@ object VectorIndex {
       .orderBy(col("score").desc, col("vec_id").asc)
     probedVectors(spark, indexDir, queries, nprobe)
       .join(broadcast(probes), col("label") === col("c_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        CrossEngine.rnd4(col("score")).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FILTERED ANN probe plan: per query, the shortest prefix of its
+    * centroid-ranked cells whose cumulative count of PREDICATE-MATCHING
+    * vectors reaches `need` — with zero-match cells skipped outright.
+    * The per-cell match counts come from one count-only scan of the
+    * index that reads just the filter columns (parquet column pruning;
+    * the vectors never leave disk) and returns ≤ kClusters rows — at
+    * production scale this is the per-segment posting-stats pass a
+    * serving layer runs at ingest, amortized across every query that
+    * reuses the predicate. Probe depth then ADAPTS to selectivity:
+    * loose filters probe the usual few cells, selective filters probe
+    * deeper, and an ultra-selective filter (total matches ≤ `need`)
+    * degenerates to exact search over exactly the matching cells —
+    * the brute-force-the-survivors hybrid, reached by construction
+    * rather than by a special case.
+    */
+  private[operators] def filteredProbePlan(spark: SparkSession, indexDir: String,
+                                           queries: DataFrame, predicate: org.apache.spark.sql.Column,
+                                           need: Long, minCells: Int = 4): DataFrame = {
+    val cellStats = spark.read.parquet(s"$indexDir/vectors")
+      .filter(predicate)
+      .groupBy(col("label").as("c_id")).agg(count(lit(1)).as("n_match"))
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    val cumW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_rank").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    queries.select(col("query_id"), col("qvec"))
+      .join(cents)
+      .select(col("query_id"), col("c_id"),
+        VectorOps.cosine(col("qvec"), col("centroid")).as("c_score"))
+      .join(broadcast(cellStats), Seq("c_id"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .filter(col("n_match") > 0) // a cell with no survivors has no candidates
+      .withColumn("c_rank", row_number().over(probeW))
+      .withColumn("cum_before", coalesce(sum(col("n_match")).over(cumW), lit(0L)))
+      // first prefix reaching `need`, but never fewer than `minCells`
+      // matching cells: when the filter decimates a query's own
+      // neighborhood, its true neighbors scatter across cells and a
+      // count-satisfied 1-cell probe would miss them
+      .filter(col("cum_before") < need || col("c_rank") <= minCells)
+      .select(col("query_id"), col("c_id"))
+  }
+
+  /** Metadata-filtered top-k over the persisted index — the
+    * `collection.query(where=..., n_results=k)` shape at IVF scale.
+    * The predicate (compile Chroma `where` JSON via
+    * [[WhereFilter.compile]], or pass any Column) is pushed into the
+    * SAME pruned scan that the probe plan restricts: partition
+    * pruning drops unprobed cell directories at planning time, the
+    * row predicate prunes within them, and only then do vectors get
+    * scored. `oversample` sets the candidate target per query
+    * (`need = oversample × k`) — the recall knob, certified by the
+    * driver-visible recall column vs filtered brute force.
+    */
+  def queryFiltered(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    predicate: org.apache.spark.sql.Column, k: Int,
+                    oversample: Int = 16): DataFrame = {
+    val plan = filteredProbePlan(spark, indexDir, queries, predicate,
+      need = oversample.toLong * k)
+    val probeLabels = plan.select(col("c_id")).distinct()
+      .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("label").isin(probeLabels: _*))
+      .filter(predicate)
+      .join(broadcast(plan.join(queries.select(col("query_id"), col("qvec")), "query_id")),
+        col("label") === col("c_id"))
       .select(col("query_id"), col("vec_id"),
         VectorOps.cosine(col("qvec"), col("vec")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -233,17 +317,49 @@ object VectorIndex {
     * layout, and carry the same driver-visible recall column as the
     * other ANN queries.
     */
-  def annIvfIndexQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The standard query/corpus frames for the index queries. The
+    * embeddings table's own `label` column rides into the index as
+    * metadata under the name `tag` — `label` is taken by the cluster
+    * partition column, and the rename keeps the two namespaces
+    * honest.
+    */
+  private def indexFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = graft.Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val corpus = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id"), col("embedding").as("vec"))
+      .select(col("vec_id"), col("embedding").as("vec"), col("label").as("tag"))
+    (queries, corpus)
+  }
+
+  /** ONE index serves both the plain and the filtered query — the
+    * mine-once/serve-many contract the co-purchase index set.
+    */
+  private def sharedIndexDir(corpus: DataFrame): String =
+    buildIfAbsent(corpus,
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-cache")
+
+  def annIvfIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = indexFrames(s, dir)
     // fingerprint-keyed cache root: the first run builds, every later
     // run (and every bench rep) resolves to the same completed index —
     // the build-once/query-many contract, exercised for real
-    val indexDir = buildIfAbsent(corpus,
-      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-cache")
+    val indexDir = sharedIndexDir(corpus)
     VectorOps.withRecallAt(query(s, indexDir, queries, k = 10), queries, corpus, k = 10)
+  }
+
+  /** Driver query: metadata-filtered ANN over the shared persisted
+    * index, predicate written in the Chroma `where` grammar and
+    * compiled by [[WhereFilter]] — the reference's
+    * `collection.query(where=..., n_results=k)` composition, served
+    * at IVF scale. Recall is certified against FILTERED brute force
+    * (the truth a post-filtering implementation degrades against).
+    */
+  def annIvfFilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = indexFrames(s, dir)
+    val indexDir = sharedIndexDir(corpus)
+    val pred = WhereFilter.compile("""{"tag": {"$in": [1, 3, 5, 7]}}""")
+    val ann = queryFiltered(s, indexDir, queries, pred, k = 10)
+    VectorOps.withRecallAt(ann, queries, corpus.filter(pred), k = 10)
   }
 }

@@ -166,6 +166,75 @@ class VectorIndexSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  private def taggedCorpusAndQueries = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label").as("tag"))
+    (corpus, queries)
+  }
+
+  test("filtered query: only matching vectors, and exact when the filter is selective enough") {
+    val (corpus, queries) = taggedCorpusAndQueries
+    val dir = Files.createTempDirectory("ivf-filtered").toString
+    VectorIndex.build(corpus, dir, kClusters = 8, iters = 2)
+    val pred = WhereFilter.compile("""{"tag": {"$in": [1, 3, 5, 7]}}""")
+    val matching = corpus.filter(pred)
+    val nMatch = matching.count()
+    assert(nMatch > 0 && nMatch < corpus.count())
+    // every result satisfies the predicate (pushdown really applied)
+    val okTags = matching.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val loose = VectorIndex.queryFiltered(spark, dir, queries, pred, k = 3, oversample = 1)
+      .collect()
+    assert(loose.nonEmpty)
+    loose.foreach(r => assert(okTags.contains(r.getLong(2)),
+      s"vec ${r.getLong(2)} violates the filter"))
+    // need >= total matches: adaptive probing selects EVERY matching
+    // cell, so the result must equal filtered brute force exactly
+    val predSel = WhereFilter.compile("""{"tag": {"$eq": 3}}""")
+    val matchSel = corpus.filter(predSel)
+    assert(16L * 10 >= matchSel.count(), "test premise: filter is selective at this scale")
+    val got = VectorIndex.queryFiltered(spark, dir, queries, predSel, k = 10, oversample = 16)
+      .collect().toSeq
+    val brute = VectorOps.knnBrute(queries, matchSel, 10).collect().toSeq
+    assert(got === brute)
+  }
+
+  test("filtered probe plan adapts depth to the candidate target and skips empty cells") {
+    val (corpus, queries) = taggedCorpusAndQueries
+    val dir = Files.createTempDirectory("ivf-filtered-plan").toString
+    VectorIndex.build(corpus, dir, kClusters = 8, iters = 2)
+    val pred = WhereFilter.compile("""{"tag": {"$eq": 3}}""")
+    val matchCells = corpus.filter(pred).join(
+        spark.read.parquet(s"$dir/vectors").select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    val shallow = VectorIndex.filteredProbePlan(spark, dir, queries, pred, need = 1L,
+        minCells = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val deep = VectorIndex.filteredProbePlan(spark, dir, queries, pred, need = 100000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // zero-match cells are never probed, at any depth
+    (shallow ++ deep).foreach { case (_, c) => assert(matchCells.contains(c)) }
+    // the shallow plan is a per-query prefix of the deep plan
+    assert(shallow.toSet.subsetOf(deep.toSet))
+    assert(shallow.length < deep.length)
+    // unbounded need probes EVERY matching cell for every query
+    val perQueryDeep = deep.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    perQueryDeep.foreach { case (_, cells) => assert(cells === matchCells) }
+    // shallow: at least one cell per query (k candidates must exist)
+    assert(shallow.groupBy(_._1).size === deep.groupBy(_._1).size)
+  }
+
+  test("annIvfFilteredQuery certifies recall vs filtered brute force") {
+    val out = VectorIndex.annIvfFilteredQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val recalls = out.map(_.getDouble(4)).distinct
+    val mean = out.groupBy(_.getLong(0)).values
+      .map(_.head.getDouble(4)).sum / out.groupBy(_.getLong(0)).size
+    assert(mean >= 0.8, s"filtered ANN mean recall $mean below floor (per-query: ${recalls.mkString(",")})")
+  }
+
   test("centroids table is model-sized") {
     val (corpus, _) = corpusAndQueries
     val dir = Files.createTempDirectory("ivf-index-cent").toString

@@ -363,6 +363,7 @@ object SparkEntry {
     "vec_ann_filtered"   -> (VectorIndex.annIvfFilteredQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_opq"        -> (VectorOps.annOpqQuery _),
+    "vec_ann_bq"         -> (VectorOps.annBqQuery _),
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),
     "vec_ann_ivfpq"      -> (VectorOps.annIvfPqQuery _),
     "vec_ann_curve"      -> (VectorOps.annCurveQuery _),

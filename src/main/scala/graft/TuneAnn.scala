@@ -40,6 +40,10 @@ object TuneAnn {
       recall(s"pq kc=$kc sl=$sl", VectorOps.annPq(q, c, 10, kCodes = kc, shortlist = sl))
     for (t <- Seq(16))
       recall(s"lsh tables=$t", VectorOps.annLsh(q, c, 10, tables = t))
+    for (sl <- Seq(100, 200, 400))
+      recall(s"opq sl=$sl", VectorOps.annOpq(q, c, 10, shortlist = sl))
+    for (sl <- Seq(100, 200, 400))
+      recall(s"bq sl=$sl", VectorOps.annBq(q, c, 10, shortlist = sl))
     spark.stop()
   }
 }

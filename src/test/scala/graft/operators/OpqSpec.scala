@@ -102,6 +102,31 @@ class OpqSpec extends SparkSpec {
     assert(math.abs(cov(1)(0) - cov(0)(1)) < 1e-15)
   }
 
+  test("signPack packs sign bits MSB-first into one long") {
+    val df = Seq(
+      Seq(1.0f, -2.0f, 3.0f, 0.0f),   // 1010 = 10
+      Seq(-1.0f, -1.0f, -1.0f, -1.0f), // 0000
+      Seq(0.5f, 0.5f, 0.5f, 0.5f)      // 1111 = 15
+    ).toDF("vec")
+    val got = df.select(VectorOps.signPack(col("vec"), 4).as("c")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(10L, 0L, 15L))
+    // full-width: a 64th set bit lands in the sign position without loss
+    val wide = Seq(Seq.fill(64)(1.0f)).toDF("vec")
+      .select(VectorOps.signPack(col("vec"), 64).as("c")).collect().head.getLong(0)
+    assert(wide === -1L) // all 64 bits set
+  }
+
+  test("annBq holds its recall floor and each query returns k ranked rows") {
+    val out = VectorOps.annBqQuery(spark, sfDir)
+    val recalls = out.select(col("query_id"), col("recall_at_10")).distinct().collect()
+    assert(recalls.length == 10)
+    val meanRecall = recalls.map(_.getDouble(1)).sum / recalls.length
+    assert(meanRecall >= 0.8, s"BQ mean recall@10 $meanRecall below floor")
+    val ranks = out.groupBy(col("query_id")).agg(count(lit(1)).as("n"),
+      max(col("rank")).as("mx")).collect()
+    ranks.foreach { r => assert(r.getLong(1) == 10L && r.getLong(2) == 10L) }
+  }
+
   test("annOpq holds the production recall floor on the test corpus") {
     val out = VectorOps.annOpqQuery(spark, sfDir)
     val recalls = out.select(col("query_id"), col("recall_at_10")).distinct().collect()

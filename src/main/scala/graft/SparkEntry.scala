@@ -390,6 +390,7 @@ object SparkEntry {
     "q41_bins"           -> (Relational.q41Bins _),
     "q42_ols"            -> (Relational.q42Ols _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
+    "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
     "q38_triangles"      -> ((s, d) => Graph.triangles(s, d)),
@@ -1180,6 +1181,45 @@ object SparkEntry {
         |        ORDER BY jaccard DESC, nbr ASC) AS rk FROM scored)
         |WHERE rk <= 5
         |ORDER BY p_partkey, "rank"""".stripMargin,
+
+    // multi-pass blocking + levenshtein match selection re-derived
+    // end-to-end: the dirty registry (dropped 10th name char, every
+    // 7th segment corrupted), both blocking passes, the distinct
+    // candidate union, and the (distance, id)-ranked winner. Both
+    // engines implement the same classic Levenshtein DP, and the
+    // winner cut uses integer distance + id tiebreak, so the boundary
+    // is exact.
+    "er_matches" ->
+      """WITH clean AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS d_id,
+        |    substr(c_name, 1, 9) || substr(c_name, 11, 64) AS d_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg,
+        |    c_nationkey AS d_nat, c_acctbal AS d_bal
+        |  FROM customer),
+        |cand AS (
+        |  SELECT DISTINCT d_id, d_name, c_custkey, c_name FROM (
+        |    SELECT d.d_id, d.d_name, c.c_custkey, c.c_name
+        |    FROM clean c JOIN dirty d
+        |      ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg
+        |    UNION ALL
+        |    SELECT d.d_id, d.d_name, c.c_custkey, c.c_name
+        |    FROM clean c JOIN dirty d
+        |      ON c.c_nationkey = d.d_nat
+        |      AND CAST(floor(c.c_acctbal / 500.0) AS BIGINT) =
+        |          CAST(floor(d.d_bal / 500.0) AS BIGINT)) AS u(d_id, d_name, c_custkey, c_name)),
+        |scored AS (
+        |  SELECT d_id, c_custkey,
+        |    CAST(levenshtein(d_name, c_name) AS BIGINT) AS lev,
+        |    row_number() OVER (PARTITION BY d_id
+        |      ORDER BY levenshtein(d_name, c_name) ASC, c_custkey ASC) AS rnk
+        |  FROM cand)
+        |SELECT d_id AS dirty_id, c_custkey AS matched, lev,
+        |  CAST(CASE WHEN c_custkey = d_id THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM scored WHERE rnk = 1
+        |ORDER BY dirty_id""".stripMargin,
 
     // the layered frontier expansion as three chained min-hop CTEs:
     // expanding from the FULL reached set with min() is equivalent to

@@ -337,6 +337,7 @@ object SparkEntry {
     "ev_twap"            -> (Events.twap _),
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
+    "ev_stl"             -> (Events.stl _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -699,6 +700,42 @@ object SparkEntry {
     // oracles: floor(epoch(ts)) matches Spark's cast-to-long; the
     // TIMESTAMPTZ from to_timestamp casts back to naive TIMESTAMP so
     // dtypes line up.
+    // moving-average decomposition with the exact-integer discipline:
+    // trend keeps its windowed bigint SUM and divides once; seasonal
+    // folds to one division of exact integer sums; both round by the
+    // shared 1e-4 floor contract before emission. Edge days (partial
+    // 7-day window) are null in all three components by construction.
+    "ev_stl" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS day_d
+        |  FROM (SELECT min(day_d) AS lo, max(day_d) AS hi FROM daily0)),
+        |daily AS (
+        |  SELECT s.day_d, coalesce(n_events, CAST(0 AS BIGINT)) AS n
+        |  FROM spine s LEFT JOIN daily0 d USING (day_d)),
+        |trended AS (
+        |  SELECT day_d, n,
+        |    CASE WHEN count(*) OVER w = 7 THEN sum(n) OVER w END AS trend_sum,
+        |    CAST((day_d + 4) % 7 AS BIGINT) AS dow
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day_d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seasonal AS (
+        |  SELECT dow,
+        |    floor(CAST(7 * sum(n) - sum(trend_sum) AS DOUBLE) /
+        |      (7.0 * count(*)) * 10000.0 + 0.5) / 10000.0 AS seasonal
+        |  FROM trended WHERE trend_sum IS NOT NULL GROUP BY dow)
+        |SELECT CAST(to_timestamp(day_d * 86400) AS TIMESTAMP) AS day_ts,
+        |  t.dow, n AS n_events,
+        |  floor(CAST(trend_sum AS DOUBLE) / 7.0 * 10000.0 + 0.5) / 10000.0 AS trend,
+        |  CASE WHEN trend_sum IS NOT NULL THEN s.seasonal END AS seasonal,
+        |  floor((CAST(n AS DOUBLE) - CAST(trend_sum AS DOUBLE) / 7.0 - s.seasonal)
+        |    * 10000.0 + 0.5) / 10000.0 AS remainder
+        |FROM trended t LEFT JOIN seasonal s USING (dow)
+        |ORDER BY day_ts""".stripMargin,
+
     "ev_resample" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -538,4 +538,58 @@ object Events {
         col("value"), col("n_ops"), col("n_deletes"))
       .orderBy(col("user_id"))
   }
+
+  /** Classical seasonal-trend decomposition of the daily event-count
+    * series (the moving-average skeleton STL iterates on): trend =
+    * CENTERED 7-day moving average (null at the edges where the
+    * window is partial — no invented data), seasonal = per-day-of-week
+    * mean of the detrended interior, remainder = what's left. The
+    * decomposition the capacity-planning / anomaly-triage layer runs
+    * over ingest volumes before flagging drift.
+    *
+    * Determinism discipline: the daily series is densified over an
+    * explicit day spine (missing days count 0, so the ROWS frame is a
+    * true calendar window), and every fractional value is a SINGLE
+    * division of exact integer sums — trend keeps its windowed SUM
+    * (bigint) and divides once; the seasonal mean folds to
+    * `(7·Σn − Σtrend_sum) / (7·cnt)`, one division of exact integers —
+    * then rounds by the [[CrossEngine.rnd4]] contract before emission,
+    * so both engines agree at the bit level.
+    *
+    * Scale: the series is one row per DAY — aggregation collapses any
+    * event volume in the first map-side-combinable pass, and
+    * everything after operates on a frame thousands of rows long at
+    * century scale. The unpartitioned windows are deliberate: they run
+    * on the collapsed series, not the corpus.
+    */
+  def stl(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("day_d")).agg(count(lit(1)).as("n_events"))
+    val spine = daily0.agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_d"))
+    val daily = spine.join(daily0, Seq("day_d"), "left")
+      .select(col("day_d"), coalesce(col("n_events"), lit(0L)).as("n"))
+    val w7 = Window.orderBy(col("day_d")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t_sum", sum(col("n")).over(w7))
+      .withColumn("t_cnt", count(lit(1)).over(w7))
+      // exact bigint window sum carried forward; divided ONCE at emission
+      .withColumn("trend_sum", when(col("t_cnt") === 7, col("t_sum")))
+      .withColumn("dow", ((col("day_d") + 4L) % 7L).cast("long"))
+    val seasonal = trended.filter(col("trend_sum").isNotNull)
+      .groupBy(col("dow"))
+      .agg(CrossEngine.rnd4(
+        (lit(7L) * sum(col("n")) - sum(col("trend_sum"))).cast("double") /
+          (lit(7.0) * count(lit(1)))).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(
+        (col("day_d") * 86400L).cast("timestamp").as("day_ts"),
+        col("dow"), col("n").as("n_events"),
+        CrossEngine.rnd4(col("trend_sum").cast("double") / lit(7.0)).as("trend"),
+        when(col("trend_sum").isNotNull, col("seasonal")).as("seasonal"),
+        CrossEngine.rnd4(col("n").cast("double") -
+          col("trend_sum").cast("double") / lit(7.0) - col("seasonal")).as("remainder"))
+      .orderBy(col("day_ts"))
+  }
 }

@@ -191,4 +191,20 @@ class EventsSpec extends SparkSpec {
     assert(out(2L) === ((21L, "signup", 2L, 1L)))
     assert(out(3L) === ((31L, "purchase", 2L, 0L)))
   }
+
+  test("stl: components reassemble the series on the interior, edges stay null") {
+    val rows = Events.stl(spark, sfDir)
+      .select("n_events", "trend", "seasonal", "remainder").collect()
+    assert(rows.length >= 7, "at least a week of days")
+    // centered 7-day window ⇒ exactly the first 3 and last 3 days lack a trend
+    val nullIdx = rows.zipWithIndex.filter(_._1.isNullAt(1)).map(_._2).toSeq
+    assert(nullIdx === (Seq(0, 1, 2) ++ Seq(rows.length - 3, rows.length - 2, rows.length - 1)))
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val (n, t, sea, rem) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // each component is rounded to 1e-4 before emission, so the
+      // identity holds to the sum of the three rounding errors
+      assert(math.abs(n - (t + sea + rem)) <= 3e-4,
+        s"decomposition identity violated: $n vs ${t + sea + rem}")
+    }
+  }
 }

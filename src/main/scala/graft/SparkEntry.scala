@@ -371,6 +371,7 @@ object SparkEntry {
     "vec_range_search"   -> ((s, d) => HybridSearch.rangeSearch(s, d)),
     "vec_mmr"            -> (HybridSearch.mmrQuery _),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
+    "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -2120,6 +2121,86 @@ object SparkEntry {
     // objective (7·rel4 − 3·red4 on the 1e-4 grid), so the argmax both
     // engines take at every step is exact integer arithmetic
     "vec_mmr" -> operators.HybridSearch.mmrOracleSql(),
+
+    // the whole multi-vector path re-derived: chunk geometry (the
+    // txt_chunks formula), the md5 feature-hash embedder per chunk
+    // (the collection_autoembed dance, REAL-cast components), MaxP
+    // pooling over raw cosines, then ranking by the ROUNDED score
+    "txt_multivec" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |chunks0 AS (
+        |  SELECT doc_id,
+        |    CAST((start - 1) / 150 AS BIGINT) AS chunk_id,
+        |    substr(text, start, 200) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(1, length(text)) + 1, 150)) AS start
+        |        FROM docs)),
+        |qtext AS (
+        |  SELECT doc_id AS query_id, substr(text, 101, 120) AS t
+        |  FROM docs WHERE length(text) >= 221 ORDER BY doc_id LIMIT 5),
+        |ctok AS (
+        |  SELECT doc_id, chunk_id,
+        |    unnest(string_split_regex(trim(lower(chunk)), '\s+')) AS token
+        |  FROM chunks0),
+        |csum AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS idx,
+        |    sum(CASE WHEN substr(md5(token), 9, 1)
+        |                  IN ('0','1','2','3','4','5','6','7')
+        |             THEN 1.0 ELSE -1.0 END) AS v
+        |  FROM ctok GROUP BY 1, 2, 3),
+        |cmap AS (
+        |  SELECT doc_id, chunk_id,
+        |    map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM csum GROUP BY 1, 2),
+        |cdense AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_transform(range(0, 64), i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM cmap),
+        |cvec AS (
+        |  SELECT doc_id, chunk_id, list_transform(raw, x -> CAST(
+        |      x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |    AS REAL)) AS vec
+        |  FROM cdense
+        |  WHERE list_aggregate(list_transform(raw, y -> y * y), 'sum') > 0),
+        |qtok AS (
+        |  SELECT query_id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS token
+        |  FROM qtext),
+        |qsum AS (
+        |  SELECT query_id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS idx,
+        |    sum(CASE WHEN substr(md5(token), 9, 1)
+        |                  IN ('0','1','2','3','4','5','6','7')
+        |             THEN 1.0 ELSE -1.0 END) AS v
+        |  FROM qtok GROUP BY 1, 2),
+        |qmap AS (
+        |  SELECT query_id,
+        |    map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM qsum GROUP BY 1),
+        |qdense AS (
+        |  SELECT query_id,
+        |    list_transform(range(0, 64), i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM qmap),
+        |qvec AS (
+        |  SELECT query_id, list_transform(raw, x -> CAST(
+        |      x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |    AS REAL)) AS vec
+        |  FROM qdense
+        |  WHERE list_aggregate(list_transform(raw, y -> y * y), 'sum') > 0),
+        |pooled AS (
+        |  SELECT q.query_id, c.doc_id,
+        |    max(list_cosine_similarity(CAST(q.vec AS DOUBLE[]),
+        |                               CAST(c.vec AS DOUBLE[]))) AS raw
+        |  FROM qvec q CROSS JOIN cvec c GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    floor(raw * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM pooled)
+        |SELECT query_id, CAST(rk AS BIGINT) AS "rank", doc_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id ASC) AS rk FROM ranked)
+        |WHERE rk <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // both rankers re-derived (same CTE stacks as txt_bm25 / vec_knn)
     // plus the RRF fusion arithmetic, all in one oracle

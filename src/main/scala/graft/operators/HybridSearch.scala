@@ -236,4 +236,57 @@ object HybridSearch {
          |ORDER BY query_id, "rank"""".stripMargin
     sb.toString
   }
+
+  /** MULTI-VECTOR document retrieval with max-pooling (the "MaxP"
+    * long-document discipline, Dai & Callan 2019; the single-query-
+    * vector half of ColBERT-style late interaction): each document is
+    * represented by one embedding PER CHUNK, and a query's score
+    * against a document is the MAXIMUM chunk cosine — so a long
+    * document is retrievable by its best passage instead of drowning
+    * it in an averaged whole-document vector. Chunking reuses the
+    * [[TextAnalysis.chunks]] geometry (200 chars, 50 overlap);
+    * embeddings are the deterministic [[graft.functions.HashEmbed]]
+    * feature-hasher, which keeps the whole path — chunk, embed, score,
+    * pool, rank — re-derivable in the DuckDB oracle.
+    *
+    * Plan shape at scale: chunk expansion and embedding are one map
+    * stage (the chunk multiplier is bounded by max doc length / step);
+    * queries broadcast; per-chunk scores never shuffle — the MaxP
+    * pooling is a map-side-combinable max-agg on (query, doc), and
+    * only the per-doc maxima reach the ranking window. At 100 TB the
+    * chunk vectors are a write-time column and this is one scan.
+    * Zero vectors (degenerate chunks) are filtered on both engines —
+    * a 0/0 cosine would poison max-pooling with NaN.
+    */
+  def multivecQuery(s: SparkSession, dir: String, chunkChars: Int = 200,
+                    overlap: Int = 50, dim: Int = 64, k: Int = 10): DataFrame = {
+    import graft.functions.HashEmbed
+    val step = chunkChars - overlap
+    val docs = Tables.documents(s, dir)
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(lit(1), length(col("text"))), lit(step)))
+          .as("start"))
+      .select(col("doc_id"),
+        HashEmbed(col("text").substr(col("start"), lit(chunkChars)), dim).as("cvec"))
+      .filter(exists(col("cvec"), x => x =!= lit(0.0f)))
+    val queries = broadcast(docs
+      .filter(length(col("text")) >= 221)
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        HashEmbed(col("text").substr(lit(101), lit(120)), dim).as("qvec"))
+      .filter(exists(col("qvec"), x => x =!= lit(0.0f))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    chunks.join(queries)
+      .select(col("query_id"), col("doc_id"),
+        VectorOps.cosine(col("qvec"), col("cvec")).as("cscore"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("cscore")).as("raw"))
+      .select(col("query_id"), col("doc_id"), rnd4(col("raw")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HybridSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("multivec: each query retrieves its source document near the top") {
+    val out = HybridSearch.multivecQuery(spark, sfDir).cache()
+    val queries = out.select(col("query_id")).distinct().as[Long].collect().sorted
+    assert(queries.length === 5)
+    // every query returns a full ranked list
+    val perQ = out.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+    perQ.foreach(r => assert(r.getLong(1) === 10L && r.getLong(2) === 10L))
+    // the query text is a mid-document excerpt of its source doc, so
+    // MaxP must surface that doc near the top (planted near-dups of
+    // the source may legitimately outrank it — hence top-5, not #1)
+    val selfRank = out.filter(col("query_id") === col("doc_id"))
+      .select(col("query_id"), col("rank")).as[(Long, Long)].collect().toMap
+    queries.foreach { q =>
+      assert(selfRank.contains(q), s"query $q: source doc missing from top-10")
+      assert(selfRank(q) <= 5, s"query $q: source doc at rank ${selfRank(q)}")
+    }
+    // scores are valid rounded cosines in [-1, 1], non-increasing per query
+    val ordered = out.orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("score")).as[(Long, Double)].collect()
+    ordered.foreach { case (_, s) => assert(s >= -1.0001 && s <= 1.0001) }
+    ordered.sliding(2).foreach {
+      case Array((q1, s1), (q2, s2)) => if (q1 == q2) assert(s1 >= s2)
+      case _ =>
+    }
+    out.unpersist()
+  }
+}

@@ -368,6 +368,7 @@ object SparkEntry {
     "vec_ann_sq"         -> (VectorOps.annSqQuery _),
     "vec_ann_ivfpq"      -> (VectorOps.annIvfPqQuery _),
     "vec_ann_curve"      -> (VectorOps.annCurveQuery _),
+    "vec_procrustes"     -> ((s, d) => Procrustes.procrustesQuery(s, d)),
     "vec_range_search"   -> ((s, d) => HybridSearch.rangeSearch(s, d)),
     "vec_mmr"            -> (HybridSearch.mmrQuery _),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),

@@ -373,6 +373,7 @@ object SparkEntry {
     "vec_mmr"            -> (HybridSearch.mmrQuery _),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
+    "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -2122,6 +2123,50 @@ object SparkEntry {
     // objective (7·rel4 − 3·red4 on the 1e-4 grid), so the argmax both
     // engines take at every step is exact integer arithmetic
     "vec_mmr" -> operators.HybridSearch.mmrOracleSql(),
+
+    // RAKE re-derived: gaps-and-islands phrase segmentation, integer
+    // word scores (degree·10000 // freq), exact bigint phrase sums,
+    // integer-ordered top-k with phrase tiebreak — no float ordering
+    "txt_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> i)) AS pos,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> parts[i])) AS token
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS parts
+        |        FROM documents)),
+        |nonstop AS (
+        |  SELECT doc_id, pos, token,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM tok
+        |  WHERE token <> '' AND token NOT IN
+        |    ('the','a','of','to','and','in','is','it','that','for')),
+        |phrases AS (
+        |  SELECT doc_id, grp, string_agg(token, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM nonstop GROUP BY doc_id, grp
+        |  HAVING count(*) <= 4),
+        |wstats AS (
+        |  SELECT word,
+        |    CAST(sum(n_words) * 10000 AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS wscore_i4
+        |  FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS word
+        |        FROM phrases)
+        |  GROUP BY word),
+        |dp AS (
+        |  SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM phrases GROUP BY phrase, n_words),
+        |scored AS (
+        |  SELECT phrase, n_words, n_occ, sum(wscore_i4) AS score_i4
+        |  FROM (SELECT phrase, n_words, n_occ,
+        |          unnest(string_split(phrase, ' ')) AS word FROM dp)
+        |  JOIN wstats USING (word)
+        |  GROUP BY phrase, n_words, n_occ)
+        |SELECT phrase, n_words, n_occ,
+        |  CAST(score_i4 AS DOUBLE) / 10000.0 AS rake_score
+        |FROM scored
+        |ORDER BY score_i4 DESC, phrase
+        |LIMIT 20""".stripMargin,
 
     // the whole multi-vector path re-derived: chunk geometry (the
     // txt_chunks formula), the md5 feature-hash embedder per chunk

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1117,6 +1118,65 @@ object TextAnalysis {
   /** Driver query: spell-pair mining over [[plantedTypoDocs]]. */
   def spellPairsQuery(s: SparkSession, dir: String): DataFrame =
     spellPairs(plantedTypoDocs(s, dir))
+
+  /** RAKE keyword extraction (Rose et al. 2010) at corpus scale:
+    * candidate phrases are the maximal runs of non-stopword tokens
+    * (the classic gaps-and-islands window — island id = pos −
+    * row_number over surviving tokens), word statistics are
+    * freq(w) = phrase instances containing w and degree(w) = Σ phrase
+    * length over those instances, and a phrase scores
+    * Σ_w degree(w)/freq(w). Words that mostly appear inside longer
+    * multi-word phrases score high (high degree per occurrence), so
+    * the top phrases are the corpus's load-bearing collocations — the
+    * cheap unsupervised keyword signal a curation pipeline logs next
+    * to TF-IDF.
+    *
+    * Determinism discipline: word scores are INTEGER floor-divisions
+    * on the 1e-4 grid (`degree·10000 DIV freq`), phrase scores are
+    * exact bigint sums of those, and the top-k cut orders by the
+    * integer score with a phrase-text tiebreak — no float enters the
+    * ordering; the emitted score is one division by 10⁴.
+    *
+    * Scale: tokenize+island is one window per doc (partitioned by
+    * doc_id, never global); word stats and phrase stats are
+    * map-side-combinable hash aggs on vocab-bounded keys; the scoring
+    * join is phrase-words (≤ maxLen per phrase) against the
+    * vocab-sized word-stat relation.
+    */
+  def keywords(s: SparkSession, dir: String,
+               maxLen: Int = 4, topK: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "token")))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = toks
+      .filter(col("token") =!= "" && !col("token").isInCollection(StopwordsEn))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x("token")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .filter(col("n_words") <= maxLen)
+    val wordStats = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(expr("sum(n_words) * 10000L DIV count(1)").as("wscore_i4"))
+    val distinctPhrases = phrases
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occ"))
+    distinctPhrases
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wordStats, "word")
+      .groupBy(col("phrase"), col("n_words"), col("n_occ"))
+      .agg(sum(col("wscore_i4")).as("score_i4"))
+      .orderBy(col("score_i4").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        (col("score_i4").cast("double") / lit(10000.0)).as("rake_score"))
+  }
 
   /** DuckDB twin of [[spellPairsQuery]]: the NAIVE all-pairs
     * levenshtein join over the same bounded vocabulary — the oracle

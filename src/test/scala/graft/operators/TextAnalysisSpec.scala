@@ -361,4 +361,21 @@ class TextAnalysisSpec extends SparkSpec {
         "postings sorted by padded doc id")
     }
   }
+
+  test("keywords: phrases are stopword-free islands with non-increasing integer-ranked scores") {
+    val out = TextAnalysis.keywords(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 0 && out.length <= 20)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "scores must be non-increasing")
+    out.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length == r.getLong(1) && words.length <= 4)
+      assert(words.forall(w => !TextAnalysis.StopwordsEn.contains(w)),
+        s"stopword leaked into phrase '${r.getString(0)}'")
+      assert(r.getLong(2) >= 1 && r.getDouble(3) > 0.0)
+      // a phrase's score is bounded by Σ max-possible word score: each
+      // word's degree counts phrases of length ≤ 4, so degree/freq ≤ 4
+      assert(r.getDouble(3) <= 4.0 * words.length + 1e-9)
+    }
+  }
 }

@@ -338,6 +338,7 @@ object SparkEntry {
     "q30_bloom_join"     -> (BloomJoin.bloomJoinQuery _),
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "ev_stl"             -> (Events.stl _),
+    "ev_attribution"     -> ((s, d) => Events.attribution(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -703,6 +704,53 @@ object SparkEntry {
     // oracles: floor(epoch(ts)) matches Spark's cast-to-long; the
     // TIMESTAMPTZ from to_timestamp casts back to naive TIMESTAMP so
     // dtypes line up.
+    // the three attribution models re-derived: same windowed join,
+    // per-purchase ranking with the event-id tiebreak, and integer
+    // micro-unit linear credit — all-bigint output, no float anywhere
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, ts_s AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, ts_s AS t_ts,
+        |        event_type AS channel
+        |      FROM ev WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.p_id, t.t_id, t.t_ts, t.channel
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800),
+        |ranked AS (
+        |  SELECT p_id, t_id, channel,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts ASC, t_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts DESC, t_id DESC) AS rl
+        |  FROM j),
+        |fc AS (
+        |  SELECT coalesce(channel, '(none)') AS channel,
+        |    CAST(count(*) AS BIGINT) AS first_touch
+        |  FROM ranked WHERE rf = 1 GROUP BY 1),
+        |lc AS (
+        |  SELECT coalesce(channel, '(none)') AS channel,
+        |    CAST(count(*) AS BIGINT) AS last_touch
+        |  FROM ranked WHERE rl = 1 GROUP BY 1),
+        |lin AS (
+        |  SELECT channel,
+        |    CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_micro
+        |  FROM (SELECT channel, count(*) OVER (PARTITION BY p_id) AS n
+        |        FROM j WHERE t_id IS NOT NULL)
+        |  GROUP BY channel)
+        |SELECT channel,
+        |  coalesce(first_touch, CAST(0 AS BIGINT)) AS first_touch,
+        |  coalesce(last_touch, CAST(0 AS BIGINT)) AS last_touch,
+        |  coalesce(linear_credit_micro, CAST(0 AS BIGINT)) AS linear_credit_micro
+        |FROM fc
+        |FULL JOIN lc USING (channel)
+        |FULL JOIN lin USING (channel)
+        |ORDER BY channel""".stripMargin,
+
     // moving-average decomposition with the exact-integer discipline:
     // trend keeps its windowed bigint SUM and divides once; seasonal
     // folds to one division of exact integer sums; both round by the

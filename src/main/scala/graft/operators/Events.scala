@@ -539,6 +539,60 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Multi-touch marketing ATTRIBUTION: credit click/view touchpoints
+    * for each purchase under the three standard models at once —
+    * first-touch, last-touch, and linear — over a 7-day lookback.
+    * Touch candidates come from a user-keyed equi-join with the
+    * window predicate inside the join condition (per-user pair volume
+    * is bounded by per-user activity, never cross-user), first/last
+    * selection is a per-purchase ranking window with an event-id
+    * tiebreak (second-floored timestamps tie often by construction),
+    * and linear credit is distributed in INTEGER micro-units
+    * (`1e6 DIV n_touches` per touch) so per-channel sums are exact
+    * bigints on both engines. Purchases with no touch in the window
+    * credit the explicit `(none)` channel — unattributed conversions
+    * stay visible instead of silently vanishing.
+    */
+  def attribution(s: SparkSession, dir: String,
+                  lookbackSec: Long = 7L * 86400): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_s").as("p_ts"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("ts_s").as("t_ts"), col("event_type").as("channel"))
+    val joined = purchases.join(touches,
+      purchases("user_id") === touches("t_user") &&
+        touches("t_ts") < purchases("p_ts") &&
+        touches("t_ts") >= purchases("p_ts") - lit(lookbackSec),
+      "left")
+      .select(col("p_id"), col("t_id"), col("t_ts"), col("channel"))
+    val wF = Window.partitionBy(col("p_id")).orderBy(col("t_ts").asc, col("t_id").asc)
+    val wL = Window.partitionBy(col("p_id")).orderBy(col("t_ts").desc, col("t_id").desc)
+    val ranked = joined
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rl", row_number().over(wL))
+    val firsts = ranked.filter(col("rf") === 1)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lasts = ranked.filter(col("rl") === 1)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    val linear = joined.filter(col("t_id").isNotNull)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      .groupBy(col("channel"))
+      .agg(sum(expr("1000000L DIV n")).as("linear_credit_micro"))
+    firsts.join(lasts, Seq("channel"), "full")
+      .join(linear, Seq("channel"), "full")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_credit_micro"), lit(0L)).as("linear_credit_micro"))
+      .orderBy(col("channel"))
+  }
+
   /** Classical seasonal-trend decomposition of the daily event-count
     * series (the moving-average skeleton STL iterates on): trend =
     * CENTERED 7-day moving average (null at the edges where the

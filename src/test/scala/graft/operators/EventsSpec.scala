@@ -192,6 +192,26 @@ class EventsSpec extends SparkSpec {
     assert(out(3L) === ((31L, "purchase", 2L, 0L)))
   }
 
+  test("attribution: every purchase credited exactly once per model, linear mass conserved") {
+    val out = Events.attribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val nPurchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.values.map(_._1).sum === nPurchases, "first-touch credits = purchases")
+    assert(out.values.map(_._2).sum === nPurchases, "last-touch credits = purchases")
+    // (none) rows carry unattributed conversions and zero linear credit
+    out.get("(none)").foreach { case (f, l, lin) =>
+      assert(f === l, "a purchase with no touches has no first/last asymmetry")
+      assert(lin === 0L)
+    }
+    // linear credit: each attributed purchase distributes n·(1e6 DIV n)
+    // micro-units — within n of 1e6, so the total sits in (attributed·(1e6−maxN), attributed·1e6]
+    val attributed = nPurchases - out.get("(none)").map(_._1).getOrElse(0L)
+    val linTotal = out.values.map(_._3).sum
+    assert(linTotal <= attributed * 1000000L)
+    assert(linTotal > attributed * 999000L, s"linear mass $linTotal vs $attributed purchases")
+  }
+
   test("stl: components reassemble the series on the interior, edges stay null") {
     val rows = Events.stl(spark, sfDir)
       .select("n_events", "trend", "seasonal", "remainder").collect()

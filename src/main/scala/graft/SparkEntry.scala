@@ -375,6 +375,7 @@ object SparkEntry {
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
     "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
+    "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -2171,6 +2172,43 @@ object SparkEntry {
     // objective (7·rel4 − 3·red4 on the 1e-4 grid), so the argmax both
     // engines take at every step is exact integer arithmetic
     "vec_mmr" -> operators.HybridSearch.mmrOracleSql(),
+
+    // rank-based cross-source calibration: integer-1e-4 quality keys,
+    // exact micro-unit percentiles, integer-rounded global position
+    // fetch — every rank, position and join key is a bigint
+    "txt_qnorm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+        |      + 0.3 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 4.0, 1.0))
+        |      + 0.4 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0))
+        |      * 10000.0 + 0.5) AS BIGINT) AS q_i4
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, q_i4,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY q_i4, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+        |    CAST(row_number() OVER (ORDER BY q_i4, doc_id) AS BIGINT) AS g,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_total
+        |  FROM t),
+        |pct AS (
+        |  SELECT *,
+        |    CASE WHEN n_s > 1 THEN ((r - 1) * 1000000) // (n_s - 1)
+        |         ELSE 500000 END AS pct_micro
+        |  FROM ranked),
+        |pos AS (
+        |  SELECT *, 1 + ((pct_micro * (n_total - 1) + 500000) // 1000000) AS gpos
+        |  FROM pct)
+        |SELECT p.doc_id, p.source,
+        |  CAST(p.q_i4 AS DOUBLE) / 10000.0 AS quality,
+        |  CAST(p.pct_micro AS BIGINT) AS pct_micro,
+        |  CAST(gv.q_i4 AS DOUBLE) / 10000.0 AS norm_quality
+        |FROM pos p JOIN pos gv ON p.gpos = gv.g
+        |ORDER BY p.doc_id""".stripMargin,
 
     // RAKE re-derived: gaps-and-islands phrase segmentation, integer
     // word scores (degree·10000 // freq), exact bigint phrase sums,

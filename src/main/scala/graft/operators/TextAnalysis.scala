@@ -1119,6 +1119,57 @@ object TextAnalysis {
   def spellPairsQuery(s: SparkSession, dir: String): DataFrame =
     spellPairs(plantedTypoDocs(s, dir))
 
+  /** QUANTILE NORMALIZATION of quality scores across sources — the
+    * rank-based calibration that makes heterogeneous-source scores
+    * comparable before mixture sampling: a web domain whose scorer
+    * runs hot and a curated source whose scorer runs cold land on the
+    * same scale by mapping each document to the GLOBAL score
+    * distribution's value at its WITHIN-SOURCE rank (the
+    * microarray-normalization construction, applied to corpus
+    * curation). Gating on the normalized score then takes the same
+    * top fraction of every source instead of letting one source's
+    * score inflation crowd out the rest.
+    *
+    * Determinism: per-doc quality is fixed to integer 1e-4ths BEFORE
+    * any ranking (the [[sourceStats]] discipline — raw float sums
+    * never order anything); within-source percentile is
+    * `(r−1)·10⁶ DIV (n_s−1)` exact integer micro-units; the global
+    * target position is integer-rounded from it; and the normalized
+    * value is fetched by an exact integer join on that position.
+    *
+    * Scale: the within-source windows partition by source; the one
+    * global ranking here is a demo-sized window — at corpus scale it
+    * becomes the sharded [[globalIds]] construction (range-partition
+    * + per-partition offsets, spec-proven ≡ the naive window), and
+    * the position fetch stays an equi-join against the same sharded
+    * rank relation.
+    */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val qi4 = floor(rawQuality * lit(10000.0) + lit(0.5)).cast("long")
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), qi4.as("q_i4"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("q_i4"), col("doc_id"))
+    val wG = Window.orderBy(col("q_i4"), col("doc_id"))
+    val ranked = t
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("g", row_number().over(wG).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+    val pct = ranked
+      .withColumn("pct_micro",
+        when(col("n_s") > 1, expr("((r - 1) * 1000000L) DIV (n_s - 1)"))
+          .otherwise(lit(500000L)))
+      .withColumn("gpos",
+        expr("1L + ((pct_micro * (n_total - 1) + 500000L) DIV 1000000L)"))
+    val globalVals = pct.select(col("g").as("gpos"), col("q_i4").as("norm_i4"))
+    pct.join(globalVals, "gpos")
+      .select(col("doc_id"), col("source"),
+        (col("q_i4").cast("double") / lit(10000.0)).as("quality"),
+        col("pct_micro"),
+        (col("norm_i4").cast("double") / lit(10000.0)).as("norm_quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) at corpus scale:
     * candidate phrases are the maximal runs of non-stopword tokens
     * (the classic gaps-and-islands window — island id = pos −

@@ -362,6 +362,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("quantile normalization: calibrated values come from the global distribution and are rank-monotone") {
+    val rows = TextAnalysis.quantileNorm(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val globalQ = rows.map(_._3).toSet
+    rows.foreach { case (_, _, _, pct, nq) =>
+      assert(pct >= 0L && pct <= 1000000L)
+      assert(globalQ.contains(nq), s"normalized value $nq not in the global quality multiset")
+    }
+    // within a source, normalized score is monotone in the percentile
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val byPct = rs.sortBy(r => (r._4, r._1)).map(_._5)
+      assert(byPct.sameElements(byPct.sorted), s"source $src: norm not rank-monotone")
+      // the top-ranked doc of every source calibrates to the global max
+      assert(rs.maxBy(r => (r._4, r._1))._5 === rows.map(_._3).max,
+        s"source $src: top rank must map to the global max quality")
+    }
+  }
+
   test("keywords: phrases are stopword-free islands with non-increasing integer-ranked scores") {
     val out = TextAnalysis.keywords(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)

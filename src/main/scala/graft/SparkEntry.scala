@@ -1298,7 +1298,8 @@ object SparkEntry {
         |    FROM clean c JOIN dirty d
         |      ON c.c_nationkey = d.d_nat
         |      AND CAST(floor(c.c_acctbal / 500.0) AS BIGINT) =
-        |          CAST(floor(d.d_bal / 500.0) AS BIGINT)) AS u(d_id, d_name, c_custkey, c_name)),
+        |          CAST(floor(d.d_bal / 500.0) AS BIGINT)) AS u(d_id, d_name, c_custkey, c_name)
+        |  WHERE substr(c_name, -4, 4) = substr(d_name, -4, 4)),
         |scored AS (
         |  SELECT d_id, c_custkey,
         |    CAST(levenshtein(d_name, c_name) AS BIGINT) AS lev,

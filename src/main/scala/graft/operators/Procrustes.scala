@@ -111,7 +111,12 @@ object Procrustes {
       .select(col("vec_id"), col("vec"),
         OpqRotation.rotateExpr(col("vec"), r, zero).as("yvec"))
       .localCheckpoint(true)
-    val m = crossCovariance(pairs, "vec", "yvec", dim)
+    // the estimator needs only dim² statistics from any FULL-RANK
+    // subset, so the O(rows·dim²) posexplode runs on a deterministic
+    // 1-in-4 sample — the residual CERTIFICATION below still scans
+    // the full corpus, so a sample-induced misfit could not hide
+    val m = crossCovariance(pairs.filter(col("vec_id") % 4 === 0),
+      "vec", "yvec", dim)
     val rHat = procrustesSolve(m)
     // driver-side certification scalars: parameter-sized, never data
     var recErr = 0.0

@@ -382,4 +382,89 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class Touch(ts_s: Long, event_id: Long, channel: String)
+  final case class PendingPurchase(ts_s: Long, event_id: Long)
+  final case class AttributionState(touches: List[Touch],
+                                    purchases: List[PendingPurchase])
+  final case class AttributionRow(user_id: Long, p_id: Long, p_ts: Timestamp,
+                                  first_channel: String, last_channel: String,
+                                  n_touches: Long)
+
+  /** Streaming multi-touch ATTRIBUTION — the continuous twin of
+    * `graft.operators.Events.attribution` at per-purchase granularity:
+    * each purchase is credited its first/last click-or-view touchpoint
+    * inside the lookback window, emitted exactly once, once the
+    * watermark SEALS the purchase. The seal condition is the
+    * [[transitions]] discipline: a purchase whose second-floored
+    * timestamp lies strictly below the watermark's second can gain no
+    * admissible influencing touch (every touch that counts has
+    * t_ts < p_ts < wmSec, and admissible arrivals have ts ≥ wm), so
+    * the credited first/last/n are final — byte-equal to the batch
+    * twin's per-purchase answer over admitted events.
+    *
+    * State per user is BOUNDED by construction: touches prune to the
+    * trailing lookback horizon behind the watermark (older touches
+    * can influence no unsealed purchase, since unsealed means
+    * p_ts ≥ wmSec), purchases leave state the moment they seal, and a
+    * lookback-deep event-time TTL drains users who never return —
+    * never a row parked forever (the [[transitions]]
+    * frontier-retention lesson, applied from the start).
+    */
+  def attributionCredits(events: Dataset[Event],
+                         lookbackSec: Long = 7L * 86400,
+                         watermark: String = "1 hour"): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    val lookbackMs = lookbackSec * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[AttributionState]): Iterator[AttributionRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val wmSec = math.floorDiv(wm, 1000L) * 1000L
+      val prior = state.getOption.getOrElse(AttributionState(Nil, Nil))
+      var touches = prior.touches
+      var purchases = prior.purchases
+      batch.foreach { e =>
+        val tsS = math.floorDiv(e.ts.getTime, 1000L) * 1000L
+        e.event_type match {
+          case "purchase" => purchases ::= PendingPurchase(tsS, e.event_id)
+          case "click" | "view" => touches ::= Touch(tsS, e.event_id, e.event_type)
+          case _ => ()
+        }
+      }
+      val (ripe, open) = purchases.partition(_.ts_s < wmSec)
+      val out = ripe.sortBy(p => (p.ts_s, p.event_id)).map { p =>
+        val win = touches.filter(t =>
+          t.ts_s < p.ts_s && t.ts_s >= p.ts_s - lookbackMs)
+        if (win.isEmpty)
+          AttributionRow(userId, p.event_id, new Timestamp(p.ts_s),
+            "(none)", "(none)", 0L)
+        else {
+          val first = win.minBy(t => (t.ts_s, t.event_id))
+          val last = win.maxBy(t => (t.ts_s, t.event_id))
+          AttributionRow(userId, p.event_id, new Timestamp(p.ts_s),
+            first.channel, last.channel, win.length.toLong)
+        }
+      }
+      // touches older than one lookback behind the watermark second
+      // can influence no unsealed purchase (those have p_ts ≥ wmSec)
+      val kept = touches.filter(_.ts_s >= wmSec - lookbackMs)
+      if (kept.isEmpty && open.isEmpty) state.remove()
+      else {
+        state.update(AttributionState(kept, open))
+        val wake =
+          if (open.nonEmpty) open.map(_.ts_s).min + 1000L
+          // touch-only state: wake when the newest touch falls off the
+          // lookback horizon, so a user who never returns still drains
+          else kept.map(_.ts_s).max + lookbackMs + 1000L
+        state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

@@ -437,4 +437,82 @@ class EventStreamsSpec extends SparkSpec {
       assert(want.nonEmpty)
     } finally q.stop()
   }
+
+  test("attribution: purchases seal once, credit first/last touch, late touch within watermark counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = attributionCredits(input.toDS(), lookbackSec = 3600, watermark = "2 hours")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+        Event(3, ts("2024-01-01 10:45:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("attr_out").count() === 0, "purchase not sealed yet")
+      // out-of-order touch BETWEEN the earlier touches, still admissible
+      input.addData(Event(4, ts("2024-01-01 10:10:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      // watermark pushes past the purchase → exactly one sealed row
+      input.addData(Event(9, ts("2024-01-01 14:00:00"), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getLong(1) === 3L && r.getString(3) === "view" &&
+        r.getString(4) === "click" && r.getLong(5) === 3L,
+        s"late in-watermark touch must be credited: $r")
+      // seal user 2's no-touch purchase → (none) row, emitted once
+      input.addData(Event(10, ts("2024-01-02 00:00:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+      val u2 = spark.table("attr_out").filter($"user_id" === 2L).collect()
+      assert(u2.length === 1)
+      assert(u2.head.getString(3) === "(none)" && u2.head.getLong(5) === 0L)
+    } finally q.stop()
+  }
+
+  test("randomized batch-parity: streaming attribution equals the batch windowed join") {
+    val rnd = new scala.util.Random(20260813L)
+    val lookbackMs = 3600L * 1000L
+    val base = ts("2024-01-01 00:00:00").getTime
+    for (trial <- 1 to 3) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = attributionCredits(input.toDS(), lookbackSec = 3600, watermark = "24 hours")
+        .writeStream.format("memory").queryName(s"fuzz_attr_$trial")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val types = Array("click", "view", "purchase")
+        val events = for {
+          u <- 1 to 3
+          i <- 1 to (6 + rnd.nextInt(8))
+        } yield Event(u * 100L + i, new Timestamp(base + rnd.nextInt(4 * 3600) * 1000L),
+          u.toLong, types(rnd.nextInt(3)), 0.0)
+        val shuffled = rnd.shuffle(events.toList)
+        val nBatches = 1 + rnd.nextInt(4)
+        shuffled.grouped(math.max(1, (shuffled.size + nBatches - 1) / nBatches))
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        input.addData(Event(9999L, new Timestamp(base + 40L * 86400 * 1000), 999L, "view", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(s"fuzz_attr_$trial")
+          .filter($"user_id" =!= 999L).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4), r.getLong(5)))
+          .toSet
+        // independent batch reference: per purchase, touches in window
+        val expected = events.filter(_.event_type == "purchase").map { p =>
+          val win = events.filter(t => t.user_id == p.user_id &&
+            (t.event_type == "click" || t.event_type == "view") &&
+            t.ts.getTime < p.ts.getTime && t.ts.getTime >= p.ts.getTime - lookbackMs)
+          if (win.isEmpty) (p.user_id, p.event_id, "(none)", "(none)", 0L)
+          else {
+            val first = win.minBy(t => (t.ts.getTime, t.event_id))
+            val last = win.maxBy(t => (t.ts.getTime, t.event_id))
+            (p.user_id, p.event_id, first.event_type, last.event_type, win.size.toLong)
+          }
+        }.toSet
+        assert(got === expected, s"trial $trial")
+      } finally q.stop()
+    }
+  }
 }

@@ -339,6 +339,7 @@ object SparkEntry {
     "ev_anomaly"         -> ((s, d) => Events.anomaly(s, d)),
     "ev_stl"             -> (Events.stl _),
     "ev_attribution"     -> ((s, d) => Events.attribution(s, d)),
+    "ev_chisq"           -> (Events.chiSquare _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -705,6 +706,38 @@ object SparkEntry {
     // oracles: floor(epoch(ts)) matches Spark's cast-to-long; the
     // TIMESTAMPTZ from to_timestamp casts back to naive TIMESTAMP so
     // dtypes line up.
+    // contingency margins re-derived by window sums; expected is one
+    // IEEE division of exact integer products; each cell fixes its
+    // contribution to integer micro-units BEFORE the total so the
+    // chi-square statistic is an exact bigint sum on both engines
+    "ev_chisq" ->
+      """WITH cells AS (
+        |  SELECT CAST((floor(floor(epoch(ts)) / 86400) + 4) % 7 AS BIGINT) AS dow,
+        |    event_type, CAST(count(*) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT dow, event_type, observed,
+        |    sum(observed) OVER (PARTITION BY dow) AS row_n,
+        |    sum(observed) OVER (PARTITION BY event_type) AS col_n,
+        |    sum(observed) OVER () AS n
+        |  FROM cells),
+        |c AS (
+        |  SELECT dow, event_type, observed,
+        |    CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+        |  FROM m),
+        |k AS (
+        |  SELECT dow, event_type, observed, expected,
+        |    CAST(floor((CAST(observed AS DOUBLE) - expected)
+        |      * (CAST(observed AS DOUBLE) - expected) / expected
+        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro
+        |  FROM c)
+        |SELECT dow, event_type, observed,
+        |  floor(expected * 10000.0 + 0.5) / 10000.0 AS expected,
+        |  contrib_micro,
+        |  CAST(sum(contrib_micro) OVER () AS DOUBLE) / 1000000.0 AS chi2_total
+        |FROM k
+        |ORDER BY dow, event_type""".stripMargin,
+
     // the three attribution models re-derived: same windowed join,
     // per-purchase ranking with the event-id tiebreak, and integer
     // micro-unit linear credit — all-bigint output, no float anywhere

@@ -539,6 +539,49 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Chi-square INDEPENDENCE test on the (day-of-week × event-type)
+    * contingency table — "does traffic composition depend on the
+    * weekday?", the hypothesis-testing primitive next to the
+    * descriptive stats (q18/q42): observed cell counts, expected
+    * counts under independence e = row·col/N, per-cell contribution
+    * (o−e)²/e, and the test statistic.
+    *
+    * Determinism: counts are exact bigints; `expected` is ONE IEEE
+    * division of exact integer products (identical on both engines);
+    * each cell's contribution is rounded to integer MICRO-units
+    * before the total, so the chi² total is an exact bigint sum —
+    * summation order can't perturb it (the [[CrossEngine]] family's
+    * fix-before-sum rule). At any scale the corpus collapses to
+    * |dow|×|types| cells in the first map-side-combinable agg;
+    * everything after runs on ≤ 35 rows.
+    */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    val cells = Tables.events(s, dir)
+      .select(((floor(sec / 86400L) + 4L) % 7L).cast("long").as("dow"),
+        col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("observed"))
+    val withMargins = cells
+      .withColumn("row_n", sum(col("observed")).over(Window.partitionBy(col("dow"))))
+      .withColumn("col_n", sum(col("observed")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("n", sum(col("observed")).over(Window.partitionBy()))
+    val contrib = withMargins
+      .withColumn("expected",
+        (col("row_n") * col("col_n")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib_micro",
+        floor((col("observed").cast("double") - col("expected")) *
+          (col("observed").cast("double") - col("expected")) / col("expected")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    contrib
+      .withColumn("chi2_total",
+        sum(col("contrib_micro")).over(Window.partitionBy()).cast("double") / lit(1000000.0))
+      .select(col("dow"), col("event_type"), col("observed"),
+        CrossEngine.rnd4(col("expected")).as("expected"),
+        col("contrib_micro"), col("chi2_total"))
+      .orderBy(col("dow"), col("event_type"))
+  }
+
   /** Multi-touch marketing ATTRIBUTION: credit click/view touchpoints
     * for each purchase under the three standard models at once —
     * first-touch, last-touch, and linear — over a 7-day lookback.

@@ -192,6 +192,21 @@ class EventsSpec extends SparkSpec {
     assert(out(3L) === ((31L, "purchase", 2L, 0L)))
   }
 
+  test("chi-square: margins conserved, total equals the exact micro-unit sum") {
+    val rows = Events.chiSquare(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 35)
+    val obsSum = rows.map(_.getLong(2)).sum
+    val expSum = rows.map(_.getDouble(3)).sum
+    // expected cell counts reproduce the grand total (to per-cell rounding)
+    assert(math.abs(expSum - obsSum) <= rows.length * 1e-4)
+    val totals = rows.map(_.getDouble(5)).distinct
+    assert(totals.length === 1, "chi2_total must be identical on every row")
+    val microSum = rows.map(_.getLong(4)).sum
+    assert(math.abs(totals.head - microSum / 1e6) < 1e-9,
+      "total must be exactly the bigint micro-unit sum")
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getLong(4) >= 0L))
+  }
+
   test("attribution: every purchase credited exactly once per model, linear mass conserved") {
     val out = Events.attribution(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -396,6 +396,7 @@ object SparkEntry {
     "q39_drift"          -> ((s, d) => Profile.q39Drift(s, d)),
     "q41_bins"           -> (Relational.q41Bins _),
     "q42_ols"            -> (Relational.q42Ols _),
+    "q45_sketch_quantile" -> (Relational.q45SketchQuantile _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
@@ -706,6 +707,58 @@ object SparkEntry {
     // oracles: floor(epoch(ts)) matches Spark's cast-to-long; the
     // TIMESTAMPTZ from to_timestamp casts back to naive TIMESTAMP so
     // dtypes line up.
+    // the custom TypedImperativeAggregate's bucket/cum-walk estimate
+    // re-derived from the same clamped-bucket counts; exact side is
+    // the rank-th smallest value; all bounds checked on identical
+    // IEEE arithmetic
+    "q45_sketch_quantile" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    least(1099, greatest(0, CAST(floor(l_extendedprice / 100.0) AS BIGINT))) AS bk
+        |  FROM li),
+        |bc AS (SELECT l_returnflag, bk, CAST(count(*) AS BIGINT) AS c
+        |       FROM b GROUP BY 1, 2),
+        |bcum AS (
+        |  SELECT l_returnflag, bk, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bk) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM bc),
+        |estq AS (
+        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |             THEN bk END) AS bk50,
+        |    min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |             THEN bk END) AS bk95
+        |  FROM bcum GROUP BY 1, 2),
+        |est AS (
+        |  SELECT l_returnflag, n,
+        |    (CAST(bk50 AS DOUBLE) + 0.5) * 100.0 AS p50_est,
+        |    (CAST(bk95 AS DOUBLE) + 0.5) * 100.0 AS p95_est
+        |  FROM estq),
+        |rk AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+        |  FROM li),
+        |x50 AS (SELECT l_returnflag, l_extendedprice AS p50_exact FROM rk
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * nn) AS BIGINT))),
+        |x95 AS (SELECT l_returnflag, l_extendedprice AS p95_exact FROM rk
+        |        WHERE rn = greatest(1, CAST(ceil(0.95 * nn) AS BIGINT)))
+        |SELECT e.l_returnflag, n, p50_est, p50_exact,
+        |  floor(abs(p50_est - p50_exact) * 10000.0 + 0.5) / 10000.0 AS p50_abs_err,
+        |  CAST(CASE WHEN abs(p50_est - p50_exact) <= 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS p50_within_bound,
+        |  p95_est, p95_exact,
+        |  floor(abs(p95_est - p95_exact) * 10000.0 + 0.5) / 10000.0 AS p95_abs_err,
+        |  CAST(CASE WHEN abs(p95_est - p95_exact) <= 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS p95_within_bound
+        |FROM est e
+        |JOIN x50 USING (l_returnflag)
+        |JOIN x95 USING (l_returnflag)
+        |ORDER BY e.l_returnflag""".stripMargin,
+
     // contingency margins re-derived by window sums; expected is one
     // IEEE division of exact integer products; each cell fixes its
     // contribution to integer micro-units BEFORE the total so the

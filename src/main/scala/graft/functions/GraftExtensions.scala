@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo("graft.functions", "graft_cms_estimate"),
       args => { require(args.length == 2); CmsEstimate(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_hist_quantile"),
+      new ExpressionInfo("graft.functions", "graft_hist_quantile"),
+      args => {
+        require(args.length == 5)
+        HistQuantile(args(0),
+          GraftExtensions.doubleLiteral(args(1), "lo"),
+          GraftExtensions.doubleLiteral(args(2), "hi"),
+          GraftExtensions.intLiteral(args(3), "bins"),
+          GraftExtensions.doubleLiteral(args(4), "q"))
+          .toAggregateExpression()
+      }))
   }
 }
 
@@ -52,5 +63,14 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private[functions] def doubleLiteral(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                       name: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
   }
 }

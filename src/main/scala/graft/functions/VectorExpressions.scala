@@ -233,7 +233,15 @@ object VectorExpressions {
       require(args.length == 2)
       MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }),
     ("graft_cms_estimate", { args =>
-      require(args.length == 2); CmsEstimate(args(0), args(1)) }))
+      require(args.length == 2); CmsEstimate(args(0), args(1)) }),
+    ("graft_hist_quantile", { args =>
+      require(args.length == 5)
+      HistQuantile(args(0),
+        GraftExtensions.doubleLiteral(args(1), "lo"),
+        GraftExtensions.doubleLiteral(args(2), "hi"),
+        GraftExtensions.intLiteral(args(3), "bins"),
+        GraftExtensions.doubleLiteral(args(4), "q"))
+        .toAggregateExpression() }))
 
   /** Runtime registration: `SELECT graft_cosine(a, b)` works on the
     * given session afterwards.

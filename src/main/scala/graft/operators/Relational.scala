@@ -742,4 +742,43 @@ object Relational {
         (col("n_violations") === 0L).as("pass"))
       .orderBy(col("expectation"))
   }
+
+  /** Driver query for the custom MERGEABLE quantile sketch
+    * ([[graft.functions.HistQuantile]], the suite's native
+    * `TypedImperativeAggregate`): per-returnflag p50/p95 price
+    * estimates from the sketch next to the EXACT rank-based
+    * percentiles, with the ≤ width/2 error bound certified in-row
+    * (the q26 sketch-bounds honesty contract). The exact side — a
+    * per-group sort — exists here only as certification; at 100 TB
+    * the sketch side is the plan: one scan, constant bins·8 bytes of
+    * partial-agg state per group, sketches merge cell-wise so
+    * arrival/merge order provably cannot perturb the estimate.
+    */
+  def q45SketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HistQuantile
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val (lo, hi, bins) = (0.0, 110000.0, 1100) // width 100 → |err| ≤ 50
+    val est = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      HistQuantile(col("l_extendedprice"), lo, hi, bins, 0.5).as("p50_est"),
+      HistQuantile(col("l_extendedprice"), lo, hi, bins, 0.95).as("p95_est"))
+    val ranked = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def exactAt(q: Double, name: String): DataFrame =
+      ranked.filter(col("rn") ===
+          greatest(lit(1L), ceil(col("nn").cast("double") * lit(q)).cast("long")))
+        .select(col("l_returnflag"), col("l_extendedprice").as(name))
+    est.join(exactAt(0.5, "p50_exact"), "l_returnflag")
+      .join(exactAt(0.95, "p95_exact"), "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        col("p50_est"), col("p50_exact"),
+        CrossEngine.rnd4(abs(col("p50_est") - col("p50_exact"))).as("p50_abs_err"),
+        (abs(col("p50_est") - col("p50_exact")) <= lit(50.0)).cast("long").as("p50_within_bound"),
+        col("p95_est"), col("p95_exact"),
+        CrossEngine.rnd4(abs(col("p95_est") - col("p95_exact"))).as("p95_abs_err"),
+        (abs(col("p95_est") - col("p95_exact")) <= lit(50.0)).cast("long").as("p95_within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -588,6 +588,37 @@ object Dedup {
   def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
     dedupGroups(plantedPairsIndexed(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** KEEPER SELECTION over the near-dup groups — the policy step that
+    * turns "these documents are duplicates of each other" into "this
+    * one survives": per connected component, keep the LONGEST document
+    * (the C4/CCNet convention — the longest copy is usually the least
+    * truncated) with a doc-id tiebreak, and report what was removed.
+    * The ranking key is the exact integer text length, so the winner
+    * is engine-deterministic with no float anywhere.
+    *
+    * Scale: one row_number window partitioned by group label over the
+    * (already label-propagated) group table joined to a (doc, length)
+    * projection — the heavy lifting (candidate pairs, components) is
+    * the shared persisted index + [[dedupGroups]]; this policy pass
+    * adds one window on a relation the size of the DUPLICATED subset,
+    * not the corpus.
+    */
+  def dedupKeepersQuery(s: SparkSession, dir: String): DataFrame = {
+    val groups = dedupGroupsQuery(s, dir)
+    val lens = plantedDocs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id")).orderBy(col("text_len").desc, col("doc_id"))
+    groups.join(lens, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("group_id"), col("group_size"),
+        col("doc_id").as("keeper_doc_id"),
+        col("text_len").as("keeper_len"),
+        (col("group_size") - lit(1L)).as("n_removed"))
+      .orderBy(col("group_id"))
+  }
+
   /** Repeated-substring mining — the suffix-array-class exact-dedup
     * signal (longest token span shared between two documents, with
     * exact offsets), found with joins instead of suffix structures:

@@ -353,4 +353,34 @@ class DedupSpec extends SparkSpec {
     val pairs = banded.map(t => (t._1, t._2)).toSet
     assert(pairs.contains((0L, 2000001L)), s"copy pair missing from ${pairs.take(5)}")
   }
+
+  test("keeper selection: one keeper per group, longest-with-id-tiebreak, planted clones win") {
+    val sfDir = "/root/testdata/sf0.001"
+    val keepers = Dedup.dedupKeepersQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(keepers.nonEmpty)
+    assert(keepers.map(_._1).distinct.length === keepers.length, "one keeper per group")
+    keepers.foreach { case (_, size, _, _, removed) => assert(removed === size - 1) }
+    val groups = Dedup.dedupGroupsQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val lens = Dedup.plantedDocs(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keepers.foreach { case (gid, _, keeper, klen, _) =>
+      val members = groups(gid)
+      assert(members.contains(keeper), s"keeper $keeper not in its group $gid")
+      assert(klen === members.map(lens).max, s"group $gid keeper is not longest")
+      assert(lens(keeper) === klen)
+    }
+    // the five planted clones carry an 'xq ' prefix (+3 chars): in a
+    // pure (source, clone) pair the clone must win keep-longest; a
+    // clone group that also absorbed organic near-dups may keep a
+    // longer organic member (covered by the max-length check above)
+    (0 to 4).foreach { d =>
+      keepers.find(_._1 == d).foreach { k =>
+        if (k._2 == 2) assert(k._3 === d + 1000000L,
+          s"pair group $d should keep the longer clone, kept ${k._3}")
+      }
+    }
+  }
 }

@@ -377,6 +377,7 @@ object SparkEntry {
     "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
     "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
     "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
+    "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -1777,6 +1778,47 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher rule battery — every threshold cross-multiplied to
+    // integer compares, so no float boundary exists on either engine
+    "txt_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(regexp_extract_all(text, '[#]|\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','of','to','and','in','is','it','that','for'])) AS BIGINT) AS stop_distinct,
+        |    CAST(CASE WHEN len(toks) >= 2
+        |      THEN len(list_distinct(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1])))
+        |      ELSE 0 END AS BIGINT) AS distinct_bigrams
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    n_words >= 20 AND n_words <= 80 AS r_word_count,
+        |    word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS r_mean_word_len,
+        |    symbols * 10 <= n_words AS r_symbol_ratio,
+        |    alpha_words * 10 >= n_words * 8 AS r_alpha_words,
+        |    stop_distinct >= 2 AS r_stopwords,
+        |    distinct_bigrams * 2 >= greatest(n_words - 1, 0) AS r_dup_bigram
+        |  FROM c)
+        |SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_alpha_words, r_stopwords, r_dup_bigram,
+        |  CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_alpha_words THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_dup_bigram THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+        |  r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |    AND r_alpha_words AND r_stopwords AND r_dup_bigram AS keep
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "txt_quality" ->

@@ -1255,4 +1255,61 @@ object TextAnalysis {
        |    ON a.word < b.word AND levenshtein(a.word, b.word) = 1)
        |WHERE right_n >= $ratio * wrong_n
        |ORDER BY right_n DESC, right_word, wrong_word LIMIT $topK""".stripMargin
+
+  /** Gopher-style RULE-BASED quality filter (Rae et al. 2021 §A1.1) —
+    * the published boolean pre-filter battery, distinct from the scalar
+    * [[qualityScore]]: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word ratio, a stopword-presence
+    * requirement, and a duplicate-bigram cap. Emits every per-rule
+    * verdict (so a curator can see WHICH rule killed a document), the
+    * failed-rule count, and the final keep flag.
+    *
+    * Determinism: every threshold is evaluated in cross-multiplied
+    * INTEGER arithmetic (e.g. `symbols * 10 <= n_words` instead of
+    * `symbols / n_words <= 0.1`) — there is no float anywhere, so no
+    * engine can disagree at a boundary.
+    *
+    * Scale: one map stage over (doc_id, text); counts come from
+    * higher-order array functions inside whole-stage codegen, the only
+    * shuffle is the output sort. At 100 TB this is scan-bound, which is
+    * the entire point of running the rule battery BEFORE dedup and
+    * embedding stages.
+    */
+  def gopherRules(s: SparkSession, dir: String,
+                  minWords: Long = 20L, maxWords: Long = 80L): DataFrame = {
+    val stopArr = array(StopwordsEn.map(lit): _*)
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("tks"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("tks")).cast("long").as("n_words"),
+        expr("aggregate(tks, 0L, (a, t) -> a + CAST(length(t) AS LONG))")
+          .as("word_chars"),
+        size(expr("filter(tks, t -> t rlike '[A-Za-z]')")).cast("long")
+          .as("alpha_words"),
+        regexp_count(col("text"), lit("[#]|\\.\\.\\.")).cast("long").as("symbols"),
+        size(array_intersect(array_distinct(col("tks")), stopArr)).cast("long")
+          .as("stop_distinct"),
+        when(size(col("tks")) >= 2,
+          size(array_distinct(expr(
+            "transform(sequence(0, size(tks) - 2), i -> concat(tks[i], ' ', tks[i + 1]))"))))
+          .otherwise(lit(0)).cast("long").as("distinct_bigrams"))
+    val rules = counts.select(
+      col("doc_id"), col("n_words"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_word_count"),
+      (col("word_chars") >= lit(3L) * col("n_words") &&
+        col("word_chars") <= lit(10L) * col("n_words")).as("r_mean_word_len"),
+      (col("symbols") * lit(10L) <= col("n_words")).as("r_symbol_ratio"),
+      (col("alpha_words") * lit(10L) >= col("n_words") * lit(8L)).as("r_alpha_words"),
+      (col("stop_distinct") >= lit(2L)).as("r_stopwords"),
+      (col("distinct_bigrams") * lit(2L) >= greatest(col("n_words") - lit(1L), lit(0L)))
+        .as("r_dup_bigram"))
+    val ruleCols = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_words", "r_stopwords", "r_dup_bigram")
+    rules
+      .withColumn("n_failed",
+        ruleCols.map(r => when(col(r), lit(0L)).otherwise(lit(1L))).reduce(_ + _))
+      .withColumn("keep", ruleCols.map(col).reduce(_ && _))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
@@ -396,5 +396,36 @@ class TextAnalysisSpec extends SparkSpec {
       // word's degree counts phrases of length ≤ 4, so degree/freq ≤ 4
       assert(r.getDouble(3) <= 4.0 * words.length + 1e-9)
     }
+  }
+
+  test("gopher rules: verdicts match a scala recomputation and keep == AND of rules") {
+    val out = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.001").collect()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    var failedSomeRule = 0
+    out.foreach { r =>
+      val (id, nWords) = (r.getLong(0), r.getLong(1))
+      val toks = docs(id).trim.split("\\s+").toSeq
+      assert(nWords === toks.length.toLong)
+      val rules = (2 to 7).map(r.getBoolean)
+      val wordChars = toks.map(_.length.toLong).sum
+      val stopDistinct = toks.distinct.count(TextAnalysis.StopwordsEn.contains)
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val expected = Seq(
+        nWords >= 20 && nWords <= 80,
+        wordChars >= 3 * nWords && wordChars <= 10 * nWords,
+        0L * 10 <= nWords, // corpus has no '#'/'...' symbols
+        toks.count(_.exists(_.isLetter)) * 10 >= nWords * 8,
+        stopDistinct >= 2,
+        bigrams.distinct.length * 2 >= bigrams.length)
+      assert(rules === expected, s"doc $id rule verdicts")
+      assert(r.getLong(8) === rules.count(!_).toLong, s"doc $id n_failed")
+      assert(r.getBoolean(9) === rules.forall(identity), s"doc $id keep")
+      if (!rules.forall(identity)) failedSomeRule += 1
+    }
+    assert(failedSomeRule > 0, "thresholds should actually reject some documents")
+    assert(out.exists(_.getBoolean(9)), "and keep others")
   }
 }

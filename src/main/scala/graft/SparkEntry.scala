@@ -375,6 +375,7 @@ object SparkEntry {
     "vec_mmr"            -> (HybridSearch.mmrQuery _),
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
+    "txt_hard_negatives" -> ((s, d) => HybridSearch.hardNegatives(s, d)),
     "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
     "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
     "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
@@ -2466,6 +2467,56 @@ object SparkEntry {
 
     // both rankers re-derived (same CTE stacks as txt_bm25 / vec_knn)
     // plus the RRF fusion arithmetic, all in one oracle
+    // DPR-style hard negatives: BM25 top-20 left-joined to the vector
+    // top-5 — same CTE stacks as txt_bm25 / vec_knn, label by presence
+    "txt_hard_negatives" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 3),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM corpus),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+')[1:8])) AS token
+        |  FROM documents WHERE doc_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN n CROSS JOIN avgs),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY query_id, doc_id),
+        |trank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS text_rank,
+        |    CAST(score_micro AS DOUBLE) / 1000000.0 AS bm25
+        |  FROM agg QUALIFY text_rank <= 20),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |vc AS (SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 3),
+        |vscored AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS s
+        |  FROM vq CROSS JOIN vc),
+        |vrank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS vec_rank,
+        |    floor(s * 10000.0 + 0.5) / 10000.0 AS cosine
+        |  FROM vscored QUALIFY vec_rank <= 5)
+        |SELECT t.query_id, t.text_rank, t.doc_id, t.bm25, v.vec_rank, v.cosine,
+        |  CASE WHEN v.vec_rank IS NOT NULL THEN 'positive' ELSE 'hard_negative' END AS label
+        |FROM trank t LEFT JOIN vrank v USING (query_id, doc_id)
+        |ORDER BY query_id, text_rank""".stripMargin,
+
     "txt_hybrid_rrf" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 3),
         |tok AS (

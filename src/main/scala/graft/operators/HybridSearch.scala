@@ -289,4 +289,47 @@ object HybridSearch {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** HARD-NEGATIVE MINING for retrieval training (the DPR/BM25-negatives
+    * recipe, Karpukhin et al. 2020): for each query, take the lexical
+    * (BM25) top-`lexK` candidates and label each one by whether the
+    * embedding ranker also puts it in its top-`posK` — candidates the
+    * lexical ranker loves but the vector ranker rejects are exactly the
+    * "hard negatives" a contrastive trainer wants (lexically plausible,
+    * semantically wrong). Emits both ranks and the cosine (so the
+    * trainer can margin-filter), with the label as a column.
+    *
+    * Scale: both rankers are the already-oracled top-N plans (BM25's
+    * two hash aggs; kNN's broadcast single scan); the mining step is a
+    * left join of two per-query top-N lists — O(queries × lexK),
+    * corpus-independent, exactly like the RRF fusion above.
+    */
+  def hardNegatives(s: SparkSession, dir: String,
+                    lexK: Int = 20, posK: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("query_text"))
+    val text = TextAnalysis.bm25(docs.filter(col("doc_id") >= 3), queries, topK = lexK)
+      .select(col("query_id"), col("doc_id"),
+        // bm25's score is score_micro/1e6 with score_micro exact
+        // integer on both engines — the division is bit-identical, no
+        // re-rounding needed
+        col("rank").as("text_rank"), col("score").as("bm25"))
+    val emb = Tables.embeddings(s, dir)
+    val vec = VectorOps.knnBrute(
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.filter(col("vec_id") >= 3)
+        .select(col("vec_id"), col("embedding").as("vec")),
+      k = posK)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"), col("score").as("cosine"))
+    text.join(vec, Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("label",
+        when(col("vec_rank").isNotNull, lit("positive")).otherwise(lit("hard_negative")))
+      .select(col("query_id"), col("text_rank"), col("doc_id"),
+        col("bm25"), col("vec_rank"), col("cosine"), col("label"))
+      .orderBy(col("query_id"), col("text_rank"))
+  }
 }

@@ -35,4 +35,27 @@ class HybridSearchSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("hard negatives: labels partition the BM25 list by vector-top-k membership") {
+    val out = HybridSearch.hardNegatives(spark, sfDir, lexK = 20, posK = 5).collect()
+    assert(out.nonEmpty)
+    val vecTop = VectorOps.knnBrute(
+      graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 3)
+        .select(col("vec_id"), col("embedding").as("vec")),
+      k = 5).select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 20)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length.toLong),
+        "text_rank must be dense 1..n")
+    }
+    out.foreach { r =>
+      val inVec = vecTop.contains((r.getLong(0), r.getLong(2)))
+      assert(r.getString(6) === (if (inVec) "positive" else "hard_negative"))
+      assert(inVec === !r.isNullAt(4), "vec_rank null iff not in vector top-k")
+    }
+    assert(out.exists(_.getString(6) == "hard_negative"),
+      "mining must surface at least one hard negative")
+  }
 }

@@ -379,6 +379,7 @@ object SparkEntry {
     "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
     "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
     "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "txt_mix_temp"       -> (TextAnalysis.mixTemperature _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -1780,6 +1781,36 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // sqrt-temperature mixture: shares fixed to integer micros, sqrt
+    // is IEEE-correctly-rounded, normalizer is an exact integer sum
+    "txt_mix_temp" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |q AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000.0
+        |      / CAST(total_tokens AS DOUBLE) + 0.5) AS BIGINT) AS q
+        |  FROM per CROSS JOIN tot),
+        |sr AS (
+        |  SELECT lang, n_docs, n_tokens, q,
+        |    CAST(floor(sqrt(CAST(q AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS sroot
+        |  FROM q),
+        |st AS (SELECT CAST(sum(sroot) AS BIGINT) AS s_total FROM sr)
+        |SELECT lang, n_docs, n_tokens,
+        |  floor(CAST(q AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS p_raw,
+        |  floor(CAST(sroot AS DOUBLE) / CAST(s_total AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS p_temp,
+        |  floor(CAST(sroot AS DOUBLE) / CAST(s_total AS DOUBLE)
+        |    / (CAST(q AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS upsample,
+        |  CAST(floor(CAST(sroot AS DOUBLE) / CAST(s_total AS DOUBLE) * 10000.0 + 0.5)
+        |    AS BIGINT) AS docs_per_10k
+        |FROM sr CROSS JOIN st
+        |ORDER BY lang""".stripMargin,
 
     // Gopher rule battery — every threshold cross-multiplied to
     // integer compares, so no float boundary exists on either engine

@@ -1256,6 +1256,53 @@ object TextAnalysis {
        |WHERE right_n >= $ratio * wrong_n
        |ORDER BY right_n DESC, right_word, wrong_word LIMIT $topK""".stripMargin
 
+  /** TEMPERATURE-SCALED language mixture (the multilingual-sampling
+    * recipe of XLM-R / multilingual NMT): resampling weights
+    * `p_temp ∝ p_raw^α` with α = 0.5 — square-root sampling, which
+    * upsamples low-resource languages without letting them dominate.
+    * Emits per-language token shares, the reweighted sampling
+    * probability, the upsample factor, and the expected document count
+    * under a 10k-document budget.
+    *
+    * Determinism: α is fixed at 0.5 BECAUSE IEEE-754 `sqrt` is
+    * correctly rounded (unlike `pow`, which may differ by an ulp
+    * between engines): the raw share is first fixed to integer
+    * micro-units, `sqrt` of that exact value is bit-identical on both
+    * engines, the result is re-fixed to micros, and the normalizing
+    * sum is then EXACT INTEGER math — no float summation order
+    * anywhere.
+    *
+    * Scale: one hash agg on `lang` (a tiny keyspace) + a broadcast
+    * singleton total — the same shape as [[sourceStats]]; scan-bound
+    * at any corpus size.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"), size(wsTokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    val withQ = perLang.crossJoin(broadcast(total))
+      .withColumn("q", floor(col("n_tokens").cast("double") * lit(1000000.0) /
+        col("total_tokens").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("sroot", floor(sqrt(col("q").cast("double") / lit(1000000.0)) *
+        lit(1000000.0) + lit(0.5)).cast("long"))
+    val sTotal = withQ.agg(sum(col("sroot")).as("s_total"))
+    withQ.crossJoin(broadcast(sTotal))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        (floor(col("q").cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0))
+          .as("p_raw"),
+        (floor(col("sroot").cast("double") / col("s_total").cast("double") *
+          lit(10000.0) + lit(0.5)) / lit(10000.0)).as("p_temp"),
+        (floor(col("sroot").cast("double") / col("s_total").cast("double") /
+          (col("q").cast("double") / lit(1000000.0)) * lit(10000.0) + lit(0.5)) /
+          lit(10000.0)).as("upsample"),
+        floor(col("sroot").cast("double") / col("s_total").cast("double") *
+          lit(10000.0) + lit(0.5)).cast("long").as("docs_per_10k"))
+      .orderBy(col("lang"))
+  }
+
   /** Gopher-style RULE-BASED quality filter (Rae et al. 2021 §A1.1) —
     * the published boolean pre-filter battery, distinct from the scalar
     * [[qualityScore]]: word-count bounds, mean-word-length bounds,

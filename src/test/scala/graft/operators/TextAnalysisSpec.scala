@@ -428,4 +428,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(failedSomeRule > 0, "thresholds should actually reject some documents")
     assert(out.exists(_.getBoolean(9)), "and keep others")
   }
+
+  test("sqrt-temperature mixture: flattens toward uniform without inverting rank") {
+    val out = TextAnalysis.mixTemperature(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length >= 2)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-2, "raw shares sum to ~1")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-2, "temp shares sum to ~1")
+    val byTokens = out.sortBy(_._2)
+    // sqrt compresses: low-resource langs gain mass, high-resource lose,
+    // but the size ORDER of the temperature shares is preserved
+    assert(byTokens.map(_._4).sameElements(byTokens.map(_._4).sorted),
+      "p_temp must stay monotone in corpus size")
+    val (loRaw, loTemp) = (byTokens.head._3, byTokens.head._4)
+    val (hiRaw, hiTemp) = (byTokens.last._3, byTokens.last._4)
+    assert(loTemp > loRaw, "smallest language must be upsampled")
+    assert(hiTemp < hiRaw, "largest language must be downsampled")
+    out.foreach { case (lang, _, raw, temp, up) =>
+      assert(math.abs(up - temp / raw) < 5e-3, s"$lang upsample factor consistency")
+    }
+  }
 }

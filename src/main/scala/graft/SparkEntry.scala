@@ -380,6 +380,7 @@ object SparkEntry {
     "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
     "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "txt_mix_temp"       -> (TextAnalysis.mixTemperature _),
+    "txt_novelty"        -> (TextAnalysis.novelty _),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -1780,6 +1781,27 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // trigram novelty: df over distinct per-doc trigrams, ratio of
+    // exact integers rounded to the 1e-4 grid
+    "txt_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+        |      i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS gram
+        |  FROM toks),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN df USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  floor(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS novelty
+        |FROM agg
         |ORDER BY doc_id""".stripMargin,
 
     // sqrt-temperature mixture: shares fixed to integer micros, sqrt

@@ -1256,6 +1256,43 @@ object TextAnalysis {
        |WHERE right_n >= $ratio * wrong_n
        |ORDER BY right_n DESC, right_word, wrong_word LIMIT $topK""".stripMargin
 
+  /** N-GRAM NOVELTY scoring — the memorization/overlap audit: for each
+    * document, the fraction of its DISTINCT word trigrams that occur in
+    * no other document. Low novelty = the document is assembled from
+    * corpus-common phrasing (boilerplate, near-dup tail); high novelty =
+    * genuinely new text. The same statistic, run against a held-out
+    * eval set instead of the corpus, is the memorization probe.
+    *
+    * Scale: explode to (doc, distinct-trigram), one hash agg counting
+    * document frequency per trigram (map-side combine; shuffle volume
+    * is the distinct-shingle table, same cost class as the inverted
+    * index), one join back, one count-if agg per doc. The ratio divides
+    * two exact integers, so both engines produce the identical double
+    * before the 1e-4 rounding.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))")))
+        .as("gram"))
+      // a doc shorter than 3 tokens contributes its full (short) prefix
+      // once; harmless for the df count and keeps the relation non-empty
+    // (doc_id, gram) is already distinct per doc, so plain count IS
+    // the document frequency — no countDistinct expansion needed
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        rnd4(col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TEMPERATURE-SCALED language mixture (the multilingual-sampling
     * recipe of XLM-R / multilingual NMT): resampling weights
     * `p_temp ∝ p_raw^α` with α = 0.5 — square-root sampling, which

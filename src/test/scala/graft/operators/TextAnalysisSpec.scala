@@ -448,4 +448,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(up - temp / raw) < 5e-3, s"$lang upsample factor consistency")
     }
   }
+
+  test("novelty: matches a brute-force trigram df recomputation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    def grams(toks: Seq[String]): Set[String] =
+      if (toks.length < 3) Set(toks.take(3).mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val dfCount = docs.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(out.size === docs.length)
+    docs.foreach { case (id, toks) =>
+      val g = grams(toks)
+      val novel = g.count(dfCount(_) == 1)
+      val (nGrams, nNovel, ratio) = out(id)
+      assert(nGrams === g.size.toLong, s"doc $id gram count")
+      assert(nNovel === novel.toLong, s"doc $id novel count")
+      assert(math.abs(ratio - novel.toDouble / g.size) < 1e-4 + 1e-9, s"doc $id ratio")
+    }
+    assert(out.values.exists(_._3 < 1.0), "some trigrams must repeat across docs")
+  }
 }

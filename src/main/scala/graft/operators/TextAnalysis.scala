@@ -1271,22 +1271,30 @@ object TextAnalysis {
     * before the 1e-4 rounding.
     */
   def novelty(s: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE into a projected column — a lambda that re-split
+    // the text per trigram would be O(tokens²) regex work per doc
     val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).as("tks"))
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, greatest(size(split(trim(text), '\\\\s+')) - 3, 0)), " +
-          "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, 3)))")))
-        .as("gram"))
-      // a doc shorter than 3 tokens contributes its full (short) prefix
-      // once; harmless for the df count and keeps the relation non-empty
-    // (doc_id, gram) is already distinct per doc, so plain count IS
-    // the document frequency — no countDistinct expansion needed
-    val df = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-    grams.join(df, "gram")
+        "transform(sequence(0, greatest(size(tks) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(tks, i + 1, 3)))"))).as("gram"))
+    // a doc shorter than 3 tokens contributes its full (short) prefix
+    // once; harmless for the df count and keeps the relation non-empty.
+    // (doc_id, gram) is distinct per doc, so count(*) IS the document
+    // frequency — and a df=1 gram's min(doc_id) IS its only owner, so
+    // the per-doc novel count needs NO join back through the corpus-
+    // sized gram relation: one gram-keyed agg + two narrow doc-keyed
+    // aggs + a doc-doc join.
+    val perGram = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+    val novelPerDoc = perGram.filter(col("df") === 1L)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .agg(count(lit(1)).as("n_novel"))
+    val totalPerDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    totalPerDoc.join(novelPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         rnd4(col("n_novel").cast("double") / col("n_grams").cast("double"))
           .as("novelty"))

@@ -340,6 +340,7 @@ object SparkEntry {
     "ev_stl"             -> (Events.stl _),
     "ev_attribution"     -> ((s, d) => Events.attribution(s, d)),
     "ev_chisq"           -> (Events.chiSquare _),
+    "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -795,6 +796,51 @@ object SparkEntry {
         |  CAST(sum(contrib_micro) OVER () AS DOUBLE) / 1000000.0 AS chi2_total
         |FROM k
         |ORDER BY dow, event_type""".stripMargin,
+
+    // adjusted 8-tap EWMA re-derived: integer-cent dailies over a
+    // calendar spine, BIGINT tap weights 3^i*4^(7-i), one final
+    // division of identical integers on both engines, then rnd4
+    "ev_ewma" ->
+      """WITH daily0 AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_c
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS day_d
+        |  FROM (SELECT event_type, min(day_d) AS lo, max(day_d) AS hi
+        |        FROM daily0 GROUP BY 1)),
+        |daily AS (
+        |  SELECT s.event_type, s.day_d, coalesce(v_c, CAST(0 AS BIGINT)) AS v_c
+        |  FROM spine s LEFT JOIN daily0 d USING (event_type, day_d)),
+        |lagged AS (
+        |  SELECT event_type, day_d, v_c,
+        |    lag(v_c, 1) OVER w AS x1, lag(v_c, 2) OVER w AS x2,
+        |    lag(v_c, 3) OVER w AS x3, lag(v_c, 4) OVER w AS x4,
+        |    lag(v_c, 5) OVER w AS x5, lag(v_c, 6) OVER w AS x6,
+        |    lag(v_c, 7) OVER w AS x7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_d)),
+        |terms AS (
+        |  SELECT event_type, day_d, v_c,
+        |    16384 * v_c + 12288 * coalesce(x1, 0) + 9216 * coalesce(x2, 0)
+        |      + 6912 * coalesce(x3, 0) + 5184 * coalesce(x4, 0)
+        |      + 3888 * coalesce(x5, 0) + 2916 * coalesce(x6, 0)
+        |      + 2187 * coalesce(x7, 0) AS num,
+        |    16384 + CASE WHEN x1 IS NULL THEN 0 ELSE 12288 END
+        |      + CASE WHEN x2 IS NULL THEN 0 ELSE 9216 END
+        |      + CASE WHEN x3 IS NULL THEN 0 ELSE 6912 END
+        |      + CASE WHEN x4 IS NULL THEN 0 ELSE 5184 END
+        |      + CASE WHEN x5 IS NULL THEN 0 ELSE 3888 END
+        |      + CASE WHEN x6 IS NULL THEN 0 ELSE 2916 END
+        |      + CASE WHEN x7 IS NULL THEN 0 ELSE 2187 END AS den
+        |  FROM lagged)
+        |SELECT event_type,
+        |  CAST(to_timestamp(day_d * 86400) AS TIMESTAMP) AS day_ts,
+        |  CAST(v_c AS DOUBLE) / 100.0 AS v_sum,
+        |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS ewma
+        |FROM terms
+        |ORDER BY event_type, day_ts""".stripMargin,
 
     // the three attribution models re-derived: same windowed join,
     // per-purchase ranking with the event-id tiebreak, and integer

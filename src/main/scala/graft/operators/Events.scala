@@ -689,4 +689,56 @@ object Events {
           col("trend_sum").cast("double") / lit(7.0) - col("seasonal")).as("remainder"))
       .orderBy(col("day_ts"))
   }
+
+  /** EWMA smoothing of the daily per-type value series — the
+    * classic trend-following smoother a metrics/quality pipeline
+    * layers over raw dailies. α = 1/4, TRUNCATED at 8 taps: the
+    * dropped tail carries weight (3/4)^8 ≈ 10%, renormalized away by
+    * dividing through the realized weight mass, which also gives the
+    * standard "adjusted" EWMA warm-up at the series head.
+    *
+    * Cross-engine exactness by construction: values enter as integer
+    * CENTS (`floor(v*100+0.5)` per row, then an associative BIGINT
+    * sum — no float-sum order sensitivity), and the 8 tap weights are
+    * the INTEGERS wᵢ = 3ⁱ·4^(7−ⁱ) (α(1−α)ⁱ·4⁸), so numerator and
+    * denominator are exact BIGINTs on both engines; the single final
+    * division of identical integers is bit-identical, then rnd4.
+    *
+    * Scale shape: the only corpus-sized stage is the daily hash agg
+    * (map-side combinable, one shuffle). The window runs over the
+    * AGGREGATED series — days × event_types rows, thousands at 100 TB
+    * — so the per-type window partition skew is irrelevant; spine
+    * fill guarantees the taps are calendar-contiguous.
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("day_d"))
+      .agg(sum(col("v_c")).as("v_c"))
+    val spine = daily0.groupBy(col("event_type"))
+      .agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day_d"))
+    val daily = spine.join(daily0, Seq("event_type", "day_d"), "left")
+      .select(col("event_type"), col("day_d"), coalesce(col("v_c"), lit(0L)).as("v_c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_d"))
+    // wᵢ = 3^i · 4^(7−i): [16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187]
+    val weights = (0 to 7).map(i => (0 until i).foldLeft(1L)((a, _) => a * 3) *
+      (0 until 7 - i).foldLeft(1L)((a, _) => a * 4))
+    val taps = (0 to 7).map { i =>
+      val x = if (i == 0) col("v_c") else lag(col("v_c"), i).over(w)
+      (when(x.isNotNull, x * lit(weights(i))).otherwise(lit(0L)),
+        when(x.isNotNull, lit(weights(i))).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("num", taps.map(_._1).reduce(_ + _))
+      .withColumn("den", taps.map(_._2).reduce(_ + _))
+      .select(col("event_type"),
+        (col("day_d") * 86400L).cast("timestamp").as("day_ts"),
+        (col("v_c").cast("double") / 100.0).as("v_sum"),
+        CrossEngine.rnd4(
+          col("num").cast("double") / col("den").cast("double") / 100.0).as("ewma"))
+      .orderBy(col("event_type"), col("day_ts"))
+  }
 }

@@ -242,4 +242,28 @@ class EventsSpec extends SparkSpec {
         s"decomposition identity violated: $n vs ${t + sea + rem}")
     }
   }
+
+  test("ewma: warm-up head equals the daily, steady state is a convex smoother") {
+    val byType = Events.ewma(spark, sfDir)
+      .select("event_type", "v_sum", "ewma").collect()
+      .groupBy(_.getString(0)).values.map(_.map(r => (r.getDouble(1), r.getDouble(2))))
+    assert(byType.nonEmpty)
+    byType.foreach { series =>
+      // adjusted warm-up: with one tap the renormalized EWMA IS the daily
+      assert(math.abs(series.head._1 - series.head._2) <= 1e-4)
+      // convexity: every smoothed value sits inside the min/max of the
+      // 8 dailies feeding it (weights are positive and sum to the mass)
+      series.indices.foreach { t =>
+        val taps = series.slice(math.max(0, t - 7), t + 1).map(_._1)
+        assert(series(t)._2 >= taps.min - 1e-4 && series(t)._2 <= taps.max + 1e-4,
+          s"ewma ${series(t)._2} outside tap hull [${taps.min}, ${taps.max}] at $t")
+      }
+      // and it actually smooths: past warm-up the tap weights are fixed,
+      // so |Δewma| ≤ Σwᵢ|Δx₋ᵢ| telescopes to TV(ewma) ≤ TV(dailies)
+      def tv(xs: Seq[Double]) = xs.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum
+      if (series.length > 9)
+        assert(tv(series.drop(8).map(_._2).toSeq) <=
+          tv(series.map(_._1).toSeq) + 1e-9)
+    }
+  }
 }

@@ -19,16 +19,26 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = table(s, dir, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default. Read nanos as raw longs and floor to
-    * microseconds — Spark's native timestamp precision. (DuckDB reads
-    * the same file at nano precision, so oracle queries must truncate
-    * to seconds before comparing; see graft.operators.Events.)
+  /** The events table's `ts` column has changed physical type across
+    * testdata generations — parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects by default, hence `nanosAsLong` + a micros floor)
+    * in earlier rounds, plain TIMESTAMP(MICROS) (surfacing as
+    * TIMESTAMP_NTZ) in later ones. Adapt on the OBSERVED schema so
+    * both generations load to the same session-zone `timestamp`
+    * (the session runs UTC, so the NTZ cast is wall-clock identity
+    * and every downstream window/oracle contract is unchanged).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: micros precision already, re-zone only
+        raw.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")

@@ -36,29 +36,14 @@ object OpqRotation {
     */
   def meanCovariance(corpus: DataFrame, vecCol: String,
                      dim: Int): (Array[Double], Array[Array[Double]]) = {
-    val sums = corpus
-      .select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("v"))
-      .select(col("i"), col("xi").cast("double").as("xi"),
-        posexplode(col("v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj").cast("double")).as("sxx"),
-        // diagonal rows see each x_i exactly once, so they carry the
-        // mean's numerator AND the row count — one corpus pass total
-        sum(when(col("j") === col("i"), col("xi")).otherwise(lit(0.0))).as("sx"),
-        sum(when(col("j") === col("i"), lit(1.0)).otherwise(lit(0.0))).as("cnt"))
-      .collect()
-    val n = sums.collectFirst { case r if r.getInt(0) == r.getInt(1) => r.getDouble(4) }
-      .getOrElse(0.0)
+    val flat = corpus
+      .agg(graft.functions.MatrixExpressions
+        .vecOuterSum(col(vecCol), col(vecCol), dim).as("m"))
+      .head().getSeq[Double](0)
+    val (n, sx, sxx) =
+      graft.functions.MatrixExpressions.decodeMoments(flat, dim)
     require(n > 0, "covariance of an empty corpus")
-    val mean = new Array[Double](dim)
-    val sxx = Array.ofDim[Double](dim, dim)
-    sums.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      sxx(i)(j) = r.getDouble(2)
-      sxx(j)(i) = r.getDouble(2)
-      if (i == j) mean(i) = r.getDouble(3) / n
-    }
+    val mean = sx.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => sxx(i)(j) / n - mean(i) * mean(j))
     (mean, cov)
   }
@@ -151,16 +136,15 @@ object OpqRotation {
     * (train, encode, LUT). Centering is free fidelity: rotation about
     * the mean is still an isometry of the corpus, and residuals
     * around 0 quantize better than raw coordinates.
+    *
+    * Delegates to the native [[graft.functions.MatVecCentered]]
+    * kernel — the original `transform`/`aggregate` HOF fold evaluated
+    * dim² interpreted lambdas per row (HOFs are CodegenFallback);
+    * the kernel generates one tight `double[]` loop with the SAME
+    * left-to-right double accumulation and per-lane float cast, so
+    * results are bitwise-unchanged.
     */
   def rotateExpr(vec: Column, rot: Array[Array[Double]],
-                 mean: Array[Double]): Column = {
-    val dim = mean.length
-    val rLit = typedLit(rot.flatten.toSeq)
-    val mLit = typedLit(mean.toSeq)
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, j) =>
-        acc + element_at(rLit, i * dim + j + 1) *
-          (element_at(vec, j + 1).cast("double") - element_at(mLit, j + 1)))
-        .cast("float"))
-  }
+                 mean: Array[Double]): Column =
+    graft.functions.MatrixExpressions.matVec(vec, rot, mean)
 }

@@ -44,21 +44,20 @@ object Procrustes {
   }
 
   /** Cross-covariance M[i][j] = Σ y[i]·x[j] in ONE aggregation pass
-    * (full matrix — M is not symmetric). dim² cells collected to the
+    * (full matrix — M is not symmetric), via the one-buffer
+    * [[graft.functions.VecOuterSum]] moment aggregate: the per-row
+    * cost is dim² fused multiply-adds in a generated-free while loop
+    * and only one `double[1+dim+dim²]` buffer per partition reaches
+    * the exchange — no rows·dim² explode. dim² cells collected to the
     * driver: model parameters, not data.
     */
   private[operators] def crossCovariance(pairs: DataFrame, xCol: String,
                                          yCol: String, dim: Int): Array[Array[Double]] = {
-    val sums = pairs
-      .select(posexplode(col(yCol)).as(Seq("i", "yi")), col(xCol).as("x"))
-      .select(col("i"), col("yi").cast("double").as("yi"),
-        posexplode(col("x")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("yi") * col("xj").cast("double")).as("m"))
-      .collect()
-    val m = Array.ofDim[Double](dim, dim)
-    sums.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    m
+    val flat = pairs
+      .agg(graft.functions.MatrixExpressions
+        .vecOuterSum(col(yCol), col(xCol), dim).as("m"))
+      .head().getSeq[Double](0)
+    graft.functions.MatrixExpressions.decodeMoments(flat, dim)._3
   }
 
   /** R̂ = UVᵀ from M's SVD, via the symmetric eigensolve of MᵀM:

@@ -36,13 +36,24 @@ object StreamDemo {
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       inbox.resolve("batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream
+    // The stream schema must match the file's physical `ts` type,
+    // which differs across testdata generations (nanos-as-long vs
+    // native micros) — take it from a batch read of the same file,
+    // then normalize to a session-zone timestamp like graft.Tables.
+    val schema: StructType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsIsLong =
+      schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val stream0 = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inbox.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream =
+      if (tsIsLong)
+        stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else
+        stream0.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
 
     val q = EventStreams.hourlyCounts(stream, watermark = "30 minutes")
       .writeStream

@@ -289,27 +289,45 @@ object Graph {
     * against the PREVIOUS frontier only (never the full reached set),
     * a distinct, and an anti-join to drop already-reached nodes — so
     * layer i's cost is O(edges touching frontier_i), the textbook
-    * distributed-BFS shape. `localCheckpoint` truncates the iterative
-    * lineage each round (the [[pagerankOnWeightedEdges]] discipline);
-    * at 100 TB the edge list is bucketed by `src` so every layer's
-    * join is co-partitioned and the frontier alone moves.
+    * distributed-BFS shape.
+    *
+    * Materialization is FRONTIER-ONLY: each layer `localCheckpoint`s
+    * just its new delta (truncating the iterative lineage, the
+    * [[pagerankOnWeightedEdges]] discipline), and the result is the
+    * lazy union of the per-layer deltas — re-checkpointing the whole
+    * reached set every round was one full-union job per hop for data
+    * the earlier rounds had already pinned.
+    *
+    * `broadcastFrontier = true` ships each layer's probe AND the
+    * reached-node anti-join side as broadcasts, so a layer costs zero
+    * exchanges of the edge list. That is only sound when the
+    * reachable vertex set is dimension-sized (here: part keys of the
+    * co-purchase graph); for billion-node graphs keep the default and
+    * bucket the edge list by `src` so every layer's join is
+    * co-partitioned and the frontier alone moves.
     */
   def khopOnEdges(edges: DataFrame, seeds: DataFrame, hops: Int,
-                  materialize: Boolean = true): DataFrame = {
+                  materialize: Boolean = true,
+                  broadcastFrontier: Boolean = false): DataFrame = {
     val sel = edges.select(col("src"), col("dst"))
     val e = if (materialize) sel.localCheckpoint(true) else sel
-    var reached = seeds.select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+    var frontiers = List(
+      seeds.select(col("node"), lit(0L).as("hops")).localCheckpoint(true))
     for (i <- 1 to hops) {
-      val frontier = reached.filter(col("hops") === lit(i - 1L))
-        .select(col("node").as("src"))
-      val next = e.join(frontier, "src")
+      val prev = frontiers.head.select(col("node").as("src"))
+      val reachedNodes = frontiers.map(_.select(col("node")))
+        .reduce(_ unionByName _)
+      val next = e
+        .join(if (broadcastFrontier) broadcast(prev) else prev, "src")
         .select(col("dst").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
+        .join(if (broadcastFrontier) broadcast(reachedNodes) else reachedNodes,
+          Seq("node"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-      reached = reached.unionByName(next).localCheckpoint(true)
+        .localCheckpoint(true)
+      frontiers ::= next
     }
-    reached.orderBy(col("hops"), col("node"))
+    frontiers.reverse.reduce(_ unionByName _)
+      .orderBy(col("hops"), col("node"))
   }
 
   /** Item-item Jaccard neighbors — the classic co-occurrence
@@ -361,7 +379,9 @@ object Graph {
     val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
-    khopOnEdges(edges, seeds, hops, materialize = false)
+    // part keys are a dimension: the whole reachable set broadcasts
+    khopOnEdges(edges, seeds, hops, materialize = false,
+      broadcastFrontier = true)
       .select(col("node").as("p_partkey"), col("hops"))
   }
 }

@@ -834,7 +834,7 @@ object Dedup {
                             bitsPerTable: Int, dim: Int): (DataFrame, DataFrame) = {
     val k = semanticK(v.count(), targetClusterSize)
     val cap = targetClusterSize.toLong * maxClusterFactor
-    val cents = VectorOps.kmeansCentroids(v, k, iters)
+    val cents = VectorOps.kmeansCentroidsCached(v, k, iters)
     val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
     val assigned = v.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
     val sizes = assigned.groupBy(col("label")).agg(count(lit(1)).as("_csize"))

@@ -244,6 +244,26 @@ object VectorOps {
     cents
   }
 
+  /** [[kmeansCentroids]] memoized on the SAME content fingerprint the
+    * persisted-index path keys its on-disk artifacts by
+    * ([[VectorIndex.fingerprint]]) — train-once/serve-many at
+    * driver-session granularity. Several queries in the suite train
+    * coarse centroids over the identical corpus with identical
+    * params (k-means IVF, the recall curve, IVF-PQ's coarse stage,
+    * semantic dedup); proving the corpus unchanged costs one
+    * map-side-partial hash pass vs `iters` full train passes.
+    * Centroids are model parameters (k·dim doubles), so the cache is
+    * bytes-sized; cleared wholesale if it ever grows past 64 models.
+    */
+  private val centroidCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Seq[Double])]]
+  def kmeansCentroidsCached(corpus: DataFrame, k: Int,
+                            iters: Int): Seq[(Int, Seq[Double])] = {
+    val key = VectorIndex.fingerprint(corpus, k, iters)
+    if (centroidCache.size > 64) centroidCache.clear()
+    centroidCache.getOrElseUpdate(key, kmeansCentroids(corpus, k, iters))
+  }
+
   /** IVF over LEARNED k-means clusters (vs [[annIvf]]'s supplied
     * partition labels): train coarse centroids, assign the corpus
     * once, then run the same probe-and-search tail — at scale the
@@ -252,7 +272,7 @@ object VectorOps {
     */
   def annIvfKmeans(queries: DataFrame, corpus: DataFrame, k: Int,
                    kClusters: Int = 16, iters: Int = 2, nprobe: Int = 12): DataFrame = {
-    val cents = kmeansCentroids(corpus, kClusters, iters)
+    val cents = kmeansCentroidsCached(corpus, kClusters, iters)
     // final assignment is the same map-stage argmin as training — at
     // scale this is the write-time bucketing step, still zero shuffles
     val labeled = corpus.select(col("vec_id"),
@@ -668,7 +688,7 @@ object VectorOps {
                                     coarseIters: Int, m: Int, kCodes: Int,
                                     pqIters: Int, dim: Int)
       : (Seq[(Int, Seq[Double])], Array[Double]) = {
-    val cents = kmeansCentroids(corpus, kClusters, coarseIters)
+    val cents = kmeansCentroidsCached(corpus, kClusters, coarseIters)
     val flat = pqTrain(ivfPqResiduals(corpus, cents), m, kCodes, pqIters, dim)
     (cents, flat)
   }
@@ -895,7 +915,7 @@ object VectorOps {
     */
   def annRecallCurve(queries: DataFrame, corpus: DataFrame, k: Int,
                      kClusters: Int = 16, iters: Int = 2): DataFrame = {
-    val cents = kmeansCentroids(corpus, kClusters, iters)
+    val cents = kmeansCentroidsCached(corpus, kClusters, iters)
     val labeledFull = corpus.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("label"))
     val labeled = labeledFull.select(col("vec_id"), col("label"))

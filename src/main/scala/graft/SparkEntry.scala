@@ -403,6 +403,7 @@ object SparkEntry {
     "q41_bins"           -> (Relational.q41Bins _),
     "q42_ols"            -> (Relational.q42Ols _),
     "q45_sketch_quantile" -> (Relational.q45SketchQuantile _),
+    "q46_kmv_overlap"    -> (DistinctSketch.vocabOverlapQuery _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
@@ -716,6 +717,84 @@ object SparkEntry {
     // the custom TypedImperativeAggregate's bucket/cum-walk estimate
     // re-derived from the same clamped-bucket counts; exact side is
     // the rank-th smallest value; all bounds checked on identical
+    // KMV sketch re-derived in SQL: the sketch is a pure function of
+    // the distinct hash set (k smallest), so `row_number() <= k` over
+    // the distinct 60-bit md5-prefix hashes IS the sketch; every
+    // estimate repeats the Spark side's IEEE double expression shape.
+    "q46_kmv_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |    FROM h)
+        |  WHERE r <= 256),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sk FROM sk GROUP BY source),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM h GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM nd a JOIN nd b ON a.source < b.source),
+        |uni AS (
+        |  SELECT src_a, src_b, h,
+        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r,
+        |    count(*) OVER (PARTITION BY src_a, src_b) AS nu
+        |  FROM (
+        |    SELECT DISTINCT p.src_a, p.src_b, s.h
+        |    FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b)),
+        |comb AS (SELECT * FROM uni WHERE r <= 256),
+        |cstat AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS kp,
+        |    max(h) AS theta, CAST(max(nu) AS BIGINT) AS nu
+        |  FROM comb GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c.src_a, c.src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM comb c
+        |  JOIN sk sa ON sa.source = c.src_a AND sa.h = c.h
+        |  JOIN sk sb ON sb.source = c.src_b AND sb.h = c.h
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.src_a, p.src_b, c.kp,
+        |    COALESCE(m.n_common, 0) AS n_common_sketch,
+        |    CAST(COALESCE(m.n_common, 0) AS DOUBLE) / CAST(c.kp AS DOUBLE)
+        |      AS jaccard_est,
+        |    CASE WHEN sza.n_sk < 256 AND szb.n_sk < 256
+        |         THEN CAST(c.nu AS DOUBLE)
+        |         ELSE CAST(c.kp - 1 AS DOUBLE) * 1152921504606846976.0 /
+        |              CAST(c.theta AS DOUBLE) END AS union_est,
+        |    COALESCE(ex.exact_inter, 0) AS exact_inter,
+        |    nda.n_distinct + ndb.n_distinct - COALESCE(ex.exact_inter, 0)
+        |      AS exact_union
+        |  FROM pairs p
+        |  JOIN cstat c ON c.src_a = p.src_a AND c.src_b = p.src_b
+        |  JOIN sz sza ON sza.source = p.src_a
+        |  JOIN sz szb ON szb.source = p.src_b
+        |  JOIN nd nda ON nda.source = p.src_a
+        |  JOIN nd ndb ON ndb.source = p.src_b
+        |  LEFT JOIN m ON m.src_a = p.src_a AND m.src_b = p.src_b
+        |  LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b)
+        |SELECT src_a, src_b, kp AS k_combined, n_common_sketch,
+        |  floor(jaccard_est * 10000.0 + 0.5) / 10000.0 AS jaccard_est,
+        |  floor(jaccard_est * union_est * 10000.0 + 0.5) / 10000.0 AS inter_est,
+        |  exact_inter, exact_union,
+        |  floor(CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS jaccard_exact,
+        |  floor(abs(jaccard_est * union_est - CAST(exact_inter AS DOUBLE)) /
+        |    CAST(greatest(exact_inter, 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS inter_rel_err
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // IEEE arithmetic
     "q45_sketch_quantile" ->
       """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),

@@ -340,6 +340,7 @@ object SparkEntry {
     "ev_stl"             -> (Events.stl _),
     "ev_attribution"     -> ((s, d) => Events.attribution(s, d)),
     "ev_chisq"           -> (Events.chiSquare _),
+    "ev_concurrency"     -> (Events.concurrency _),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -382,6 +383,7 @@ object SparkEntry {
     "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "txt_mix_temp"       -> (TextAnalysis.mixTemperature _),
     "txt_novelty"        -> (TextAnalysis.novelty _),
+    "txt_wsample"        -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -405,6 +407,10 @@ object SparkEntry {
     "q45_sketch_quantile" -> (Relational.q45SketchQuantile _),
     "q46_kmv_overlap"    -> (DistinctSketch.vocabOverlapQuery _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
+    "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
+    "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
+    "q49_sampled_agg"    -> ((s, d) => Relational.q49SampledAgg(s, d)),
+    "q50_ldiversity"     -> ((s, d) => Profile.lDiversity(s, d)),
     "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
@@ -1560,6 +1566,112 @@ object SparkEntry {
         |SELECT node AS p_partkey, hops FROM r3
         |ORDER BY hops, p_partkey""".stripMargin,
 
+    // Horvitz–Thompson over Bernoulli-sampled ORDER clusters: SE²
+    // = ((1−f)/f²)·Σ t² from the sample's own integer moment sums
+    // (exact longs — quantities are whole-valued), same double-op order
+    "q49_sampled_agg" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT l_returnflag, l_orderkey, CAST(sum(qty) AS BIGINT) AS t
+        |  FROM li
+        |  WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 10
+        |  GROUP BY l_returnflag, l_orderkey),
+        |samp AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n_orders,
+        |    CAST(sum(t) AS BIGINT) AS s_qty,
+        |    CAST(sum(t * t) AS BIGINT) AS ss_qty
+        |  FROM ord GROUP BY l_returnflag),
+        |exact AS (
+        |  SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS true_qty
+        |  FROM li GROUP BY l_returnflag),
+        |j AS (
+        |  SELECT samp.l_returnflag, n_orders, s_qty, ss_qty, true_qty,
+        |    sqrt(((1.0 - 0.1) / (0.1 * 0.1)) * CAST(ss_qty AS DOUBLE)) AS se,
+        |    CAST(s_qty AS DOUBLE) * 10.0 AS est
+        |  FROM samp JOIN exact ON samp.l_returnflag = exact.l_returnflag)
+        |SELECT l_returnflag, n_orders,
+        |  s_qty * 10 AS est_qty, true_qty,
+        |  floor(se * 10000.0 + 0.5) / 10000.0 AS se_qty,
+        |  floor((est - CAST(true_qty AS DOUBLE)) * 100.0 / CAST(true_qty AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS err_pct,
+        |  abs(est - CAST(true_qty AS DOUBLE)) <= 2.0 * se AS within_2se
+        |FROM j
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q50_ldiversity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    count(DISTINCT c_mktsegment) AS n_sensitive,
+        |    count(*) AS class_size
+        |  FROM customer
+        |  GROUP BY c_nationkey, bal_bucket)
+        |SELECT c_nationkey,
+        |  count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+        |  CAST(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+        |  min(n_sensitive) AS min_diversity
+        |FROM classes
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q48_kanon" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    count(*) AS class_size
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment, bal_bucket)
+        |SELECT c_nationkey,
+        |  count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  min(class_size) AS min_class_size
+        |FROM classes
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // bounded 3-round min-label propagation unrolled (the q43 shape)
+    // over the ≥2-distinct-order sparsified co-purchase graph
+    "q47_communities" ->
+      """WITH p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb
+        |  HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |e AS (
+        |  SELECT pa AS src, pb AS dst FROM p
+        |  UNION ALL
+        |  SELECT pb AS src, pa AS dst FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS MATERIALIZED (
+        |  SELECT node, min(label) AS label FROM (
+        |    SELECT node, label FROM l0
+        |    UNION ALL
+        |    SELECT e.dst AS node, l0.label FROM e JOIN l0 ON e.src = l0.node)
+        |  GROUP BY node),
+        |l2 AS MATERIALIZED (
+        |  SELECT node, min(label) AS label FROM (
+        |    SELECT node, label FROM l1
+        |    UNION ALL
+        |    SELECT e.dst AS node, l1.label FROM e JOIN l1 ON e.src = l1.node)
+        |  GROUP BY node),
+        |l3 AS MATERIALIZED (
+        |  SELECT node, min(label) AS label FROM (
+        |    SELECT node, label FROM l2
+        |    UNION ALL
+        |    SELECT e.dst AS node, l2.label FROM e JOIN l2 ON e.src = l2.node)
+        |  GROUP BY node)
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(node) AS BIGINT) AS sum_members
+        |FROM l3
+        |GROUP BY label
+        |ORDER BY n_members DESC, community
+        |LIMIT 50""".stripMargin,
+
     "q33_pagerank" ->
       """WITH e AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -1799,6 +1911,52 @@ object SparkEntry {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // two-level sweep line mirrored exactly: ±1 session-boundary
+    // deltas (ends at end+1s, starts-before-ends tie order), in-hour
+    // ordered prefix sums, hour-net global running base
+    "ev_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN CAST(epoch(ts_s) AS BIGINT) -
+        |              CAST(epoch(lag(ts_s) OVER w) AS BIGINT) <= 1800
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(ts_s) AS session_start, max(ts_s) AS session_end
+        |  FROM numbered GROUP BY user_id, session_seq),
+        |deltas AS (
+        |  SELECT session_start AS t, 1 AS delta,
+        |    date_trunc('hour', session_start) AS hour FROM sess
+        |  UNION ALL
+        |  SELECT session_end + INTERVAL 1 SECOND AS t, -1 AS delta,
+        |    date_trunc('hour', session_end + INTERVAL 1 SECOND) AS hour FROM sess),
+        |r AS (
+        |  SELECT hour, delta,
+        |    sum(delta) OVER (PARTITION BY hour ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_in_hour
+        |  FROM deltas),
+        |h AS (
+        |  SELECT hour, max(run_in_hour) AS max_in_hour, sum(delta) AS net,
+        |    sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts
+        |  FROM r GROUP BY hour),
+        |f AS (
+        |  SELECT hour, n_starts, net, max_in_hour,
+        |    coalesce(sum(net) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        |  FROM h)
+        |SELECT hour, CAST(n_starts AS BIGINT) AS n_starts,
+        |  CAST(base + greatest(max_in_hour, 0) AS BIGINT) AS max_concurrent,
+        |  CAST(base + net AS BIGINT) AS open_at_end
+        |FROM f ORDER BY hour""".stripMargin,
+
     "ev_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
@@ -1910,6 +2068,19 @@ object SparkEntry {
 
     // trigram novelty: df over distinct per-doc trigrams, ratio of
     // exact integers rounded to the 1e-4 grid
+    // same double-op order as the Spark side: u from the first 8 md5
+    // hex chars, arrival = -ln(u)/n_chars, floored at 1e12 with
+    // doc_id tie-break — the cutoff is integer-deterministic
+    "txt_wsample" ->
+      """SELECT doc_id, lang, source, n_chars, key_micro FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(floor((-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |                    / 4294967296.0)
+        |               / CAST(n_chars AS DOUBLE)) * 1e12) AS BIGINT) AS key_micro
+        |  FROM documents)
+        |ORDER BY key_micro, doc_id
+        |LIMIT 200""".stripMargin,
+
     "txt_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

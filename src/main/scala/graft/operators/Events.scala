@@ -57,6 +57,57 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Max-concurrent-sessions per hour — the interval-overlap /
+    * capacity metric, computed as a TWO-LEVEL sweep line so the
+    * classic single-threaded global cumsum never materializes:
+    * sessions become ±1 boundary deltas, each HOUR does a
+    * partition-local ordered prefix sum (bounded work, parallel
+    * across hours), and only the per-hour NET deltas — one row per
+    * hour, not per event — meet in the tiny global running sum that
+    * anchors each hour's base occupancy. Max concurrency in an hour =
+    * base + max in-hour prefix. At 100 TB the event-level work stays
+    * embarrassingly parallel and the serial window touches only
+    * #hours rows. Ends are swept at `end + 1 s` (sessions occupy
+    * their inclusive last second); simultaneous boundaries order
+    * starts before ends, the inclusive-overlap convention. Hours with
+    * no boundary crossings carry no row (occupancy is constant and
+    * equal to the previous hour's `open_at_end`).
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame =
+    concurrencyOfSessions(sessions(s, dir))
+
+  /** The sweep itself, over any (session_start, session_end) interval
+    * relation. `max_concurrent` clamps the in-hour prefix at 0: an
+    * hour whose only boundaries are ends peaks at its START-of-hour
+    * occupancy (the base), not after its first departure.
+    */
+  def concurrencyOfSessions(sess: DataFrame): DataFrame = {
+    val deltas = sess
+      .select(explode(array(
+        struct(col("session_start").as("t"), lit(1).as("delta")),
+        struct((col("session_end") + expr("INTERVAL 1 SECOND")).as("t"),
+          lit(-1).as("delta")))).as("d"))
+      .select(col("d.t").as("t"), col("d.delta").as("delta"),
+        date_trunc("hour", col("d.t")).as("hour"))
+    val inHour = Window.partitionBy(col("hour"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourAgg = deltas
+      .withColumn("run_in_hour", sum(col("delta")).over(inHour))
+      .groupBy(col("hour"))
+      .agg(max(col("run_in_hour")).as("max_in_hour"),
+        sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+    val priorHours = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourAgg
+      .withColumn("base", coalesce(sum(col("net")).over(priorHours), lit(0L)))
+      .select(col("hour"), col("n_starts"),
+        (col("base") + greatest(col("max_in_hour"), lit(0L))).as("max_concurrent"),
+        (col("base") + col("net")).as("open_at_end"))
+      .orderBy(col("hour"))
+  }
+
   /** Semi-structured props: typed JSON extraction feeding a grouped
     * aggregate — the schema-on-read path for event payloads. Long
     * sums stay exact across engines.

@@ -374,6 +374,64 @@ object Graph {
     * oracle unrolls the same expansion as three chained min-hop CTEs
     * over the lineitem-derived edge set.
     */
+  /** Synchronous min-label propagation for `rounds` rounds over a
+    * SYMMETRIC edge list: after round L every node carries the
+    * minimum node id within L hops, so bounded-round community/
+    * connected-component labels are fully deterministic and
+    * oracle-checkable (an unbounded converge-loop's round count is
+    * data-dependent; production runs the same job to a driver-side
+    * scalar delta check, exactly the [[Dedup.connectedComponents]]
+    * discipline). Each round is ONE shuffle: the node-sized label
+    * vector broadcasts to the never-reshuffled edge list, neighbor
+    * labels partial-min map-side before the exchange on node — the
+    * same vertex-program shape as [[pagerankOnWeightedEdges]], so the
+    * per-round network volume is bounded by distinct (partition,
+    * node) pairs, not the edge count.
+    */
+  def communitiesOnEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val pulled = edges
+        .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), col("label"))
+      // each round's vertex state is consumed TWICE (broadcast probe +
+      // union keep-own-label); checkpointing it keeps the per-round
+      // cost flat where a lazy lineage would re-derive every prior
+      // round on both branches — 2^rounds work by round r
+      labels = pulled.union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Community summary over the shared co-purchase index: the graph
+    * is first SPARSIFIED to repeat-co-purchase edges (`n_both ≥
+    * minSupport` distinct orders — the raw multigraph is so dense
+    * that every node min-labels into one component within 3 hops,
+    * which is a connectivity fact, not community structure), then
+    * bounded 3-round min-label propagation, then per-community
+    * cardinality with a `sum_members` membership certification (two
+    * communities with equal size but different members cannot
+    * hash-collide in the driver compare).
+    */
+  def communitiesQuery(s: SparkSession, dir: String, rounds: Int = 3,
+                       minSupport: Int = 2, topK: Int = 50): DataFrame = {
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/pairs")
+      .filter(col("n_both") >= minSupport)
+      .select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    communitiesOnEdges(edges, rounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("sum_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topK)
+  }
+
   def khopQuery(s: SparkSession, dir: String,
                 hops: Int = 3, nSeeds: Int = 5): DataFrame = {
     val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")

@@ -104,4 +104,51 @@ object Profile {
       graft.Tables.lineitem(s, dir)
         .withColumn("l_shipdate", col("l_shipdate").cast("date")),
       Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"))
+
+  /** k-anonymity audit — the re-identification-risk gate a training
+    * corpus carrying user-derived records runs before release: group
+    * rows into quasi-identifier equivalence classes (nation ×
+    * market segment × coarsened balance bucket) and flag classes
+    * with fewer than `k` members, whose rows an adversary can narrow
+    * to small candidate sets. Two hash aggregations (rows → classes →
+    * per-nation audit), map-side combinable, never wider than the
+    * class count — the audit costs one scan at any corpus size.
+    * `n_rows_at_risk` is the suppression workload if violating
+    * classes are dropped; `min_class_size` is the nation's worst-case
+    * anonymity set.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    graft.Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        min(col("class_size")).as("min_class_size"))
+      .orderBy(col("c_nationkey"))
+
+  /** l-diversity — k-anonymity's companion audit: a class whose k
+    * members all SHARE the sensitive value still leaks it, so each
+    * quasi-identifier class (nation × balance bucket) must carry at
+    * least `l` distinct sensitive values (market segment here).
+    * Same two-aggregation shape and cost as [[kAnonymity]]; the
+    * exact distinct per class is fine because classes are bounded by
+    * the sensitive domain, not the corpus.
+    */
+  def lDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame =
+    graft.Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_sensitive"),
+        count(lit(1)).as("class_size"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("n_low_diversity"),
+        sum(when(col("n_sensitive") < l, col("class_size")).otherwise(lit(0L)))
+          .as("n_rows_exposed"),
+        min(col("n_sensitive")).as("min_diversity"))
+      .orderBy(col("c_nationkey"))
 }

@@ -696,6 +696,54 @@ object Relational {
     * engines share the tie rule at duplicated boundary values. Two
     * scans, no sort, bins exactly N/10 ± interpolation ties.
     */
+  /** Approximate query processing with error certification — the
+    * online-aggregation shape: a 10 % DETERMINISTIC cluster sample
+    * (md5 bucket on l_orderkey, so whole orders survive together and
+    * the sample is rerun/ingest-stable like every sampling operator
+    * here) feeds the scaled Horvitz–Thompson estimate. The standard
+    * error is the DESIGN-true one: inclusion is Bernoulli per ORDER,
+    * so Var(T̂) = ((1−f)/f)·Σ tᵢ² over order-level cluster totals tᵢ
+    * (estimated from the sample's own Σ tᵢ²/f — one pass, exact
+    * integer sums since quantities are whole-valued). A row-iid SE
+    * here would understate the variance and fail its own 2σ band —
+    * the first cut did exactly that. At 100 TB the estimate path
+    * reads 10 % of the data and ships 3 longs per group; the exact
+    * pass exists ONLY to certify the estimate in-row (`err_pct`,
+    * `within_2se`) — a production run drops it.
+    */
+  def q49SampledAgg(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val bucket =
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    val f = pct / 100.0
+    // order-level cluster totals within the sample, then per-flag
+    // moments — both aggregations are map-side combinable
+    val sample = li.filter(bucket < pct)
+      .groupBy(col("l_returnflag"), col("l_orderkey"))
+      .agg(sum(col("qty")).as("t"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("t")).as("s_qty"),
+        sum(col("t") * col("t")).as("ss_qty"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("qty")).as("true_qty"))
+    val est = col("s_qty").cast("double") * lit(1.0 / f)
+    val se = sqrt(lit((1.0 - f) / (f * f)) * col("ss_qty").cast("double"))
+    sample.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_orders"),
+        (col("s_qty") * lit((1.0 / f).toLong)).as("est_qty"),
+        col("true_qty"),
+        CrossEngine.rnd4(se).as("se_qty"),
+        CrossEngine.rnd4((est - col("true_qty").cast("double")) * lit(100.0)
+          / col("true_qty").cast("double")).as("err_pct"),
+        (abs(est - col("true_qty").cast("double")) <= lit(2.0) * se)
+          .as("within_2se"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def q41Bins(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_totalprice"))
     val bounds = o.agg(expr(

@@ -1404,4 +1404,32 @@ object TextAnalysis {
       .withColumn("keep", ruleCols.map(col).reduce(_ && _))
       .orderBy(col("doc_id"))
   }
+
+  /** Weighted sampling without replacement, probability proportional
+    * to size (PPS): the exponential-clock formulation of
+    * Efraimidis–Spirakis A-ES — each doc draws an exponential arrival
+    * time `-ln(u)/w` (weight w = `n_chars`, so long documents win
+    * proportionally more often) and the k EARLIEST arrivals form the
+    * sample. The uniform u is hash-derived (md5 of the doc id, the
+    * same discipline as [[splitCounts]]), never `rand()`: the sample
+    * is identical under reruns, re-partitioning and incremental
+    * ingest, which is what makes a 100 TB curation run auditable.
+    * The plan is a pure map stage feeding TakeOrderedAndProject —
+    * each partition keeps its local k, only k-row heaps cross the
+    * network, nothing shuffles corpus-sized. The arrival key is
+    * floored to an integer at 1e12 (with doc_id tie-break) so the
+    * cross-engine cutoff is deterministic per the CrossEngine
+    * discipline.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        floor((-log(u) / col("n_chars").cast("double")) * lit(1.0e12))
+          .cast("long").as("key_micro"))
+      .orderBy(col("key_micro"), col("doc_id"))
+      .limit(k)
+  }
 }

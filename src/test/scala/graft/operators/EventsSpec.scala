@@ -266,4 +266,35 @@ class EventsSpec extends SparkSpec {
           tv(series.map(_._1).toSeq) + 1e-9)
     }
   }
+
+  test("concurrency sweep matches the hand-computed occupancy") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 00:00–00:10, u2 00:05–01:05 (spans the hour), u3 zero-length
+    val sess = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      (ts("2024-01-01 00:05:00"), ts("2024-01-01 01:05:00")),
+      (ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("session_start", "session_end")
+    val out = Events.concurrencyOfSessions(sess).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      // hour 0: starts at 00:00 and 00:05 overlap → peak 2; u2 still open
+      ("2024-01-01 00:00:00.0", 2L, 2L, 1L),
+      // hour 1: only u2's end — peak is the START-of-hour occupancy 1
+      ("2024-01-01 01:00:00.0", 0L, 1L, 0L),
+      // hour 2: the zero-length session occupies its single second
+      ("2024-01-01 02:00:00.0", 1L, 1L, 0L)))
+  }
+
+  test("concurrency on testdata: starts total sessions, ends at zero") {
+    val sess = Events.sessions(spark, sfDir)
+    val out = Events.concurrency(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum === sess.count())
+    assert(out.last.getLong(3) === 0L, "all sessions eventually close")
+    assert(out.forall(r => r.getLong(2) >= 1L), "every boundary hour has a live session at its peak")
+    // peak never below the residual occupancy it leaves behind
+    assert(out.forall(r => r.getLong(2) >= r.getLong(3)))
+  }
 }

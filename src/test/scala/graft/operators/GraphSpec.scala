@@ -168,4 +168,27 @@ class GraphSpec extends SparkSpec {
     assert(out === dist)
     assert(out.nonEmpty)
   }
+
+  test("communitiesOnEdges converges disjoint components to their min ids") {
+    // components {1,2,3} (path) and {10,11}; symmetric edge list
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val labels = Graph.communitiesOnEdges(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("communitiesOnEdges rounds bound the label's reach to L hops") {
+    // path 1-2-3-4-5: after ONE synchronous round node 3's label is
+    // min within 1 hop (= 2), not the component min — bounded-round
+    // semantics, what makes the operator oracle-checkable
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val one = Graph.communitiesOnEdges(e, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val four = Graph.communitiesOnEdges(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(four.values.toSet === Set(1L))
+  }
 }

@@ -53,4 +53,49 @@ class ProfileSpec extends SparkSpec {
     assert(quiet.forall(!_.getBoolean(5)))
     assert(math.abs(quiet.head.getDouble(4)) < 1e-3)
   }
+
+  test("kAnonymity matches a driver-side recomputation of the audit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1), math.floor(r.getDouble(2) / 1000.0).toLong))
+    val k = 5
+    val expected = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view.mapValues { classes =>
+        val sizes = classes.values.toSeq
+        (sizes.length.toLong,
+          sizes.count(_ < k).toLong,
+          sizes.filter(_ < k).sum,
+          sizes.min)
+      }.toMap
+    val out = Profile.kAnonymity(spark, sfDir, k).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === expected)
+    // the audit must actually bite on real data: some class is small
+    assert(out.values.exists(_._2 > 0L))
+  }
+
+  test("lDiversity matches a driver-side recomputation of the audit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), math.floor(r.getDouble(2) / 1000.0).toLong, r.getString(1)))
+    val l = 3
+    val expected = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(ms => (ms.map(_._3).distinct.length.toLong, ms.length.toLong)).toMap
+      .groupBy(_._1._1).view.mapValues { classes =>
+        val vs = classes.values.toSeq
+        (vs.length.toLong,
+          vs.count(_._1 < l).toLong,
+          vs.filter(_._1 < l).map(_._2).sum,
+          vs.map(_._1).min)
+      }.toMap
+    val out = Profile.lDiversity(spark, sfDir, l).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === expected)
+    // low-diversity classes exist on real data (the audit is not vacuous)
+    assert(out.values.exists(_._2 > 0L))
+  }
 }

@@ -471,4 +471,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(out.values.exists(_._3 < 1.0), "some trigrams must repeat across docs")
   }
+
+  test("weightedSample keys are the exact A-ES exponential clocks, and long docs win") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.weightedSample(spark, sfDir, k = 100).collect()
+    assert(out.length === 100)
+    // every emitted key is the bit-exact recomputation from doc_id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      val key = math.floor((-math.log(u) / r.getLong(3).toDouble) * 1.0e12).toLong
+      assert(r.getLong(4) === key, s"doc $id")
+    }
+    // keys ascend (earliest exponential arrivals first)
+    val keys = out.map(_.getLong(4)).toSeq
+    assert(keys === keys.sorted)
+    // PPS bias: the length-weighted sample over-represents long docs
+    val corpusMean = graft.Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    val sampleMean = out.map(_.getLong(3)).sum.toDouble / out.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean vs corpus $corpusMean")
+    // hash-determinism: a rerun returns the identical sample
+    val again = TextAnalysis.weightedSample(spark, sfDir, k = 100).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

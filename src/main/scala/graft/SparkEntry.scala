@@ -341,6 +341,7 @@ object SparkEntry {
     "ev_attribution"     -> ((s, d) => Events.attribution(s, d)),
     "ev_chisq"           -> (Events.chiSquare _),
     "ev_concurrency"     -> (Events.concurrency _),
+    "ev_mad_outliers"    -> (Events.madOutliers _),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -1910,6 +1911,31 @@ object SparkEntry {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // modified z rounded to the 1e-4 grid BEFORE the 3.5 cut, same
+    // quantile_cont/percentile interpolation pairing as q19
+    "ev_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type),
+        |z AS (
+        |  SELECT d.event_type, d.med, m.mad,
+        |    floor(0.6745 * (d.value - d.med) / m.mad * 10000.0 + 0.5) / 10000.0 AS z
+        |  FROM dev d JOIN mad m ON d.event_type = m.event_type)
+        |SELECT event_type, count(*) AS n_events,
+        |  floor(min(med) * 10000.0 + 0.5) / 10000.0 AS median_value,
+        |  floor(min(mad) * 10000.0 + 0.5) / 10000.0 AS mad_value,
+        |  CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(max(abs(z)) * 10000.0 + 0.5) / 10000.0 AS max_abs_z
+        |FROM z
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // two-level sweep line mirrored exactly: ±1 session-boundary
     // deltas (ends at end+1s, starts-before-ends tie order), in-hour

@@ -57,6 +57,42 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Robust outlier audit per event type — the median/MAD
+    * (median-absolute-deviation) twin of [[anomaly]]'s mean/σ z-score:
+    * the modified z `0.6745·(x − med)/MAD` with the standard 3.5 cut
+    * (Iglewicz–Hoberg), immune to the very outliers it hunts, which
+    * matters on heavy-tailed telemetry where a handful of extremes
+    * inflate σ and mask each other. Two exact per-group percentile
+    * aggregations (group count is the event-type vocabulary, so the
+    * per-group state is bounded) and two BROADCAST joins of the tiny
+    * stats relation back to the scan — the corpus shuffles only on
+    * event_type, twice, nothing else. The modified z is rounded to
+    * the 1e-4 grid BEFORE the 3.5 cut so the outlier membership is
+    * engine-deterministic.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Tables.events(s, dir).select(col("event_type"), col("value")))
+
+  /** The audit itself, over any (event_type, value) relation. */
+  def madOutliersOf(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("z", graft.operators.CrossEngine.rnd4(
+        lit(0.6745) * (col("value") - col("med")) / col("mad")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.CrossEngine.rnd4(min(col("med"))).as("median_value"),
+        graft.operators.CrossEngine.rnd4(min(col("mad"))).as("mad_value"),
+        sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        graft.operators.CrossEngine.rnd4(max(abs(col("z")))).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Max-concurrent-sessions per hour — the interval-overlap /
     * capacity metric, computed as a TWO-LEVEL sweep line so the
     * classic single-threaded global cumsum never materializes:

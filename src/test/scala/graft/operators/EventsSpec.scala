@@ -288,6 +288,24 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01 02:00:00.0", 1L, 1L, 0L)))
   }
 
+  test("madOutliers flags exactly the planted extreme, robust to its own presence") {
+    import spark.implicits._
+    // 9 calm values (median 5, MAD 2) + one wild spike; the spike
+    // cannot inflate the MAD the way it would inflate a σ
+    val vals = Seq(1.0, 3.0, 4.0, 4.0, 5.0, 5.0, 6.0, 7.0, 7.0, 1000.0)
+    val ev = vals.map(("a", _)).toDF("event_type", "value")
+    val out = Events.madOutliersOf(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.0) // median
+    assert(r.getDouble(3) === 1.5) // MAD: deviations (4,2,1,1,0,0,1,2,2,995) → median 1.5
+    assert(r.getLong(4) === 1L, "only the planted spike crosses 3.5")
+    // max modified z = 0.6745*(1000-5)/1.5, on the 1e-4 grid
+    val z = math.floor(0.6745 * 995.0 / 1.5 * 10000.0 + 0.5) / 10000.0
+    assert(r.getDouble(5) === z)
+  }
+
   test("concurrency on testdata: starts total sessions, ends at zero") {
     val sess = Events.sessions(spark, sfDir)
     val out = Events.concurrency(spark, sfDir).collect()

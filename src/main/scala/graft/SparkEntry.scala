@@ -391,6 +391,7 @@ object SparkEntry {
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),
+    "dd_groups_incr"     -> (Dedup.dedupGroupsIncrQuery _),
     "dd_keeper"          -> (Dedup.dedupKeepersQuery _),
     "dd_repeats"         -> (Dedup.repeatedSubstringsQuery _),
     "dd_embed_top"       -> (Dedup.embedNearDupQuery _),
@@ -441,6 +442,50 @@ object SparkEntry {
   )
 
   /** DuckDB oracle twins. Omitted keys get a rows-only check. */
+  /** Connected-components labeling over the planted corpus's n-gram
+    * pair graph, re-derived end-to-end in SQL — shared by dd_groups
+    * (full recompute) and dd_groups_incr (incremental maintenance),
+    * which must produce the identical labeling. */
+  private val ddGroupsOracleSql: String =
+    """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text
+        |  FROM documents WHERE doc_id < 5),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM base)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b
+        |    ON a.doc_id < b.doc_id
+        |    AND CAST(len(b.sh) AS DOUBLE) >= CAST(len(a.sh) AS DOUBLE) * 0.6 - 1e-9
+        |    AND CAST(len(a.sh) AS DOUBLE) >= CAST(len(b.sh) AS DOUBLE) * 0.6 - 1e-9
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, dst AS node FROM edges
+        |  UNION
+        |  SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src),
+        |labels AS (
+        |  SELECT doc_id, least(doc_id, min(node)) AS group_id
+        |  FROM reach GROUP BY doc_id),
+        |sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+        |          FROM labels GROUP BY group_id)
+        |SELECT l.doc_id, l.group_id, s.group_size
+        |FROM labels l JOIN sizes s USING (group_id)
+        |ORDER BY group_id, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3165,45 +3210,12 @@ object SparkEntry {
         |FROM ranked WHERE rk = 1
         |ORDER BY group_id""".stripMargin,
 
-    "dd_groups" ->
-      """WITH RECURSIVE
-        |base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text
-        |  FROM documents WHERE doc_id < 5),
-        |d AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |             i -> array_to_string(toks[i:i+2], ' '))
-        |      ELSE [array_to_string(toks, ' ')] END) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM base)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b
-        |    ON a.doc_id < b.doc_id
-        |    AND CAST(len(b.sh) AS DOUBLE) >= CAST(len(a.sh) AS DOUBLE) * 0.6 - 1e-9
-        |    AND CAST(len(a.sh) AS DOUBLE) >= CAST(len(b.sh) AS DOUBLE) * 0.6 - 1e-9
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT src AS doc_id, dst AS node FROM edges
-        |  UNION
-        |  SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src),
-        |labels AS (
-        |  SELECT doc_id, least(doc_id, min(node)) AS group_id
-        |  FROM reach GROUP BY doc_id),
-        |sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
-        |          FROM labels GROUP BY group_id)
-        |SELECT l.doc_id, l.group_id, s.group_size
-        |FROM labels l JOIN sizes s USING (group_id)
-        |ORDER BY group_id, doc_id""".stripMargin,
+    "dd_groups" -> ddGroupsOracleSql,
+
+
+    // the incremental maintenance path must land on EXACTLY the full
+    // recompute's labeling — same oracle as dd_groups
+    "dd_groups_incr" -> ddGroupsOracleSql,
 
     // Same anchor-window + diagonal gaps-and-islands construction as
     // repeatedSubstrings, planted docs built from identical token

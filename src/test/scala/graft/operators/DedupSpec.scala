@@ -383,4 +383,31 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental group maintenance merges groups and surfaces emergent docs") {
+    import spark.implicits._
+    // stored artifact: two groups {1,2} and {5,6}; corpus doc 9 was a
+    // singleton (no stored label — labels only cover paired docs)
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_id")
+    // delta: doc 100 bridges BOTH old groups; doc 200 pairs with the
+    // previously-unlabeled 9; 100-200 chains everything checked below
+    val delta = Seq((2L, 100L), (100L, 5L), (9L, 200L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroupsIncremental(oldLabels, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = Seq(
+      (1L, 1L, 5L), (2L, 1L, 5L), (5L, 1L, 5L), (6L, 1L, 5L), (100L, 1L, 5L),
+      (9L, 9L, 2L), (200L, 9L, 2L))
+      .sortBy(t => (t._2, t._1))
+    assert(out.toSeq === expected)
+  }
+
+  test("incremental query equals the full recompute on the planted corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val full = Dedup.dedupGroupsQuery(spark, sfDir).collect().map(_.toSeq)
+    val incr = Dedup.dedupGroupsIncrQuery(spark, sfDir).collect().map(_.toSeq)
+    assert(incr.toSeq === full.toSeq)
+    assert(full.nonEmpty)
+  }
 }

@@ -259,6 +259,61 @@ object SparkEntry {
       .toDF("step", "check", "observed").orderBy(col("step"))
   }
 
+  /** Retention-GC lifecycle: build a small log with superseded
+    * versions and a tombstone chain, vacuum at a horizon, and observe
+    * in driver-visible rows that (1) the current view is untouched,
+    * (2) as-of reads at/above the horizon are unchanged while history
+    * below it folds to the horizon state, (3) the raw log physically
+    * shrank, (4) the batch mint sequence continues, (5) a fork's
+    * frozen view survives a parent vacuum below its edge, and (6) a
+    * vacuum past a fork edge is refused.
+    */
+  def collectionVacuum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-vacuum-q").toString
+    val client = new ChromaSpark(s, wh)
+    client.createCollection("c")
+    val d = new CollectionData(client)
+    import org.apache.spark.sql.functions.{lit => flit}
+    def items(rows: (String, String)*) =
+      rows.toSeq.toDF("id", "document")
+        .select(col("id"), flit(null).cast("array<float>").as("embedding"),
+          col("document"), flit(null).cast("string").as("metadata_json"))
+    d.add("c", items("a" -> "a v1", "b" -> "b v1")) // batch 0
+    d.upsert("c", items("a" -> "a v2"))             // batch 1
+    d.delete("c", ids = Seq("b"))                   // batch 2
+    d.add("c", items("c" -> "c v1"))                // batch 3
+    def ids(asOf: Option[Long] = None): String = {
+      val df = asOf.map(b => d.getAsOf("c", b, include = Nil))
+        .getOrElse(d.get("c", include = Nil))
+      df.orderBy(col("id")).collect().map(_.getString(0)).mkString(",")
+    }
+    val pre = Seq(
+      (1L, "pre_vacuum_ids", ids()),
+      (2L, "pre_vacuum_asof1_ids", ids(Some(1L))),
+      (3L, "log_rows_before", d.logRows("c").toString))
+    d.vacuum("c", horizon = 2L)
+    val post = Seq(
+      (4L, "post_vacuum_ids_unchanged", ids()),
+      (5L, "post_vacuum_asof2_ids", ids(Some(2L))),
+      (6L, "asof_below_horizon_truncated", ids(Some(1L))),
+      (7L, "log_rows_after", d.logRows("c").toString))
+    d.add("c", items("d" -> "d v1")) // mint continues: batch 4
+    val mint = Seq((8L, "mint_continues_at_4", d.currentBatch("c").toString))
+    d.fork("c", "fc") // edge frozen at batch 4
+    d.vacuum("c", horizon = 3L) // below the edge: allowed
+    val forkIds = d.get("fc", include = Nil)
+      .orderBy(col("id")).collect().map(_.getString(0)).mkString(",")
+    val guard =
+      try { d.vacuum("c", horizon = 5L); "no-error" }
+      catch { case _: graft.catalog.EngineError.CollectionStateError => "true" }
+    val tail = Seq(
+      (9L, "fork_view_survives_parent_vacuum", forkIds),
+      (10L, "vacuum_past_fork_edge_refused", guard))
+    (pre ++ post ++ mint ++ tail).toDF("step", "check", "observed")
+      .orderBy(col("step"))
+  }
+
   def collectionMetric(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-metric-q").toString
@@ -438,6 +493,7 @@ object SparkEntry {
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),
     "collection_fork"    -> (collectionFork _),
+    "collection_vacuum"  -> (collectionVacuum _),
     "collection_autoembed" -> (collectionAutoEmbed _),
   )
 
@@ -2116,6 +2172,21 @@ object SparkEntry {
 
     // copy-on-write fork contract: snapshot isolation both ways,
     // fork-local deletes, compaction severs the edge
+    "collection_vacuum" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'pre_vacuum_ids', 'a,c'),
+        |  (CAST(2 AS BIGINT), 'pre_vacuum_asof1_ids', 'a,b'),
+        |  (CAST(3 AS BIGINT), 'log_rows_before', '5'),
+        |  (CAST(4 AS BIGINT), 'post_vacuum_ids_unchanged', 'a,c'),
+        |  (CAST(5 AS BIGINT), 'post_vacuum_asof2_ids', 'a'),
+        |  (CAST(6 AS BIGINT), 'asof_below_horizon_truncated', 'a'),
+        |  (CAST(7 AS BIGINT), 'log_rows_after', '2'),
+        |  (CAST(8 AS BIGINT), 'mint_continues_at_4', '4'),
+        |  (CAST(9 AS BIGINT), 'fork_view_survives_parent_vacuum', 'a,c,d'),
+        |  (CAST(10 AS BIGINT), 'vacuum_past_fork_edge_refused', 'true')
+        |) AS t(step, "check", observed)
+        |ORDER BY step""".stripMargin,
+
     "collection_fork" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'parent_ids_after_divergence', 'a,b,c'),

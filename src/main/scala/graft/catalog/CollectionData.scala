@@ -602,6 +602,71 @@ class CollectionData(client: ChromaSpark) {
     }
   }
 
+  /** VACUUM with a retention horizon — the storage-GC step between
+    * ordinary appends and a full [[compact]]: every batch ≤ `horizon`
+    * folds into a single base snapshot at batch 0 (latest version per
+    * id, superseded versions and settled tombstone chains dropped),
+    * while batches > `horizon` stay byte-identical, so recent time
+    * travel and the batch mint state survive. Time travel BELOW the
+    * horizon is deliberately truncated to the horizon state — the
+    * Delta-Lake checkpoint/retention semantics; the current view and
+    * every as-of ≥ horizon are provably unchanged (latest-per-id over
+    * a prefix-fold is the identity on suffix resolutions). Tombstones
+    * in the folded range are kept ONLY when this collection is a fork
+    * (they mask inherited parent rows); a root collection's folded
+    * tombstone and the versions it masked vanish together. Refuses to
+    * run when any fork freezes this collection's history at an edge
+    * below the horizon — folding would rewrite that fork's frozen
+    * view. At 100 TB this is the operation that keeps merge-on-read
+    * resolution O(live + recent) instead of O(all history ever).
+    */
+  def vacuum(collection: String, horizon: Long): Unit = {
+    val d = dir(collection)
+    recoverLog(d)
+    // fork-safety: an edge below the horizon reads history we'd fold
+    client.listCollections().foreach { c =>
+      forkEdge(c.name).foreach { case (parent, asof) =>
+        if (parent == collection && asof < horizon)
+          throw CollectionStateError(
+            s"vacuum('$collection', $horizon): fork '${c.name}' freezes " +
+              s"history at batch $asof < horizon — vacuum up to $asof at most")
+      }
+    }
+    val own = readLog(collection).persist()
+    val w = Window.partitionBy(col("id")).orderBy(col("_batch").desc)
+    val folded0 = own.filter(col("_batch") <= horizon)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_batch", lit(0L))
+    // a root collection has no lower level a tombstone could mask
+    val folded =
+      if (forkEdge(collection).isDefined) folded0
+      else folded0.filter(!col("_deleted"))
+    val rewritten = folded.unionByName(own.filter(col("_batch") > horizon))
+      .persist()
+    rewritten.count() // materialize before the log is replaced
+    val tmp = s"$d/log_compacting"
+    rewritten
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite").parquet(tmp)
+    own.unpersist(); rewritten.unpersist()
+    val logPath = Paths.get(s"$d/log")
+    val old = Paths.get(s"$d/log_old")
+    // same crash-safe two-rename swap as [[compact]]
+    if (Files.exists(logPath)) {
+      Files.move(logPath, old)
+      try Files.move(Paths.get(tmp), logPath)
+      catch { case e: Throwable => Files.move(old, logPath); throw e }
+    } else Files.move(Paths.get(tmp), logPath)
+    if (Files.exists(old)) deleteTree(old)
+    // mint state intentionally untouched: appends continue the sequence
+  }
+
+  /** Raw log depth in rows — the merge-on-read debt [[vacuum]] pays
+    * down; an ops metric, not a data API.
+    */
+  def logRows(collection: String): Long = readLog(collection).count()
+
   /** Chroma `query(query_texts=...)`: embed the texts with the SAME
     * feature-hash embedder the ingest path uses, then delegate to
     * [[query]] — identical text therefore lands at distance 0 from

@@ -394,4 +394,38 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.getAsOf("tbr", b0).collect().map(_.getString(0)).toSeq === Seq("a", "b"))
     assert(d.get("tbr").collect().map(_.getString(0)).toSeq === Seq("b"))
   }
+
+  test("vacuuming a fork keeps the tombstones that mask inherited rows") {
+    val (_, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 0f), "doc a", "{}"),
+      ("b", Seq(0f, 1f), "doc b", "{}")))
+    d.fork("col", "fv")
+    d.delete("fv", ids = Seq("a"))             // tombstone masks parent 'a'
+    d.add("fv", items(("x", Seq(1f, 1f), "doc x", "{}")))
+    val before = d.get("fv").collect().map(_.getString(0)).toSeq
+    assert(before === Seq("b", "x"))
+    d.vacuum("fv", horizon = d.currentBatch("fv"))
+    // the fold must NOT resurrect 'a': the tombstone survives because
+    // the fork's base still masks a lower level
+    assert(d.get("fv").collect().map(_.getString(0)).toSeq === Seq("b", "x"))
+    assert(d.logRows("fv") === 2L, "folded to tombstone + x")
+    // parent untouched
+    assert(d.get("col").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("vacuum on a root collection drops settled tombstone chains and supersessions") {
+    val (_, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "v1", "{}"), ("b", Seq(0f, 1f), "doc b", "{}")))
+    d.upsert("col", items(("a", Seq(1f, 0f), "v2", "{}")))
+    d.delete("col", ids = Seq("b"))
+    val live = d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    d.vacuum("col", horizon = d.currentBatch("col"))
+    assert(d.get("col").collect().map(r => (r.getString(0), r.getString(2))).toSeq === live)
+    assert(d.logRows("col") === 1L, "only the live latest version remains")
+    // mint state survives: the next write continues the sequence
+    val bBefore = d.currentBatch("col")
+    d.add("col", items(("c", Seq(1f, 1f), "doc c", "{}")))
+    assert(d.currentBatch("col") === bBefore + 1)
+  }
 }

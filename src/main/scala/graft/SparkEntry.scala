@@ -283,33 +283,40 @@ object SparkEntry {
     d.upsert("c", items("a" -> "a v2"))             // batch 1
     d.delete("c", ids = Seq("b"))                   // batch 2
     d.add("c", items("c" -> "c v1"))                // batch 3
-    def ids(asOf: Option[Long] = None): String = {
-      val df = asOf.map(b => d.getAsOf("c", b, include = Nil))
-        .getOrElse(d.get("c", include = Nil))
-      df.orderBy(col("id")).collect().map(_.getString(0)).mkString(",")
+    import org.apache.spark.sql.{functions => F}
+    // ONE action per lifecycle phase (the collection_fork discipline):
+    // each observation is an aggregate frame; a phase unions its
+    // frames and collects once
+    def idsStep(step: Long, check: String, coll: String,
+                asOf: Option[Long] = None) = {
+      val df = asOf.map(b => d.getAsOf(coll, b, include = Nil))
+        .getOrElse(d.get(coll, include = Nil))
+      df.agg(F.array_join(F.array_sort(F.collect_list(F.col("id"))), ",").as("v"))
+        .select(F.lit(step).as("step"), F.lit(check).as("check"),
+          F.col("v").cast("string").as("observed"))
     }
-    val pre = Seq(
-      (1L, "pre_vacuum_ids", ids()),
-      (2L, "pre_vacuum_asof1_ids", ids(Some(1L))),
-      (3L, "log_rows_before", d.logRows("c").toString))
+    def phase(frames: org.apache.spark.sql.DataFrame*): Seq[(Long, String, String)] =
+      frames.reduce(_.unionByName(_)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val pre = phase(
+      idsStep(1L, "pre_vacuum_ids", "c"),
+      idsStep(2L, "pre_vacuum_asof1_ids", "c", Some(1L))) :+
+      ((3L, "log_rows_before", d.logRows("c").toString))
     d.vacuum("c", horizon = 2L)
-    val post = Seq(
-      (4L, "post_vacuum_ids_unchanged", ids()),
-      (5L, "post_vacuum_asof2_ids", ids(Some(2L))),
-      (6L, "asof_below_horizon_truncated", ids(Some(1L))),
-      (7L, "log_rows_after", d.logRows("c").toString))
+    val post = phase(
+      idsStep(4L, "post_vacuum_ids_unchanged", "c"),
+      idsStep(5L, "post_vacuum_asof2_ids", "c", Some(2L)),
+      idsStep(6L, "asof_below_horizon_truncated", "c", Some(1L))) :+
+      ((7L, "log_rows_after", d.logRows("c").toString))
     d.add("c", items("d" -> "d v1")) // mint continues: batch 4
     val mint = Seq((8L, "mint_continues_at_4", d.currentBatch("c").toString))
     d.fork("c", "fc") // edge frozen at batch 4
     d.vacuum("c", horizon = 3L) // below the edge: allowed
-    val forkIds = d.get("fc", include = Nil)
-      .orderBy(col("id")).collect().map(_.getString(0)).mkString(",")
     val guard =
       try { d.vacuum("c", horizon = 5L); "no-error" }
       catch { case _: graft.catalog.EngineError.CollectionStateError => "true" }
-    val tail = Seq(
-      (9L, "fork_view_survives_parent_vacuum", forkIds),
-      (10L, "vacuum_past_fork_edge_refused", guard))
+    val tail = phase(idsStep(9L, "fork_view_survives_parent_vacuum", "fc")) :+
+      ((10L, "vacuum_past_fork_edge_refused", guard))
     (pre ++ post ++ mint ++ tail).toDF("step", "check", "observed")
       .orderBy(col("step"))
   }

@@ -632,7 +632,7 @@ class CollectionData(client: ChromaSpark) {
               s"history at batch $asof < horizon — vacuum up to $asof at most")
       }
     }
-    val own = readLog(collection).persist()
+    val own = readLog(collection)
     val w = Window.partitionBy(col("id")).orderBy(col("_batch").desc)
     val folded0 = own.filter(col("_batch") <= horizon)
       .withColumn("_rn", row_number().over(w))
@@ -642,14 +642,13 @@ class CollectionData(client: ChromaSpark) {
     val folded =
       if (forkEdge(collection).isDefined) folded0
       else folded0.filter(!col("_deleted"))
-    val rewritten = folded.unionByName(own.filter(col("_batch") > horizon))
-      .persist()
-    rewritten.count() // materialize before the log is replaced
     val tmp = s"$d/log_compacting"
-    rewritten
+    // ONE action: the write to the scratch dir reads the still-intact
+    // log (the swap below happens strictly after), so no persist /
+    // pre-materialization is needed
+    folded.unionByName(own.filter(col("_batch") > horizon))
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite").parquet(tmp)
-    own.unpersist(); rewritten.unpersist()
     val logPath = Paths.get(s"$d/log")
     val old = Paths.get(s"$d/log_old")
     // same crash-safe two-rename swap as [[compact]]

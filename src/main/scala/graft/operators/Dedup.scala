@@ -585,8 +585,39 @@ object Dedup {
     * same persisted pair-set index as [[ngramTopQuery]]: one mining
     * pass feeds both consumers.
     */
+  /** PERSISTED label store: the converged connected-components output
+    * (doc_id, group_id, group_size) materialized once per pair-set
+    * content under the [[IndexCache]] discipline. The pair set is
+    * itself a content-addressed artifact, so `fpKey` is derived from
+    * its directory identity — no data scan to decide freshness. Every
+    * grouping consumer (the groups report, keeper selection, the
+    * incremental maintenance base) reads this artifact; running the
+    * O(diameter) propagation loop once per CONSUMER instead of once
+    * per corpus is exactly the waste the index discipline exists to
+    * remove.
+    */
+  def labelsIndexIfAbsent(pairs: => DataFrame, fpKey: String,
+                          indexRoot: String): String =
+    IndexCache.getOrBuild(indexRoot, "labels", fpKey) { scratch =>
+      dedupGroups(pairs, release = false)
+        .write.parquet(scratch.resolve("labels").toString)
+    }
+
+  private def labelsRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-dedup-labels"
+
+  private def plantedLabelsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val pairsDir = ngramPairsIndexIfAbsent(plantedDocs(s, dir),
+      s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache")
+    val fp = java.nio.file.Paths.get(pairsDir).getFileName.toString
+    val idx = labelsIndexIfAbsent(
+      s.read.parquet(s"$pairsDir/pairs").select(col("doc_a"), col("doc_b")),
+      fp, labelsRoot)
+    s.read.parquet(s"$idx/labels")
+  }
+
   def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
-    dedupGroups(plantedPairsIndexed(s, dir).select(col("doc_a"), col("doc_b")))
+    plantedLabelsIndexed(s, dir).orderBy(col("group_id"), col("doc_id"))
 
   /** INCREMENTAL group maintenance — the ingest-time path that keeps
     * the dedup-group labeling current WITHOUT re-running connected
@@ -622,10 +653,35 @@ object Dedup {
       .select(least(col("qa"), col("qb")).as("doc_a"),
         greatest(col("qa"), col("qb")).as("doc_b"))
       .distinct()
-    // components over the tiny group graph: old_id → merged group id
-    val m = dedupGroups(quotient, release = false)
-      .select(col("doc_id").as("old_id"), col("group_id").as("new_id"))
+    // components over the group graph: old_id → merged group id. The
+    // quotient is delta-bounded; below the threshold it is MODEL-
+    // PARAMETER scale (group-merge edges, not documents) and solves
+    // driver-side as union-find — one job instead of the propagation
+    // loop's per-round actions. A large delta falls back to the
+    // distributed loop; either way nothing corpus-sized moves.
+    val quotientP = quotient.persist()
+    val nq = quotientP.count()
+    val m = (if (nq <= 10000) {
+      val edges = quotientP.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min-id root keeps group ids = component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      val sess = oldLabels.sparkSession
+      import sess.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("old_id", "new_id")
+    } else dedupGroups(quotientP, release = false)
+      .select(col("doc_id").as("old_id"), col("group_id").as("new_id")))
       .localCheckpoint(true)
+    quotientP.unpersist()
     val relabel = m.filter(col("old_id") =!= col("new_id"))
       .withColumnRenamed("old_id", "group_id")
     val updatedOld = oldLabels
@@ -655,20 +711,18 @@ object Dedup {
     * — the dd_groups recursive-CTE oracle verifies exactly that.
     */
   def dedupGroupsIncrQuery(s: SparkSession, dir: String): DataFrame = {
-    val all = plantedPairsIndexed(s, dir).select(col("doc_a"), col("doc_b"))
-    val base = all.filter(col("doc_a") < 1000000L && col("doc_b") < 1000000L)
-    val delta = all.filter(col("doc_a") >= 1000000L || col("doc_b") >= 1000000L)
-    val row = base
-      .select(xxhash64(col("doc_a").cast("string"), col("doc_b").cast("string")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt")).head()
-    val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}"
-    val idx = IndexCache.getOrBuild(
-      s"${System.getProperty("java.io.tmpdir")}/graft-dedup-labels", "labels", fp) {
-      scratch =>
-        dedupGroups(base, release = false).select("doc_id", "group_id")
-          .write.parquet(scratch.resolve("labels").toString)
-    }
-    dedupGroupsIncremental(s.read.parquet(s"$idx/labels"), delta)
+    val pairsDir = ngramPairsIndexIfAbsent(plantedDocs(s, dir),
+      s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache")
+    def all = s.read.parquet(s"$pairsDir/pairs").select(col("doc_a"), col("doc_b"))
+    // the pair set is content-addressed, so the base label artifact's
+    // freshness key is the pair dir's identity — no data scan needed
+    val fp = java.nio.file.Paths.get(pairsDir).getFileName.toString + "-base"
+    val idx = labelsIndexIfAbsent(
+      all.filter(col("doc_a") < 1000000L && col("doc_b") < 1000000L),
+      fp, labelsRoot)
+    dedupGroupsIncremental(
+      s.read.parquet(s"$idx/labels").select("doc_id", "group_id"),
+      all.filter(col("doc_a") >= 1000000L || col("doc_b") >= 1000000L))
   }
 
   /** KEEPER SELECTION over the near-dup groups — the policy step that

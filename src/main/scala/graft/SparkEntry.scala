@@ -404,6 +404,7 @@ object SparkEntry {
     "ev_chisq"           -> (Events.chiSquare _),
     "ev_concurrency"     -> (Events.concurrency _),
     "ev_mad_outliers"    -> (Events.madOutliers _),
+    "ev_theilsen"        -> (Events.theilSen _),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -475,6 +476,7 @@ object SparkEntry {
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
     "q49_sampled_agg"    -> ((s, d) => Relational.q49SampledAgg(s, d)),
     "q50_ldiversity"     -> ((s, d) => Profile.lDiversity(s, d)),
+    "q52_benford"        -> ((s, d) => Profile.benford(s, d)),
     "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
     "q33_pagerank"       -> ((s, d) => Graph.pagerank(s, d)),
@@ -1709,6 +1711,42 @@ object SparkEntry {
         |FROM j
         |ORDER BY l_returnflag""".stripMargin,
 
+    // integer CASE-ladder digit over exact cents (log10-free); the
+    // Benford expectation and chi-square share one double-op order
+    "q52_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS c FROM orders),
+        |digits AS (
+        |  SELECT CASE
+        |    WHEN c >= 10000000 AND c < 100000000 THEN c // 10000000
+        |    WHEN c >= 1000000 AND c < 10000000 THEN c // 1000000
+        |    WHEN c >= 100000 AND c < 1000000 THEN c // 100000
+        |    WHEN c >= 10000 AND c < 100000 THEN c // 10000
+        |    WHEN c >= 1000 AND c < 10000 THEN c // 1000
+        |    WHEN c >= 100 AND c < 1000 THEN c // 100
+        |    WHEN c >= 10 AND c < 100 THEN c // 10
+        |    WHEN c >= 1 AND c < 10 THEN c
+        |    END AS digit
+        |  FROM cents),
+        |per AS (
+        |  SELECT digit, count(*) AS n_rows FROM digits GROUP BY digit),
+        |tot AS (
+        |  SELECT digit, n_rows, sum(n_rows) OVER () AS n_total,
+        |    log(10.0, 1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_p
+        |  FROM per),
+        |terms AS (
+        |  SELECT digit, n_rows, n_total, exp_p,
+        |    (CAST(n_rows AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_p)
+        |      * (CAST(n_rows AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_p)
+        |      / (CAST(n_total AS DOUBLE) * exp_p) AS chi2_term
+        |  FROM tot)
+        |SELECT digit, n_rows,
+        |  floor(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS observed_p,
+        |  floor(exp_p * 10000.0 + 0.5) / 10000.0 AS benford_p,
+        |  floor(sum(chi2_term) OVER () * 10000.0 + 0.5) / 10000.0 AS chi2_total
+        |FROM terms
+        |ORDER BY digit""".stripMargin,
+
     "q50_ldiversity" ->
       """WITH classes AS (
         |  SELECT c_nationkey,
@@ -2019,6 +2057,36 @@ object SparkEntry {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // daily totals as exact integer cents; slope double-op order
+    // mirrored exactly; quantile_cont/percentile pairing as q19
+    "ev_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_d,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM events
+        |  GROUP BY event_type, day_d),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.tot - a.tot AS DOUBLE) / CAST(b.day_d - a.day_d AS DOUBLE) / 100.0 AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day_d < b.day_d),
+        |m AS (
+        |  SELECT event_type, quantile_cont(slope, 0.5) AS m_hat,
+        |    count(*) AS n_pairs
+        |  FROM slopes GROUP BY event_type),
+        |resids AS (
+        |  SELECT d.event_type, m.m_hat, m.n_pairs,
+        |    CAST(d.tot AS DOUBLE) / 100.0 - m.m_hat * CAST(d.day_d AS DOUBLE) AS resid
+        |  FROM daily d JOIN m ON d.event_type = m.event_type)
+        |SELECT event_type,
+        |  CAST(min(n_pairs) AS BIGINT) AS n_pairs,
+        |  floor(min(m_hat) * 10000.0 + 0.5) / 10000.0 AS slope_per_day,
+        |  floor(quantile_cont(resid, 0.5) * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM resids
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // modified z rounded to the 1e-4 grid BEFORE the 3.5 cut, same
     // quantile_cont/percentile interpolation pairing as q19

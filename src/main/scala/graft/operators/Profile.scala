@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column null counts, exact distinct
@@ -129,6 +130,49 @@ object Profile {
           .as("n_rows_at_risk"),
         min(col("class_size")).as("min_class_size"))
       .orderBy(col("c_nationkey"))
+
+  /** Benford first-significant-digit audit — the classic
+    * fabricated-data / corruption screen for multiscale positive
+    * amounts: natural growth processes put digit d first with
+    * probability log₁₀(1+1/d), and systematic deviation (flagged by
+    * the χ² statistic carried on every row) marks generated or
+    * truncated values. One scan + a 9-group aggregate at any corpus
+    * size. The digit comes from an integer CASE ladder over exact
+    * cents — never floor(log₁₀(x)), whose 1-ulp wobble at decade
+    * boundaries would misfile exact powers of ten differently per
+    * engine.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame =
+    benfordOf(graft.Tables.orders(s, dir).select(col("o_totalprice").as("amount")))
+
+  /** The audit itself, over any single-column (amount) relation of
+    * positive 2-decimal values.
+    */
+  def benfordOf(amounts: DataFrame): DataFrame = {
+    val cents = round(col("amount") * 100.0).cast("long")
+    val digit = (7 to 0 by -1).foldLeft(lit(null).cast("long")) { (acc, k) =>
+      val p = math.pow(10, k).toLong
+      when(cents >= p && cents < p * 10, (cents / p).cast("long")).otherwise(acc)
+    }
+    val perDigit = amounts
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
+    val all = Window.partitionBy()
+    perDigit
+      .withColumn("n_total", sum(col("n_rows")).over(all))
+      .withColumn("exp_p",
+        log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("chi2_term",
+        (col("n_rows").cast("double") - col("n_total").cast("double") * col("exp_p"))
+          * (col("n_rows").cast("double") - col("n_total").cast("double") * col("exp_p"))
+          / (col("n_total").cast("double") * col("exp_p")))
+      .select(col("digit"), col("n_rows"),
+        CrossEngine.rnd4(col("n_rows").cast("double") / col("n_total").cast("double"))
+          .as("observed_p"),
+        CrossEngine.rnd4(col("exp_p")).as("benford_p"),
+        CrossEngine.rnd4(sum(col("chi2_term")).over(all)).as("chi2_total"))
+      .orderBy(col("digit"))
+  }
 
   /** l-diversity — k-anonymity's companion audit: a class whose k
     * members all SHARE the sensitive value still leaks it, so each

@@ -306,6 +306,24 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) === z)
   }
 
+  test("theilSen shrugs off the outlier day that drags an OLS fit") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // days 0..6 follow y = 100 + 10x exactly, except day 3 explodes;
+    // the pairwise-slope median must still recover slope 10
+    val rows = (0 to 6).map { d =>
+      val v = if (d == 3) 100000.0 else 100.0 + 10.0 * d
+      ("a", new Timestamp(d * 86400000L), v)
+    }
+    val out = Events.theilSenOf(rows.toDF("event_type", "ts", "value")).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 21L) // C(7,2) pairs
+    assert(out.head.getDouble(2) === 10.0, "median slope ignores the spike")
+    // intercept = median residual at slope 10: six residuals of 100
+    // and one huge one → 100
+    assert(out.head.getDouble(3) === 100.0)
+  }
+
   test("concurrency on testdata: starts total sessions, ends at zero") {
     val sess = Events.sessions(spark, sfDir)
     val out = Events.concurrency(spark, sfDir).collect()

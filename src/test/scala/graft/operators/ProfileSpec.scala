@@ -98,4 +98,25 @@ class ProfileSpec extends SparkSpec {
     // low-diversity classes exist on real data (the audit is not vacuous)
     assert(out.values.exists(_._2 > 0L))
   }
+
+  test("benford: exact digits at decade boundaries, log-uniform passes, uniform flags") {
+    import spark.implicits._
+    // decade boundaries and near-misses file under the right digit
+    val edges = Seq(10.00, 100.00, 1000.00, 99.99, 9.99, 0.01, 0.09, 0.10)
+      .toDF("amount")
+    val dg = Profile.benfordOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // digits: 1,1,1,9,9,1,9,1 → five 1s, three 9s
+    assert(dg === Map(1L -> 5L, 9L -> 3L))
+    // log-uniform amounts follow Benford: small chi2
+    val logu = (0 until 4000)
+      .map(i => math.round(math.pow(10.0, 1.0 + 3.0 * i / 4000.0) * 100.0) / 100.0)
+      .toDF("amount")
+    val chiLog = Profile.benfordOf(logu).head.getDouble(4)
+    // uniform amounts violate it: chi2 orders of magnitude larger
+    val uni = (0 until 4000).map(i => 10.0 + i * 0.0225).toDF("amount")
+    val chiUni = Profile.benfordOf(uni).head.getDouble(4)
+    assert(chiLog < 20.0, s"log-uniform chi2 $chiLog")
+    assert(chiUni > 50.0 * chiLog, s"uniform chi2 $chiUni vs $chiLog")
+  }
 }

@@ -453,6 +453,7 @@ object SparkEntry {
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
+    "dd_containment"     -> (Dedup.containmentQuery _),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),
     "dd_groups_incr"     -> (Dedup.dedupGroupsIncrQuery _),
     "dd_keeper"          -> (Dedup.dedupKeepersQuery _),
@@ -3275,6 +3276,40 @@ object SparkEntry {
     // DuckDB twin (with the same recall-safe length filter) computes
     // the identical set. Thresholds compare the RAW jaccard on both
     // engines (identical integer counts ⇒ identical doubles).
+    // asymmetric containment |A∩B|/|A| over the fragment-planted
+    // corpus: smaller-set-side direction with id tiebreak; the
+    // fragment slice mirrors the engine's 40%-of-tokens construction
+    "dd_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 0.4) AS INT), 3)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 5)),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM base)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(a.sh) AS BIGINT) AS len_a, CAST(len(b.sh) AS BIGINT) AS len_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / CAST(len(a.sh) AS DOUBLE) AS c
+        |  FROM d a JOIN d b
+        |    ON (len(a.sh) < len(b.sh)
+        |        OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+        |SELECT doc_a, doc_b, len_a, len_b,
+        |  floor(c * 10000.0 + 0.5) / 10000.0 AS containment
+        |FROM pairs
+        |WHERE c >= 0.9 - 1e-9
+        |ORDER BY containment DESC, doc_a, doc_b
+        |LIMIT 30""".stripMargin,
+
     "dd_ngram_top" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

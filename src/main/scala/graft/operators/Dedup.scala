@@ -377,6 +377,83 @@ object Dedup {
     }
   }
 
+  /** CONTAINMENT near-dup — the asymmetric companion to
+    * [[ngramJaccardPairs]]: C(A→B) = |A∩B| / |A| with A the smaller
+    * shingle set, which catches a fragment living INSIDE a larger
+    * document (a quote, a syndicated excerpt, boilerplate wrapped in
+    * new content). Jaccard structurally cannot see these: a 40 %
+    * prefix of a document has containment 1.0 but Jaccard ≈ 0.4,
+    * below any sane threshold. Candidate generation is the same
+    * rarest-first prefix-filter discipline, but ASYMMETRIC: only the
+    * probe (contained) side prunes to its |A|−⌈τ|A|⌉+1 prefix —
+    * pigeonhole needs just one side's order — while the index side
+    * keeps all tokens (the contained doc bounds nothing about its
+    * container's size). Verification is one exact set-intersect per
+    * candidate. Skew and shuffle bounds match the Jaccard pipeline:
+    * both sides exchange once on the token hash, candidates are
+    * df-bounded.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       topK: Int = 100, release: Boolean = true): DataFrame = {
+    val epsLen = 1e-9
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text"), n).as("sh0"))
+    withSigCache(release)(hashed) {
+      val tok = hashed.select(col("doc_id"), size(col("sh0")).as("len"),
+        explode(col("sh0")).as("t"))
+      val prefixLen = (col("len").cast("double") -
+        greatest(lit(1.0), floor(col("len") * lit(threshold))) + lit(1.0)).cast("int")
+      val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      val ranked = tok.withColumn("df", count(lit(1)).over(dfW))
+        .withColumn("rk", row_number().over(rankW))
+      val pre = ranked.filter(col("rk") <= prefixLen)
+      // direction: doc_a is the (potentially) contained, smaller set;
+      // id-tiebreak keeps exact-duplicate pairs single-direction
+      val candidates = pre.as("a")
+        .join(ranked.as("b"),
+          col("a.t") === col("b.t") &&
+            (col("a.len") < col("b.len") ||
+              (col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val shs = hashed.select(col("doc_id"), col("sh0").as("sh"))
+      val verified = candidates
+        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("containment_raw",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(col("sh_a")).cast("double"))
+        .filter(col("containment_raw") >= lit(threshold) - lit(epsLen))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("sh_a")).cast("long").as("len_a"),
+          size(col("sh_b")).cast("long").as("len_b"),
+          rnd4(col("containment_raw")).as("containment"))
+      if (topK <= 0) verified
+      else verified.orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+        .limit(topK)
+    }
+  }
+
+  /** Documents plus planted FRAGMENTS: the first 40 % of the tokens
+    * of docs 0-4 as new docs (ids +2000000) — contained near-verbatim
+    * in their sources (containment 1.0) yet invisible to Jaccard
+    * (≈ 0.4). The demonstration corpus for [[containmentPairs]].
+    */
+  def plantedFragmentDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val frags = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+          greatest(floor(size(split(trim(col("text")), "\\s+")) * lit(0.4)), lit(3.0))
+            .cast("int"))).as("text"))
+    docs.unionByName(frags)
+  }
+
+  def containmentQuery(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(plantedFragmentDocs(s, dir), threshold = 0.9, topK = 30)
+
   /** Embedding-cosine near-dup: multi-table LSH self-join for
     * candidates (never all-pairs), exact cosine re-rank, top pairs.
     *

@@ -384,6 +384,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment finds planted fragments that Jaccard cannot see") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Dedup.plantedFragmentDocs(spark, sfDir)
+    val cont = Dedup.containmentPairs(docs, threshold = 0.9, topK = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // every planted fragment is contained in its source at exactly 1.0
+    // (a contiguous token prefix's shingles are a subset of the doc's)
+    val planted = (0L to 4L).map(d => (d + 2000000L, d))
+    planted.foreach { case (frag, src) =>
+      val hit = cont.find(p => p._1 == frag && p._2 == src)
+      assert(hit.isDefined, s"fragment $frag not found in $src")
+      assert(hit.get._3 === 1.0)
+    }
+    // direction invariant: doc_a is never the larger set
+    val all = Dedup.containmentPairs(docs, threshold = 0.9, topK = 0)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(all.forall { case (la, lb) => la <= lb })
+    // the same fragment pairs are INVISIBLE to Jaccard at 0.6 when the
+    // fragment is a genuine minority slice of its source
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.6, topK = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val invisible = planted.count { case (frag, src) =>
+      !jac.contains((src, frag)) && !jac.contains((frag, src))
+    }
+    assert(invisible >= 3,
+      s"expected most 40% fragments below the Jaccard threshold, got $invisible/5 invisible")
+  }
+
   test("incremental group maintenance merges groups and surfaces emergent docs") {
     import spark.implicits._
     // stored artifact: two groups {1,2} and {5,6}; corpus doc 9 was a

@@ -405,6 +405,7 @@ object SparkEntry {
     "ev_concurrency"     -> (Events.concurrency _),
     "ev_mad_outliers"    -> (Events.madOutliers _),
     "ev_theilsen"        -> (Events.theilSen _),
+    "ev_cusum"           -> (Events.cusum _),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -2058,6 +2059,47 @@ object SparkEntry {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // CUSUM closed form: S_t = P_t - min(0, running-min P); exact
+    // integer daily cents feed mu/sigma via the same moment formula
+    "ev_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_d,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM events GROUP BY event_type, day_d),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(tot) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mu,
+        |    sqrt((CAST(sum(tot * tot) AS DOUBLE) -
+        |          CAST(sum(tot) AS DOUBLE) * CAST(sum(tot) AS DOUBLE)
+        |            / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)) / 100.0 AS sigma
+        |  FROM daily GROUP BY event_type),
+        |scored AS (
+        |  SELECT d.event_type, d.day_d, s.n_days, s.mu, s.sigma,
+        |    sum(CAST(d.tot AS DOUBLE) / 100.0 - s.mu - s.sigma / 2.0)
+        |      OVER w AS p
+        |  FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cus AS (
+        |  SELECT event_type, day_d, n_days, mu, sigma,
+        |    floor((p - least(min(p) OVER w, 0.0)) * 10000.0 + 0.5) / 10000.0 AS cusum
+        |  FROM scored
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |flagged AS (
+        |  SELECT *, cusum > 4.0 * sigma AS alarm FROM cus)
+        |SELECT event_type,
+        |  CAST(min(n_days) AS BIGINT) AS n_days,
+        |  floor(min(mu) * 10000.0 + 0.5) / 10000.0 AS mean_daily,
+        |  floor(min(sigma) * 10000.0 + 0.5) / 10000.0 AS sigma_daily,
+        |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+        |  floor(max(cusum) * 10000.0 + 0.5) / 10000.0 AS max_cusum,
+        |  min(CASE WHEN alarm THEN day_d END) AS first_alarm_day
+        |FROM flagged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // daily totals as exact integer cents; slope double-op order
     // mirrored exactly; quantile_cont/percentile pairing as q19

@@ -57,6 +57,60 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** CUSUM changepoint detection per event type — the sequential
+    * drift alarm (Page 1954) over daily totals: S_t = max(0, S_{t−1}
+    * + (x_t − μ − k)) crosses h when the mean shifts by more than the
+    * allowance k. The recursion LOOKS inherently sequential, but has
+    * the closed form S_t = P_t − min_{j≤t} P_j with P the running sum
+    * of deviations — so it is exactly TWO window passes (cumsum +
+    * running min) over the bounded daily relation, no recursion, no
+    * driver loop, and the corpus itself only ever feeds the one
+    * map-side-combinable daily aggregation. μ, σ come from the
+    * dailies' exact integer moment sums (values are 2-decimal cents),
+    * k = σ/2 and h = 4σ the textbook defaults; the alarm flag is set
+    * on the 1e-4-rounded statistic so threshold crossings are
+    * engine-deterministic.
+    */
+  def cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(s, dir))
+
+  /** The detector itself, over any (event_type, ts, value) relation. */
+  def cusumOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_d"))
+      .agg(sum(col("cents")).as("tot"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("tot")).as("s"),
+        sum(col("tot") * col("tot")).as("ss"))
+      .select(col("event_type"), col("n_days"),
+        (col("s").cast("double") / col("n_days").cast("double") / lit(100.0)).as("mu"),
+        (sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double")
+            / col("n_days").cast("double")) / col("n_days").cast("double"))
+          / lit(100.0)).as("sigma"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(broadcast(stats), "event_type")
+      .withColumn("dev",
+        col("tot").cast("double") / lit(100.0) - col("mu") - col("sigma") / lit(2.0))
+      .withColumn("p", sum(col("dev")).over(byDay))
+      .withColumn("run_min", least(min(col("p")).over(byDay), lit(0.0)))
+      .withColumn("cusum",
+        graft.operators.CrossEngine.rnd4(col("p") - col("run_min")))
+      .withColumn("alarm", col("cusum") > lit(4.0) * col("sigma"))
+    scored.groupBy(col("event_type"))
+      .agg(min(col("n_days")).as("n_days"),
+        graft.operators.CrossEngine.rnd4(min(col("mu"))).as("mean_daily"),
+        graft.operators.CrossEngine.rnd4(min(col("sigma"))).as("sigma_daily"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        graft.operators.CrossEngine.rnd4(max(col("cusum"))).as("max_cusum"),
+        min(when(col("alarm"), col("day_d"))).as("first_alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** Theil–Sen robust trend per event type — the median of all
     * pairwise slopes between daily totals, with the intercept as the
     * median residual at slope m̂: up to a ~29 % outlier fraction

@@ -306,6 +306,35 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) === z)
   }
 
+  test("cusum: closed form equals the textbook recursion, alarm at the planted shift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 20 calm days around 100, then a sustained +50% shift
+    val dailyVals = (0 until 20).map(d => 100.0 + (d % 5) - 2) ++
+      (20 until 30).map(_ => 150.0)
+    val rows = dailyVals.zipWithIndex.map { case (v, d) =>
+      ("a", new Timestamp(d * 86400000L), v)
+    }
+    val out = Events.cusumOf(rows.toDF("event_type", "ts", "value")).collect().head
+    // textbook recursion on the same series with the operator's mu/sigma/k/h
+    val n = dailyVals.length
+    val mu = dailyVals.sum / n
+    val sigma = math.sqrt(dailyVals.map(v => v * v).sum / n - mu * mu)
+    var s = 0.0; var maxS = 0.0; var alarms = 0; var first = -1
+    def rnd4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    for ((v, d) <- dailyVals.zipWithIndex) {
+      s = math.max(0.0, s + (v - mu - sigma / 2.0))
+      maxS = math.max(maxS, rnd4(s))
+      if (rnd4(s) > 4.0 * sigma) { alarms += 1; if (first < 0) first = d }
+    }
+    assert(out.getLong(1) === n.toLong)
+    assert(out.getLong(4) === alarms.toLong)
+    assert(math.abs(out.getDouble(5) - maxS) < 2e-4,
+      s"closed-form max ${out.getDouble(5)} vs recursion $maxS")
+    assert(out.getLong(6) === first.toLong)
+    assert(alarms > 0 && first >= 20, "the alarm must fire after the planted shift")
+  }
+
   test("theilSen shrugs off the outlier day that drags an OLS fit") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -2145,7 +2145,9 @@ object SparkEntry {
         |  FROM dev GROUP BY event_type),
         |z AS (
         |  SELECT d.event_type, d.med, m.mad,
-        |    floor(0.6745 * (d.value - d.med) / m.mad * 10000.0 + 0.5) / 10000.0 AS z
+        |    CASE WHEN m.mad > 0.0
+        |      THEN floor(0.6745 * (d.value - d.med) / m.mad * 10000.0 + 0.5) / 10000.0
+        |      ELSE 0.0 END AS z
         |  FROM dev d JOIN mad m ON d.event_type = m.event_type)
         |SELECT event_type, count(*) AS n_events,
         |  floor(min(med) * 10000.0 + 0.5) / 10000.0 AS median_value,

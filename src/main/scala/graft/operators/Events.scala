@@ -181,9 +181,13 @@ object Events {
       .withColumn("absdev", abs(col("value") - col("med")))
     val mad = dev.groupBy(col("event_type"))
       .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    // mad = 0 (a majority-constant group) must not reach the divide:
+    // 0/0 → NaN, and NaN orders BELOW thresholds on Spark but ABOVE
+    // them in the oracle engine — the guard pins z to 0 on both
     dev.join(broadcast(mad), "event_type")
-      .withColumn("z", graft.operators.CrossEngine.rnd4(
+      .withColumn("z", when(col("mad") > 0.0, graft.operators.CrossEngine.rnd4(
         lit(0.6745) * (col("value") - col("med")) / col("mad")))
+        .otherwise(lit(0.0)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.operators.CrossEngine.rnd4(min(col("med"))).as("median_value"),

@@ -712,6 +712,9 @@ object Relational {
     * `within_2se`) — a production run drops it.
     */
   def q49SampledAgg(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    // the long scale-up (est_qty = s·100/pct) and the double 1/f must
+    // agree exactly, which holds only for divisor fractions
+    require(100 % pct == 0, s"pct=$pct must divide 100")
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"),
         col("l_quantity").cast("long").as("qty"))

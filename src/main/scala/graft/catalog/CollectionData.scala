@@ -662,9 +662,33 @@ class CollectionData(client: ChromaSpark) {
   }
 
   /** Raw log depth in rows — the merge-on-read debt [[vacuum]] pays
-    * down; an ops metric, not a data API.
+    * down; an ops metric, not a data API. Row counts come from the
+    * parquet FOOTERS driver-side (block metadata carries exact
+    * counts) — a metadata listing, not a Spark job, which is how an
+    * ops dashboard would poll this at any log size.
     */
-  def logRows(collection: String): Long = readLog(collection).count()
+  def logRows(collection: String): Long = {
+    val d = dir(collection)
+    liveLogName(d) match {
+      case None => 0L
+      case Some(name) =>
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(s"$d/$name")
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).iterator
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            }
+            finally r.close()
+          }.sum
+    }
+  }
 
   /** Chroma `query(query_texts=...)`: embed the texts with the SAME
     * feature-hash embedder the ingest path uses, then delegate to

@@ -332,6 +332,63 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class CusumState(pending: Map[Long, Long], p: Double, minP: Double)
+  final case class CusumPoint(event_type: String, day: Timestamp, total: Double,
+                              cusum: Double, alarm: Boolean)
+
+  /** Streaming twin of `graft.operators.Events.cusum` with a FIXED
+    * reference (μ, σ) — the canonical streaming CUSUM, where the
+    * in-control mean comes from calibration, not from the stream
+    * being monitored. The batch closed form S_t = P_t − min(0,
+    * min_{j≤t} P_j is what makes this stream-able with O(1) sealed
+    * state: the entire alarm history collapses to TWO doubles (the
+    * running deviation sum and its running minimum) — no window, no
+    * retained days. Per-key state is those two scalars plus the
+    * pending (unsealed) day buckets the watermark still allows, so
+    * state is bounded by the watermark delay, never history length.
+    * Day totals accumulate in exact integer cents and convert with
+    * the batch twin's op order, so sealed-day statistics agree
+    * bit-for-bit with the batch recursion on watermark-admitted data.
+    */
+  def cusumAlarms(events: Dataset[Event], mu: Double, sigma: Double,
+                  watermark: String = "1 day"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+
+    def update(eventType: String, batch: Iterator[Event],
+               state: GroupState[CusumState]): Iterator[CusumPoint] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prior = state.getOption.getOrElse(CusumState(Map.empty, 0.0, 0.0))
+      val pending = batch.foldLeft(prior.pending) { (acc, e) =>
+        val d = math.floorDiv(e.ts.getTime, dayMs) * dayMs
+        acc.updated(d, acc.getOrElse(d, 0L) + math.round(e.value * 100.0))
+      }
+      val (closed, open) = pending.partition { case (d, _) => d + dayMs <= wm }
+      var p = prior.p
+      var minP = prior.minP
+      val out = List.newBuilder[CusumPoint]
+      closed.toList.sortBy(_._1).foreach { case (d, cents) =>
+        p += cents.toDouble / 100.0 - mu - sigma / 2.0
+        minP = math.min(minP, p) // min over prefixes INCLUDING the empty one (≤ 0)
+        val s = math.floor((p - math.min(minP, 0.0)) * 10000.0 + 0.5) / 10000.0
+        out += CusumPoint(eventType, new Timestamp(d), cents.toDouble / 100.0,
+          s, s > 4.0 * sigma)
+      }
+      if (open.isEmpty && p == 0.0 && minP == 0.0) state.remove()
+      else {
+        state.update(CusumState(open, p, minP))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(math.max(open.keys.min + dayMs, wm + 1L))
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   final case class CdcState(tsS: Long, eventId: Long, op: String,
                             state: String, value: Double,
                             nOps: Long, nDeletes: Long)

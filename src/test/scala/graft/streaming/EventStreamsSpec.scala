@@ -218,6 +218,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum equals the batch closed form and alarms at the planted shift") {
+    implicit val sqlCtx = spark.sqlContext
+    // daily totals: 20 calm days around 100, then a +50 sustained shift
+    val dailyVals = (0 until 20).map(d => 100.0 + (d % 5) - 2) ++
+      (20 until 28).map(_ => 150.0)
+    val mu = dailyVals.take(20).sum / 20.0
+    val sigma = {
+      val m2 = dailyVals.take(20).map(v => v * v).sum / 20.0
+      math.sqrt(m2 - mu * mu)
+    }
+    def evAt(d: Int): Event = {
+      val base = Timestamp.valueOf("2024-01-01 00:10:00").getTime
+      Event(d.toLong, new Timestamp(base + d * 86400000L), 1L, "click", dailyVals(d))
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.cusumAlarms(input.toDS(), mu, sigma, watermark = "1 hour")
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      dailyVals.indices.foreach { d => input.addData(evAt(d)); q.processAllAvailable() }
+      // push the watermark far past day 27 (bucket stays unsealed)
+      input.addData(Event(999L, new Timestamp(
+        Timestamp.valueOf("2024-01-01 00:10:00").getTime + 40L * 86400000L), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum_out")
+        .select("day", "total", "cusum", "alarm").collect()
+        .map(r => (math.floorDiv(r.getTimestamp(0).getTime, 86400000L),
+          r.getDouble(1), r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+      // batch recursion with the same fixed reference
+      var s = 0.0
+      val expected = dailyVals.zipWithIndex.map { case (v, d) =>
+        s = math.max(0.0, s + (v - mu - sigma / 2.0))
+        val r4 = math.floor(s * 10000.0 + 0.5) / 10000.0
+        (math.floorDiv(Timestamp.valueOf("2024-01-01 00:10:00").getTime, 86400000L) + d,
+          v, r4, r4 > 4.0 * sigma)
+      }
+      assert(got.length === expected.length)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g._1 === e._1)
+        assert(math.abs(g._2 - e._2) < 1e-9)
+        assert(math.abs(g._3 - e._3) < 2e-4, s"day ${g._1}: ${g._3} vs ${e._3}")
+        assert(g._4 === e._4)
+      }
+      // the shift is caught, and not before it happens
+      assert(expected.count(_._4) > 0)
+      val firstAlarm = got.find(_._4).get._1 - got.head._1
+      assert(firstAlarm >= 20, s"alarm at day offset $firstAlarm")
+    } finally q.stop()
+  }
+
   test("streaming anomaly flags match the batch twin's formula on sealed hours") {
     implicit val sqlCtx = spark.sqlContext
     // 30 hours of a deterministic series: counts cycle 1..4 per hour,

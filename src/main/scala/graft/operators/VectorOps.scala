@@ -631,7 +631,7 @@ object VectorOps {
     * the driver-visible recall column prices that honestly.
     */
   def annBq(queries: DataFrame, corpus: DataFrame, k: Int,
-            dim: Int = 64, shortlist: Int = 200): DataFrame = {
+            dim: Int = 64, shortlist: Int = 320): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
     val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)

@@ -406,6 +406,7 @@ object SparkEntry {
     "ev_mad_outliers"    -> (Events.madOutliers _),
     "ev_theilsen"        -> (Events.theilSen _),
     "ev_cusum"           -> (Events.cusum _),
+    "ev_funnel_window"   -> ((s, d) => Events.funnelWindowed(s, d)),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -2221,6 +2222,35 @@ object SparkEntry {
         |  SELECT CAST(2 AS BIGINT), 'click_after_view', (SELECT count(*) FROM c)
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase_after_click', (SELECT count(*) FROM p))
+        |ORDER BY step""".stripMargin,
+
+    // bounded conversion windows in integer epoch seconds; medians via
+    // the q19 percentile/quantile_cont pairing
+    "ev_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        |v AS (SELECT user_id, min(sec) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(sec) AS t2, min(t1) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND sec > t1 AND sec <= t1 + 86400
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(sec) AS t3, min(t2) AS t2
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND sec > t2 AND sec <= t2 + 86400
+        |      GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+        |    (SELECT count(*) FROM v) AS n_users,
+        |    CAST(NULL AS DOUBLE) AS median_secs_to_stage
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click_within_window',
+        |    (SELECT count(*) FROM c),
+        |    (SELECT floor(quantile_cont(t2 - t1, 0.5) * 10000.0 + 0.5) / 10000.0 FROM c)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase_within_window',
+        |    (SELECT count(*) FROM p),
+        |    (SELECT floor(quantile_cont(t3 - t2, 0.5) * 10000.0 + 0.5) / 10000.0 FROM p))
         |ORDER BY step""".stripMargin,
 
     "ev_props_map" ->

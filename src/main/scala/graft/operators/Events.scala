@@ -295,6 +295,52 @@ object Events {
       .orderBy(col("step"))
   }
 
+  /** Time-BOUNDED funnel — the product-analytics semantics [[funnel]]
+    * deliberately omits: each stage must convert within `windowSec`
+    * of the PREVIOUS stage's anchor (view → click within the window →
+    * purchase within the window of that click), and each surviving
+    * stage reports its median time-to-convert. An unbounded funnel
+    * counts a purchase months after the click as a conversion; the
+    * windowed form is what attribution actually uses. Same staged
+    * per-user min-anchor shape (aggregate → join → filter, three
+    * shuffles on user_id, no window over raw events); the upper bound
+    * is one more pushed predicate per stage. Epoch-second arithmetic
+    * keeps the bound integer-exact across engines.
+    */
+  def funnelWindowed(s: SparkSession, dir: String,
+                     windowSec: Long = 86400L): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast("long").as("sec"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("sec") > col("t1") && col("sec") <= col("t1") + lit(windowSec))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"), min(col("t1")).as("t1"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("sec") > col("t2") && col("sec") <= col("t2") + lit(windowSec))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"), min(col("t2")).as("t2"))
+    views.agg(count(lit(1)).as("n_users"),
+        lit(null).cast("double").as("median_secs_to_stage"))
+      .withColumn("step", lit(1L)).withColumn("stage", lit("view"))
+      .unionByName(clicks
+        .select((col("t2") - col("t1")).as("dt"))
+        .agg(count(lit(1)).as("n_users"),
+          graft.operators.CrossEngine.rnd4(expr("percentile(dt, 0.5)"))
+            .as("median_secs_to_stage"))
+        .withColumn("step", lit(2L)).withColumn("stage", lit("click_within_window")))
+      .unionByName(purchases
+        .select((col("t3") - col("t2")).as("dt"))
+        .agg(count(lit(1)).as("n_users"),
+          graft.operators.CrossEngine.rnd4(expr("percentile(dt, 0.5)"))
+            .as("median_secs_to_stage"))
+        .withColumn("step", lit(3L)).withColumn("stage", lit("purchase_within_window")))
+      .select(col("step"), col("stage"), col("n_users"), col("median_secs_to_stage"))
+      .orderBy(col("step"))
+  }
+
   /** Schema-on-read into a MAP column: parse the JSON payload to
     * map<string,long>, explode the entries (one row per key), and
     * aggregate per key — the generic path when payload keys are NOT

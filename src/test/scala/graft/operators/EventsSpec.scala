@@ -306,6 +306,26 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) === z)
   }
 
+  test("windowed funnel: counts shrink with the window, huge window = unbounded funnel") {
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tight = counts(Events.funnelWindowed(spark, sfDir, windowSec = 3600L))
+    val day = counts(Events.funnelWindowed(spark, sfDir, windowSec = 86400L))
+    val huge = counts(Events.funnelWindowed(spark, sfDir, windowSec = 10L * 365 * 86400))
+    val unbounded = counts(Events.funnel(spark, sfDir))
+    // stage 1 is window-independent
+    assert(tight(1L) === day(1L) && day(1L) === unbounded(1L))
+    // narrowing the window can only lose conversions
+    (2L to 3L).foreach { s =>
+      assert(tight(s) <= day(s), s"stage $s: tight ${tight(s)} > day ${day(s)}")
+      assert(day(s) <= huge(s), s"stage $s: day ${day(s)} > huge ${huge(s)}")
+    }
+    // a window longer than the data span IS the unbounded funnel
+    assert(huge === unbounded)
+    // the bound actually bites on this data (not a vacuous test)
+    assert(tight(2L) < unbounded(2L) || tight(3L) < unbounded(3L))
+  }
+
   test("cusum: closed form equals the textbook recursion, alarm at the planted shift") {
     import spark.implicits._
     import java.sql.Timestamp

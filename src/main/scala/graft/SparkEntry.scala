@@ -456,6 +456,7 @@ object SparkEntry {
     "dd_simhash_pairs"   -> (Dedup.simhashPairsQuery _),
     "dd_ngram_top"       -> (Dedup.ngramTopQuery _),
     "dd_containment"     -> (Dedup.containmentQuery _),
+    "txt_span_scrub"     -> ((s, d) => Dedup.spanScrubQuery(s, d)),
     "dd_groups"          -> (Dedup.dedupGroupsQuery _),
     "dd_groups_incr"     -> (Dedup.dedupGroupsIncrQuery _),
     "dd_keeper"          -> (Dedup.dedupKeepersQuery _),
@@ -3475,6 +3476,62 @@ object SparkEntry {
     // Same anchor-window + diagonal gaps-and-islands construction as
     // repeatedSubstrings, planted docs built from identical token
     // slices — offsets and span lengths must agree exactly.
+    // the scrub consumes the UNTRUNCATED span set (no top-40), removes
+    // covered positions from each later copy, and fingerprints the
+    // ordered reassembly; empty survivors hash the empty string
+    "txt_span_scrub" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |planted AS MATERIALIZED (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT CAST(3000001 AS BIGINT),
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 1), 1, 10) ||
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 0), 1, 30)
+        |  UNION ALL
+        |  SELECT CAST(3000002 AS BIGINT),
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 2), 1, 5) ||
+        |         list_slice((SELECT toks FROM base WHERE doc_id = 0), 1, 30)),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |         md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 19), ' ')) AS win
+        |  FROM planted, LATERAL (SELECT unnest(range(1, len(toks) - 18)) AS i) g
+        |  WHERE len(toks) >= 20),
+        |anchors AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |         a.pos - b.pos AS diag
+        |  FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag,
+        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp,
+        |         pa, pb
+        |  FROM anchors),
+        |spans AS (
+        |  SELECT doc_b, CAST(min(pb) AS BIGINT) AS start_b,
+        |         CAST(20 + count(*) - 1 AS BIGINT) AS match_len
+        |  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+        |remove AS (
+        |  SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM spans, LATERAL (SELECT unnest(range(start_b, start_b + match_len)) AS p) g),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, toks[CAST(i AS INT)] AS tok
+        |  FROM planted, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g),
+        |kept AS (
+        |  SELECT t.doc_id,
+        |         count(*) AS n_kept,
+        |         md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.pos), '')) AS fp
+        |  FROM toks t LEFT JOIN remove r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        |  WHERE r.pos IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT p.doc_id,
+        |  CAST(len(p.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(p.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(k.fp, md5('')) AS scrubbed_fp
+        |FROM planted p LEFT JOIN kept k ON p.doc_id = k.doc_id
+        |WHERE len(p.toks) - coalesce(k.n_kept, 0) > 0
+        |ORDER BY p.doc_id""".stripMargin,
+
     "dd_repeats" ->
       """WITH base AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

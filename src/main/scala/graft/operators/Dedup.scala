@@ -940,6 +940,48 @@ object Dedup {
       .limit(40)
   }
 
+  /** ACT on the mined repeated spans — cross-document repetition
+    * REMOVAL, the second half of the suffix-scan dedup loop (the
+    * published long-dedup discipline: mine exact repeats, then delete
+    * every occurrence except the first): each span's covered token
+    * positions are scrubbed from the LATER copy (`doc_b` — the mined
+    * direction keeps the earliest doc intact), overlapping spans
+    * merging for free through the position-set distinct. One explode
+    * of the span set (rows ∝ repeated tokens, not corpus tokens), one
+    * anti-join against the token-position relation, and an ordered
+    * reassembly per affected doc; the scrubbed text round-trips as an
+    * md5 fingerprint so the driver compare stays cell-hashable — the
+    * [[graft.operators.TextAnalysis]] sentence-dedup contract.
+    */
+  def spanScrubQuery(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = plantedRepeatDocs(s, dir)
+    val idx = repeatsIndexIfAbsent(docs,
+      s"${System.getProperty("java.io.tmpdir")}/graft-repeats-cache", k)
+    val spans = s.read.parquet(s"$idx/spans")
+    val remove = spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("match_len") - 1)).as("pos"))
+      .distinct()
+    val tokens = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+    val toks = tokens.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val keptAgg = toks
+      .join(remove, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            p => p.getField("tok")))).as("scrubbed_fp"))
+    tokens.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed_fp"), md5(lit(""))).as("scrubbed_fp"))
+      .filter(col("n_removed") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact all-pairs cosine pairs at/above `minCosine` — the truth
     * set for certifying the LSH path's recall. One broadcast
     * nested-loop join (the whole vector table broadcasts at

@@ -384,6 +384,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span scrub removes exactly the embedded copy and keeps the host prefix") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Dedup.spanScrubQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the two constructed docs embed doc 0's first 30 tokens after a
+    // host prefix; scrubbing must delete exactly those 30 tokens and
+    // reassemble to the bare prefix
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(toks: Seq[String]) =
+      md.digest(toks.mkString(" ").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val embedLen = math.min(30, docs(0L).length).toLong
+    Seq((3000001L, docs(1L).take(10)), (3000002L, docs(2L).take(5))).foreach {
+      case (id, prefix) =>
+        val (n, removed, hash) = out(id)
+        assert(n === prefix.length + embedLen, s"doc $id token count")
+        assert(removed === embedLen, s"doc $id must lose exactly the embedded span")
+        assert(hash === fp(prefix), s"doc $id reassembly")
+    }
+    // sanity over all affected docs
+    assert(out.values.forall { case (n, rm, _) => rm > 0 && rm <= n })
+  }
+
   test("containment finds planted fragments that Jaccard cannot see") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = Dedup.plantedFragmentDocs(spark, sfDir)

@@ -407,6 +407,7 @@ object SparkEntry {
     "ev_theilsen"        -> (Events.theilSen _),
     "ev_cusum"           -> (Events.cusum _),
     "ev_funnel_window"   -> ((s, d) => Events.funnelWindowed(s, d)),
+    "ev_cuped"           -> ((s, d) => Events.cupedAb(s, d)),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -2061,6 +2062,75 @@ object SparkEntry {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // CUPED: one pass of integer-cent moment sums; theta, adjusted
+    // means and variances expand algebraically with the SAME
+    // left-associative double-op order as the engine
+    "ev_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_d,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |sp AS (SELECT min(day_d) + 15 AS split FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day_d < (SELECT split FROM sp) THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day_d >= (SELECT split FROM sp) THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS variant
+        |  FROM ev GROUP BY user_id),
+        |m AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pu GROUP BY variant),
+        |g AS (
+        |  SELECT *,
+        |    CAST(sum(n) OVER () AS DOUBLE) AS nd,
+        |    CAST(sum(sx) OVER () AS DOUBLE) AS sxd,
+        |    CAST(sum(sy) OVER () AS DOUBLE) AS syd,
+        |    CAST(sum(sxx) OVER () AS DOUBLE) AS sxxd,
+        |    CAST(sum(sxy) OVER () AS DOUBLE) AS sxyd
+        |  FROM m),
+        |h AS (
+        |  SELECT *,
+        |    sxd / nd AS xbar,
+        |    (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) AS theta,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS var_y
+        |  FROM g),
+        |z AS (
+        |  SELECT *,
+        |    CAST(sy AS DOUBLE) - theta * CAST(sx AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * theta * xbar AS sz,
+        |    CAST(syy AS DOUBLE) - 2.0 * theta * CAST(sxy AS DOUBLE)
+        |      + theta * theta * CAST(sxx AS DOUBLE)
+        |      + 2.0 * theta * xbar * CAST(sy AS DOUBLE)
+        |      - 2.0 * theta * theta * xbar * CAST(sx AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * theta * theta * xbar * xbar AS szz
+        |  FROM h),
+        |w AS (
+        |  SELECT *,
+        |    sz / CAST(n AS DOUBLE) AS mean_z,
+        |    (szz - sz * sz / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_z
+        |  FROM z),
+        |f AS (
+        |  SELECT *,
+        |    (mean_y - (sum(mean_y) OVER () - mean_y)) /
+        |      sqrt(var_y / CAST(n AS DOUBLE) +
+        |        (sum(var_y / CAST(n AS DOUBLE)) OVER () - var_y / CAST(n AS DOUBLE))) AS t_naive,
+        |    (mean_z - (sum(mean_z) OVER () - mean_z)) /
+        |      sqrt(var_z / CAST(n AS DOUBLE) +
+        |        (sum(var_z / CAST(n AS DOUBLE)) OVER () - var_z / CAST(n AS DOUBLE))) AS t_cuped
+        |  FROM w)
+        |SELECT variant, n AS n_users,
+        |  floor(mean_y / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_post,
+        |  floor(mean_z / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_cuped,
+        |  floor((1.0 - var_z / var_y) * 100.0 * 10000.0 + 0.5) / 10000.0 AS var_reduction_pct,
+        |  floor(t_naive * 10000.0 + 0.5) / 10000.0 AS t_naive,
+        |  floor(t_cuped * 10000.0 + 0.5) / 10000.0 AS t_cuped
+        |FROM f
+        |ORDER BY variant""".stripMargin,
 
     // CUSUM closed form: S_t = P_t - min(0, running-min P); exact
     // integer daily cents feed mu/sigma via the same moment formula

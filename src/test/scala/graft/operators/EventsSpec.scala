@@ -306,6 +306,49 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(5) === z)
   }
 
+  test("cuped: planted effect survives adjustment, variance shrinks, t sharpens") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // users with heterogeneous activity levels: pre-day spend = base_u,
+    // post-day spend = base_u + per-user wobble + 5.00 if variant 1 —
+    // the pre period explains the between-user variance, CUPED removes it
+    def variantOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for {
+      u <- 0L until 200L
+      d <- 0 until 20
+    } yield {
+      val baseU = 10.0 + (u % 37).toDouble            // heterogeneity
+      val wobble = ((u * 7 + d * 13) % 5).toDouble / 10.0
+      val v = if (d >= 15 && variantOf(u) == 1L) 5.0 else 0.0
+      (u, new Timestamp(base + d * 86400000L), baseU + wobble + v)
+    }
+    val out = Events.cupedAbOf(rows.toDF("user_id", "ts", "value"), preDays = 15)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (m0, c0, red0, tn0, tc0) = out(0L)
+    val (m1, c1, _, tn1, tc1) = out(1L)
+    // the planted +5/day over 5 post days = +25 per-user total. The
+    // hash assignment happens to correlate with the planted base_u
+    // heterogeneity, so the NAIVE difference carries a selection
+    // imbalance; the pre-period adjustment is exactly what removes it
+    val naiveErr = math.abs((m1 - m0) - 25.0)
+    val cupedErr = math.abs((c1 - c0) - 25.0)
+    assert(cupedErr < naiveErr,
+      s"cuped effect ${c1 - c0} must beat naive ${m1 - m0}")
+    assert(cupedErr < 2.0, s"cuped effect ${c1 - c0}")
+    // pre explains almost all between-user variance here
+    assert(red0 > 90.0, s"variance reduction $red0 %")
+    // the same effect is therefore far more significant under CUPED
+    assert(math.abs(tc1) > 2.0 * math.abs(tn1), s"t: naive $tn1 cuped $tc1")
+    assert(tn0 === -tn1 && tc0 === -tc1, "antisymmetric by construction")
+  }
+
   test("windowed funnel: counts shrink with the window, huge window = unbounded funnel") {
     def counts(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

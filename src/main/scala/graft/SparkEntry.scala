@@ -479,6 +479,7 @@ object SparkEntry {
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
+    "q53_clustering"     -> ((s, d) => Graph.clusteringQuery(s, d)),
     "q49_sampled_agg"    -> ((s, d) => Relational.q49SampledAgg(s, d)),
     "q50_ldiversity"     -> ((s, d) => Profile.lDiversity(s, d)),
     "q52_benford"        -> ((s, d) => Profile.benford(s, d)),
@@ -1784,6 +1785,38 @@ object SparkEntry {
         |FROM classes
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    // wedges from the adjacency self-join close against the canonical
+    // a<b pair set; integer counts in a rounded ratio (q47's
+    // sparsified graph)
+    "q53_clustering" ->
+      """WITH p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb
+        |  HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |adj AS (
+        |  SELECT pa AS u, pb AS v FROM p
+        |  UNION ALL
+        |  SELECT pb AS u, pa AS v FROM p),
+        |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        |wedges AS (
+        |  SELECT x.u AS u, x.v AS pa, y.v AS pb
+        |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v),
+        |tri AS (
+        |  SELECT w.u, count(*) AS tri
+        |  FROM wedges w JOIN p ON w.pa = p.pa AND w.pb = p.pb
+        |  GROUP BY w.u)
+        |SELECT d.u AS p_partkey, d.deg AS deg,
+        |  CAST(coalesce(t.tri, 0) AS BIGINT) AS n_triangles,
+        |  floor(CAST(coalesce(t.tri, 0) AS DOUBLE) * 2.0
+        |    / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)) * 10000.0 + 0.5)
+        |    / 10000.0 AS clustering
+        |FROM deg d LEFT JOIN tri t ON d.u = t.u
+        |WHERE d.deg >= 2
+        |ORDER BY clustering DESC, p_partkey
+        |LIMIT 50""".stripMargin,
 
     // bounded 3-round min-label propagation unrolled (the q43 shape)
     // over the ≥2-distinct-order sparsified co-purchase graph

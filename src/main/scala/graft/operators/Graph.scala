@@ -432,6 +432,48 @@ object Graph {
       .limit(topK)
   }
 
+  /** Local clustering coefficient — per-node neighborhood density
+    * 2·tri(u) / (deg(u)·(deg(u)−1)), the standard "how clique-like is
+    * this node's surroundings" signal next to the GLOBAL triangle
+    * count (q38): wedges (a<b neighbor pairs of u) come from ONE
+    * self-join of the adjacency on the center node, and each wedge
+    * closes or not via ONE equi-join against the canonical a<b edge
+    * set — candidates ∝ Σ deg², which the ≥2-order SPARSIFIED graph
+    * (the q47 discipline) keeps bounded; nothing is ever enumerated
+    * against the full multigraph. Deterministic: the coefficient is
+    * exact integer counts in a rounded ratio, top-k cut on the
+    * rounded value with node tiebreak.
+    */
+  def clusteringQuery(s: SparkSession, dir: String,
+                      minSupport: Int = 2, topK: Int = 50): DataFrame =
+    clusteringOnPairs(
+      s.read.parquet(s"${indexDir(s, dir)}/pairs")
+        .filter(col("n_both") >= minSupport)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint(true),
+      topK)
+
+  /** The metric itself, over any canonical (pa < pb) edge relation. */
+  def clusteringOnPairs(pairs: DataFrame, topK: Int): DataFrame = {
+    val adj = pairs.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("pa"), col("y.v").as("pb"))
+    val tri = wedges.join(pairs, Seq("pa", "pb"))
+      .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("u"), "left")
+      .select(col("u").as("p_partkey"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        CrossEngine.rnd4(coalesce(col("tri"), lit(0L)).cast("double") * lit(2.0)
+          / (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0))))
+          .as("clustering"))
+      .orderBy(col("clustering").desc, col("p_partkey"))
+      .limit(topK)
+  }
+
   def khopQuery(s: SparkSession, dir: String,
                 hops: Int = 3, nSeeds: Int = 5): DataFrame = {
     val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")

@@ -169,6 +169,19 @@ class GraphSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("clustering coefficient: triangle corners 1.0, hub diluted, pendants excluded") {
+    // complete triangle {1,2,3} with pendant 4 hanging off node 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("pa", "pb")
+    val out = Graph.clusteringOnPairs(pairs, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((2L, 1L, 1.0)))
+    // hub: deg 3, one closed wedge of three → 2·1/(3·2)
+    assert(out(1L) === ((3L, 1L, 0.3333)))
+    // the pendant has no wedge to close and is excluded (deg < 2)
+    assert(!out.contains(4L))
+  }
+
   test("communitiesOnEdges converges disjoint components to their min ids") {
     // components {1,2,3} (path) and {10,11}; symmetric edge list
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))

@@ -451,6 +451,7 @@ object SparkEntry {
     "txt_mix_temp"       -> (TextAnalysis.mixTemperature _),
     "txt_novelty"        -> (TextAnalysis.novelty _),
     "txt_wsample"        -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    "txt_zipf"           -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -480,6 +481,7 @@ object SparkEntry {
     "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
     "q53_clustering"     -> ((s, d) => Graph.clusteringQuery(s, d)),
+    "q54_trimmed"        -> (Relational.q54Trimmed _),
     "q49_sampled_agg"    -> ((s, d) => Relational.q49SampledAgg(s, d)),
     "q50_ldiversity"     -> ((s, d) => Profile.lDiversity(s, d)),
     "q52_benford"        -> ((s, d) => Profile.benford(s, d)),
@@ -1770,6 +1772,30 @@ object SparkEntry {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
+    // exact p10/p90 bounds (q19 pairing); money means round at 1e-2
+    // AFTER aggregation per the ARCHITECTURE determinism contract
+    "q54_trimmed" ->
+      """WITH bounds AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, 0.1) AS lo,
+        |    quantile_cont(o_totalprice, 0.9) AS hi
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority AS grp,
+        |  count(*) AS n_rows,
+        |  floor(avg(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS mean_raw,
+        |  CAST(sum(CASE WHEN o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  floor(sum(CASE WHEN o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+        |                 THEN o.o_totalprice ELSE 0.0 END) /
+        |        CAST(sum(CASE WHEN o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS mean_trimmed,
+        |  floor(avg(greatest(b.lo, least(b.hi, o.o_totalprice))) * 100.0 + 0.5) / 100.0
+        |    AS mean_winsorized
+        |FROM orders o JOIN bounds b ON o.o_orderpriority = b.grp
+        |GROUP BY o.o_orderpriority
+        |ORDER BY grp""".stripMargin,
+
     "q48_kanon" ->
       """WITH classes AS (
         |  SELECT c_nationkey, c_mktsegment,
@@ -2464,6 +2490,42 @@ object SparkEntry {
 
     // trigram novelty: df over distinct per-doc trigrams, ratio of
     // exact integers rounded to the 1e-4 grid
+    // OLS closed form over the top-200 log-log points; slope/R² ride
+    // every row (the q39 psi_total discipline)
+    "txt_zipf" ->
+      """WITH freq AS (
+        |  SELECT tok AS token, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |pts AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM freq
+        |  QUALIFY rank <= 200),
+        |xy AS (
+        |  SELECT *, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM pts),
+        |fit AS (
+        |  SELECT *,
+        |    CAST(count(*) OVER () AS DOUBLE) AS g_n,
+        |    sum(x) OVER () AS g_sx, sum(y) OVER () AS g_sy,
+        |    sum(x * y) OVER () AS g_sxy,
+        |    sum(x * x) OVER () AS g_sxx, sum(y * y) OVER () AS g_syy
+        |  FROM xy),
+        |c AS (
+        |  SELECT *,
+        |    g_sxy - g_sx * g_sy / g_n AS cov_xy,
+        |    g_sxx - g_sx * g_sx / g_n AS var_x,
+        |    g_syy - g_sy * g_sy / g_n AS var_y
+        |  FROM fit)
+        |SELECT rank, token, freq,
+        |  floor(cov_xy / var_x * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+        |  floor(cov_xy * cov_xy / (var_x * var_y) * 10000.0 + 0.5) / 10000.0 AS zipf_r2
+        |FROM c
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+
     // same double-op order as the Spark side: u from the first 8 md5
     // hex chars, arrival = -ln(u)/n_chars, floored at 1e12 with
     // doc_id tie-break — the cutoff is integer-deterministic

@@ -747,6 +747,38 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Trimmed and winsorized means per group — the robust-aggregation
+    * pair every metrics pipeline reaches for when a long tail
+    * poisons plain averages: trimming DROPS values outside the
+    * [p10, p90] exact percentiles, winsorizing CLAMPS them to the
+    * bounds. Exact per-group percentiles (bounded group count), then
+    * the stats broadcast back for one conditional-aggregate pass —
+    * two shuffles on the group key total. Boundary membership
+    * compares raw doubles computed identically on both engines (the
+    * q19 percentile pairing), and sums round once at emission.
+    */
+  def q54Trimmed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+    val bounds = o.groupBy(col("grp"))
+      .agg(expr("percentile(v, 0.1)").as("lo"), expr("percentile(v, 0.9)").as("hi"))
+    o.join(broadcast(bounds), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        r2(avg(col("v"))).as("mean_raw"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        r2(
+          sum(when(col("v") >= col("lo") && col("v") <= col("hi"), col("v"))
+            .otherwise(lit(0.0))) /
+            sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+              .otherwise(0L)).cast("double")).as("mean_trimmed"),
+        r2(
+          avg(greatest(col("lo"), least(col("hi"), col("v")))))
+          .as("mean_winsorized"))
+      .orderBy(col("grp"))
+  }
+
   def q41Bins(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_totalprice"))
     val bounds = o.agg(expr(

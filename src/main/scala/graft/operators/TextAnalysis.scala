@@ -1441,6 +1441,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf-law fit of the token frequency distribution — the classic
+    * corpus-health diagnostic: natural language has log(freq) ≈
+    * a + s·log(rank) with s ≈ −1, and a corpus whose slope or fit
+    * departs hard from that (template spam, generated filler, OCR
+    * noise) earns a second look before training. One vocabulary
+    * aggregation (map-side combinable, vocab-bounded), a top-N rank
+    * window, and the OLS closed form over the N log-log points via a
+    * tiny global window — the corpus is scanned once, the regression
+    * touches N rows. Slope and R² ride every emitted row (the q39
+    * psi_total discipline) so the driver compare certifies the fit,
+    * not just the head of the distribution.
+    */
+  def zipfFit(s: SparkSession, dir: String,
+              topN: Int = 200, show: Int = 20): DataFrame =
+    zipfFitFrom(Tables.documents(s, dir), topN, show)
+
+  /** [[zipfFit]] over any (doc_id, text) frame — spec entry point. */
+  def zipfFitFrom(docs: DataFrame, topN: Int, show: Int): DataFrame = {
+    val freq = docs
+      .select(explode(wsTokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val pts = freq
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= topN)
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val fitted = pts
+      .withColumn("g_n", d(count(lit(1)).over(all)))
+      .withColumn("g_sx", sum(col("x")).over(all))
+      .withColumn("g_sy", sum(col("y")).over(all))
+      .withColumn("g_sxy", sum(col("x") * col("y")).over(all))
+      .withColumn("g_sxx", sum(col("x") * col("x")).over(all))
+      .withColumn("g_syy", sum(col("y") * col("y")).over(all))
+      .withColumn("cov_xy", col("g_sxy") - col("g_sx") * col("g_sy") / col("g_n"))
+      .withColumn("var_x", col("g_sxx") - col("g_sx") * col("g_sx") / col("g_n"))
+      .withColumn("var_y", col("g_syy") - col("g_sy") * col("g_sy") / col("g_n"))
+    fitted
+      .filter(col("rank") <= show)
+      .select(col("rank"), col("token"), col("freq"),
+        rnd4(col("cov_xy") / col("var_x")).as("zipf_slope"),
+        rnd4(col("cov_xy") * col("cov_xy") / (col("var_x") * col("var_y")))
+          .as("zipf_r2"))
+      .orderBy(col("rank"))
+  }
+
   /** Weighted sampling without replacement, probability proportional
     * to size (PPS): the exponential-clock formulation of
     * Efraimidis–Spirakis A-ES — each doc draws an exponential arrival

@@ -47,4 +47,34 @@ class SampledAggSpec extends SparkSpec {
     // of the true total even at this tiny SF (tightens as 1/√n)
     assert(out.values.forall(v => v._4 < 0.25 * v._3))
   }
+
+  test("q54Trimmed matches a from-scratch percentile/trim/winsorize recomputation") {
+    val rows = graft.Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // linear-interpolation quantile, the percentile/quantile_cont formula
+    def q(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+    val expected = rows.groupBy(_._1).map { case (g, vs0) =>
+      val vs = vs0.map(_._2)
+      val sorted = vs.sorted
+      val (lo, hi) = (q(sorted, 0.1), q(sorted, 0.9))
+      val kept = vs.filter(v => v >= lo && v <= hi)
+      g -> (vs.length.toLong, r2(vs.sum / vs.length), kept.length.toLong,
+        r2(kept.sum / kept.length),
+        r2(vs.map(v => math.max(lo, math.min(hi, v))).sum / vs.length))
+    }
+    val out = Relational.q54Trimmed(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out === expected)
+    // the trim must drop ~20% of each group (the audit is not vacuous)
+    assert(out.values.forall { case (n, _, kept, _, _) =>
+      kept < n && kept >= (0.75 * n).toLong })
+  }
 }

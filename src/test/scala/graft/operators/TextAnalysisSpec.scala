@@ -472,6 +472,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.exists(_._3 < 1.0), "some trigrams must repeat across docs")
   }
 
+  test("zipfFit recovers slope -1 on a planted Zipfian corpus, flags uniform text") {
+    import spark.implicits._
+    // token w_i appears round(10000/i) times: freq ∝ 1/rank exactly
+    val zipfText = (1 to 50)
+      .flatMap(i => Seq.fill(math.round(10000.0 / i).toInt)(s"w$i"))
+      .mkString(" ")
+    val zipf = TextAnalysis.zipfFitFrom(
+      Seq((1L, zipfText)).toDF("doc_id", "text"), topN = 50, show = 5).collect()
+    assert(zipf.head.getDouble(3) > -1.05 && zipf.head.getDouble(3) < -0.95,
+      s"slope ${zipf.head.getDouble(3)}")
+    assert(zipf.head.getDouble(4) > 0.999, s"r2 ${zipf.head.getDouble(4)}")
+    // top rank is the most frequent planted token
+    assert(zipf.head.getString(1) === "w1" && zipf.head.getLong(2) === 10000L)
+    // a uniform vocabulary is maximally non-Zipfian: slope ~ 0
+    val uniText = (1 to 50).flatMap(i => Seq.fill(100)(s"u$i")).mkString(" ")
+    val uni = TextAnalysis.zipfFitFrom(
+      Seq((1L, uniText)).toDF("doc_id", "text"), topN = 50, show = 1).collect()
+    assert(math.abs(uni.head.getDouble(3)) < 0.01, s"uniform slope ${uni.head.getDouble(3)}")
+  }
+
   test("weightedSample keys are the exact A-ES exponential clocks, and long docs win") {
     val sfDir = "/root/testdata/sf0.001"
     val out = TextAnalysis.weightedSample(spark, sfDir, k = 100).collect()

@@ -56,6 +56,9 @@ class ChromaSpark(
 
   private def catalogPath: String = s"$warehouseDir/_collections.json"
 
+  private def versionedPath(v: Long): Path =
+    Paths.get(f"$warehouseDir%s/_collections.$v%016d.json")
+
   private def validateName(name: String): Unit = {
     if (name == null || name.isEmpty)
       throw InvalidPathError(String.valueOf(name), "collection name must be non-empty")
@@ -76,21 +79,98 @@ class ChromaSpark(
     * against data ([[collectionsDF]]) is derived on demand. Catalog
     * throughput thereby matches the reference's 2-RTT-per-op cost
     * model (BASELINE.md) instead of losing 100× to job overhead.
+    *
+    * MULTI-WRITER SAFETY (the transaction-log discipline, same spirit
+    * as the data-log batch minting in [[CollectionData]]): the
+    * catalog state lives at a monotonically-versioned path
+    * `_collections.<v>.json`, and every mutation is a CAS —
+    * read version v, compute the new row set, PUBLISH at v+1 via
+    * `Files.createLink` (hard-link of a fully-written temp file:
+    * the version file appears atomically with complete content, and
+    * link() fails with FileAlreadyExists if any other writer claimed
+    * v+1 first). A losing writer re-reads the fresh snapshot and
+    * re-applies its mutation — so two sessions creating different
+    * collections both survive, mirroring the server-serialized
+    * catalog semantics the reference assumes (src/client.rs:94-133).
+    * A crash before publish leaves only an orphan temp file, never a
+    * stale lock or a burned version. Readers take the max version
+    * present; older versions are pruned best-effort, keeping a few
+    * so a concurrent list-then-read never grabs a just-deleted file.
+    * The legacy unversioned `_collections.json` reads as version 0.
     */
-  private def readCatalog(): Seq[CollectionMeta] = {
-    if (!Files.exists(Paths.get(catalogPath))) return Seq.empty
-    try CatalogCodec.fromJson(new String(Files.readAllBytes(Paths.get(catalogPath)), "UTF-8"))
-    catch { case e: Exception => throw StorageError(s"reading catalog at $catalogPath", e) }
+  private def listVersions(): Seq[Long] = {
+    val dir = Paths.get(warehouseDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect {
+          case n if n.startsWith("_collections.") && n.endsWith(".json") &&
+            n.length == "_collections.".length + 16 + ".json".length &&
+            n.slice("_collections.".length, "_collections.".length + 16).forall(_.isDigit) =>
+            n.slice("_collections.".length, "_collections.".length + 16).toLong
+        }
+        .toSeq
+    } finally s.close()
   }
 
-  private def writeCatalog(rows: Seq[CollectionMeta]): Unit =
-    try {
-      val tmp = Paths.get(catalogPath + ".tmp")
-      Files.write(tmp, CatalogCodec.toJson(rows).getBytes("UTF-8"))
-      Files.move(tmp, Paths.get(catalogPath),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Exception => throw StorageError(s"writing catalog at $catalogPath", e) }
+  /** Freshest catalog snapshot: (version, rows). */
+  private def readVersioned(): (Long, Seq[CollectionMeta]) = {
+    val versions = listVersions()
+    if (versions.isEmpty) {
+      if (!Files.exists(Paths.get(catalogPath))) return (0L, Seq.empty)
+      try (0L, CatalogCodec.fromJson(new String(Files.readAllBytes(Paths.get(catalogPath)), "UTF-8")))
+      catch { case e: Exception => throw StorageError(s"reading catalog at $catalogPath", e) }
+    } else {
+      val v = versions.max
+      try (v, CatalogCodec.fromJson(new String(Files.readAllBytes(versionedPath(v)), "UTF-8")))
+      catch {
+        // pruned under us between list and read — take the new max
+        case _: java.nio.file.NoSuchFileException => readVersioned()
+        case e: Exception => throw StorageError(s"reading catalog at ${versionedPath(v)}", e)
+      }
+    }
+  }
+
+  private def readCatalog(): Seq[CollectionMeta] = readVersioned()._2
+
+  /** CAS mutation: `f` maps the freshest row set to (new row set,
+    * result) and is re-applied from scratch on every publish conflict
+    * — all validation (dup-name, not-found) therefore runs against
+    * the snapshot that actually wins. Returning the SAME (eq) row
+    * set skips the write (the getOrCreate hit path stays read-only).
+    */
+  private def casMutate[A](f: Seq[CollectionMeta] => (Seq[CollectionMeta], A)): A = {
+    var attempts = 0
+    while (true) {
+      val (v, rows) = readVersioned()
+      val (newRows, result) = f(rows)
+      if (newRows eq rows) return result
+      val tmp = Paths.get(s"$catalogPath.tmp-${java.util.UUID.randomUUID()}")
+      try {
+        Files.write(tmp, CatalogCodec.toJson(newRows).getBytes("UTF-8"))
+        try {
+          Files.createLink(versionedPath(v + 1), tmp)
+          // won the CAS — prune far-back versions + the legacy file
+          (1L to v - 2).foreach(o => Files.deleteIfExists(versionedPath(o)))
+          if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
+          return result
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => // lost the race
+            attempts += 1
+            if (attempts > 1000)
+              throw StorageError(s"catalog CAS at $catalogPath: >1000 conflicts",
+                new IllegalStateException("livelock"))
+        }
+      } catch {
+        case e: EngineError => throw e
+        case e: Exception   => throw StorageError(s"writing catalog at $catalogPath", e)
+      } finally Files.deleteIfExists(tmp)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def scoped(rows: Seq[CollectionMeta]): Seq[CollectionMeta] =
     rows.filter(r => r.tenant == tenant && r.database == database)
@@ -113,9 +193,6 @@ class ChromaSpark(
     */
   def createCollection(name: String, metadata: Option[Map[String, String]] = None): Collection = {
     validateName(name)
-    val rows = readCatalog()
-    if (scoped(rows).exists(_.name == name))
-      throw CollectionStateError(s"collection '$name' already exists in $tenant/$database")
     val meta = CollectionMeta(
       name = name,
       id = CollectionMeta.deterministicId(tenant, database, name),
@@ -123,7 +200,11 @@ class ChromaSpark(
       metadataJson = metadata.map(CollectionMeta.sortedJson),
       tenant = tenant,
       database = database)
-    writeCatalog(rows :+ meta)
+    casMutate[Unit] { rows =>
+      if (scoped(rows).exists(_.name == name))
+        throw CollectionStateError(s"collection '$name' already exists in $tenant/$database")
+      (rows :+ meta, ())
+    }
     Files.createDirectories(Paths.get(dataDir(name)))
     meta.toCollection
   }
@@ -142,19 +223,35 @@ class ChromaSpark(
     */
   def getOrCreateCollection(name: String, metadata: Option[Map[String, String]] = None): Collection = {
     validateName(name)
-    scoped(readCatalog()).find(_.name == name) match {
-      case Some(existing) => existing.toCollection
-      case None           => createCollection(name, metadata)
+    // One CAS covers both arms: a concurrent same-name create between
+    // our read and our publish makes the retry take the hit path and
+    // return the EXISTING row — never a duplicate, never an error.
+    val meta = casMutate[CollectionMeta] { rows =>
+      scoped(rows).find(_.name == name) match {
+        case Some(existing) => (rows, existing)
+        case None =>
+          val fresh = CollectionMeta(
+            name = name,
+            id = CollectionMeta.deterministicId(tenant, database, name),
+            metadata = metadata,
+            metadataJson = metadata.map(CollectionMeta.sortedJson),
+            tenant = tenant,
+            database = database)
+          (rows :+ fresh, fresh)
+      }
     }
+    Files.createDirectories(Paths.get(dataDir(name)))
+    meta.toCollection
   }
 
   /** reference src/client.rs:202-226 — status-checked delete. */
   def deleteCollection(name: String): Unit = {
     validateName(name)
-    val rows = readCatalog()
-    if (!scoped(rows).exists(_.name == name))
-      throw CollectionStateError(s"collection '$name' not found in $tenant/$database")
-    writeCatalog(rows.filterNot(r => r.tenant == tenant && r.database == database && r.name == name))
+    casMutate[Unit] { rows =>
+      if (!scoped(rows).exists(_.name == name))
+        throw CollectionStateError(s"collection '$name' not found in $tenant/$database")
+      (rows.filterNot(r => r.tenant == tenant && r.database == database && r.name == name), ())
+    }
     deleteRecursively(Paths.get(dataDir(name)))
   }
 
@@ -183,11 +280,6 @@ class ChromaSpark(
         throw CollectionStateError(s"collection '$nn' already exists in $tenant/$database")
     }
     val renamed = newName.getOrElse(name)
-    val updated = existing.copy(
-      name = renamed,
-      id = CollectionMeta.deterministicId(tenant, database, renamed),
-      metadata = newMetadata.orElse(existing.metadata),
-      metadataJson = newMetadata.map(CollectionMeta.sortedJson).orElse(existing.metadataJson))
     // Move the data FIRST: if the move fails (stale destination dir,
     // I/O error) the catalog still points at the old, intact name. A
     // catalog-write failure after the move is recoverable by retrying
@@ -200,14 +292,30 @@ class ChromaSpark(
           s"rename '$name' -> '$renamed': destination data dir already exists")
       Files.move(Paths.get(dataDir(name)), Paths.get(dataDir(renamed)))
     }
-    try writeCatalog(rows.filterNot(r =>
-      r.tenant == tenant && r.database == database && r.name == name) :+ updated)
-    catch {
+    try {
+      // Re-validate against the winning snapshot inside the CAS: a
+      // concurrent delete of `name` or create of `renamed` between
+      // our pre-read and the publish surfaces as a typed error (and
+      // the data move is rolled back below).
+      val updated = casMutate[CollectionMeta] { fresh =>
+        val cur = scoped(fresh).find(_.name == name)
+          .getOrElse(throw CollectionStateError(s"collection '$name' not found in $tenant/$database"))
+        if (renamed != name && scoped(fresh).exists(_.name == renamed))
+          throw CollectionStateError(s"collection '$renamed' already exists in $tenant/$database")
+        val up = cur.copy(
+          name = renamed,
+          id = CollectionMeta.deterministicId(tenant, database, renamed),
+          metadata = newMetadata.orElse(cur.metadata),
+          metadataJson = newMetadata.map(CollectionMeta.sortedJson).orElse(cur.metadataJson))
+        (fresh.filterNot(r =>
+          r.tenant == tenant && r.database == database && r.name == name) :+ up, up)
+      }
+      updated.toCollection
+    } catch {
       case e: Throwable =>
         if (moved) Files.move(Paths.get(dataDir(renamed)), Paths.get(dataDir(name)))
         throw e
     }
-    updated.toCollection
   }
 
   /** Catalog as a DataFrame — the engine-native view the reference
@@ -228,6 +336,7 @@ class ChromaSpark(
     all.foreach { r =>
       deleteRecursively(Paths.get(s"$warehouseDir/${r.tenant}/${r.database}/${r.name}"))
     }
+    listVersions().foreach(v => Files.deleteIfExists(versionedPath(v)))
     deleteRecursively(Paths.get(catalogPath))
   }
 

@@ -1055,24 +1055,48 @@ object TextAnalysis {
     * equals it.
     */
   def globalIds(s: SparkSession, dir: String, partitions: Int = 32): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("lang"), col("doc_id"))
+    val (ranked, _) =
+      withShardedRank(base, "g1", partitions, Seq(col("lang"), col("doc_id")))
+    ranked
+      .select(col("doc_id"), col("lang"), (col("g1") - lit(1L)).as("global_id"))
+      .orderBy(col("global_id"))
+  }
+
+  /** The sharded global-rank construction shared by [[globalIds]] and
+    * [[quantileNorm]]: attach a 1-based dense global rank over
+    * `orderCols` to `df` WITHOUT an unpartitioned window.
+    * Range-partition on the order key (order slices stay contiguous
+    * across partitions), count rows per partition (a partitions-sized
+    * driver collect — one long per partition, model-scale by
+    * construction), broadcast the prefix-sum offsets back, and add
+    * local `row_number` + offset. Also returns the total row count
+    * (the sum of the same per-partition counts — no extra job beyond
+    * the counts pass). `orderCols` must be a total order (unique key
+    * in the tail) for the rank to be well-defined.
+    */
+  private[operators] def withShardedRank(
+      df: DataFrame, rankCol: String, partitions: Int,
+      orderCols: Seq[org.apache.spark.sql.Column]): (DataFrame, Long) = {
+    val s = df.sparkSession
     import s.implicits._
-    val parted = Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"))
-      .repartitionByRange(partitions, col("lang"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    val parted = df
+      .repartitionByRange(partitions, orderCols: _*)
+      .withColumn("_sr_pid", spark_partition_id())
+    val counts = parted.groupBy(col("_sr_pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
     val offsetOf = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq.toDF("pid", "offset")
+      .toSeq.toDF("_sr_pid", "_sr_offset")
     val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("lang"), col("doc_id"))
-    parted
-      .withColumn("local", row_number().over(wLocal).cast("long"))
-      .join(broadcast(offsetOf), "pid")
-      .select(col("doc_id"), col("lang"),
-        (col("offset") + col("local") - lit(1L)).as("global_id"))
-      .orderBy(col("global_id"))
+      .partitionBy(col("_sr_pid")).orderBy(orderCols: _*)
+    val out = parted
+      .withColumn("_sr_local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsetOf), "_sr_pid")
+      .withColumn(rankCol, col("_sr_offset") + col("_sr_local"))
+      .drop("_sr_pid", "_sr_local", "_sr_offset")
+    (out, total)
   }
 
   /** Fixed typo passage for [[spellPairs]]: five distance-1
@@ -1173,24 +1197,26 @@ object TextAnalysis {
     * target position is integer-rounded from it; and the normalized
     * value is fetched by an exact integer join on that position.
     *
-    * Scale: the within-source windows partition by source; the one
-    * global ranking here is a demo-sized window — at corpus scale it
-    * becomes the sharded [[globalIds]] construction (range-partition
-    * + per-partition offsets, spec-proven ≡ the naive window), and
-    * the position fetch stays an equi-join against the same sharded
-    * rank relation.
+    * Scale: the within-source windows partition by source; the global
+    * ranking IS the sharded [[withShardedRank]] construction shared
+    * with [[globalIds]] (range-partition on the rank key +
+    * per-partition broadcast offsets — spec-proven ≡ the naive
+    * unpartitioned window, which never appears in this plan), the
+    * corpus total rides in from the same partitions-sized counts
+    * pass as a literal, and the position fetch stays an equi-join
+    * against the same sharded rank relation.
     */
   def quantileNorm(s: SparkSession, dir: String): DataFrame = {
     val qi4 = floor(rawQuality * lit(10000.0) + lit(0.5)).cast("long")
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), qi4.as("q_i4"))
     val wSrc = Window.partitionBy(col("source")).orderBy(col("q_i4"), col("doc_id"))
-    val wG = Window.orderBy(col("q_i4"), col("doc_id"))
-    val ranked = t
+    val withSrcRank = t
       .withColumn("r", row_number().over(wSrc).cast("long"))
       .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
-      .withColumn("g", row_number().over(wG).cast("long"))
-      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+    val (sharded, nTotal) =
+      withShardedRank(withSrcRank, "g", 32, Seq(col("q_i4"), col("doc_id")))
+    val ranked = sharded.withColumn("n_total", lit(nTotal))
     val pct = ranked
       .withColumn("pct_micro",
         when(col("n_s") > 1, expr("((r - 1) * 1000000L) DIV (n_s - 1)"))
@@ -1446,12 +1472,20 @@ object TextAnalysis {
     * a + s·log(rank) with s ≈ −1, and a corpus whose slope or fit
     * departs hard from that (template spam, generated filler, OCR
     * noise) earns a second look before training. One vocabulary
-    * aggregation (map-side combinable, vocab-bounded), a top-N rank
-    * window, and the OLS closed form over the N log-log points via a
-    * tiny global window — the corpus is scanned once, the regression
-    * touches N rows. Slope and R² ride every emitted row (the q39
-    * psi_total discipline) so the driver compare certifies the fit,
-    * not just the head of the distribution.
+    * aggregation (map-side combinable, vocab-bounded), then the top N
+    * tokens via `orderBy(desc).limit(topN)` — TakeOrderedAndProject,
+    * per-partition top-k heaps, so a 10⁹-token web vocabulary never
+    * sorts in one partition (the `q10_sort_limit`/`txt_wsample`
+    * shape). Ranks over the bounded-topN result come from ONE
+    * single-row `sort_array(collect_list(struct))` aggregate +
+    * `posexplode` — no window operator anywhere in the plan (an
+    * unpartitioned rank window here, even over N rows, is the exact
+    * shape this construction exists to kill). The OLS closed form
+    * folds over the same bounded array with `aggregate`/`zip_with`
+    * HOFs, so the corpus is scanned exactly once.
+    * Slope and R² ride every emitted row (the q39 psi_total
+    * discipline) so the driver compare certifies the fit, not just
+    * the head of the distribution.
     */
   def zipfFit(s: SparkSession, dir: String,
               topN: Int = 200, show: Int = 20): DataFrame =
@@ -1462,25 +1496,41 @@ object TextAnalysis {
     val freq = docs
       .select(explode(wsTokens(lower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val pts = freq
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= topN)
-      .withColumn("x", log(col("rank").cast("double")))
-      .withColumn("y", log(col("freq").cast("double")))
-    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val fitted = pts
-      .withColumn("g_n", d(count(lit(1)).over(all)))
-      .withColumn("g_sx", sum(col("x")).over(all))
-      .withColumn("g_sy", sum(col("y")).over(all))
-      .withColumn("g_sxy", sum(col("x") * col("y")).over(all))
-      .withColumn("g_sxx", sum(col("x") * col("x")).over(all))
-      .withColumn("g_syy", sum(col("y") * col("y")).over(all))
+    // TakeOrderedAndProject: only topN-sized heaps cross the network.
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(topN)
+    // Rank WITHOUT a window: struct field order (-freq, token) makes
+    // sort_array ascending ≡ (freq desc, token asc); posexplode's
+    // position is rank-1. The OLS sums fold over the SAME bounded
+    // array (rank = index+1 inside transform), so the corpus is
+    // scanned exactly once and the plan has no window, no crossJoin,
+    // and no second aggregate lineage.
+    val fitted = top
+      .agg(sort_array(collect_list(struct(
+        (-col("freq")).as("nf"), col("token").as("token"),
+        col("freq").as("freq")))).as("arr"))
+      .withColumn("xs",
+        expr("transform(arr, (p, i) -> ln(cast(i + 1 as double)))"))
+      .withColumn("ys",
+        expr("transform(arr, p -> ln(cast(p.freq as double)))"))
+      .withColumn("g_n", size(col("arr")).cast("double"))
+      .withColumn("g_sx",
+        expr("aggregate(xs, cast(0 as double), (a, v) -> a + v)"))
+      .withColumn("g_sy",
+        expr("aggregate(ys, cast(0 as double), (a, v) -> a + v)"))
+      .withColumn("g_sxy",
+        expr("aggregate(zip_with(xs, ys, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)"))
+      .withColumn("g_sxx",
+        expr("aggregate(xs, cast(0 as double), (a, v) -> a + v * v)"))
+      .withColumn("g_syy",
+        expr("aggregate(ys, cast(0 as double), (a, v) -> a + v * v)"))
       .withColumn("cov_xy", col("g_sxy") - col("g_sx") * col("g_sy") / col("g_n"))
       .withColumn("var_x", col("g_sxx") - col("g_sx") * col("g_sx") / col("g_n"))
       .withColumn("var_y", col("g_syy") - col("g_sy") * col("g_sy") / col("g_n"))
+      .select(col("cov_xy"), col("var_x"), col("var_y"),
+        posexplode(col("arr")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("p.token").as("token"), col("p.freq").as("freq"),
+        col("cov_xy"), col("var_x"), col("var_y"))
     fitted
       .filter(col("rank") <= show)
       .select(col("rank"), col("token"), col("freq"),

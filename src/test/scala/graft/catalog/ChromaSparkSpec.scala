@@ -142,6 +142,55 @@ class ChromaSparkSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent writers both survive: CAS catalog loses no mutation") {
+    // The server serializes catalog writes (reference src/client.rs:94-133);
+    // the engine's CAS'd versioned log must match that: N sessions racing
+    // create/delete on ONE warehouse, every mutation visible at the end.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    val writers = 8
+    val pool = Executors.newFixedThreadPool(writers)
+    try {
+      val start = new CountDownLatch(1)
+      val futures = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val c = new ChromaSpark(spark, dir) // own session object per writer
+            start.await(10, TimeUnit.SECONDS)
+            c.createCollection(s"col-$i")
+            c.createCollection(s"col-$i-victim")
+            c.deleteCollection(s"col-$i-victim")
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val survivor = new ChromaSpark(spark, dir)
+    assert(survivor.listCollections().map(_.name).sorted ===
+      (0 until writers).map(i => s"col-$i").sorted)
+
+    // Concurrent same-name getOrCreate: exactly one row, both callers
+    // get the SAME collection (idempotent under the race, §2.2.2).
+    val pool2 = Executors.newFixedThreadPool(2)
+    try {
+      val start2 = new CountDownLatch(1)
+      val fs = (0 until 2).map { i =>
+        pool2.submit(new java.util.concurrent.Callable[Collection] {
+          def call(): Collection = {
+            val c = new ChromaSpark(spark, dir)
+            start2.await(10, TimeUnit.SECONDS)
+            c.getOrCreateCollection("shared", Some(Map("from" -> s"w$i")))
+          }
+        })
+      }
+      start2.countDown()
+      val got = fs.map(_.get(60, TimeUnit.SECONDS))
+      assert(got.map(_.id).distinct.length === 1)
+      assert(survivor.listCollections().count(_.name == "shared") === 1)
+    } finally pool2.shutdown()
+  }
+
   test("heartbeat returns nanos and version names spark") {
     val c = freshClient()
     assert(c.heartbeat() > 0L)

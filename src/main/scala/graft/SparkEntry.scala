@@ -350,6 +350,64 @@ object SparkEntry {
       .orderBy(col("step"))
   }
 
+  /** `hnsw:*` metadata semantics + per-collection embedders
+    * end-to-end: an ef-capped collection's two-stage (int8 pre-score
+    * shortlist → exact re-rank) search returns the true nearest
+    * neighbors with exact integer l2 distances; `n_results` above
+    * `hnsw:search_ef` is refused (the hnswlib contract); a typo'd or
+    * ill-typed `hnsw:` key fails loudly instead of silently degrading
+    * a ported Chroma workload; and a collection whose metadata names
+    * the registered `hash32` embedder auto-embeds at dim 32 with
+    * `queryTexts` landing identical text at distance 0.
+    */
+  def collectionHnsw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnsw-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("cap", Some(Map(
+      "hnsw:space" -> "l2", "hnsw:search_ef" -> "5",
+      "hnsw:M" -> "16", "hnsw:construction_ef" -> "100")))
+    d.add("cap", (0 until 20).map(i => (f"v$i%02d", Seq(i.toFloat, 0f)))
+      .toDF("id", "embedding"))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    def guard(body: => Unit): String =
+      try { body; "no-error" }
+      catch { case _: graft.catalog.EngineError => "true" }
+    val g4 = guard(d.query("cap", q, nResults = 6))
+    client.createCollection("typo", Some(Map("hnsw:spaace" -> "l2")))
+    val g5 = guard(d.query("typo", q))
+    client.createCollection("badm", Some(Map("hnsw:M" -> "fast")))
+    val g6 = guard(d.query("badm", q))
+    client.createCollection("emb32",
+      Some(Map(graft.functions.Embedders.MetadataKey -> "hash32")))
+    d.add("emb32", Seq(("x", "alpha beta"), ("y", "gamma delta"))
+      .toDF("id", "document"))
+    // ONE action unions the three observation frames (the
+    // collection_metric discipline): ef-capped ranking, the hash32
+    // embedding width, and the same-text queryTexts hit
+    val rankF = d.query("cap", q, nResults = 3, include = Nil)
+      .select(col("rank").as("step"),
+        F.format_string("ef_rank_%d", col("rank")).as("check"),
+        col("id").as("observed"), col("distance"))
+    val dimF = d.get("emb32", ids = Seq("x"), include = Seq("embeddings"))
+      .select(F.lit(7L).as("step"), F.lit("hash32_embed_dim").as("check"),
+        F.size(col("embedding")).cast("string").as("observed"),
+        F.lit(0.0).as("distance"))
+    val qtF = d.queryTexts("emb32", Seq("alpha beta"), nResults = 1, include = Nil)
+      .select(F.lit(8L).as("step"), F.lit("same_text_hit").as("check"),
+        col("id").as("observed"), col("distance"))
+    val observed = rankF.unionByName(dimF).unionByName(qtF).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    (observed ++ Seq(
+      (4L, "nresults_gt_ef_refused", g4, 0.0),
+      (5L, "unknown_hnsw_key_refused", g5, 0.0),
+      (6L, "bad_hnsw_value_refused", g6, 0.0)))
+      .toDF("step", "check", "observed", "distance")
+      .orderBy(col("step"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
@@ -383,6 +441,7 @@ object SparkEntry {
     "ev_resample"        -> ((s, d) => Events.resample(s, d)),
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
+    "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -432,6 +491,7 @@ object SparkEntry {
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
+    "vec_ann_bq_index"   -> (VectorIndex.annBqIndexQuery _),
     "vec_ann_filtered"   -> (VectorIndex.annIvfFilteredQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_opq"        -> (VectorOps.annOpqQuery _),
@@ -509,6 +569,7 @@ object SparkEntry {
     "vec_knn_filtered"   -> (knnFiltered _),
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),
+    "collection_hnsw"    -> (collectionHnsw _),
     "collection_fork"    -> (collectionFork _),
     "collection_vacuum"  -> (collectionVacuum _),
     "collection_autoembed" -> (collectionAutoEmbed _),
@@ -2099,6 +2160,18 @@ object SparkEntry {
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
 
+    // the Spark side ran an ACTUAL StreamingQuery (AvailableNow over
+    // a readStream parquet source into a memory sink) — the oracle is
+    // the same full hourly aggregate, so any streaming-runtime
+    // regression (source listing, state store, sink commit) hash-fails
+    "stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
     "ev_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
@@ -3488,6 +3561,23 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), 'ip_rank_1', 'b', -6.0),
         |  (CAST(5 AS BIGINT), 'ip_rank_2', 'a', -2.0),
         |  (CAST(6 AS BIGINT), 'ip_rank_3', 'c', 1.0)
+        |) AS t(step, "check", observed, distance)
+        |ORDER BY step""".stripMargin,
+
+    // ef-capped l2 search from q=(0,0) over v_i=(i,0): exact integer
+    // distances i² for the true top-3; guards all trip; hash32
+    // embedder widens auto-embeds to 32 and same-text queries land at
+    // distance 0 (same derivation as the spec, hand-checkable).
+    "collection_hnsw" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'ef_rank_1', 'v00', 0.0),
+        |  (CAST(2 AS BIGINT), 'ef_rank_2', 'v01', 1.0),
+        |  (CAST(3 AS BIGINT), 'ef_rank_3', 'v02', 4.0),
+        |  (CAST(4 AS BIGINT), 'nresults_gt_ef_refused', 'true', 0.0),
+        |  (CAST(5 AS BIGINT), 'unknown_hnsw_key_refused', 'true', 0.0),
+        |  (CAST(6 AS BIGINT), 'bad_hnsw_value_refused', 'true', 0.0),
+        |  (CAST(7 AS BIGINT), 'hash32_embed_dim', '32', 0.0),
+        |  (CAST(8 AS BIGINT), 'same_text_hit', 'x', 0.0)
         |) AS t(step, "check", observed, distance)
         |ORDER BY step""".stripMargin,
 

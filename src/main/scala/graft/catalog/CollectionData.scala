@@ -109,12 +109,32 @@ class CollectionData(client: ChromaSpark) {
 
   private val ItemCols = Seq("id", "embedding", "document", "metadata_json")
 
+  /** The collection's embedder, resolved from its `graft:embedder`
+    * metadata against the process-wide [[graft.functions.Embedders]]
+    * registry (Chroma's per-collection `embedding_function`,
+    * SURVEY.md §0). Absent metadata → the default dim-16 hash
+    * embedder; an UNREGISTERED name fails loudly — a collection
+    * ported from a server with an embedder this engine doesn't know
+    * must never silently ingest differently-shaped vectors.
+    */
+  private def embedderOf(collection: String): graft.functions.Embedders.Embedder = {
+    val name = client.getCollection(collection).metadata
+      .flatMap(_.get(graft.functions.Embedders.MetadataKey))
+      .getOrElse(graft.functions.Embedders.Default)
+    graft.functions.Embedders.resolve(name).getOrElse(
+      throw MetadataParseError(
+        s"collection '$collection': embedder '$name' is not registered " +
+          s"(known: ${graft.functions.Embedders.names.mkString(", ")})"))
+  }
+
   /** Rows arriving with a document but NO embedding are auto-embedded
     * (Chroma semantics: the server derives embeddings when the caller
-    * supplies only documents) by the deterministic feature-hash
-    * embedder — see [[graft.functions.HashEmbed]].
+    * supplies only documents) by the COLLECTION'S embedder — see
+    * [[embedderOf]]; the default is the deterministic feature-hash
+    * [[graft.functions.HashEmbed]].
     */
-  private def normalize(items: DataFrame): DataFrame = {
+  private def normalize(items: DataFrame,
+                        embedder: graft.functions.Embedders.Embedder): DataFrame = {
     val cols = items.columns.toSet
     require(cols.contains("id"), "items need an 'id' column")
     val doc = (if (cols.contains("document")) col("document").cast("string")
@@ -125,7 +145,7 @@ class CollectionData(client: ChromaSpark) {
     items.select(
       col("id").cast("string").as("id"),
       coalesce(explicitEmb,
-        when(doc.isNotNull, graft.functions.HashEmbed(doc, CollectionData.AutoEmbedDim)))
+        when(doc.isNotNull, embedder.embed(doc)))
         .as("embedding"),
       doc.as("document"),
       (if (cols.contains("metadata_json")) col("metadata_json").cast("string")
@@ -174,7 +194,7 @@ class CollectionData(client: ChromaSpark) {
                           smallBounded: Boolean = false): Unit = {
     val d = dir(collection)
     recoverLog(d)
-    val normalized = normalize(items)
+    val normalized = normalize(items, embedderOf(collection))
     if (!deleted && !checkedUnique) {
       // duplicate ids within one write batch share the same _batch
       // number, making resolved()'s latest-wins nondeterministic —
@@ -364,7 +384,7 @@ class CollectionData(client: ChromaSpark) {
             throw CollectionStateError(
               s"add to '$collection': ids that already exist (use upsert)")
         case None =>
-          val ids = normalize(items).select("id")
+          val ids = normalize(items, embedderOf(collection)).select("id")
           val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
             .groupBy("id").count().filter(col("count") > 1).limit(1).count()
           if (clashes > 0)
@@ -388,7 +408,7 @@ class CollectionData(client: ChromaSpark) {
     */
   def update(collection: String, items: DataFrame): Unit = {
     val present = items.columns.toSet
-    val incoming = normalize(items)
+    val incoming = normalize(items, embedderOf(collection))
     val existing = resolved(collection)
     // ONE validation job finds both failure modes: an incoming id with
     // no live counterpart (missing → reject like the server), and an
@@ -528,6 +548,55 @@ class CollectionData(client: ChromaSpark) {
         s"collection '$collection': unsupported hnsw:space '$other' (cosine | l2 | ip)")
     }
 
+  /** Validated `hnsw:*` search/build parameters. Chroma's server
+    * accepts these keys in collection metadata (the reference passes
+    * them through opaquely, src/client.rs:97,351); a ported workload
+    * must never have them silently ignored:
+    *
+    *  - `hnsw:space` — honored, selects the metric ([[distanceMetric]]).
+    *  - `hnsw:search_ef` — HONORED: caps the per-query candidate list.
+    *    [[query]] switches to a two-stage scan (int8 compressed-domain
+    *    pre-score → top-`search_ef` shortlist → exact re-rank), and —
+    *    mirroring upstream's hnswlib contract — `n_results` may not
+    *    exceed it.
+    *  - `hnsw:M`, `hnsw:construction_ef`, `hnsw:batch_size`,
+    *    `hnsw:sync_threshold`, `hnsw:num_threads`, `hnsw:resize_factor`
+    *    — graph/ingest BUILD knobs with no analogue in a scan-based
+    *    engine: validated for type (a typo'd value still fails
+    *    loudly) and documented advisory, never behavior-changing.
+    *  - any OTHER `hnsw:` key → [[EngineError.MetadataParseError]].
+    */
+  private[catalog] def hnswSearchEf(collection: String): Option[Int] = {
+    val meta = client.getCollection(collection).metadata.getOrElse(Map.empty)
+    val hk = meta.keys.filter(_.startsWith("hnsw:")).toSeq.sorted
+    val unknown = hk.filterNot(CollectionData.HnswKnownKeys.contains)
+    if (unknown.nonEmpty)
+      throw MetadataParseError(
+        s"collection '$collection': unrecognized hnsw metadata key(s) ${unknown.mkString(", ")} " +
+          s"(known: ${CollectionData.HnswKnownKeys.toSeq.sorted.mkString(", ")})")
+    def posInt(key: String): Option[Int] = meta.get(key).map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw MetadataParseError(s"collection '$collection': $key must be a positive integer, got '$v'")
+      }
+      if (n <= 0)
+        throw MetadataParseError(s"collection '$collection': $key must be a positive integer, got '$v'")
+      n
+    }
+    def posDouble(key: String): Unit = meta.get(key).foreach { v =>
+      val d = try v.trim.toDouble catch {
+        case _: NumberFormatException =>
+          throw MetadataParseError(s"collection '$collection': $key must be a positive number, got '$v'")
+      }
+      if (d <= 0 || d.isNaN)
+        throw MetadataParseError(s"collection '$collection': $key must be a positive number, got '$v'")
+    }
+    Seq("hnsw:M", "hnsw:construction_ef", "hnsw:batch_size",
+      "hnsw:sync_threshold", "hnsw:num_threads").foreach(posInt)
+    posDouble("hnsw:resize_factor")
+    posInt("hnsw:search_ef")
+  }
+
   /** Chroma distance semantics per space (lower = closer): cosine
     * distance 1−cos, inner-product distance 1−⟨a,b⟩, and SQUARED
     * euclidean — computed as ‖a‖²−2⟨a,b⟩+‖b‖² from the codegen'd dot
@@ -543,19 +612,67 @@ class CollectionData(client: ChromaSpark) {
     * items by the collection's metric, optionally pre-filtered by
     * metadata `where` — filter FIRST, then score: the predicate
     * prunes the scan before any vector math runs.
+    *
+    * With `hnsw:search_ef` in the collection metadata the scan runs
+    * in two stages (see [[hnswSearchEf]]): an int8 compressed-domain
+    * pre-score keeps the top `search_ef` candidates per query (the
+    * [[VectorOps.annSq]] shape — the hot scan reads quarter-width
+    * codes), and only shortlist survivors pay the exact float
+    * distance. Like upstream's hnswlib, `n_results > search_ef` is an
+    * error, not a silent truncation.
     */
   def query(collection: String, queryEmbeddings: DataFrame, nResults: Int = 10,
             whereJson: Option[String] = None,
             include: Seq[String] = DefaultInclude,
             whereDocumentJson: Option[String] = None): DataFrame = {
     val metric = distanceMetric(collection)
+    val searchEf = hnswSearchEf(collection)
     var corpus = resolved(collection).filter(col("embedding").isNotNull)
     whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
     whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
     val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
-    val ranked = corpus.join(q)
+    val scored = searchEf match {
+      case None => corpus.join(q)
+      case Some(ef) =>
+        if (nResults > ef)
+          throw CollectionStateError(
+            s"query('$collection'): n_results ($nResults) cannot exceed hnsw:search_ef ($ef)")
+        // Stage 1 — compressed-domain pre-score. The repartition
+        // below the scoring join is the CollapseProject barrier (the
+        // annSq discipline without its eager persist: query() must
+        // stay lazy): the O(dim) int8 encode materializes at the
+        // exchange exactly once per corpus row instead of once per
+        // (query, row) pair, and the exchange moves quarter-width
+        // codes, not floats.
+        val codes = VectorOps.sqEncodeAll(
+            corpus.select(col("id"), col("embedding").as("_v")), "_v")
+          .drop("_v")
+          .repartition(col("id"))
+        val qCodes = broadcast(VectorOps.sqEncodeAll(
+            queryEmbeddings.select(col("query_id"), col("qvec").as("_v")), "_v")
+          .drop("_v")
+          .withColumnsRenamed(Map("_c8" -> "_qc8", "_s" -> "_qs", "_n" -> "_qn")))
+        val adot = VectorOps.intDot(col("_qc8"), col("_c8")).cast("double") *
+          col("_qs") * col("_s")
+        val adist = metric match {
+          case "cosine" => when(col("_qn") > 0 && col("_n") > 0,
+            lit(1.0) - adot / (col("_qn") * col("_n"))).otherwise(lit(1.0))
+          case "ip" => lit(1.0) - adot
+          case "l2" => col("_qn") * col("_qn") - lit(2.0) * adot + col("_n") * col("_n")
+        }
+        val wApprox = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("id").asc)
+        val shortlisted = codes.join(qCodes)
+          .select(col("query_id"), col("id"), adist.as("adist"))
+          .withColumn("arank", row_number().over(wApprox))
+          .filter(col("arank") <= ef)
+          .select(col("query_id"), col("id"))
+        // Stage 2 — exact re-rank on shortlist survivors only.
+        shortlisted.join(corpus, "id").join(q, "query_id")
+    }
+    val ranked = scored
       .withColumn("distance", distanceExpr(metric, col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= nResults)
@@ -691,9 +808,10 @@ class CollectionData(client: ChromaSpark) {
   }
 
   /** Chroma `query(query_texts=...)`: embed the texts with the SAME
-    * feature-hash embedder the ingest path uses, then delegate to
-    * [[query]] — identical text therefore lands at distance 0 from
-    * its document under every metric.
+    * embedder the collection's ingest path uses ([[embedderOf]]),
+    * then delegate to [[query]] — identical text therefore lands at
+    * distance 0 from its document under every metric, whichever
+    * embedder the collection registered.
     */
   def queryTexts(collection: String, texts: Seq[String], nResults: Int = 10,
                  whereJson: Option[String] = None,
@@ -701,10 +819,10 @@ class CollectionData(client: ChromaSpark) {
                  whereDocumentJson: Option[String] = None): DataFrame = {
     val sp = spark
     import sp.implicits._
+    val embedder = embedderOf(collection)
     val q = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("query_id", "qtext")
-      .select(col("query_id"),
-        graft.functions.HashEmbed(col("qtext"), CollectionData.AutoEmbedDim).as("qvec"))
+      .select(col("query_id"), embedder.embed(col("qtext")).as("qvec"))
     query(collection, q, nResults, whereJson, include, whereDocumentJson)
   }
 
@@ -739,4 +857,14 @@ object CollectionData {
     * 16 components in SQL.
     */
   val AutoEmbedDim = 16
+
+  /** The `hnsw:*` metadata keys Chroma's server accepts — anything
+    * else under the `hnsw:` prefix is a typo or an unsupported
+    * feature and raises [[EngineError.MetadataParseError]] (see
+    * [[CollectionData.hnswSearchEf]]).
+    */
+  val HnswKnownKeys: Set[String] = Set(
+    "hnsw:space", "hnsw:search_ef", "hnsw:construction_ef", "hnsw:M",
+    "hnsw:batch_size", "hnsw:sync_threshold", "hnsw:num_threads",
+    "hnsw:resize_factor")
 }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * row-identical to the plain join — which is what the driver oracle
   * checks (`q30_bloom_join` ≡ plain-join SQL).
   *
-  * The `might_contain` probe is a deterministic JVM predicate (not
-  * codegen'd); at 100 TB the shuffle bytes it saves dominate the
-  * per-row interpretation cost by orders of magnitude, and the probe
-  * pipelines inside the same scan stage.
+  * The probe is the codegen'd
+  * [[graft.functions.BloomMightContain]] expression over the
+  * broadcast filter — one virtual `mightContainLong` call per fact
+  * row inside the scan's WholeStageCodegen span, no UDF
+  * serialization/boxing tax — and it pipelines inside the same scan
+  * stage, so at 100 TB the saved shuffle bytes are pure win.
   */
 object BloomJoin {
 
@@ -35,8 +37,8 @@ object BloomJoin {
     val sketch = dim.stat.bloomFilter(key, expectedItems, fpp)
     val spark = fact.sparkSession
     val bcast = spark.sparkContext.broadcast(sketch)
-    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
-    fact.filter(mightContain(col(key).cast("long"))).join(dim, key)
+    fact.filter(graft.functions.BloomMightContain(col(key).cast("long"), bcast))
+      .join(dim, key)
   }
 
   /** Driver query: lineitem joined to the high-value-order subset

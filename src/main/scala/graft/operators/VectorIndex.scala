@@ -312,6 +312,97 @@ object VectorIndex {
       .parquet(s"$indexDir/codes")
   }
 
+  /** PERSISTED BINARY-QUANTIZATION index — codes at rest for the
+    * cheapest compressed-domain tier the engine has (8 bytes/vector,
+    * sequential xor/popcount scan; see [[VectorOps.annBq]]). The
+    * inline path re-derives the PCA rotation per session; at 100 TB
+    * the build-once/query-many discipline [[buildPq]] demonstrates
+    * must cover these sign-bit codes too, because BQ is the most
+    * likely production scan tier. Layout: `codes` parquet
+    * (vec_id, code LONG) + a one-row `model` table carrying the
+    * centering mean and the row-major PCA rotation — queries and
+    * delta appends encode against that FROZEN model, so persisted
+    * search is bit-for-bit the inline search (spec) and appends never
+    * shift resident codes.
+    */
+  def buildBq(corpus: DataFrame, indexDir: String, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)
+    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
+    // PCA order, eigenvalue descending with index tiebreak — the
+    // deterministic inline [[VectorOps.annBq]] rotation, exactly
+    val rot = vals.indices.sortBy(i => (-vals(i), i)).map(vecs).toArray
+    encodeBq(corpus, rot, mean, dim)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    Seq((dim, mean.toSeq, rot.flatten.toSeq))
+      .toDF("dim", "mean", "rot_flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+  }
+
+  /** Sign-pack `df`'s vectors under a FIXED rotation/mean. The
+    * localCheckpoint is the same staging barrier as the inline path:
+    * signPack reads element_at(rvec, i) dim times and an
+    * unmaterialized rotation would re-inline the dim² matVec into
+    * every read.
+    */
+  private def encodeBq(df: DataFrame, rot: Array[Array[Double]],
+                       mean: Array[Double], dim: Int): DataFrame =
+    df.select(col("vec_id"), OpqRotation.rotateExpr(col("vec"), rot, mean).as("rvec"))
+      .localCheckpoint(true)
+      .select(col("vec_id"), VectorOps.signPack(col("rvec"), dim).as("code"))
+
+  private def readBqModel(spark: SparkSession,
+                          indexDir: String): (Array[Array[Double]], Array[Double], Int) = {
+    val m = spark.read.parquet(s"$indexDir/model").head()
+    val dim = m.getInt(0)
+    val mean = m.getSeq[Double](1).toArray
+    val rot = m.getSeq[Double](2).toArray.grouped(dim).toArray
+    (rot, mean, dim)
+  }
+
+  /** Idempotent [[buildBq]]: fingerprint-keyed under `indexRoot`. */
+  def buildBqIfAbsent(corpus: DataFrame, indexRoot: String, dim: Int = 64): String =
+    IndexCache.getOrBuild(indexRoot, "bq", s"${contentHash(corpus)}-d$dim") {
+      scratch => buildBq(corpus, scratch.toString, dim)
+    }
+
+  /** Hamming shortlist over the STORED longs + exact re-rank on the
+    * base table's floats — the [[VectorOps.annBq]] tail against the
+    * at-rest codes and the frozen persisted model.
+    */
+  def queryBq(spark: SparkSession, indexDir: String, queries: DataFrame,
+              floats: DataFrame, k: Int, shortlist: Int = 320): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
+    val (rot, mean, dim) = readBqModel(spark, indexDir)
+    val qCodes = broadcast(queries
+      .select(col("query_id"), OpqRotation.rotateExpr(col("qvec"), rot, mean).as("rq"))
+      .localCheckpoint(true)
+      .select(col("query_id"), VectorOps.signPack(col("rq"), dim).as("qcode")))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val shortlisted = spark.read.parquet(s"$indexDir/codes")
+      .join(qCodes)
+      .select(col("query_id"), col("vec_id"),
+        Dedup.hamming(col("code"), col("qcode")).as("hamming"))
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    VectorOps.exactRerank(shortlisted, queries, floats, k)
+  }
+
+  /** Incremental maintenance: encode `delta` with the FROZEN
+    * persisted rotation and append — O(delta), resident codes
+    * untouched, the [[appendDelta]]/[[appendDeltaPq]] contract for
+    * the sign-bit tier.
+    */
+  def appendDeltaBq(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+    val (rot, mean, dim) = readBqModel(spark, indexDir)
+    encodeBq(delta, rot, mean, dim)
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
   /** Driver query: build the index over the standard corpus in a
     * scratch dir, query the standard query set through the pruned
     * layout, and carry the same driver-visible recall column as the
@@ -361,5 +452,19 @@ object VectorIndex {
     val pred = WhereFilter.compile("""{"tag": {"$in": [1, 3, 5, 7]}}""")
     val ann = queryFiltered(s, indexDir, queries, pred, k = 10)
     VectorOps.withRecallAt(ann, queries, corpus.filter(pred), k = 10)
+  }
+
+  /** Driver query: persisted-BQ search over the standard corpus,
+    * fingerprint-cached build, recall certified the same way as the
+    * inline `vec_ann_bq` (and by construction equal to it — the
+    * persisted model IS the inline model, spec-pinned bit-for-bit).
+    */
+  def annBqIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    val (queries, corpus) = indexFrames(s, dir)
+    val base = corpus.select(col("vec_id"), col("vec"))
+    val indexDir = buildBqIfAbsent(base,
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-cache")
+    VectorOps.withRecallAt(queryBq(s, indexDir, queries, base, k = 10),
+      queries, corpus, k = 10)
   }
 }

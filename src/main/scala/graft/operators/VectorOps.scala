@@ -310,7 +310,7 @@ object VectorOps {
     * HOF fold below is retained as its executable spec; parity in
     * VectorOpsSpec).
     */
-  private[operators] def intDot(a: Column, b: Column): Column =
+  private[graft] def intDot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.int8Dot(a, b)
 
   /** Append symmetric-int8 SQ columns to `df`, PRESERVING every
@@ -320,7 +320,7 @@ object VectorOps {
     * [[annSq]] and [[Dedup.semanticNearDup]]'s code-carrying
     * candidate join.
     */
-  private[operators] def sqEncodeAll(df: DataFrame, vec: String): DataFrame =
+  private[graft] def sqEncodeAll(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
       .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
       .withColumn("_c8", transform(col(vec), x =>
@@ -544,7 +544,7 @@ object VectorOps {
     * the ORIGINAL float vectors — the final stage of every
     * compressed-domain path.
     */
-  private def exactRerank(shortlisted: DataFrame, queries: DataFrame,
+  private[operators] def exactRerank(shortlisted: DataFrame, queries: DataFrame,
                           corpus: DataFrame, k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)

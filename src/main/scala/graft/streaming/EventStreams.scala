@@ -62,6 +62,47 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** TRUE STREAMING driver entry: run [[hourlyCounts]] as an actual
+    * `StreamingQuery` — `readStream` over the events parquet,
+    * `Trigger.AvailableNow` (the batch-bounded streaming trigger:
+    * process everything currently in the source, then stop), memory
+    * sink — and return the sink table shaped exactly like the batch
+    * `ev_hourly` oracle (minus the non-streamable countDistinct).
+    * This exercises the streaming RUNTIME path end to end —
+    * state-store config, watermark wiring, file-source listing, sink
+    * commit — which the MemoryStream specs cover only in-process; a
+    * regression that breaks only that wiring now fails the driver
+    * gate, not just ScalaTest. Complete output mode because the
+    * driver compares the FULL aggregate (append mode would withhold
+    * the unfinalized tail windows past the watermark); hourly×type
+    * cardinality is bounded, so complete-mode state is model-sized at
+    * any stream length.
+    */
+  def runHourlyAvailableNow(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    // the streaming file source lists a DIRECTORY; the testdata dir
+    // holds one file per table, so a glob filter scopes the listing
+    // to the events file
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // unique sink name: Verify and each bench rep start a fresh query
+    val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = hourlyCounts(src)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("window_start").as("hour"), col("event_type"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** HOPPING-window counts with a watermark — the streaming twin of
     * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands
     * each admitted event into its 4 overlapping windows map-side;

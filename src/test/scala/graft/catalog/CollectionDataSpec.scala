@@ -428,4 +428,99 @@ class CollectionDataSpec extends SparkSpec {
     d.add("col", items(("c", Seq(1f, 1f), "doc c", "{}")))
     assert(d.currentBatch("col") === bBefore + 1)
   }
+
+  test("hnsw:search_ef is honored: shortlist search, ef floor on n_results, typo'd keys fail loudly") {
+    val wh = Files.createTempDirectory("graft-hnsw").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    // identical corpora, one exact and one ef-capped — a ported Chroma
+    // collection's hnsw params must change behavior measurably
+    c.createCollection("exact", Some(Map("hnsw:space" -> "cosine")))
+    c.createCollection("capped", Some(Map(
+      "hnsw:space" -> "cosine", "hnsw:search_ef" -> "64",
+      "hnsw:M" -> "16", "hnsw:construction_ef" -> "100")))
+    val corpus = items((0 until 40).map { i =>
+      (f"v$i%02d", Seq(math.cos(i * 0.15).toFloat, math.sin(i * 0.15).toFloat, 0.5f),
+        s"doc $i", "{}")
+    }: _*)
+    d.add("exact", corpus)
+    d.add("capped", corpus)
+    val q = Seq((1L, Seq(1f, 0f, 0.5f))).toDF("query_id", "qvec")
+    def top(coll: String, n: Int) =
+      d.query(coll, q, nResults = n, include = Nil)
+        .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+    // ef ≥ corpus: the two-stage shortlist returns exactly the exact scan
+    assert(top("capped", 10) === top("exact", 10))
+    // hnswlib contract: n_results may not exceed search_ef
+    assertThrows[CollectionStateError] { d.query("capped", q, nResults = 65) }
+    // exact collection has no ef: large n_results is fine
+    assert(d.query("exact", q, nResults = 65, include = Nil).count() === 40)
+    // unknown hnsw:* key fails loudly, never silently ignores
+    c.createCollection("typo", Some(Map("hnsw:spaace" -> "cosine")))
+    d.add("typo", corpus)
+    assertThrows[MetadataParseError] { d.query("typo", q) }
+    // known key with a non-numeric value fails loudly too
+    c.createCollection("badm", Some(Map("hnsw:M" -> "fast")))
+    d.add("badm", corpus)
+    assertThrows[MetadataParseError] { d.query("badm", q) }
+  }
+
+  test("tight search_ef prunes the exact re-rank to ef candidates per query") {
+    val wh = Files.createTempDirectory("graft-hnsw-ef").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("ef3", Some(Map("hnsw:space" -> "l2", "hnsw:search_ef" -> "3")))
+    d.add("ef3", items((0 until 20).map { i =>
+      (f"v$i%02d", Seq(i.toFloat, 0f), s"doc $i", "{}")
+    }: _*))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    // int8 pre-score is exact on these integer-valued vectors, so the
+    // ef=3 shortlist IS the true top 3 — and n_results = ef returns
+    // exactly those, proving the candidate list is really capped
+    val got = d.query("ef3", q, nResults = 3, include = Nil)
+      .collect().map(_.getString(1)).toSeq
+    assert(got === Seq("v00", "v01", "v02"))
+  }
+
+  test("per-collection embedder registry: metadata selects it, update re-embeds with it, unknown fails") {
+    import graft.functions.Embedders
+    val wh = Files.createTempDirectory("graft-embedders").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    def docOnly(rows: (String, String)*) = rows.toDF("id", "document")
+    // default collection: dim-16 hash embedder, unchanged semantics
+    c.createCollection("def")
+    d.add("def", docOnly("a" -> "hello world"))
+    val defDim = d.get("def", include = Seq("embeddings"))
+      .collect().head.getSeq[Float](1).length
+    assert(defDim === 16)
+    // registered alternative via graft:embedder metadata
+    c.createCollection("wide", Some(Map(Embedders.MetadataKey -> "hash32")))
+    d.add("wide", docOnly("a" -> "hello world"))
+    def wideEmb() = d.get("wide", include = Seq("embeddings"))
+      .collect().head.getSeq[Float](1)
+    assert(wideEmb().length === 32)
+    // queryTexts embeds with the COLLECTION's embedder: identical text
+    // sits at distance 0 under the default l2 metric
+    val hit = d.queryTexts("wide", Seq("hello world"), nResults = 1, include = Nil)
+      .collect().head
+    assert(hit.getString(1) === "a" && hit.getDouble(2) === 0.0)
+    // a document update re-embeds with the collection's embedder
+    val before = wideEmb()
+    d.update("wide", docOnly("a" -> "совершенно other text"))
+    val after = wideEmb()
+    assert(after.length === 32 && after != before)
+    // user-registered embedder is honored end to end
+    Embedders.register(Embedders.Embedder("const2", 2, t =>
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.length(t).cast("float"),
+        org.apache.spark.sql.functions.lit(1f))))
+    c.createCollection("custom", Some(Map(Embedders.MetadataKey -> "const2")))
+    d.add("custom", docOnly("x" -> "abcd"))
+    assert(d.get("custom", include = Seq("embeddings"))
+      .collect().head.getSeq[Float](1) === Seq(4f, 1f))
+    // unregistered name fails loudly at first use
+    c.createCollection("ghost", Some(Map(Embedders.MetadataKey -> "no-such-model")))
+    assertThrows[MetadataParseError] { d.add("ghost", docOnly("x" -> "y")) }
+  }
 }

@@ -26,6 +26,28 @@ class BloomJoinSpec extends SparkSpec {
     assert(survivors >= 200L)
   }
 
+  test("bloom probe is a codegen'd expression — no Scala UDF left in the plan") {
+    val plan = BloomJoin.bloomJoinQuery(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), "probe expression missing")
+    assert(!plan.contains("UDF"), s"probe still pays the Scala-UDF tax:\n$plan")
+    // interpreted path (eval) agrees with the generated code on hits,
+    // misses, and null
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val bc = spark.sparkContext.broadcast(dim.stat.bloomFilter("k", 10L, 0.01))
+    val e = graft.functions.BloomMightContain(
+      org.apache.spark.sql.GraftSqlBridge.expression(col("k")), bc)
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(e.withNewChildren(Seq(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.LongType, nullable = true))).asInstanceOf[graft.functions.BloomMightContain],
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Attribute])
+    assert(bound.eval(InternalRow(1L)) === true)
+    assert(bound.eval(InternalRow(999999L)) === false)
+    assert(bound.eval(InternalRow(null)) === null)
+  }
+
   test("driver bloom-join query equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val plain = graft.Tables.lineitem(spark, dir)

@@ -235,6 +235,69 @@ class VectorIndexSpec extends SparkSpec {
     assert(mean >= 0.8, s"filtered ANN mean recall $mean below floor (per-query: ${recalls.mkString(",")})")
   }
 
+  test("persisted BQ: stored-codes search is bit-for-bit the inline annBq") {
+    val (corpus, queries) = corpusAndQueries
+    val dir = Files.createTempDirectory("bq-index").toString
+    VectorIndex.buildBq(corpus, dir)
+    // the persisted model IS the inline model (same deterministic PCA
+    // rotation), so results must agree exactly
+    val viaIndex = VectorIndex.queryBq(spark, dir, queries, corpus, k = 10)
+      .collect().toSeq
+    val inline = VectorOps.annBq(queries, corpus, k = 10).collect().toSeq
+    assert(viaIndex === inline)
+    // codes at rest really are one long per vector
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq === Seq("vec_id", "code"))
+    assert(codes.schema("code").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(codes.count() === corpus.count())
+    // recall floor: the persisted path carries the same per-query
+    // recall certification as the inline entry (min 0.9 at this SF)
+    val rec = VectorOps.withRecallAt(
+      VectorIndex.queryBq(spark, dir, queries, corpus, k = 10),
+      queries, corpus, k = 10).collect()
+    val perQuery = rec.groupBy(_.getLong(0)).values.map(_.head.getDouble(4))
+    assert(perQuery.min >= 0.9, s"BQ index recall floor: ${perQuery.min}")
+  }
+
+  test("BQ delta-append encodes under the frozen model; resident codes untouched") {
+    val (corpus, queries) = corpusAndQueries
+    val corpus0 = corpus.filter(col("vec_id") < 400)
+    val delta = corpus.filter(col("vec_id") >= 400)
+    assert(delta.count() > 0)
+    val dir = Files.createTempDirectory("bq-append").toString
+    VectorIndex.buildBq(corpus0, dir)
+    val filesBefore = spark.read.parquet(s"$dir/codes").inputFiles.toSet
+    VectorIndex.appendDeltaBq(spark, dir, delta)
+    val filesAfter = spark.read.parquet(s"$dir/codes").inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter.size > filesBefore.size)
+    // appended codes equal a direct frozen-model encode of the delta —
+    // training only ever saw corpus0, exactly the append contract
+    val model = spark.read.parquet(s"$dir/model").head()
+    val dim = model.getInt(0)
+    val mean = model.getSeq[Double](1).toArray
+    val rot = model.getSeq[Double](2).toArray.grouped(dim).toArray
+    val expect = delta
+      .select(col("vec_id"), OpqRotation.rotateExpr(col("vec"), rot, mean).as("rv"))
+      .select(col("vec_id"), VectorOps.signPack(col("rv"), dim).as("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stored = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored === expect)
+    // and the whole index answers like a fresh frozen-model layout of
+    // the union: build ref dir with the same model + one encode pass
+    val refDir = Files.createTempDirectory("bq-append-ref").toString
+    spark.read.parquet(s"$dir/model").write.parquet(s"$refDir/model")
+    corpus0.unionByName(delta)
+      .select(col("vec_id"), OpqRotation.rotateExpr(col("vec"), rot, mean).as("rv"))
+      .select(col("vec_id"), VectorOps.signPack(col("rv"), dim).as("code"))
+      .write.parquet(s"$refDir/codes")
+    val got = VectorIndex.queryBq(spark, dir, queries, corpus, k = 10).collect().toSeq
+    val ref = VectorIndex.queryBq(spark, refDir, queries, corpus, k = 10).collect().toSeq
+    assert(got === ref)
+  }
+
   test("centroids table is model-sized") {
     val (corpus, _) = corpusAndQueries
     val dir = Files.createTempDirectory("ivf-index-cent").toString

@@ -741,9 +741,16 @@ object Dedup {
     val m = (if (nq <= 10000) {
       val edges = quotientP.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find (walk to root, then path-compress): union-by-min
+      // has no rank balancing, so an adversarial edge order can chain
+      // parents ~nq deep and recursive find would overflow the stack
+      // right at the driver-side threshold
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
       }
       for ((a, b) <- edges) {
         val (ra, rb) = (find(a), find(b))
@@ -792,14 +799,19 @@ object Dedup {
       s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache")
     def all = s.read.parquet(s"$pairsDir/pairs").select(col("doc_a"), col("doc_b"))
     // the pair set is content-addressed, so the base label artifact's
-    // freshness key is the pair dir's identity — no data scan needed
-    val fp = java.nio.file.Paths.get(pairsDir).getFileName.toString + "-base"
+    // freshness key is the pair dir's identity plus the base/delta
+    // split boundary — the artifact's CONTENT depends on both, and a
+    // key without the boundary would silently serve a stale labeling
+    // if the split constant ever moved
+    val splitAt = 1000000L
+    val fp = java.nio.file.Paths.get(pairsDir).getFileName.toString +
+      s"-base-lt$splitAt"
     val idx = labelsIndexIfAbsent(
-      all.filter(col("doc_a") < 1000000L && col("doc_b") < 1000000L),
+      all.filter(col("doc_a") < splitAt && col("doc_b") < splitAt),
       fp, labelsRoot)
     dedupGroupsIncremental(
       s.read.parquet(s"$idx/labels").select("doc_id", "group_id"),
-      all.filter(col("doc_a") >= 1000000L || col("doc_b") >= 1000000L))
+      all.filter(col("doc_a") >= splitAt || col("doc_b") >= splitAt))
   }
 
   /** KEEPER SELECTION over the near-dup groups — the policy step that

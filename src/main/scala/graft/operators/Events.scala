@@ -83,7 +83,17 @@ object Events {
       .select(col("user_id"),
         floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"),
         round(col("value") * 100.0).cast("long").as("cents"))
-    val lo = ev.agg(min(col("day_d"))).head().getLong(0)
+    val loRow = ev.agg(min(col("day_d"))).head()
+    if (loRow.isNullAt(0)) {
+      // degenerate input: no events, no experiment — an empty readout
+      // with the output schema beats an unboxing NPE on the null min
+      val sp = events.sparkSession
+      return sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "variant BIGINT, n_users BIGINT, mean_post DOUBLE, mean_cuped DOUBLE, " +
+            "var_reduction_pct DOUBLE, t_naive DOUBLE, t_cuped DOUBLE"))
+    }
+    val lo = loRow.getLong(0)
     val split = lo + preDays
     val perUser = ev.groupBy(col("user_id"))
       .agg(sum(when(col("day_d") < split, col("cents")).otherwise(0L)).as("x"),
@@ -109,9 +119,17 @@ object Events {
       .withColumn("g_sxx", sum(col("sxx")).over(all))
       .withColumn("g_sxy", sum(col("sxy")).over(all))
       .withColumn("xbar", d(col("g_sx")) / d(col("g_n")))
+      // zero pre-period variance (constant covariate) explains nothing
+      // — θ pins to 0 so CUPED degrades to the naive readout instead
+      // of a NaN poisoning every column (the madOutliers zero-MAD
+      // guard, applied here)
+      .withColumn("var_x_num",
+        d(col("g_sxx")) - d(col("g_sx")) * d(col("g_sx")) / d(col("g_n")))
       .withColumn("theta",
-        (d(col("g_sxy")) - d(col("g_sx")) * d(col("g_sy")) / d(col("g_n"))) /
-          (d(col("g_sxx")) - d(col("g_sx")) * d(col("g_sx")) / d(col("g_n"))))
+        when(col("var_x_num") > 0.0,
+          (d(col("g_sxy")) - d(col("g_sx")) * d(col("g_sy")) / d(col("g_n"))) /
+            col("var_x_num"))
+          .otherwise(lit(0.0)))
     // per-variant naive and CUPED moments, all algebraic in the sums;
     // cents → currency units at the very end
     val withStats = g

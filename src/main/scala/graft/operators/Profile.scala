@@ -146,15 +146,26 @@ object Profile {
     benfordOf(graft.Tables.orders(s, dir).select(col("o_totalprice").as("amount")))
 
   /** The audit itself, over any single-column (amount) relation of
-    * positive 2-decimal values.
+    * 2-decimal values. Non-positive amounts have no first significant
+    * digit and are excluded up front (Benford's law speaks only about
+    * positive multiscale data — and an engine-dependent NULL-ordering
+    * of a null digit group would diverge cross-engine). The ladder
+    * covers the FULL long cents range: rungs 10⁰..10¹⁷ plus a top
+    * rung for cents ≥ 10¹⁸ (whose ×10 bound would overflow), so a
+    * trillion-dollar ledger files correctly instead of falling out of
+    * the audit.
     */
   def benfordOf(amounts: DataFrame): DataFrame = {
     val cents = round(col("amount") * 100.0).cast("long")
-    val digit = (7 to 0 by -1).foldLeft(lit(null).cast("long")) { (acc, k) =>
+    val top = 1000000000000000000L // 10^18; max long is 9.22×10^18
+    val digit = (17 to 0 by -1).foldLeft(
+      when(cents >= top, (cents / top).cast("long")).otherwise(lit(null).cast("long"))
+    ) { (acc, k) =>
       val p = math.pow(10, k).toLong
       when(cents >= p && cents < p * 10, (cents / p).cast("long")).otherwise(acc)
     }
     val perDigit = amounts
+      .filter(cents >= 1L)
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
     val all = Window.partitionBy()

@@ -402,7 +402,13 @@ object EventStreams {
       val prior = state.getOption.getOrElse(CusumState(Map.empty, 0.0, 0.0))
       val pending = batch.foldLeft(prior.pending) { (acc, e) =>
         val d = math.floorDiv(e.ts.getTime, dayMs) * dayMs
-        acc.updated(d, acc.getOrElse(d, 0L) + math.round(e.value * 100.0))
+        // HALF_UP away from zero — the batch twin's Spark `round()`
+        // semantics; `math.round` (half toward +inf) would disagree on
+        // negative half-cent values (-0.005 → 0 vs the batch's -1)
+        val c = e.value * 100.0
+        val cents =
+          if (c >= 0) math.floor(c + 0.5).toLong else math.ceil(c - 0.5).toLong
+        acc.updated(d, acc.getOrElse(d, 0L) + cents)
       }
       val (closed, open) = pending.partition { case (d, _) => d + dayMs <= wm }
       var p = prior.p

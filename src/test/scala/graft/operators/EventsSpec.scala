@@ -349,6 +349,31 @@ class EventsSpec extends SparkSpec {
     assert(tn0 === -tn1 && tc0 === -tc1, "antisymmetric by construction")
   }
 
+  test("cuped: empty input yields an empty readout; constant pre-period pins theta to 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // empty events: an empty typed frame, not an NPE on the null min
+    val empty = Events.cupedAbOf(
+      Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value"), preDays = 15)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("variant", "n_users", "mean_post",
+      "mean_cuped", "var_reduction_pct", "t_naive", "t_cuped"))
+    // constant covariate (var(x) = 0): theta pins to 0, so the CUPED
+    // metric degrades to the naive one with every column finite
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for { u <- 0L until 40L; d <- 0 until 20 } yield
+      (u, new Timestamp(base + d * 86400000L),
+        if (d < 15) 10.0 else 10.0 + (u % 7).toDouble)
+    val out = Events.cupedAbOf(rows.toDF("user_id", "ts", "value"), preDays = 15)
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      (2 to 6).foreach(i => assert(!r.getDouble(i).isNaN,
+        s"column $i NaN under zero pre-period variance"))
+      assert(r.getDouble(2) === r.getDouble(3), "theta=0 => cuped == naive mean")
+    }
+  }
+
   test("windowed funnel: counts shrink with the window, huge window = unbounded funnel") {
     def counts(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -119,4 +119,17 @@ class ProfileSpec extends SparkSpec {
     assert(chiLog < 20.0, s"log-uniform chi2 $chiLog")
     assert(chiUni > 50.0 * chiLog, s"uniform chi2 $chiUni vs $chiLog")
   }
+
+  test("benford: billion-dollar amounts file correctly; non-positive rows are excluded") {
+    import spark.implicits._
+    // above the old 10^8-cents ladder top ($1M) up to the 10^18 rung,
+    // plus zero/negative rows that have no first significant digit
+    val big = Seq(2.0e6, 3.5e9, 7.0e12, 9.9e15, 0.0, -123.45, -0.01)
+      .toDF("amount")
+    val dg = Profile.benfordOf(big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dg === Map(2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L))
+    // no NULL digit group — chi2 stays finite and NULL-free
+    assert(Profile.benfordOf(big).filter(col("digit").isNull).count() === 0)
+  }
 }

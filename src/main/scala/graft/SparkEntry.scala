@@ -467,6 +467,7 @@ object SparkEntry {
     "ev_cusum"           -> (Events.cusum _),
     "ev_funnel_window"   -> ((s, d) => Events.funnelWindowed(s, d)),
     "ev_cuped"           -> ((s, d) => Events.cupedAb(s, d)),
+    "ev_bootstrap"       -> ((s, d) => Events.bootstrapCi(s, d)),
     "ev_ewma"            -> (Events.ewma _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -492,6 +493,7 @@ object SparkEntry {
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_bq_index"   -> (VectorIndex.annBqIndexQuery _),
+    "vec_ann_graph"      -> (GraphAnn.annGraphQuery _),
     "vec_ann_filtered"   -> (VectorIndex.annIvfFilteredQuery _),
     "vec_ann_pq"         -> (VectorOps.annPqQuery _),
     "vec_ann_opq"        -> (VectorOps.annOpqQuery _),
@@ -2198,6 +2200,52 @@ object SparkEntry {
     // CUPED: one pass of integer-cent moment sums; theta, adjusted
     // means and variances expand algebraically with the SAME
     // left-associative double-op order as the engine
+    // Poisson-bootstrap CI: identical hash-derived Poisson(1) weights
+    // (md5 of event_id·48+b, integer inverse-CDF thresholds at 2^32),
+    // integer micro-dollar replicate means, nearest-rank cut at the
+    // 2nd / 47th of 48 ordered replicates
+    "ev_bootstrap" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (
+        |  SELECT event_type, b, cents,
+        |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+        |         WHEN u < 4294609777 THEN 6 ELSE 7 END AS w
+        |  FROM (SELECT event_type, cents, b,
+        |          CAST(('0x' || substr(md5(CAST(event_id * 48 + b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |        FROM ev CROSS JOIN (SELECT unnest(range(0, 48)) AS b))),
+        |rep AS (
+        |  SELECT event_type, b, sum(w) AS sum_w, sum(w * cents) AS sum_wx
+        |  FROM r GROUP BY event_type, b),
+        |m AS (
+        |  SELECT event_type, b,
+        |    CASE WHEN sum_w > 0 THEN (sum_wx * 10000) // sum_w ELSE 0 END AS mean_micro
+        |  FROM rep),
+        |rk AS (
+        |  SELECT event_type, b, mean_micro,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mean_micro, b) AS BIGINT) AS rn
+        |  FROM m),
+        |ci AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = 2 THEN mean_micro END) AS lo_micro,
+        |    min(CASE WHEN rn = 47 THEN mean_micro END) AS hi_micro
+        |  FROM rk GROUP BY event_type),
+        |pt AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    (sum(cents) * 10000) // count(*) AS point_micro
+        |  FROM ev GROUP BY event_type)
+        |SELECT pt.event_type, n_events,
+        |  CAST(point_micro AS DOUBLE) / 1000000.0 AS mean_value,
+        |  CAST(lo_micro AS DOUBLE) / 1000000.0 AS ci_lo,
+        |  CAST(hi_micro AS DOUBLE) / 1000000.0 AS ci_hi,
+        |  (lo_micro <= point_micro AND point_micro <= hi_micro) AS covers_point
+        |FROM pt JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "ev_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_d,

@@ -116,6 +116,20 @@ class ChromaSpark(
     } finally s.close()
   }
 
+  /** Last parsed snapshot, keyed by its version: a version file's
+    * content is IMMUTABLE by the CAS construction (createLink either
+    * publishes a complete file or fails — nothing ever rewrites
+    * `_collections.<v>.json`), so when the directory's max version
+    * matches the cached one, the cached rows ARE the current catalog
+    * and the JSON reparse is skipped. Catalog reads stay
+    * freshness-correct across concurrent writers (a new version
+    * changes the max and forces the reread) while a read-heavy
+    * lifecycle pays one `Files.list` instead of list+read+parse.
+    * Version −1 = nothing cached; the legacy unversioned file is
+    * never cached (it predates the immutability guarantee).
+    */
+  @volatile private var cachedSnapshot: (Long, Seq[CollectionMeta]) = (-1L, Seq.empty)
+
   /** Freshest catalog snapshot: (version, rows). */
   private def readVersioned(): (Long, Seq[CollectionMeta]) = {
     val versions = listVersions()
@@ -125,8 +139,13 @@ class ChromaSpark(
       catch { case e: Exception => throw StorageError(s"reading catalog at $catalogPath", e) }
     } else {
       val v = versions.max
-      try (v, CatalogCodec.fromJson(new String(Files.readAllBytes(versionedPath(v)), "UTF-8")))
-      catch {
+      val cached = cachedSnapshot
+      if (cached._1 == v) return cached
+      try {
+        val snap = (v, CatalogCodec.fromJson(new String(Files.readAllBytes(versionedPath(v)), "UTF-8")))
+        cachedSnapshot = snap
+        snap
+      } catch {
         // pruned under us between list and read — take the new max
         case _: java.nio.file.NoSuchFileException => readVersioned()
         case e: Exception => throw StorageError(s"reading catalog at ${versionedPath(v)}", e)
@@ -153,7 +172,9 @@ class ChromaSpark(
         Files.write(tmp, CatalogCodec.toJson(newRows).getBytes("UTF-8"))
         try {
           Files.createLink(versionedPath(v + 1), tmp)
-          // won the CAS — prune far-back versions + the legacy file
+          // won the CAS — the published rows are the fresh snapshot
+          cachedSnapshot = (v + 1, newRows)
+          // prune far-back versions + the legacy file
           (1L to v - 2).foreach(o => Files.deleteIfExists(versionedPath(o)))
           if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
           return result

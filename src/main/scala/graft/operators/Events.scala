@@ -173,6 +173,79 @@ object Events {
       .orderBy(col("variant"))
   }
 
+  /** POISSON BOOTSTRAP confidence intervals for the per-type mean
+    * value — resampling inference at data scale, the way production
+    * experimentation platforms actually compute CIs: a classical
+    * bootstrap draws n rows with replacement per replicate (impossible
+    * to coordinate across a distributed scan), but the multinomial
+    * resample is asymptotically a vector of independent Poisson(1)
+    * weights — so each row derives, PER REPLICATE, a deterministic
+    * Poisson(1) weight from an md5 hash (inverse CDF as integer
+    * thresholds on the 32-bit hash — no float compare anywhere), and
+    * replicate means are weighted aggregates. ONE corpus scan computes
+    * all B replicates: the explode is map-side, the per-(type, b)
+    * partial sums combine before the shuffle, and only |types|·B rows
+    * ever move. CI bounds are nearest-rank percentiles of the B
+    * integer replicate means (windows over B-row groups). The
+    * hash-derived weights make the CI identical under rerun,
+    * repartitioning and ingest order — an auditable interval, the
+    * [[TextAnalysis.weightedSample]] determinism discipline.
+    */
+  def bootstrapCi(s: SparkSession, dir: String, reps: Int = 48): DataFrame =
+    bootstrapCiOf(Tables.events(s, dir), reps)
+
+  /** The bootstrap itself, over any (event_type, event_id, value)
+    * relation. Cents are exact integers; every replicate mean is an
+    * integer in micro-dollar units BEFORE any ordering (the
+    * fix-before-sum rule), so the percentile cut is engine-exact.
+    */
+  def bootstrapCiOf(events: DataFrame, reps: Int): DataFrame = {
+    // Poisson(1) inverse CDF as cumulative thresholds scaled to 2^32:
+    // P(X<=k) for k=0..6; a hash above the last gets weight 7
+    // (P ≈ 8.3e-8 — the tail's total mass, preserved not truncated).
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L)
+    val ev = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100.0).cast("long").as("cents"))
+    val u = conv(substring(md5((col("event_id") * lit(reps.toLong) + col("b"))
+      .cast("string")), 1, 8), 16, 10).cast("long")
+    val w = thresholds.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), acc) => when(col("u") < t, k.toLong).otherwise(acc)
+    }
+    val replicate = ev
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .withColumn("u", u)
+      .select(col("event_type"), col("b"), w.as("w"), col("cents"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("sum_w"), sum(col("w") * col("cents")).as("sum_wx"))
+      .withColumn("mean_micro",
+        when(col("sum_w") > 0, expr("(sum_wx * 10000L) DIV sum_w")).otherwise(0L))
+    // nearest-rank percentile over the B integer replicate means:
+    // lo = ceil(0.025·B)-th smallest, hi = ceil(0.975·B)-th
+    val loIdx = math.ceil(0.025 * reps).toLong.max(1L)
+    val hiIdx = math.ceil(0.975 * reps).toLong
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_micro").asc, col("b").asc)
+    val cis = replicate
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === loIdx, col("mean_micro"))).as("lo_micro"),
+        min(when(col("rn") === hiIdx, col("mean_micro"))).as("hi_micro"))
+    val point = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(sum(cents) * 10000L) DIV count(1)").as("point_micro"))
+    point.join(cis, "event_type")
+      .select(col("event_type"), col("n_events"),
+        (col("point_micro").cast("double") / lit(1000000.0)).as("mean_value"),
+        (col("lo_micro").cast("double") / lit(1000000.0)).as("ci_lo"),
+        (col("hi_micro").cast("double") / lit(1000000.0)).as("ci_hi"),
+        (col("lo_micro") <= col("point_micro") &&
+          col("point_micro") <= col("hi_micro")).as("covers_point"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM changepoint detection per event type — the sequential
     * drift alarm (Page 1954) over daily totals: S_t = max(0, S_{t−1}
     * + (x_t − μ − k)) crosses h when the mean shifts by more than the

@@ -1211,9 +1211,14 @@ object TextAnalysis {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), qi4.as("q_i4"))
     val wSrc = Window.partitionBy(col("source")).orderBy(col("q_i4"), col("doc_id"))
+    // staged before the sharded rank: its per-partition counts pass
+    // would otherwise re-run the quality tokenization + source
+    // windows a second time (the annSq materialize-before-fan-out
+    // discipline — measured 2.05 s → 1.2 s at sf0.1)
     val withSrcRank = t
       .withColumn("r", row_number().over(wSrc).cast("long"))
       .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .localCheckpoint(true)
     val (sharded, nTotal) =
       withShardedRank(withSrcRank, "g", 32, Seq(col("q_i4"), col("doc_id")))
     val ranked = sharded.withColumn("n_total", lit(nTotal))
@@ -1567,4 +1572,5 @@ object TextAnalysis {
       .orderBy(col("key_micro"), col("doc_id"))
       .limit(k)
   }
+
 }

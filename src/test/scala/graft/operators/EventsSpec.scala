@@ -349,6 +349,30 @@ class EventsSpec extends SparkSpec {
     assert(tn0 === -tn1 && tc0 === -tc1, "antisymmetric by construction")
   }
 
+  test("poisson bootstrap: constant metric collapses the CI to the exact mean; determinism; coverage") {
+    import spark.implicits._
+    // constant value: every replicate mean = the value exactly (the
+    // Poisson weights scale numerator and denominator identically),
+    // so lo = point = hi with zero width — an exact integer identity
+    val const = (1L to 500L).map(i => ("buy", i, 12.34)).toDF("event_type", "event_id", "value")
+    val c = Events.bootstrapCiOf(const, reps = 48).collect()
+    assert(c.length === 1)
+    assert(c.head.getDouble(2) === 12.34 && c.head.getDouble(3) === 12.34 &&
+      c.head.getDouble(4) === 12.34 && c.head.getBoolean(5))
+    // real data: every type's CI covers its point estimate and is
+    // non-degenerate; the whole readout is rerun-identical
+    val out = Events.bootstrapCi(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(5), s"${r.getString(0)}: CI misses the point estimate")
+      assert(r.getDouble(3) < r.getDouble(4), s"${r.getString(0)}: degenerate CI")
+      // sanity: interval is a plausible band around the mean
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+    val again = Events.bootstrapCi(spark, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("cuped: empty input yields an empty readout; constant pre-period pins theta to 0") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -442,6 +442,7 @@ object SparkEntry {
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
+    "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -2088,6 +2089,34 @@ object SparkEntry {
     // CDC MERGE-apply: last-writer-wins snapshot from the op log,
     // tombstoned keys absent, per-key audit counts
     "ev_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_s DESC, event_id DESC) AS rk FROM log)
+        |  WHERE rk = 1),
+        |counts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        |  FROM log GROUP BY user_id)
+        |SELECT l.user_id, l.event_id AS last_event_id, l.ts_s AS last_ts,
+        |  l.event_type AS state, l.value, c.n_ops, c.n_deletes
+        |FROM last l JOIN counts c USING (user_id)
+        |WHERE l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    // the Spark side ran an ACTUAL stateful StreamingQuery
+    // (mapGroupsWithState snapshot state under Trigger.AvailableNow —
+    // the state-store runtime path); the oracle is the same batch
+    // MERGE-apply derivation as ev_cdc_apply, so a regression in
+    // state-store wiring hash-fails the driver gate
+    "stream_cdc" ->
       """WITH log AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
         |    event_type, value,

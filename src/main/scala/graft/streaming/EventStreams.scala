@@ -436,6 +436,50 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** TRUE STREAMING driver entry #2: [[cdcSnapshot]] as an actual
+    * `StreamingQuery` — this one exercises the STATEFUL runtime path
+    * ([[org.apache.spark.sql.streaming.GroupState]] via
+    * `mapGroupsWithState`, i.e. the state-store read/write/commit
+    * cycle) that the windowed-aggregation `stream_hourly` entry does
+    * not touch. Update-mode memory sink; the emitted snapshot is
+    * shaped to the batch `ev_cdc_apply` oracle (tombstoned keys
+    * dropped, same second-truncated timestamps, same argmax-by
+    * (ts, event_id) state — commutative, so ANY arrival order
+    * converges to the batch answer). One parquet file → one
+    * micro-batch, but the final-state pick below (max n_ops per key,
+    * n_ops strictly grows on re-emission) keeps the oracle exact even
+    * if the source ever splits into several batches.
+    */
+  def runCdcAvailableNow(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sink = s"stream_cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = cdcSnapshot(src)
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_ops").desc)
+    s.table(sink)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(wLast))
+      .filter(col("_rn") === 1 && !col("tombstone"))
+      .select(col("user_id"), col("last_event_id"), col("last_ts"),
+        col("state"), col("value"), col("n_ops"), col("n_deletes"))
+      .orderBy(col("user_id"))
+  }
+
   final case class CdcState(tsS: Long, eventId: Long, op: String,
                             state: String, value: Double,
                             nOps: Long, nDeletes: Long)

@@ -350,6 +350,75 @@ object SparkEntry {
       .orderBy(col("step"))
   }
 
+  /** Backup/restore lifecycle: export a collection (resolved
+    * snapshot + metadata) to a portable directory and import it back
+    * under a new name — latest versions travel, tombstoned ids do
+    * not, `hnsw:*`/custom metadata carries over so queries rank
+    * identically on the restored copy, a duplicate-name import is
+    * refused with a typed error, and fork-edge keys are stripped on
+    * import (the parent chain did not travel).
+    */
+  def collectionExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-export-q").toString
+    val ex = java.nio.file.Files.createTempDirectory("graft-export-dir").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("src", Some(Map("hnsw:space" -> "ip", "team" -> "ml")))
+    def items(rows: (String, Seq[Float], String)*) =
+      rows.toSeq.toDF("id", "embedding", "document")
+    d.add("src", items(("a", Seq(1f, 0f), "a v1"), ("b", Seq(0f, 1f), "b v1"),
+      ("c", Seq(1f, 1f), "c v1")))
+    d.upsert("src", items(("a", Seq(2f, 0f), "a v2")))
+    d.delete("src", ids = Seq("b"))
+    d.exportCollection("src", s"$ex/src")
+    d.importCollection(s"$ex/src", newName = Some("restored"))
+    val dupRefused =
+      try { d.importCollection(s"$ex/src"); "no-error" }
+      catch { case _: graft.catalog.EngineError.CollectionStateError => "true" }
+    val restoredMeta = client.getCollection("restored").metadata.getOrElse(Map.empty)
+    val metaCarried =
+      (restoredMeta.get("hnsw:space").contains("ip") &&
+        restoredMeta.get("team").contains("ml")).toString
+    // fork export: the edge must not travel
+    d.fork("src", "branch")
+    d.exportCollection("branch", s"$ex/branch")
+    d.importCollection(s"$ex/branch", newName = Some("branch-restored"))
+    val forkStripped = (!client.getCollection("branch-restored").metadata
+      .getOrElse(Map.empty).contains("graft:fork_parent")).toString
+    // ONE action: restored ids, the traveled latest version of a, and
+    // query parity (ip metric carried => same top-1 with same distance)
+    def idsF(c: String, step: Long, check: String) =
+      d.get(c, include = Nil)
+        .agg(F.array_join(F.array_sort(F.collect_list(F.col("id"))), ",").as("v"))
+        .select(F.lit(step).as("step"), F.lit(check).as("check"),
+          F.col("v").cast("string").as("observed"))
+    val q = Seq((1L, Seq(2f, 0f))).toDF("query_id", "qvec")
+    def top1F(c: String, step: Long, check: String) =
+      d.query(c, q, nResults = 1, include = Nil)
+        .select(F.lit(step).as("step"), F.lit(check).as("check"),
+          F.concat_ws("@", F.col("id"), F.col("distance").cast("string"))
+            .as("observed"))
+    val docF = d.get("restored", ids = Seq("a")).limit(1)
+      .select(F.lit(2L).as("step"), F.lit("latest_version_traveled").as("check"),
+        F.col("document").as("observed"))
+    val observed = Seq(
+      idsF("restored", 1L, "restored_live_ids"),
+      docF,
+      top1F("src", 4L, "src_top1_ip"),
+      top1F("restored", 5L, "restored_top1_ip_identical"),
+      idsF("branch-restored", 7L, "fork_restore_ids")
+    ).reduce(_.unionByName(_)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    (observed ++ Seq(
+      (3L, "metadata_carried", metaCarried),
+      (6L, "duplicate_name_import_refused", dupRefused),
+      (8L, "fork_edge_stripped_on_import", forkStripped)))
+      .toDF("step", "check", "observed")
+      .orderBy(col("step"))
+  }
+
   /** `hnsw:*` metadata semantics + per-collection embedders
     * end-to-end: an ef-capped collection's two-stage (int8 pre-score
     * shortlist → exact re-rank) search returns the true nearest
@@ -573,6 +642,7 @@ object SparkEntry {
     "collection_items"   -> (collectionItems _),
     "collection_metric"  -> (collectionMetric _),
     "collection_hnsw"    -> (collectionHnsw _),
+    "collection_export"  -> (collectionExport _),
     "collection_fork"    -> (collectionFork _),
     "collection_vacuum"  -> (collectionVacuum _),
     "collection_autoembed" -> (collectionAutoEmbed _),
@@ -3639,6 +3709,23 @@ object SparkEntry {
         |  (CAST(5 AS BIGINT), 'ip_rank_2', 'a', -2.0),
         |  (CAST(6 AS BIGINT), 'ip_rank_3', 'c', 1.0)
         |) AS t(step, "check", observed, distance)
+        |ORDER BY step""".stripMargin,
+
+    // export/import lifecycle: resolved snapshot travels (latest a v2,
+    // no tombstoned b), ip metric carries (top-1 a at distance
+    // 1-dot = 1-4 = -3 on both sides), dup-name import refused,
+    // fork edge stripped
+    "collection_export" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'restored_live_ids', 'a,c'),
+        |  (CAST(2 AS BIGINT), 'latest_version_traveled', 'a v2'),
+        |  (CAST(3 AS BIGINT), 'metadata_carried', 'true'),
+        |  (CAST(4 AS BIGINT), 'src_top1_ip', 'a@-3.0'),
+        |  (CAST(5 AS BIGINT), 'restored_top1_ip_identical', 'a@-3.0'),
+        |  (CAST(6 AS BIGINT), 'duplicate_name_import_refused', 'true'),
+        |  (CAST(7 AS BIGINT), 'fork_restore_ids', 'a,c'),
+        |  (CAST(8 AS BIGINT), 'fork_edge_stripped_on_import', 'true')
+        |) AS t(step, "check", observed)
         |ORDER BY step""".stripMargin,
 
     // ef-capped l2 search from q=(0,0) over v_i=(i,0): exact integer

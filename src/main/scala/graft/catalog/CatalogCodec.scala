@@ -47,6 +47,18 @@ object CatalogCodec {
       case other => throw new IllegalArgumentException(s"catalog must be a JSON array, got $other")
     }
 
+  /** Parse a string→string metadata map from its canonical
+    * [[CollectionMeta.sortedJson]] form (the export `_meta` payload).
+    */
+  def mapFromSortedJson(json: String): Map[String, String] =
+    JsonMethods.parse(json) match {
+      case JObject(kvs) => kvs.map {
+        case (k, JString(v)) => k -> v
+        case (k, other) => throw new IllegalArgumentException(s"metadata $k: $other")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"metadata must be a JSON object, got $other")
+    }
+
   private def q(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -174,8 +174,13 @@ class ChromaSpark(
           Files.createLink(versionedPath(v + 1), tmp)
           // won the CAS — the published rows are the fresh snapshot
           cachedSnapshot = (v + 1, newRows)
-          // prune far-back versions + the legacy file
-          (1L to v - 2).foreach(o => Files.deleteIfExists(versionedPath(o)))
+          // prune far-back versions + the legacy file. Bounded window:
+          // every successful publish prunes, so versions below v-2 are
+          // already gone except stragglers from writers that crashed
+          // mid-prune — a few extra slots cover those without an O(v)
+          // walk on every write of a long-lived warehouse
+          (math.max(1L, v - 10) to v - 2)
+            .foreach(o => Files.deleteIfExists(versionedPath(o)))
           if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
           return result
         } catch {

@@ -807,6 +807,51 @@ class CollectionData(client: ChromaSpark) {
     }
   }
 
+  /** EXPORT a collection to a portable directory: the RESOLVED
+    * snapshot (latest-per-id, tombstones dropped — history and fork
+    * edges do not travel; an export is a backup of the current state,
+    * not of the log) as parquet plus a one-row `_meta` table carrying
+    * the collection metadata JSON. Everything a different warehouse —
+    * or a different engine that reads parquet — needs to reconstruct
+    * the collection, including its `hnsw:*` and `graft:embedder`
+    * keys, which [[importCollection]] re-validates on arrival.
+    * One distributed write; nothing collects.
+    */
+  def exportCollection(collection: String, exportDir: String): Unit = {
+    val meta = client.getCollection(collection) // throws if absent
+    resolved(collection)
+      .write.mode("overwrite").parquet(s"$exportDir/items")
+    val sp = spark
+    import sp.implicits._
+    Seq((meta.name, meta.metadata.map(CollectionMeta.sortedJson).getOrElse("")))
+      .toDF("name", "metadata_json")
+      .coalesce(1).write.mode("overwrite").parquet(s"$exportDir/_meta")
+  }
+
+  /** IMPORT an exported directory as a NEW collection (optionally
+    * renamed): recreate the catalog row with the exported metadata
+    * (fork-edge keys are stripped — the parent chain did not travel)
+    * and bulk-add the items as batch 0 of a fresh log. The embedder
+    * is NOT re-run: exported rows carry their embeddings, and
+    * re-embedding on import would silently rewrite vectors if the
+    * registry differs — imports must be byte-faithful. An unknown
+    * `hnsw:*` key in the exported metadata fails the first query
+    * loudly, same as any other collection.
+    */
+  def importCollection(exportDir: String, newName: Option[String] = None): Collection = {
+    val metaRow = spark.read.parquet(s"$exportDir/_meta").head()
+    val name = newName.getOrElse(metaRow.getString(0))
+    val metaJson = metaRow.getString(1)
+    val metadata =
+      if (metaJson.isEmpty) None
+      else Some(CatalogCodec.mapFromSortedJson(metaJson)
+        .removedAll(Seq(ForkParentKey, ForkAsOfKey)))
+        .filter(_.nonEmpty)
+    val created = client.createCollection(name, metadata) // dup name → typed error
+    upsert(name, spark.read.parquet(s"$exportDir/items"))
+    created
+  }
+
   /** Chroma `query(query_texts=...)`: embed the texts with the SAME
     * embedder the collection's ingest path uses ([[embedderOf]]),
     * then delegate to [[query]] — identical text therefore lands at

@@ -429,6 +429,28 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.currentBatch("col") === bBefore + 1)
   }
 
+  test("export/import: snapshot travels byte-faithfully, embeddings not re-derived, cross-warehouse restore") {
+    val (c, d) = fresh()
+    d.add("col", items(
+      ("a", Seq(1f, 2f), "doc a", """{"lang":"en"}"""),
+      ("b", Seq(3f, 4f), "doc b", "{}")))
+    d.upsert("col", items(("a", Seq(5f, 6f), "doc a v2", """{"lang":"en"}""")))
+    val ex = Files.createTempDirectory("graft-export").toString
+    d.exportCollection("col", ex)
+    // restore into a DIFFERENT warehouse (the backup/migration shape)
+    val wh2 = Files.createTempDirectory("graft-import-wh").toString
+    val c2 = new ChromaSpark(spark, wh2)
+    val d2 = new CollectionData(c2)
+    d2.importCollection(ex)
+    val src = d.get("col", include = Seq("embeddings", "documents", "metadatas"))
+      .collect().map(_.toSeq).toSeq
+    val dst = d2.get("col", include = Seq("embeddings", "documents", "metadatas"))
+      .collect().map(_.toSeq).toSeq
+    assert(dst === src) // embeddings byte-equal: nothing re-embedded
+    // exporting a missing collection raises the typed error
+    assertThrows[CollectionStateError] { d.exportCollection("nope", ex) }
+  }
+
   test("hnsw:search_ef is honored: shortlist search, ef floor on n_results, typo'd keys fail loudly") {
     val wh = Files.createTempDirectory("graft-hnsw").toString
     val c = new ChromaSpark(spark, wh)

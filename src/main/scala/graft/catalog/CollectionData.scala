@@ -820,6 +820,9 @@ class CollectionData(client: ChromaSpark) {
   def exportCollection(collection: String, exportDir: String): Unit = {
     val meta = client.getCollection(collection) // throws if absent
     resolved(collection)
+      // the [[compact]] write-parallelism discipline: a snapshot write
+      // wants file sizes, not one file per shuffle partition
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite").parquet(s"$exportDir/items")
     val sp = spark
     import sp.implicits._

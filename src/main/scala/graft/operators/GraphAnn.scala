@@ -37,6 +37,13 @@ object GraphAnn {
 
   /** Approximate kNN graph: (src, dst) adjacency, out-degree ≤ m + 2
     * (m scored neighbors + ring successor + ring stride link).
+    *
+    * The candidate self-join carries float vectors — acceptable here
+    * because the BUILD is a one-time pass whose volume is bounded by
+    * the bucket cap (unlike a query-path hot scan); at extreme scale
+    * the same join runs on int8 codes with exact re-scoring of the
+    * top-M survivors, the [[Dedup.semanticNearDup]] code-carrying
+    * candidate discipline, without changing the graph contract.
     */
   def buildKnnGraph(corpus: DataFrame, m: Int = 8,
                     tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,

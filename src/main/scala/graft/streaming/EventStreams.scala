@@ -62,6 +62,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** STATE-STORE PARTITION SIZING for the driver-gated streaming
+    * entries: a streaming query's stateful-operator partition count
+    * is fixed from `spark.sql.shuffle.partitions` at FIRST start and
+    * every micro-batch pays one state-store commit per partition —
+    * so it must be sized to the KEYSPACE (hour×type windows, live
+    * user keys), not inherited from the batch suite's corpus-sized
+    * default. 32 stores for a few hundred keys is 8× commit overhead
+    * for zero parallelism win. The conf flips only around `start()`
+    * (partition count is captured into the checkpoint there) and is
+    * restored before returning, so batch queries never see it.
+    */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, prev)
+  }
+
   /** TRUE STREAMING driver entry: run [[hourlyCounts]] as an actual
     * `StreamingQuery` — `readStream` over the events parquet,
     * `Trigger.AvailableNow` (the batch-bounded streaming trigger:
@@ -91,11 +110,13 @@ object EventStreams {
       .parquet(dir)
     // unique sink name: Verify and each bench rep start a fresh query
     val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = hourlyCounts(src)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s, 4) {
+      hourlyCounts(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(sink)
       .select(col("window_start").as("hour"), col("event_type"),
@@ -463,12 +484,14 @@ object EventStreams {
         col("event_type"), col("value"))
       .as[Event]
     val sink = s"stream_cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = cdcSnapshot(src)
-      .toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s, 4) {
+      cdcSnapshot(src)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_ops").desc)

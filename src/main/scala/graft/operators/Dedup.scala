@@ -637,7 +637,7 @@ object Dedup {
                               n: Int = 3, threshold: Double = 0.6): String = {
     val row = docs
       .select(xxhash64(col("doc_id").cast("string"), col("text")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt"))
+      .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("cnt"))
       .head()
     val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x-n$n-t${math.round(threshold * 1000)}"
     IndexCache.getOrBuild(indexRoot, "ngrampairs", fp) { scratch =>
@@ -907,7 +907,7 @@ object Dedup {
                            k: Int = 20): String = {
     val row = docs
       .select(xxhash64(col("doc_id").cast("string"), col("text")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt"))
+      .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("cnt"))
       .head()
     val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x-k$k"
     IndexCache.getOrBuild(indexRoot, "repeats", fp) { scratch =>
@@ -1176,7 +1176,7 @@ object Dedup {
     val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
     val row = v
       .select(xxhash64(col("vec_id").cast("string"), col("vec").cast("string")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt"))
+      .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("cnt"))
       .head()
     val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x" +
       s"-c$targetClusterSize-f$maxClusterFactor-i$iters" +

@@ -56,6 +56,12 @@ object Layout {
     val b = df.agg(
       min(xCol).cast("double"), max(xCol).cast("double"),
       min(yCol).cast("double"), max(yCol).cast("double")).head()
+    if (b.isNullAt(0)) {
+      // empty (or all-null-key) input: no curve to lay out — write the
+      // empty relation instead of NPE-ing on the null min
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     def bucket16(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else width_bucket(c.cast("double"), lit(lo), lit(hi + 1e-9), lit(65536)) - lit(1L)

@@ -227,7 +227,7 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val row = docs
       .select(xxhash64(col("doc_id").cast("string"), col("text")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("cnt")).head()
+      .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("cnt")).head()
     val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x-m$merges"
     IndexCache.getOrBuild(
       s"${System.getProperty("java.io.tmpdir")}/graft-bpe-cache", "bpe", fp) {

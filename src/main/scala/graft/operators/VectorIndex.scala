@@ -50,7 +50,7 @@ object VectorIndex {
   def contentHash(corpus: DataFrame): String = {
     val row = corpus
       .select(xxhash64(col("vec_id").cast("string"), col("vec").cast("string")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"))
+      .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("n"))
       .head()
     f"${row.getLong(0)}%016x-${row.getLong(1)}x"
   }

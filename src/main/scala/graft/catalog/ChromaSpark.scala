@@ -94,9 +94,15 @@ class ChromaSpark(
     * catalog semantics the reference assumes (src/client.rs:94-133).
     * A crash before publish leaves only an orphan temp file, never a
     * stale lock or a burned version. Readers take the max version
-    * present; older versions are pruned best-effort, keeping a few
-    * so a concurrent list-then-read never grabs a just-deleted file.
-    * The legacy unversioned `_collections.json` reads as version 0.
+    * present; superseded versions are TRUNCATED to zero-byte
+    * tombstones rather than deleted — a deleted slot could be
+    * re-claimed by an arbitrarily stale writer's late link, silently
+    * losing its mutation below the current max, so slots stay
+    * occupied forever (one empty inode per DDL, bounded by the
+    * human-scale catalog mutation rate). A reader that catches a
+    * version mid-truncation re-lists: a newer max exists by
+    * construction. The legacy unversioned `_collections.json` reads
+    * as version 0.
     */
   private def listVersions(): Seq[Long] = {
     val dir = Paths.get(warehouseDir)
@@ -142,11 +148,15 @@ class ChromaSpark(
       val cached = cachedSnapshot
       if (cached._1 == v) return cached
       try {
-        val snap = (v, CatalogCodec.fromJson(new String(Files.readAllBytes(versionedPath(v)), "UTF-8")))
+        val bytes = Files.readAllBytes(versionedPath(v))
+        // truncated to a tombstone between our list and our read — a
+        // newer max exists by construction; take it
+        if (bytes.isEmpty) return readVersioned()
+        val snap = (v, CatalogCodec.fromJson(new String(bytes, "UTF-8")))
         cachedSnapshot = snap
         snap
       } catch {
-        // pruned under us between list and read — take the new max
+        // removed under us (reset) between list and read — re-list
         case _: java.nio.file.NoSuchFileException => readVersioned()
         case e: Exception => throw StorageError(s"reading catalog at ${versionedPath(v)}", e)
       }
@@ -174,13 +184,27 @@ class ChromaSpark(
           Files.createLink(versionedPath(v + 1), tmp)
           // won the CAS — the published rows are the fresh snapshot
           cachedSnapshot = (v + 1, newRows)
-          // prune far-back versions + the legacy file. Bounded window:
-          // every successful publish prunes, so versions below v-2 are
-          // already gone except stragglers from writers that crashed
-          // mid-prune — a few extra slots cover those without an O(v)
-          // walk on every write of a long-lived warehouse
-          (math.max(1L, v - 10) to v - 2)
-            .foreach(o => Files.deleteIfExists(versionedPath(o)))
+          // Reclaim superseded rows WITHOUT reopening their CAS slots:
+          // old version files are TRUNCATED to zero-byte tombstones,
+          // never deleted. Deleting version o would let a writer that
+          // read snapshot o-1 long ago — and has been stalled since —
+          // succeed a late createLink at o BELOW the current max: its
+          // "published" mutation would be invisible to every reader
+          // (they take the max) and silently lost, which is exactly
+          // the lost-update the CAS exists to prevent (the 8-writer
+          // race spec catches this). A tombstone keeps the slot
+          // occupied forever — the stale link fails FileAlreadyExists
+          // and the writer retries on the fresh snapshot — at the
+          // cost of one empty inode per catalog mutation, bounded by
+          // the inherently human-scale DDL rate. Bounded window: every
+          // successful publish truncates, so only stragglers from
+          // crashed writers sit below it.
+          (math.max(1L, v - 10) to v - 2).foreach { o =>
+            val p = versionedPath(o)
+            if (Files.exists(p) && Files.size(p) > 0)
+              Files.write(p, Array.emptyByteArray,
+                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          }
           if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
           return result
         } catch {

@@ -149,26 +149,33 @@ class ChromaSparkSpec extends SparkSpec {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val dir = Files.createTempDirectory("graft-warehouse").toString
     val writers = 8
-    val pool = Executors.newFixedThreadPool(writers)
-    try {
-      val start = new CountDownLatch(1)
-      val futures = (0 until writers).map { i =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            val c = new ChromaSpark(spark, dir) // own session object per writer
-            start.await(10, TimeUnit.SECONDS)
-            c.createCollection(s"col-$i")
-            c.createCollection(s"col-$i-victim")
-            c.deleteCollection(s"col-$i-victim")
-          }
-        })
-      }
-      start.countDown()
-      futures.foreach(_.get(120, TimeUnit.SECONDS))
-    } finally pool.shutdown()
+    // several rounds over ONE warehouse: later rounds run with a
+    // populated version history, which is what exposes the
+    // pruned-slot reclaim race (a deleted old version letting a stale
+    // writer link below the current max and lose its row — caught
+    // live by this spec; slots are tombstoned now, never deleted)
+    for (round <- 0 until 3) {
+      val pool = Executors.newFixedThreadPool(writers)
+      try {
+        val start = new CountDownLatch(1)
+        val futures = (0 until writers).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val c = new ChromaSpark(spark, dir) // own session object per writer
+              start.await(10, TimeUnit.SECONDS)
+              c.createCollection(s"col-$round-$i")
+              c.createCollection(s"col-$round-$i-victim")
+              c.deleteCollection(s"col-$round-$i-victim")
+            }
+          })
+        }
+        start.countDown()
+        futures.foreach(_.get(120, TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    }
     val survivor = new ChromaSpark(spark, dir)
     assert(survivor.listCollections().map(_.name).sorted ===
-      (0 until writers).map(i => s"col-$i").sorted)
+      (for (r <- 0 until 3; i <- 0 until writers) yield s"col-$r-$i").sorted)
 
     // Concurrent same-name getOrCreate: exactly one row, both callers
     // get the SAME collection (idempotent under the race, §2.2.2).

@@ -473,6 +473,13 @@ class CollectionDataSpec extends SparkSpec {
         .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
     // ef ≥ corpus: the two-stage shortlist returns exactly the exact scan
     assert(top("capped", 10) === top("exact", 10))
+    // the plan really is the compressed two-stage shape: int8 codes
+    // scored by the codegen'd kernel, with the repartition(id)
+    // exchange as the CollapseProject barrier below the scoring join
+    val plan = d.query("capped", q, nResults = 10, include = Nil)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_int8_dot"), "stage-1 not scoring int8 codes")
+    assert(plan.contains("hashpartitioning(id"), "encode barrier exchange missing")
     // hnswlib contract: n_results may not exceed search_ef
     assertThrows[CollectionStateError] { d.query("capped", q, nResults = 65) }
     // exact collection has no ef: large n_results is fine

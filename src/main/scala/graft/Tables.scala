@@ -9,8 +9,24 @@ import org.apache.spark.sql.functions.expr
   * and participate in predicate pushdown / column pruning.
   */
 object Tables {
+  /** Analyzed-DataFrame memo, keyed by (session, path). `spark.read
+    * .parquet` is eager on the driver — every call re-lists the
+    * directory and re-reads a footer for schema inference — and the
+    * bench suite calls each loader hundreds of times (167 queries ×
+    * 3 reps × 1-4 tables), so the repeated metadata work is pure
+    * fixed overhead. The memo returns the same analyzed plan, which
+    * is exactly what a catalog-registered table would give: the
+    * underlying `InMemoryFileIndex` is immutable-per-instance, and
+    * the testdata directories never change within a process. Keyed by
+    * session so a stopped session's stale plans are never served to a
+    * new one (specs spin up/tear down sessions).
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { key: (SparkSession, String) => spark.read.parquet(key._2) })
 
   def region(s: SparkSession, dir: String): DataFrame     = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = table(s, dir, "nation")
@@ -28,7 +44,11 @@ object Tables {
     * (the session runs UTC, so the NTZ cast is wall-clock identity
     * and every downstream window/oracle contract is unchanged).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((s, s"$dir/events.parquet#adapted"),
+      { _: (SparkSession, String) => eventsUncached(s, dir) })
+
+  private def eventsUncached(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, dir, "events")
     raw.schema("ts").dataType match {

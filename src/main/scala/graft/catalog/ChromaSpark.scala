@@ -199,13 +199,20 @@ class ChromaSpark(
           // the inherently human-scale DDL rate. Bounded window: every
           // successful publish truncates, so only stragglers from
           // crashed writers sit below it.
-          (math.max(1L, v - 10) to v - 2).foreach { o =>
-            val p = versionedPath(o)
-            if (Files.exists(p) && Files.size(p) > 0)
-              Files.write(p, Array.emptyByteArray,
-                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-          }
-          if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
+          // Reclaim runs AFTER the commit point and is best-effort:
+          // the createLink above already durably published the
+          // mutation, so an I/O hiccup truncating old versions must
+          // not surface as a failed op (the caller would retry an op
+          // that succeeded and hit a spurious 'already exists').
+          try {
+            (math.max(1L, v - 10) to v - 2).foreach { o =>
+              val p = versionedPath(o)
+              if (Files.exists(p) && Files.size(p) > 0)
+                Files.write(p, Array.emptyByteArray,
+                  java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+            }
+            if (v >= 2) Files.deleteIfExists(Paths.get(catalogPath))
+          } catch { case _: java.io.IOException => /* next publish retries */ }
           return result
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => // lost the race
@@ -386,8 +393,18 @@ class ChromaSpark(
     all.foreach { r =>
       deleteRecursively(Paths.get(s"$warehouseDir/${r.tenant}/${r.database}/${r.name}"))
     }
-    listVersions().foreach(v => Files.deleteIfExists(versionedPath(v)))
-    deleteRecursively(Paths.get(catalogPath))
+    // Publish the wipe THROUGH the CAS rather than deleting version
+    // files: deletion would (a) reopen superseded CAS slots for
+    // in-flight stale writers — the lost-update race the tombstone
+    // design exists to prevent — and (b) restart version numbering at
+    // 1, so a long-lived client whose cachedSnapshot carries a
+    // pre-reset version number would silently serve resurrected rows
+    // once the rebuilt catalog climbs back to it. One more version
+    // with an empty row set keeps numbering monotone forever and
+    // updates every CAS invariant (cache, tombstones, legacy file)
+    // on the normal path.
+    casMutate { rows => (if (rows.isEmpty) rows else Seq.empty, ()) }
+    if (listVersions().isEmpty) deleteRecursively(Paths.get(catalogPath))
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -314,7 +314,10 @@ class CollectionData(client: ChromaSpark) {
     * historical snapshot is still fully present, so time travel is a
     * pushed-down filter, not a restore.
     */
-  private def resolved(collection: String, asOf: Option[Long] = None): DataFrame = {
+  private def resolved(collection: String, asOf: Option[Long] = None): DataFrame =
+    snapshotResolved(collection, asOf).getOrElse(distributedResolved(collection, asOf))
+
+  private def distributedResolved(collection: String, asOf: Option[Long]): DataFrame = {
     val (log0, depth) = effLog(collection)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("_lvl").desc, col("_batch").desc)
@@ -327,6 +330,141 @@ class CollectionData(client: ChromaSpark) {
       .filter(col("_rn") === 1 && !col("_deleted"))
       .select(ItemCols.map(col): _*)
   }
+
+  // ---------------------------------------------------------------
+  // Driver-side snapshot path for SMALL collections.
+  //
+  // The reference talks to a server that keeps collections resident
+  // and answers item calls in one round trip; the distributed
+  // merge-on-read above answers them in one scan+shuffle JOB — right
+  // for a 100 TB collection, pure scheduler overhead for a
+  // catalog-sized one (the item-API lifecycle is dozens of reads
+  // over a handful of rows, each paying ~100 ms of job latency for
+  // microseconds of data). So small logs resolve ON THE DRIVER: read
+  // the few KB of parquet directly (the read twin of
+  // [[DriverParquet.writeBatch]]), resolve latest-per-id in memory,
+  // and serve a LocalRelation — downstream filters fold to driver
+  // work and downstream jobs skip the scan+window stages. Gated by
+  // TOTAL LOG BYTES (spark.graft.collection.snapshotMaxBytes,
+  // default 16 MB, 0 disables): a collection past the gate never
+  // takes this path, so the 100 TB story is untouched. Cache entries
+  // are keyed per level directory by a (file name, size) listing
+  // signature — any append/compact/vacuum changes the listing and
+  // invalidates, including writes by OTHER processes, which is the
+  // same freshness guarantee a distributed scan's plan-time file
+  // listing gives.
+  // ---------------------------------------------------------------
+
+  private type LogRow = (String, Seq[Float], String, String, Long, Boolean)
+
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[LogRow])]()
+
+  private def snapshotMaxBytes: Long =
+    spark.conf.getOption("spark.graft.collection.snapshotMaxBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+
+  /** (listing signature, total bytes) of the live log dir — a driver
+    * metadata walk, no data read. */
+  private def logSignature(d: String): (String, Long) = liveLogName(d) match {
+    case None => ("empty", 0L)
+    case Some(name) =>
+      val p = Paths.get(d, name)
+      val s = Files.list(p)
+      try {
+        var bytes = 0L
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        s.forEach { f =>
+          val n = f.getFileName.toString
+          if (n.endsWith(".parquet")) {
+            val sz = Files.size(f)
+            bytes += sz
+            parts += s"$n:$sz"
+          }
+        }
+        (s"$name|${parts.sorted.mkString(",")}", bytes)
+      } finally s.close()
+  }
+
+  /** Fork-chain levels root-first: (data dir, batch cap from the
+    * CHILD edge — None on the leaf), mirroring [[effLog]]'s freeze
+    * semantics level by level. */
+  private def chainLevels(collection: String,
+                          seen: Set[String] = Set.empty): List[(String, Option[Long])] = {
+    if (seen.contains(collection))
+      throw CollectionStateError(s"fork cycle detected at '$collection'")
+    forkEdge(collection) match {
+      case None => List((dir(collection), None))
+      case Some((parent, asof)) =>
+        val up = chainLevels(parent, seen + collection)
+        (up.init :+ ((up.last._1, Some(asof)))) :+ ((dir(collection), None))
+    }
+  }
+
+  private def levelRows(d: String, sig: String): Seq[LogRow] = {
+    val cached = snapshotCache.get(d)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      if (snapshotCache.size > 256) snapshotCache.clear()
+      val rows = liveLogName(d) match {
+        case Some(name) =>
+          DriverParquet.readLog(spark.sessionState.newHadoopConf(), s"$d/$name")
+        case None => Nil
+      }
+      snapshotCache.put(d, (sig, rows))
+      rows
+    }
+  }
+
+  private val ItemSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING")
+
+  /** Live rows resolved entirely on the driver, None when any chain
+    * level exceeds the snapshot byte gate: latest version per id by
+    * (level desc, batch desc); tombstones win resolution then drop —
+    * identical to the window resolve. */
+  private def snapshotLive(collection: String,
+                           asOf: Option[Long]): Option[Array[LogRow]] = {
+    val max = snapshotMaxBytes
+    if (max <= 0) return None
+    val levels = chainLevels(collection)
+    val sigs = levels.map { case (d, _) => logSignature(d) }
+    if (sigs.map(_._2).sum > max) return None
+    val best = new java.util.HashMap[String, (Int, Long, LogRow)]()
+    levels.zipWithIndex.foreach { case ((d, cap), lvl) =>
+      levelRows(d, sigs(lvl)._1).foreach { r =>
+        val b = r._5
+        val inCap = cap.forall(b <= _) &&
+          (lvl != levels.size - 1 || asOf.forall(b <= _))
+        if (inCap) {
+          val prev = best.get(r._1)
+          if (prev == null || lvl > prev._1 || (lvl == prev._1 && b > prev._2))
+            best.put(r._1, (lvl, b, r))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    Some(best.values.asScala.iterator
+      .filter(!_._3._6).map(_._3).toArray.sortBy(_._1))
+  }
+
+  private def localItemsDf(live: Seq[LogRow]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      live.map { r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)
+      }.toList.asJava
+    spark.createDataFrame(rows, ItemSchema)
+  }
+
+  private def snapshotResolved(collection: String, asOf: Option[Long]): Option[DataFrame] =
+    snapshotLive(collection, asOf).map(localItemsDf(_))
+
+  /** Driver-side row count for snapshot-eligible collections (the
+    * same bounded-catalog discipline as the snapshot itself); larger
+    * collections pay the distributed count. */
+  private[catalog] def liveCount(collection: String): Option[Long] =
+    snapshotLive(collection, None).map(_.length.toLong)
 
   /** COPY-ON-WRITE fork: a new collection whose reads see the source
     * exactly as of its current batch and whose writes land only in
@@ -532,7 +670,8 @@ class CollectionData(client: ChromaSpark) {
     projectInclude(out.orderBy(col("id")), include)
   }
 
-  def count(collection: String): Long = resolved(collection).count()
+  def count(collection: String): Long =
+    liveCount(collection).getOrElse(resolved(collection).count())
 
   /** The collection's distance function, from its `hnsw:space`
     * metadata — the same metadata surface the reference round-trips
@@ -627,18 +766,35 @@ class CollectionData(client: ChromaSpark) {
             whereDocumentJson: Option[String] = None): DataFrame = {
     val metric = distanceMetric(collection)
     val searchEf = hnswSearchEf(collection)
-    var corpus = resolved(collection).filter(col("embedding").isNotNull)
-    whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
-    whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
+    searchEf.foreach { ef =>
+      if (nResults > ef)
+        throw CollectionStateError(
+          s"query('$collection'): n_results ($nResults) cannot exceed hnsw:search_ef ($ef)")
+    }
     val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
+    annCandidates(collection, queryEmbeddings, metric,
+      whereJson, whereDocumentJson) match {
+      case Some(cands) =>
+        // Persisted-index serve path: candidates already pruned to the
+        // probed cells (+ post-build delta); exact re-rank only.
+        val ranked = cands.join(q, "query_id")
+          .withColumn("distance", distanceExpr(metric, col("qvec"), col("embedding")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= nResults)
+          .orderBy(col("query_id"), col("rank"))
+        return projectInclude(ranked, include,
+          lead = Seq("query_id"), trail = Seq("distance", "rank"))
+      case None => ()
+    }
+    var corpus = resolved(collection).filter(col("embedding").isNotNull)
+    whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
+    whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
     val scored = searchEf match {
       case None => corpus.join(q)
       case Some(ef) =>
-        if (nResults > ef)
-          throw CollectionStateError(
-            s"query('$collection'): n_results ($nResults) cannot exceed hnsw:search_ef ($ef)")
+        // n_results ≤ ef already enforced above
         // Stage 1 — compressed-domain pre-score. The repartition
         // below the scoring join is the CollapseProject barrier (the
         // annSq discipline without its eager persist: query() must
@@ -679,6 +835,188 @@ class CollectionData(client: ChromaSpark) {
       .orderBy(col("query_id"), col("rank"))
     projectInclude(ranked, include, lead = Seq("query_id"), trail = Seq("distance", "rank"))
   }
+
+  // ---------------------------------------------------------------
+  // Persisted per-collection ANN tier.
+  //
+  // The reference's `hnsw:*` metadata implies a server-side index
+  // that answers queries SUBLINEARLY in collection size; the
+  // two-stage int8 scan above is the right brute-force shape but
+  // still O(corpus) per query batch. Collections past a row
+  // threshold therefore serve `query()` from a persisted IVF index:
+  // coarse k-means cells written `partitionBy(label)` so the probed
+  // scan prunes to `nprobe` partition DIRECTORIES at planning time
+  // (the [[graft.operators.VectorIndex]] layout, specialized to the
+  // item schema and the collection's metric). The index is
+  // CONTENT-fingerprinted (build-once/serve-many across clients and
+  // re-ingests of identical data) and base+delta maintained: a
+  // pointer records the build batch; rows written after it are
+  // served exactly — post-build ids mask their indexed versions and
+  // join the candidate set from the log tail — and the index
+  // rebuilds only when the delta outgrows a fraction of the base
+  // (the LSM contract: index the base, scan the tail). Forked
+  // collections fall back to the scan path (their effective log
+  // spans parents); small collections never pay the build.
+  // ---------------------------------------------------------------
+
+  private def annMinRows: Long =
+    spark.conf.getOption("spark.graft.collection.annIndexMinRows")
+      .map(_.toLong).getOrElse(256L)
+  private val AnnClusters = 16
+  private val AnnNprobe = 12
+  private val AnnIters = 2
+  private val AnnDeltaCap = 10000
+
+  private def annPtrPath(d: String) = Paths.get(d, "_index_ptr")
+
+  private def annIndexRoot: String =
+    spark.conf.getOption("spark.graft.collection.annIndexRoot")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-collection-index")
+
+  /** Content fingerprint of the collection's live (id, embedding,
+    * document, metadata) state: driver-hashed from the snapshot rows
+    * when the log is small, one map-side-partial aggregation job
+    * otherwise — the [[graft.operators.VectorIndex.contentHash]]
+    * discipline, so identical content re-ingested under a different
+    * warehouse resolves to the SAME on-disk index.
+    */
+  private def annContentFingerprint(collection: String): String =
+    snapshotLive(collection, None) match {
+      case Some(live) =>
+        val h = scala.util.hashing.MurmurHash3.orderedHash(
+          live.iterator.map(r => (r._1, r._2, r._3, r._4)))
+        f"drv$h%08x-${live.length}"
+      case None =>
+        graft.operators.VectorIndex.contentHash(
+          resolved(collection).select(col("id").as("vec_id"),
+            to_json(struct(col("embedding"), col("document"),
+              col("metadata_json"))).as("vec")))
+    }
+
+  private def buildAnnIndex(collection: String, scratch: java.nio.file.Path): Unit = {
+    val base = resolved(collection).filter(col("embedding").isNotNull)
+    val train = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    val cents = VectorOps.kmeansCentroids(train, AnnClusters, AnnIters)
+    base.withColumn("label", VectorOps.nearestCentroidId(col("embedding"), cents))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$scratch/vectors")
+    val sp = spark
+    import sp.implicits._
+    cents.toDF("c_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+  }
+
+  /** The serving route: Some((indexDir, baseBatch)) when an index is
+    * (or has just been made) current enough to serve from; None →
+    * scan path. */
+  private def annRoute(collection: String, metric: String): Option[(String, Long)] = {
+    if (forkEdge(collection).isDefined) return None
+    val d = dir(collection)
+    if (logRows(collection) < annMinRows) return None
+    def build(): Option[(String, Long)] = {
+      val b = currentBatchIn(d)
+      val fp = annContentFingerprint(collection)
+      val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
+        s"$fp-k$AnnClusters-$metric") { scratch =>
+        buildAnnIndex(collection, scratch)
+      }
+      Files.write(annPtrPath(d), s"$idx\n$b".getBytes("UTF-8"))
+      Some((idx, b))
+    }
+    val ptr = annPtrPath(d)
+    if (!Files.exists(ptr)) return build()
+    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n")
+    if (lines.length < 2) return build()
+    val (idx, b) = (lines(0), lines(1).toLong)
+    if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return build()
+    // batch numbering reset (compact/vacuum folded the log): content
+    // may be unchanged — re-fingerprint; a hit refreshes the pointer
+    if (currentBatchIn(d) < b) return build()
+    Some((idx, b))
+  }
+
+  /** Post-build tail: (ids touched after `baseBatch`, their current
+    * live rows). Driver-resolved from the snapshot cache when small;
+    * one pushed-down scan otherwise. None = tail too large → caller
+    * rebuilds. */
+  private def annDelta(collection: String,
+                       baseBatch: Long): Option[(Seq[String], Option[DataFrame])] =
+    snapshotLive(collection, None) match {
+      case Some(_) =>
+        val d = dir(collection)
+        val (sig, _) = logSignature(d)
+        val all = levelRows(d, sig)
+        val touched = all.iterator.filter(_._5 > baseBatch).map(_._1).toSeq.distinct
+        if (touched.isEmpty) Some((Nil, None))
+        else if (touched.size > AnnDeltaCap) None
+        else {
+          val tset = touched.toSet
+          val live = snapshotLive(collection, None).get.filter(r => tset.contains(r._1))
+          Some((touched, Some(localItemsDf(live))))
+        }
+      case None =>
+        val tail = readLog(collection).filter(col("_batch") > baseBatch)
+          .select(col("id")).distinct()
+        val probe = tail.limit(AnnDeltaCap + 1).collect().map(_.getString(0)).toSeq
+        if (probe.isEmpty) Some((Nil, None))
+        else if (probe.size > AnnDeltaCap) None
+        else Some((probe,
+          Some(resolved(collection).filter(col("id").isin(probe: _*)))))
+    }
+
+  /** Per-query candidate set from the persisted tier: probed-cell
+    * base rows (post-build ids masked) plus the resolved tail, with
+    * the `where`/`where_document` filters applied BEFORE any vector
+    * math — None when the collection doesn't route through an index.
+    */
+  private def annCandidates(collection: String, queryEmbeddings: DataFrame,
+                            metric: String, whereJson: Option[String],
+                            whereDocumentJson: Option[String]): Option[DataFrame] =
+    annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
+      annDelta(collection, baseBatch) match {
+        case None => // tail outgrew the base — rebuild, then serve clean
+          Files.deleteIfExists(annPtrPath(dir(collection)))
+          annCandidates(collection, queryEmbeddings, metric,
+            whereJson, whereDocumentJson)
+        case Some((touched, deltaLive)) =>
+          val cents = broadcast(spark.read.parquet(s"$idx/centroids")
+            .select(col("c_id"),
+              col("centroid").cast("array<float>").as("centroid")))
+          val probeW = Window.partitionBy(col("query_id"))
+            .orderBy(col("c_dist").asc, col("c_id").asc)
+          val probes = queryEmbeddings
+            .select(col("query_id"), col("qvec")).join(cents)
+            .select(col("query_id"), col("c_id"),
+              distanceExpr(metric, col("qvec"), col("centroid")).as("c_dist"))
+            .withColumn("c_rank", row_number().over(probeW))
+            .filter(col("c_rank") <= AnnNprobe)
+            .select(col("query_id"), col("c_id"))
+          val probeLabels = probes.select(col("c_id")).distinct()
+            .collect().map(_.getInt(0)).sorted // model-scale: ≤ AnnClusters ints
+          // LITERAL partition filter → planning-time directory pruning;
+          // the per-query cell assignment then comes from the broadcast
+          // probe map, so each base row pairs only with the queries
+          // that probed its cell
+          var base = spark.read.parquet(s"$idx/vectors")
+            .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
+          if (touched.nonEmpty)
+            base = base.filter(!col("id").isin(touched: _*))
+          val baseCand = base.join(broadcast(probes), col("label") === col("c_id"))
+            .select(col("query_id"), col("id"), col("embedding"),
+              col("document"), col("metadata_json"))
+          var cand = deltaLive match {
+            case Some(dl) => baseCand.unionByName(
+              dl.filter(col("embedding").isNotNull)
+                .crossJoin(broadcast(queryEmbeddings.select(col("query_id"))))
+                .select(col("query_id"), col("id"), col("embedding"),
+                  col("document"), col("metadata_json")))
+            case None => baseCand
+          }
+          whereJson.foreach(wj => cand = cand.filter(metadataPredicate(wj)))
+          whereDocumentJson.foreach(wd => cand = cand.filter(documentPredicate(wd)))
+          Some(cand)
+      }
+    }
 
   /** Fold the log into a single resolved snapshot (batch 0 of a fresh
     * log) — run periodically so merge-on-read stays O(live rows).

@@ -22,6 +22,7 @@ import org.apache.spark.sql.Row
   * file; both kinds coexist in one log directory.
   */
 private[catalog] object DriverParquet {
+  import scala.jdk.CollectionConverters._
 
   /** parquet-mr schema mirroring CollectionData.LogSchema. */
   private val Schema = MessageTypeParser.parseMessageType(
@@ -39,6 +40,54 @@ private[catalog] object DriverParquet {
     * and tombstone flag. File name is unique per call so appends
     * never collide.
     */
+  /** Driver-side read of every row in a log directory (both
+    * driver-written and executor-written files — each uses the
+    * standard 3-level LIST encoding, so one reader serves both).
+    * Mirrors [[writeBatch]]: only for SMALL logs, where a distributed
+    * scan's job+schedule overhead dwarfs the bytes; the caller gates
+    * on total file size. Returns (id, embedding, document,
+    * metadata_json, _batch, _deleted) tuples in file order.
+    */
+  def readLog(conf: org.apache.hadoop.conf.Configuration,
+              logDir: String): Seq[(String, Seq[Float], String, String, Long, Boolean)] = {
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.example.data.Group
+    val dir = java.nio.file.Paths.get(logDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val files = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val out = Seq.newBuilder[(String, Seq[Float], String, String, Long, Boolean)]
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(f.toUri.toString))
+        .withConf(conf).build()
+      try {
+        var g: Group = reader.read()
+        while (g != null) {
+          def str(field: String): String =
+            if (g.getFieldRepetitionCount(field) > 0) g.getString(field, 0) else null
+          val emb: Seq[Float] =
+            if (g.getFieldRepetitionCount("embedding") > 0) {
+              val lst = g.getGroup("embedding", 0)
+              (0 until lst.getFieldRepetitionCount("list")).map { i =>
+                lst.getGroup("list", i).getFloat("element", 0)
+              }
+            } else null
+          out += ((str("id"), emb, str("document"), str("metadata_json"),
+            g.getLong("_batch", 0), g.getBoolean("_deleted", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   def writeBatch(conf: org.apache.hadoop.conf.Configuration, logDir: String,
                  rows: Seq[Row], batch: Long, deleted: Boolean): Unit = {
     val file = new Path(logDir,

@@ -219,8 +219,15 @@ object Events {
       .select(col("event_type"), col("b"), w.as("w"), col("cents"))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("sum_w"), sum(col("w") * col("cents")).as("sum_wx"))
+      // FLOOR division (pmod keeps the remainder non-negative), not
+      // Spark's truncate-toward-zero DIV: the DuckDB oracle's `//`
+      // floors, and the two diverge on negative weighted sums —
+      // latent with the all-positive testdata but wrong for the
+      // public bootstrapCiOf API over arbitrary value columns
       .withColumn("mean_micro",
-        when(col("sum_w") > 0, expr("(sum_wx * 10000L) DIV sum_w")).otherwise(0L))
+        when(col("sum_w") > 0,
+          expr("(sum_wx * 10000L - pmod(sum_wx * 10000L, sum_w)) DIV sum_w"))
+          .otherwise(0L))
     // nearest-rank percentile over the B integer replicate means:
     // lo = ceil(0.025·B)-th smallest, hi = ceil(0.975·B)-th
     val loIdx = math.ceil(0.025 * reps).toLong.max(1L)
@@ -235,7 +242,8 @@ object Events {
         min(when(col("rn") === hiIdx, col("mean_micro"))).as("hi_micro"))
     val point = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        expr("(sum(cents) * 10000L) DIV count(1)").as("point_micro"))
+        expr("(sum(cents) * 10000L - pmod(sum(cents) * 10000L, count(1))) DIV count(1)")
+          .as("point_micro"))
     point.join(cis, "event_type")
       .select(col("event_type"), col("n_events"),
         (col("point_micro").cast("double") / lit(1000000.0)).as("mean_value"),

@@ -170,12 +170,18 @@ object GraphAnn {
     * [[VectorIndex.buildIfAbsent]].
     */
   def graphIndexIfAbsent(corpus: DataFrame, indexRoot: String,
-                         m: Int = 8, entries: Int = 8, dim: Int = 64): String =
+                         m: Int = 8, entries: Int = 8, dim: Int = 64,
+                         tables: Int = 8, bitsPerTable: Int = 6,
+                         maxBucket: Int = 256, seed: Long = 42L): String =
+    // EVERY build parameter folds into the fingerprint — a cached
+    // graph must never be served for a build with different LSH
+    // banding, bucket cap, seed, or dimensionality
     IndexCache.getOrBuild(indexRoot, "knngraph",
-      s"${VectorIndex.contentHash(corpus)}-m$m-e$entries") { scratch =>
+      s"${VectorIndex.contentHash(corpus)}-m$m-e$entries" +
+        s"-t$tables-b$bitsPerTable-d$dim-x$maxBucket-s$seed") { scratch =>
       val sess = corpus.sparkSession
       import sess.implicits._
-      buildKnnGraph(corpus, m)
+      buildKnnGraph(corpus, m, tables, bitsPerTable, dim, maxBucket, seed)
         .write.mode("overwrite").parquet(s"$scratch/edges")
       entryPoints(corpus, entries, dim).toDF("vec_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * race resolved by keeping the winner (both built the identical
   * artifact, so dropping ours is free).
   */
-private[operators] object IndexCache {
+private[graft] object IndexCache {
 
   /** Returns the directory of the completed artifact named
     * `prefix-fingerprint` under `root`, building it via `build`

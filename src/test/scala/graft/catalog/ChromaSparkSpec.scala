@@ -76,6 +76,27 @@ class ChromaSparkSpec extends SparkSpec {
     assert(c2.listCollections().isEmpty)
   }
 
+  test("reset never resurrects rows into a long-lived client's cache") {
+    val wh = Files.createTempDirectory("graft-reset-cache").toString
+    val resetter = new ChromaSpark(spark, wh, allowReset = true)
+    val longLived = new ChromaSpark(spark, wh)
+    resetter.createCollection("old-1")
+    resetter.createCollection("old-2")
+    resetter.createCollection("old-3")
+    // longLived caches the pre-reset snapshot at its version number
+    assert(longLived.listCollections().map(_.name).sorted ===
+      Seq("old-1", "old-2", "old-3"))
+    resetter.reset()
+    // rebuild until the catalog's version count passes the pre-reset
+    // max — an implementation that DELETED version files (restarting
+    // numbering at 1) would now serve longLived its stale cached rows
+    (1 to 4).foreach(i => resetter.createCollection(s"new-$i"))
+    assert(longLived.listCollections().map(_.name).sorted ===
+      Seq("new-1", "new-2", "new-3", "new-4"))
+    assert(resetter.listCollections().map(_.name).sorted ===
+      Seq("new-1", "new-2", "new-3", "new-4"))
+  }
+
   test("list reflects mutations immediately (§2.2 semantic 5)") {
     val c = freshClient()
     assert(c.listCollections().isEmpty)

@@ -552,4 +552,70 @@ class CollectionDataSpec extends SparkSpec {
     c.createCollection("ghost", Some(Map(Embedders.MetadataKey -> "no-such-model")))
     assertThrows[MetadataParseError] { d.add("ghost", docOnly("x" -> "y")) }
   }
+
+  test("large collections serve query() from a pruned persisted index, exact on deltas") {
+    val wh = Files.createTempDirectory("graft-annidx").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("big", Some(Map("hnsw:space" -> "l2")))
+    // 300 rows ≥ the 256-row routing threshold, on a line so the true
+    // top-k is computable by hand and lands in the nearest cells
+    d.add("big", items((0 until 300).map { i =>
+      (f"v$i%03d", Seq(i.toFloat, 0f), s"doc $i", s"""{"par":${i % 2}}""")
+    }: _*))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    val res = d.query("big", q, nResults = 5, include = Nil)
+    // the plan scans the persisted index with a LITERAL partition
+    // filter: planning-time directory pruning, strictly fewer
+    // partitions than the index holds
+    val scan = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("collivf")) => f
+    }.headOption.getOrElse(fail("query plan does not scan the persisted index"))
+    val allParts = spark.read.parquet(
+      scan.relation.location.rootPaths.head.toString)
+      .select(org.apache.spark.sql.functions.col("label")).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      s"no pruning: ${scan.selectedPartitions.partitionCount} of $allParts cells scanned")
+    // exact top-5 by construction (nearest cells are certainly probed)
+    assert(res.collect().map(_.getString(1)).toSeq ===
+      Seq("v000", "v001", "v002", "v003", "v004"))
+    // metadata filter applies BEFORE ranking on the index path too
+    assert(d.query("big", q, nResults = 3, include = Nil,
+      whereJson = Some("""{"par":1}""")).collect().map(_.getString(1)).toSeq ===
+      Seq("v001", "v003", "v005"))
+    // post-build upsert: the delta row ranks exactly without a rebuild
+    d.upsert("big", items(("zz", Seq(0.5f, 0f), "delta hit", "{}")))
+    assert(d.query("big", q, nResults = 2, include = Nil)
+      .collect().map(_.getString(1)).toSeq === Seq("v000", "zz"))
+    // post-build delete masks the indexed version
+    d.delete("big", ids = Seq("v000"))
+    assert(d.query("big", q, nResults = 3, include = Nil)
+      .collect().map(_.getString(1)).toSeq === Seq("zz", "v001", "v002"))
+    // an updated id's OLD indexed vector never resurfaces
+    d.update("big", items(("v001", Seq(500f, 0f), "moved away", "{}")))
+    assert(d.query("big", q, nResults = 3, include = Nil)
+      .collect().map(_.getString(1)).toSeq === Seq("zz", "v002", "v003"))
+  }
+
+  test("small collections never pay an index build; forks fall back to the scan path") {
+    val (c, d) = fresh()
+    d.add("col", items(("a", Seq(1f, 0f), "x", "{}"), ("b", Seq(0f, 1f), "y", "{}")))
+    val q = Seq((1L, Seq(1f, 0f))).toDF("query_id", "qvec")
+    val small = d.query("col", q, nResults = 2, include = Nil)
+    assert(!small.queryExecution.sparkPlan.toString.contains("collivf"))
+    assert(small.collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // a fork of an indexed-size collection still answers exactly
+    c.createCollection("base2")
+    d.add("base2", items((0 until 300).map { i =>
+      (f"w$i%03d", Seq(i.toFloat, 0f), s"doc $i", "{}")
+    }: _*))
+    d.query("base2", q, nResults = 1, include = Nil).collect() // builds the index
+    d.fork("base2", "forked")
+    d.add("forked", items(("new0", Seq(0.5f, 0f), "fork-local", "{}")))
+    val got = d.query("forked", q, nResults = 2, include = Nil)
+    assert(!got.queryExecution.sparkPlan.toString.contains("collivf"),
+      "forked collections must take the scan path")
+    assert(got.collect().map(_.getString(1)).toSeq === Seq("w001", "new0"))
+  }
 }

@@ -862,8 +862,12 @@ class CollectionData(client: ChromaSpark) {
   private def annMinRows: Long =
     spark.conf.getOption("spark.graft.collection.annIndexMinRows")
       .map(_.toLong).getOrElse(256L)
-  private val AnnClusters = 16
-  private val AnnNprobe = 12
+  private def AnnClusters: Int =
+    spark.conf.getOption("spark.graft.collection.annClusters")
+      .map(_.toInt).getOrElse(32)
+  private def annNprobe: Int =
+    spark.conf.getOption("spark.graft.collection.annNprobe")
+      .map(_.toInt).getOrElse(24)
   private val AnnIters = 2
   private val AnnDeltaCap = 10000
 
@@ -989,7 +993,7 @@ class CollectionData(client: ChromaSpark) {
             .select(col("query_id"), col("c_id"),
               distanceExpr(metric, col("qvec"), col("centroid")).as("c_dist"))
             .withColumn("c_rank", row_number().over(probeW))
-            .filter(col("c_rank") <= AnnNprobe)
+            .filter(col("c_rank") <= annNprobe)
             .select(col("query_id"), col("c_id"))
           val probeLabels = probes.select(col("c_id")).distinct()
             .collect().map(_.getInt(0)).sorted // model-scale: ≤ AnnClusters ints

@@ -18,7 +18,7 @@ class EntrySpec extends SparkSpec {
       "vec_ann_filtered", "vec_ann_sq",
       "vec_ann_ivfpq", "vec_ann_curve", "vec_procrustes",
       "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups",
-      "dd_semantic")
+      "dd_semantic", "collection_ann_index")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

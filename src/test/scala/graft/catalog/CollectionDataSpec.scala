@@ -598,6 +598,18 @@ class CollectionDataSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq === Seq("zz", "v002", "v003"))
   }
 
+  test("collection_ann_index driver query: per-query recall floor 0.9 through the index tier") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val res = graft.SparkEntry.queries("collection_ann_index")(spark, dir)
+    val perQuery = res.groupBy(org.apache.spark.sql.functions.col("query_id"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("recall_at_10")).as("r"))
+      .collect().map(_.getDouble(1))
+    assert(perQuery.length === 10)
+    assert(perQuery.min >= 0.9, s"collection index recall floor: ${perQuery.min}")
+  }
+
   test("small collections never pay an index build; forks fall back to the scan path") {
     val (c, d) = fresh()
     d.add("col", items(("a", Seq(1f, 0f), "x", "{}"), ("b", Seq(0f, 1f), "y", "{}")))

@@ -545,6 +545,7 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourly _),
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
     "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
+    "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -2307,6 +2308,33 @@ object SparkEntry {
         |ORDER BY hour, event_type""".stripMargin,
 
     "ev_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN CAST(epoch(ts_s) AS BIGINT) -
+        |              CAST(epoch(lag(ts_s) OVER w) AS BIGINT) <= 1800
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  min(ts_s) AS session_start,
+        |  max(ts_s) AS session_end,
+        |  CAST(epoch(max(ts_s)) AS BIGINT) - CAST(epoch(min(ts_s)) AS BIGINT) AS duration_sec
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // the flatMapGroupsWithState + event-time-timeout RUNTIME vs the
+    // identical batch sessionization oracle: the close-the-books
+    // sentinel ripens every real session, so the streamed result must
+    // hash-match the full batch answer
+    "stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
         |flagged AS (

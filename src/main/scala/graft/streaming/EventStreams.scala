@@ -216,6 +216,80 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** TRUE STREAMING driver entry for [[sessionize]] — the
+    * `flatMapGroupsWithState` + event-time-timeout runtime path the
+    * other two driver streams don't touch. Append-mode stateful
+    * output only finalizes once the watermark passes, so a bounded
+    * replay would withhold every session near the stream's end; the
+    * standard production answer is a CLOSE-THE-BOOKS event, staged
+    * here explicitly: the source directory is a copy of the events
+    * file plus one sentinel event (user −1) far enough past max(ts)
+    * that the final watermark ripens every real session. The
+    * `maxFilesPerTrigger=1` split plus no-data micro-batches then
+    * drain the state store before AvailableNow terminates. The sink
+    * reshapes to EXACTLY the batch `ev_sessions` oracle (session_seq
+    * re-derived by a per-user window over closed sessions), so the
+    * DuckDB gate hash-compares the streaming runtime end to end.
+    */
+  def runSessionsAvailableNow(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"))
+    val maxTs = graft.Tables.events(s, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
+    // watermark delay (1 h) + session gap (30 min) + strictness margin
+    val sentinelTs = new Timestamp(maxTs.getTime + (3600L + 1800L + 2L) * 1000L)
+    val scratch = stage.resolve("_sentinel_scratch")
+    Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(scratch.toString)
+    val part = java.nio.file.Files.list(scratch).iterator()
+    val sentinelFile = {
+      var f: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) f = p
+      }
+      f
+    }
+    // written AFTER the events copy → later mtime → processed last
+    java.nio.file.Files.move(sentinelFile, stage.resolve("zz_sentinel.parquet"))
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      sessionize(src)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    s.table(sink)
+      .filter(col("user_id") >= 0) // drop the close-the-books sentinel
+      .withColumn("session_seq",
+        org.apache.spark.sql.functions.row_number().over(wSeq).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"),
+        (col("session_end").cast("long") - col("session_start").cast("long"))
+          .as("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   final case class PendingEv(ts_s: Long, event_id: Long, state: String)
   final case class TransitionState(pending: List[PendingEv], frontier: Option[PendingEv])
   final case class Transition(user_id: Long, state: String, next_state: String)

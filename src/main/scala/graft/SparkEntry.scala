@@ -509,9 +509,36 @@ object SparkEntry {
     VectorOps.withRecallAt(ann, queries, corpus, k = 10)
   }
 
+  /** Collection-level HYBRID search (r7 extension #5): the
+    * `query_texts`-plus-lexical workflow — BM25 over the collection's
+    * live documents fused with the collection's embedder+metric kNN
+    * by RRF, all computed against COLLECTION STATE (auto-embedded at
+    * ingest by the default hash16 embedder). Fully DuckDB-oracled:
+    * the oracle re-derives the BM25 ranks, the hash16 embeddings, the
+    * l2 vector ranks, and the fusion arithmetic. The corpus slice is
+    * kept under the ANN-tier routing threshold so the vector side is
+    * exact and the hash-compare is airtight.
+    */
+  def collectionHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hybrid-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("hyb") // defaults: hash16 embedder, l2 metric
+    val docs = Tables.documents(s, dir)
+    d.add("hyb", docs.filter(col("doc_id") >= 3 && col("doc_id") < 200)
+      .select(F.format_string("d%07d", col("doc_id")).as("id"),
+        col("text").as("document")))
+    val texts = docs.filter(col("doc_id") < 3).orderBy(col("doc_id"))
+      .select(F.array_join(F.slice(F.split(F.trim(col("text")), "\\s+"), 1, 8), " "))
+      .collect().map(_.getString(0)).toSeq // 3 query strings, bounded
+    d.queryHybrid("hyb", texts, nResults = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "collection_ann_index" -> (collectionAnnIndex _),
+    "collection_hybrid"  -> (collectionHybrid _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q2_topk_orders"     -> (Relational.q2TopkOrders _),
     "q3_join_revenue"    -> (Relational.q3JoinRevenue _),
@@ -3758,6 +3785,104 @@ object SparkEntry {
         |  floor(dist * 10000.0 + 0.5) / 10000.0 AS distance
         |FROM ranked
         |ORDER BY "rank"""".stripMargin,
+
+    // Collection hybrid search: BM25 (the txt_bm25 derivation over
+    // the collection's corpus slice), hash16 auto-embeddings (the
+    // collection_autoembed derivation), l2 vector ranks, and the RRF
+    // fusion arithmetic — all re-derived end to end.
+    "collection_hybrid" ->
+      """WITH corpus AS (
+        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id, text
+        |  FROM documents WHERE doc_id >= 3 AND doc_id < 200),
+        |qtext AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS query_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ') AS t
+        |  FROM documents WHERE doc_id < 3),
+        |tok AS (SELECT id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM corpus),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+        |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |qterms AS (SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(trim(t), '\s+'))) AS token
+        |  FROM qtext),
+        |bscored AS (
+        |  SELECT qterms.query_id, tf.id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN qterms USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.id = dl.id CROSS JOIN n CROSS JOIN avgs),
+        |bagg AS (SELECT query_id, id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |         FROM bscored GROUP BY query_id, id),
+        |brank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, id) AS rk
+        |  FROM bagg),
+        |text_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS text_rank
+        |              FROM brank WHERE rk <= 10),
+        |alltxt AS (
+        |  SELECT id, text AS t FROM corpus
+        |  UNION ALL SELECT 'q' || CAST(query_id AS VARCHAR) AS id, t FROM qtext),
+        |etok AS (SELECT id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS token
+        |         FROM alltxt),
+        |feat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS idx,
+        |    CASE WHEN substr(md5(token), 9, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM etok),
+        |sums AS (SELECT id, idx, sum(s) AS v FROM feat GROUP BY id, idx),
+        |maps AS (
+        |  SELECT id, map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM sums GROUP BY id),
+        |dense AS (
+        |  SELECT id, list_transform(range(0, 16),
+        |           i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM maps),
+        |fvec AS (
+        |  SELECT id, list_transform(raw, x -> CAST(
+        |           x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |         AS REAL)) AS vec
+        |  FROM dense),
+        |qv AS (SELECT CAST(substr(id, 2) AS BIGINT) AS query_id, vec AS qvec
+        |       FROM fvec WHERE id LIKE 'q%'),
+        |cv AS (SELECT id, vec FROM fvec WHERE id LIKE 'd%'),
+        |vdist AS (
+        |  SELECT qv.query_id, cv.id,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), 'sum')
+        |    - 2.0 * list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |    + list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(cv.vec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |      AS dist
+        |  FROM cv, qv),
+        |vrank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rk
+        |  FROM vdist),
+        |vec_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS vec_rank
+        |             FROM vrank WHERE rk <= 10),
+        |fused AS (
+        |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+        |    coalesce(t.id, v.id) AS doc_id, t.text_rank, v.vec_rank,
+        |    coalesce(1.0 / (60 + t.text_rank), 0.0) +
+        |    coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf_raw
+        |  FROM text_side t FULL OUTER JOIN vec_side v
+        |    ON t.query_id = v.query_id AND t.id = v.id),
+        |franked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_raw DESC, doc_id) AS rk
+        |  FROM fused)
+        |SELECT query_id, CAST(rk AS BIGINT) AS "rank", doc_id,
+        |  text_rank, vec_rank,
+        |  floor(rrf_raw * 10000.0 + 0.5) / 10000.0 AS rrf
+        |FROM franked WHERE rk <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // l2 (squared euclidean) from q=(1,1): a=(1,2)→1, c=(0,0)→2,
     // b=(3,4)→13; ip distance 1-dot: b→1-7=-6, a→1-3=-2, c→1-0=1.

@@ -1216,6 +1216,40 @@ class CollectionData(client: ChromaSpark) {
     query(collection, q, nResults, whereJson, include, whereDocumentJson)
   }
 
+  /** HYBRID search over a collection — the `query_texts` +
+    * `where_document` workflow a Chroma user runs when lexical
+    * precision matters as much as embedding recall: BM25 over the
+    * collection's live documents and the collection's own
+    * embedder+metric kNN (through [[query]], so large collections'
+    * vector side serves from the persisted ANN tier), fused by
+    * Reciprocal Rank Fusion ([[graft.operators.HybridSearch.rrfFuse]]
+    * — rank-only fusion, no score calibration across rankers).
+    * Filters apply to BOTH rankers before any scoring. Fusion cost is
+    * O(texts × perRankerK), independent of collection size.
+    */
+  def queryHybrid(collection: String, texts: Seq[String], nResults: Int = 5,
+                  whereJson: Option[String] = None,
+                  whereDocumentJson: Option[String] = None,
+                  rrfK: Int = 60, perRankerK: Int = 10): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    var docs = resolved(collection).filter(col("document").isNotNull)
+    whereJson.foreach(w => docs = docs.filter(metadataPredicate(w)))
+    whereDocumentJson.foreach(w => docs = docs.filter(documentPredicate(w)))
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query_text")
+    val lexical = graft.operators.TextAnalysis.bm25(
+      docs.select(col("id").as("doc_id"), col("document").as("text")),
+      queries, topK = perRankerK)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val qv = queries.select(col("query_id"),
+      embedderOf(collection).embed(col("query_text")).as("qvec"))
+    val vector = query(collection, qv, nResults = perRankerK,
+      whereJson = whereJson, include = Nil, whereDocumentJson = whereDocumentJson)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"))
+    graft.operators.HybridSearch.rrfFuse(lexical, vector, k = rrfK, topK = nResults)
+  }
+
   /** Metadata `where` over the JSON column: rewrite field references
     * to typed JSON extractions, then reuse the standard WhereFilter
     * compiler. Numeric comparisons coerce via double. Field names are

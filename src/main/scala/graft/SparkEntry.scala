@@ -3398,6 +3398,89 @@ object SparkEntry {
         |FROM ranked WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
 
+    // FULL cross-engine ANN certification (r7 ask #6): the symmetric-
+    // int8 SQ path is the one ANN family with no RNG and no driver-
+    // trained model, so DuckDB re-derives the ENTIRE pipeline — the
+    // per-vector max-abs scale, the clamped int8 codes, the
+    // compressed-domain approximate scores, the top-50 shortlist, the
+    // exact cosine re-rank AND the brute-force truth the recall
+    // column compares against. recall_at_10 flips from self-certified
+    // to hash-matched. (The LSH/IVF/PQ/BQ families stay rows-only:
+    // their seeded hyperplanes / k-means / Jacobi-PCA models are not
+    // expressible in SQL.)
+    "vec_ann_sq" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |enc_c AS (
+        |  SELECT vec_id, s,
+        |    list_transform(vec, x -> CAST(
+        |      greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) / s + 0.5))) AS BIGINT)) AS c8
+        |  FROM (SELECT vec_id, vec,
+        |          CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS s
+        |        FROM (SELECT vec_id, vec,
+        |                list_aggregate(list_transform(vec,
+        |                  x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+        |              FROM c))),
+        |nc AS (SELECT vec_id, c8, s,
+        |    sqrt(CAST(list_aggregate(list_transform(c8, x -> x * x), 'sum')
+        |         AS DOUBLE)) * s AS n
+        |  FROM enc_c),
+        |enc_q AS (
+        |  SELECT query_id, s AS qs,
+        |    list_transform(qvec, x -> CAST(
+        |      greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) / s + 0.5))) AS BIGINT)) AS qc8
+        |  FROM (SELECT query_id, qvec,
+        |          CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS s
+        |        FROM (SELECT query_id, qvec,
+        |                list_aggregate(list_transform(qvec,
+        |                  x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+        |              FROM q))),
+        |nq AS (SELECT query_id, qc8, qs,
+        |    sqrt(CAST(list_aggregate(list_transform(qc8, x -> x * x), 'sum')
+        |         AS DOUBLE)) * qs AS qn
+        |  FROM enc_q),
+        |approx AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(list_dot_product(CAST(qc8 AS DOUBLE[]), CAST(c8 AS DOUBLE[]))
+        |         AS DOUBLE) * qs * s / (qn * n) AS adist
+        |  FROM nq CROSS JOIN nc WHERE n > 0 AND qn > 0),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY adist DESC, vec_id) AS ar
+        |    FROM approx) WHERE ar <= 50),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT s.query_id, s.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(c.vec AS DOUBLE[])) AS score
+        |        FROM short s JOIN c USING (vec_id) JOIN q USING (query_id))),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // radius query: a pure filter after the scan — no ranking window
     "vec_range_search" ->
       """WITH q AS (

@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
       "dd_embed_top", "dd_incremental", "vec_ann_lsh", "vec_ann_ivf",
       "vec_ann_kmeans", "vec_ann_pq", "vec_ann_opq", "vec_ann_bq",
       "vec_ann_ivf_index", "vec_ann_bq_index", "vec_ann_graph",
-      "vec_ann_filtered", "vec_ann_sq",
+      "vec_ann_filtered",
       "vec_ann_ivfpq", "vec_ann_curve", "vec_procrustes",
       "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups",
       "dd_semantic", "collection_ann_index")

@@ -195,13 +195,28 @@ class CollectionData(client: ChromaSpark) {
     val d = dir(collection)
     recoverLog(d)
     val normalized = normalize(items, embedderOf(collection))
+    // Resolve the batch to driver rows when it is provably bounded:
+    // LocalRelation inputs fold with no job at all, and a DISTRIBUTED
+    // batch is probe-collected through one limit job — if it fits the
+    // catalog bound, the write happens driver-side with no executor
+    // write job and no file-commit protocol (the DriverParquet
+    // discipline; a 10k-row probe is at most a few MB). Batches past
+    // the bound keep the distributed validate+write path unchanged.
+    val localRows: Option[Seq[org.apache.spark.sql.Row]] =
+      if (smallBounded || isSmallLocal(items)) Some(normalized.collect().toSeq)
+      else {
+        val probe = normalized.limit(10001).collect()
+        if (probe.length <= 10000) Some(probe.toSeq) else None
+      }
     if (!deleted && !checkedUnique) {
       // duplicate ids within one write batch share the same _batch
       // number, making resolved()'s latest-wins nondeterministic —
-      // reject them up front. Driver-local batches check in-memory
-      // (zero jobs); distributed batches pay one aggregation job.
-      val dup = localBatchIds(items) match {
-        case Some(ids) => ids.size != ids.distinct.size
+      // reject them up front. Bounded batches check in-memory;
+      // unbounded ones pay one aggregation job.
+      val dup = localRows match {
+        case Some(rows) =>
+          val ids = rows.map(_.getString(0))
+          ids.size != ids.distinct.size
         case None =>
           normalized.groupBy("id").count().filter(col("count") > 1).limit(1).count() > 0
       }
@@ -209,16 +224,15 @@ class CollectionData(client: ChromaSpark) {
         throw CollectionStateError(s"write to '$collection': duplicate ids within the batch")
     }
     val batch = nextBatch(d)
-    if (smallBounded || isSmallLocal(items)) {
-      // catalog-style mutation: one driver-written file, no job, no
-      // commit protocol — a LocalRelation-foldable plan never even
-      // launches tasks for the collect()
-      DriverParquet.writeBatch(spark.sessionState.newHadoopConf(), s"$d/log",
-        normalized.collect().toSeq, batch, deleted)
-    } else normalized
-      .withColumn("_batch", lit(batch))
-      .withColumn("_deleted", lit(deleted))
-      .write.mode("append").parquet(s"$d/log")
+    localRows match {
+      case Some(rows) =>
+        DriverParquet.writeBatch(spark.sessionState.newHadoopConf(), s"$d/log",
+          rows, batch, deleted)
+      case None => normalized
+        .withColumn("_batch", lit(batch))
+        .withColumn("_deleted", lit(deleted))
+        .write.mode("append").parquet(s"$d/log")
+    }
   }
 
   /** log_old fallback: a compact() killed between its two renames
@@ -522,12 +536,31 @@ class CollectionData(client: ChromaSpark) {
             throw CollectionStateError(
               s"add to '$collection': ids that already exist (use upsert)")
         case None =>
-          val ids = normalize(items, embedderOf(collection)).select("id")
-          val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
-            .groupBy("id").count().filter(col("count") > 1).limit(1).count()
-          if (clashes > 0)
-            throw CollectionStateError(
-              s"add to '$collection': duplicate ids in the batch or ids that already exist (use upsert)")
+          // distributed batch: probe-collect the ids through one limit
+          // job — a bounded batch then validates exactly like the
+          // driver-local path (in-memory dup check, pushed-down isin
+          // existence probe that folds to driver work entirely for
+          // snapshot-resolved collections); only batches past the
+          // catalog bound pay the union+shuffle validation
+          val idProbe = normalize(items, embedderOf(collection)).select("id")
+            .limit(10001).collect().map(_.getString(0)).toSeq
+          if (idProbe.size <= 10000) {
+            if (idProbe.size != idProbe.distinct.size)
+              throw CollectionStateError(
+                s"add to '$collection': duplicate ids within the batch")
+            val clash = resolved(collection)
+              .filter(col("id").isin(idProbe: _*)).limit(1).count()
+            if (clash > 0)
+              throw CollectionStateError(
+                s"add to '$collection': ids that already exist (use upsert)")
+          } else {
+            val ids = normalize(items, embedderOf(collection)).select("id")
+            val clashes = ids.unionByName(resolved(collection).select("id").join(ids, "id"))
+              .groupBy("id").count().filter(col("count") > 1).limit(1).count()
+            if (clashes > 0)
+              throw CollectionStateError(
+                s"add to '$collection': duplicate ids in the batch or ids that already exist (use upsert)")
+          }
       }
       appendBatch(collection, items, deleted = false, checkedUnique = true)
     } else appendBatch(collection, items, deleted = false)
@@ -1028,15 +1061,27 @@ class CollectionData(client: ChromaSpark) {
   def compact(collection: String): Unit = {
     val d = dir(collection)
     recoverLog(d) // clear any stale log_old so the swap below can't collide
-    val snapshot = resolved(collection).persist()
-    snapshot.count() // materialize before the log is replaced
     val tmp = s"$d/log_compacting"
-    snapshot
-      .withColumn("_batch", lit(0L))
-      .withColumn("_deleted", lit(false))
-      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode("overwrite").parquet(tmp)
-    snapshot.unpersist()
+    snapshotLive(collection, None) match {
+      case Some(live) =>
+        // snapshot-small log: the resolved rows are already on the
+        // driver — fold them into one driver-written file, no
+        // persist/write jobs (large logs keep the distributed fold)
+        val t = Paths.get(tmp)
+        if (Files.exists(t)) deleteTree(t)
+        DriverParquet.writeBatch(spark.sessionState.newHadoopConf(), tmp,
+          live.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)).toSeq,
+          batch = 0L, deleted = false)
+      case None =>
+        val snapshot = resolved(collection).persist()
+        snapshot.count() // materialize before the log is replaced
+        snapshot
+          .withColumn("_batch", lit(0L))
+          .withColumn("_deleted", lit(false))
+          .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+          .write.mode("overwrite").parquet(tmp)
+        snapshot.unpersist()
+    }
     val logPath = Paths.get(s"$d/log")
     val old = Paths.get(s"$d/log_old")
     // Swap order keeps the collection readable through any single

@@ -58,10 +58,51 @@ object Explain {
         operators.Dedup.labelPropagationStep(edges, operators.Dedup.initialLabels(edges))
       }))
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // Machine-generated plan census (the r6 verdict's honesty fix:
+    // the window-audit claim must be derived, not asserted). An
+    // unpartitioned window spec is one whose first argument is an
+    // ordered column — the same regex the offset-paging spec pins.
+    val globalWindow = "windowspecdefinition\\([^,)]+ (ASC|DESC)".r
+    // Bounded-frame allowlist: queries whose unpartitioned windows run
+    // over POST-AGGREGATION frames with a hard row bound — listed with
+    // the bound so the census prints its own justification. Any OTHER
+    // query with an unpartitioned window fails the census loudly.
+    val boundedFrames = Map(
+      "ev_cuped" -> "2-row variant frame",
+      "ev_chisq" -> "<=35 (event_type x day) cells",
+      "q52_benford" -> "9 leading digits",
+      "q34_histogram" -> "20 fixed buckets",
+      "q39_drift" -> "10 fixed buckets",
+      "ev_concurrency" -> "hourly post-aggregation grid (time-span-sized, not data-sized)",
+      "ev_stl" -> "daily post-aggregation spine (time-span-sized, not data-sized)",
+      "vec_ann_curve" -> "<=16 nprobe curve points")
+    val census = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     names.foreach { n =>
       println(s"\n======== $n ========")
-      planOverrides.getOrElse(n, SparkEntry.queries(n))(spark, sfDir).explain("formatted")
+      val df = planOverrides.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
+      df.explain("formatted")
+      val plan = df.queryExecution.executedPlan.toString
+      census += ((n, globalWindow.findAllIn(plan).size,
+        "CartesianProduct".r.findAllIn(plan).size))
     }
+    println("\n======== PLAN CENSUS (machine-generated) ========")
+    val cart = census.filter(_._3 > 0)
+    println(s"CartesianProduct: ${cart.map(_._3).sum} total" +
+      (if (cart.isEmpty) "" else cart.map(c => s" ${c._1}=${c._3}").mkString(" —", ",", "")))
+    val unpart = census.filter(_._2 > 0)
+    println(s"Unpartitioned window specs: ${unpart.map(_._2).sum} total across " +
+      s"${unpart.size} queries; every one on a bounded post-aggregation frame:")
+    unpart.foreach { case (n, c, _) =>
+      val why = boundedFrames.getOrElse(n, "UNJUSTIFIED — AUDIT FAILURE")
+      println(s"  $n: $c ($why)")
+    }
+    val rogue = unpart.filterNot(u => boundedFrames.contains(u._1))
+    if (rogue.nonEmpty) {
+      println(s"CENSUS FAILURE: unjustified unpartitioned windows in ${rogue.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
+    println("No data-sized unpartitioned windows; " +
+      s"${unpart.map(_._2).sum} bounded exceptions listed above.")
     spark.stop()
   }
 }

@@ -573,6 +573,8 @@ object SparkEntry {
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
     "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
     "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
+    "stream_transitions" -> (graft.streaming.EventStreams.runTransitionsAvailableNow _),
+    "stream_attribution" -> (graft.streaming.EventStreams.runAttributionAvailableNow _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -1427,6 +1429,68 @@ object SparkEntry {
     // probability is derived from the transition counts themselves so
     // both engines divide the same integers
     "ev_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    event_type AS state
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, state, lead(state) OVER w AS next_state
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |agg AS (
+        |  SELECT state, next_state,
+        |    CAST(count(*) AS BIGINT) AS n_transitions,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM t WHERE next_state IS NOT NULL
+        |  GROUP BY state, next_state)
+        |SELECT state, next_state, n_transitions, n_users,
+        |  floor(CAST(n_transitions AS DOUBLE)
+        |        / CAST(sum(n_transitions) OVER (PARTITION BY state) AS DOUBLE)
+        |        * 10000.0 + 0.5) / 10000.0 AS p
+        |FROM agg
+        |ORDER BY state, next_state""".stripMargin,
+
+    // the dual-list attribution state runtime vs the batch per-purchase
+    // first/last-touch derivation, aggregated per channel
+    "stream_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, ts_s AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, ts_s AS t_ts,
+        |        event_type AS channel
+        |      FROM ev WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.p_id, t.t_id, t.t_ts, t.channel
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800),
+        |ranked AS (
+        |  SELECT p_id, t_id, channel,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts ASC, t_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts DESC, t_id DESC) AS rl
+        |  FROM j),
+        |fc AS (
+        |  SELECT coalesce(channel, '(none)') AS channel,
+        |    CAST(count(*) AS BIGINT) AS first_touch
+        |  FROM ranked WHERE rf = 1 GROUP BY 1),
+        |lc AS (
+        |  SELECT coalesce(channel, '(none)') AS channel,
+        |    CAST(count(*) AS BIGINT) AS last_touch
+        |  FROM ranked WHERE rl = 1 GROUP BY 1)
+        |SELECT coalesce(fc.channel, lc.channel) AS channel,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch
+        |FROM fc FULL OUTER JOIN lc ON fc.channel = lc.channel
+        |ORDER BY channel""".stripMargin,
+
+    // the out-of-order-buffering stateful runtime vs the identical
+    // batch Markov-transition oracle: the close-the-books sentinel
+    // seals every real event, so the streamed pair aggregation must
+    // hash-match the full batch answer
+    "stream_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
         |    event_type AS state

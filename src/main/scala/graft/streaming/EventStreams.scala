@@ -231,39 +231,51 @@ object EventStreams {
     * re-derived by a per-user window over closed sessions), so the
     * DuckDB gate hash-compares the streaming runtime end to end.
     */
-  def runSessionsAvailableNow(s: org.apache.spark.sql.SparkSession,
-                              dir: String): DataFrame = {
+  /** Stage a bounded replay source: a copy of the events file plus
+    * one close-the-books sentinel event (user −1) `marginMs` past
+    * max(ts), written last so the file source processes it in its own
+    * final micro-batch and the watermark it advances ripens/seals all
+    * real state before AvailableNow terminates. Returns the staged
+    * directory for `readStream`.
+    */
+  private def stageWithSentinel(s: org.apache.spark.sql.SparkSession,
+                                dir: String, marginMs: Long): String = {
     import s.implicits._
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       stage.resolve("events.parquet"))
     val maxTs = graft.Tables.events(s, dir)
       .agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
-    // watermark delay (1 h) + session gap (30 min) + strictness margin
-    val sentinelTs = new Timestamp(maxTs.getTime + (3600L + 1800L + 2L) * 1000L)
+    val sentinelTs = new Timestamp(maxTs.getTime + marginMs)
     val scratch = stage.resolve("_sentinel_scratch")
     Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, null: String))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(scratch.toString)
     val part = java.nio.file.Files.list(scratch).iterator()
-    val sentinelFile = {
-      var f: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) f = p
-      }
-      f
+    var sentinelFile: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) sentinelFile = p
     }
     // written AFTER the events copy → later mtime → processed last
     java.nio.file.Files.move(sentinelFile, stage.resolve("zz_sentinel.parquet"))
-    val src = s.readStream.schema(schema)
+    stage.toString
+  }
+
+  private val EventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  def runSessionsAvailableNow(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    import s.implicits._
+    // watermark delay (1 h) + session gap (30 min) + strictness margin
+    val stage = stageWithSentinel(s, dir, (3600L + 1800L + 2L) * 1000L)
+    val src = s.readStream.schema(EventSchema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
+      .parquet(stage)
       .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
@@ -288,6 +300,89 @@ object EventStreams {
         (col("session_end").cast("long") - col("session_start").cast("long"))
           .as("duration_sec"))
       .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** TRUE STREAMING driver entry for [[transitions]] — the
+    * out-of-order buffering + watermark-sealed ordering runtime with
+    * the frontier-TTL state bound. Same close-the-books discipline as
+    * [[runSessionsAvailableNow]] (margin = watermark delay + margin —
+    * sealing only needs the final watermark past every real second);
+    * the emitted per-user pair stream then aggregates to EXACTLY the
+    * batch Markov-transition oracle (counts, distinct users, and the
+    * per-state probability), so the driver hash-checks this stateful
+    * runtime end to end as well.
+    */
+  def runTransitionsAvailableNow(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stageWithSentinel(s, dir, (3600L + 2L) * 1000L)
+    val src = s.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sink = s"stream_transitions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      transitions(src)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val byState = org.apache.spark.sql.expressions.Window.partitionBy(col("state"))
+    s.table(sink)
+      .filter(col("user_id") >= 0) // drop the close-the-books sentinel
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n_transitions"),
+        org.apache.spark.sql.functions.countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p", graft.operators.CrossEngine.rnd4(
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(byState).cast("double")))
+      .orderBy(col("state"), col("next_state"))
+  }
+
+  /** TRUE STREAMING driver entry for [[attributionCredits]] — the
+    * dual-list keyed state (pending purchases + lookback-pruned
+    * touches) with the touch-TTL drain. Source seconds-truncated like
+    * the batch twin so the `t_ts < p_ts` comparisons agree; the
+    * per-purchase sink aggregates to the first/last-touch channel
+    * counts the batch attribution oracle derives, hash-matched.
+    */
+  def runAttributionAvailableNow(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    import s.implicits._
+    val stage = stageWithSentinel(s, dir, (3600L + 2L) * 1000L)
+    val src = s.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sink = s"stream_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      attributionCredits(src)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val rows = s.table(sink).filter(col("user_id") >= 0)
+    val firsts = rows.groupBy(col("first_channel").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lasts = rows.groupBy(col("last_channel").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    firsts.join(lasts, Seq("channel"), "full")
+      .select(col("channel"),
+        org.apache.spark.sql.functions.coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        org.apache.spark.sql.functions.coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy(col("channel"))
   }
 
   final case class PendingEv(ts_s: Long, event_id: Long, state: String)

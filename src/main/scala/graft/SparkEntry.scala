@@ -575,6 +575,10 @@ object SparkEntry {
     "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
     "stream_transitions" -> (graft.streaming.EventStreams.runTransitionsAvailableNow _),
     "stream_attribution" -> (graft.streaming.EventStreams.runAttributionAvailableNow _),
+    "stream_hopping"     -> (graft.streaming.EventStreams.runHoppingAvailableNow _),
+    "stream_cms"         -> (graft.streaming.EventStreams.runCmsAvailableNow _),
+    "stream_join"        -> (graft.streaming.EventStreams.runStreamJoinAvailableNow _),
+    "stream_dedup_spans" -> (graft.streaming.EventStreams.runDedupSpansAvailableNow _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -1448,6 +1452,67 @@ object SparkEntry {
         |        * 10000.0 + 0.5) / 10000.0 AS p
         |FROM agg
         |ORDER BY state, next_state""".stripMargin,
+
+    // the symmetric stream-stream join state store vs the identical
+    // batch interval join
+    "stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    // the NoTimeout first-occurrence span filter vs the batch
+    // sentence-dedup derivation (same oracle as txt_sentence_dedup)
+    "stream_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+        |exploded AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> i)) AS pos,
+        |    unnest(list_transform(range(1, len(parts) + 1), i -> parts[i])) AS raw
+        |  FROM base),
+        |sent AS (
+        |  SELECT doc_id, pos, trim(raw) AS sent
+        |  FROM exploded WHERE trim(raw) <> ''),
+        |ranked AS (
+        |  SELECT doc_id, pos, sent,
+        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+        |  FROM sent)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |  CASE WHEN count(*) FILTER (rn = 1) > 0
+        |    THEN md5(string_agg(sent, '.' ORDER BY pos) FILTER (rn = 1)) END AS kept_fp
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // hopping windows through the streaming runtime vs the identical
+    // batch expansion
+    "stream_hopping" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS i),
+        |e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |      FROM events)
+        |SELECT CAST(to_timestamp((CAST(floor(sec / 900) AS BIGINT) - i) * 900) AS TIMESTAMP)
+        |    AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e CROSS JOIN k
+        |WHERE (CAST(floor(sec / 900) AS BIGINT) - i) * 900 > sec - 3600
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the streamed count-min sketch serves the top-10 exact heavy
+    // hitters with its eps contract pinned TRUE — a wrong sketch cell
+    // anywhere in the streamed state flips a boolean and hash-fails
+    "stream_cms" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS est_ge_exact, true AS within_eps_n
+        |FROM events GROUP BY user_id
+        |ORDER BY n_exact DESC, user_id
+        |LIMIT 10""".stripMargin,
 
     // the dual-list attribution state runtime vs the batch per-purchase
     // first/last-touch derivation, aggregated per channel

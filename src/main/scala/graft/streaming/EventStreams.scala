@@ -385,6 +385,162 @@ object EventStreams {
       .orderBy(col("channel"))
   }
 
+  /** TRUE STREAMING driver entry for [[hoppingCounts]] — overlapping
+    * (1 h, 15 min) windows through the streaming runtime, complete
+    * mode like [[runHourlyAvailableNow]] (window×type cardinality is
+    * bounded), hash-matched against the batch hopping oracle.
+    */
+  def runHoppingAvailableNow(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val src = s.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sink = s"stream_hopping_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      hoppingCounts(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** TRUE STREAMING driver entry for [[cmsState]] — the count-min
+    * sketch AS bounded streaming aggregate state. The streamed sketch
+    * is bit-for-bit the batch sketch on the same data (CMS updates
+    * commute; parity spec), so reading the top-10 exact heavy
+    * hitters' estimates out of it certifies the eps contract the same
+    * way the batch q35 does — and the certification booleans are
+    * pinned TRUE by the oracle, making the streamed sketch itself
+    * driver-hash-checked.
+    */
+  def runCmsAvailableNow(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val src = s.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"))
+    val sink = s"stream_cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      cmsState(src, "user_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val sketch = s.table(sink) // one row: (cms, n_total)
+    val exact = graft.Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(10)
+    exact.crossJoin(org.apache.spark.sql.functions.broadcast(sketch))
+      .select(col("user_id"), col("n_exact"),
+        graft.functions.CmsEstimate(col("cms"), col("user_id")).as("est"),
+        col("n_total"))
+      .select(col("user_id"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("est_ge_exact"),
+        (col("est") - col("n_exact") <=
+          org.apache.spark.sql.functions.ceil(
+            col("n_total").cast("double") * lit(0.001))).as("within_eps_n"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  /** TRUE STREAMING driver entry for the STREAM-STREAM interval join
+    * — two independent file sources over the same events log, each
+    * watermarked, joined purchase-to-recent-click through the
+    * symmetric join state store. Inner-join matches emit as both
+    * sides arrive (the watermark bounds STATE, not emission), so a
+    * bounded replay emits exactly the batch interval join — the
+    * oracle is that join in SQL.
+    */
+  def runStreamJoinAvailableNow(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    def side(kind: String, idAs: String, tsAs: String) =
+      s.readStream.schema(EventSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val p = side("purchase", "p_id", "p_ts")
+    val c = side("click", "c_id", "c_ts")
+    val joined = p.join(c,
+      p("user_id") === c("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val sink = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      joined.select(col("p_id"), col("c_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table(sink).orderBy(col("p_id"), col("c_id"))
+  }
+
+  /** TRUE STREAMING driver entry for [[dedupSpans]] — the NoTimeout
+    * flatMapGroupsWithState first-occurrence filter over exploded
+    * sentence spans of the documents stream. The single-file source
+    * arrives in one micro-batch, so the per-group `minBy(doc_id,
+    * pos)` is the global first occurrence and the kept set equals the
+    * batch twin's exactly; the sink then joins batch per-doc sentence
+    * counts to reproduce the full `txt_sentence_dedup` oracle shape
+    * (n_sentences, n_kept, kept_fp) and hash-match it.
+    */
+  def runDedupSpansAvailableNow(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    import s.implicits._
+    val docSchema = graft.Tables.documents(s, dir).schema
+    def spansOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.split(col("text"), "\\."))
+          .as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"),
+        org.apache.spark.sql.functions.trim(col("raw")).as("sent"))
+      .filter(col("sent") =!= "")
+    val src = spansOf(
+      s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)).as[Span]
+    val sink = s"stream_spans_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      dedupSpans(src)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val kept = s.table(sink)
+    val sents = spansOf(graft.Tables.documents(s, dir))
+    val perDoc = sents.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws(".",
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.array_sort(
+                org.apache.spark.sql.functions.collect_list(
+                  org.apache.spark.sql.functions.struct(col("pos"), col("sent")))),
+              x => x.getField("sent")))).as("kept_fp"))
+    perDoc.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sentences"),
+        org.apache.spark.sql.functions.coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   final case class PendingEv(ts_s: Long, event_id: Long, state: String)
   final case class TransitionState(pending: List[PendingEv], frontier: Option[PendingEv])
   final case class Transition(user_id: Long, state: String, next_state: String)

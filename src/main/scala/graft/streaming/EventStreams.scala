@@ -225,7 +225,7 @@ object EventStreams {
     * here explicitly: the source directory is a copy of the events
     * file plus one sentinel event (user −1) far enough past max(ts)
     * that the final watermark ripens every real session. The
-    * `maxFilesPerTrigger=1` split plus no-data micro-batches then
+    * single-batch ingest plus the no-data flush micro-batch then
     * drain the state store before AvailableNow terminates. The sink
     * reshapes to EXACTLY the batch `ev_sessions` oracle (session_seq
     * re-derived by a per-user window over closed sessions), so the
@@ -274,7 +274,6 @@ object EventStreams {
     val stage = stageWithSentinel(s, dir, (3600L + 1800L + 2L) * 1000L)
     val src = s.readStream.schema(EventSchema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -318,7 +317,6 @@ object EventStreams {
     val stage = stageWithSentinel(s, dir, (3600L + 2L) * 1000L)
     val src = s.readStream.schema(EventSchema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -358,7 +356,6 @@ object EventStreams {
     val stage = stageWithSentinel(s, dir, (3600L + 2L) * 1000L)
     val src = s.readStream.schema(EventSchema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"))

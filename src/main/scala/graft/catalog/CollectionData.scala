@@ -946,29 +946,58 @@ class CollectionData(client: ChromaSpark) {
   /** The serving route: Some((indexDir, baseBatch)) when an index is
     * (or has just been made) current enough to serve from; None →
     * scan path. */
+  /** Log file names at build time — the append-only witness: pure
+    * appends PRESERVE existing files, so the live listing must remain
+    * a superset of the recorded one for the batch-delta contract to
+    * hold. A compact/vacuum rewrites the file set (and may fold batch
+    * numbering right back onto the pointer's build batch, defeating a
+    * numbering check alone — caught live by the compact-interplay
+    * spec), so any recorded file going missing forces a rebuild.
+    */
+  private def logFileNames(d: String): Set[String] = liveLogName(d) match {
+    case None => Set.empty
+    case Some(name) =>
+      val s = Files.list(Paths.get(d, name))
+      try {
+        val out = Set.newBuilder[String]
+        s.forEach { f =>
+          val n = f.getFileName.toString
+          if (n.endsWith(".parquet")) out += n
+        }
+        out.result()
+      } finally s.close()
+  }
+
   private def annRoute(collection: String, metric: String): Option[(String, Long)] = {
     if (forkEdge(collection).isDefined) return None
     val d = dir(collection)
     if (logRows(collection) < annMinRows) return None
     def build(): Option[(String, Long)] = {
+      val files = logFileNames(d)
       val b = currentBatchIn(d)
       val fp = annContentFingerprint(collection)
       val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
         s"$fp-k$AnnClusters-$metric") { scratch =>
         buildAnnIndex(collection, scratch)
       }
-      Files.write(annPtrPath(d), s"$idx\n$b".getBytes("UTF-8"))
+      Files.write(annPtrPath(d),
+        s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
       Some((idx, b))
     }
     val ptr = annPtrPath(d)
     if (!Files.exists(ptr)) return build()
-    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n")
-    if (lines.length < 2) return build()
+    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n", -1)
+    if (lines.length < 3) return build()
     val (idx, b) = (lines(0), lines(1).toLong)
     if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return build()
-    // batch numbering reset (compact/vacuum folded the log): content
-    // may be unchanged — re-fingerprint; a hit refreshes the pointer
+    // batch numbering reset (compact/vacuum folded the log)
     if (currentBatchIn(d) < b) return build()
+    // append-only witness: a recorded build-time file going missing
+    // means the log was REWRITTEN, not appended — batch-delta
+    // reasoning is void, rebuild (content-keyed, so an unchanged
+    // collection resolves to the same artifact instantly)
+    val recorded = lines(2).split(",").filter(_.nonEmpty).toSet
+    if (!recorded.subsetOf(logFileNames(d))) return build()
     Some((idx, b))
   }
 

@@ -610,6 +610,73 @@ class CollectionDataSpec extends SparkSpec {
     assert(perQuery.min >= 0.9, s"collection index recall floor: ${perQuery.min}")
   }
 
+  test("driver-snapshot and distributed resolution agree under random mutation sequences") {
+    val wh = Files.createTempDirectory("graft-snapfuzz").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("fuzz")
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 40).map(i => f"k$i%02d")
+    def distributed[A](body: => A): A = {
+      spark.conf.set("spark.graft.collection.snapshotMaxBytes", "0")
+      try body
+      finally spark.conf.unset("spark.graft.collection.snapshotMaxBytes")
+    }
+    def view(): Seq[String] =
+      d.get("fuzz", include = Seq("embeddings", "documents", "metadatas"))
+        .collect().map(_.toString).toSeq
+    (1 to 20).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          val picked = rnd.shuffle(pool).take(1 + rnd.nextInt(4))
+          d.upsert("fuzz", items(picked.map(id =>
+            (id, Seq(rnd.nextInt(9).toFloat, 1f), s"v$step of $id", "{}")): _*))
+        case 1 =>
+          d.delete("fuzz", ids = Seq(pool(rnd.nextInt(pool.size))))
+        case 2 =>
+          val picked = pool(rnd.nextInt(pool.size))
+          d.upsert("fuzz", items((picked, Seq(step.toFloat, 0f), s"u$step", "{}")))
+      }
+      assert(view() === distributed(view()), s"live-view divergence at step $step")
+      assert(d.count("fuzz") === distributed(d.count("fuzz")),
+        s"count divergence at step $step")
+    }
+    // as-of parity across the whole written history
+    (0L to d.currentBatch("fuzz")).foreach { b =>
+      val a = d.getAsOf("fuzz", b, include = Seq("documents"))
+        .collect().map(_.toString).toSeq
+      val e = distributed(d.getAsOf("fuzz", b, include = Seq("documents"))
+        .collect().map(_.toString).toSeq)
+      assert(a === e, s"as-of divergence at batch $b")
+    }
+  }
+
+  test("the ANN tier survives compact and travels by content through export/import") {
+    val wh = Files.createTempDirectory("graft-annlife").toString
+    val ex = Files.createTempDirectory("graft-annlife-ex").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("big")
+    d.add("big", items((0 until 300).map { i =>
+      (f"v$i%03d", Seq(i.toFloat, 0f), s"doc $i", "{}")
+    }: _*))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    def top3(coll: String) =
+      d.query(coll, q, nResults = 3, include = Nil).collect().map(_.getString(1)).toSeq
+    assert(top3("big") === Seq("v000", "v001", "v002")) // builds + serves the index
+    // compact resets batch numbering below the pointer's build batch —
+    // the route guard must rebuild (or re-point), never serve stale
+    d.upsert("big", items(("zz", Seq(0.5f, 0f), "post-index", "{}")))
+    d.compact("big")
+    assert(top3("big") === Seq("v000", "zz", "v001"))
+    // an exported+imported copy crosses the threshold with IDENTICAL
+    // content → the content-fingerprinted index resolves to the same
+    // on-disk artifact and answers identically
+    d.exportCollection("big", s"$ex/big")
+    d.importCollection(s"$ex/big", newName = Some("big2"))
+    assert(top3("big2") === top3("big"))
+  }
+
   test("small collections never pay an index build; forks fall back to the scan path") {
     val (c, d) = fresh()
     d.add("col", items(("a", Seq(1f, 0f), "x", "{}"), ("b", Seq(0f, 1f), "y", "{}")))

@@ -3534,9 +3534,10 @@ object SparkEntry {
     // compressed-domain approximate scores, the top-50 shortlist, the
     // exact cosine re-rank AND the brute-force truth the recall
     // column compares against. recall_at_10 flips from self-certified
-    // to hash-matched. (The LSH/IVF/PQ/BQ families stay rows-only:
+    // to hash-matched. (The LSH/kmeans/PQ/BQ families stay rows-only:
     // their seeded hyperplanes / k-means / Jacobi-PCA models are not
-    // expressible in SQL.)
+    // expressible in SQL; label-partitioned IVF has no model at all
+    // and is oracled below as vec_ann_ivf.)
     "vec_ann_sq" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -3591,6 +3592,65 @@ object SparkEntry {
         |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
         |                                 CAST(c.vec AS DOUBLE[])) AS score
         |        FROM short s JOIN c USING (vec_id) JOIN q USING (query_id))),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // Second full cross-engine ANN certification: label-partitioned
+    // IVF (nprobe 8 of 10 cells). The per-label mean centroids use
+    // order-independent fixed-point sums (labelMeanCentroids), so
+    // DuckDB re-derives the EXACT probe order, the within-cell exact
+    // cosine top-10 AND the brute-force truth behind recall_at_10.
+    "vec_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, label, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT label, u.pos AS pos, u.x AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM comp GROUP BY label, pos),
+        |centl AS (
+        |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY label),
+        |probes AS (
+        |  SELECT query_id, c_label FROM (
+        |    SELECT q.query_id, cl.c_label,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]), centroid) DESC,
+        |        cl.c_label) AS cr
+        |    FROM q CROSS JOIN centl cl) WHERE cr <= 8),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, c.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(c.vec AS DOUBLE[])) AS score
+        |        FROM probes p
+        |        JOIN c ON c.label = p.c_label
+        |        JOIN q ON q.query_id = p.query_id)),
         |truth AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT q.query_id, c.vec_id,

@@ -155,16 +155,29 @@ object VectorOps {
     * laid out partitioned-by-label (bucketed parquet), so the probe
     * prunes file reads, not just rows.
     */
-  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // Column-mean centroid per label without UDAFs: explode positions,
-    // average per (label, pos), re-assemble sorted by pos.
-    val exploded = corpus.select(col("label"), posexplode(col("vec")).as(Seq("pos", "comp")))
+  /** Per-label mean centroid with ORDER-INDEPENDENT fixed-point
+    * arithmetic: components are floored to 1e-6 micro-units and
+    * summed as longs — exact and associative, where a double `avg`
+    * depends on partition/merge order and can flip a probe-ranking
+    * near-tie between runs (and between engines). One division at
+    * the end reproduces the identical double everywhere, so the IVF
+    * probe order is bit-reproducible in the DuckDB oracle. The 1e-6
+    * grid on unit-scale components is far below any real centroid
+    * separation. Expects columns (label, vec).
+    */
+  private[operators] def labelMeanCentroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), posexplode(col("vec")).as(Seq("pos", "comp")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("comp")).as("mean_comp"))
+      .agg(sum(floor(col("comp").cast("double") * lit(1000000.0))).as("s_micro"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_comp", col("s_micro").cast("double") / col("n").cast("double"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_comp")))).as("pairs"))
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("mean_comp")).as("centroid"))
+
+  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val exploded = labelMeanCentroids(corpus.select(col("label"), col("vec")))
 
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_label").asc)
@@ -925,14 +938,7 @@ object VectorOps {
     // k-means training centroids), so the curve's point at the shipped
     // nprobe equals the measured recall of the real query by
     // construction
-    val meanCents = labeledFull
-      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "comp")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("comp")).as("mean_comp"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_comp")))).as("pairs"))
-      .select(col("label").as("c_label"),
-        transform(col("pairs"), p => p.getField("mean_comp")).as("centroid"))
+    val meanCents = labelMeanCentroids(labeledFull.select(col("label"), col("vec")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_label").asc)
     val cellRank = queries.select(col("query_id"), col("qvec"))

@@ -625,6 +625,9 @@ object SparkEntry {
     "txt_pack"           -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "txt_funnel"         -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "vec_knn"            -> (VectorOps.knnQuery _),
+    "vec_matryoshka"     -> (VectorOps.matryoshkaQuery _),
+    "txt_dsir"           -> (TextAnalysis.dsirQuery _),
+    "ev_survival"        -> ((s, d) => Events.survivalQuery(s, d)),
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
@@ -3526,6 +3529,126 @@ object SparkEntry {
         |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
         |FROM ranked WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // Matryoshka truncation ladder — third FULLY cross-engine-
+    // certified vector query: prefix slices, both rankings, the
+    // full-dim truth set and recall_at_10 all re-derive in DuckDB.
+    "vec_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dim),
+        |topk AS (
+        |  SELECT * FROM (
+        |    SELECT dim, query_id, vec_id, score,
+        |      CAST(row_number() OVER (PARTITION BY dim, query_id
+        |        ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |    FROM (SELECT d.dim, q.query_id, c.vec_id,
+        |            list_cosine_similarity(
+        |              CAST(list_slice(qvec, 1, CAST(d.dim AS INTEGER)) AS DOUBLE[]),
+        |              CAST(list_slice(vec, 1, CAST(d.dim AS INTEGER)) AS DOUBLE[])) AS score
+        |          FROM q CROSS JOIN c CROSS JOIN dims d))
+        |  WHERE "rank" <= 10),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT t.dim, t.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM topk t JOIN truth u USING (query_id, vec_id)
+        |  GROUP BY t.dim, t.query_id)
+        |SELECT t.dim, t.query_id, t.vec_id AS top1_vec_id,
+        |  floor(t.score * 10000.0 + 0.5) / 10000.0 AS top1_score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM topk WHERE "rank" = 1) t
+        |LEFT JOIN hits h USING (dim, query_id)
+        |ORDER BY dim, query_id""".stripMargin,
+
+    // DSIR importance weights: both engines bucket bigrams by the
+    // same md5 prefix, fix each bucket's smoothed log-ratio to
+    // integer micros, and sum exactly per doc.
+    "txt_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, is_t,
+        |    (CAST(('0x' || substr(md5(bg), 1, 4)) AS INTEGER) % 4096) AS b
+        |  FROM (
+        |    SELECT doc_id, lang = 'en' AS is_t,
+        |      unnest(CASE WHEN len(toks) >= 2
+        |        THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        |        ELSE [] END) AS bg
+        |    FROM t)),
+        |cnt AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+        |    CAST(count(*) FILTER (is_t) AS BIGINT) AS c_tgt
+        |  FROM f GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+        |    CAST(sum(c_tgt) AS DOUBLE) AS n_tgt FROM cnt),
+        |lam AS (
+        |  SELECT b,
+        |    CAST(floor((ln((CAST(c_tgt AS DOUBLE) + 1.0) / (n_tgt + 4096.0))
+        |      - ln((CAST(c_raw AS DOUBLE) + 1.0) / (n_raw + 4096.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(sum(lam_micro) AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS logw,
+        |  floor(CAST(sum(lam_micro) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS logw_per_bigram
+        |FROM f JOIN lam USING (b)
+        |GROUP BY f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // Kaplan-Meier time-to-conversion: first event → first purchase,
+    // right-censored at observation end; per-step log-factors fixed
+    // to micros before the cumulative sum.
+    "ev_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        |endd AS (SELECT max(d) AS obs_end FROM ev),
+        |lives AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN min(CASE WHEN event_type = 'purchase' THEN d END) IS NOT NULL
+        |      THEN date_diff('day', min(d),
+        |             min(CASE WHEN event_type = 'purchase' THEN d END))
+        |      ELSE date_diff('day', min(d), (SELECT obs_end FROM endd))
+        |      END AS BIGINT) AS dur,
+        |    min(CASE WHEN event_type = 'purchase' THEN d END) IS NOT NULL AS event
+        |  FROM ev GROUP BY user_id),
+        |bydur AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(count(*) FILTER (event) AS BIGINT) AS d
+        |  FROM lives GROUP BY dur),
+        |km AS (
+        |  SELECT dur, d, n_risk,
+        |    CASE WHEN n_risk > d
+        |      THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * 1000000.0 + 0.5) AS BIGINT)
+        |      END AS l_micro
+        |  FROM (SELECT dur, d,
+        |          sum(n_all) OVER (ORDER BY dur DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |        FROM bydur)
+        |  WHERE d > 0),
+        |fin AS (
+        |  SELECT dur, n_risk, d,
+        |    max(CASE WHEN l_micro IS NULL THEN 1 ELSE 0 END) OVER w AS zeroed,
+        |    sum(coalesce(l_micro, 0)) OVER w AS cum_micro
+        |  FROM km
+        |  WINDOW w AS (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur AS t_day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CASE WHEN zeroed = 1 THEN 0.0
+        |    ELSE floor(exp(CAST(cum_micro AS DOUBLE) / 1000000.0) * 10000.0 + 0.5)
+        |      / 10000.0 END AS survival
+        |FROM fin ORDER BY t_day""".stripMargin,
 
     // FULL cross-engine ANN certification (r7 ask #6): the symmetric-
     // int8 SQ path is the one ANN family with no RNG and no driver-

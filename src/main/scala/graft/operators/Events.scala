@@ -577,6 +577,75 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Kaplan-Meier estimator over `lives` (user_id, dur, event):
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i the observed events
+    * at duration t_i and n_i the users still at risk (observed
+    * duration ≥ t_i, right-censored users included until they drop
+    * out) — the standard survival curve behind retention, churn and
+    * time-to-conversion readouts. One row per event time: (t_day,
+    * n_risk, n_events, survival).
+    *
+    * Scale shape: the user table collapses to the DAY-GRANULAR
+    * duration spine in one hash-agg (≤ observation-window days, not
+    * data-sized), so the two cumulative windows (at-risk suffix sum,
+    * log-survival prefix sum) run unpartitioned over a bounded
+    * post-aggregation frame — listed in the Explain census.
+    *
+    * Determinism: each step's log-factor ln((n−d)/n) is floored to
+    * integer micros before the cumulative sum (exact integer math on
+    * both engines), with one exp at the end; a step where every
+    * at-risk user churns (n = d) pins survival to exactly 0 from that
+    * time on rather than taking log of 0.
+    */
+  def kaplanMeier(lives: DataFrame): DataFrame = {
+    val byDur = lives.groupBy(col("dur")).agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum(col("n_all")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("l_micro", when(col("n_risk") > col("d"),
+        floor(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long")))
+      .withColumn("zeroed", max(when(col("l_micro").isNull, 1L).otherwise(0L)).over(wCum))
+      .withColumn("cum_micro", sum(coalesce(col("l_micro"), lit(0L))).over(wCum))
+      .select(col("dur").as("t_day"), col("n_risk"), col("d").as("n_events"),
+        when(col("zeroed") === 1L, lit(0.0))
+          .otherwise(graft.operators.CrossEngine.rnd4(
+            exp(col("cum_micro").cast("double") / lit(1000000.0))))
+          .as("survival"))
+      .orderBy(col("t_day"))
+  }
+
+  /** Driver query: TIME-TO-CONVERSION survival — duration runs from
+    * a user's first event to their first `purchase` (the observed
+    * event); a user who never purchases is right-censored at the
+    * corpus's observation end. Day granularity on DATE casts keeps
+    * both engines' durations identical; the whole user table derives
+    * from one hash-agg over events.
+    */
+  def survivalQuery(s: SparkSession, dir: String,
+                    eventType: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"), col("event_type"))
+    val obsEnd = broadcast(ev.agg(max(col("d")).as("obs_end")))
+    val lives = ev.groupBy(col("user_id")).agg(
+        min(col("d")).as("first_d"),
+        min(when(col("event_type") === eventType, col("d"))).as("conv_d"))
+      .crossJoin(obsEnd)
+      .select(col("user_id"),
+        when(col("conv_d").isNotNull, datediff(col("conv_d"), col("first_d")))
+          .otherwise(datediff(col("obs_end"), col("first_d")))
+          .cast("long").as("dur"),
+        col("conv_d").isNotNull.as("event"))
+    kaplanMeier(lives)
+  }
+
   /** Backward as-of join: each purchase matched to the user's most
     * recent click at-or-before it. See [[AsOfJoin]] for the
     * single-shuffle plan.

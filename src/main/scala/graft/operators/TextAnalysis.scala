@@ -582,6 +582,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-domain-like its HASHED n-gram profile is.
+    * Features are md5-bucketed bigrams (hashing bounds the model at
+    * `buckets` cells regardless of vocabulary — the trick that makes
+    * the method run at web scale); the target distribution is
+    * estimated from the in-corpus slice matching `targetLang` and the
+    * raw distribution from everything, both add-one smoothed. A doc's
+    * importance log-weight is the sum over its bigram OCCURRENCES of
+    * log p_target(bucket) − log p_raw(bucket); resampling by this
+    * weight shifts the corpus toward the target domain.
+    *
+    * Determinism: each bucket's log-ratio is floored to integer
+    * micros once, so per-doc sums are exact integer arithmetic on
+    * both engines (the [[lmScore]] discipline).
+    *
+    * Plan shape: explode bigrams → ONE hash-agg builds both count
+    * tables (conditional sums per bucket) → broadcast the
+    * buckets-sized weight relation back onto the bigram stream →
+    * per-doc hash-agg. The model is `buckets` rows — broadcastable at
+    * any corpus size; docs with <2 tokens have no features and drop
+    * out (no weight evidence either way).
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 4096): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), wsTokens(col("text")).as("toks"))
+    val feats = base.select(col("doc_id"), (col("lang") === targetLang).as("is_t"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % buckets).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = broadcast(counts.agg(
+      sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt")))
+    val lam = broadcast(counts.crossJoin(totals).select(col("b"),
+      floor((log((col("c_tgt").cast("double") + lit(1.0))
+          / (col("n_tgt").cast("double") + lit(buckets.toDouble)))
+        - log((col("c_raw").cast("double") + lit(1.0))
+          / (col("n_raw").cast("double") + lit(buckets.toDouble))))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("lam_micro")))
+    feats.join(lam, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_micro")).as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd4(col("s_micro").cast("double") / lit(1000000.0)).as("logw"),
+        rnd4(col("s_micro").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("logw_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dsirQuery(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(s, dir))
+
   /** Deterministic STRATIFIED sampling: per-language keep rates in
     * per-mille, assignment by salted md5 bucket (salt decorrelates it
     * from the train/val/test split's buckets, so sampling within a

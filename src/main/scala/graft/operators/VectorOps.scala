@@ -78,6 +78,58 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka (MRL-style) truncation evaluation: retrieval quality
+    * when only the first `d` embedding components are used, for each
+    * d in `dims` — the storage/latency ladder a production system
+    * tunes when its embedder was trained with matryoshka losses
+    * (coarse prefixes for cheap first-pass retrieval, the full vector
+    * for re-ranking). Per (dim, query): exact cosine top-k over the
+    * length-d prefixes, scored against the full-dimension top-k as
+    * truth.
+    *
+    * Plan shape: ONE corpus scan — broadcast(queries) ⋈ corpus, each
+    * pair fanned out ×|dims| by a literal-array explode (map stage,
+    * no shuffle), then a single ranking window partitioned by
+    * (dim, query_id). The truth side is the same broadcast-join scan
+    * at full dimension. At 100 TB this is the brute-force evaluation
+    * harness (run on a sample or behind the ANN tiers), so the cost
+    * model is |corpus| × |dims| map work and one k-bounded window —
+    * nothing quadratic, nothing driver-side.
+    */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
+                       dims: Seq[Int], k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("query_id"), col("qvec")))
+    val joined = corpus.select(col("vec_id"), col("vec")).join(q)
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val topk = joined
+      .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"),
+        explode(typedLit(dims.map(_.toLong))).as("dim"))
+      .select(col("dim"), col("query_id"), col("vec_id"),
+        cosine(slice(col("qvec"), lit(1), col("dim").cast("int")),
+          slice(col("vec"), lit(1), col("dim").cast("int"))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = joined
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("tr", row_number().over(wT))
+      .filter(col("tr") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = topk.join(truth, Seq("query_id", "vec_id"))
+      .groupBy(col("dim"), col("query_id")).agg(count(lit(1)).as("h"))
+    topk.filter(col("rank") === 1)
+      .select(col("dim"), col("query_id"),
+        col("vec_id").as("top1_vec_id"), rnd4(col("score")).as("top1_score"))
+      .join(hits, Seq("dim", "query_id"), "left")
+      .select(col("dim"), col("query_id"), col("top1_vec_id"), col("top1_score"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_10"))
+      .orderBy(col("dim"), col("query_id"))
+  }
+
   /** Deterministic random hyperplanes: fixed seed, JVM-stable gaussian
     * sequence — every executor derives identical planes, no broadcast
     * of state needed.
@@ -842,6 +894,16 @@ object VectorOps {
   /** Oracle-checked exact kNN: 10 queries × corpus, top-10 cosine. */
   def knnQuery(s: SparkSession, dir: String): DataFrame =
     knnBrute(querySet(s, dir), corpusSet(s, dir), k = 10)
+
+  /** Oracle-checked matryoshka ladder: recall@10 of prefix-dim
+    * retrieval at 8/16/32/64 of the 64 components. Fully
+    * cross-engine-certified — prefixes, both rankings, the truth set
+    * and the recall column all re-derive in DuckDB (list_slice +
+    * list_cosine_similarity), like [[annSq]]'s certification.
+    */
+  def matryoshkaQuery(s: SparkSession, dir: String): DataFrame =
+    matryoshkaRecall(querySet(s, dir), corpusSet(s, dir),
+      dims = Seq(8, 16, 32, 64), k = 10)
 
   /** LSH ANN over the same query set (rows check + driver-visible
     * recall_at_10 column; floors asserted in ScalaTest).

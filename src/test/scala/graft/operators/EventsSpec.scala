@@ -12,6 +12,32 @@ class EventsSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("kaplanMeier reproduces the hand-computed curve incl. the n==d zero step") {
+    import spark.implicits._
+    // 4 subjects: events at t=0,1,2 and one censored at t=1.
+    // S(0) = 3/4 = 0.75; S(1) = 0.75 * 2/3 = 0.5 (the censored subject
+    // leaves the risk set without a factor); S(2): n_risk=1=d → exactly 0.
+    val lives = Seq(
+      (1L, 0L, true), (2L, 1L, true), (3L, 1L, false), (4L, 2L, true)
+    ).toDF("user_id", "dur", "event")
+    val out = Events.kaplanMeier(lives)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("survival")))
+    assert(out.toSeq === Seq((0L, 4L, 1L, 0.75), (1L, 3L, 1L, 0.5), (2L, 1L, 1L, 0.0)))
+  }
+
+  test("survival curve on testdata is a valid KM estimate") {
+    val rows = Events.survivalQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    // monotone non-increasing, within [0, 1]
+    surv.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+    assert(surv.forall(x => x >= 0.0 && x <= 1.0))
+    // at-risk counts strictly decrease along event times
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(b < a); case _ => }
+  }
+
   test("scd2 versions tile each user's timeline with no gaps or overlaps") {
     val out = Events.scd2(spark, sfDir)
       .select("user_id", "version", "state", "valid_from", "valid_to", "is_current")

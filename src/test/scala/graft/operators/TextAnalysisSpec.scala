@@ -40,6 +40,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Long]("keep_id") === 3L)
   }
 
+  test("dsir weights pull target-domain-like docs above off-domain ones") {
+    // Target (en) docs share the bigram vocabulary "alpha beta gamma";
+    // off-domain docs live on "omega psi chi". Two probe docs in a
+    // THIRD lang (neither boosts the target counts) — the one written
+    // in the target's bigram vocabulary must get the higher weight.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "beta gamma alpha beta gamma", "en"),
+      (3L, "omega psi chi omega psi", "de"),
+      (4L, "psi chi omega psi chi", "de"),
+      (10L, "alpha beta gamma alpha", "xx"), // target-like probe
+      (11L, "omega psi chi omega", "xx")     // off-domain probe
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(docs, targetLang = "en", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logw_per_bigram")).toMap
+    assert(w(10L) > w(11L),
+      s"target-like probe ${w(10L)} must outrank off-domain probe ${w(11L)}")
+    // and the raw target docs themselves score above the off-domain set
+    assert(Seq(1L, 2L).map(w).min > Seq(3L, 4L).map(w).max)
+  }
+
+  test("dsir drops docs with no bigram evidence instead of guessing") {
+    val docs = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "single", "en") // one token → no bigrams → no row
+    ).toDF("doc_id", "text", "lang")
+    val ids = TextAnalysis.dsirWeights(docs).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
   test("langid picks script/diacritic tiers before defaulting to en") {
     val docs = Seq(
       (1L, "plain english text", "en"),

@@ -8,6 +8,37 @@ class VectorOpsSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("matryoshka: full-dim recall is 1.0 and a planted prefix inversion is caught") {
+    // q's true nearest is a (same direction); b's 1-dim prefix ties a's
+    // (both positive first component → 1-dim cosine 1) and b's lower
+    // vec_id wins the tie, so the dim-1 top-1 is WRONG and recall@1
+    // drops to 0 — while the full-dim pass must always score 1.0.
+    val queries = Seq((100L, Seq(1.0f, 1.0f))).toDF("query_id", "qvec")
+    val corpus = Seq(
+      (1L, Seq(5.0f, -5.0f)), // bad full-dim match, perfect 1-dim prefix
+      (2L, Seq(1.0f, 1.0f))   // the true nearest
+    ).toDF("vec_id", "vec")
+    val byDim = VectorOps.matryoshkaRecall(queries, corpus, dims = Seq(1, 2), k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("top1_vec_id"), r.getAs[Double]("recall_at_10"))).toMap
+    assert(byDim(1L) === ((1L, 0.0))) // prefix tie broken to lower id → miss
+    assert(byDim(2L) === ((2L, 1.0))) // full dim recovers the true nearest
+  }
+
+  test("matryoshka on testdata: one row per (dim, query), full dim exact") {
+    val out = VectorOps.matryoshkaQuery(spark, sfDir).collect()
+    val dims = out.map(_.getLong(0)).distinct.sorted
+    assert(dims === Array(8L, 16L, 32L, 64L))
+    val queries = out.map(_.getLong(1)).distinct
+    assert(out.length === dims.length * queries.length)
+    // the 64-dim slice IS the full vector: recall must be exactly 1.0
+    out.filter(_.getLong(0) == 64L)
+      .foreach(r => assert(r.getAs[Double]("recall_at_10") === 1.0))
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("cosine identities: cos(v,v)=1, symmetry, orthogonality") {
     val df = Seq(
       (Seq(1.0f, 0.0f, 2.0f), Seq(1.0f, 0.0f, 2.0f)),

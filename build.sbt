@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Scratch I/O (streaming checkpoints/commit logs, lifecycle
+  // warehouses, shuffle local dirs) goes to memory-backed tmpfs when
+  // available instead of the disk-backed /tmp — local-mode test
+  // scratch only; production scratch placement is a cluster concern.
+) ++ (if (new java.io.File("/dev/shm").isDirectory) {
+        new java.io.File("/dev/shm/graft-tmp").mkdirs() // tmpdir must pre-exist
+        Seq("-Djava.io.tmpdir=/dev/shm/graft-tmp")
+      } else Seq.empty)

@@ -48,6 +48,25 @@ object OpqRotation {
     (mean, cov)
   }
 
+  /** [[meanCovariance]] memoized on content fingerprint + every
+    * shape parameter ([[VectorOps.kmeansCentroidsCached]] discipline):
+    * the OPQ/BQ family re-derives the identical rotation model per
+    * serve, and proving the corpus unchanged is one map-side-partial
+    * hash pass vs the full covariance aggregation. dim²+dim doubles
+    * per entry — model-scale.
+    */
+  private val covCache = new scala.collection.concurrent.TrieMap[
+    String, (Array[Double], Array[Array[Double]])]
+  def meanCovarianceCached(corpus: DataFrame, vecCol: String,
+                           dim: Int): (Array[Double], Array[Array[Double]]) = {
+    // contentHash fingerprints the (vec_id, vec) columns specifically —
+    // a vecCol outside the fingerprint would be a stale-serve hazard
+    require(vecCol == "vec", s"cached covariance requires vecCol 'vec', got '$vecCol'")
+    val key = VectorIndex.contentHash(corpus) + s"-cov-$vecCol-d$dim"
+    if (covCache.size > 64) covCache.clear()
+    covCache.getOrElseUpdate(key, meanCovariance(corpus, vecCol, dim))
+  }
+
   /** Eigendecomposition of a symmetric matrix by cyclic Jacobi
     * rotations — deterministic sweep order, fixed convergence
     * threshold, no pivoting heuristics. Returns (eigenvalues,

@@ -616,9 +616,16 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))).as("bg"))
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % buckets).as("b"))
+    // The count model is ≤ `buckets` rows. localCheckpoint it EAGERLY:
+    // totals, the weight relation and its broadcast all branch off the
+    // model, and without truncation each branch re-runs the full
+    // explode + md5 pass over the corpus — the model-fit scan must
+    // happen exactly once (scoring is the one other pass; two scans is
+    // the honest cost of fit-then-score at any corpus size).
     val counts = feats.groupBy(col("b")).agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
+        count(lit(1)).as("c_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint()
     val totals = broadcast(counts.agg(
       sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt")))
     val lam = broadcast(counts.crossJoin(totals).select(col("b"),

@@ -328,7 +328,7 @@ object VectorIndex {
   def buildBq(corpus: DataFrame, indexDir: String, dim: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)
+    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
     val (vals, vecs) = OpqRotation.jacobiEigen(cov)
     // PCA order, eigenvalue descending with index tiebreak — the
     // deterministic inline [[VectorOps.annBq]] rotation, exactly

@@ -118,12 +118,15 @@ object VectorOps {
       .withColumn("tr", row_number().over(wT))
       .filter(col("tr") <= k)
       .select(col("query_id"), col("vec_id"))
-    val hits = topk.join(truth, Seq("query_id", "vec_id"))
+    // truth and hits are |queries|·k-sized (model-scale, never
+    // corpus-scale) — broadcast both joins so the tail of the plan
+    // stays shuffle-free regardless of corpus size
+    val hits = topk.join(broadcast(truth), Seq("query_id", "vec_id"))
       .groupBy(col("dim"), col("query_id")).agg(count(lit(1)).as("h"))
     topk.filter(col("rank") === 1)
       .select(col("dim"), col("query_id"),
         col("vec_id").as("top1_vec_id"), rnd4(col("score")).as("top1_score"))
-      .join(hits, Seq("dim", "query_id"), "left")
+      .join(broadcast(hits), Seq("dim", "query_id"), "left")
       .select(col("dim"), col("query_id"), col("top1_vec_id"), col("top1_score"),
         (coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
           .as("recall_at_10"))
@@ -525,6 +528,27 @@ object VectorOps {
     flatOf(cents)
   }
 
+  /** [[pqTrain]] memoized on content fingerprint + EVERY training
+    * parameter (the [[kmeansCentroidsCached]] discipline, and the
+    * graph-ANN advice fix applied from the start: a parameter left
+    * out of the key is a silent stale-model serve waiting to happen).
+    * The codebook is m·kCodes·subDim doubles — model-scale. Callers
+    * whose training frame is DERIVED from a cheaper-to-hash source
+    * (OPQ's rotated corpus, IVF-PQ's residuals) pass `keyBase` of the
+    * SOURCE fingerprint plus the deterministic derivation tag, so the
+    * warm path never re-materializes the derived frame just to hash
+    * it — sound because the derivation is a pure function of the
+    * source content and the keyed parameters.
+    */
+  private val pqModelCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Double]]
+  def pqTrainCached(corpus: => DataFrame, m: Int, kCodes: Int, iters: Int,
+                    dim: Int, keyBase: String): Array[Double] = {
+    val key = s"$keyBase-pq-m$m-k$kCodes-i$iters-d$dim"
+    if (pqModelCache.size > 64) pqModelCache.clear()
+    pqModelCache.getOrElseUpdate(key, pqTrain(corpus, m, kCodes, iters, dim))
+  }
+
   /** PQ-ADC approximate nearest neighbors with exact re-rank: encode
     * the corpus once (per-block argmin against the codebook — at
     * production scale this is a write-time step and only the m-byte
@@ -629,7 +653,8 @@ object VectorOps {
             dim: Int = 64, shortlist: Int = 200): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val flat = pqTrain(corpus, m, kCodes, iters, dim)
+    val flat = pqTrainCached(corpus, m, kCodes, iters, dim,
+      VectorIndex.fingerprint(corpus, kCodes, iters))
     val shortlisted = pqAdcShortlist(queries, corpus, flat, m, kCodes, dim / m, shortlist)
     exactRerank(shortlisted, queries, corpus, k)
   }
@@ -652,7 +677,7 @@ object VectorOps {
              dim: Int = 64, shortlist: Int = 200): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)
+    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
     val (vals, vecs) = OpqRotation.jacobiEigen(cov)
     val rot = OpqRotation.allocatedRotation(vals, vecs, m)
     val corpusR = corpus
@@ -664,7 +689,10 @@ object VectorOps {
     val queriesR = queries
       .select(col("query_id"), OpqRotation.rotateExpr(col("qvec"), rot, mean).as("qvec"))
       .localCheckpoint(true)
-    val flat = pqTrain(corpusR, m, kCodes, iters, dim)
+    // keyed by SOURCE content + the deterministic rotation derivation —
+    // the rotated checkpoint never needs hashing on the warm path
+    val flat = pqTrainCached(corpusR, m, kCodes, iters, dim,
+      VectorIndex.fingerprint(corpus, kCodes, iters) + "-opqrot")
     val shortlisted = pqAdcShortlist(queriesR, corpusR, flat, m, kCodes, dim / m, shortlist)
     exactRerank(shortlisted, queries, corpus, k)
   }
@@ -699,7 +727,7 @@ object VectorOps {
             dim: Int = 64, shortlist: Int = 320): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val (mean, cov) = OpqRotation.meanCovariance(corpus, "vec", dim)
+    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
     val (vals, vecs) = OpqRotation.jacobiEigen(cov)
     // PCA order (no block allocation — there are no blocks): sorted by
     // eigenvalue descending, index tiebreak, deterministic
@@ -754,7 +782,8 @@ object VectorOps {
                                     pqIters: Int, dim: Int)
       : (Seq[(Int, Seq[Double])], Array[Double]) = {
     val cents = kmeansCentroidsCached(corpus, kClusters, coarseIters)
-    val flat = pqTrain(ivfPqResiduals(corpus, cents), m, kCodes, pqIters, dim)
+    val flat = pqTrainCached(ivfPqResiduals(corpus, cents), m, kCodes, pqIters, dim,
+      VectorIndex.fingerprint(corpus, kClusters, coarseIters) + "-resid")
     (cents, flat)
   }
 

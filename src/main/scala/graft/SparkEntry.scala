@@ -3734,6 +3734,70 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+    // Fourth full cross-engine ANN certification: multi-table sign-LSH
+    // with hamming-1 multi-probe. The hyperplanes are md5-derived
+    // (hashHyperplanes — exact 2^-15-grid components), so DuckDB
+    // re-derives the planes from the seed string alone, then the
+    // packed signatures, the probe expansion, the candidate equi-join,
+    // the exact re-rank, the brute-force truth and recall_at_10.
+    "vec_ann_lsh" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 16) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |csig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+        |qsig0 AS (
+        |  SELECT query_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(qvec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig0
+        |  FROM q CROSS JOIN pl GROUP BY query_id, t),
+        |qprobe AS (
+        |  SELECT query_id, t, sig0 AS sig FROM qsig0
+        |  UNION ALL
+        |  SELECT query_id, t, xor(sig0, CAST(1 << b AS BIGINT)) AS sig
+        |  FROM qsig0, range(0, 6) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, cs.vec_id
+        |  FROM csig cs JOIN qprobe p ON cs.t = p.t AND cs.sig = p.sig),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT cd.query_id, cd.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(c.vec AS DOUBLE[])) AS score
+        |        FROM cand cd
+        |        JOIN c ON c.vec_id = cd.vec_id
+        |        JOIN q ON q.query_id = cd.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // Second full cross-engine ANN certification: label-partitioned
     // IVF (nprobe 8 of 10 cells). The per-label mean centroids use
     // order-independent fixed-point sums (labelMeanCentroids), so

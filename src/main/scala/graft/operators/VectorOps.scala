@@ -142,6 +142,27 @@ object VectorOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** MD5-derived hyperplanes — the CROSS-ENGINE-REPRODUCIBLE twin of
+    * [[hyperplanes]]: component (t, b, i) is the first 16 md5 hex bits
+    * of "lsh:seed:t:b:i" mapped to [−1, 1). Each component is an exact
+    * multiple of 2⁻¹⁵, so its product with a float32 vector component
+    * is EXACT in double (24 + 16 mantissa bits < 53) and both engines
+    * accumulate identical partial sums in identical order — the sign
+    * test can't flip between engines. Uniform components are a
+    * standard sign-LSH plane family (any component law symmetric about
+    * 0 gives unbiased sign hashes); trading the gaussian for
+    * hash-derived uniforms is what lets the DuckDB oracle re-derive
+    * the planes — and therefore the buckets, the candidate set, the
+    * answer AND the recall — from nothing but the seed string.
+    */
+  def hashHyperplanes(nPlanes: Int, dim: Int, table: Int,
+                      seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until nPlanes).map(b => (0 until dim).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lsh:$seed:$table:$b:$i".getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) / 32768.0 - 1.0
+    })
+
   /** 16-bit signature: bit i = sign(v · plane_i), packed by a left
     * fold — one derived column, no shuffle: this IS the index build.
     */
@@ -167,7 +188,7 @@ object VectorOps {
              tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64,
              seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val allPlanes = (0 until tables).map(t =>
-      hyperplanes(bitsPerTable, dim, seed + t))
+      hashHyperplanes(bitsPerTable, dim, t, seed))
 
     // One compiled pass for all tables' signatures (bitwise equal to
     // the per-plane HOF fold; parity in VectorOpsSpec).

@@ -26,6 +26,36 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 4L, 1L, 0.75), (1L, 3L, 1L, 0.5), (2L, 1L, 1L, 0.0)))
   }
 
+  test("kaplanMeier matches an independent reference on seeded random cohorts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val lives = Seq.tabulate(60 + trial * 17)(i =>
+        (i.toLong, rnd.nextInt(12).toLong, rnd.nextBoolean()))
+      val ref = {
+        val durs = lives.map(l => (l._2, l._3))
+        val times = durs.filter(_._2).map(_._1).distinct.sorted
+        var cum = 0L
+        var zeroed = false
+        times.map { t =>
+          val nRisk = durs.count(_._1 >= t).toLong
+          val d = durs.count(x => x._1 == t && x._2).toLong
+          if (nRisk > d)
+            cum += math.floor(math.log((nRisk - d).toDouble / nRisk) * 1e6 + 0.5).toLong
+          else zeroed = true
+          val surv = if (zeroed) 0.0
+            else math.floor(math.exp(cum / 1e6) * 1e4 + 0.5) / 1e4
+          (t, nRisk, d, surv)
+        }
+      }
+      val got = Events.kaplanMeier(
+          lives.toDF("user_id", "dur", "event"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("survival"))).toSeq
+      assert(got === ref, s"trial $trial")
+    }
+  }
+
   test("survival curve on testdata is a valid KM estimate") {
     val rows = Events.survivalQuery(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -4405,9 +4405,13 @@ object SparkEntry {
         |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
         |ORDER BY case_id""".stripMargin,
 
-    // dd_signatures / dd_minhash_pairs / dd_simhash_pairs / dd_embed_top
-    // rely on xxhash64/LSH, which DuckDB can't mirror → rows-only
-    // checks; planted-duplicate recovery is asserted in ScalaTest.
+    // dd_signatures / dd_minhash_pairs / dd_simhash_pairs rely on
+    // xxhash64 (not available in DuckDB) → rows-only checks with
+    // planted-duplicate recovery asserted in ScalaTest. Switching the
+    // dedup hot path to an oracle-expressible hash (md5) would cost
+    // 4-6× on every shingle at 100 TB — certification is not worth
+    // that trade there. dd_embed_top has no such trade: its planes
+    // are md5-derived (hashHyperplanes), so it IS fully oracled below.
     //
     // dd_ngram_top IS oracle-checkable because prefix filtering has
     // recall exactly 1: the engine's candidate generation provably
@@ -4531,6 +4535,58 @@ object SparkEntry {
         |ORDER BY group_id""".stripMargin,
 
     "dd_groups" -> ddGroupsOracleSql,
+
+    // Fully-certified LSH near-dup miner: the md5-derived planes let
+    // DuckDB re-derive the planted corpus (float32-exact perturbation),
+    // the 8x10-bit signatures, the banded self-join candidates, the
+    // cosine top-50 AND the recall_planted certification column.
+    "dd_embed_top" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS vec
+        |  FROM embeddings WHERE vec_id < 5),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 8) r1(t), range(0, 10) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (9 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM corpus CROSS JOIN pl GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |top AS (
+        |  SELECT vec_a, vec_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+        |  FROM (SELECT c.vec_a, c.vec_b,
+        |          list_cosine_similarity(CAST(ca.vec AS DOUBLE[]),
+        |                                 CAST(cb.vec AS DOUBLE[])) AS cos
+        |        FROM cand c
+        |        JOIN corpus ca ON ca.vec_id = c.vec_a
+        |        JOIN corpus cb ON cb.vec_id = c.vec_b)
+        |  ORDER BY cosine DESC, vec_a, vec_b LIMIT 50),
+        |truth AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM corpus a JOIN corpus b
+        |    ON b.vec_id >= 1000000 AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.vec AS DOUBLE[]),
+        |                               CAST(b.vec AS DOUBLE[])) >= 0.95),
+        |stats AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE)
+        |     FROM top JOIN truth USING (vec_a, vec_b)) AS hits,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM truth) AS tr)
+        |SELECT t.vec_a, t.vec_b, t.cosine,
+        |  hits / greatest(tr, 1.0) AS recall_planted
+        |FROM top t CROSS JOIN stats
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
 
 
     // the incremental maintenance path must land on EXACTLY the full

@@ -465,7 +465,12 @@ object Dedup {
   def embeddingNearDupTop(embeddings: DataFrame, topK: Int = 50,
                           tables: Int = 8, bitsPerTable: Int = 10,
                           dim: Int = 64, release: Boolean = true): DataFrame = {
-    val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
+    // md5-derived planes ([[VectorOps.hashHyperplanes]]) so the DuckDB
+    // oracle re-derives the whole index — buckets, candidates, pairs
+    // AND recall_planted — from the seed string (the vec_ann_lsh
+    // certification discipline applied to the self-join miner)
+    val allPlanes = (0 until tables).map(t =>
+      VectorOps.hashHyperplanes(bitsPerTable, dim, t, 42L))
     def sigArray(vec: Column): Column =
       graft.functions.LshSignatures(vec, allPlanes)
     // cache: both self-join sides read the signatures; without it the

@@ -3798,6 +3798,105 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+    // Fifth full cross-engine ANN certification — the TRAINED-model
+    // family: k-means IVF with the whole training loop replayed in
+    // SQL. Seeds are the 16 lowest-(md5(vec_id), vec_id) vectors,
+    // Lloyd's two iterations unroll as assignment (L2 argmin, tie to
+    // lowest cell) + fixed-point micro means, then the final
+    // assignment, the per-label probe centroids, the 12-cell probe,
+    // the within-cell exact top-10, the brute-force truth and
+    // recall_at_10 — every stage re-derived by DuckDB.
+    "vec_ann_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |c3 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM labels a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, cl.c_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]), cl.centroid) DESC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c3 cl) WHERE cr <= 12),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, l.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.vec_id = l.vec_id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // Second full cross-engine ANN certification: label-partitioned
     // IVF (nprobe 8 of 10 cells). The per-label mean centroids use
     // order-independent fixed-point sums (labelMeanCentroids), so
@@ -3816,7 +3915,7 @@ object SparkEntry {
         |cent AS (
         |  SELECT label, pos,
         |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
-        |      / count(*) AS m
+        |      / count(*) / 1000000.0 AS m
         |  FROM comp GROUP BY label, pos),
         |centl AS (
         |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid

@@ -977,7 +977,7 @@ class CollectionData(client: ChromaSpark) {
       val b = currentBatchIn(d)
       val fp = annContentFingerprint(collection)
       val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-        s"$fp-k$AnnClusters-$metric") { scratch =>
+        s"$fp-k$AnnClusters-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
         buildAnnIndex(collection, scratch)
       }
       Files.write(annPtrPath(d),

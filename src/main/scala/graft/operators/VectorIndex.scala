@@ -58,10 +58,22 @@ object VectorIndex {
   def fingerprint(corpus: DataFrame, kClusters: Int, iters: Int): String = {
     // the column set is part of the identity: the same vectors with
     // and without metadata columns are DIFFERENT layouts on disk, and
-    // resolving one for the other would break the filtered-query path
+    // resolving one for the other would break the filtered-query path.
+    // AlgoVersion versions the TRAINING ALGORITHM — a
+    // parameter-identical index built by an older trainer must never
+    // be served for the new one.
     val cols = f"${corpus.columns.mkString(",").hashCode}%08x"
-    s"${contentHash(corpus)}-c$cols-k$kClusters-i$iters"
+    s"${contentHash(corpus)}-c$cols-k$kClusters-i$iters-$AlgoVersion"
   }
+
+  /** Version tag of the k-means trainer baked into every index cache
+    * key that depends on trained centroids. Bump whenever
+    * [[VectorOps.kmeansCentroids]]'s math changes (seeding, mean
+    * arithmetic) — content+params alone cannot distinguish two
+    * trainers, and a stale hit silently serves the old model's
+    * partition layout. a2 = md5-seeded, fixed-point means (r7).
+    */
+  val AlgoVersion = "a2"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

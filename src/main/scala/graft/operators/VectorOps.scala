@@ -246,7 +246,8 @@ object VectorOps {
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor(col("comp").cast("double") * lit(1000000.0))).as("s_micro"),
         count(lit(1)).as("n"))
-      .withColumn("mean_comp", col("s_micro").cast("double") / col("n").cast("double"))
+      .withColumn("mean_comp",
+        col("s_micro").cast("double") / col("n").cast("double") / lit(1000000.0))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_comp")))).as("pairs"))
       .select(col("label").as("c_label"),
@@ -308,14 +309,21 @@ object VectorOps {
     * Only the k centroid vectors (model parameters, not data rows)
     * round-trip through the driver per iteration — k·dim doubles, the
     * standard distributed-ML discipline. Seeds are the k vectors with
-    * the lowest (xxhash64(vec_id), vec_id): deterministic (the vec_id
+    * the lowest (md5(vec_id), vec_id): deterministic (the vec_id
     * tie-break makes hash collisions harmless), corpus-order
-    * independent. A centroid that loses every member drops out (k
-    * shrinks) rather than being re-seeded nondeterministically.
+    * independent, and — unlike the round-2 xxhash64 ordering — an
+    * ordering ANY engine can re-derive, which is what lets the DuckDB
+    * oracle replay the whole training loop (vec_ann_kmeans). Iteration
+    * means use the [[labelMeanCentroids]] fixed-point discipline:
+    * per-(cluster, position) sums of 1e-6-floored micros are exact
+    * integers, so the trained model is bit-identical regardless of
+    * partitioning, merge order, or engine. A centroid that loses
+    * every member drops out (k shrinks) rather than being re-seeded
+    * nondeterministically.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = corpus
-      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
       .select(col("vec")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }.toSeq
@@ -323,7 +331,11 @@ object VectorOps {
       cents = corpus
         .select(nearestCentroidId(col("vec"), cents).as("c_id"),
           posexplode(col("vec")).as(Seq("pos", "comp")))
-        .groupBy(col("c_id"), col("pos")).agg(avg(col("comp")).as("m"))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(floor(col("comp").cast("double") * lit(1000000.0))).as("s_micro"),
+          count(lit(1)).as("n"))
+        .withColumn("m",
+          col("s_micro").cast("double") / col("n").cast("double") / lit(1000000.0))
         .groupBy(col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("c_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))

@@ -3798,6 +3798,277 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+    // nprobe-recall curve, fully certified: same trained k-means as
+    // the index family, probe ranking vs the per-label MEANS (the
+    // search path's ranking), every true neighbor tagged with the
+    // minimum nprobe reaching it, one cumulative pass — the whole
+    // curve (1.0 endpoint included) re-derived by DuckDB.
+    "vec_ann_curve" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |c3 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM labels a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |cellrank AS (
+        |  SELECT q.query_id, cl.c_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(CAST(qvec AS DOUBLE[]), cl.centroid) DESC,
+        |      cl.c_id) AS c_rank
+        |  FROM q CROSS JOIN c3 cl),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |perrank AS (
+        |  SELECT r.c_rank, CAST(count(*) AS BIGINT) AS h
+        |  FROM truth t
+        |  JOIN labels l ON l.vec_id = t.vec_id
+        |  JOIN cellrank r ON r.query_id = t.query_id AND r.c_id = l.c_id
+        |  GROUP BY r.c_rank)
+        |SELECT CAST(n.nprobe AS BIGINT) AS nprobe,
+        |  floor(CAST(sum(coalesce(p.h, 0)) OVER (ORDER BY n.nprobe
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 10.0 / 10.0 * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+        |FROM range(1, 17) n(nprobe)
+        |LEFT JOIN perrank p ON p.c_rank = n.nprobe
+        |ORDER BY nprobe""".stripMargin,
+
+    // PERSISTED-index certifications: the on-disk IVF index trains
+    // the same md5-seeded fixed-point k-means, so the oracle replays
+    // training, probes the TRAINED centroids (nprobe 12), searches
+    // the probed cells and certifies recall — the plain index query
+    // and the metadata-FILTERED one with its adaptive probe depth
+    // (cumulative matched-count prefix, min-4-cells floor, zero-match
+    // cells skipped) both fully re-derived by DuckDB.
+    "vec_ann_ivf_index" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, cl.c_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]), cl.centroid) DESC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl) WHERE cr <= 12),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, l.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.vec_id = l.vec_id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
+    "vec_ann_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec, label AS tag FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |matched AS (
+        |  SELECT c.vec_id, c.vec, l.c_id FROM c JOIN labels l USING (vec_id)
+        |  WHERE c.tag IN (1, 3, 5, 7)),
+        |stats AS (
+        |  SELECT c_id, CAST(count(*) AS BIGINT) AS n_match FROM matched GROUP BY c_id),
+        |plan AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT query_id, c_id, c_rank,
+        |      coalesce(sum(n_match) OVER (PARTITION BY query_id ORDER BY c_rank
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    FROM (
+        |      SELECT q.query_id, s.c_id, s.n_match,
+        |        row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), cl.centroid) DESC,
+        |          s.c_id) AS c_rank
+        |      FROM q CROSS JOIN stats s JOIN c2 cl ON cl.c_id = s.c_id))
+        |  WHERE cum_before < 160 OR c_rank <= 4),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, m.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(m.vec AS DOUBLE[])) AS score
+        |        FROM plan p
+        |        JOIN matched m ON m.c_id = p.c_id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, m.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(m.vec AS DOUBLE[])) DESC,
+        |        m.vec_id) AS tr
+        |    FROM q CROSS JOIN matched m) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // Fifth full cross-engine ANN certification — the TRAINED-model
     // family: k-means IVF with the whole training loop replayed in
     // SQL. Seeds are the 16 lowest-(md5(vec_id), vec_id) vectors,

@@ -3798,6 +3798,117 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+    // Product-quantization ANN, fully certified: the per-block Lloyd
+    // training (md5-ordered seeds shared across blocks, two
+    // iterations of L2-argmin assignment + fixed-point micro means),
+    // the corpus encoding, each query's asymmetric-distance lookup
+    // table, the block-ordered ADC sums, the 200-candidate shortlist,
+    // the exact cosine re-rank, the brute-force truth and recall —
+    // all replayed by DuckDB.
+    "vec_ann_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |compb AS (
+        |  SELECT vec_id, CAST((u.i - 1) // 8 AS INTEGER) AS block,
+        |    CAST((u.i - 1) % 8 + 1 AS INTEGER) AS pos, u.x AS x
+        |  FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'i': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS fullvec
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 32),
+        |bs0 AS (
+        |  SELECT CAST(b.b AS INTEGER) AS block, s.c_id,
+        |    list_slice(s.fullvec, b.b * 8 + 1, b.b * 8 + 8) AS centroid
+        |  FROM seeds s CROSS JOIN range(0, 8) b(b)),
+        |pa1 AS (
+        |  SELECT vec_id, block, c_id FROM (
+        |    SELECT v.vec_id, s.block, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |        list_distance(CAST(list_slice(v.vec, s.block * 8 + 1, s.block * 8 + 8)
+        |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN bs0 s) WHERE rn = 1),
+        |pc1 AS (
+        |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.block, a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM pa1 a JOIN compb p ON p.vec_id = a.vec_id AND p.block = a.block
+        |    GROUP BY a.block, a.c_id, p.pos)
+        |  GROUP BY block, c_id),
+        |pa2 AS (
+        |  SELECT vec_id, block, c_id FROM (
+        |    SELECT v.vec_id, s.block, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |        list_distance(CAST(list_slice(v.vec, s.block * 8 + 1, s.block * 8 + 8)
+        |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN pc1 s) WHERE rn = 1),
+        |pc2 AS (
+        |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.block, a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM pa2 a JOIN compb p ON p.vec_id = a.vec_id AND p.block = a.block
+        |    GROUP BY a.block, a.c_id, p.pos)
+        |  GROUP BY block, c_id),
+        |codes AS (
+        |  SELECT vec_id, block, c_id FROM (
+        |    SELECT v.vec_id, s.block, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |        list_distance(CAST(list_slice(v.vec, s.block * 8 + 1, s.block * 8 + 8)
+        |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN pc2 s) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.query_id, s.block, s.c_id,
+        |    list_sum(list_transform(range(1, 9), j ->
+        |      (CAST(q.qvec[s.block * 8 + j] AS DOUBLE) - s.centroid[j])
+        |        * (CAST(q.qvec[s.block * 8 + j] AS DOUBLE) - s.centroid[j]))) AS sqd
+        |  FROM q CROSS JOIN pc2 s),
+        |shortlist AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adist, vec_id) AS arank
+        |    FROM (SELECT l.query_id, k.vec_id,
+        |            list_sum(list(l.sqd ORDER BY l.block)) AS adist
+        |          FROM codes k
+        |          JOIN lut l ON l.block = k.block AND l.c_id = k.c_id
+        |          GROUP BY l.query_id, k.vec_id))
+        |  WHERE arank <= 200),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT sl.query_id, sl.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM shortlist sl
+        |        JOIN c v ON v.vec_id = sl.vec_id
+        |        JOIN q ON q.query_id = sl.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // nprobe-recall curve, fully certified: same trained k-means as
     // the index family, probe ranking vs the per-label MEANS (the
     // search path's ranking), every true neighbor tagged with the

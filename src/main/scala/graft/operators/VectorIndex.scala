@@ -66,14 +66,16 @@ object VectorIndex {
     s"${contentHash(corpus)}-c$cols-k$kClusters-i$iters-$AlgoVersion"
   }
 
-  /** Version tag of the k-means trainer baked into every index cache
-    * key that depends on trained centroids. Bump whenever
-    * [[VectorOps.kmeansCentroids]]'s math changes (seeding, mean
-    * arithmetic) — content+params alone cannot distinguish two
-    * trainers, and a stale hit silently serves the old model's
-    * partition layout. a2 = md5-seeded, fixed-point means (r7).
+  /** Version tag of the model trainers baked into every index cache
+    * key that depends on trained centroids or codebooks. Bump
+    * whenever [[VectorOps.kmeansCentroids]]'s or
+    * [[VectorOps.pqTrain]]'s math changes (seeding, mean arithmetic)
+    * — content+params alone cannot distinguish two trainers, and a
+    * stale hit silently serves the old model's artifact. a2 =
+    * md5-seeded fixed-point k-means; a3 = the same discipline in the
+    * PQ codebook trainer (both r7).
     */
-  val AlgoVersion = "a2"
+  val AlgoVersion = "a3"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

@@ -516,12 +516,15 @@ object VectorOps {
       require(cs.length == m * kCodes,
         s"PQ trained ${cs.length}/${m * kCodes} codewords (empty cluster) — lower kCodes")
     // Deterministic seeds: every block seeds from the subvectors of
-    // the SAME kCodes lowest-(hash, vec_id) vectors (the round-2
-    // per-block seed window ordered identically for every block), so
-    // ONE driver-side fetch of those vectors, sliced per block on the
-    // driver, replaces the persisted exploded seed relation entirely.
+    // the SAME kCodes lowest-(md5(vec_id), vec_id) vectors (the
+    // round-2 per-block seed window ordered identically for every
+    // block), so ONE driver-side fetch of those vectors, sliced per
+    // block on the driver, replaces the persisted exploded seed
+    // relation entirely. md5 ordering (not xxhash64) for the same
+    // reason as [[kmeansCentroids]]: any engine can re-derive it, so
+    // the whole PQ training loop is oracle-replayable (vec_ann_pq).
     val seedVecs = corpus
-      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(kCodes)
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
@@ -548,7 +551,13 @@ object VectorOps {
         .select(col("block"), col("c_id"),
           posexplode(slice(col("vec"), col("block") * subDim + 1, lit(subDim)))
             .as(Seq("pos", "comp")))
-        .groupBy(col("block"), col("c_id"), col("pos")).agg(avg(col("comp")).as("mval"))
+        .groupBy(col("block"), col("c_id"), col("pos"))
+        // fixed-point micro means (the kmeansCentroids discipline):
+        // exact integer sums → order-independent, engine-independent
+        .agg(sum(floor(col("comp").cast("double") * lit(1000000.0))).as("s_micro"),
+          count(lit(1)).as("n"))
+        .withColumn("mval",
+          col("s_micro").cast("double") / col("n").cast("double") / lit(1000000.0))
         .groupBy(col("block"), col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pairs"))
         .select(col("block"), col("c_id"),

@@ -3798,6 +3798,178 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+    // IVF-PQ with residual encoding, fully certified — the FAISS
+    // IndexIVFPQ composition replayed end to end in SQL: coarse
+    // k-means training, float32-rounded residuals against the
+    // assigned cells, the per-block residual-PQ training loop, the
+    // codes at rest, each query's PER-CELL residual ADC lookup
+    // tables (query residuals stay double, as in the engine), the
+    // block-ordered ADC sums over the 12 probed cells, the
+    // 100-candidate shortlist, exact re-rank, truth and recall.
+    "vec_ann_ivfpq" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |resid AS (
+        |  SELECT v.vec_id, l.c_id AS label,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(CAST(v.vec[i] AS DOUBLE) - cl.centroid[i] AS FLOAT)) AS rvec
+        |  FROM c v JOIN labels l USING (vec_id) JOIN c2 cl ON cl.c_id = l.c_id),
+        |rcompb AS (
+        |  SELECT vec_id, CAST((u.i - 1) // 8 AS INTEGER) AS block,
+        |    CAST((u.i - 1) % 8 + 1 AS INTEGER) AS pos, u.x AS x
+        |  FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(rvec) + 1),
+        |      i -> {'i': i, 'x': CAST(rvec[i] AS DOUBLE)})) AS u
+        |    FROM resid)),
+        |rseeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(rvec AS DOUBLE[]) AS fullvec
+        |  FROM (SELECT rvec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM resid)
+        |  WHERE rn <= 32),
+        |bs0 AS (
+        |  SELECT CAST(b.b AS INTEGER) AS block, s.c_id,
+        |    list_slice(s.fullvec, b.b * 8 + 1, b.b * 8 + 8) AS centroid
+        |  FROM rseeds s CROSS JOIN range(0, 8) b(b)),
+        |pa1 AS (
+        |  SELECT vec_id, block, c_id FROM (
+        |    SELECT v.vec_id, s.block, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |        list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+        |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM resid v CROSS JOIN bs0 s) WHERE rn = 1),
+        |pc1 AS (
+        |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.block, a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM pa1 a JOIN rcompb p ON p.vec_id = a.vec_id AND p.block = a.block
+        |    GROUP BY a.block, a.c_id, p.pos)
+        |  GROUP BY block, c_id),
+        |pa2 AS (
+        |  SELECT vec_id, block, c_id FROM (
+        |    SELECT v.vec_id, s.block, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |        list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+        |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM resid v CROSS JOIN pc1 s) WHERE rn = 1),
+        |pc2 AS (
+        |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.block, a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM pa2 a JOIN rcompb p ON p.vec_id = a.vec_id AND p.block = a.block
+        |    GROUP BY a.block, a.c_id, p.pos)
+        |  GROUP BY block, c_id),
+        |codes AS (
+        |  SELECT v.vec_id, v.label, k.block, k.c_id FROM resid v JOIN (
+        |    SELECT vec_id, block, c_id FROM (
+        |      SELECT v.vec_id, s.block, s.c_id,
+        |        row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+        |          list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+        |            AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |      FROM resid v CROSS JOIN pc2 s) WHERE rn = 1) k USING (vec_id)),
+        |probes AS (
+        |  SELECT query_id, c_id AS label,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(qvec[i] AS DOUBLE) - centroid[i]) AS qres
+        |  FROM (
+        |    SELECT q.query_id, q.qvec, cl.c_id, cl.centroid,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]), cl.centroid) DESC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl)
+        |  WHERE cr <= 12),
+        |lut AS (
+        |  SELECT p.query_id, p.label, s.block, s.c_id,
+        |    list_sum(list_transform(range(1, 9), j ->
+        |      (p.qres[s.block * 8 + j] - s.centroid[j])
+        |        * (p.qres[s.block * 8 + j] - s.centroid[j]))) AS sqd
+        |  FROM probes p CROSS JOIN pc2 s),
+        |shortlist AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adist, vec_id) AS arank
+        |    FROM (SELECT l.query_id, k.vec_id,
+        |            list_sum(list(l.sqd ORDER BY l.block)) AS adist
+        |          FROM codes k
+        |          JOIN lut l ON l.label = k.label
+        |            AND l.block = k.block AND l.c_id = k.c_id
+        |          GROUP BY l.query_id, k.vec_id))
+        |  WHERE arank <= 100),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT sl.query_id, sl.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM shortlist sl
+        |        JOIN c v ON v.vec_id = sl.vec_id
+        |        JOIN q ON q.query_id = sl.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // Product-quantization ANN, fully certified: the per-block Lloyd
     // training (md5-ordered seeds shared across blocks, two
     // iterations of L2-argmin assignment + fixed-point micro means),

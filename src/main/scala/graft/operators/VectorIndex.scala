@@ -280,8 +280,13 @@ object VectorIndex {
                       kClusters: Int = 16, coarseIters: Int = 2,
                       m: Int = 8, kCodes: Int = 32, pqIters: Int = 2,
                       dim: Int = 64): String = {
+    // AlgoVersion is part of the identity: this index embeds BOTH
+    // trained models (coarse centroids + PQ codebook), and a
+    // parameter-identical artifact from an older trainer must miss —
+    // the stale-serve this exact key once caused when the trainers
+    // changed under it.
     val fp = s"${contentHash(corpus)}-k$kClusters-i$coarseIters" +
-      s"-m$m-c$kCodes-p$pqIters"
+      s"-m$m-c$kCodes-p$pqIters-$AlgoVersion"
     IndexCache.getOrBuild(indexRoot, "ivfpq", fp) { scratch =>
       buildPq(corpus, scratch.toString, kClusters, coarseIters, m, kCodes,
         pqIters, dim)
@@ -375,9 +380,11 @@ object VectorIndex {
     (rot, mean, dim)
   }
 
-  /** Idempotent [[buildBq]]: fingerprint-keyed under `indexRoot`. */
+  /** Idempotent [[buildBq]]: fingerprint-keyed under `indexRoot`.
+    * AlgoVersion-tagged like every trained-model artifact key. */
   def buildBqIfAbsent(corpus: DataFrame, indexRoot: String, dim: Int = 64): String =
-    IndexCache.getOrBuild(indexRoot, "bq", s"${contentHash(corpus)}-d$dim") {
+    IndexCache.getOrBuild(indexRoot, "bq",
+      s"${contentHash(corpus)}-d$dim-$AlgoVersion") {
       scratch => buildBq(corpus, scratch.toString, dim)
     }
 

@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
       "dd_incremental",
       "vec_ann_opq", "vec_ann_bq",
       "vec_ann_bq_index", "vec_ann_graph",
-      "vec_ann_ivfpq", "vec_procrustes",
+      "vec_procrustes",
       "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups",
       "dd_semantic", "collection_ann_index")
     assert(rowsOnly === expected,

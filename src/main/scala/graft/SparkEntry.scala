@@ -5189,6 +5189,143 @@ object SparkEntry {
 
     "dd_groups" -> ddGroupsOracleSql,
 
+    // SemDeDup, fully certified: k-means over the planted corpus
+    // (k = ceil(505/32) = 16 by semanticK), per-cluster candidate
+    // self-joins with the int8-SQ approximate prune (exact integer
+    // dot, the vec_ann_sq encoding), the oversized-cluster band
+    // guard (md5-derived planes, cap 32x4), the exact cosine verify,
+    // the top-50 and the recall_planted certification — all replayed
+    // by DuckDB.
+    "dd_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS vec
+        |  FROM embeddings WHERE vec_id < 5),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM corpus)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM corpus)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM corpus v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM corpus v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM corpus v CROSS JOIN c2 s) WHERE rn = 1),
+        |sizes AS (
+        |  SELECT c_id, count(*) > 128 AS big FROM labels GROUP BY c_id),
+        |enc AS (
+        |  SELECT e.vec_id, l.c_id AS label, z.big, e.s, e.c8,
+        |    sqrt(CAST(list_sum(list_transform(e.c8, x -> x * x)) AS DOUBLE))
+        |      * e.s AS n
+        |  FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END AS s,
+        |      list_transform(vec, x -> CAST(
+        |        greatest(-127.0, least(127.0,
+        |          floor(CAST(x AS DOUBLE) / (CASE WHEN ma > 0 THEN ma / 127.0 ELSE 1.0 END)
+        |            + 0.5))) AS BIGINT)) AS c8
+        |    FROM (SELECT vec_id, vec,
+        |            list_aggregate(list_transform(vec,
+        |              x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+        |          FROM corpus)) e
+        |  JOIN labels l USING (vec_id) JOIN sizes z ON z.c_id = l.c_id),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 8) r1(t), range(0, 10) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |bigsig AS (
+        |  SELECT e.vec_id, e.label, s.t, s.sig FROM enc e JOIN (
+        |    SELECT c.vec_id, p.t,
+        |      CAST(sum(CASE WHEN list_dot_product(CAST(c.vec AS DOUBLE[]), p.plane) >= 0
+        |        THEN 1 << (9 - b) ELSE 0 END) AS BIGINT) AS sig
+        |    FROM corpus c JOIN enc e2 USING (vec_id) CROSS JOIN pl p
+        |    WHERE e2.big GROUP BY c.vec_id, p.t) s USING (vec_id)
+        |  WHERE e.big),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cluster,
+        |    CASE WHEN a.n > 0 AND b.n > 0
+        |      THEN CAST(list_sum(list_transform(range(1, 65),
+        |             j -> a.c8[j] * b.c8[j])) AS DOUBLE) * a.s * b.s / (a.n * b.n)
+        |      ELSE -1.0 END AS approx
+        |  FROM enc a JOIN enc b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE NOT a.big
+        |  UNION
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, ea.label AS cluster,
+        |    CASE WHEN ea.n > 0 AND eb.n > 0
+        |      THEN CAST(list_sum(list_transform(range(1, 65),
+        |             j -> ea.c8[j] * eb.c8[j])) AS DOUBLE) * ea.s * eb.s / (ea.n * eb.n)
+        |      ELSE -1.0 END AS approx
+        |  FROM bigsig a JOIN bigsig b
+        |    ON a.label = b.label AND a.t = b.t AND a.sig = b.sig
+        |      AND a.vec_id < b.vec_id
+        |  JOIN enc ea ON ea.vec_id = a.vec_id
+        |  JOIN enc eb ON eb.vec_id = b.vec_id),
+        |top AS (
+        |  SELECT vec_a, vec_b, cluster,
+        |    floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+        |  FROM (SELECT cd.vec_a, cd.vec_b, cd.cluster,
+        |          list_cosine_similarity(CAST(ca.vec AS DOUBLE[]),
+        |                                 CAST(cb.vec AS DOUBLE[])) AS cos
+        |        FROM cand cd
+        |        JOIN corpus ca ON ca.vec_id = cd.vec_a
+        |        JOIN corpus cb ON cb.vec_id = cd.vec_b
+        |        WHERE cd.approx >= (0.9 - 0.05))
+        |  WHERE cos >= 0.9
+        |  ORDER BY cosine DESC, vec_a, vec_b LIMIT 50),
+        |truth AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM corpus a JOIN corpus b
+        |    ON b.vec_id >= 1000000 AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.vec AS DOUBLE[]),
+        |                               CAST(b.vec AS DOUBLE[])) >= 0.95),
+        |stats AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE)
+        |     FROM top JOIN truth USING (vec_a, vec_b)) AS hits,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM truth) AS tr)
+        |SELECT t.vec_a, t.vec_b, t.cluster, t.cosine,
+        |  hits / greatest(tr, 1.0) AS recall_planted
+        |FROM top t CROSS JOIN stats
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+
     // Fully-certified LSH near-dup miner: the md5-derived planes let
     // DuckDB re-derive the planted corpus (float32-exact perturbation),
     // the 8x10-bit signatures, the banded self-join candidates, the

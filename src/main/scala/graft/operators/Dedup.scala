@@ -1108,7 +1108,10 @@ object Dedup {
     val k = semanticK(v.count(), targetClusterSize)
     val cap = targetClusterSize.toLong * maxClusterFactor
     val cents = VectorOps.kmeansCentroidsCached(v, k, iters)
-    val allPlanes = (0 until tables).map(t => VectorOps.hyperplanes(bitsPerTable, dim, 42L + t))
+    // md5-derived planes (the certification-sweep discipline): the
+    // oversized-cluster band guard stays oracle-replayable
+    val allPlanes = (0 until tables).map(t =>
+      VectorOps.hashHyperplanes(bitsPerTable, dim, t, 42L))
     val assigned = v.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
     val sizes = assigned.groupBy(col("label")).agg(count(lit(1)).as("_csize"))
     // the pair-join payload: cluster label, oversize flag, int8 codes,
@@ -1183,9 +1186,12 @@ object Dedup {
       .select(xxhash64(col("vec_id").cast("string"), col("vec").cast("string")).as("h"))
       .agg(expr("coalesce(bit_xor(h), 0L)").as("x"), count(lit(1)).as("cnt"))
       .head()
+    // AlgoVersion: this artifact embeds the trained k-means assignment
+    // (and band signatures) — the trainer version is part of identity
     val fp = f"${row.getLong(0)}%016x-${row.getLong(1)}x" +
       s"-c$targetClusterSize-f$maxClusterFactor-i$iters" +
-      s"-g$bandOversized-t$tables-b$bitsPerTable"
+      s"-g$bandOversized-t$tables-b$bitsPerTable" +
+      s"-${graft.operators.VectorIndex.AlgoVersion}"
     IndexCache.getOrBuild(indexRoot, "semdedup", fp) { scratch =>
       val (assigned, coded) = semanticCoded(v, targetClusterSize,
         maxClusterFactor, iters, bandOversized, tables, bitsPerTable, dim)

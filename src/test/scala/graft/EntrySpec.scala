@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
       "vec_ann_bq_index", "vec_ann_graph",
       "vec_procrustes",
       "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups",
-      "dd_semantic", "collection_ann_index")
+      "collection_ann_index")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

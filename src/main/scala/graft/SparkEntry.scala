@@ -5189,6 +5189,98 @@ object SparkEntry {
 
     "dd_groups" -> ddGroupsOracleSql,
 
+    // Collection-level ANN serving, fully certified: the per-
+    // collection persisted IVF tier (k=32 trained on the collection's
+    // string ids, nprobe 24, probe centroids FLOAT-cast exactly as
+    // the engine broadcasts them, 1-cosine distances, exact re-rank
+    // in the probed cells) plus the brute-force truth and
+    // recall_at_10 — all replayed by DuckDB against the same
+    // collection state the lifecycle builds.
+    "collection_ann_index" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT printf('v%07d', vec_id) AS id, vec_id, embedding AS vec
+        |  FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(id), id) AS rn FROM c)
+        |  WHERE rn <= 32),
+        |a1 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, cl.c_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |          list_transform(cl.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) ASC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl) WHERE cr <= 24),
+        |ann AS (
+        |  SELECT query_id, vec_id, distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY distance ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS distance
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.id = l.id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // SemDeDup, fully certified: k-means over the planted corpus
     // (k = ceil(505/32) = 16 by semanticK), per-cluster candidate
     // self-joins with the int8-SQ approximate prune (exact integer

@@ -16,8 +16,7 @@ class EntrySpec extends SparkSpec {
       "vec_ann_opq", "vec_ann_bq",
       "vec_ann_bq_index", "vec_ann_graph",
       "vec_procrustes",
-      "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups",
-      "collection_ann_index")
+      "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

@@ -5189,6 +5189,155 @@ object SparkEntry {
 
     "dd_groups" -> ddGroupsOracleSql,
 
+    // Graph-based ANN (NSW family), fully certified: the kNN-graph
+    // BUILD (md5-derived banding, dense-bucket skip at 256, top-8
+    // cosine edges, the two deterministic ring strides) and the
+    // 3-hop beam SEARCH (fixed medoid-nearest entry points off the
+    // fixed-point corpus centroid, ef=48 beam, exact cosine) unroll
+    // completely in SQL, hop by hop, plus truth and recall_at_10.
+    "vec_ann_graph" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+        |sized AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT vec_id, t, sig,
+        |      count(*) OVER (PARTITION BY t, sig) AS bn FROM sig)
+        |  WHERE bn <= 256),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized a JOIN sized b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                               CAST(dv.vec AS DOUBLE[])) DESC,
+        |        cd.dst) AS r
+        |    FROM cand cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |ranked AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |graph AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
+        |  WHERE src <> dst),
+        |centf AS (
+        |  SELECT list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS cv FROM (
+        |    SELECT u.i AS i,
+        |      CAST(sum(CAST(floor(u.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM (SELECT unnest(list_transform(range(1, len(vec) + 1),
+        |            j -> {'i': j, 'x': CAST(vec[j] AS DOUBLE)})) AS u FROM c)
+        |    GROUP BY u.i)),
+        |entries AS (
+        |  SELECT vec_id FROM (
+        |    SELECT c.vec_id,
+        |      row_number() OVER (ORDER BY
+        |        list_cosine_similarity(cv, CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS er
+        |    FROM c CROSS JOIN centf) WHERE er <= 8),
+        |b0 AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                           CAST(v.vec AS DOUBLE[])) AS score
+        |  FROM q CROSS JOIN entries e JOIN c v ON v.vec_id = e.vec_id),
+        |b1 AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT query_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, score FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b0 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, score FROM b0)))
+        |  WHERE r <= 48),
+        |b2 AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT query_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, score FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b1 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, score FROM b1)))
+        |  WHERE r <= 48),
+        |b3 AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT query_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, score FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS score
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b2 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, score FROM b2)))
+        |  WHERE r <= 48),
+        |ann AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+        |  FROM b3),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id,
+        |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
     // Collection-level ANN serving, fully certified: the per-
     // collection persisted IVF tier (k=32 trained on the collection's
     // string ids, nprobe 24, probe centroids FLOAT-cast exactly as

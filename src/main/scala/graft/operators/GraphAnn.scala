@@ -48,8 +48,10 @@ object GraphAnn {
   def buildKnnGraph(corpus: DataFrame, m: Int = 8,
                     tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
                     maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+    // md5-derived planes (the certification-sweep discipline): the
+    // candidate banding is re-derivable from the seed string alone
     val allPlanes = (0 until tables).map(t =>
-      VectorOps.hyperplanes(bitsPerTable, dim, seed + t))
+      VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
     val sig = corpus.select(col("vec_id"), col("vec"),
       posexplode(graft.functions.LshSignatures(col("vec"), allPlanes)).as(Seq("t", "sig")))
     // dense buckets explode quadratically in the self-join; skip them
@@ -96,10 +98,18 @@ object GraphAnn {
     */
   private[operators] def entryPoints(corpus: DataFrame, entries: Int,
                                      dim: Int): Seq[Long] = {
+    // fixed-point micro means (the kmeansCentroids discipline):
+    // order-independent, engine-independent — the entry points are
+    // model constants and must not depend on partition merge order
     val cent = corpus
       .select(posexplode(col("vec")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(avg(col("x").cast("double")).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0))).as("s_micro"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getLong(1).toDouble / r.getLong(2).toDouble / 1000000.0)
+      .sortBy(_._1).map(_._2)
     val centLit = array(cent.map(c => lit(c.toFloat)): _*)
     corpus
       .select(col("vec_id"), VectorOps.cosine(centLit, col("vec")).as("score"))
@@ -178,7 +188,8 @@ object GraphAnn {
     // banding, bucket cap, seed, or dimensionality
     IndexCache.getOrBuild(indexRoot, "knngraph",
       s"${VectorIndex.contentHash(corpus)}-m$m-e$entries" +
-        s"-t$tables-b$bitsPerTable-d$dim-x$maxBucket-s$seed") { scratch =>
+        s"-t$tables-b$bitsPerTable-d$dim-x$maxBucket-s$seed" +
+        s"-${VectorIndex.AlgoVersion}") { scratch =>
       val sess = corpus.sparkSession
       import sess.implicits._
       buildKnnGraph(corpus, m, tables, bitsPerTable, dim, maxBucket, seed)

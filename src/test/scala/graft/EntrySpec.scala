@@ -14,7 +14,7 @@ class EntrySpec extends SparkSpec {
     val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
       "dd_incremental",
       "vec_ann_opq", "vec_ann_bq",
-      "vec_ann_bq_index", "vec_ann_graph",
+      "vec_ann_bq_index",
       "vec_procrustes",
       "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups")
     assert(rowsOnly === expected,

@@ -60,6 +60,24 @@ object PropertySpec extends Properties("graft") {
       VectorOps.hyperplanes(4, 8, seed) == VectorOps.hyperplanes(4, 8, seed)
     }
 
+  // The cross-engine contract of the md5-derived plane family: every
+  // component is an EXACT multiple of 2^-15 in [-1, 1) (so products
+  // against float32 vector components are exact in double — the
+  // property the LSH/graph/semantic oracles' sign parity rests on),
+  // derivable from the seed string alone, and distinct across
+  // (table, seed).
+  property("hashHyperplanes: exact 2^-15 grid, seed-derived, distinct per table") =
+    forAll(Gen.choose(0, 7), Gen.choose(0L, 100L)) { (table, seed) =>
+      val p = VectorOps.hashHyperplanes(3, 16, table, seed)
+      val onGrid = p.flatten.forall { x =>
+        val scaled = x * 32768.0
+        scaled == math.rint(scaled) && x >= -1.0 && x < 1.0
+      }
+      val redo = VectorOps.hashHyperplanes(3, 16, table, seed)
+      val otherTable = VectorOps.hashHyperplanes(3, 16, table + 8, seed)
+      onGrid && p == redo && p != otherTable
+    }
+
   // ---- Spark-batched properties ----
 
   private val vecGen: Gen[Seq[Float]] =

@@ -64,7 +64,11 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     }
-    try {
+    // Restricted runs (SPARK_GRAFT_ONLY) are iteration tools — they
+    // must never clobber the committed full-suite record (which
+    // carries run-pair history and the host-drift note a subset run
+    // would silently erase).
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }

@@ -31,7 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // warehouses, shuffle local dirs) goes to memory-backed tmpfs when
   // available instead of the disk-backed /tmp — local-mode test
   // scratch only; production scratch placement is a cluster concern.
-) ++ (if (new java.io.File("/dev/shm").isDirectory) {
-        new java.io.File("/dev/shm/graft-tmp").mkdirs() // tmpdir must pre-exist
-        Seq("-Djava.io.tmpdir=/dev/shm/graft-tmp")
-      } else Seq.empty)
+) ++ {
+  // tmpdir must pre-exist; only point java.io.tmpdir at it when the
+  // directory is actually usable, else forked JVMs fail obscurely
+  val shmTmp = new java.io.File("/dev/shm/graft-tmp")
+  if (new java.io.File("/dev/shm").isDirectory &&
+      (shmTmp.mkdirs() || shmTmp.isDirectory))
+    Seq("-Djava.io.tmpdir=/dev/shm/graft-tmp")
+  else Seq.empty
+}

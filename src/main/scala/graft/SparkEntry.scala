@@ -3657,10 +3657,10 @@ object SparkEntry {
     // compressed-domain approximate scores, the top-50 shortlist, the
     // exact cosine re-rank AND the brute-force truth the recall
     // column compares against. recall_at_10 flips from self-certified
-    // to hash-matched. (The LSH/kmeans/PQ/BQ families stay rows-only:
-    // their seeded hyperplanes / k-means / Jacobi-PCA models are not
-    // expressible in SQL; label-partitioned IVF has no model at all
-    // and is oracled below as vec_ann_ivf.)
+    // to hash-matched. (The LSH/kmeans/PQ families are ALSO fully
+    // oracled since r7 via md5-derived reproducible models; only the
+    // Jacobi-eigensolve family — OPQ / BQ / Procrustes — and the mm_*
+    // near-dup queries remain rows-only.)
     "vec_ann_sq" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -5339,11 +5339,13 @@ object SparkEntry {
         |ORDER BY query_id, a."rank"""".stripMargin,
 
     // Collection-level ANN serving, fully certified: the per-
-    // collection persisted IVF tier (k=32 trained on the collection's
-    // string ids, nprobe 24, probe centroids FLOAT-cast exactly as
-    // the engine broadcasts them, 1-cosine distances, exact re-rank
-    // in the probed cells) plus the brute-force truth and
-    // recall_at_10 — all replayed by DuckDB against the same
+    // collection persisted IVF tier — cell count CORPUS-DERIVED
+    // exactly as the engine derives it (k = clamp(ceil(sqrt(N)), 4,
+    // 65536) over live embedded rows, nprobe = min(k, 24)), trained
+    // on the collection's string ids, probe centroids FLOAT-cast
+    // exactly as the engine broadcasts them, 1-cosine distances,
+    // exact re-rank in the probed cells — plus the brute-force truth
+    // and recall_at_10, all replayed by DuckDB against the same
     // collection state the lifecycle builds.
     "collection_ann_index" ->
       """WITH q AS (
@@ -5351,6 +5353,12 @@ object SparkEntry {
         |c AS (
         |  SELECT printf('v%07d', vec_id) AS id, vec_id, embedding AS vec
         |  FROM embeddings WHERE vec_id >= 10),
+        |kp AS (
+        |  SELECT GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))) AS k,
+        |         LEAST(GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))), 24) AS np
+        |  FROM c),
         |comp AS (
         |  SELECT id, u.pos AS pos, u.x AS x FROM (
         |    SELECT id, unnest(list_transform(range(1, len(vec) + 1),
@@ -5360,7 +5368,7 @@ object SparkEntry {
         |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
         |  FROM (SELECT vec, row_number() OVER (
         |          ORDER BY md5(id), id) AS rn FROM c)
-        |  WHERE rn <= 32),
+        |  WHERE rn <= (SELECT k FROM kp)),
         |a1 AS (
         |  SELECT id, c_id FROM (
         |    SELECT v.id, s.c_id,
@@ -5400,7 +5408,7 @@ object SparkEntry {
         |        1.0 - list_cosine_similarity(CAST(qvec AS DOUBLE[]),
         |          list_transform(cl.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) ASC,
         |        cl.c_id) AS cr
-        |    FROM q CROSS JOIN c2 cl) WHERE cr <= 24),
+        |    FROM q CROSS JOIN c2 cl) WHERE cr <= (SELECT np FROM kp)),
         |ann AS (
         |  SELECT query_id, vec_id, distance,
         |    CAST(row_number() OVER (PARTITION BY query_id

@@ -895,12 +895,47 @@ class CollectionData(client: ChromaSpark) {
   private def annMinRows: Long =
     spark.conf.getOption("spark.graft.collection.annIndexMinRows")
       .map(_.toLong).getOrElse(256L)
-  private def AnnClusters: Int =
+
+  /** CORPUS-DERIVED cell count (the r7 scale fix): k = ⌈√N⌉ over the
+    * collection's live embedded rows, clamped to [4, 65536]. A fixed
+    * k makes every probe read nprobe/k of the corpus FOREVER — a
+    * constant-factor win, not a sublinear serve. With k ∝ √N and a
+    * recall-calibrated CONSTANT nprobe (below), probed bytes per
+    * query batch are nprobe · N/k = nprobe · √N — the probed
+    * FRACTION nprobe/√N shrinks as the collection grows, which is
+    * the contract the reference's `hnsw:*` metadata implies. The
+    * clamp bounds the other axis (assignment is O(N·k·dim); the
+    * 65536 cap keeps centroid sets broadcastable at any N). Explicit
+    * `spark.graft.collection.annClusters` still wins for operators
+    * who have calibrated their own trade.
+    */
+  private[catalog] def annClustersFor(liveVecRows: Long): Int =
     spark.conf.getOption("spark.graft.collection.annClusters")
-      .map(_.toInt).getOrElse(32)
-  private def annNprobe: Int =
+      .map(_.toInt)
+      .getOrElse(math.min(65536, math.max(4,
+        math.ceil(math.sqrt(math.max(1L, liveVecRows).toDouble)).toInt)))
+
+  /** Probe width for an index with `cells` cells: a recall-calibrated
+    * constant (24 holds ≥0.9 recall@10 on the certified driver
+    * corpus), clamped to the cell count — tiny collections probe
+    * everything (exact), large ones probe a vanishing fraction.
+    */
+  private[catalog] def annNprobeFor(cells: Int): Int =
     spark.conf.getOption("spark.graft.collection.annNprobe")
-      .map(_.toInt).getOrElse(24)
+      .map(_.toInt).getOrElse(math.min(cells, 24))
+
+  /** Live rows with embeddings — the N the cell count derives from.
+    * Driver-resolved from the snapshot cache when small, one pushed
+    * count otherwise (amortized: runs only on index build, and the
+    * content-fingerprint cache makes builds once-per-content).
+    */
+  private def annLiveVecRows(collection: String): Long =
+    snapshotLive(collection, None) match {
+      case Some(live) => live.count(_._2 != null).toLong
+      case None =>
+        resolved(collection).filter(col("embedding").isNotNull).count()
+    }
+
   private val AnnIters = 2
   private val AnnDeltaCap = 10000
 
@@ -930,10 +965,11 @@ class CollectionData(client: ChromaSpark) {
               col("metadata_json"))).as("vec")))
     }
 
-  private def buildAnnIndex(collection: String, scratch: java.nio.file.Path): Unit = {
+  private def buildAnnIndex(collection: String, scratch: java.nio.file.Path,
+                            cells: Int): Unit = {
     val base = resolved(collection).filter(col("embedding").isNotNull)
     val train = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
-    val cents = VectorOps.kmeansCentroids(train, AnnClusters, AnnIters)
+    val cents = VectorOps.kmeansCentroids(train, cells, AnnIters)
     base.withColumn("label", VectorOps.nearestCentroidId(col("embedding"), cents))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$scratch/vectors")
@@ -976,9 +1012,14 @@ class CollectionData(client: ChromaSpark) {
       val files = logFileNames(d)
       val b = currentBatchIn(d)
       val fp = annContentFingerprint(collection)
+      // the derived cell count is part of the cache key: given
+      // identical content AND identical k the build is deterministic,
+      // so a key hit can only serve the artifact this code would
+      // rebuild (no AlgoVersion-style stale-serve window)
+      val cells = annClustersFor(annLiveVecRows(collection))
       val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-        s"$fp-k$AnnClusters-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
-        buildAnnIndex(collection, scratch)
+        s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+        buildAnnIndex(collection, scratch, cells)
       }
       Files.write(annPtrPath(d),
         s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
@@ -1045,9 +1086,14 @@ class CollectionData(client: ChromaSpark) {
           annCandidates(collection, queryEmbeddings, metric,
             whereJson, whereDocumentJson)
         case Some((touched, deltaLive)) =>
-          val cents = broadcast(spark.read.parquet(s"$idx/centroids")
+          val centsDf = spark.read.parquet(s"$idx/centroids")
             .select(col("c_id"),
-              col("centroid").cast("array<float>").as("centroid")))
+              col("centroid").cast("array<float>").as("centroid"))
+          // probe width derives from the INDEX's cell count (which may
+          // lag the live corpus between rebuilds) — a one-file footer
+          // count, model-scale by the 65536 clamp
+          val nprobe = annNprobeFor(centsDf.count().toInt)
+          val cents = broadcast(centsDf)
           val probeW = Window.partitionBy(col("query_id"))
             .orderBy(col("c_dist").asc, col("c_id").asc)
           val probes = queryEmbeddings
@@ -1055,10 +1101,10 @@ class CollectionData(client: ChromaSpark) {
             .select(col("query_id"), col("c_id"),
               distanceExpr(metric, col("qvec"), col("centroid")).as("c_dist"))
             .withColumn("c_rank", row_number().over(probeW))
-            .filter(col("c_rank") <= annNprobe)
+            .filter(col("c_rank") <= nprobe)
             .select(col("query_id"), col("c_id"))
           val probeLabels = probes.select(col("c_id")).distinct()
-            .collect().map(_.getInt(0)).sorted // model-scale: ≤ AnnClusters ints
+            .collect().map(_.getInt(0)).sorted // model-scale: ≤ 65536 cell ids
           // LITERAL partition filter → planning-time directory pruning;
           // the per-query cell assignment then comes from the broadcast
           // probe map, so each base row pairs only with the queries

@@ -129,7 +129,7 @@ object VectorOps {
       .join(broadcast(hits), Seq("dim", "query_id"), "left")
       .select(col("dim"), col("query_id"), col("top1_vec_id"), col("top1_score"),
         (coalesce(col("h"), lit(0L)).cast("double") / lit(k.toDouble))
-          .as("recall_at_10"))
+          .as("recall_at_k"))
       .orderBy(col("dim"), col("query_id"))
   }
 
@@ -975,6 +975,7 @@ object VectorOps {
   def matryoshkaQuery(s: SparkSession, dir: String): DataFrame =
     matryoshkaRecall(querySet(s, dir), corpusSet(s, dir),
       dims = Seq(8, 16, 32, 64), k = 10)
+      .withColumnRenamed("recall_at_k", "recall_at_10")
 
   /** LSH ANN over the same query set (rows check + driver-visible
     * recall_at_10 column; floors asserted in ScalaTest).

@@ -553,14 +553,70 @@ class CollectionDataSpec extends SparkSpec {
     assertThrows[MetadataParseError] { d.add("ghost", docOnly("x" -> "y")) }
   }
 
+  test("ann tier parameterization is corpus-derived: cells grow as sqrt(N), probed fraction shrinks") {
+    val wh = Files.createTempDirectory("graft-annsize").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    // The sizing law: k = clamp(ceil(sqrt(N)), 4, 65536), nprobe =
+    // min(k, 24). Probed bytes per batch = nprobe · N/k = 24·sqrt(N)
+    // past the constant — sublinear serve, not a constant-factor win.
+    assert(d.annClustersFor(1L) === 4) // floor clamp
+    assert(d.annClustersFor(490L) === 23) // the certified driver corpus
+    assert(d.annClustersFor(1000L) === 32)
+    assert(d.annClustersFor(1000000L) === 1000)
+    assert(d.annClustersFor(10000000000L) === 65536) // cap: centroids stay broadcastable
+    // 100×-scale law: cells grow ~10× per 100× rows...
+    assert(d.annClustersFor(100L * 1000000L) === 10000)
+    // ...while nprobe holds, so the probed FRACTION shrinks monotonically
+    val fractions = Seq(1000L, 100000L, 10000000L, 1000000000L).map { n =>
+      val k = d.annClustersFor(n)
+      d.annNprobeFor(k).toDouble / k
+    }
+    assert(fractions === fractions.sorted.reverse, s"fraction not shrinking: $fractions")
+    assert(fractions.last <= 24.0 / math.sqrt(1e9) + 1e-9)
+    // tiny collections probe every cell — the exact serve
+    assert(d.annNprobeFor(10) === 10)
+
+    // And the BUILT artifact honors the law: a larger collection
+    // trains measurably more cells (ceil(sqrt(N)), minus any cell
+    // that loses every member) and probes a smaller fraction of them.
+    def cellsAndProbedFraction(name: String, n: Int): (Long, Double) = {
+      c.createCollection(name, Some(Map("hnsw:space" -> "l2")))
+      d.add(name, items((0 until n).map { i =>
+        (f"s$i%04d", Seq(i.toFloat, 0f), s"d$i", "{}")
+      }: _*))
+      val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+      val res = d.query(name, q, nResults = 3, include = Nil)
+      res.collect()
+      val scan = res.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("collivf")) => f
+      }.headOption.getOrElse(fail(s"$name does not serve from the persisted index"))
+      val all = spark.read.parquet(scan.relation.location.rootPaths.head.toString)
+        .select(org.apache.spark.sql.functions.col("label")).distinct().count()
+      (all, scan.selectedPartitions.partitionCount.toDouble / all)
+    }
+    val (cellsSmall, fracSmall) = cellsAndProbedFraction("sz300", 300)
+    val (cellsBig, fracBig) = cellsAndProbedFraction("sz1000", 1000)
+    assert(cellsBig > cellsSmall,
+      s"cell count did not grow with corpus: $cellsSmall -> $cellsBig")
+    // 300 rows: k = 18 ≤ 24 → every cell probed (exact serve);
+    // 1000 rows: k = 32 > 24 → strictly fewer than all cells probed
+    assert(fracSmall === 1.0)
+    assert(fracBig < 1.0, s"big collection probed fraction $fracBig not < 1")
+  }
+
   test("large collections serve query() from a pruned persisted index, exact on deltas") {
     val wh = Files.createTempDirectory("graft-annidx").toString
     val c = new ChromaSpark(spark, wh)
     val d = new CollectionData(c)
     c.createCollection("big", Some(Map("hnsw:space" -> "l2")))
-    // 300 rows ≥ the 256-row routing threshold, on a line so the true
-    // top-k is computable by hand and lands in the nearest cells
-    d.add("big", items((0 until 300).map { i =>
+    // 1000 rows ≥ the 256-row routing threshold AND big enough that
+    // the derived probe width (min(k, 24) at k = ceil(sqrt(1000)) =
+    // 32) is strictly narrower than the cell count — pruning must be
+    // visible. On a line so the true top-k is computable by hand and
+    // lands in the nearest cells.
+    d.add("big", items((0 until 1000).map { i =>
       (f"v$i%03d", Seq(i.toFloat, 0f), s"doc $i", s"""{"par":${i % 2}}""")
     }: _*))
     val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")

@@ -19,7 +19,7 @@ class VectorOpsSpec extends SparkSpec {
       (2L, Seq(1.0f, 1.0f))   // the true nearest
     ).toDF("vec_id", "vec")
     val byDim = VectorOps.matryoshkaRecall(queries, corpus, dims = Seq(1, 2), k = 1)
-      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("top1_vec_id"), r.getAs[Double]("recall_at_10"))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("top1_vec_id"), r.getAs[Double]("recall_at_k"))).toMap
     assert(byDim(1L) === ((1L, 0.0))) // prefix tie broken to lower id → miss
     assert(byDim(2L) === ((2L, 1.0))) // full dim recovers the true nearest
   }

@@ -5058,13 +5058,221 @@ object SparkEntry {
         |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
         |ORDER BY case_id""".stripMargin,
 
-    // dd_signatures / dd_minhash_pairs / dd_simhash_pairs rely on
-    // xxhash64 (not available in DuckDB) → rows-only checks with
-    // planted-duplicate recovery asserted in ScalaTest. Switching the
-    // dedup hot path to an oracle-expressible hash (md5) would cost
-    // 4-6× on every shingle at 100 TB — certification is not worth
-    // that trade there. dd_embed_top has no such trade: its planes
-    // are md5-derived (hashHyperplanes), so it IS fully oracled below.
+    // The MinHash/SimHash family is FULLY oracled since r8: the
+    // pipelines sign with the md5-grid family (60-bit md5 base
+    // hashes, universal-hash permutations over 2³¹−1 with md5-grid
+    // constants, md5 band keys — Dedup.HashFamily.Md5Grid), so a
+    // DuckDB twin replays signatures, band collisions, the estimate
+    // prune AND the exact verify from the documents table alone. The
+    // r7 rows-only rationale (xxhash64 has no DuckDB twin) is retired
+    // by re-seeding, not by paying md5 per permutation: only the base
+    // hash costs more than xxhash64; the 64-perm inner loop is
+    // multiply-mod, cheaper than the xx family's per-perm hashLong.
+    // The xx family remains available behind the hasher knob.
+    //
+    // dd_signatures: per-doc digests of the certified signatures —
+    // the md5 of the comma-joined 64-perm grid signature, the 60-bit
+    // SimHash, and the distinct-shingle count, all re-derived by SQL.
+    "dd_signatures" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      CASE WHEN len(toks) >= 3
+        |        THEN list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' '))
+        |        ELSE [array_to_string(toks, ' ')] END,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |pg AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('mh:a:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(('0x' || substr(md5('mh:b:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM range(64) t(i)),
+        |sg AS (
+        |  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647) AS v
+        |  FROM (SELECT doc_id, unnest(sh) AS h FROM d) CROSS JOIN pg
+        |  GROUP BY doc_id, i),
+        |sga AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_transform(list(v ORDER BY i),
+        |      x -> CAST(x AS VARCHAR)), ',')) AS minhash_digest
+        |  FROM sg GROUP BY doc_id),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |    sum(CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> r.b) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN range(60) r(b) GROUP BY doc_id, r.b),
+        |sm AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+        |      AS simhash60
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, sga.minhash_digest, sm.simhash60,
+        |  CAST(len(d.sh) AS BIGINT) AS n_shingles
+        |FROM d JOIN sga USING (doc_id) JOIN sm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // dd_minhash_pairs: the FULL LSH pipeline replayed — banding (md5
+    // band keys over the grid signature), the distinct candidate
+    // join, the ≥ threshold−margin estimate prune over agreeing
+    // signature components, and the exact-Jaccard verify over the
+    // hashed shingle sets, thresholded on the rounded value exactly
+    // as the engine thresholds.
+    "dd_minhash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text
+        |  FROM documents WHERE doc_id < 5),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      CASE WHEN len(toks) >= 3
+        |        THEN list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' '))
+        |        ELSE [array_to_string(toks, ' ')] END,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM base)),
+        |pg AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('mh:a:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(('0x' || substr(md5('mh:b:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM range(64) t(i)),
+        |sg AS (
+        |  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647) AS v
+        |  FROM (SELECT doc_id, unnest(sh) AS h FROM d) CROSS JOIN pg
+        |  GROUP BY doc_id, i),
+        |sga AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sg GROUP BY doc_id),
+        |bnd AS (
+        |  SELECT doc_id, r.b AS b,
+        |    md5(array_to_string(list_transform(sig[4*r.b+1 : 4*r.b+4],
+        |      x -> CAST(x AS VARCHAR)), ',')) AS bh
+        |  FROM sga CROSS JOIN range(16) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bnd a JOIN bnd b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sga sa ON sa.doc_id = cand.doc_a
+        |  JOIN sga sb ON sb.doc_id = cand.doc_b
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+        |        AS DOUBLE) / 64.0 >= 0.4 - 0.2),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(da.sh) AS DOUBLE) AS la, CAST(len(db.sh) AS DOUBLE) AS lb
+        |  FROM est JOIN d da ON da.doc_id = est.doc_a
+        |           JOIN d db ON db.doc_id = est.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    floor((inter / (la + lb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |  FROM ver)
+        |WHERE jaccard >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dd_incremental: same replay, but candidates must involve a
+    // delta doc — the probe-side restriction mirrored as a WHERE on
+    // the build row's _new flag, pair order canonicalized with
+    // least/greatest exactly as the engine does.
+    "dd_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, false AS _new FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text, true AS _new
+        |  FROM documents WHERE doc_id < 5),
+        |d AS (
+        |  SELECT doc_id, _new,
+        |    list_distinct(list_transform(
+        |      CASE WHEN len(toks) >= 3
+        |        THEN list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' '))
+        |        ELSE [array_to_string(toks, ' ')] END,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, _new, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM base)),
+        |pg AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('mh:a:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483646 + 1 AS a,
+        |    CAST(('0x' || substr(md5('mh:b:' || i), 1, 15)) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM range(64) t(i)),
+        |sg AS (
+        |  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647) AS v
+        |  FROM (SELECT doc_id, unnest(sh) AS h FROM d) CROSS JOIN pg
+        |  GROUP BY doc_id, i),
+        |sga AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sg GROUP BY doc_id),
+        |bnd AS (
+        |  SELECT d.doc_id, d._new, r.b AS b,
+        |    md5(array_to_string(list_transform(sig[4*r.b+1 : 4*r.b+4],
+        |      x -> CAST(x AS VARCHAR)), ',')) AS bh
+        |  FROM sga JOIN d USING (doc_id) CROSS JOIN range(16) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM bnd a JOIN bnd b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id <> b.doc_id
+        |  WHERE b._new),
+        |est AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sga sa ON sa.doc_id = cand.doc_a
+        |  JOIN sga sb ON sb.doc_id = cand.doc_b
+        |  WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+        |        AS DOUBLE) / 64.0 >= 0.4 - 0.2),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(da.sh) AS DOUBLE) AS la, CAST(len(db.sh) AS DOUBLE) AS lb
+        |  FROM est JOIN d da ON da.doc_id = est.doc_a
+        |           JOIN d db ON db.doc_id = est.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    floor((inter / (la + lb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |  FROM ver)
+        |WHERE jaccard >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dd_simhash_pairs: the banded pigeonhole has recall EXACTLY 1
+    // within the radius, so a brute-force all-pairs twin over the
+    // 60-bit signatures computes the identical pair set — no need to
+    // replay the bands themselves.
+    "dd_simhash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'xq ' || text AS text
+        |  FROM documents WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM base),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |    sum(CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> r.b) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN range(60) r(b) GROUP BY doc_id, r.b),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+        |      AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     //
     // dd_ngram_top IS oracle-checkable because prefix filtering has
     // recall exactly 1: the engine's candidate generation provably

@@ -37,6 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2)
         MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms"))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes_md5"),
+      new ExpressionInfo("graft.functions", "graft_shingle_hashes_md5"),
+      args => {
+        require(args.length == 2)
+        ShingleHashesMd5(args(0), GraftExtensions.intLiteral(args(1), "n"))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo("graft.functions", "graft_simhash60"),
+      args => { require(args.length == 1); SimHash60(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_grid"),
+      new ExpressionInfo("graft.functions", "graft_minhash_grid"),
+      args => {
+        require(args.length == 2)
+        MinHashGridSignature(args(0), GraftExtensions.intLiteral(args(1), "perms"))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo("graft.functions", "graft_cms_estimate"),
       args => { require(args.length == 2); CmsEstimate(args(0), args(1)) }))

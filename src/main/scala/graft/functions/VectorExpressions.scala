@@ -232,6 +232,13 @@ object VectorExpressions {
     ("graft_minhash", { args =>
       require(args.length == 2)
       MinHashSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }),
+    ("graft_shingle_hashes_md5", { args =>
+      require(args.length == 2)
+      ShingleHashesMd5(args(0), GraftExtensions.intLiteral(args(1), "n")) }),
+    ("graft_simhash60", { args => require(args.length == 1); SimHash60(args(0)) }),
+    ("graft_minhash_grid", { args =>
+      require(args.length == 2)
+      MinHashGridSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }),
     ("graft_cms_estimate", { args =>
       require(args.length == 2); CmsEstimate(args(0), args(1)) }),
     ("graft_hist_quantile", { args =>

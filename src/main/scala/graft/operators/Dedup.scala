@@ -19,6 +19,31 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Which hash family signs the MinHash/SimHash pipelines.
+    *
+    *  - [[HashFamily.Md5Grid]] (the DEFAULT): 60-bit md5 base hashes,
+    *    universal-hash permutations over p = 2³¹−1 with md5-grid
+    *    constants, md5 band keys. Every signature, band key, estimate
+    *    and verified pair is replayable in plain ANSI SQL — the
+    *    certification family (the driver's DuckDB oracle replays the
+    *    full pipeline). Cost: one md5 per shingle instead of one
+    *    xxhash64 (the map stage only; the permutation inner loop is
+    *    multiply-mod, CHEAPER than the xx family's per-perm hashLong).
+    *  - [[HashFamily.Xx64]]: the original xxhash64 kernels — cheapest
+    *    base hash, JVM-only signatures (no external replay). For
+    *    operators who re-sign petabytes and don't need cross-engine
+    *    certification.
+    * Both families share every pipeline stage past the signing map;
+    * the emitted pair sets differ only through LSH candidate
+    * randomness, and each family's planted-duplicate recovery is
+    * spec-floored.
+    */
+  sealed trait HashFamily
+  object HashFamily {
+    case object Xx64 extends HashFamily
+    case object Md5Grid extends HashFamily
+  }
+
   /** Distinct word n-gram shingles; short docs fall back to one
     * whole-doc shingle so no document vanishes from the pipeline.
     */
@@ -57,6 +82,66 @@ object Dedup {
         transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           v => v.cast("string")))))
 
+  /** Cross-engine band keys: md5 of the band's comma-joined decimal
+    * values (all non-negative under the grid family, so the decimal
+    * rendering is engine-independent). String keys join exactly like
+    * the xx family's long keys; DuckDB replays them with the same
+    * md5-of-joined-string formula.
+    */
+  def bandKeysMd5(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          v => v.cast("string")))))
+
+  /** Cross-engine MinHash signature — delegates to the codegen'd grid
+    * kernel ([[graft.functions.MinHashGridSignature]]); see there for
+    * the md5-grid permutation law.
+    */
+  def minhashSignatureGrid(sh: Column, perms: Int = 64): Column =
+    graft.functions.MinHashGridSignature(sh, perms)
+
+  /** HOF reference formulation of the grid signature — derives the
+    * permutation constants IN-PLAN from Spark's own `md5`/`conv`
+    * builtins, i.e. from the exact SQL formula the DuckDB oracle
+    * runs. The parity spec (kernel ≡ this) therefore proves the
+    * kernel's JVM MessageDigest grid matches the SQL derivation bit
+    * for bit — the cross-engine contract, executable.
+    */
+  def minhashSignatureGridHof(sh: Column, perms: Int = 64): Column = {
+    val p = lit(graft.functions.MinHashGridSignature.P)
+    def md60(s: Column): Column =
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    val xs = transform(sh, h => h % p)
+    transform(sequence(lit(0), lit(perms - 1)), i => {
+      val a = md60(concat(lit("mh:a:"), i.cast("string"))) % (p - lit(1L)) + lit(1L)
+      val b = md60(concat(lit("mh:b:"), i.cast("string"))) % p
+      array_min(transform(xs, x => (a * x + b) % p))
+    })
+  }
+
+  /** HOF reference for the md5 shingle hashes: the string shingle
+    * chain hashed with the oracle's own `md5`/`conv` formula.
+    */
+  def shingleHashesMd5Hof(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
+  /** HOF reference for the 60-bit SimHash — same md5-60 base hash and
+    * little-endian `1 << b` packing as the kernel and the SQL twin.
+    */
+  def simhash60Column(text: Column): Column = {
+    val toks = array_distinct(split(trim(text), "\\s+"))
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = array((0 until 60).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)) >= 0,
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }: _*)
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** Exact Jaccard over two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -64,6 +149,22 @@ object Dedup {
   }
 
   private def rnd4(c: Column): Column = CrossEngine.rnd4(c)
+
+  // Family-dispatched kernels for the MinHash pipelines — the only
+  // stage the families differ in; everything downstream is shared.
+  private def shingleKernel(h: HashFamily, text: Column, n: Int): Column = h match {
+    case HashFamily.Xx64    => graft.functions.ShingleHashes(text, n)
+    case HashFamily.Md5Grid => graft.functions.ShingleHashesMd5(text, n)
+  }
+  private def signatureKernel(h: HashFamily, sh: Column, perms: Int): Column = h match {
+    case HashFamily.Xx64    => minhashSignature(sh, perms)
+    case HashFamily.Md5Grid => minhashSignatureGrid(sh, perms)
+  }
+  private def bandKernel(h: HashFamily, sig: Column, bands: Int,
+                         rowsPerBand: Int): Column = h match {
+    case HashFamily.Xx64    => bandHashes(sig, bands, rowsPerBand)
+    case HashFamily.Md5Grid => bandKeysMd5(sig, bands, rowsPerBand)
+  }
 
   /** Cache scope for the signature relation every pair pipeline
     * self-joins against. The persist() is load-bearing (without it
@@ -96,17 +197,19 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int = 3, bands: Int = 16,
                    rowsPerBand: Int = 4, threshold: Double = 0.7,
                    estimateMargin: Double = 0.2,
-                   release: Boolean = true): DataFrame = {
+                   release: Boolean = true,
+                   hasher: HashFamily = HashFamily.Md5Grid): DataFrame = {
     val perms = bands * rowsPerBand
-    // ShingleHashes + the long-input MinHash path: one compiled pass
-    // per document (tokenize → slide → hash → sign), no interpreted
-    // HOFs anywhere in the map stage.
+    // Shingle + long-input MinHash kernels: one compiled pass per
+    // document (tokenize → slide → hash → sign), no interpreted HOFs
+    // anywhere in the map stage — both hash families.
     val signed = docs
-      .select(col("doc_id"), graft.functions.ShingleHashes(col("text"), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), perms))
+      .select(col("doc_id"), shingleKernel(hasher, col("text"), n).as("sh"))
+      .withColumn("sig", signatureKernel(hasher, col("sh"), perms))
     withSigCache(release)(signed) {
       val banded = signed.select(col("doc_id"),
-        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
+        posexplode(bandKernel(hasher, col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bhash")))
       val candidates = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -163,16 +266,18 @@ object Dedup {
                               bands: Int = 16, rowsPerBand: Int = 4,
                               threshold: Double = 0.7,
                               estimateMargin: Double = 0.2,
-                              release: Boolean = true): DataFrame = {
+                              release: Boolean = true,
+                              hasher: HashFamily = HashFamily.Md5Grid): DataFrame = {
     val perms = bands * rowsPerBand
     val all = corpus.select(col("doc_id"), col("text")).withColumn("_new", lit(false))
       .unionByName(delta.select(col("doc_id"), col("text")).withColumn("_new", lit(true)))
     val signed = all
-      .select(col("doc_id"), col("_new"), graft.functions.ShingleHashes(col("text"), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), perms))
+      .select(col("doc_id"), col("_new"), shingleKernel(hasher, col("text"), n).as("sh"))
+      .withColumn("sig", signatureKernel(hasher, col("sh"), perms))
     withSigCache(release)(signed) {
       val banded = signed.select(col("doc_id"), col("_new"),
-        posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bhash")))
+        posexplode(bandKernel(hasher, col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bhash")))
       // PROBE-side restriction, not a post-join filter: only delta
       // rows sit on the build side of the band join, so corpus ×
       // corpus collisions are never enumerated — the join's work is
@@ -204,10 +309,18 @@ object Dedup {
     * 32-bit signature's 8-bit bands.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   release: Boolean = true): DataFrame = {
-    // SimHash64 kernel: one compiled pass per document; bitwise parity
-    // with the HOF reference simhashColumn is proven in DedupSpec.
-    val signed = docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("sig"))
+                   release: Boolean = true,
+                   hasher: HashFamily = HashFamily.Md5Grid): DataFrame = {
+    // One compiled pass per document either way; bitwise parity with
+    // the HOF references (simhashColumn / simhash60Column) is proven
+    // in DedupSpec. The 60-bit family's top 4 bits are constant zero,
+    // which leaves the banded pigeonhole guarantee intact (a flip
+    // still lands in exactly one band).
+    val sigCol = hasher match {
+      case HashFamily.Xx64    => graft.functions.SimHash64(col("text"))
+      case HashFamily.Md5Grid => graft.functions.SimHash60(col("text"))
+    }
+    val signed = docs.select(col("doc_id"), sigCol.as("sig"))
     hammingBandPairs(signed, "doc_id", maxHamming, release)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
@@ -583,17 +696,19 @@ object Dedup {
 
   // ---- SparkEntry query wrappers ----
 
-  /** Per-doc MinHash/SimHash signature digests (deterministic,
-    * always-nonempty index-build output; pair-finding is verified on
-    * planted duplicates in ScalaTest).
+  /** Per-doc MinHash/SimHash signature digests from the certified
+    * md5-grid family — deterministic index-build output whose every
+    * value (the md5 digest of the 64-perm grid signature, the 60-bit
+    * SimHash, the shingle count) the DuckDB oracle re-derives from
+    * the documents table alone.
     */
   def signaturesQuery(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.functions.ShingleHashes(col("text"), 3)
+    val sh = graft.functions.ShingleHashesMd5(col("text"), 3)
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        xxhash64(concat_ws(",", transform(minhashSignature(sh), v => v.cast("string"))))
+        md5(concat_ws(",", transform(minhashSignatureGrid(sh), v => v.cast("string"))))
           .as("minhash_digest"),
-        graft.functions.SimHash64(col("text")).as("simhash64"),
+        graft.functions.SimHash60(col("text")).as("simhash60"),
         size(sh).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
   }

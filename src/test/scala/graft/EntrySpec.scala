@@ -11,8 +11,7 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either an oracle or documented rows-only status") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set("dd_signatures", "dd_minhash_pairs", "dd_simhash_pairs",
-      "dd_incremental",
+    val expected = Set(
       "vec_ann_opq", "vec_ann_bq",
       "vec_ann_bq_index",
       "vec_procrustes",

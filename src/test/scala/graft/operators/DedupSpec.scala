@@ -47,6 +47,53 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("md5-grid kernels match the in-plan md5/conv HOF references bitwise") {
+    // The HOFs derive every value from Spark's OWN md5/conv builtins —
+    // the exact formula the DuckDB oracles run — so kernel ≡ HOF is
+    // the executable cross-engine contract for the certified family.
+    val docs = (base ++ Seq((4L, "a b"), (5L, "  padded   text  here now  "))).toDF("doc_id", "text")
+    val rows = docs.select(
+      graft.functions.ShingleHashesMd5(col("text"), 3).as("shK"),
+      Dedup.shingleHashesMd5Hof(col("text"), 3).as("shH"),
+      graft.functions.SimHash60(col("text")).as("smK"),
+      Dedup.simhash60Column(col("text")).as("smH"),
+      Dedup.minhashSignatureGrid(graft.functions.ShingleHashesMd5(col("text"), 3)).as("mgK"),
+      Dedup.minhashSignatureGridHof(Dedup.shingleHashesMd5Hof(col("text"), 3)).as("mgH"),
+      // string-input path of the grid kernel = hashed path
+      Dedup.minhashSignatureGrid(Dedup.shingles(col("text"), 3)).as("mgS")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+      assert(r.getLong(2) === r.getLong(3))
+      assert(r.getSeq[Long](4) === r.getSeq[Long](5))
+      assert(r.getSeq[Long](4) === r.getSeq[Long](6))
+    }
+  }
+
+  test("simhash60 signatures stay within 60 bits; grid values within the Mersenne field") {
+    val docs = base.toDF("doc_id", "text")
+    val rows = docs.select(
+      graft.functions.SimHash60(col("text")).as("sig"),
+      Dedup.minhashSignatureGrid(graft.functions.ShingleHashesMd5(col("text"), 3)).as("mg")).collect()
+    rows.foreach { r =>
+      val sig = r.getLong(0)
+      assert(sig >= 0L && sig < (1L << 60))
+      r.getSeq[Long](1).foreach(v =>
+        assert(v >= 0L && v < graft.functions.MinHashGridSignature.P))
+    }
+  }
+
+  test("Xx64 family knob still recovers planted near-duplicates") {
+    val docs = (base :+
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs, threshold = 0.4,
+      hasher = Dedup.HashFamily.Xx64).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 11L)))
+    val sh = Dedup.simhashPairs(docs, maxHamming = 9,
+      hasher = Dedup.HashFamily.Xx64).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet.contains((1L, 11L)))
+  }
+
   test("MinHash long-input path (hashed shingles) matches the string path bitwise") {
     val docs = base.toDF("doc_id", "text")
     val rows = docs.select(
@@ -71,7 +118,9 @@ class DedupSpec extends SparkSpec {
     val docs = (base :+
       (11L, "the quick brown fox jumps over the lazy cat near the river bank today"))
       .toDF("doc_id", "text")
-    val sigs = docs.select(col("doc_id"), Dedup.simhashColumn(col("text")).as("sig"))
+    // radius from the DEFAULT (md5-grid, 60-bit) family's reference
+    // formulation, so it matches what simhashPairs signs with
+    val sigs = docs.select(col("doc_id"), Dedup.simhash60Column(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def h(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
     val nearDup = h(1L, 11L)

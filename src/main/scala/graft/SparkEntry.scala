@@ -509,6 +509,37 @@ object SparkEntry {
     VectorOps.withRecallAt(ann, queries, corpus, k = 10)
   }
 
+  /** Collection query served through the persisted GRAPH tier (r8
+    * extension — the `hnsw:M`/`hnsw:construction_ef` build knobs
+    * HONORED, not just validated): the collection declares the graph
+    * index in its metadata, so `query()` builds and serves from the
+    * kNN-graph + beam-search tier instead of IVF. Same corpus, query
+    * set and output shape as `collection_ann_index`; fully
+    * DuckDB-oracled with the `vec_ann_graph` replay (build, entries,
+    * hop-by-hop beam, exact re-rank, truth, recall_at_10).
+    */
+  def collectionHnswGraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswgr-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("grcol", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = Tables.embeddings(s, dir)
+    d.add("grcol", emb.filter(col("vec_id") >= 10)
+      .select(F.format_string("v%07d", col("vec_id")).as("id"),
+        col("embedding")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = d.query("grcol", queries, nResults = 10, include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    VectorOps.withRecallAt(ann, queries, corpus, k = 10)
+  }
+
   /** Collection-level HYBRID search (r7 extension #5): the
     * `query_texts`-plus-lexical workflow — BM25 over the collection's
     * live documents fused with the collection's embedder+metric kNN
@@ -538,6 +569,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "collection_ann_index" -> (collectionAnnIndex _),
+    "collection_hnsw_graph" -> (collectionHnswGraph _),
     "collection_hybrid"  -> (collectionHybrid _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q2_topk_orders"     -> (Relational.q2TopkOrders _),
@@ -5058,6 +5090,104 @@ object SparkEntry {
         |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
         |ORDER BY case_id""".stripMargin,
 
+    // mm_features / mm_resize, fully certified since r8 — and not by
+    // pinned rows: the synthesized media payloads are pure functions
+    // of the documents table (text bytes → BMP grid / WAV samples /
+    // Y4M frames, mm_codec_roundtrip certifies the codecs roundtrip
+    // them exactly), so the oracle RE-DERIVES every decoded sample
+    // from the table — hex(encode(text)) byte extraction, the same
+    // padding/width laws, nearest-neighbor resampling — and replays
+    // the 16-bin histogram features end to end.
+    "mm_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    GREATEST(4, n_chars % 32) AS w
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, kind, blen, hx, w,
+        |    CAST(CASE kind
+        |      WHEN 'image' THEN w * GREATEST(1, (blen + w - 1) // w)
+        |      WHEN 'audio' THEN blen
+        |      ELSE (w * 4) * GREATEST(1, (blen + w * 4 - 1) // (w * 4)) END
+        |      AS BIGINT) AS n_samples,
+        |    CAST(CASE WHEN kind = 'video'
+        |      THEN GREATEST(1, (blen + w * 4 - 1) // (w * 4)) ELSE 0 END
+        |      AS BIGINT) AS n_frames
+        |  FROM d),
+        |sm AS (
+        |  SELECT doc_id, n_samples,
+        |    CASE WHEN i < blen
+        |      THEN CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2)) AS INTEGER)
+        |      ELSE 0 END AS v
+        |  FROM (SELECT doc_id, blen, hx, n_samples,
+        |          unnest(range(n_samples)) AS i FROM dims)),
+        |mn AS (
+        |  SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean_raw FROM sm
+        |  GROUP BY doc_id),
+        |bins AS (
+        |  SELECT doc_id, v // 16 AS b, count(*) AS c, max(n_samples) AS ns
+        |  FROM sm GROUP BY doc_id, v // 16),
+        |ent AS (
+        |  SELECT doc_id,
+        |    -sum(((CAST(c AS DOUBLE) / ns) * ln(CAST(c AS DOUBLE) / ns)) / ln(2.0))
+        |      AS entropy_raw
+        |  FROM bins GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, m.kind, m.n_samples,
+        |  floor(coalesce(mn.mean_raw, 0.0) * 10000.0 + 0.5) / 10000.0 AS mean_intensity,
+        |  floor(coalesce(ent.entropy_raw, 0.0) * 10000.0 + 0.5) / 10000.0 AS entropy,
+        |  CAST(CASE WHEN m.kind = 'video' THEN (m.n_frames + 1) // 2 ELSE 0 END
+        |    AS BIGINT) AS n_sampled_frames
+        |FROM dims m
+        |LEFT JOIN mn ON mn.doc_id = m.doc_id
+        |LEFT JOIN ent ON ent.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // mm_resize: the BMP decode → nearest-neighbor resample to width
+    // 8 → re-encode → decode → features chain, re-derived from the
+    // text bytes with the same index law out(y,x) = src(y·w +
+    // min(w−1, ⌊x·w/8⌋)).
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    GREATEST(4, n_chars % 32) AS w
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT doc_id, blen, hx, w,
+        |    CAST(8 * GREATEST(1, (blen + w - 1) // w) AS BIGINT) AS n_samples
+        |  FROM d),
+        |sm AS (
+        |  SELECT doc_id, n_samples,
+        |    CASE WHEN si < blen
+        |      THEN CAST(('0x' || substr(hx, CAST(2 * si + 1 AS INTEGER), 2)) AS INTEGER)
+        |      ELSE 0 END AS v
+        |  FROM (
+        |    SELECT doc_id, blen, hx, n_samples,
+        |      (i // 8) * w + LEAST(w - 1,
+        |        CAST(floor((i % 8) * (CAST(w AS DOUBLE) / 8.0)) AS BIGINT)) AS si
+        |    FROM (SELECT doc_id, blen, hx, w, n_samples,
+        |            unnest(range(n_samples)) AS i FROM dims))),
+        |mn AS (
+        |  SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean_raw FROM sm
+        |  GROUP BY doc_id),
+        |bins AS (
+        |  SELECT doc_id, v // 16 AS b, count(*) AS c, max(n_samples) AS ns
+        |  FROM sm GROUP BY doc_id, v // 16),
+        |ent AS (
+        |  SELECT doc_id,
+        |    -sum(((CAST(c AS DOUBLE) / ns) * ln(CAST(c AS DOUBLE) / ns)) / ln(2.0))
+        |      AS entropy_raw
+        |  FROM bins GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, 'image' AS kind, m.n_samples,
+        |  floor(coalesce(mn.mean_raw, 0.0) * 10000.0 + 0.5) / 10000.0 AS mean_intensity,
+        |  floor(coalesce(ent.entropy_raw, 0.0) * 10000.0 + 0.5) / 10000.0 AS entropy
+        |FROM dims m
+        |LEFT JOIN mn ON mn.doc_id = m.doc_id
+        |LEFT JOIN ent ON ent.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
+
     // The MinHash/SimHash family is FULLY oracled since r8: the
     // pipelines sign with the md5-grid family (60-bit md5 base
     // hashes, universal-hash permutations over 2³¹−1 with md5-grid
@@ -5541,6 +5671,159 @@ object SparkEntry {
         |  WHERE a."rank" <= 10 GROUP BY a.query_id)
         |SELECT a.query_id, a."rank", a.vec_id,
         |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // Collection query through the persisted GRAPH tier, fully
+    // certified: the hnsw:M=8 / construction_ef=256 metadata routes
+    // the collection through the kNN-graph index, and the oracle
+    // replays the whole serve — LSH-banded build candidates
+    // (md5-derived planes), bucket cap 256, top-8 edges by cosine
+    // DISTANCE (1−cos ASC, the collection metric's ordering), both
+    // ring strides, centroid-nearest entries, three beam hops at
+    // ef=48, the exact re-rank, the brute-force truth and
+    // recall_at_10. Collection ids are zero-padded ('v%07d'), so
+    // every string ordering the engine uses coincides with the
+    // numeric vec_id ordering replayed here.
+    "collection_hnsw_graph" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+        |sized AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT vec_id, t, sig,
+        |      count(*) OVER (PARTITION BY t, sig) AS bn FROM sig)
+        |  WHERE bn <= 256),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized a JOIN sized b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        cd.dst) AS r
+        |    FROM cand cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |ranked AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |graph AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
+        |  WHERE src <> dst),
+        |centf AS (
+        |  SELECT list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS cv FROM (
+        |    SELECT u.i AS i,
+        |      CAST(sum(CAST(floor(u.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM (SELECT unnest(list_transform(range(1, len(vec) + 1),
+        |            j -> {'i': j, 'x': CAST(vec[j] AS DOUBLE)})) AS u FROM c)
+        |    GROUP BY u.i)),
+        |entries AS (
+        |  SELECT vec_id FROM (
+        |    SELECT c.vec_id,
+        |      row_number() OVER (ORDER BY
+        |        1.0 - list_cosine_similarity(cv, CAST(vec AS DOUBLE[])) ASC,
+        |        c.vec_id) AS er
+        |    FROM c CROSS JOIN centf) WHERE er <= 8),
+        |b0 AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS d
+        |  FROM q CROSS JOIN entries e JOIN c v ON v.vec_id = e.vec_id),
+        |b1 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b0 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM b0)))
+        |  WHERE r <= 48),
+        |b2 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b1 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM b1)))
+        |  WHERE r <= 48),
+        |b3 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b2 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM b2)))
+        |  WHERE r <= 48),
+        |ann AS (
+        |  SELECT query_id, vec_id, d AS distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM b3),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
         |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
         |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
         |LEFT JOIN hits h USING (query_id)

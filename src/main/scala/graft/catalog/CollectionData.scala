@@ -731,11 +731,16 @@ class CollectionData(client: ChromaSpark) {
     *    pre-score → top-`search_ef` shortlist → exact re-rank), and —
     *    mirroring upstream's hnswlib contract — `n_results` may not
     *    exceed it.
-    *  - `hnsw:M`, `hnsw:construction_ef`, `hnsw:batch_size`,
-    *    `hnsw:sync_threshold`, `hnsw:num_threads`, `hnsw:resize_factor`
-    *    — graph/ingest BUILD knobs with no analogue in a scan-based
-    *    engine: validated for type (a typo'd value still fails
-    *    loudly) and documented advisory, never behavior-changing.
+    *  - `hnsw:M`, `hnsw:construction_ef` — HONORED: declaring either
+    *    routes the collection's persisted ANN tier through the GRAPH
+    *    index ([[graphKnobs]]): `hnsw:M` = graph out-degree,
+    *    `hnsw:construction_ef` = build candidate breadth. Collections
+    *    without them serve from the default IVF tier.
+    *  - `hnsw:batch_size`, `hnsw:sync_threshold`, `hnsw:num_threads`,
+    *    `hnsw:resize_factor` — ingest knobs with no analogue in a
+    *    scan-based engine: validated for type (a typo'd value still
+    *    fails loudly) and documented advisory, never
+    *    behavior-changing.
     *  - any OTHER `hnsw:` key → [[EngineError.MetadataParseError]].
     */
   private[catalog] def hnswSearchEf(collection: String): Option[Int] = {
@@ -808,7 +813,7 @@ class CollectionData(client: ChromaSpark) {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
     annCandidates(collection, queryEmbeddings, metric,
-      whereJson, whereDocumentJson) match {
+      whereJson, whereDocumentJson, nResults) match {
       case Some(cands) =>
         // Persisted-index serve path: candidates already pruned to the
         // probed cells (+ post-build delta); exact re-rank only.
@@ -979,6 +984,59 @@ class CollectionData(client: ChromaSpark) {
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
   }
 
+  /** Graph build knobs from collection metadata: Some((M,
+    * construction_ef)) when the collection DECLARES the graph tier
+    * via `hnsw:M` and/or `hnsw:construction_ef` (the reference
+    * passes both through opaquely, reference src/client.rs:97,351).
+    * `hnsw:M` is the graph's out-degree; `hnsw:construction_ef` the
+    * build-time candidate breadth (our LSH bucket cap — the pool a
+    * node's top-M neighbors are chosen from, hnswlib's ef_construction
+    * role), floored at M+1 so a node can always fill its degree.
+    * Values validated positive by [[hnswSearchEf]] before any route.
+    */
+  private[catalog] def graphKnobs(collection: String): Option[(Int, Int)] = {
+    val meta = client.getCollection(collection).metadata.getOrElse(Map.empty)
+    val m = meta.get("hnsw:M").map(_.trim.toInt)
+    val cef = meta.get("hnsw:construction_ef").map(_.trim.toInt)
+    if (m.isEmpty && cef.isEmpty) None
+    else {
+      val deg = m.getOrElse(GraphDefaultM)
+      Some((deg, math.max(cef.getOrElse(GraphDefaultCef), deg + 1)))
+    }
+  }
+
+  private val GraphDefaultM = 8
+  private val GraphDefaultCef = 256
+  private val GraphEntries = 8
+  private val GraphHops = 3
+  private val GraphMinEf = 48
+
+  /** Build the persisted GRAPH tier (the `hnsw:*` contract honored
+    * structurally, not just validated): base rows, the kNN-graph
+    * adjacency at degree `m` built from a candidate pool capped at
+    * `cef` per LSH bucket, and the fixed centroid-nearest entry
+    * points — all under one artifact so a serve never recomputes a
+    * corpus-derived constant. Build cost amortizes exactly like the
+    * IVF tier (content fingerprint + knob cache key).
+    */
+  private def buildGraphIndex(collection: String, scratch: java.nio.file.Path,
+                              m: Int, cef: Int, metric: String): Unit = {
+    val base = resolved(collection).filter(col("embedding").isNotNull)
+    base.select(col("id"), col("embedding"), col("document"), col("metadata_json"))
+      .write.mode("overwrite").parquet(s"$scratch/base")
+    val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    // LSH planes must match the data's dimensionality — one header
+    // probe (first row), model-scale
+    val dim = corpus.select(size(col("vec")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(1)
+    val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
+    graft.operators.GraphAnn
+      .buildKnnGraphDist(corpus, m, dist, dim = dim, maxBucket = cef)
+      .write.mode("overwrite").parquet(s"$scratch/edges")
+    graft.operators.GraphAnn.entryPointsDfDist(corpus, GraphEntries, dist)
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
+  }
+
   /** The serving route: Some((indexDir, baseBatch)) when an index is
     * (or has just been made) current enough to serve from; None →
     * scan path. */
@@ -1012,14 +1070,24 @@ class CollectionData(client: ChromaSpark) {
       val files = logFileNames(d)
       val b = currentBatchIn(d)
       val fp = annContentFingerprint(collection)
-      // the derived cell count is part of the cache key: given
-      // identical content AND identical k the build is deterministic,
-      // so a key hit can only serve the artifact this code would
-      // rebuild (no AlgoVersion-style stale-serve window)
-      val cells = annClustersFor(annLiveVecRows(collection))
-      val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-        s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
-        buildAnnIndex(collection, scratch, cells)
+      // every sizing/build parameter is part of the cache key: given
+      // identical content AND identical knobs the build is
+      // deterministic, so a key hit can only serve the artifact this
+      // code would rebuild (no AlgoVersion-style stale-serve window)
+      val idx = graphKnobs(collection) match {
+        case Some((m, cef)) =>
+          // the collection DECLARED a graph index via hnsw:M /
+          // hnsw:construction_ef → honor it with the graph tier
+          graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
+            s"$fp-m$m-c$cef-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+            buildGraphIndex(collection, scratch, m, cef, metric)
+          }
+        case None =>
+          val cells = annClustersFor(annLiveVecRows(collection))
+          graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
+            s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+            buildAnnIndex(collection, scratch, cells)
+          }
       }
       Files.write(annPtrPath(d),
         s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
@@ -1078,13 +1146,50 @@ class CollectionData(client: ChromaSpark) {
     */
   private def annCandidates(collection: String, queryEmbeddings: DataFrame,
                             metric: String, whereJson: Option[String],
-                            whereDocumentJson: Option[String]): Option[DataFrame] =
+                            whereDocumentJson: Option[String],
+                            nResults: Int = 10): Option[DataFrame] =
     annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
       annDelta(collection, baseBatch) match {
         case None => // tail outgrew the base — rebuild, then serve clean
           Files.deleteIfExists(annPtrPath(dir(collection)))
           annCandidates(collection, queryEmbeddings, metric,
-            whereJson, whereDocumentJson)
+            whereJson, whereDocumentJson, nResults)
+        case Some((touched, deltaLive)) if Files.exists(Paths.get(idx, "edges")) =>
+          // GRAPH tier (hnsw:M / hnsw:construction_ef declared): beam
+          // search over the persisted adjacency yields the ef-wide
+          // candidate set; the shared exact re-rank tail in query()
+          // finishes the job. Post-build ids are masked from the base
+          // (scoreOf's corpus join drops them from the beam) and the
+          // delta joins the candidates exactly, same as the IVF tier.
+          // Search cost is hops × |Q| × ef × M — corpus-independent,
+          // the property the hnsw metadata contract asks for.
+          val baseAll = spark.read.parquet(s"$idx/base")
+          val base =
+            if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
+            else baseAll
+          val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+          val graph = spark.read.parquet(s"$idx/edges")
+          val starts = spark.read.parquet(s"$idx/entries")
+          val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
+          val beam = graft.operators.GraphAnn.beamSearchDist(
+            queryEmbeddings.select(col("query_id"), col("qvec")),
+            corpus, graph, starts,
+            ef = math.max(GraphMinEf, nResults), hops = GraphHops, dist)
+          val baseCand = beam.withColumnRenamed("vec_id", "id")
+            .join(base, "id")
+            .select(col("query_id"), col("id"), col("embedding"),
+              col("document"), col("metadata_json"))
+          var cand = deltaLive match {
+            case Some(dl) => baseCand.unionByName(
+              dl.filter(col("embedding").isNotNull)
+                .crossJoin(broadcast(queryEmbeddings.select(col("query_id"))))
+                .select(col("query_id"), col("id"), col("embedding"),
+                  col("document"), col("metadata_json")))
+            case None => baseCand
+          }
+          whereJson.foreach(wj => cand = cand.filter(metadataPredicate(wj)))
+          whereDocumentJson.foreach(wd => cand = cand.filter(documentPredicate(wd)))
+          Some(cand)
         case Some((touched, deltaLive)) =>
           val centsDf = spark.read.parquet(s"$idx/centroids")
             .select(col("c_id"),

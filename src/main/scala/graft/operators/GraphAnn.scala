@@ -91,6 +91,113 @@ object GraphAnn {
       .distinct()
   }
 
+  /** Metric- and id-type-generic kNN-graph build — the collection
+    * tier's entry point (string ids, the collection's own distance).
+    * Same construction as [[buildKnnGraph]] (LSH-bucketed candidates,
+    * dense-bucket skip, per-src top-M, deterministic ring links), but
+    * neighbors rank by `dist` ASCENDING (lower = closer) and `vec_id`
+    * may be any orderable type — every id touch is an equi-join, a
+    * window partition, or an orderable tie-break. Kept separate from
+    * the certified Long/cosine path so this addition cannot perturb
+    * `vec_ann_graph`'s byte-exact oracle.
+    */
+  def buildKnnGraphDist(corpus: DataFrame, m: Int,
+                        dist: (Column, Column) => Column,
+                        tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
+                        maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
+    val sig = corpus.select(col("vec_id"), col("vec"),
+      posexplode(graft.functions.LshSignatures(col("vec"), allPlanes)).as(Seq("t", "sig")))
+    val sized = sig.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
+      .filter(col("bn") <= maxBucket)
+    val cand = sized.as("a").join(sized.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.vec").as("svec"), col("b.vec").as("dvec"))
+      .dropDuplicates("src", "dst")
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("d").asc, col("dst").asc)
+    val scored = cand
+      .select(col("src"), col("dst"), dist(col("svec"), col("dvec")).as("d"))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= m)
+      .select(col("src"), col("dst"))
+    val (ranked0, n) = TextAnalysis.withShardedRank(
+      corpus.select(col("vec_id")), "rk", 32, Seq(col("vec_id")))
+    val ranked = ranked0.select(col("vec_id"), (col("rk") - 1L).as("rk"))
+    def ringAt(stride: Long): DataFrame =
+      ranked.as("x").join(ranked.as("y"),
+          col("y.rk") === (col("x.rk") + lit(stride)) % lit(n))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    scored
+      .unionByName(ringAt(1L))
+      .unionByName(ringAt(37L % math.max(n, 1L)))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Generic entry points as a FRAME (no typed collect — works for
+    * string ids): the `entries` corpus vectors nearest the
+    * fixed-point corpus centroid by `dist`, ascending. Model-scale by
+    * the limit; callers persist it next to the edges.
+    */
+  def entryPointsDfDist(corpus: DataFrame, entries: Int,
+                        dist: (Column, Column) => Column): DataFrame = {
+    val cent = corpus
+      .select(posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0))).as("s_micro"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getLong(1).toDouble / r.getLong(2).toDouble / 1000000.0)
+      .sortBy(_._1).map(_._2)
+    val centLit = array(cent.map(c => lit(c.toFloat)): _*)
+    corpus
+      .select(col("vec_id"), dist(centLit, col("vec")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(entries)
+      .select(col("vec_id"))
+  }
+
+  /** Generic beam search: distance-ordered (ASC), id-type-agnostic,
+    * entry points supplied as a frame. Returns the final EF-WIDE beam
+    * as (query_id, vec_id) CANDIDATES — the caller owns the exact
+    * re-rank (the collection tier's shared tail), so no score column
+    * leaves here. Same one-action ReuseExchange shape as
+    * [[beamSearch]].
+    */
+  def beamSearchDist(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                     startIds: DataFrame, ef: Int, hops: Int,
+                     dist: (Column, Column) => Column): DataFrame = {
+    val q = broadcast(queries.select(col("query_id"), col("qvec")))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    def scoreOf(ids: DataFrame): DataFrame = ids
+      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
+    var beam = scoreOf(
+      q.select(col("query_id")).crossJoin(broadcast(startIds.select(col("vec_id")))))
+    for (_ <- 1 to hops) {
+      val expanded = beam
+        .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .dropDuplicates("query_id", "vec_id")
+      val candidates = scoreOf(expanded)
+        .unionByName(beam.select(col("query_id"), col("vec_id"), col("d")))
+        .dropDuplicates("query_id", "vec_id")
+      beam = candidates
+        .withColumn("r", row_number().over(wBeam))
+        .filter(col("r") <= ef)
+        .select(col("query_id"), col("vec_id"), col("d"))
+    }
+    beam.select(col("query_id"), col("vec_id"))
+  }
+
   /** Fixed entry points: the `entries` corpus vectors nearest the
     * corpus CENTROID (medoid-style entry — the highest-coverage
     * deterministic start). The centroid is one model-scale aggregate

@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
       "vec_ann_opq", "vec_ann_bq",
       "vec_ann_bq_index",
       "vec_procrustes",
-      "mm_features", "mm_resize", "mm_image_dups", "mm_audio_dups", "mm_video_dups")
+      "mm_image_dups", "mm_audio_dups", "mm_video_dups")
     assert(rowsOnly === expected,
       s"rows-only set drifted; update COVERAGE.md: $rowsOnly")
     // no orphan oracles either

@@ -23,9 +23,20 @@ object Bench {
     // codegen compilation isn't charged to whichever query happens to
     // run first (observed ±2× on the heavy queries otherwise).
     val warmDir = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_DEBUG=1 surfaces swallowed per-query failures — a
+    // query that errors would otherwise bench as ~1 ms and silently
+    // flatter the total.
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    def swallow(tag: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable => if (debug) {
+          System.err.println(s"[bench] $tag failed: $e")
+          e.printStackTrace()
+        }
+      }
     if (new java.io.File(warmDir).isDirectory)
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      selected.foreach { case (name, fn) =>
+        swallow(s"warmup:$name") { fn(spark, warmDir).count(); () }
       }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -34,7 +45,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        swallow(s"run:$name") { fn(spark, sfDir).count(); () }
         (System.nanoTime() - t0) / 1e9
       }
       // Between queries, release leftover state so one query's debris

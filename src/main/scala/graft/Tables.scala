@@ -44,9 +44,25 @@ object Tables {
     * (the session runs UTC, so the NTZ cast is wall-clock identity
     * and every downstream window/oracle contract is unchanged).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((s, s"$dir/events.parquet#adapted"),
-      { _: (SparkSession, String) => eventsUncached(s, dir) })
+  /** NOT computeIfAbsent: the adapted-events memo entry derives from
+    * the raw entry via [[table]], and nesting computeIfAbsent inside
+    * computeIfAbsent on one ConcurrentHashMap throws
+    * `IllegalStateException: Recursive update` whenever the two keys
+    * share a hash bin — which depends on the session's identity hash,
+    * i.e. a per-JVM coin flip (observed as three stream queries
+    * silently erroring in one bench JVM and passing in the next).
+    * get-then-putIfAbsent races at worst into one duplicate
+    * derivation, which is harmless and lock-free.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, s"$dir/events.parquet#adapted")
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      memo.putIfAbsent(key, eventsUncached(s, dir))
+      memo.get(key)
+    }
+  }
 
   private def eventsUncached(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,19 +70,88 @@ object Bench {
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
       else if (v >= 1) f"$v%.2f" else f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullJson = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    }
-    // Restricted runs (SPARK_GRAFT_ONLY) are iteration tools — they
-    // must never clobber the committed full-suite record (which
-    // carries run-pair history and the host-drift note a subset run
-    // would silently erase).
+    // THE BENCH PROTOCOL, codified (VERDICT r7 #6): full-suite runs
+    // APPEND a {ts, total, per-query} record to BENCH_LOCAL.json's
+    // run history — never overwrite — and the "committed" block is
+    // recomputed as the per-query MEDIAN of the last two full runs
+    // plus their drift ratios. Totals on this shared host swing
+    // ~1.3-1.45× between runs of identical code with near-uniform
+    // per-query ratios, so regressions are judged on per-query ratios
+    // against the committed medians, never on single-run totals.
+    // Restricted runs (SPARK_GRAFT_ONLY) are iteration tools and
+    // never touch the record.
     if (only.isEmpty) try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
-      try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val f = new java.io.File("/root/repo/BENCH_LOCAL.json")
+      val root: com.fasterxml.jackson.databind.node.ObjectNode = {
+        val old = if (f.exists()) {
+          try mapper.readTree(f) catch { case _: Throwable => null }
+        } else null
+        if (old != null && old.isObject && old.has("runs"))
+          old.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else {
+          val fresh = mapper.createObjectNode()
+          val runs = fresh.putArray("runs")
+          // migrate a legacy flat record into the history so the first
+          // protocol run already has a pair to compare against
+          if (old != null && old.isObject && old.has("queries")) {
+            val r = runs.addObject()
+            r.put("ts", "legacy")
+            r.put("total", old.path("value").asDouble())
+            r.put("sf", old.path("sf").asText())
+            r.put("reps", old.path("reps").asInt())
+            r.set[com.fasterxml.jackson.databind.JsonNode]("queries", old.get("queries"))
+          }
+          fresh
+        }
+      }
+      val runs = root.withArray("runs")
+      val rec = runs.addObject()
+      rec.put("ts", java.time.Instant.now().toString)
+      rec.put("total", total)
+      rec.put("sf", sfDir)
+      rec.put("reps", reps)
+      val qn = rec.putObject("queries")
+      results.toSeq.sortBy(_._1).foreach { case (k, v) => qn.put(k, v) }
+      while (runs.size() > 10) runs.remove(0) // bounded history
+      // committed = per-query median of the last two FULL runs (for
+      // two samples the median is their midpoint), with drift ratios
+      val last = (math.max(0, runs.size() - 2) until runs.size())
+        .map(i => runs.get(i)).toSeq
+      val perQuery = scala.collection.mutable.SortedMap[String, Seq[Double]]()
+      last.foreach { r =>
+        val it = r.path("queries").fields()
+        while (it.hasNext) {
+          val e = it.next()
+          perQuery(e.getKey) = perQuery.getOrElse(e.getKey, Nil) :+ e.getValue.asDouble()
+        }
+      }
+      val committed = root.putObject("committed")
+      committed.put("n_runs", last.size)
+      val cq = committed.putObject("queries")
+      var cTotal = 0.0
+      perQuery.foreach { case (k, vs) => val m = median(vs); cq.put(k, m); cTotal += m }
+      committed.put("total", cTotal)
+      if (last.size == 2) {
+        val ratios = perQuery.values.collect {
+          case Seq(a, b) if math.min(a, b) > 0 => math.max(a, b) / math.min(a, b)
+        }.toSeq.sorted
+        if (ratios.nonEmpty) {
+          committed.put("pair_total_ratio",
+            math.max(last(0).path("total").asDouble(), last(1).path("total").asDouble()) /
+              math.max(1e-9,
+                math.min(last(0).path("total").asDouble(), last(1).path("total").asDouble())))
+          committed.put("pair_query_ratio_median", ratios(ratios.size / 2))
+          committed.put("pair_query_ratio_max", ratios.last)
+        }
+      }
+      root.put("protocol",
+        "append-only run history (last 10 kept); 'committed' = per-query median " +
+          "of the last 2 full runs; judge regressions on per-query ratios vs " +
+          "'committed', never on single-run totals (shared-host totals drift " +
+          "~1.3-1.45x between identical-code runs)")
+      mapper.writerWithDefaultPrettyPrinter().writeValue(f, root)
+    } catch { case e: Throwable => if (debug) e.printStackTrace() }
     val budget = 1800
     val overhead =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length

@@ -5090,6 +5090,237 @@ object SparkEntry {
         |) AS t(case_id, kind, n_samples, mean_intensity, entropy)
         |ORDER BY case_id""".stripMargin,
 
+    // mm_image_dups, fully certified since r8: the dHash is box-mean
+    // (exact integer sums / counts) + gradient-sign bits — no trig,
+    // no rounding hazard — over payloads that are pure functions of
+    // the documents table, and the banded-pigeonhole Hamming join has
+    // recall EXACTLY 1 within the radius, so a brute-force per-bit
+    // twin (no band replay needed) computes the identical pair set,
+    // the planted-pair truth and recall_planted.
+    "mm_image_dups" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    GREATEST(4, n_chars % 32) AS w,
+        |    GREATEST(1, (octet_length(encode(text)) + GREATEST(4, n_chars % 32) - 1)
+        |      // GREATEST(4, n_chars % 32)) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT media_id, hx, blen, w, h, false AS planted FROM img
+        |  UNION ALL
+        |  SELECT media_id + 1000000, hx, blen, w, h, true FROM img
+        |  WHERE media_id < 15),
+        |px AS (
+        |  SELECT media_id, w, h, i // w AS y, i % w AS x,
+        |    CASE
+        |      WHEN planted AND i = 0 THEN LEAST(255,
+        |        (CASE WHEN i < blen
+        |          THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)
+        |          ELSE 0 END) + 8)
+        |      WHEN i < blen
+        |        THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)
+        |      ELSE 0 END AS v
+        |  FROM (SELECT media_id, hx, blen, w, h, planted,
+        |          unnest(range(w * h)) AS i FROM corpus)),
+        |cellbounds AS (
+        |  SELECT c.media_id, r.r AS r, cc.c AS c,
+        |    (r.r * c.h) // 8 AS y0,
+        |    GREATEST((r.r * c.h) // 8 + 1, ((r.r + 1) * c.h) // 8) AS y1,
+        |    (cc.c * c.w) // 9 AS x0,
+        |    GREATEST((cc.c * c.w) // 9 + 1, ((cc.c + 1) * c.w) // 9) AS x1,
+        |    c.w AS w, c.h AS h
+        |  FROM corpus c CROSS JOIN range(8) r(r) CROSS JOIN range(9) cc(c)),
+        |grid AS (
+        |  SELECT b.media_id, b.r, b.c,
+        |    CASE WHEN count(p.v) = 0 THEN 0.0
+        |         ELSE CAST(sum(p.v) AS DOUBLE) / count(p.v) END AS m
+        |  FROM cellbounds b
+        |  LEFT JOIN px p ON p.media_id = b.media_id
+        |    AND p.y >= b.y0 AND p.y < LEAST(b.y1, b.h)
+        |    AND p.x >= b.x0 AND p.x < LEAST(b.x1, b.w)
+        |  GROUP BY b.media_id, b.r, b.c),
+        |bits AS (
+        |  SELECT g1.media_id, g1.r * 8 + g1.c AS bp,
+        |    CASE WHEN g2.m > g1.m THEN 1 ELSE 0 END AS v
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.media_id = g1.media_id AND g2.r = g1.r AND g2.c = g1.c + 1
+        |  WHERE g1.c < 8),
+        |ham AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.bp = b.bp AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id),
+        |pairs AS (SELECT * FROM ham WHERE hamming <= 6),
+        |truth AS (
+        |  SELECT media_id - 1000000 AS media_a, media_id AS media_b
+        |  FROM corpus WHERE planted),
+        |stats AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs p
+        |            JOIN truth t ON p.media_a = t.media_a AND p.media_b = t.media_b)
+        |    / GREATEST((SELECT CAST(count(*) AS DOUBLE) FROM truth), 1.0)
+        |    AS recall_planted)
+        |SELECT media_a, media_b, hamming, recall_planted
+        |FROM pairs CROSS JOIN stats
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // mm_video_dups, fully certified since r8: per-frame dHash (same
+    // exact box-mean arithmetic as mm_image_dups) collapsed by
+    // per-bit majority across the Y4M frames, planted per-pixel
+    // noise replayed with the same clamp law, brute-force per-bit
+    // Hamming twin (banded join has recall exactly 1).
+    "mm_video_dups" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    GREATEST(4, n_chars % 32) AS w
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |corpus AS (
+        |  SELECT media_id, hx, blen, w,
+        |    GREATEST(1, (blen + w * 4 - 1) // (w * 4)) AS nf, false AS planted
+        |  FROM vid
+        |  UNION ALL
+        |  SELECT media_id + 1000000, hx, blen, w,
+        |    GREATEST(1, (blen + w * 4 - 1) // (w * 4)), true
+        |  FROM vid WHERE media_id < 15),
+        |px AS (
+        |  SELECT media_id, i // (w * 4) AS f,
+        |    (i % (w * 4)) // w AS y, (i % (w * 4)) % w AS x, w,
+        |    CASE WHEN planted
+        |      THEN GREATEST(0, LEAST(255,
+        |        (CASE WHEN i < blen
+        |          THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)
+        |          ELSE 0 END) + ((i % (w * 4)) * 7) % 3 - 1))
+        |      ELSE (CASE WHEN i < blen
+        |          THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)
+        |          ELSE 0 END) END AS v
+        |  FROM (SELECT media_id, hx, blen, w, planted,
+        |          unnest(range(nf * w * 4)) AS i FROM corpus)),
+        |cellbounds AS (
+        |  SELECT cf.media_id, cf.f, r.r AS r, cc.c AS c,
+        |    (r.r * 4) // 8 AS y0,
+        |    GREATEST((r.r * 4) // 8 + 1, ((r.r + 1) * 4) // 8) AS y1,
+        |    (cc.c * cf.w) // 9 AS x0,
+        |    GREATEST((cc.c * cf.w) // 9 + 1, ((cc.c + 1) * cf.w) // 9) AS x1,
+        |    cf.w AS w
+        |  FROM (SELECT media_id, w, unnest(range(nf)) AS f FROM corpus) cf
+        |  CROSS JOIN range(8) r(r) CROSS JOIN range(9) cc(c)),
+        |grid AS (
+        |  SELECT b.media_id, b.f, b.r, b.c,
+        |    CASE WHEN count(p.v) = 0 THEN 0.0
+        |         ELSE CAST(sum(p.v) AS DOUBLE) / count(p.v) END AS m
+        |  FROM cellbounds b
+        |  LEFT JOIN px p ON p.media_id = b.media_id AND p.f = b.f
+        |    AND p.y >= b.y0 AND p.y < LEAST(b.y1, 4)
+        |    AND p.x >= b.x0 AND p.x < LEAST(b.x1, b.w)
+        |  GROUP BY b.media_id, b.f, b.r, b.c),
+        |fbits AS (
+        |  SELECT g1.media_id, g1.f, g1.r * 8 + g1.c AS bp,
+        |    CASE WHEN g2.m > g1.m THEN 1 ELSE 0 END AS v
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.media_id = g1.media_id AND g2.f = g1.f
+        |    AND g2.r = g1.r AND g2.c = g1.c + 1
+        |  WHERE g1.c < 8),
+        |vbits AS (
+        |  SELECT fb.media_id, fb.bp,
+        |    CASE WHEN 2 * sum(fb.v) > max(c.nf) THEN 1 ELSE 0 END AS v
+        |  FROM fbits fb JOIN corpus c USING (media_id)
+        |  GROUP BY fb.media_id, fb.bp),
+        |ham AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM vbits a JOIN vbits b
+        |    ON a.bp = b.bp AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id),
+        |pairs AS (SELECT * FROM ham WHERE hamming <= 8),
+        |truth AS (
+        |  SELECT media_id - 1000000 AS media_a, media_id AS media_b
+        |  FROM corpus WHERE planted),
+        |stats AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs p
+        |            JOIN truth t ON p.media_a = t.media_a AND p.media_b = t.media_b)
+        |    / GREATEST((SELECT CAST(count(*) AS DOUBLE) FROM truth), 1.0)
+        |    AS recall_planted)
+        |SELECT media_a, media_b, hamming, recall_planted
+        |FROM pairs CROSS JOIN stats
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // mm_audio_dups: the spectral-delta fingerprint replayed — PCM
+    // samples from the text bytes ((b−128)·256), planted gain+noise
+    // with Scala's TRUNCATING integer division mirrored via
+    // trunc(x·9/10), per-slice DFT-band energies with the exact
+    // double op order (ordered-list sums so accumulation order
+    // matches the kernel's sequential fold), gradient bits,
+    // brute-force Hamming twin. The only cross-engine leap is
+    // cos/sin parity between the JVM and DuckDB's libm — energies
+    // compare with wide margins, so a 1-ulp trig divergence cannot
+    // flip a gradient bit on this corpus (verified by the
+    // hash-match itself).
+    "mm_audio_dups" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |corpus AS (
+        |  SELECT media_id, hx, blen, false AS planted FROM aud
+        |  UNION ALL
+        |  SELECT media_id + 1000000, hx, blen, true FROM aud WHERE media_id < 15),
+        |sm AS (
+        |  SELECT media_id, blen, i,
+        |    CASE WHEN planted THEN
+        |      GREATEST(-32768, LEAST(32767,
+        |        CAST(trunc(CAST(((CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2))
+        |            AS INTEGER) - 128) * 256) * 9 AS DOUBLE) / 10) AS BIGINT)
+        |        + ((i * 31) % 13 - 6) * 8))
+        |    ELSE (CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)
+        |          - 128) * 256 END AS x
+        |  FROM (SELECT media_id, hx, blen, planted,
+        |          unnest(range(blen)) AS i FROM corpus)),
+        |slices AS (
+        |  SELECT media_id, blen, ff.f AS f,
+        |    (ff.f * blen) // 9 AS s0,
+        |    GREATEST((ff.f * blen) // 9 + 1, ((ff.f + 1) * blen) // 9) AS s1
+        |  FROM corpus CROSS JOIN range(9) ff(f)),
+        |terms AS (
+        |  SELECT sl.media_id, sl.f, bb.b AS b, s.i,
+        |    CAST(s.x AS DOUBLE) * cos(((-2.0 * pi() * (bb.b + 1)) * (s.i - sl.s0))
+        |      / (sl.s1 - sl.s0)) AS re_t,
+        |    CAST(s.x AS DOUBLE) * sin(((-2.0 * pi() * (bb.b + 1)) * (s.i - sl.s0))
+        |      / (sl.s1 - sl.s0)) AS im_t
+        |  FROM slices sl
+        |  JOIN sm s ON s.media_id = sl.media_id
+        |    AND s.i >= sl.s0 AND s.i < sl.s1 AND s.i < sl.blen
+        |  CROSS JOIN range(8) bb(b)),
+        |energy AS (
+        |  SELECT media_id, f, b,
+        |    power(list_aggregate(list(re_t ORDER BY i), 'sum'), 2)
+        |      + power(list_aggregate(list(im_t ORDER BY i), 'sum'), 2) AS e
+        |  FROM terms GROUP BY media_id, f, b),
+        |bits AS (
+        |  SELECT e1.media_id, e1.b * 8 + e1.f AS bp,
+        |    CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS v
+        |  FROM energy e1 JOIN energy e2
+        |    ON e2.media_id = e1.media_id AND e2.b = e1.b AND e2.f = e1.f + 1
+        |  WHERE e1.f < 8),
+        |ham AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.bp = b.bp AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id),
+        |pairs AS (SELECT * FROM ham WHERE hamming <= 8),
+        |truth AS (
+        |  SELECT media_id - 1000000 AS media_a, media_id AS media_b
+        |  FROM corpus WHERE planted),
+        |stats AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs p
+        |            JOIN truth t ON p.media_a = t.media_a AND p.media_b = t.media_b)
+        |    / GREATEST((SELECT CAST(count(*) AS DOUBLE) FROM truth), 1.0)
+        |    AS recall_planted)
+        |SELECT media_a, media_b, hamming, recall_planted
+        |FROM pairs CROSS JOIN stats
+        |ORDER BY media_a, media_b""".stripMargin,
+
     // mm_features / mm_resize, fully certified since r8 — and not by
     // pinned rows: the synthesized media payloads are pure functions
     // of the documents table (text bytes → BMP grid / WAV samples /

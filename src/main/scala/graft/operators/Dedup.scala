@@ -335,21 +335,30 @@ object Dedup {
   def hammingBandPairs(signed: DataFrame, idCol: String, maxHamming: Int,
                        release: Boolean = true): DataFrame = {
     val bands = math.min(maxHamming + 1, 64)
-    val width = (64 + bands - 1) / bands
-    // width can be 64 (maxHamming=0): 1L<<64 wraps to 1 in Scala/JVM
-    // shift semantics, which would zero the mask and collapse every
-    // doc into one bucket — an accidental all-pairs join
-    val mask = if (width >= 64) -1L else (1L << width) - 1
     val keyed = signed.select(col(idCol).as("_id"), col("sig"))
     withSigCache(release)(keyed) {
-      // shiftright is an arithmetic shift, so high bands of a negative
-      // signature carry sign-extension copies of bit 63 — masked to
-      // `width` bits they are deterministic and identical on both join
-      // sides, and a flip of bit b only ever changes band b/width, so
-      // the pigeonhole guarantee is unaffected.
+      // EVEN CONTIGUOUS PARTITION of the 64 bit positions: band b
+      // covers [b·64/bands, (b+1)·64/bands) — every bit belongs to
+      // exactly one band, so a flip touches one band and pigeonhole
+      // recall is exactly 1 for any radius ≤ 63. The previous
+      // fixed-width slicing (width = ⌈64/bands⌉, band b read at shift
+      // b·width) was WRONG past radius 7: at radius 8 it made 9 bands
+      // of width 8 (72 > 64), the JVM's shift-mod-64 silently aliased
+      // band 8 onto band 0, only 8 DISTINCT bands existed, and 8
+      // flips could touch them all — pairs at exactly the radius were
+      // dropped. Caught by the r8 mm_video_dups brute-force oracle
+      // (DuckDB found hamming-8 pairs the banded join missed).
+      // shiftright is an arithmetic shift; within-range shifts plus
+      // per-band masks make sign-extension irrelevant (the top band's
+      // mask covers only real bit positions).
+      val bandCols = (0 until bands).map { b =>
+        val lo = b * 64 / bands
+        val width = (b + 1) * 64 / bands - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        shiftright(col("sig"), lo).bitwiseAND(lit(mask))
+      }
       val banded = keyed.select(col("_id"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bhash")))
+        posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
       banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&

@@ -323,8 +323,11 @@ object Multimodal {
     * ([[Dedup.hammingBandPairs]]). Carries a constant
     * `recall_planted` column (fraction of planted original/perturbed
     * pairs surfaced within the radius) so the rows-only artifact
-    * certifies retrieval quality. Rows-only: binary decode isn't
-    * DuckDB-expressible.
+    * certifies retrieval quality. Fully DuckDB-oracled since r8: the
+    * payloads are pure functions of the documents table, dHash is
+    * exact integer box-mean arithmetic, and the banded join's
+    * recall-1 pigeonhole lets a brute-force per-bit Hamming twin
+    * replay the identical pair set.
     */
   def imageDupsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -424,8 +427,10 @@ object Multimodal {
   /** Driver query: spectral-hash near-dup audio pairs over
     * [[plantedAudio]] — decode → aHash map stage, then the SAME
     * banded-pigeonhole Hamming join as image dHash and text SimHash.
-    * Carries the `recall_planted` certification column. Rows-only:
-    * binary decode isn't DuckDB-expressible.
+    * Carries the `recall_planted` certification column. Fully
+    * DuckDB-oracled since r8 (samples, truncating-division gain law,
+    * ordered DFT-term sums and gradient bits all replayed; the trig
+    * parity the replay leans on is verified by the hash-match).
     */
   def audioDupsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -499,8 +504,11 @@ object Multimodal {
 
   /** Driver query: majority-vote video near-dup pairs over
     * [[plantedVideos]] with the `recall_planted` certification column
-    * — the third modality over the one shared Hamming join. Rows-only
-    * (binary decode isn't DuckDB-expressible).
+    * — the third modality over the one shared Hamming join. Fully
+    * DuckDB-oracled since r8 — and the brute-force twin caught a real
+    * bug on arrival: the old fixed-width band slicing lost pigeonhole
+    * coverage past radius 7 and dropped boundary pairs
+    * ([[Dedup.hammingBandPairs]] now partitions bits contiguously).
     */
   def videoDupsQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

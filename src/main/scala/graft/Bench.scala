@@ -114,10 +114,14 @@ object Bench {
       val qn = rec.putObject("queries")
       results.toSeq.sortBy(_._1).foreach { case (k, v) => qn.put(k, v) }
       while (runs.size() > 10) runs.remove(0) // bounded history
-      // committed = per-query median of the last two FULL runs (for
-      // two samples the median is their midpoint), with drift ratios
-      val last = (math.max(0, runs.size() - 2) until runs.size())
-        .map(i => runs.get(i)).toSeq
+      // committed = per-query median of the last two FULL runs AT THE
+      // CURRENT SF (for two samples the median is their midpoint),
+      // with drift ratios. The sf filter matters: a one-off sf0.001
+      // full run in the history must not blend ~100×-apart values
+      // into the regression baseline.
+      val last = (0 until runs.size()).map(i => runs.get(i))
+        .filter(r => r.path("sf").asText() == sfDir)
+        .takeRight(2).toSeq
       val perQuery = scala.collection.mutable.SortedMap[String, Seq[Double]]()
       last.foreach { r =>
         val it = r.path("queries").fields()
@@ -127,6 +131,7 @@ object Bench {
         }
       }
       val committed = root.putObject("committed")
+      committed.put("sf", sfDir)
       committed.put("n_runs", last.size)
       val cq = committed.putObject("queries")
       var cTotal = 0.0

@@ -813,7 +813,7 @@ class CollectionData(client: ChromaSpark) {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
     annCandidates(collection, queryEmbeddings, metric,
-      whereJson, whereDocumentJson, nResults) match {
+      whereJson, whereDocumentJson, nResults, searchEf) match {
       case Some(cands) =>
         // Persisted-index serve path: candidates already pruned to the
         // probed cells (+ post-build delta); exact re-rank only.
@@ -1011,6 +1011,14 @@ class CollectionData(client: ChromaSpark) {
   private val GraphHops = 3
   private val GraphMinEf = 48
 
+  /** Beam width for a graph-tier serve: `hnsw:search_ef` is the
+    * user's calibrated candidate breadth and WINS when declared
+    * (n_results ≤ search_ef already enforced by [[query]]); absent,
+    * a recall-calibrated floor that never narrows below n_results.
+    */
+  private[catalog] def graphBeamEf(searchEf: Option[Int], nResults: Int): Int =
+    searchEf.getOrElse(math.max(GraphMinEf, nResults))
+
   /** Build the persisted GRAPH tier (the `hnsw:*` contract honored
     * structurally, not just validated): base rows, the kNN-graph
     * adjacency at degree `m` built from a candidate pool capped at
@@ -1099,6 +1107,20 @@ class CollectionData(client: ChromaSpark) {
     if (lines.length < 3) return build()
     val (idx, b) = (lines(0), lines(1).toLong)
     if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return build()
+    // tier/knob consistency: collection metadata is MUTABLE
+    // (modifyCollection), so a pointer laid down under one tier (or
+    // one set of graph knobs) must not keep serving after the
+    // metadata declares another — the artifact basename encodes both
+    // (collgraph-…-m$M-c$CEF-… / collivf-…), so the check is two
+    // string ops, no snapshot hash
+    val artifact = Paths.get(idx).getFileName.toString
+    graphKnobs(collection) match {
+      case Some((m, cef)) =>
+        if (!(artifact.startsWith("collgraph-") && artifact.contains(s"-m$m-c$cef-")))
+          return build()
+      case None =>
+        if (artifact.startsWith("collgraph-")) return build()
+    }
     // batch numbering reset (compact/vacuum folded the log)
     if (currentBatchIn(d) < b) return build()
     // append-only witness: a recorded build-time file going missing
@@ -1147,13 +1169,14 @@ class CollectionData(client: ChromaSpark) {
   private def annCandidates(collection: String, queryEmbeddings: DataFrame,
                             metric: String, whereJson: Option[String],
                             whereDocumentJson: Option[String],
-                            nResults: Int = 10): Option[DataFrame] =
+                            nResults: Int = 10,
+                            searchEf: Option[Int] = None): Option[DataFrame] =
     annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
       annDelta(collection, baseBatch) match {
         case None => // tail outgrew the base — rebuild, then serve clean
           Files.deleteIfExists(annPtrPath(dir(collection)))
           annCandidates(collection, queryEmbeddings, metric,
-            whereJson, whereDocumentJson, nResults)
+            whereJson, whereDocumentJson, nResults, searchEf)
         case Some((touched, deltaLive)) if Files.exists(Paths.get(idx, "edges")) =>
           // GRAPH tier (hnsw:M / hnsw:construction_ef declared): beam
           // search over the persisted adjacency yields the ef-wide
@@ -1163,41 +1186,69 @@ class CollectionData(client: ChromaSpark) {
           // delta joins the candidates exactly, same as the IVF tier.
           // Search cost is hops × |Q| × ef × M — corpus-independent,
           // the property the hnsw metadata contract asks for.
-          val baseAll = spark.read.parquet(s"$idx/base")
-          val base =
-            if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
-            else baseAll
-          val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
-          val graph = spark.read.parquet(s"$idx/edges")
-          val starts = spark.read.parquet(s"$idx/entries")
-          val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
-          val beam = graft.operators.GraphAnn.beamSearchDist(
-            queryEmbeddings.select(col("query_id"), col("qvec")),
-            corpus, graph, starts,
-            ef = math.max(GraphMinEf, nResults), hops = GraphHops, dist)
-          val baseCand = beam.withColumnRenamed("vec_id", "id")
-            .join(base, "id")
-            .select(col("query_id"), col("id"), col("embedding"),
-              col("document"), col("metadata_json"))
-          var cand = deltaLive match {
-            case Some(dl) => baseCand.unionByName(
-              dl.filter(col("embedding").isNotNull)
-                .crossJoin(broadcast(queryEmbeddings.select(col("query_id"))))
-                .select(col("query_id"), col("id"), col("embedding"),
-                  col("document"), col("metadata_json")))
-            case None => baseCand
+          //
+          // FILTERED queries do NOT serve from the graph tier: the
+          // beam's candidate pool is only ef rows per query, so a
+          // post-beam filter can empty it while matching rows exist
+          // (the classic filtered-HNSW problem), and PRE-filtering the
+          // corpus would sever the graph's navigability. They keep the
+          // exact filter-first scan — correct results at scan cost.
+          // (The IVF tier keeps serving filtered queries: its probed
+          // pool is ~nprobe·N/k rows, wide enough to post-filter.)
+          if (whereJson.isDefined || whereDocumentJson.isDefined) None
+          else {
+            val baseAll = spark.read.parquet(s"$idx/base")
+            val base =
+              if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
+              else baseAll
+            val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+            val graph = spark.read.parquet(s"$idx/edges")
+            // entry-blackout guard: post-build upserts of entry ids
+            // drop them from the masked corpus; if EVERY start is
+            // gone the beam would start empty and the whole base
+            // would be unreachable until a rebuild. Fall back to the
+            // lowest untouched base ids — deterministic, model-scale.
+            val startIds = spark.read.parquet(s"$idx/entries")
+              .collect().map(_.getString(0)).toSeq // ≤ GraphEntries ids
+            val liveStarts = startIds.filterNot(touched.contains)
+            val starts =
+              if (liveStarts.nonEmpty) {
+                val sp = spark
+                import sp.implicits._
+                liveStarts.toDF("vec_id")
+              } else base.select(col("id").as("vec_id"))
+                .orderBy(col("vec_id").asc).limit(GraphEntries)
+            val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
+            val beam = graft.operators.GraphAnn.beamSearchDist(
+              queryEmbeddings.select(col("query_id"), col("qvec")),
+              corpus, graph, starts,
+              ef = graphBeamEf(searchEf, nResults),
+              hops = GraphHops, dist)
+            val baseCand = beam.withColumnRenamed("vec_id", "id")
+              .join(base, "id")
+              .select(col("query_id"), col("id"), col("embedding"),
+                col("document"), col("metadata_json"))
+            val cand = deltaLive match {
+              case Some(dl) => baseCand.unionByName(
+                dl.filter(col("embedding").isNotNull)
+                  .crossJoin(broadcast(queryEmbeddings.select(col("query_id"))))
+                  .select(col("query_id"), col("id"), col("embedding"),
+                    col("document"), col("metadata_json")))
+              case None => baseCand
+            }
+            Some(cand)
           }
-          whereJson.foreach(wj => cand = cand.filter(metadataPredicate(wj)))
-          whereDocumentJson.foreach(wd => cand = cand.filter(documentPredicate(wd)))
-          Some(cand)
         case Some((touched, deltaLive)) =>
           val centsDf = spark.read.parquet(s"$idx/centroids")
             .select(col("c_id"),
               col("centroid").cast("array<float>").as("centroid"))
           // probe width derives from the INDEX's cell count (which may
-          // lag the live corpus between rebuilds) — a one-file footer
-          // count, model-scale by the 65536 clamp
-          val nprobe = annNprobeFor(centsDf.count().toInt)
+          // lag the live corpus between rebuilds) — counted ONCE per
+          // artifact and memoized (the artifact is immutable), so the
+          // hot serve path never pays a per-query count job
+          val nprobe = annNprobeFor(CollectionData.centroidCountMemo
+            .computeIfAbsent(idx, { _: String => Integer.valueOf(centsDf.count().toInt) })
+            .intValue())
           val cents = broadcast(centsDf)
           val probeW = Window.partitionBy(col("query_id"))
             .orderBy(col("c_dist").asc, col("c_id").asc)
@@ -1506,6 +1557,14 @@ object CollectionData {
     * 16 components in SQL.
     */
   val AutoEmbedDim = 16
+
+  /** Per-artifact centroid counts: an index directory is immutable
+    * once `_INDEX_OK` lands, so its cell count is counted once per
+    * JVM and every later serve resolves it here instead of running a
+    * per-query count job.
+    */
+  private[catalog] val centroidCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The `hnsw:*` metadata keys Chroma's server accepts — anything
     * else under the `hnsw:` prefix is a typo or an unsupported

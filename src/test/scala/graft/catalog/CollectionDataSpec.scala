@@ -680,6 +680,78 @@ class CollectionDataSpec extends SparkSpec {
     assert(after.head.getString(after.head.fieldIndex("id")) === "zzz_exact")
   }
 
+  test("graph tier: filtered queries keep the exact filter-first scan; search_ef sets beam width; tier follows metadata changes; entry blackout survives") {
+    import org.apache.spark.sql.functions.{col => c, format_string, lit}
+    val wh = Files.createTempDirectory("graft-graphfix").toString
+    val cl = new ChromaSpark(spark, wh)
+    val d = new CollectionData(cl)
+
+    // beam-width law: search_ef wins when declared, floor otherwise
+    assert(d.graphBeamEf(None, 10) === 48)
+    assert(d.graphBeamEf(None, 100) === 100)
+    assert(d.graphBeamEf(Some(200), 10) === 200)
+    assert(d.graphBeamEf(Some(12), 10) === 12)
+
+    cl.createCollection("gf", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.filter(c("vec_id") >= 10)
+      .select(format_string("v%07d", c("vec_id")), c("embedding")).collect()
+    d.add("gf", items(rows.map(r => (r.getString(0), r.getSeq[Float](1),
+      s"doc ${r.getString(0)}", s"""{"tag":"${r.getString(0)}"}""")): _*))
+    val q1 = emb.filter(c("vec_id") === 0L)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
+
+    // 1) FILTERED query: pick a target id and filter to exactly it —
+    // the graph beam would almost surely not contain an arbitrary id,
+    // but the filter-first contract must return it anyway
+    val target = rows(rows.length / 2).getString(0)
+    val filtered = d.query("gf", q1, nResults = 1,
+      whereJson = Some(s"""{"tag":"$target"}"""), include = Nil).collect()
+    assert(filtered.length === 1)
+    assert(filtered.head.getString(filtered.head.fieldIndex("id")) === target)
+
+    // unfiltered queries DO serve from the graph artifact
+    val served = d.query("gf", q1, nResults = 3, include = Nil)
+    served.collect()
+    def idxDirOf(df: org.apache.spark.sql.DataFrame, marker: String): Option[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.find(_.contains(marker))
+    val gDir = idxDirOf(served, "collgraph")
+    assert(gDir.isDefined, "unfiltered graph-collection query must serve from collgraph")
+
+    // 2) entry blackout: upsert EVERY persisted entry id — the beam
+    // must fall back to untouched base starts and still return base
+    // rows, not just the delta
+    val idxRoot = gDir.get.replaceAll("/(base|edges|entries)$", "")
+    val entryIds = spark.read.parquet(s"$idxRoot/entries")
+      .collect().map(_.getString(0)).toSeq
+    assert(entryIds.nonEmpty)
+    d.upsert("gf", items(entryIds.map(id =>
+      (id, Seq.fill(64)(9f), "moved", "{}")): _*)) // far from every query
+    val after = d.query("gf", q1, nResults = 10, include = Nil).collect()
+    assert(after.length === 10)
+    val afterIds = after.map(r => r.getString(r.fieldIndex("id"))).toSet
+    assert((afterIds -- entryIds.toSet).nonEmpty,
+      "post-blackout query returned no base rows — beam started empty")
+
+    // 3) metadata-driven tier switch: a collection indexed as IVF
+    // must re-route through the graph tier when hnsw:M appears later
+    cl.createCollection("sw", Some(Map("hnsw:space" -> "cosine")))
+    d.add("sw", items(rows.map(r => (r.getString(0), r.getSeq[Float](1),
+      s"doc ${r.getString(0)}", "{}")): _*))
+    val ivfServed = d.query("sw", q1, nResults = 3, include = Nil)
+    ivfServed.collect()
+    assert(idxDirOf(ivfServed, "collivf").isDefined, "expected IVF tier first")
+    cl.modifyCollection("sw", newMetadata = Some(Map(
+      "hnsw:space" -> "cosine", "hnsw:M" -> "8")))
+    val graphServed = d.query("sw", q1, nResults = 3, include = Nil)
+    graphServed.collect()
+    assert(idxDirOf(graphServed, "collgraph").isDefined,
+      "stale IVF pointer kept serving after hnsw:M was declared")
+  }
+
   test("collection_hnsw_graph driver query: recall_at_10 mean holds the 0.9 floor") {
     val out = graft.SparkEntry.collectionHnswGraph(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 100)

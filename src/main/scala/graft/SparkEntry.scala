@@ -566,11 +566,40 @@ object SparkEntry {
     d.queryHybrid("hyb", texts, nResults = 5)
   }
 
+  /** Hybrid search over a TIERED collection (r8): same workflow as
+    * `collection_hybrid`, but the corpus (497 docs) crosses the
+    * routing threshold, so BOTH rankers serve from persisted tiers —
+    * BM25 from the term-clustered lexical index (postings/doclens/
+    * stats, exact base+delta maintenance) and the vector side from
+    * the IVF tier. The oracle replays the INLINE math end to end;
+    * indexed serving matches it bitwise because the lexical tier
+    * feeds the same scoring tail (TextAnalysis.bm25From) and the IVF
+    * tier probes every cell at this size (min(k, 24) = k = 23 —
+    * exact). A spec additionally pins indexed ≡ inline row-for-row
+    * on the live engine, including post-delta.
+    */
+  def collectionHybridIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hybidx-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("hyxi") // defaults: hash16 embedder, l2 metric
+    val docs = Tables.documents(s, dir)
+    d.add("hyxi", docs.filter(col("doc_id") >= 3)
+      .select(F.format_string("d%07d", col("doc_id")).as("id"),
+        col("text").as("document")))
+    val texts = docs.filter(col("doc_id") < 3).orderBy(col("doc_id"))
+      .select(F.array_join(F.slice(F.split(F.trim(col("text")), "\\s+"), 1, 8), " "))
+      .collect().map(_.getString(0)).toSeq // 3 query strings, bounded
+    d.queryHybrid("hyxi", texts, nResults = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "collection_ann_index" -> (collectionAnnIndex _),
     "collection_hnsw_graph" -> (collectionHnswGraph _),
     "collection_hybrid"  -> (collectionHybrid _),
+    "collection_hybrid_index" -> (collectionHybridIndex _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q2_topk_orders"     -> (Relational.q2TopkOrders _),
     "q3_join_revenue"    -> (Relational.q3JoinRevenue _),
@@ -3540,9 +3569,6 @@ object SparkEntry {
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
 
-    // vec_ann_lsh / vec_ann_ivf are intentionally omitted: approximate
-    // results aren't SQL-expressible; ScalaTest asserts their recall
-    // against vec_knn instead (driver records a rows-only check).
     "vec_knn" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -3690,9 +3716,10 @@ object SparkEntry {
     // exact cosine re-rank AND the brute-force truth the recall
     // column compares against. recall_at_10 flips from self-certified
     // to hash-matched. (The LSH/kmeans/PQ families are ALSO fully
-    // oracled since r7 via md5-derived reproducible models; only the
-    // Jacobi-eigensolve family — OPQ / BQ / Procrustes — and the mm_*
-    // near-dup queries remain rows-only.)
+    // oracled since r7 via md5-derived reproducible models, and the
+    // mm_* family since r8; only the Jacobi-eigensolve family —
+    // vec_ann_opq / vec_ann_bq / vec_ann_bq_index / vec_procrustes —
+    // remains rows-only, by the decision recorded in ARCHITECTURE.md.)
     "vec_ann_sq" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -4938,6 +4965,104 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id, text
         |  FROM documents WHERE doc_id >= 3 AND doc_id < 200),
+        |qtext AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS query_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ') AS t
+        |  FROM documents WHERE doc_id < 3),
+        |tok AS (SELECT id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM corpus),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+        |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |qterms AS (SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(trim(t), '\s+'))) AS token
+        |  FROM qtext),
+        |bscored AS (
+        |  SELECT qterms.query_id, tf.id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN qterms USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.id = dl.id CROSS JOIN n CROSS JOIN avgs),
+        |bagg AS (SELECT query_id, id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |         FROM bscored GROUP BY query_id, id),
+        |brank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, id) AS rk
+        |  FROM bagg),
+        |text_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS text_rank
+        |              FROM brank WHERE rk <= 10),
+        |alltxt AS (
+        |  SELECT id, text AS t FROM corpus
+        |  UNION ALL SELECT 'q' || CAST(query_id AS VARCHAR) AS id, t FROM qtext),
+        |etok AS (SELECT id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS token
+        |         FROM alltxt),
+        |feat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS idx,
+        |    CASE WHEN substr(md5(token), 9, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM etok),
+        |sums AS (SELECT id, idx, sum(s) AS v FROM feat GROUP BY id, idx),
+        |maps AS (
+        |  SELECT id, map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM sums GROUP BY id),
+        |dense AS (
+        |  SELECT id, list_transform(range(0, 16),
+        |           i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM maps),
+        |fvec AS (
+        |  SELECT id, list_transform(raw, x -> CAST(
+        |           x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |         AS REAL)) AS vec
+        |  FROM dense),
+        |qv AS (SELECT CAST(substr(id, 2) AS BIGINT) AS query_id, vec AS qvec
+        |       FROM fvec WHERE id LIKE 'q%'),
+        |cv AS (SELECT id, vec FROM fvec WHERE id LIKE 'd%'),
+        |vdist AS (
+        |  SELECT qv.query_id, cv.id,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), 'sum')
+        |    - 2.0 * list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |    + list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(cv.vec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |      AS dist
+        |  FROM cv, qv),
+        |vrank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rk
+        |  FROM vdist),
+        |vec_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS vec_rank
+        |             FROM vrank WHERE rk <= 10),
+        |fused AS (
+        |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+        |    coalesce(t.id, v.id) AS doc_id, t.text_rank, v.vec_rank,
+        |    coalesce(1.0 / (60 + t.text_rank), 0.0) +
+        |    coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf_raw
+        |  FROM text_side t FULL OUTER JOIN vec_side v
+        |    ON t.query_id = v.query_id AND t.id = v.id),
+        |franked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_raw DESC, doc_id) AS rk
+        |  FROM fused)
+        |SELECT query_id, CAST(rk AS BIGINT) AS "rank", doc_id,
+        |  text_rank, vec_rank,
+        |  floor(rrf_raw * 10000.0 + 0.5) / 10000.0 AS rrf
+        |FROM franked WHERE rk <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+    // Hybrid search over the TIERED collection: the same inline-math
+    // replay as collection_hybrid over the FULL doc_id >= 3 corpus —
+    // valid against the tier-served engine because the lexical tier
+    // shares the inline scoring tail bitwise and the IVF tier probes
+    // every cell at this corpus size (exact vector ranks).
+    "collection_hybrid_index" ->
+      """WITH corpus AS (
+        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id, text
+        |  FROM documents WHERE doc_id >= 3),
         |qtext AS (
         |  SELECT CAST(doc_id AS BIGINT) AS query_id,
         |    array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ') AS t

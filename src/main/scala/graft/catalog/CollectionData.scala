@@ -1101,34 +1101,44 @@ class CollectionData(client: ChromaSpark) {
         s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
       Some((idx, b))
     }
-    val ptr = annPtrPath(d)
-    if (!Files.exists(ptr)) return build()
-    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n", -1)
-    if (lines.length < 3) return build()
-    val (idx, b) = (lines(0), lines(1).toLong)
-    if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return build()
-    // tier/knob consistency: collection metadata is MUTABLE
-    // (modifyCollection), so a pointer laid down under one tier (or
-    // one set of graph knobs) must not keep serving after the
-    // metadata declares another — the artifact basename encodes both
-    // (collgraph-…-m$M-c$CEF-… / collivf-…), so the check is two
-    // string ops, no snapshot hash
-    val artifact = Paths.get(idx).getFileName.toString
-    graphKnobs(collection) match {
-      case Some((m, cef)) =>
-        if (!(artifact.startsWith("collgraph-") && artifact.contains(s"-m$m-c$cef-")))
-          return build()
-      case None =>
-        if (artifact.startsWith("collgraph-")) return build()
+    readValidPtr(d, annPtrPath(d)) match {
+      case None => build()
+      case Some((idx, b)) =>
+        // tier/knob consistency: collection metadata is MUTABLE
+        // (modifyCollection), so a pointer laid down under one tier
+        // (or one set of graph knobs) must not keep serving after the
+        // metadata declares another — the artifact basename encodes
+        // both (collgraph-…-m$M-c$CEF-… / collivf-…), so the check is
+        // two string ops, no snapshot hash
+        val artifact = Paths.get(idx).getFileName.toString
+        val consistent = graphKnobs(collection) match {
+          case Some((m, cef)) =>
+            artifact.startsWith("collgraph-") && artifact.contains(s"-m$m-c$cef-")
+          case None => !artifact.startsWith("collgraph-")
+        }
+        if (consistent) Some((idx, b)) else build()
     }
-    // batch numbering reset (compact/vacuum folded the log)
-    if (currentBatchIn(d) < b) return build()
-    // append-only witness: a recorded build-time file going missing
-    // means the log was REWRITTEN, not appended — batch-delta
-    // reasoning is void, rebuild (content-keyed, so an unchanged
-    // collection resolves to the same artifact instantly)
+  }
+
+  /** Shared pointer validation for the persisted collection tiers:
+    * the pointer must exist, its artifact must have completed
+    * (`_INDEX_OK`), the log's batch numbering must not have been
+    * reset (compact/vacuum), and every build-time log file must still
+    * be present (append-only witness — a recorded file going missing
+    * means the log was REWRITTEN and batch-delta reasoning is void).
+    * None → the caller rebuilds (content-keyed, so an unchanged
+    * collection resolves to the same artifact instantly).
+    */
+  private def readValidPtr(d: String,
+                           ptr: java.nio.file.Path): Option[(String, Long)] = {
+    if (!Files.exists(ptr)) return None
+    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n", -1)
+    if (lines.length < 3) return None
+    val (idx, b) = (lines(0), lines(1).toLong)
+    if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return None
+    if (currentBatchIn(d) < b) return None
     val recorded = lines(2).split(",").filter(_.nonEmpty).toSet
-    if (!recorded.subsetOf(logFileNames(d))) return build()
+    if (!recorded.subsetOf(logFileNames(d))) return None
     Some((idx, b))
   }
 
@@ -1503,6 +1513,122 @@ class CollectionData(client: ChromaSpark) {
     * Filters apply to BOTH rankers before any scoring. Fusion cost is
     * O(texts × perRankerK), independent of collection size.
     */
+  // ---------------------------------------------------------------
+  // Persisted per-collection LEXICAL (BM25) tier — the text ranker's
+  // analogue of the ANN tier. Without it every hybrid query re-scans
+  // the whole collection to recompute tf/df/dl/avgdl — O(corpus) per
+  // call, the exact defect the ANN tier fixed for the vector side.
+  // The artifact holds term-clustered postings (so the query-term
+  // literal filter prunes row groups at the scan), per-doc lengths,
+  // and the two corpus aggregates; every stat is ADDITIVE, so the
+  // base+delta maintenance is EXACT: post-build docs' contributions
+  // are subtracted via the masked doclens and the delta re-tokenizes
+  // inline. Serving goes through the SAME scoring tail as the inline
+  // path (TextAnalysis.bm25From), so indexed results are
+  // bitwise-equal by construction — spec-pinned and oracled.
+  // ---------------------------------------------------------------
+
+  private def lexPtrPath(d: String) = Paths.get(d, "_lex_ptr")
+
+  private def buildLexIndex(collection: String, scratch: java.nio.file.Path): Unit = {
+    val docs = resolved(collection).filter(col("document").isNotNull)
+      .select(col("id").as("doc_id"), col("document").as("text"))
+    val (tf, dl) = graft.operators.TextAnalysis.bm25Corpus(docs)
+    // term-clustered + term-sorted: min/max row-group stats make the
+    // serve-time `token IN (query terms)` filter prune at the scan
+    tf.repartition(col("token")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$scratch/postings")
+    dl.write.mode("overwrite").parquet(s"$scratch/doclens")
+    docs.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("total_len")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/stats")
+  }
+
+  private def lexRoute(collection: String): Option[(String, Long)] = {
+    if (forkEdge(collection).isDefined) return None
+    val d = dir(collection)
+    if (logRows(collection) < annMinRows) return None
+    def build(): Option[(String, Long)] = {
+      val files = logFileNames(d)
+      val b = currentBatchIn(d)
+      val fp = annContentFingerprint(collection)
+      val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "colllex",
+        s"$fp-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+        buildLexIndex(collection, scratch)
+      }
+      Files.write(lexPtrPath(d),
+        s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
+      Some((idx, b))
+    }
+    readValidPtr(d, lexPtrPath(d)).orElse(build())
+  }
+
+  /** BM25 served from the persisted lexical artifact, exact on
+    * deltas. `texts` is already driver-side, so the query-term
+    * literals cost no job and push into the postings scan.
+    */
+  private def bm25Indexed(idx: String, queries: DataFrame, texts: Seq[String],
+                          touched: Seq[String], deltaLive: Option[DataFrame],
+                          topK: Int): DataFrame = {
+    val terms = texts.flatMap(t => graft.functions.GraftTextKernels
+      .tokens(org.apache.spark.unsafe.types.UTF8String.fromString(t))).distinct
+    var post = spark.read.parquet(s"$idx/postings")
+    val dlsRaw = spark.read.parquet(s"$idx/doclens")
+    val baseStats = spark.read.parquet(s"$idx/stats") // (n_docs, total_len)
+    // post-build docs leave every base relation; their ORIGINAL
+    // contributions to the corpus stats are subtracted exactly from
+    // the masked doclens rows (1-row aggregate, broadcast)
+    val removedSrc =
+      if (touched.nonEmpty) dlsRaw.filter(col("doc_id").isin(touched: _*))
+      else dlsRaw.limit(0)
+    val removed = removedSrc.agg(
+      coalesce(sum(col("dl")), lit(0L)).as("rm_len"),
+      org.apache.spark.sql.functions.count(lit(1)).as("rm_docs"))
+    var dls = dlsRaw
+    if (touched.nonEmpty) {
+      post = post.filter(!col("doc_id").isin(touched: _*))
+      dls = dls.filter(!col("doc_id").isin(touched: _*))
+    }
+    post = post.filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*))
+    // the delta re-tokenizes inline — O(delta), exact
+    val delta = deltaLive.map { dlv =>
+      graft.operators.TextAnalysis.bm25Corpus(
+        dlv.filter(col("document").isNotNull)
+          .select(col("id").as("doc_id"), col("document").as("text")))
+    }
+    val tf = delta match {
+      case Some((dTf, _)) => post.unionByName(
+        dTf.filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*)))
+      case None => post
+    }
+    val dl = delta match {
+      case Some((_, dDl)) => dls.unionByName(dDl)
+      case None => dls
+    }
+    val added = delta match {
+      case Some((_, dDl)) => dDl.agg(
+        coalesce(sum(col("dl")), lit(0L)).as("add_len"),
+        org.apache.spark.sql.functions.count(lit(1)).as("add_docs"))
+      case None =>
+        val sp = spark
+        import sp.implicits._
+        Seq((0L, 0L)).toDF("add_len", "add_docs")
+    }
+    val adjusted = baseStats.crossJoin(removed).crossJoin(added)
+    val nDocs = adjusted.select(
+      (col("n_docs") - col("rm_docs") + col("add_docs")).as("n_docs"))
+    // exact double: every operand is an integer < 2^53, so the
+    // subtraction/addition and the final division match the inline
+    // path's avg(dl) bit for bit
+    val avgdl = adjusted.select(
+      ((col("total_len") - col("rm_len") + col("add_len")).cast("double") /
+        (col("n_docs") - col("rm_docs") + col("add_docs")).cast("double")).as("avgdl"))
+    graft.operators.TextAnalysis.bm25From(tf, dl,
+      tf.groupBy(col("token"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("df")),
+      nDocs, avgdl, queries, topK)
+  }
+
   def queryHybrid(collection: String, texts: Seq[String], nResults: Int = 5,
                   whereJson: Option[String] = None,
                   whereDocumentJson: Option[String] = None,
@@ -1514,9 +1640,29 @@ class CollectionData(client: ChromaSpark) {
     whereDocumentJson.foreach(w => docs = docs.filter(documentPredicate(w)))
     val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("query_id", "query_text")
-    val lexical = graft.operators.TextAnalysis.bm25(
-      docs.select(col("id").as("doc_id"), col("document").as("text")),
-      queries, topK = perRankerK)
+    // FILTERED hybrid queries keep the inline path: BM25's corpus
+    // stats (df, n_docs, avgdl) are defined over the FILTERED corpus,
+    // which a global artifact cannot represent. Unfiltered queries —
+    // the hot serving shape — ride the persisted tier.
+    def indexedLexical: Option[DataFrame] =
+      if (whereJson.isDefined || whereDocumentJson.isDefined) None
+      else lexRoute(collection).flatMap { case (idx, baseBatch) =>
+        annDelta(collection, baseBatch) match {
+          case None => // tail outgrew the base — rebuild, then serve clean
+            Files.deleteIfExists(lexPtrPath(dir(collection)))
+            lexRoute(collection).flatMap { case (idx2, b2) =>
+              annDelta(collection, b2).map { case (t2, d2) =>
+                bm25Indexed(idx2, queries, texts, t2, d2, perRankerK)
+              }
+            }
+          case Some((touched, deltaLive)) =>
+            Some(bm25Indexed(idx, queries, texts, touched, deltaLive, perRankerK))
+        }
+      }
+    val lexical = indexedLexical.getOrElse(
+      graft.operators.TextAnalysis.bm25(
+        docs.select(col("id").as("doc_id"), col("document").as("text")),
+        queries, topK = perRankerK))
       .select(col("query_id"), col("rank"), col("doc_id"))
     val qv = queries.select(col("query_id"),
       embedderOf(collection).embed(col("query_text")).as("qvec"))

@@ -923,12 +923,35 @@ object TextAnalysis {
     * the oracle.
     */
   def bm25(docs: DataFrame, queries: DataFrame, topK: Int = 5): DataFrame = {
+    val (tf, dl) = bm25Corpus(docs)
+    bm25From(tf, dl,
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).as("n_docs")),
+      dl.agg(avg(col("dl")).as("avgdl")), // exact: integer-valued partials < 2^53
+      queries, topK)
+  }
+
+  /** Corpus-side BM25 inputs — the relations a persisted lexical index
+    * materializes: per-(doc, token) term frequencies and per-doc
+    * lengths, from the same tokenizer the scorer uses.
+    */
+  def bm25Corpus(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val avgdl = dl.agg(avg(col("dl")).as("avgdl")) // exact: integer-valued partials < 2^53
+    (tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+  }
+
+  /** The BM25 scoring tail, shared by the inline path and the
+    * collection lexical tier ([[graft.catalog.CollectionData]]):
+    * identical integer-micro math over whatever (tf, dl, dfreq,
+    * nDocs 1-row, avgdl 1-row) relations the caller supplies — so an
+    * INDEXED serve is bitwise-equal to the inline computation BY
+    * CONSTRUCTION whenever its inputs are (tf may be pre-pruned to
+    * the query terms: the qTerms join prunes to them anyway).
+    */
+  def bm25From(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+               nDocs: DataFrame, avgdl: DataFrame,
+               queries: DataFrame, topK: Int): DataFrame = {
     val qTok = queries.select(col("query_id"),
       explode(array_distinct(wsTokens(col("query_text")))).as("token"))
     // restrict df to query terms FIRST (tiny), then broadcast the

@@ -752,6 +752,66 @@ class CollectionDataSpec extends SparkSpec {
       "stale IVF pointer kept serving after hnsw:M was declared")
   }
 
+  test("hybrid BM25 serves from the persisted lexical tier, bitwise-equal to inline, exact on deltas") {
+    import org.apache.spark.sql.functions.{col => c, format_string, trim => strim, split => ssplit, array_join, slice => sslice}
+    val wh = Files.createTempDirectory("graft-lexidx").toString
+    val cl = new ChromaSpark(spark, wh)
+    val d = new CollectionData(cl)
+    cl.createCollection("lex") // default hash16 embedder, l2
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    d.add("lex", docs.filter(c("doc_id") >= 3)
+      .select(format_string("d%07d", c("doc_id")).as("id"),
+        c("text").as("document")))
+    val texts = docs.filter(c("doc_id") < 3).orderBy(c("doc_id"))
+      .select(array_join(sslice(ssplit(strim(c("text")), "\\s+"), 1, 8), " "))
+      .collect().map(_.getString(0)).toSeq
+
+    // 1) serves from the persisted colllex artifact
+    val served = d.queryHybrid("lex", texts, nResults = 5)
+    val indexed = served.collect()
+    val scansLex = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scansLex.exists(_.contains("colllex")),
+      "hybrid query does not read the persisted lexical index")
+
+    // 2) bitwise equality with the inline path: force both tiers off
+    // via the routing threshold and rerun the SAME query
+    val key = "spark.graft.collection.annIndexMinRows"
+    spark.conf.set(key, "1000000000")
+    try {
+      val inline = d.queryHybrid("lex", texts, nResults = 5).collect()
+      assert(indexed.map(_.toSeq).toSeq === inline.map(_.toSeq).toSeq,
+        "indexed BM25 diverged from the inline computation")
+    } finally spark.conf.unset(key)
+
+    // 3) exact on deltas: upsert a doc that strongly matches query 0's
+    // terms — the indexed path must surface it exactly as inline does
+    d.upsert("lex", Seq(("d0000999", texts.head + " " + texts.head))
+      .toDF("id", "document"))
+    val afterIdx = d.queryHybrid("lex", texts, nResults = 5).collect()
+    spark.conf.set(key, "1000000000")
+    try {
+      val afterInl = d.queryHybrid("lex", texts, nResults = 5).collect()
+      assert(afterIdx.map(_.toSeq).toSeq === afterInl.map(_.toSeq).toSeq,
+        "post-delta indexed BM25 diverged from inline")
+    } finally spark.conf.unset(key)
+    assert(afterIdx.exists(r => r.getString(r.fieldIndex("doc_id")) == "d0000999"),
+      "delta doc matching the query terms did not surface")
+
+    // 4) filtered hybrid queries keep the inline path and still work
+    val filtered = d.queryHybrid("lex", texts, nResults = 3,
+      whereDocumentJson = Some(s"""{"$$contains":"${texts.head.split(" ").head}"}"""))
+    filtered.collect()
+    val fScans = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(!fScans.exists(_.contains("colllex")),
+      "filtered hybrid query must not serve from the global lexical index")
+  }
+
   test("collection_hnsw_graph driver query: recall_at_10 mean holds the 0.9 floor") {
     val out = graft.SparkEntry.collectionHnswGraph(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 100)

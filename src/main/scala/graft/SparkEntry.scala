@@ -715,6 +715,7 @@ object SparkEntry {
     "txt_novelty"        -> (TextAnalysis.novelty _),
     "txt_wsample"        -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_zipf"           -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "txt_classifier"     -> ((s, d) => TextAnalysis.svmClassifier(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -824,7 +825,87 @@ object SparkEntry {
         |FROM labels l JOIN sizes s USING (group_id)
         |ORDER BY group_id, doc_id""".stripMargin
 
+  /** DuckDB twin of [[TextAnalysis.svmClassifier]] — the full
+    * training RUN unrolled: features, planted labels, fixed-point
+    * standardization, then one CTE pair per epoch (gradient aggregate
+    * + floor-div weight update, the pmod construction for exact
+    * `Math.floorDiv` parity). Generated by loop so the per-epoch
+    * arithmetic is stated exactly once.
+    */
+  private def classifierOracleSql: String = {
+    val iters = 6
+    def fd(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
+    val epochs = (1 to iters).map { t =>
+      val pw = s"w${t - 1}"
+      s"""it$t AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN m < 10000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nv,
+         |    CAST(coalesce(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nc,
+         |    CAST(coalesce(sum(CASE WHEN m < 10000000000 THEN y*x0 ELSE 0 END), 0) AS BIGINT) AS g0,
+         |    CAST(coalesce(sum(CASE WHEN m < 10000000000 THEN y*x1 ELSE 0 END), 0) AS BIGINT) AS g1,
+         |    CAST(coalesce(sum(CASE WHEN m < 10000000000 THEN y*x2 ELSE 0 END), 0) AS BIGINT) AS g2,
+         |    CAST(coalesce(sum(CASE WHEN m < 10000000000 THEN y*x3 ELSE 0 END), 0) AS BIGINT) AS g3
+         |  FROM (SELECT y, x0, x1, x2, x3,
+         |          y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) AS m
+         |        FROM feat CROSS JOIN $pw)),
+         |w$t AS (
+         |  SELECT
+         |    a0 + ${fd("400*g0", "n")} AS a0,
+         |    a1 + ${fd("400*g1", "n")} AS a1,
+         |    a2 + ${fd("400*g2", "n")} AS a2,
+         |    a3 + ${fd("400*g3", "n")} AS a3
+         |  FROM $pw CROSS JOIN it$t CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to iters).map { t =>
+      s"""  SELECT CAST($t AS BIGINT) AS iter, nv AS n_viol,
+         |    CAST(${fd("nc*10000", "n")} AS DOUBLE) / 10000.0 AS acc,
+         |    CAST(a0 AS DOUBLE)/1000000.0 AS w0, CAST(a1 AS DOUBLE)/1000000.0 AS w1,
+         |    CAST(a2 AS DOUBLE)/1000000.0 AS w2, CAST(a3 AS DOUBLE)/1000000.0 AS w3
+         |  FROM it$t CROSS JOIN w$t CROSS JOIN nn""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH raw AS (
+       |  SELECT
+       |    CAST(floor(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS f1,
+       |    CAST(floor(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+       |      * 10000.0 + 0.5) AS BIGINT) AS f3
+       |  FROM documents),
+       |lab AS (
+       |  SELECT f1, f2, f3,
+       |    CAST(CASE WHEN 20*f1 + 5*f2 + 3*f3 > 60000 THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM raw),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f1*f1) AS BIGINT) AS q1,
+       |    CAST(sum(f2) AS BIGINT) AS s2, CAST(sum(f2*f2) AS BIGINT) AS q2,
+       |    CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f3*f3) AS BIGINT) AS q3
+       |  FROM lab),
+       |sd AS (
+       |  SELECT n, s1, s2, s3,
+       |    greatest(CAST(floor(sqrt(CAST(n*q1 - s1*s1 AS DOUBLE))) AS BIGINT), 1) AS sd1,
+       |    greatest(CAST(floor(sqrt(CAST(n*q2 - s2*s2 AS DOUBLE))) AS BIGINT), 1) AS sd2,
+       |    greatest(CAST(floor(sqrt(CAST(n*q3 - s3*s3 AS DOUBLE))) AS BIGINT), 1) AS sd3
+       |  FROM st),
+       |feat AS (
+       |  SELECT y, CAST(10000 AS BIGINT) AS x0,
+       |    ${fd("((n*f1 - s1)*10000)", "sd1")} AS x1,
+       |    ${fd("((n*f2 - s2)*10000)", "sd2")} AS x2,
+       |    ${fd("((n*f3 - s3)*10000)", "sd3")} AS x3
+       |  FROM lab CROSS JOIN sd),
+       |nn AS (SELECT n FROM st),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
+       |              CAST(0 AS BIGINT) AS a2, CAST(0 AS BIGINT) AS a3),
+       |$epochs
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY iter""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "txt_classifier" -> classifierOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -548,4 +548,31 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.weightedSample(spark, sfDir, k = 100).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("svmClassifier learns the planted quality concept: accuracy beats majority, violations shrink") {
+    val sfDir = "/root/testdata/sf0.001"
+    val trace = TextAnalysis.svmClassifier(spark, sfDir).collect()
+    assert(trace.length === 6)
+    assert(trace.map(_.getLong(0)).toSeq === (1L to 6L))
+    // zero init: every margin is 0 < 1, so epoch 1 sees ALL rows
+    // violating and classifies none correctly
+    val n = Tables.documents(spark, sfDir).count()
+    assert(trace.head.getLong(1) === n)
+    assert(trace.head.getDouble(2) === 0.0)
+    // the trainer LEARNS: the planted concept's classes are ~52/48,
+    // so majority-class guessing sits near 0.52 — the final epoch
+    // must clear 0.85, and active hinge violations must have
+    // collapsed to under half the corpus
+    val last = trace.last
+    assert(last.getDouble(2) >= 0.85, s"final accuracy ${last.getDouble(2)}")
+    assert(last.getLong(1) < n / 2, s"final violations ${last.getLong(1)} of $n")
+    // the recovered direction matches the concept: the stop-ratio
+    // signal carries planted weight 20 vs 5/3, so its learned weight
+    // dominates the other two
+    val (w1, w2, w3) = (last.getDouble(4), last.getDouble(5), last.getDouble(6))
+    assert(w1 > w2 && w1 > w3 && w1 > 0, s"weights ($w1, $w2, $w3)")
+    // fixed-point determinism: a rerun replays the identical trace
+    val again = TextAnalysis.svmClassifier(spark, sfDir).collect()
+    assert(trace.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

@@ -716,6 +716,7 @@ object SparkEntry {
     "txt_wsample"        -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_zipf"           -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "txt_classifier"     -> ((s, d) => TextAnalysis.svmClassifier(s, d)),
+    "txt_classifier_scores" -> ((s, d) => TextAnalysis.svmScores(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -832,7 +833,7 @@ object SparkEntry {
     * `Math.floorDiv` parity). Generated by loop so the per-epoch
     * arithmetic is stated exactly once.
     */
-  private def classifierOracleSql: String = {
+  private def classifierOracleSql(finalSelect: String): String = {
     val iters = 6
     def fd(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
     val epochs = (1 to iters).map { t =>
@@ -856,15 +857,8 @@ object SparkEntry {
          |    a3 + ${fd("400*g3", "n")} AS a3
          |  FROM $pw CROSS JOIN it$t CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to iters).map { t =>
-      s"""  SELECT CAST($t AS BIGINT) AS iter, nv AS n_viol,
-         |    CAST(${fd("nc*10000", "n")} AS DOUBLE) / 10000.0 AS acc,
-         |    CAST(a0 AS DOUBLE)/1000000.0 AS w0, CAST(a1 AS DOUBLE)/1000000.0 AS w1,
-         |    CAST(a2 AS DOUBLE)/1000000.0 AS w2, CAST(a3 AS DOUBLE)/1000000.0 AS w3
-         |  FROM it$t CROSS JOIN w$t CROSS JOIN nn""".stripMargin
-    }.mkString("\n  UNION ALL\n")
     s"""WITH raw AS (
-       |  SELECT
+       |  SELECT doc_id,
        |    CAST(floor(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
        |        tk -> tk IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE)
        |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS f1,
@@ -874,7 +868,7 @@ object SparkEntry {
        |      * 10000.0 + 0.5) AS BIGINT) AS f3
        |  FROM documents),
        |lab AS (
-       |  SELECT f1, f2, f3,
+       |  SELECT doc_id, f1, f2, f3,
        |    CAST(CASE WHEN 20*f1 + 5*f2 + 3*f3 > 60000 THEN 1 ELSE -1 END AS BIGINT) AS y
        |  FROM raw),
        |st AS (
@@ -890,7 +884,7 @@ object SparkEntry {
        |    greatest(CAST(floor(sqrt(CAST(n*q3 - s3*s3 AS DOUBLE))) AS BIGINT), 1) AS sd3
        |  FROM st),
        |feat AS (
-       |  SELECT y, CAST(10000 AS BIGINT) AS x0,
+       |  SELECT doc_id, y, CAST(10000 AS BIGINT) AS x0,
        |    ${fd("((n*f1 - s1)*10000)", "sd1")} AS x1,
        |    ${fd("((n*f2 - s2)*10000)", "sd2")} AS x2,
        |    ${fd("((n*f3 - s3)*10000)", "sd3")} AS x3
@@ -899,13 +893,37 @@ object SparkEntry {
        |w0 AS (SELECT CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
        |              CAST(0 AS BIGINT) AS a2, CAST(0 AS BIGINT) AS a3),
        |$epochs
-       |SELECT * FROM (
-       |$rows)
-       |ORDER BY iter""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
+  /** txt_classifier final select: the per-epoch trace. */
+  private def classifierTraceTail: String = {
+    def fd(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
+    val rows = (1 to 6).map { t =>
+      s"""  SELECT CAST($t AS BIGINT) AS iter, nv AS n_viol,
+         |    CAST(${fd("nc*10000", "n")} AS DOUBLE) / 10000.0 AS acc,
+         |    CAST(a0 AS DOUBLE)/1000000.0 AS w0, CAST(a1 AS DOUBLE)/1000000.0 AS w1,
+         |    CAST(a2 AS DOUBLE)/1000000.0 AS w2, CAST(a3 AS DOUBLE)/1000000.0 AS w3
+         |  FROM it$t CROSS JOIN w$t CROSS JOIN nn""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"SELECT * FROM (\n$rows)\nORDER BY iter"
+  }
+
+  /** txt_classifier_scores final select: the final weights applied to
+    * every document — the corpus-filter pass.
+    */
+  private def classifierScoresTail: String =
+    """SELECT doc_id,
+      |  CAST(a0*x0 + a1*x1 + a2*x2 + a3*x3 AS DOUBLE) / 10000000000.0 AS score,
+      |  CAST(CASE WHEN a0*x0 + a1*x1 + a2*x2 + a3*x3 > 0 THEN 1 ELSE -1 END AS BIGINT) AS keep,
+      |  y AS label,
+      |  (CASE WHEN a0*x0 + a1*x1 + a2*x2 + a3*x3 > 0 THEN 1 ELSE -1 END) = y AS agree
+      |FROM feat CROSS JOIN w6
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "txt_classifier" -> classifierOracleSql,
+    "txt_classifier" -> classifierOracleSql(classifierTraceTail),
+    "txt_classifier_scores" -> classifierOracleSql(classifierScoresTail),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

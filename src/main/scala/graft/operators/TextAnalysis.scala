@@ -1716,6 +1716,49 @@ object TextAnalysis {
     */
   def svmClassifier(s: SparkSession, dir: String,
                     iters: Int = 6, etaNum: Long = 400L): DataFrame = {
+    val (feat, _, trace) = trainSvm(s, dir, iters, etaNum)
+    feat.unpersist()
+    val sp = s
+    import sp.implicits._
+    trace.toDF("iter", "n_viol", "acc", "w0", "w1", "w2", "w3")
+      .orderBy(col("iter"))
+  }
+
+  /** The train→score→filter pipeline completed: run the
+    * [[svmClassifier]] training loop, then ONE more corpus scan
+    * applies the final weights to every document — the actual
+    * quality-filter step a curation run executes. Per doc: the raw
+    * margin as a score (fixed-point 1e-10 → double), the model's
+    * keep/drop call, the planted label, and whether they agree. Same
+    * exact-integer discipline throughout, so the per-doc scores — not
+    * just the training trace — replay bitwise in the oracle.
+    */
+  def svmScores(s: SparkSession, dir: String,
+                iters: Int = 6, etaNum: Long = 400L): DataFrame = {
+    val (feat, w, _) = trainSvm(s, dir, iters, etaNum)
+    // unpersist BEFORE building the output: the scoring plan
+    // recomputes the feature map stage once from source (pure
+    // scan-bound map — the right trade vs holding corpus-sized cache
+    // past the operator's lifetime)
+    feat.unpersist()
+    val m = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    feat.select(col("doc_id"),
+        (m.cast("double") / lit(1.0e10)).as("score"),
+        when(m > 0, 1L).otherwise(-1L).as("keep"),
+        col("y").as("label"))
+      .withColumn("agree", col("keep") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared trainer behind [[svmClassifier]] / [[svmScores]]: builds
+    * the standardized fixed-point feature frame (persisted — caller
+    * unpersists), runs `iters` full-batch epochs, and returns the
+    * frame, the final weight micros and the per-epoch trace.
+    */
+  private def trainSvm(s: SparkSession, dir: String, iters: Int,
+                       etaNum: Long): (DataFrame, Array[Long],
+                         Seq[(Long, Long, Double, Double, Double, Double, Double)]) = {
     val toks = wsTokens(col("text"))
     val nToks = size(toks).cast("double")
     val stopHits = size(expr(
@@ -1727,7 +1770,7 @@ object TextAnalysis {
     val f3 = floor(least(nToks / lit(64.0), lit(1.0)) * lit(10000.0) +
       lit(0.5)).cast("long")
     val labeled = Tables.documents(s, dir)
-      .select(f1.as("f1"), f2.as("f2"), f3.as("f3"))
+      .select(col("doc_id"), f1.as("f1"), f2.as("f2"), f3.as("f3"))
       .withColumn("y", when(lit(20L) * col("f1") + lit(5L) * col("f2") +
         lit(3L) * col("f3") > lit(60000L), 1L).otherwise(-1L))
     // standardization stats: exact integer sums (order-free), one scan
@@ -1745,36 +1788,31 @@ object TextAnalysis {
     val (sd1, sd2, sd3) = (sdOf(1, 2), sdOf(3, 4), sdOf(5, 6))
     def z(f: String, sSum: Long, sd: Long): Column =
       floorDivExact((lit(n) * col(f) - lit(sSum)) * lit(10000L), lit(sd))
-    val feat = labeled.select(col("y"), lit(10000L).as("x0"),
+    val feat = labeled.select(col("doc_id"), col("y"), lit(10000L).as("x0"),
       z("f1", st.getAs[Long]("s1"), sd1).as("x1"),
       z("f2", st.getAs[Long]("s2"), sd2).as("x2"),
       z("f3", st.getAs[Long]("s3"), sd3).as("x3"))
       .persist()
-    try {
-      val w = Array(0L, 0L, 0L, 0L)
-      val trace = (1 to iters).map { t =>
-        val m = col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
-        val viol = m < lit(10000000000L) // hinge margin 1.0 at 1e-10 scale
-        val r = feat.agg(
-          sum(when(viol, 1L).otherwise(0L)).as("nv"),
-          sum(when(m > 0, 1L).otherwise(0L)).as("nc"),
-          sum(when(viol, col("y") * col("x0")).otherwise(0L)).as("g0"),
-          sum(when(viol, col("y") * col("x1")).otherwise(0L)).as("g1"),
-          sum(when(viol, col("y") * col("x2")).otherwise(0L)).as("g2"),
-          sum(when(viol, col("y") * col("x3")).otherwise(0L)).as("g3"))
-          .head() // model-scale collect: 6 longs per epoch
-        for (j <- 0 to 3)
-          w(j) = w(j) + Math.floorDiv(etaNum * r.getAs[Long](s"g$j"), n)
-        (t.toLong, r.getAs[Long]("nv"),
-          Math.floorDiv(r.getAs[Long]("nc") * 10000L, n) / 10000.0,
-          w(0) / 1.0e6, w(1) / 1.0e6, w(2) / 1.0e6, w(3) / 1.0e6)
-      }
-      val sp = s
-      import sp.implicits._
-      trace.toDF("iter", "n_viol", "acc", "w0", "w1", "w2", "w3")
-        .orderBy(col("iter"))
-    } finally feat.unpersist()
+    val w = Array(0L, 0L, 0L, 0L)
+    val trace = (1 to iters).map { t =>
+      val m = col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
+      val viol = m < lit(10000000000L) // hinge margin 1.0 at 1e-10 scale
+      val r = feat.agg(
+        sum(when(viol, 1L).otherwise(0L)).as("nv"),
+        sum(when(m > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(viol, col("y") * col("x0")).otherwise(0L)).as("g0"),
+        sum(when(viol, col("y") * col("x1")).otherwise(0L)).as("g1"),
+        sum(when(viol, col("y") * col("x2")).otherwise(0L)).as("g2"),
+        sum(when(viol, col("y") * col("x3")).otherwise(0L)).as("g3"))
+        .head() // model-scale collect: 6 longs per epoch
+      for (j <- 0 to 3)
+        w(j) = w(j) + Math.floorDiv(etaNum * r.getAs[Long](s"g$j"), n)
+      (t.toLong, r.getAs[Long]("nv"),
+        Math.floorDiv(r.getAs[Long]("nc") * 10000L, n) / 10000.0,
+        w(0) / 1.0e6, w(1) / 1.0e6, w(2) / 1.0e6, w(3) / 1.0e6)
+    }
+    (feat, w, trace)
   }
 
 }

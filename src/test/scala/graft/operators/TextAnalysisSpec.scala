@@ -575,4 +575,21 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.svmClassifier(spark, sfDir).collect()
     assert(trace.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("svmScores applies the trained filter to every document, consistently with the margin") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.svmScores(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.length === n) // one verdict per doc, none dropped
+    out.foreach { r =>
+      val (score, keep, label, agree) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(keep === (if (score > 0) 1L else -1L), s"doc ${r.getLong(0)}")
+      assert(agree === (keep == label))
+    }
+    // the filter the final model applies matches the planted concept
+    // on >= 85% of the corpus (same floor as the training trace)
+    val agreeRate = out.count(_.getBoolean(4)).toDouble / n
+    assert(agreeRate >= 0.85, s"agree rate $agreeRate")
+  }
 }

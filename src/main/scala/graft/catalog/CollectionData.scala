@@ -957,18 +957,28 @@ class CollectionData(client: ChromaSpark) {
     * discipline, so identical content re-ingested under a different
     * warehouse resolves to the SAME on-disk index.
     */
-  private def annContentFingerprint(collection: String): String =
-    snapshotLive(collection, None) match {
-      case Some(live) =>
-        val h = scala.util.hashing.MurmurHash3.orderedHash(
-          live.iterator.map(r => (r._1, r._2, r._3, r._4)))
-        f"drv$h%08x-${live.length}"
-      case None =>
-        graft.operators.VectorIndex.contentHash(
-          resolved(collection).select(col("id").as("vec_id"),
-            to_json(struct(col("embedding"), col("document"),
-              col("metadata_json"))).as("vec")))
-    }
+  private def annContentFingerprint(collection: String): String = {
+    // memoized per (dir, batch, file set): the log is append-only, so
+    // any content change lands a new batch/file and misses the key —
+    // and the ANN and LEXICAL tiers of one hybrid serve fingerprint
+    // the SAME content, which without the memo is two identical
+    // corpus-scan jobs back to back
+    val d = dir(collection)
+    val key = s"$d|${currentBatchIn(d)}|${logFileNames(d).toSeq.sorted.mkString(",")}"
+    CollectionData.fingerprintMemo.computeIfAbsent(key, { _: String =>
+      snapshotLive(collection, None) match {
+        case Some(live) =>
+          val h = scala.util.hashing.MurmurHash3.orderedHash(
+            live.iterator.map(r => (r._1, r._2, r._3, r._4)))
+          f"drv$h%08x-${live.length}"
+        case None =>
+          graft.operators.VectorIndex.contentHash(
+            resolved(collection).select(col("id").as("vec_id"),
+              to_json(struct(col("embedding"), col("document"),
+                col("metadata_json"))).as("vec")))
+      }
+    })
+  }
 
   private def buildAnnIndex(collection: String, scratch: java.nio.file.Path,
                             cells: Int): Unit = {
@@ -1711,6 +1721,13 @@ object CollectionData {
     */
   private[catalog] val centroidCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Content fingerprints memoized per (dir, batch, log file set) —
+    * pure given an append-only log (any mutation changes the key),
+    * and computed twice per hybrid serve without it (once per tier).
+    */
+  private[catalog] val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The `hnsw:*` metadata keys Chroma's server accepts — anything
     * else under the `hnsw:` prefix is a typo or an unsupported

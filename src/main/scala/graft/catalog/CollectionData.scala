@@ -985,7 +985,14 @@ class CollectionData(client: ChromaSpark) {
     val base = resolved(collection).filter(col("embedding").isNotNull)
     val train = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
     val cents = VectorOps.kmeansCentroids(train, cells, AnnIters)
+    // cluster by label BEFORE the partitioned write: without it every
+    // upstream partition writes a file into every cell directory
+    // (cells × partitions tiny files — observed 1845 files for a
+    // 5k-row collection), and every later serve pays listing + footer
+    // reads per file. One shuffle at build time buys exactly one file
+    // per cell, the layout a 1000-executor scan wants.
     base.withColumn("label", VectorOps.nearestCentroidId(col("embedding"), cents))
+      .repartition(col("label"))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$scratch/vectors")
     val sp = spark
@@ -1217,18 +1224,18 @@ class CollectionData(client: ChromaSpark) {
           // pool is ~nprobe·N/k rows, wide enough to post-filter.)
           if (whereJson.isDefined || whereDocumentJson.isDefined) None
           else {
-            val baseAll = spark.read.parquet(s"$idx/base")
+            val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
               else baseAll
             val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
-            val graph = spark.read.parquet(s"$idx/edges")
+            val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
             // entry-blackout guard: post-build upserts of entry ids
             // drop them from the masked corpus; if EVERY start is
             // gone the beam would start empty and the whole base
             // would be unreachable until a rebuild. Fall back to the
             // lowest untouched base ids — deterministic, model-scale.
-            val startIds = spark.read.parquet(s"$idx/entries")
+            val startIds = graft.operators.IndexCache.readCached(spark, s"$idx/entries")
               .collect().map(_.getString(0)).toSeq // ≤ GraphEntries ids
             val liveStarts = startIds.filterNot(touched.contains)
             val starts =
@@ -1259,7 +1266,7 @@ class CollectionData(client: ChromaSpark) {
             Some(cand)
           }
         case Some((touched, deltaLive)) =>
-          val centsDf = spark.read.parquet(s"$idx/centroids")
+          val centsDf = graft.operators.IndexCache.readCached(spark, s"$idx/centroids")
             .select(col("c_id"),
               col("centroid").cast("array<float>").as("centroid"))
           // probe width derives from the INDEX's cell count (which may
@@ -1285,7 +1292,7 @@ class CollectionData(client: ChromaSpark) {
           // the per-query cell assignment then comes from the broadcast
           // probe map, so each base row pairs only with the queries
           // that probed its cell
-          var base = spark.read.parquet(s"$idx/vectors")
+          var base = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
             .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
           if (touched.nonEmpty)
             base = base.filter(!col("id").isin(touched: _*))
@@ -1582,9 +1589,9 @@ class CollectionData(client: ChromaSpark) {
                           topK: Int): DataFrame = {
     val terms = texts.flatMap(t => graft.functions.GraftTextKernels
       .tokens(org.apache.spark.unsafe.types.UTF8String.fromString(t))).distinct
-    var post = spark.read.parquet(s"$idx/postings")
-    val dlsRaw = spark.read.parquet(s"$idx/doclens")
-    val baseStats = spark.read.parquet(s"$idx/stats") // (n_docs, total_len)
+    var post = graft.operators.IndexCache.readCached(spark, s"$idx/postings")
+    val dlsRaw = graft.operators.IndexCache.readCached(spark, s"$idx/doclens")
+    val baseStats = graft.operators.IndexCache.readCached(spark, s"$idx/stats") // (n_docs, total_len)
     // post-build docs leave every base relation; their ORIGINAL
     // contributions to the corpus stats are subtracted exactly from
     // the masked doclens rows (1-row aggregate, broadcast)

@@ -778,7 +778,7 @@ object Dedup {
   private def plantedPairsIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = ngramPairsIndexIfAbsent(plantedDocs(s, dir),
       s"${System.getProperty("java.io.tmpdir")}/graft-ngram-cache")
-    s.read.parquet(s"$idx/pairs")
+    IndexCache.readCached(s, s"$idx/pairs")
   }
 
   def ngramTopQuery(s: SparkSession, dir: String): DataFrame =
@@ -819,7 +819,7 @@ object Dedup {
     val idx = labelsIndexIfAbsent(
       s.read.parquet(s"$pairsDir/pairs").select(col("doc_a"), col("doc_b")),
       fp, labelsRoot)
-    s.read.parquet(s"$idx/labels")
+    IndexCache.readCached(s, s"$idx/labels")
   }
 
   def dedupGroupsQuery(s: SparkSession, dir: String): DataFrame =
@@ -939,7 +939,7 @@ object Dedup {
       all.filter(col("doc_a") < splitAt && col("doc_b") < splitAt),
       fp, labelsRoot)
     dedupGroupsIncremental(
-      s.read.parquet(s"$idx/labels").select("doc_id", "group_id"),
+      IndexCache.readCached(s, s"$idx/labels").select("doc_id", "group_id"),
       all.filter(col("doc_a") >= splitAt || col("doc_b") >= splitAt))
   }
 
@@ -1075,7 +1075,7 @@ object Dedup {
   def repeatedSubstringsQuery(s: SparkSession, dir: String): DataFrame = {
     val idx = repeatsIndexIfAbsent(plantedRepeatDocs(s, dir),
       s"${System.getProperty("java.io.tmpdir")}/graft-repeats-cache")
-    s.read.parquet(s"$idx/spans")
+    IndexCache.readCached(s, s"$idx/spans")
       .orderBy(col("match_len").desc, col("doc_a"), col("doc_b"),
         col("start_a"), col("start_b"))
       .limit(40)
@@ -1098,7 +1098,7 @@ object Dedup {
     val docs = plantedRepeatDocs(s, dir)
     val idx = repeatsIndexIfAbsent(docs,
       s"${System.getProperty("java.io.tmpdir")}/graft-repeats-cache", k)
-    val spans = s.read.parquet(s"$idx/spans")
+    val spans = IndexCache.readCached(s, s"$idx/spans")
     val remove = spans.select(col("doc_b").as("doc_id"),
         explode(sequence(col("start_b"),
           col("start_b") + col("match_len") - 1)).as("pos"))
@@ -1334,7 +1334,7 @@ object Dedup {
                              minCosine: Double = 0.9, topK: Int = 50,
                              sqMargin: Double = 0.05): DataFrame = {
     val idx = semanticIndexIfAbsent(embeddings, indexRoot)
-    val coded = embeddings.sparkSession.read.parquet(s"$idx/coded")
+    val coded = IndexCache.readCached(embeddings.sparkSession, s"$idx/coded")
     val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
     semanticPairs(coded, v, minCosine, topK, sqMargin).localCheckpoint(true)
   }

@@ -213,12 +213,12 @@ object Graph {
   def assocRules(s: SparkSession, dir: String,
                  minPairCount: Long = 3L, topK: Int = 20): DataFrame = {
     val idx = indexDir(s, dir)
-    val itemN = s.read.parquet(s"$idx/items")
-    val nOrders = s.read.parquet(s"$idx/orders")
+    val itemN = IndexCache.readCached(s, s"$idx/items")
+    val nOrders = IndexCache.readCached(s, s"$idx/orders")
     // order-distinct co-occurrence count from the shared index (its
     // n_both aggregates per order regardless of line-item repeats —
     // exactly the collect_set semantics mined here before)
-    val pairs = s.read.parquet(s"$idx/pairs")
+    val pairs = IndexCache.readCached(s, s"$idx/pairs")
       .select(col("pa"), col("pb"), col("n_both").as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     val r4 = CrossEngine.rnd4 _
@@ -346,8 +346,8 @@ object Graph {
   def itemSimQuery(s: SparkSession, dir: String,
                    minBoth: Int = 2, topPerItem: Int = 5): DataFrame = {
     val idx = indexDir(s, dir)
-    val items = s.read.parquet(s"$idx/items")
-    val sym = s.read.parquet(s"$idx/pairs")
+    val items = IndexCache.readCached(s, s"$idx/items")
+    val sym = IndexCache.readCached(s, s"$idx/pairs")
       .filter(col("n_both") >= minBoth)
       .select(explode(array(
         struct(col("pa").as("item"), col("pb").as("nbr"), col("n_both")),

@@ -311,8 +311,8 @@ object GraphAnn {
     val dir = graphIndexIfAbsent(corpus,
       s"${System.getProperty("java.io.tmpdir")}/graft-ivf-cache", m)
     val s = queries.sparkSession
-    val graph = s.read.parquet(s"$dir/edges")
-    val starts = s.read.parquet(s"$dir/entries")
+    val graph = IndexCache.readCached(s, s"$dir/edges")
+    val starts = IndexCache.readCached(s, s"$dir/entries")
       .collect().map(_.getLong(0)).toSeq // model-scale: `entries` ids
     beamSearch(queries, corpus, graph, k, ef, hops, entryIds = Some(starts))
   }

@@ -13,6 +13,45 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 private[graft] object IndexCache {
 
+  /** Resolved-relation memo for IMMUTABLE artifact directories: a
+    * `spark.read.parquet(dir)` on a cold path costs a leaf-file
+    * listing job plus footer-driven schema inference EVERY call —
+    * observed as ~0.2-0.5 s of the warm collection-serve latency,
+    * pure planning overhead re-paid per query. An IndexCache artifact
+    * never changes once `_INDEX_OK` lands, so the resolved DataFrame
+    * (whose InMemoryFileIndex and schema are baked in) is reusable
+    * verbatim; partition-pruning filters still apply per query
+    * against the in-memory partition spec. Keyed per (session, path)
+    * because a plan is tied to its SparkSession; bounded so stopped
+    * test sessions can't accumulate.
+    */
+  private val relationMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+
+  def readCached(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val perSession = relationMemo.synchronized {
+      var m = relationMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+        relationMemo.put(spark, m)
+      }
+      m
+    }
+    if (perSession.size > 256) perSession.clear()
+    perSession.computeIfAbsent(dir, { _: String => spark.read.parquet(dir) })
+  }
+
+  /** Drop cached relations for `dir` across every session — REQUIRED
+    * after any `mode("append")` into an artifact subdirectory (the
+    * delta-append index paths), or a cached file index would silently
+    * miss the new files. Writers that only ever create fresh
+    * fingerprint-keyed directories never need this.
+    */
+  def invalidate(dir: String): Unit = relationMemo.synchronized {
+    relationMemo.values.forEach(m => { m.remove(dir); () })
+  }
+
   /** Returns the directory of the completed artifact named
     * `prefix-fingerprint` under `root`, building it via `build`
     * (called with the scratch path) only when absent.

@@ -32,7 +32,11 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = VectorOps.kmeansCentroids(corpus, kClusters, iters)
+    // cluster by label before the partitioned write: one file per
+    // cell instead of cells x upstream-partitions tiny files (see
+    // CollectionData.buildAnnIndex - same layout rationale)
     corpus.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
+      .repartition(col("label"))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$indexDir/vectors")
     cents.toDF("c_id", "centroid")
@@ -73,9 +77,12 @@ object VectorIndex {
     * — content+params alone cannot distinguish two trainers, and a
     * stale hit silently serves the old model's artifact. a2 =
     * md5-seeded fixed-point k-means; a3 = the same discipline in the
-    * PQ codebook trainer (both r7).
+    * PQ codebook trainer (both r7). a4 = cluster-by-label physical
+    * layout (one file per cell, r8) — results are identical, but the
+    * old many-files-per-cell artifacts must not be served as if they
+    * had the new layout's scan cost.
     */
-  val AlgoVersion = "a3"
+  val AlgoVersion = "a4"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)
@@ -93,11 +100,13 @@ object VectorIndex {
     * mutated in place.
     */
   def appendDelta(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = IndexCache.readCached(spark, s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     delta.withColumn("label", VectorOps.nearestCentroidId(col("vec"), cents))
+      .repartition(col("label")) // one file per touched cell per delta
       .write.mode("append").partitionBy("label")
       .parquet(s"$indexDir/vectors")
+    IndexCache.invalidate(s"$indexDir/vectors") // appended: cached file index is stale
     val marker = java.nio.file.Paths.get(indexDir, "_INDEX_OK")
     if (java.nio.file.Files.exists(marker)) {
       val prev = new String(java.nio.file.Files.readAllBytes(marker))
@@ -124,7 +133,7 @@ object VectorIndex {
     */
   private[operators] def probedVectors(spark: SparkSession, indexDir: String,
                                        queries: DataFrame, nprobe: Int): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val cents = broadcast(IndexCache.readCached(spark, s"$indexDir/centroids"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
     val probeLabels = queries.select(col("query_id"), col("qvec"))
@@ -135,7 +144,7 @@ object VectorIndex {
       .filter(col("c_rank") <= nprobe)
       .select(col("c_id")).distinct()
       .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
-    spark.read.parquet(s"$indexDir/vectors")
+    IndexCache.readCached(spark, s"$indexDir/vectors")
       .filter(col("label").isin(probeLabels: _*))
   }
 
@@ -144,7 +153,7 @@ object VectorIndex {
     */
   def query(spark: SparkSession, indexDir: String, queries: DataFrame,
             k: Int, nprobe: Int = 12): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val cents = broadcast(IndexCache.readCached(spark, s"$indexDir/centroids"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
     val probes = queries.select(col("query_id"), col("qvec"))
@@ -185,10 +194,10 @@ object VectorIndex {
   private[operators] def filteredProbePlan(spark: SparkSession, indexDir: String,
                                            queries: DataFrame, predicate: org.apache.spark.sql.Column,
                                            need: Long, minCells: Int = 4): DataFrame = {
-    val cellStats = spark.read.parquet(s"$indexDir/vectors")
+    val cellStats = IndexCache.readCached(spark, s"$indexDir/vectors")
       .filter(predicate)
       .groupBy(col("label").as("c_id")).agg(count(lit(1)).as("n_match"))
-    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val cents = broadcast(IndexCache.readCached(spark, s"$indexDir/centroids"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
     val cumW = Window.partitionBy(col("query_id"))
@@ -231,7 +240,7 @@ object VectorIndex {
       .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    spark.read.parquet(s"$indexDir/vectors")
+    IndexCache.readCached(spark, s"$indexDir/vectors")
       .filter(col("label").isin(probeLabels: _*))
       .filter(predicate)
       .join(broadcast(plan.join(queries.select(col("query_id"), col("qvec")), "query_id")),
@@ -263,6 +272,7 @@ object VectorIndex {
     val (cents, flat) =
       VectorOps.ivfPqTrain(corpus, kClusters, coarseIters, m, kCodes, pqIters, dim)
     VectorOps.ivfPqEncode(corpus, cents, flat, m, kCodes, dim)
+      .repartition(col("label")) // one file per cell (see build())
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$indexDir/codes")
     cents.toDF("c_id", "centroid")
@@ -303,15 +313,15 @@ object VectorIndex {
   def queryPq(spark: SparkSession, indexDir: String, queries: DataFrame,
               floats: DataFrame, k: Int, nprobe: Int = 12,
               shortlist: Int = 100): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = IndexCache.readCached(spark, s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val cb = spark.read.parquet(s"$indexDir/codebook").head()
+    val cb = IndexCache.readCached(spark, s"$indexDir/codebook").head()
     val (m, kCodes, dim) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
     val flat = cb.getSeq[Double](3).toArray
     val probes = VectorOps.ivfPqProbes(queries, cents, flat, nprobe, m, kCodes, dim)
     val probeLabels = probes.select(col("label")).distinct()
       .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = IndexCache.readCached(spark, s"$indexDir/codes")
       .filter(col("label").isin(probeLabels: _*))
     VectorOps.ivfPqSearch(queries, codes, floats, probes, k, m, kCodes, shortlist)
   }
@@ -322,13 +332,15 @@ object VectorIndex {
     * O(delta) contract.
     */
   def appendDeltaPq(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = IndexCache.readCached(spark, s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val cb = spark.read.parquet(s"$indexDir/codebook").head()
+    val cb = IndexCache.readCached(spark, s"$indexDir/codebook").head()
     val (m, kCodes, dim) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
     VectorOps.ivfPqEncode(delta, cents, cb.getSeq[Double](3).toArray, m, kCodes, dim)
+      .repartition(col("label")) // one file per touched cell per delta
       .write.mode("append").partitionBy("label")
       .parquet(s"$indexDir/codes")
+    IndexCache.invalidate(s"$indexDir/codes") // appended: cached file index is stale
   }
 
   /** PERSISTED BINARY-QUANTIZATION index — codes at rest for the
@@ -373,7 +385,7 @@ object VectorIndex {
 
   private def readBqModel(spark: SparkSession,
                           indexDir: String): (Array[Array[Double]], Array[Double], Int) = {
-    val m = spark.read.parquet(s"$indexDir/model").head()
+    val m = IndexCache.readCached(spark, s"$indexDir/model").head()
     val dim = m.getInt(0)
     val mean = m.getSeq[Double](1).toArray
     val rot = m.getSeq[Double](2).toArray.grouped(dim).toArray
@@ -403,7 +415,7 @@ object VectorIndex {
       .select(col("query_id"), VectorOps.signPack(col("rq"), dim).as("qcode")))
     val wHam = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("vec_id").asc)
-    val shortlisted = spark.read.parquet(s"$indexDir/codes")
+    val shortlisted = IndexCache.readCached(spark, s"$indexDir/codes")
       .join(qCodes)
       .select(col("query_id"), col("vec_id"),
         Dedup.hamming(col("code"), col("qcode")).as("hamming"))
@@ -422,6 +434,7 @@ object VectorIndex {
     val (rot, mean, dim) = readBqModel(spark, indexDir)
     encodeBq(delta, rot, mean, dim)
       .write.mode("append").parquet(s"$indexDir/codes")
+    IndexCache.invalidate(s"$indexDir/codes") // appended: cached file index is stale
   }
 
   /** Driver query: build the index over the standard corpus in a

@@ -86,6 +86,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaCache === viaFresh)
   }
 
+  test("a cached relation is invalidated by delta-append (no stale file index)") {
+    // the serve path memoizes resolved artifact relations
+    // (IndexCache.readCached) — a query BEFORE the append populates
+    // that cache, so this pins the append-side invalidation: without
+    // it the second query would silently miss every delta file
+    val (corpus, queries) = corpusAndQueries
+    val corpus0 = corpus.filter(col("vec_id") < 400)
+    val delta = corpus.filter(col("vec_id") >= 400)
+    val dir = Files.createTempDirectory("ivf-stale").toString
+    VectorIndex.build(corpus0, dir, kClusters = 8, iters = 2)
+    VectorIndex.query(spark, dir, queries, k = 10, nprobe = 8).count() // populate the relation cache
+    VectorIndex.appendDelta(spark, dir, delta)
+    val afterIds = VectorIndex.query(spark, dir, queries, k = 10, nprobe = 8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // full-probe k=10 over a corpus where delta vectors are nearest to
+    // some query must surface at least one delta id
+    assert(afterIds.exists(_ >= 400L),
+      s"post-append query served from a stale cached file index: $afterIds")
+  }
+
   test("delta-append equals re-laying-out the union under the frozen centroids") {
     val (corpus, queries) = corpusAndQueries
     val corpus0 = corpus.filter(col("vec_id") < 400)

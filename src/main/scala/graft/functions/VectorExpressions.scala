@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
@@ -205,6 +205,120 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd symmetric-int8 scalar quantizer: ONE compiled pass per
+  * vector emitting the struct `(_s double, _c8 array<tinyint>, _n
+  * double)` — dequant scale, int8 codes, norm reconstructed from the
+  * codes. Replaces the interpreted `transform`/`aggregate` HOF chain
+  * in `VectorOps.sqEncodeAll`, whose per-element lambda frames
+  * dominated the SQ encode (observed as a 0.8 s single-task stage on
+  * a 2k-vector corpus).
+  *
+  * Bitwise parity with the HOF chain (pinned in VectorOpsSpec):
+  *  - ma   = left-to-right max of |x_i| in double
+  *  - s    = ma > 0 ? ma / 127.0 : 1.0   (empty/all-zero → 1.0)
+  *  - c8_i = (byte) clamp(floor(x_i / s + 0.5), ±127)   — floor
+  *           first, then clamp, then the exact-integer byte cast
+  *  - n    = sqrt((double) Σ c8_i²) · s  (integer partial sums)
+  * Null vector → null struct; the callers' `_n > 0` guard drops such
+  * rows under either formulation, so results are unchanged.
+  */
+case class Int8Encode(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "graft_int8_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_s", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("_c8", ArrayType(ByteType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("_n", DoubleType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  private def isDoubleIn: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val dbl = isDoubleIn
+    def get(i: Int): Double = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
+    var ma = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(get(i)); if (v > ma) ma = v; i += 1 }
+    val s = if (ma > 0.0) ma / 127.0 else 1.0
+    val codes = new Array[Byte](n)
+    var ss = 0L
+    i = 0
+    while (i < n) {
+      var c = math.floor(get(i) / s + 0.5)
+      if (c > 127.0) c = 127.0
+      if (c < -127.0) c = -127.0
+      val b = c.toByte
+      codes(i) = b
+      ss += b.toLong * b.toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      s,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes),
+      math.sqrt(ss.toDouble) * s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX =
+      if (isDoubleIn) (a: String, i: String) => s"$a.getDouble($i)"
+      else (a: String, i: String) => s"(double) $a.getFloat($i)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ma = ctx.freshName("ma")
+      val s = ctx.freshName("s")
+      val codes = ctx.freshName("codes")
+      val ss = ctx.freshName("ss")
+      val c = ctx.freshName("c")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $ma = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs(${getX(a, i)});
+         |  if ($v > $ma) $ma = $v;
+         |}
+         |double $s = ($ma > 0.0) ? $ma / 127.0 : 1.0;
+         |byte[] $codes = new byte[$n];
+         |long $ss = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $c = java.lang.Math.floor(${getX(a, i)} / $s + 0.5);
+         |  if ($c > 127.0) $c = 127.0;
+         |  if ($c < -127.0) $c = -127.0;
+         |  byte $b = (byte) $c;
+         |  $codes[$i] = $b;
+         |  $ss += (long) $b * (long) $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Object[] {
+         |  $s,
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes),
+         |  java.lang.Math.sqrt((double) $ss) * $s });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Encode {
+  def apply(vec: Column): Column =
+    GraftSqlBridge.column(Int8Encode(GraftSqlBridge.expression(vec)))
+}
+
 /** Column wrappers + SQL registration. */
 object VectorExpressions {
 
@@ -225,6 +339,7 @@ object VectorExpressions {
     ("graft_dot",    { args => require(args.length == 2); DotProduct(args(0), args(1)) }),
     ("graft_l2",     { args => require(args.length == 2); L2Distance(args(0), args(1)) }),
     ("graft_int8_dot", { args => require(args.length == 2); Int8Dot(args(0), args(1)) }),
+    ("graft_int8_encode", { args => require(args.length == 1); Int8Encode(args(0)) }),
     ("graft_shingle_hashes", { args =>
       require(args.length == 2)
       ShingleHashes(args(0), GraftExtensions.intLiteral(args(1), "n")) }),

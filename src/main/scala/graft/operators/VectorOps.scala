@@ -416,12 +416,24 @@ object VectorOps {
 
   /** Append symmetric-int8 SQ columns to `df`, PRESERVING every
     * existing column: `_s` (dequant scale), `_c8` (int8 codes), `_n`
-    * (norm reconstructed from the codes). The staged projections keep
-    * the encode O(dim) — see the trap note in [[annSq]]. Shared by
-    * [[annSq]] and [[Dedup.semanticNearDup]]'s code-carrying
-    * candidate join.
+    * (norm reconstructed from the codes) — one compiled pass per
+    * vector via the codegen'd [[graft.functions.Int8Encode]] kernel
+    * (the interpreted HOF chain below is retained as its executable
+    * spec; bitwise parity in VectorOpsSpec). Shared by [[annSq]] and
+    * [[Dedup.semanticNearDup]]'s code-carrying candidate join.
     */
   private[graft] def sqEncodeAll(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("_e", graft.functions.Int8Encode(col(vec)))
+      .withColumn("_s", col("_e._s"))
+      .withColumn("_c8", col("_e._c8"))
+      .withColumn("_n", col("_e._n"))
+      .drop("_e")
+
+  /** HOF reference formulation of [[sqEncodeAll]] (interpreted;
+    * parity pinned in VectorOpsSpec). The staged projections keep the
+    * encode O(dim) — see the trap note in [[annSq]].
+    */
+  private[operators] def sqEncodeAllHof(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
       .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
       .withColumn("_c8", transform(col(vec), x =>
@@ -941,7 +953,7 @@ object VectorOps {
     */
   def withRecallAt(ann: DataFrame, queries: DataFrame, corpus: DataFrame,
                    k: Int): DataFrame = {
-    val truth = knnBrute(queries, corpus, k).select(col("query_id"), col("vec_id"))
+    val truth = truthFor(queries, corpus, k)
     val hits = ann.select(col("query_id"), col("vec_id"))
       .join(truth, Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
@@ -950,6 +962,49 @@ object VectorOps {
         coalesce(col("_hits"), lit(0L)).cast("double") / lit(k.toDouble))
       .drop("_hits")
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Brute-force truth memo for [[withRecallAt]]: every ANN family
+    * member certifies against the SAME (queries, corpus, k) truth
+    * set, so one bench/driver pass otherwise recomputes an identical
+    * broadcast-kNN dozens of times. Keyed by the canonicalized plans'
+    * semantic hashes with a `sameResult` guard (a hash collision must
+    * degrade to a rebuild, never to the wrong truth), weakly per
+    * session, and the value is materialized — k·|Q| rows — so reuse
+    * costs nothing. The truth is certification scaffolding: the SERVE
+    * path's cost is untouched, and correctness is unaffected because
+    * the memoized frame is the same deterministic result the inline
+    * computation produces.
+    */
+  private val truthMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+        List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]]()
+
+  private def truthFor(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val perSession = truthMemo.synchronized {
+      var m = truthMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+          List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
+        truthMemo.put(spark, m)
+      }
+      m
+    }
+    val (qp, cp) = (queries.queryExecution.analyzed, corpus.queryExecution.analyzed)
+    val key = (qp.semanticHash(), cp.semanticHash(), k)
+    perSession.compute(key, { (_, prev) =>
+      val bucket = if (prev == null) Nil else prev
+      if (bucket.exists { case (q0, c0, _) => q0.sameResult(qp) && c0.sameResult(cp) }) bucket
+      else (qp, cp,
+        knnBrute(queries, corpus, k).select(col("query_id"), col("vec_id"))
+          .localCheckpoint(true)) :: bucket
+    }).collectFirst {
+      case (q0, c0, df) if q0.sameResult(qp) && c0.sameResult(cp) => df
+    }.get
   }
 
   // ---- SparkEntry query wrappers over the embeddings table ----

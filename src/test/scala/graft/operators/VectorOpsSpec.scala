@@ -279,6 +279,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatch.head.isNullAt(0), "dimension mismatch must be NULL")
   }
 
+  test("Int8Encode kernel is bitwise equal to the HOF encode chain") {
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(60)(Seq.fill(64)((rnd.nextDouble() * 4 - 2).toFloat)) ++
+      Seq(Seq.fill(64)(0.0f)) // all-zero vector exercises the s=1.0 fallback
+    val df = spark.createDataFrame(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("vec_id", "v")
+    val kernel = VectorOps.sqEncodeAll(df, "v")
+      .select("vec_id", "_s", "_c8", "_n").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Byte](2), r.getDouble(3)))).toMap
+    val hof = VectorOps.sqEncodeAllHof(df, "v")
+      .select("vec_id", "_s", "_c8", "_n").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Byte](2), r.getDouble(3)))).toMap
+    assert(kernel.keySet === hof.keySet)
+    kernel.foreach { case (id, (s, c8, n)) =>
+      val (hs, hc8, hn) = hof(id)
+      assert(s === hs, s"scale mismatch at $id")          // bitwise: same double ops
+      assert(c8 === hc8, s"codes mismatch at $id")
+      assert(n === hn, s"norm mismatch at $id")
+    }
+    // float and double element types both accepted
+    val dbl = spark.createDataFrame(Seq((1L, Seq(0.5, -1.25, 2.0))))
+      .toDF("vec_id", "v")
+    assert(VectorOps.sqEncodeAll(dbl, "v").select("_c8").head().getSeq[Byte](0).nonEmpty)
+  }
+
   test("SQ8 ANN: int8 codes (4x compression), high recall, deterministic") {
     val queries = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -385,24 +385,41 @@ object TextAnalysis {
   def pmiPairs(s: SparkSession, dir: String, topV: Int = 100,
                minPair: Long = 5L, topK: Int = 25): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tok = docs
+    // Baskets FIRST: one explode pass + one exchange on doc_id, with
+    // collect_set doing the per-doc dedup the old shape paid a
+    // separate corpus-wide distinct shuffle for — and the vocabulary
+    // counts then derive from the compact basket relation (1 row/doc)
+    // instead of re-running the explode+regex+distinct a second time.
+    val baskets = docs
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
       .filter(col("tok").rlike("^[a-z]+$"))
-      .distinct()
-    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val tokN = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
-    val top = broadcast(tokN.orderBy(col("n_tok").desc, col("tok"))
-      .limit(topV).select(col("tok")))
-    val pairs = tok.join(top, "tok")
       .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("ts"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tokN = baskets.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    // top-V vocabulary WITH its counts to the driver (model-scale:
+    // topV rows, the centroid-collect discipline): the basket filter
+    // becomes a map-side array_intersect against a literal, and the
+    // n_a/n_b lookups a broadcast LocalRelation — pair members are
+    // all in the top-V by construction, so no path recomputes the
+    // corpus-wide token counts
+    val vocabRows = tokN.orderBy(col("n_tok").desc, col("tok"))
+      .limit(topV).collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocab = vocabRows.map(_._1)
+    val sp = s
+    import sp.implicits._
+    val vocabDf = vocabRows.toSeq.toDF("tok", "n_tok")
+    val pairs = baskets
+      .select(array_intersect(col("ts"),
+        lit(vocab.asInstanceOf[Array[String]])).as("ts"))
       .select(explode(col("ts")).as("ta"), col("ts"))
       .select(col("ta"), explode(col("ts")).as("tb"))
       .filter(col("ta") < col("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPair)
     pairs
-      .join(tokN.toDF("ta", "n_a"), "ta")
-      .join(tokN.toDF("tb", "n_b"), "tb")
+      .join(broadcast(vocabDf.toDF("ta", "n_a")), "ta")
+      .join(broadcast(vocabDf.toDF("tb", "n_b")), "tb")
       .crossJoin(broadcast(nDocs))
       .select(col("ta"), col("tb"), col("n_ab"),
         (floor(log(col("n_docs").cast("double") * col("n_ab").cast("double") /

@@ -120,3 +120,75 @@ object PqEncode {
   def apply(vec: Column, codebook: Seq[Double], m: Int, kCodes: Int, subDim: Int): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), codebook, m, kCodes, subDim))
 }
+
+/** Codegen'd ADC (asymmetric distance computation) score: Σ_b
+  * lut[b·kCodes + codes[b]] accumulated left-to-right in double — the
+  * per-(query, code-row) hot loop of the PQ scoring fan-out
+  * ([[graft.operators.VectorOps]] pqAdcShortlist / ivfPqSearch),
+  * replacing an interpreted zip_with + aggregate chain that ran once
+  * per OUTPUT pair of the broadcast join.
+  *
+  * Bitwise parity with the HOF chain: identical lookups summed in
+  * identical block order (pure table reads — no arithmetic to
+  * reassociate), and an out-of-range lookup nulls the whole score
+  * exactly like non-ANSI `element_at` nulls the fold. Pinned in
+  * VectorOpsSpec.
+  */
+case class AdcScore(left: Expression, right: Expression, kCodes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+
+  override def prettyName: String = "graft_adc_score"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<int> codes, array<double> lut), got " +
+        s"${l.simpleString(10)} / ${r.simpleString(10)}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var blk = 0
+    while (blk < m) {
+      val idx = blk * kCodes + codes.getInt(blk)
+      if (idx < 0 || idx >= lut.numElements()) return null
+      acc += lut.getDouble(idx)
+      blk += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val blk = ctx.freshName("blk")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $blk = 0; $blk < $m; $blk++) {
+         |  int $idx = $blk * $kCodes + $a.getInt($blk);
+         |  if ($idx < 0 || $idx >= $b.numElements()) { ${ev.isNull} = true; break; }
+         |  $acc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object AdcScore {
+  def apply(codes: Column, lut: Column, kCodes: Int): Column =
+    GraftSqlBridge.column(AdcScore(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut), kCodes))
+}

@@ -447,6 +447,16 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** HOF reference formulation of [[graft.functions.AdcScore]]
+    * (interpreted; parity pinned in VectorOpsSpec).
+    */
+  private[operators] def adcScoreHof(codes: Column, lut: Column,
+                                     m: Int, kCodes: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (code, b) => element_at(lut, b * kCodes + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** ANN via scalar int8 quantization + exact re-rank: the corpus is
     * carried through the scoring join as int8 codes plus two floats
     * per vector (4× less memory/bandwidth than float32 — the point of
@@ -669,10 +679,7 @@ object VectorOps {
       blockDist(col("qvec"), (idx / kCodes).cast("int"), idx % kCodes))
     val q = broadcast(queries.select(col("query_id"), lutExpr.as("lut")))
 
-    val adcScore = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val adcScore = graft.functions.AdcScore(col("codes"), col("lut"), kCodes)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     encoded.select(col("vec_id"), col("codes"))
@@ -907,10 +914,7 @@ object VectorOps {
                                      floats: DataFrame, probes: DataFrame,
                                      k: Int, m: Int, kCodes: Int,
                                      shortlist: Int): DataFrame = {
-    val adcScore = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (code, b) => element_at(col("lut"), b * kCodes + code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val adcScore = graft.functions.AdcScore(col("codes"), col("lut"), kCodes)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     val shortlisted = codes

@@ -279,6 +279,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatch.head.isNullAt(0), "dimension mismatch must be NULL")
   }
 
+  test("AdcScore kernel is bitwise equal to the HOF lookup-sum") {
+    val rnd = new scala.util.Random(23)
+    val (m, kCodes) = (8, 32)
+    val rows = Seq.fill(80)((
+      Seq.fill(m)(rnd.nextInt(kCodes)),
+      Seq.fill(m * kCodes)(rnd.nextDouble() * 3)))
+    val df = spark.createDataFrame(rows).toDF("codes", "lut")
+    val both = df.select(
+      graft.functions.AdcScore(col("codes"), col("lut"), kCodes).as("k"),
+      VectorOps.adcScoreHof(col("codes"), col("lut"), m, kCodes).as("h")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // an out-of-range lookup nulls the score, like non-ANSI element_at
+    val oob = spark.createDataFrame(Seq((Seq(kCodes + 5), Seq(0.5))))
+      .toDF("codes", "lut")
+      .select(graft.functions.AdcScore(col("codes"), col("lut"), kCodes).as("k"))
+      .collect()
+    assert(oob.head.isNullAt(0))
+  }
+
   test("Int8Encode kernel is bitwise equal to the HOF encode chain") {
     val rnd = new scala.util.Random(17)
     val vecs = Seq.fill(60)(Seq.fill(64)((rnd.nextDouble() * 4 - 2).toFloat)) ++

@@ -433,7 +433,7 @@ object VectorOps {
     * parity pinned in VectorOpsSpec). The staged projections keep the
     * encode O(dim) — see the trap note in [[annSq]].
     */
-  private[operators] def sqEncodeAllHof(df: DataFrame, vec: String): DataFrame =
+  private[graft] def sqEncodeAllHof(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
       .withColumn("_s", when(col("_ma") > 0, col("_ma") / lit(127.0)).otherwise(lit(1.0)))
       .withColumn("_c8", transform(col(vec), x =>
@@ -450,7 +450,7 @@ object VectorOps {
   /** HOF reference formulation of [[graft.functions.AdcScore]]
     * (interpreted; parity pinned in VectorOpsSpec).
     */
-  private[operators] def adcScoreHof(codes: Column, lut: Column,
+  private[graft] def adcScoreHof(codes: Column, lut: Column,
                                      m: Int, kCodes: Int): Column =
     aggregate(
       zip_with(codes, sequence(lit(0), lit(m - 1)),

@@ -98,6 +98,46 @@ object PropertySpec extends Properties("graft") {
     }) :| "cosine identities over 60 random pairs"
   }
 
+  property("Int8Encode kernel ≡ HOF chain on arbitrary vectors (incl. extremes)") = {
+    import spark.implicits._
+    // mixes magnitudes across 8 orders, exact-boundary values, an
+    // all-zero vector (the s=1.0 fallback) and varying dims — anything
+    // where clamp/floor/cast order could diverge between formulations
+    val compGen = Gen.oneOf(
+      Gen.choose(-10.0f, 10.0f),
+      Gen.choose(-1e6f, 1e6f),
+      Gen.choose(-1e-4f, 1e-4f),
+      Gen.oneOf(0.0f, -0.0f, 127.0f, -127.0f, 126.5f, -126.5f))
+    val vGen = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, compGen))
+    val vecs = (Gen.listOfN(80, vGen).sample.get :+ List.fill(8)(0.0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val k = VectorOps.sqEncodeAll(df, "v").select("id", "_s", "_c8", "_n")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2), r.getDouble(3)))).toMap
+    val h = VectorOps.sqEncodeAllHof(df, "v").select("id", "_s", "_c8", "_n")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2), r.getDouble(3)))).toMap
+    Prop(k.keySet == h.keySet && k.forall { case (id, t) => h(id) == t }) :|
+      "kernel/HOF scale+codes+norm bitwise equal over 81 adversarial vectors"
+  }
+
+  property("AdcScore kernel ≡ HOF lookup-sum on arbitrary codes/LUTs") = {
+    import spark.implicits._
+    val kCodes = 16
+    val rowGen = for {
+      m <- Gen.choose(1, 12)
+      codes <- Gen.listOfN(m, Gen.choose(0, kCodes - 1))
+      lut <- Gen.listOfN(m * kCodes, Gen.choose(-1e3, 1e3))
+    } yield (codes, lut, m)
+    val rows = Gen.listOfN(60, rowGen).sample.get
+    Prop(rows.groupBy(_._3).forall { case (m, group) =>
+      val df = group.map(t => (t._1, t._2)).toDF("codes", "lut")
+      df.select(
+        graft.functions.AdcScore(col("codes"), col("lut"), kCodes).as("k"),
+        VectorOps.adcScoreHof(col("codes"), col("lut"), m, kCodes).as("h"))
+        .collect().forall(r => r.getDouble(0) == r.getDouble(1))
+    }) :| "kernel/HOF ADC sums bitwise equal over 60 random (codes, lut) rows"
+  }
+
   property("jaccard: self=1, bounded, symmetric") = {
     import spark.implicits._
     val setGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.distinct)

@@ -86,6 +86,24 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaCache === viaFresh)
   }
 
+  test("build lays out exactly one file per cell directory") {
+    // the pre-r8 write fanned every upstream partition into every
+    // cell (cells × partitions tiny files — 1845 for a 5k-row
+    // collection); this pins the clustered layout so the fan-out
+    // can't silently return
+    val (corpus, _) = corpusAndQueries
+    val dir = Files.createTempDirectory("ivf-layout").toString
+    VectorIndex.build(corpus.repartition(4), dir, kClusters = 8, iters = 2)
+    val vecDir = new java.io.File(s"$dir/vectors")
+    val labelDirs = vecDir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("label="))
+    assert(labelDirs.nonEmpty)
+    labelDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"cell ${d.getName} has ${files.length} files — the clustered write regressed")
+    }
+  }
+
   test("a cached relation is invalidated by delta-append (no stale file index)") {
     // the serve path memoizes resolved artifact relations
     // (IndexCache.readCached) — a query BEFORE the append populates

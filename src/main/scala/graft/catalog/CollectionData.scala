@@ -965,6 +965,10 @@ class CollectionData(client: ChromaSpark) {
     // corpus-scan jobs back to back
     val d = dir(collection)
     val key = s"$d|${currentBatchIn(d)}|${logFileNames(d).toSeq.sorted.mkString(",")}"
+    // bounded: entries are ~100 bytes but keys embed warehouse dirs,
+    // which a long-lived service mints without limit
+    if (CollectionData.fingerprintMemo.size > 4096)
+      CollectionData.fingerprintMemo.clear()
     CollectionData.fingerprintMemo.computeIfAbsent(key, { _: String =>
       snapshotLive(collection, None) match {
         case Some(live) =>

@@ -70,6 +70,31 @@ object Bench {
       if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
       else if (v >= 1) f"$v%.2f" else f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // THE PERF-GATE BASIS (VERDICT r8 #5): the recorded baseline
+    // (BENCH_r01, 42.57 s at sf0.1) measured exactly these 43
+    // queries; the suite has since grown 4×+ (streaming runtimes,
+    // index builds, a distributed trainer), so total-vs-total
+    // comparisons manufacture fake breaches. The r1-subset total is
+    // emitted as a SECOND metric in the printed line and in every
+    // BENCH_LOCAL run record — the ≤2× gate reads THIS number, by
+    // construction the like-for-like comparison.
+    val baseline43 = Set(
+      "catalog_lifecycle", "collection_items", "dd_embed_top",
+      "dd_minhash_pairs", "dd_ngram_top", "dd_signatures",
+      "dd_simhash_pairs", "ev_asof_join", "ev_hourly", "ev_props_json",
+      "ev_sessions", "mm_features", "q10_sort_limit", "q11_cube",
+      "q12_filter_project", "q13_range_join", "q14_where_filter",
+      "q15_grouping_sets", "q16_window_suite", "q17_corr_subquery",
+      "q18_stats", "q19_percentiles", "q1_pricing_summary",
+      "q20_cond_pivot", "q21_setops_all", "q22_array_agg",
+      "q2_topk_orders", "q3_join_revenue", "q4_rollup", "q5_semi_join",
+      "q6_anti_join", "q7_running_total", "q8_distinct_agg",
+      "q9_set_ops", "txt_dedup_exact", "txt_langid", "txt_quality",
+      "txt_token_counts", "txt_top_tokens", "vec_ann_ivf",
+      "vec_ann_lsh", "vec_knn", "vec_knn_filtered")
+    val baselineSubtotal = results.collect {
+      case (k, v) if baseline43.contains(k) => v
+    }.sum
     // THE BENCH PROTOCOL, codified (VERDICT r7 #6): full-suite runs
     // APPEND a {ts, total, per-query} record to BENCH_LOCAL.json's
     // run history — never overwrite — and the "committed" block is
@@ -109,6 +134,7 @@ object Bench {
       val rec = runs.addObject()
       rec.put("ts", java.time.Instant.now().toString)
       rec.put("total", total)
+      rec.put("baseline43_total", baselineSubtotal)
       rec.put("sf", sfDir)
       rec.put("reps", reps)
       val qn = rec.putObject("queries")
@@ -159,7 +185,7 @@ object Bench {
     } catch { case e: Throwable => if (debug) e.printStackTrace() }
     val budget = 1800
     val overhead =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_ref_sec":42.57,"queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val kept = {
@@ -171,7 +197,7 @@ object Bench {
     val omitted = entries.size - kept.size
     val qs = kept.mkString("{", ",", "}")
     val suffix = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_ref_sec":42.57,"queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
     spark.stop()
   }
 }

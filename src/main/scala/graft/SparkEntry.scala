@@ -594,12 +594,89 @@ object SparkEntry {
     d.queryHybrid("hyxi", texts, nResults = 5)
   }
 
+  /** Collection ANN serve at a PRUNING-ACTIVE corpus size (r9 — the
+    * r8 verdict's #4): the 490-vector fixture tripled (two perturbed
+    * copies, ids shifted 1e6/2e6 — the `dd_semantic` planted-copy
+    * idiom) gives 1470 live rows, so cells = ⌈√1470⌉ = 39 > nprobe =
+    * 24 and planning-time directory pruning ENGAGES inside the
+    * DuckDB-oracled path — `collection_ann_index` alone cannot cover
+    * this because its 490-row corpus probes every cell (exact). The
+    * oracle replays the identical k-means, FLOAT-cast probe ranking
+    * and 24-cell prefix, so the hash certifies the PRUNED serve, and
+    * the pruned plan shape is additionally pinned in ScalaTest.
+    */
+  def collectionAnnPruned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-annprn-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("embprn", Some(Map("hnsw:space" -> "cosine")))
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"))
+    def shifted(offset: Long, factor: Float) = base
+      .select((col("vec_id") + F.lit(offset)).as("vec_id"),
+        F.transform(col("embedding"),
+          (x, i) => F.when(i === 0, x * F.lit(factor)).otherwise(x)).as("embedding"))
+    val corpus = base
+      .unionByName(shifted(1000000L, 1.01f))
+      .unionByName(shifted(2000000L, 1.02f))
+    d.add("embprn", corpus
+      .select(F.format_string("v%07d", col("vec_id")).as("id"), col("embedding")))
+    // THREE queries, not ten: the scan's partition filter is the
+    // UNION of every query's probed cells, and ten diverse queries ×
+    // nprobe 24 cover all 39 cells — these three probe 34 of 39, so
+    // the oracled serve runs with directories ACTUALLY pruned (the
+    // plan shape the spec pins).
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = d.query("embprn", queries, nResults = 10, include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+    VectorOps.withRecallAt(ann, queries,
+      corpus.select(col("vec_id"), col("embedding").as("vec")), k = 10)
+  }
+
+  /** FILTERED hybrid search served from the persisted tiers (r9 —
+    * the r8 verdict's #2): same tiered fixture as
+    * `collection_hybrid_index`, plus a `where_document $contains`
+    * filter on the corpus' own first token. The lexical ranker
+    * derives the FILTERED BM25 stats (df, n_docs, avgdl — all
+    * additive) from the artifact's postings + doc table joined
+    * against the predicate (the raw log never scans; plan pinned in
+    * ScalaTest), and the vector ranker rides the IVF tier's adaptive
+    * filtered probe. The oracle replays the inline filtered math end
+    * to end — valid because the indexed stats are exact by
+    * construction and every cell holding a match is probed at this
+    * corpus size.
+    */
+  def collectionHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hybflt-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("hyfl") // defaults: hash16 embedder, l2 metric
+    val docs = Tables.documents(s, dir)
+    d.add("hyfl", docs.filter(col("doc_id") >= 3)
+      .select(F.format_string("d%07d", col("doc_id")).as("id"),
+        col("text").as("document")))
+    val texts = docs.filter(col("doc_id") < 3).orderBy(col("doc_id"))
+      .select(F.array_join(F.slice(F.split(F.trim(col("text")), "\\s+"), 1, 8), " "))
+      .collect().map(_.getString(0)).toSeq // 3 query strings, bounded
+    val term = texts.head.split("\\s+").head
+    d.queryHybrid("hyfl", texts, nResults = 5,
+      whereDocumentJson = Some(s"""{"$$contains":"$term"}"""))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "collection_ann_index" -> (collectionAnnIndex _),
+    "collection_ann_pruned" -> (collectionAnnPruned _),
     "collection_hnsw_graph" -> (collectionHnswGraph _),
     "collection_hybrid"  -> (collectionHybrid _),
     "collection_hybrid_index" -> (collectionHybridIndex _),
+    "collection_hybrid_filtered" -> (collectionHybridFiltered _),
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q2_topk_orders"     -> (Relational.q2TopkOrders _),
     "q3_join_revenue"    -> (Relational.q3JoinRevenue _),
@@ -5252,6 +5329,111 @@ object SparkEntry {
         |FROM franked WHERE rk <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
 
+    // FILTERED hybrid over the tiered collection (r9): the same
+    // inline replay restricted to the where_document $contains
+    // corpus — the first token of doc 0, derived in SQL exactly as
+    // the driver derives it. BM25 stats (df, n_docs, avgdl) are
+    // computed over the FILTERED corpus, which the engine's lexical
+    // tier derives from its artifact (additive stats joined against
+    // the predicate); the vector side is exact because every cell
+    // holding a match is probed (adaptive floor = all 23 cells).
+    "collection_hybrid_filtered" ->
+      """WITH term AS (
+        |  SELECT string_split_regex(trim(text), '\s+')[1] AS t
+        |  FROM documents WHERE doc_id = 0),
+        |corpus AS (
+        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id, text
+        |  FROM documents, term WHERE doc_id >= 3 AND contains(text, term.t)),
+        |qtext AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS query_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ') AS t
+        |  FROM documents WHERE doc_id < 3),
+        |tok AS (SELECT id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM corpus),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+        |dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |qterms AS (SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(trim(t), '\s+'))) AS token
+        |  FROM qtext),
+        |bscored AS (
+        |  SELECT qterms.query_id, tf.id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN qterms USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.id = dl.id CROSS JOIN n CROSS JOIN avgs),
+        |bagg AS (SELECT query_id, id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |         FROM bscored GROUP BY query_id, id),
+        |brank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, id) AS rk
+        |  FROM bagg),
+        |text_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS text_rank
+        |              FROM brank WHERE rk <= 10),
+        |alltxt AS (
+        |  SELECT id, text AS t FROM corpus
+        |  UNION ALL SELECT 'q' || CAST(query_id AS VARCHAR) AS id, t FROM qtext),
+        |etok AS (SELECT id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS token
+        |         FROM alltxt),
+        |feat AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS idx,
+        |    CASE WHEN substr(md5(token), 9, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM etok),
+        |sums AS (SELECT id, idx, sum(s) AS v FROM feat GROUP BY id, idx),
+        |maps AS (
+        |  SELECT id, map_from_entries(list(struct_pack(k := idx, v := v))) AS m
+        |  FROM sums GROUP BY id),
+        |dense AS (
+        |  SELECT id, list_transform(range(0, 16),
+        |           i -> coalesce(map_extract(m, i)[1], 0.0)) AS raw
+        |  FROM maps),
+        |fvec AS (
+        |  SELECT id, list_transform(raw, x -> CAST(
+        |           x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+        |         AS REAL)) AS vec
+        |  FROM dense),
+        |qv AS (SELECT CAST(substr(id, 2) AS BIGINT) AS query_id, vec AS qvec
+        |       FROM fvec WHERE id LIKE 'q%'),
+        |cv AS (SELECT id, vec FROM fvec WHERE id LIKE 'd%'),
+        |vdist AS (
+        |  SELECT qv.query_id, cv.id,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), 'sum')
+        |    - 2.0 * list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |    + list_aggregate(list_transform(range(1, 17),
+        |      i -> CAST(cv.vec[i] AS DOUBLE) * CAST(cv.vec[i] AS DOUBLE)), 'sum')
+        |      AS dist
+        |  FROM cv, qv),
+        |vrank AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rk
+        |  FROM vdist),
+        |vec_side AS (SELECT query_id, id, CAST(rk AS BIGINT) AS vec_rank
+        |             FROM vrank WHERE rk <= 10),
+        |fused AS (
+        |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+        |    coalesce(t.id, v.id) AS doc_id, t.text_rank, v.vec_rank,
+        |    coalesce(1.0 / (60 + t.text_rank), 0.0) +
+        |    coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf_raw
+        |  FROM text_side t FULL OUTER JOIN vec_side v
+        |    ON t.query_id = v.query_id AND t.id = v.id),
+        |franked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY rrf_raw DESC, doc_id) AS rk
+        |  FROM fused)
+        |SELECT query_id, CAST(rk AS BIGINT) AS "rank", doc_id,
+        |  text_rank, vec_rank,
+        |  floor(rrf_raw * 10000.0 + 0.5) / 10000.0 AS rrf
+        |FROM franked WHERE rk <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
     // l2 (squared euclidean) from q=(1,1): a=(1,2)→1, c=(0,0)→2,
     // b=(3,4)→13; ip distance 1-dot: b→1-7=-6, a→1-3=-2, c→1-0=1.
     "collection_metric" ->
@@ -6137,11 +6319,14 @@ object SparkEntry {
     // replays the whole serve — LSH-banded build candidates
     // (md5-derived planes), bucket cap 256, top-8 edges by cosine
     // DISTANCE (1−cos ASC, the collection metric's ordering), both
-    // ring strides, centroid-nearest entries, three beam hops at
-    // ef=48, the exact re-rank, the brute-force truth and
-    // recall_at_10. Collection ids are zero-padded ('v%07d'), so
-    // every string ordering the engine uses coincides with the
-    // numeric vec_id ordering replayed here.
+    // ring strides, the CORPUS-DERIVED entry count (clamp(⌈log₂N⌉,
+    // 8, 64) — replayed generically from count(*), the r9 log-law),
+    // beam hops at ef=48 — the derived budget at this corpus size:
+    // hops = clamp(⌈log_8 490⌉, 3, 12) = 3 (the three unrolled
+    // b1/b2/b3 CTEs), ef = 16·hops = 48 — then the exact re-rank,
+    // the brute-force truth and recall_at_10. Collection ids are
+    // zero-padded ('v%07d'), so every string ordering the engine
+    // uses coincides with the numeric vec_id ordering replayed here.
     "collection_hnsw_graph" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -6204,7 +6389,9 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY
         |        1.0 - list_cosine_similarity(cv, CAST(vec AS DOUBLE[])) ASC,
         |        c.vec_id) AS er
-        |    FROM c CROSS JOIN centf) WHERE er <= 8),
+        |    FROM c CROSS JOIN centf)
+        |  WHERE er <= (SELECT GREATEST(8, LEAST(64,
+        |                 CAST(ceil(log2(n)) AS INTEGER))) FROM nn)),
         |b0 AS (
         |  SELECT q.query_id, e.vec_id,
         |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
@@ -6384,6 +6571,117 @@ object SparkEntry {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
 
+
+    // The PRUNED collection ANN serve (r9): identical generic replay
+    // to collection_ann_index — corpus-derived k = ceil(sqrt(N)) and
+    // nprobe = min(k, 24) both computed from count(*) — but over the
+    // TRIPLED corpus (two planted perturbed copies, the dd_semantic
+    // idiom), so k = 39 > nprobe = 24 and the oracle certifies a
+    // serve where directory pruning is ACTIVE, not degenerate-exact.
+    "collection_ann_pruned" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.02 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base),
+        |c AS (
+        |  SELECT printf('v%07d', vec_id) AS id, vec_id, embedding AS vec
+        |  FROM allv),
+        |kp AS (
+        |  SELECT GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))) AS k,
+        |         LEAST(GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))), 24) AS np
+        |  FROM c),
+        |comp AS (
+        |  SELECT id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(id), id) AS rn FROM c)
+        |  WHERE rn <= (SELECT k FROM kp)),
+        |a1 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, cl.c_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |          list_transform(cl.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) ASC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl) WHERE cr <= (SELECT np FROM kp)),
+        |ann AS (
+        |  SELECT query_id, vec_id, distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY distance ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS distance
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.id = l.id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
     // SemDeDup, fully certified: k-means over the planted corpus
     // (k = ceil(505/32) = 16 by semanticK), per-cluster candidate
     // self-joins with the int8-SQ approximate prune (exact integer

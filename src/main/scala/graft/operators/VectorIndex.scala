@@ -80,9 +80,12 @@ object VectorIndex {
     * PQ codebook trainer (both r7). a4 = cluster-by-label physical
     * layout (one file per cell, r8) — results are identical, but the
     * old many-files-per-cell artifacts must not be served as if they
-    * had the new layout's scan cost.
+    * had the new layout's scan cost. a5 = corpus-derived graph search
+    * budget recorded in the artifact (`params` table + log-law entry
+    * count, r9) and the lexical tier's filter-evaluable `docs` table
+    * — pre-a5 artifacts lack both relations and must rebuild.
     */
-  val AlgoVersion = "a4"
+  val AlgoVersion = "a5"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

@@ -606,6 +606,75 @@ class CollectionDataSpec extends SparkSpec {
     assert(fracBig < 1.0, s"big collection probed fraction $fracBig not < 1")
   }
 
+  test("graph tier search budget is corpus-derived: hops grow as log_M N, entries/ef as log N") {
+    val wh = Files.createTempDirectory("graft-graphsize").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    // The log law (the mirror of the IVF tier's sqrt-N cell law): a
+    // fixed 3-hop/8-entry budget caps the beam-reachable set at
+    // ~8·10^3 nodes forever — recall collapses at 10M vectors even
+    // though cost stays flat. hops = ceil(log_M N) keeps M^hops >= N.
+    assert(d.graphHopsFor(8, 1L) === 3) // floor clamp
+    assert(d.graphHopsFor(8, 490L) === 3) // the certified driver corpus
+    assert(d.graphHopsFor(8, 3000L) === 4)
+    assert(d.graphHopsFor(8, 10000000L) === 8)
+    assert(d.graphHopsFor(8, Long.MaxValue) === 12) // depth cap
+    assert(d.graphHopsFor(16, 10000000L) === 6) // denser graphs need fewer hops
+    assert(d.graphEntriesFor(100L) === 8) // floor clamp
+    assert(d.graphEntriesFor(490L) === 9) // the certified driver corpus
+    assert(d.graphEntriesFor(1000000L) === 20)
+    // entries stay model-scale at ANY Long corpus (ceil(log2) ≤ 63;
+    // the 64 clamp is a safety bound)
+    assert(d.graphEntriesFor(Long.MaxValue) === 63)
+    // budget grows MONOTONICALLY with corpus...
+    val ns = Seq(500L, 50000L, 5000000L, 500000000L)
+    val hops = ns.map(d.graphHopsFor(8, _))
+    val entries = ns.map(d.graphEntriesFor)
+    assert(hops === hops.sorted, s"hop budget not monotone: $hops")
+    assert(entries === entries.sorted, s"entry budget not monotone: $entries")
+    assert(hops.last > hops.head && entries.last > entries.head)
+    // ...while the total explored frontier (entries + hops·ef·M rows
+    // per query) stays POLYLOG — ~(log N)², corpus-independent per
+    // row of corpus, never a corpus-sized shuffle: across a 10^6×
+    // corpus growth the search budget grows ~11× (vs 10^6× for a
+    // linear scan).
+    val budget = ns.map { n =>
+      val h = d.graphHopsFor(8, n)
+      d.graphEntriesFor(n).toLong + h.toLong * d.graphBeamEf(None, 10, h) * 8L
+    }
+    assert(budget.last.toDouble / budget.head <= 16.0,
+      s"search budget not polylog: $budget for corpora $ns")
+
+    // And the BUILT artifact records the law: a larger collection
+    // persists a deeper hop budget and more entry points, and the
+    // serve reads them from the artifact's params table.
+    def paramsOf(name: String, n: Int): (Int, Int, Long) = {
+      c.createCollection(name, Some(Map("hnsw:space" -> "l2", "hnsw:M" -> "8")))
+      d.add(name, items((0 until n).map { i =>
+        (f"g$i%05d", Seq(i.toFloat, 1f), s"d$i", "{}")
+      }: _*))
+      val q = Seq((1L, Seq(0f, 1f))).toDF("query_id", "qvec")
+      val res = d.query(name, q, nResults = 3, include = Nil)
+      assert(res.collect().length === 3)
+      val idx = res.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.find(_.contains("collgraph"))
+        .getOrElse(fail(s"$name does not serve from the graph tier"))
+        .replaceAll("/(base|edges|entries|params)$", "")
+      val p = spark.read.parquet(s"$idx/params").head()
+      (p.getInt(p.fieldIndex("hops")), p.getInt(p.fieldIndex("entries")),
+        p.getLong(p.fieldIndex("n")))
+    }
+    val (hSmall, eSmall, nSmall) = paramsOf("gs300", 300)
+    val (hBig, eBig, nBig) = paramsOf("gs3000", 3000)
+    assert(nSmall === 300L && nBig === 3000L)
+    assert(hSmall === d.graphHopsFor(8, 300L) && hBig === d.graphHopsFor(8, 3000L))
+    assert(eSmall === d.graphEntriesFor(300L) && eBig === d.graphEntriesFor(3000L))
+    assert(hBig > hSmall, s"hop budget did not grow with corpus: $hSmall -> $hBig")
+    assert(eBig > eSmall, s"entry budget did not grow with corpus: $eSmall -> $eBig")
+  }
+
   test("hnsw:M metadata routes query() through the persisted GRAPH tier, exact on deltas") {
     val wh = Files.createTempDirectory("graft-graphidx").toString
     val c = new ChromaSpark(spark, wh)
@@ -687,10 +756,12 @@ class CollectionDataSpec extends SparkSpec {
     val d = new CollectionData(cl)
 
     // beam-width law: search_ef wins when declared, floor otherwise
-    assert(d.graphBeamEf(None, 10) === 48)
-    assert(d.graphBeamEf(None, 100) === 100)
-    assert(d.graphBeamEf(Some(200), 10) === 200)
-    assert(d.graphBeamEf(Some(12), 10) === 12)
+    // (16 per hop — 48 at the 3-hop floor, growing with the budget)
+    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
+    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
+    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200)
+    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
+    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
 
     cl.createCollection("gf", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -800,16 +871,33 @@ class CollectionDataSpec extends SparkSpec {
     assert(afterIdx.exists(r => r.getString(r.fieldIndex("doc_id")) == "d0000999"),
       "delta doc matching the query terms did not surface")
 
-    // 4) filtered hybrid queries keep the inline path and still work
+    // 4) FILTERED hybrid queries serve from the lexical tier too (r8
+    // weak #2 fixed): the filtered BM25 stats (df, n_docs, avgdl —
+    // all additive) derive from the artifact's postings + doc table
+    // joined against the compiled predicate, so the serve plan scans
+    // the colllex artifact and NEVER the collection's raw log —
+    // post-delta, under a live where_document filter
+    val term = texts.head.split(" ").head
     val filtered = d.queryHybrid("lex", texts, nResults = 3,
-      whereDocumentJson = Some(s"""{"$$contains":"${texts.head.split(" ").head}"}"""))
-    filtered.collect()
+      whereDocumentJson = Some(s"""{"$$contains":"$term"}"""))
+    val filteredRows = filtered.collect()
+    assert(filteredRows.nonEmpty)
     val fScans = filtered.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
     }.flatten
-    assert(!fScans.exists(_.contains("colllex")),
-      "filtered hybrid query must not serve from the global lexical index")
+    assert(fScans.exists(_.contains("colllex")),
+      "filtered hybrid query must serve from the persisted lexical tier")
+    assert(!fScans.exists(_.contains(wh)),
+      s"filtered hybrid serve plan scanned the collection log: $fScans")
+    // and it is bitwise-equal to the inline filtered computation
+    spark.conf.set(key, "1000000000")
+    try {
+      val inlF = d.queryHybrid("lex", texts, nResults = 3,
+        whereDocumentJson = Some(s"""{"$$contains":"$term"}""")).collect()
+      assert(filteredRows.map(_.toSeq).toSeq === inlF.map(_.toSeq).toSeq,
+        "filtered indexed BM25 diverged from the inline filtered computation")
+    } finally spark.conf.unset(key)
   }
 
   test("collection_hnsw_graph driver query: recall_at_10 mean holds the 0.9 floor") {
@@ -867,6 +955,48 @@ class CollectionDataSpec extends SparkSpec {
     d.update("big", items(("v001", Seq(500f, 0f), "moved away", "{}")))
     assert(d.query("big", q, nResults = 3, include = Nil)
       .collect().map(_.getString(1)).toSeq === Seq("zz", "v002", "v003"))
+  }
+
+  test("filtered IVF serve probes adaptively: selective filters reach matches past the fixed width") {
+    val wh = Files.createTempDirectory("graft-adaptprobe").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("sel", Some(Map("hnsw:space" -> "l2")))
+    // 2000 rows on a line → k = ceil(sqrt(2000)) = 45 cells, fixed
+    // nprobe = 24: the probed pool covers roughly the nearest half of
+    // the line. Every predicate match lives in the FAR half (i ≥
+    // 1500), so a fixed-width probe holds ZERO matching candidates —
+    // the pre-r9 serve returned an empty result while 500 matches sat
+    // in unprobed cells. The adaptive plan counts matches per cell,
+    // skips empty cells, and probes matching cells (nearest first)
+    // until the 16·k cumulative target — so the true filtered top-k
+    // comes back exactly.
+    d.add("sel", items((0 until 2000).map { i =>
+      (f"v$i%04d", Seq(i.toFloat, 0f), s"doc $i",
+        s"""{"far":${if (i >= 1500) 1 else 0}}""")
+    }: _*))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    val res = d.query("sel", q, nResults = 5, include = Nil,
+      whereJson = Some("""{"far":1}"""))
+    val got = res.collect().map(_.getString(1)).toSeq
+    assert(got === Seq("v1500", "v1501", "v1502", "v1503", "v1504"),
+      s"adaptive filtered probe missed far-cell matches: $got")
+    // the serve still prunes: the probed directories are a strict
+    // subset of the index's cells (matching cells only, not a full scan)
+    val scan = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("collivf")) => f
+    }.headOption.getOrElse(fail("filtered query does not scan the persisted index"))
+    val allParts = spark.read.parquet(
+      scan.relation.location.rootPaths.head.toString)
+      .select(org.apache.spark.sql.functions.col("label")).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      s"adaptive probe scanned every cell: ${scan.selectedPartitions.partitionCount} of $allParts")
+    // a loose filter keeps at least the unfiltered probe width, so
+    // recall can only improve on the fixed-width path
+    val loose = d.query("sel", q, nResults = 3, include = Nil,
+      whereJson = Some("""{"far":0}""")).collect().map(_.getString(1)).toSeq
+    assert(loose === Seq("v0000", "v0001", "v0002"))
   }
 
   test("collection_ann_index driver query: per-query recall floor 0.9 through the index tier") {
@@ -946,6 +1076,66 @@ class CollectionDataSpec extends SparkSpec {
     d.exportCollection("big", s"$ex/big")
     d.importCollection(s"$ex/big", newName = Some("big2"))
     assert(top3("big2") === top3("big"))
+  }
+
+  test("the LEXICAL tier travels by content through export/import: restored hybrid serve pays no rebuild") {
+    import org.apache.spark.sql.functions.{col => cc}
+    val wh = Files.createTempDirectory("graft-lexlife").toString
+    val ex = Files.createTempDirectory("graft-lexlife-ex").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("hyb") // default hash16 embedder, l2
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    d.add("hyb", docs.filter(cc("doc_id") >= 3)
+      .select(org.apache.spark.sql.functions.format_string("d%07d", cc("doc_id")).as("id"),
+        cc("text").as("document")))
+    val texts = Seq("the quick brown fox")
+    def lexDirOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.find(_.contains("colllex"))
+        .getOrElse(fail("hybrid serve does not read a colllex artifact"))
+        .replaceAll("/(postings|docs|stats)$", "")
+    val before = d.queryHybrid("hyb", texts, nResults = 5)
+    val beforeRows = before.collect()
+    val beforeDir = lexDirOf(before)
+    // export + import: identical content under a NEW log → the
+    // content-fingerprinted lexical key resolves to the SAME on-disk
+    // artifact — the restored collection's first hybrid serve is a
+    // cache HIT, not a corpus-scale rebuild (the ANN tier's travel
+    // guarantee, extended to the lexical tier)
+    d.exportCollection("hyb", s"$ex/hyb")
+    d.importCollection(s"$ex/hyb", newName = Some("hyb2"))
+    val after = d.queryHybrid("hyb2", texts, nResults = 5)
+    val afterRows = after.collect()
+    assert(afterRows.map(_.toSeq).toSeq === beforeRows.map(_.toSeq).toSeq)
+    assert(lexDirOf(after) === beforeDir,
+      "restored collection rebuilt the lexical artifact instead of resolving it by content")
+  }
+
+  test("collection_ann_pruned driver query: directory pruning is ACTIVE inside the oracled path") {
+    val res = graft.SparkEntry.collectionAnnPruned(spark, "/root/testdata/sf0.001")
+    val rows = res.collect()
+    assert(rows.length === 30) // 3 queries × top-10
+    // the tripled corpus (1470 rows) derives 39 cells > nprobe 24 and
+    // the 3-query probe union covers 35 of them, so the oracle-hashed
+    // serve runs with planning-time directory pruning engaged —
+    // strictly fewer partitions scanned than cells
+    val scan = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("collivf")) => f
+    }.headOption.getOrElse(fail("pruned driver query does not scan the persisted index"))
+    val allParts = spark.read.parquet(
+      scan.relation.location.rootPaths.head.toString)
+      .select(org.apache.spark.sql.functions.col("label")).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      s"pruning inactive: ${scan.selectedPartitions.partitionCount} of $allParts cells scanned")
+    // recall floor under pruning (driver-visible column; 0.92 observed)
+    val perQuery = rows.groupBy(_.getLong(0)).values
+      .map(_.head.getAs[Double]("recall_at_10"))
+    val mean = perQuery.sum / perQuery.size
+    assert(mean >= 0.85, s"pruned-serve mean recall $mean below 0.85")
   }
 
   test("small collections never pay an index build; forks fall back to the scan path") {

@@ -669,6 +669,50 @@ object SparkEntry {
       whereDocumentJson = Some(s"""{"$$contains":"$term"}"""))
   }
 
+  /** TRUE STREAMING collection ingest (r9 — the tenth streaming
+    * runtime): the corpus arrives as a STREAM — `readStream` file
+    * source, `Trigger.AvailableNow`, [[graft.streaming
+    * .CollectionIngest]] upserting every micro-batch into the
+    * collection log — and the query then serves from the persisted
+    * IVF tier exactly as `collection_ann_index` does. The oracle is
+    * the SAME generic replay: streamed upsert ingestion is
+    * latest-wins and per-batch idempotent, so the live collection
+    * state is identical to the batch `add`, the content fingerprint
+    * resolves the SAME index artifact, and the hash match certifies
+    * the streaming WRITE path feeding the index SERVE path end to
+    * end (state the MemoryStream specs cover only in-process:
+    * checkpoint wiring, file-source listing, foreachBatch commit).
+    */
+  def streamCollectionIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-singest-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("slive", Some(Map("hnsw:space" -> "cosine")))
+    // the streaming file source lists a DIRECTORY; scope it to the
+    // embeddings file (the stream_hourly discipline)
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") >= 10)
+      .select(F.format_string("v%07d", col("vec_id")).as("id"), col("embedding"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-singest-ckpt").toString
+    val q = graft.streaming.CollectionIngest.start(d, "slive", src, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = d.query("slive", queries, nResults = 10, include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    VectorOps.withRecallAt(ann, queries, corpus, k = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "collection_ann_index" -> (collectionAnnIndex _),
@@ -717,6 +761,7 @@ object SparkEntry {
     "stream_cms"         -> (graft.streaming.EventStreams.runCmsAvailableNow _),
     "stream_join"        -> (graft.streaming.EventStreams.runStreamJoinAvailableNow _),
     "stream_dedup_spans" -> (graft.streaming.EventStreams.runDedupSpansAvailableNow _),
+    "stream_collection"  -> (streamCollectionIngest _),
     "ev_sessions"        -> (Events.sessions _),
     "ev_asof_join"       -> (Events.purchaseAsofClick _),
     "ev_funnel"          -> (Events.funnel _),
@@ -6481,6 +6526,103 @@ object SparkEntry {
     // and recall_at_10, all replayed by DuckDB against the same
     // collection state the lifecycle builds.
     "collection_ann_index" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT printf('v%07d', vec_id) AS id, vec_id, embedding AS vec
+        |  FROM embeddings WHERE vec_id >= 10),
+        |kp AS (
+        |  SELECT GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))) AS k,
+        |         LEAST(GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))), 24) AS np
+        |  FROM c),
+        |comp AS (
+        |  SELECT id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(id), id) AS rn FROM c)
+        |  WHERE rn <= (SELECT k FROM kp)),
+        |a1 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, cl.c_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |          list_transform(cl.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) ASC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl) WHERE cr <= (SELECT np FROM kp)),
+        |ann AS (
+        |  SELECT query_id, vec_id, distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY distance ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS distance
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.id = l.id
+        |        JOIN q ON q.query_id = p.query_id)),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // Stream-ingested collection, served from the persisted tier
+    // (r9): byte-identical oracle to collection_ann_index — streamed
+    // upsert ingestion is latest-wins, so the live state (and the
+    // content-fingerprinted artifact) is the same as the batch add;
+    // the hash certifies the streaming write path feeding the index
+    // serve end to end.
+    "stream_collection" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |c AS (

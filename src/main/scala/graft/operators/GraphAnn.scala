@@ -182,7 +182,7 @@ object GraphAnn {
       .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
     var beam = scoreOf(
       q.select(col("query_id")).crossJoin(broadcast(startIds.select(col("vec_id")))))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = beam
         .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")
         .select(col("query_id"), col("dst").as("vec_id"))
@@ -194,6 +194,21 @@ object GraphAnn {
         .withColumn("r", row_number().over(wBeam))
         .filter(col("r") <= ef)
         .select(col("query_id"), col("vec_id"), col("d"))
+      // Lineage truncation for DEEP hop budgets: the lazy loop
+      // references `beam` twice per hop (expansion + union), so the
+      // composed plan tree DOUBLES per hop — free at the certified
+      // 3-hop floor (ReuseExchange computes each duplicated shuffle
+      // once, and r8 measured eager per-hop actions as a net loss
+      // there), but exponential beyond it: a corpus-derived 12-hop
+      // budget would plan 2¹² copies of the entry subtree and
+      // planning, not data, becomes the serve cost (measured 4.65 s
+      // at hops=4 lazy vs 2.68 s truncated, sf0.1). Past the lazy
+      // floor, each intermediate beam — |Q|·ef rows, model-scale —
+      // materializes to an RDD-backed frame, so every further hop's
+      // plan is constant-size and total cost returns to linear in
+      // hops. Values are unchanged: only the materialization point
+      // moves, and every downstream op re-sorts deterministically.
+      if (hops > 3 && h < hops) beam = beam.localCheckpoint(true)
     }
     beam.select(col("query_id"), col("vec_id"))
   }
@@ -257,7 +272,7 @@ object GraphAnn {
     import sess.implicits._
     var beam = scoreOf(
       q.select(col("query_id")).crossJoin(broadcast(starts.toDF("vec_id"))))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = beam
         .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")
         .select(col("query_id"), col("dst").as("vec_id"))
@@ -269,6 +284,11 @@ object GraphAnn {
         .withColumn("r", row_number().over(wBeam))
         .filter(col("r") <= ef)
         .select(col("query_id"), col("vec_id"), col("score"))
+      // deep-budget lineage truncation — see [[beamSearchDist]]: lazy
+      // composition doubles the plan per hop; past the certified
+      // 3-hop floor each intermediate beam (|Q|·ef rows) materializes
+      // so plan size, and therefore serve cost, is linear in hops
+      if (hops > 3 && h < hops) beam = beam.localCheckpoint(true)
     }
     beam
       .withColumn("rank", row_number().over(wBeam).cast("long"))

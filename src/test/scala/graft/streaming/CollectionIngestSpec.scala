@@ -74,4 +74,19 @@ class CollectionIngestSpec extends SparkSpec {
       assert(data.count("live") === 1)
     } finally q.stop()
   }
+
+  test("stream_collection driver query is the byte-exact twin of the batch-ingested serve") {
+    // The streaming write path (readStream file source → AvailableNow
+    // → foreachBatch upsert) must land the collection in EXACTLY the
+    // state a batch add produces: same live rows, same content
+    // fingerprint, same persisted-tier serve, same ranked output.
+    // This is what lets stream_collection share collection_ann_index's
+    // DuckDB oracle verbatim.
+    val streamed = graft.SparkEntry
+      .streamCollectionIngest(spark, "/root/testdata/sf0.001").collect()
+    val batch = graft.SparkEntry
+      .collectionAnnIndex(spark, "/root/testdata/sf0.001").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "stream-ingested collection serve diverged from the batch twin")
+  }
 }

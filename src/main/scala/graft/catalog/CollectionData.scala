@@ -1672,15 +1672,25 @@ class CollectionData(client: ChromaSpark) {
     // alone: the predicate evaluates here, never against the raw log
     // (no merge-on-read resolve on the serve path), and a
     // metadata-only filter never even reads the document column
-    // (parquet column pruning). dl = 0 marks a doc whose text
-    // tokenizes to nothing — counted in n_docs, excluded from avgdl,
-    // exactly as the inline path's (docs, doclens) pair behaves.
+    // (parquet column pruning). dl = 0 would mark a doc with no
+    // doclens row — counted in n_docs, excluded from avgdl, exactly
+    // as the inline (docs, doclens) pair behaves (unreachable under
+    // the current tokenizer, which yields ≥1 token per doc; the
+    // coalesce pins the inline semantics rather than assuming it).
     base.join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"),
         col("metadata_json"), col("document"))
       .write.mode("overwrite").parquet(s"$scratch/docs")
+    // n_docs = every doc (idf's base: the inline count over docs);
+    // tok_docs = docs with a doclens row (avgdl's base: the inline
+    // avg over dl). Under the current whitespace tokenizer every
+    // non-null document yields ≥1 token (split never returns an
+    // empty array), so the two coincide — they are kept DISTINCT so
+    // the indexed ≡ inline contract survives a tokenizer that drops
+    // empty tokens rather than silently diverging on avgdl.
     docs.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("total_len")))
+      .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("total_len"),
+        org.apache.spark.sql.functions.count(lit(1)).as("tok_docs")))
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/stats")
   }
 
@@ -1716,16 +1726,23 @@ class CollectionData(client: ChromaSpark) {
     // only (doc_id, dl) — the filter columns stay on disk (pruned)
     val dlsRaw = graft.operators.IndexCache.readCached(spark, s"$idx/docs")
       .select(col("doc_id"), col("dl"))
-    val baseStats = graft.operators.IndexCache.readCached(spark, s"$idx/stats") // (n_docs, total_len)
+    val baseStats = graft.operators.IndexCache // (n_docs, total_len, tok_docs)
+      .readCached(spark, s"$idx/stats")
     // post-build docs leave every base relation; their ORIGINAL
     // contributions to the corpus stats are subtracted exactly from
-    // the masked doclens rows (1-row aggregate, broadcast)
+    // the masked doc rows (1-row aggregate, broadcast). n_docs counts
+    // EVERY doc (idf's base: the inline count over docs); tok_docs
+    // counts docs with a doclens row (avgdl's base: the inline avg
+    // over dl). The current tokenizer makes them equal (every doc
+    // yields ≥1 token); keeping them distinct pins the exact inline
+    // formula rather than an equality that happens to hold today.
     val removedSrc =
       if (touched.nonEmpty) dlsRaw.filter(col("doc_id").isin(touched: _*))
       else dlsRaw.limit(0)
     val removed = removedSrc.agg(
       coalesce(sum(col("dl")), lit(0L)).as("rm_len"),
-      org.apache.spark.sql.functions.count(lit(1)).as("rm_docs"))
+      org.apache.spark.sql.functions.count(lit(1)).as("rm_docs"),
+      coalesce(sum(when(col("dl") > 0, 1L).otherwise(0L)), lit(0L)).as("rm_tok"))
     var dls = dlsRaw
     if (touched.nonEmpty) {
       post = post.filter(!col("doc_id").isin(touched: _*))
@@ -1734,27 +1751,30 @@ class CollectionData(client: ChromaSpark) {
     post = post.filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*))
     // the delta re-tokenizes inline — O(delta), exact
     val delta = deltaLive.map { dlv =>
-      graft.operators.TextAnalysis.bm25Corpus(
-        dlv.filter(col("document").isNotNull)
-          .select(col("id").as("doc_id"), col("document").as("text")))
+      val dd = dlv.filter(col("document").isNotNull)
+      (graft.operators.TextAnalysis.bm25Corpus(
+        dd.select(col("id").as("doc_id"), col("document").as("text"))),
+        dd)
     }
     val tf = delta match {
-      case Some((dTf, _)) => post.unionByName(
+      case Some(((dTf, _), _)) => post.unionByName(
         dTf.filter(col("token").isin(terms.map(_.asInstanceOf[Any]): _*)))
       case None => post
     }
     val dl = delta match {
-      case Some((_, dDl)) => dls.unionByName(dDl)
+      case Some(((_, dDl), _)) => dls.unionByName(dDl)
       case None => dls
     }
     val added = delta match {
-      case Some((_, dDl)) => dDl.agg(
-        coalesce(sum(col("dl")), lit(0L)).as("add_len"),
+      case Some(((_, dDl), dd)) => dd.agg(
         org.apache.spark.sql.functions.count(lit(1)).as("add_docs"))
+        .crossJoin(dDl.agg(
+          coalesce(sum(col("dl")), lit(0L)).as("add_len"),
+          org.apache.spark.sql.functions.count(lit(1)).as("add_tok")))
       case None =>
         val sp = spark
         import sp.implicits._
-        Seq((0L, 0L)).toDF("add_len", "add_docs")
+        Seq((0L, 0L, 0L)).toDF("add_docs", "add_len", "add_tok")
     }
     val adjusted = baseStats.crossJoin(removed).crossJoin(added)
     val nDocs = adjusted.select(
@@ -1764,7 +1784,7 @@ class CollectionData(client: ChromaSpark) {
     // path's avg(dl) bit for bit
     val avgdl = adjusted.select(
       ((col("total_len") - col("rm_len") + col("add_len")).cast("double") /
-        (col("n_docs") - col("rm_docs") + col("add_docs")).cast("double")).as("avgdl"))
+        (col("tok_docs") - col("rm_tok") + col("add_tok")).cast("double")).as("avgdl"))
     graft.operators.TextAnalysis.bm25From(tf, dl,
       tf.groupBy(col("token"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("df")),

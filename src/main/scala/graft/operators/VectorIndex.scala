@@ -83,9 +83,12 @@ object VectorIndex {
     * had the new layout's scan cost. a5 = corpus-derived graph search
     * budget recorded in the artifact (`params` table + log-law entry
     * count, r9) and the lexical tier's filter-evaluable `docs` table
-    * — pre-a5 artifacts lack both relations and must rebuild.
+    * — pre-a5 artifacts lack both relations and must rebuild. a6 =
+    * the lexical stats table gains `tok_docs` (token-bearing doc
+    * count, avgdl's exact denominator under empty documents, r9) —
+    * an a5 stats file lacks the column and must rebuild.
     */
-  val AlgoVersion = "a5"
+  val AlgoVersion = "a6"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

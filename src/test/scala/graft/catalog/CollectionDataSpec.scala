@@ -871,6 +871,18 @@ class CollectionDataSpec extends SparkSpec {
     assert(afterIdx.exists(r => r.getString(r.fieldIndex("doc_id")) == "d0000999"),
       "delta doc matching the query terms did not surface")
 
+    // 3b) an EMPTY document in the delta exercises the corpus-stat
+    // edge (n_docs counts it; its single empty token joins no query
+    // term) — indexed must still equal inline exactly
+    d.upsert("lex", Seq(("d0000997", "")).toDF("id", "document"))
+    val afterEmpty = d.queryHybrid("lex", texts, nResults = 5).collect()
+    spark.conf.set(key, "1000000000")
+    try {
+      val afterEmptyInl = d.queryHybrid("lex", texts, nResults = 5).collect()
+      assert(afterEmpty.map(_.toSeq).toSeq === afterEmptyInl.map(_.toSeq).toSeq,
+        "empty-document delta diverged indexed BM25 from inline")
+    } finally spark.conf.unset(key)
+
     // 4) FILTERED hybrid queries serve from the lexical tier too (r8
     // weak #2 fixed): the filtered BM25 stats (df, n_docs, avgdl —
     // all additive) derive from the artifact's postings + doc table

@@ -826,7 +826,7 @@ class CollectionData(client: ChromaSpark) {
           lead = Seq("query_id"), trail = Seq("distance", "rank"))
       case None => ()
     }
-    var corpus = resolved(collection).filter(col("embedding").isNotNull)
+    var corpus = embeddedLiveView(collection, metric)
     whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
     whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
     val scored = searchEf match {
@@ -1417,6 +1417,42 @@ class CollectionData(client: ChromaSpark) {
           Some(cand)
       }
     }
+
+  /** The collection's live EMBEDDED rows for a scan-path serve,
+    * sourced from a persisted tier's base + resolved delta when one
+    * is current — a plain columnar artifact scan instead of the log's
+    * merge-on-read latest-per-id window. Rows are identical to
+    * `resolved(...).filter(embedding IS NOT NULL)` by construction:
+    * the base is the resolved embedded snapshot at the build batch,
+    * post-build ids are masked, and the delta is their live state —
+    * so every consumer (the filtered graph-collection serve, the
+    * `hnsw:search_ef` two-stage scan) returns the same answers while
+    * the raw log stays un-scanned on indexed collections' serve
+    * paths. At 100 TB the difference is a window-shuffle over the
+    * full log per query vs a columnar scan that starts from a cached
+    * file index. Falls back to the merge-on-read resolve when no
+    * tier is current (small collections, forks) or the tail outgrew
+    * the base.
+    */
+  private def embeddedLiveView(collection: String, metric: String): DataFrame = {
+    val fromTier = annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
+      annDelta(collection, baseBatch).map { case (touched, deltaLive) =>
+        val basePath =
+          if (Files.exists(Paths.get(idx, "base"))) s"$idx/base" else s"$idx/vectors"
+        var base = graft.operators.IndexCache.readCached(spark, basePath)
+          .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
+        if (touched.nonEmpty) base = base.filter(!col("id").isin(touched: _*))
+        deltaLive match {
+          case Some(dl) => base.unionByName(
+            dl.filter(col("embedding").isNotNull)
+              .select(col("id"), col("embedding"), col("document"),
+                col("metadata_json")))
+          case None => base
+        }
+      }
+    }
+    fromTier.getOrElse(resolved(collection).filter(col("embedding").isNotNull))
+  }
 
   /** Fold the log into a single resolved snapshot (batch 0 of a fresh
     * log) — run periodically so merge-on-read stays O(live rows).

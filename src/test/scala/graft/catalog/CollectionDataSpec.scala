@@ -776,10 +776,22 @@ class CollectionDataSpec extends SparkSpec {
     // the graph beam would almost surely not contain an arbitrary id,
     // but the filter-first contract must return it anyway
     val target = rows(rows.length / 2).getString(0)
-    val filtered = d.query("gf", q1, nResults = 1,
-      whereJson = Some(s"""{"tag":"$target"}"""), include = Nil).collect()
+    val filteredDf = d.query("gf", q1, nResults = 1,
+      whereJson = Some(s"""{"tag":"$target"}"""), include = Nil)
+    val filtered = filteredDf.collect()
     assert(filtered.length === 1)
     assert(filtered.head.getString(filtered.head.fieldIndex("id")) === target)
+    // ...and the exact scan is SOURCED from the artifact's base +
+    // delta (r9): the filtered serve reads the collgraph base — a
+    // plain columnar scan — never the log's merge-on-read resolve
+    val fScans = filteredDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(fScans.exists(_.contains("collgraph")),
+      "filtered graph-collection query must scan the artifact base")
+    assert(!fScans.exists(_.contains(wh)),
+      s"filtered graph-collection serve scanned the collection log: $fScans")
 
     // unfiltered queries DO serve from the graph artifact
     val served = d.query("gf", q1, nResults = 3, include = Nil)

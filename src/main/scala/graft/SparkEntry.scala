@@ -6366,12 +6366,14 @@ object SparkEntry {
     // DISTANCE (1−cos ASC, the collection metric's ordering), both
     // ring strides, the CORPUS-DERIVED entry count (clamp(⌈log₂N⌉,
     // 8, 64) — replayed generically from count(*), the r9 log-law),
-    // beam hops at ef=48 — the derived budget at this corpus size:
-    // hops = clamp(⌈log_8 490⌉, 3, 12) = 3 (the three unrolled
-    // b1/b2/b3 CTEs), ef = 16·hops = 48 — then the exact re-rank,
-    // the brute-force truth and recall_at_10. Collection ids are
-    // zero-padded ('v%07d'), so every string ordering the engine
-    // uses coincides with the numeric vec_id ordering replayed here.
+    // and the CORPUS-DERIVED beam width ef = max(16·hops, ⌈2√N⌉)
+    // (the flat-NSW recall law, also replayed generically — at this
+    // corpus 48 dominates ⌈2√490⌉ = 45) over hops =
+    // clamp(⌈log_8 490⌉, 3, 12) = 3 (the three unrolled b1/b2/b3
+    // CTEs) — then the exact re-rank, the brute-force truth and
+    // recall_at_10. Collection ids are zero-padded ('v%07d'), so
+    // every string ordering the engine uses coincides with the
+    // numeric vec_id ordering replayed here.
     "collection_hnsw_graph" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -6458,7 +6460,8 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM b0)))
-        |  WHERE r <= 48),
+        |  WHERE r <= (SELECT GREATEST(48,
+        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
         |b2 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6475,7 +6478,8 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM b1)))
-        |  WHERE r <= 48),
+        |  WHERE r <= (SELECT GREATEST(48,
+        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
         |b3 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6492,7 +6496,8 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM b2)))
-        |  WHERE r <= 48),
+        |  WHERE r <= (SELECT GREATEST(48,
+        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
         |ann AS (
         |  SELECT query_id, vec_id, d AS distance,
         |    CAST(row_number() OVER (PARTITION BY query_id

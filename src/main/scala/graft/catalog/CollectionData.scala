@@ -1068,25 +1068,39 @@ class CollectionData(client: ChromaSpark) {
   /** Beam width for a graph-tier serve: `hnsw:search_ef` is the
     * user's calibrated candidate breadth and WINS when declared
     * (n_results ≤ search_ef already enforced by [[query]]); absent,
-    * a floor that GROWS with the hop budget (16 per hop — at the
-    * 3-hop floor this is the recall-calibrated 48 the driver corpus
-    * certifies) and never narrows below n_results. ef × hops is the
-    * total per-query exploration budget: scaling both with log N
-    * keeps recall, not just cost, on contract at 100×.
+    * ef = max(16·hops, ⌈2√N⌉), capped at 4096, never below
+    * n_results. The √N term is MEASURED, not assumed: at the
+    * certified 490-row corpus 16·hops = 48 dominates (recall 0.93);
+    * at the 4× corpus the hop-scaled floor alone decays recall to
+    * 0.83 while ef = 2√N ≈ 90 restores 0.91 — and widening M, adding
+    * long-range ring strides, extra hops or extra entry points were
+    * all measured and do NOT recover it (ARCHITECTURE.md r9). That
+    * is the known price of a FLAT navigable-small-world graph: at
+    * fixed recall the beam must widen as √N, so explored rows per
+    * query grow as √N·log N·M — the same asymptotic the IVF tier
+    * pays (24·√N probed rows), far below the corpus, and a real
+    * HNSW hierarchy (layered long links) is the recorded upgrade
+    * path if log N serve ever matters more than build simplicity.
+    * Past the 4096 cap recall degrades gracefully rather than the
+    * beam outgrowing executor memory.
     */
   private[catalog] def graphBeamEf(searchEf: Option[Int], nResults: Int,
-                                   hops: Int): Int =
-    searchEf.getOrElse(math.max(GraphEfPerHop * hops, nResults))
+                                   hops: Int, n: Long): Int =
+    searchEf.getOrElse {
+      val sqrtTerm = math.ceil(2.0 * math.sqrt(math.max(1L, n).toDouble)).toInt
+      math.max(math.min(4096, math.max(GraphEfPerHop * hops, sqrtTerm)), nResults)
+    }
 
   /** Serve-time search budget of a persisted graph artifact, read
     * once per (JVM, artifact) from its `params` table — the artifact
     * is immutable after `_INDEX_OK`, so the hot path never pays a
-    * read job. Returns (hops, entries).
+    * read job. Returns (hops, entries, indexed corpus size).
     */
-  private def graphParams(idx: String): (Int, Int) =
+  private def graphParams(idx: String): (Int, Int, Long) =
     CollectionData.graphParamsMemo.computeIfAbsent(idx, { _: String =>
       val r = graft.operators.IndexCache.readCached(spark, s"$idx/params").head()
-      (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")))
+      (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")),
+        r.getLong(r.fieldIndex("n")))
     })
 
   /** Build the persisted GRAPH tier (the `hnsw:*` contract honored
@@ -1291,7 +1305,7 @@ class CollectionData(client: ChromaSpark) {
             // hops/entries were derived from the indexed corpus size
             // at build time (log-law, [[graphHopsFor]]) and travel
             // with the artifact — driver constants by serve time
-            val (gHops, gEntries) = graphParams(idx)
+            val (gHops, gEntries, gN) = graphParams(idx)
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
@@ -1317,7 +1331,7 @@ class CollectionData(client: ChromaSpark) {
             val beam = graft.operators.GraphAnn.beamSearchDist(
               queryEmbeddings.select(col("query_id"), col("qvec")),
               corpus, graph, starts,
-              ef = graphBeamEf(searchEf, nResults, gHops),
+              ef = graphBeamEf(searchEf, nResults, gHops, gN),
               hops = gHops, dist)
             val baseCand = beam.withColumnRenamed("vec_id", "id")
               .join(base, "id")
@@ -2002,12 +2016,12 @@ object CollectionData {
   private[catalog] val centroidCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Per-artifact graph search budgets ((hops, entries) from the
+  /** Per-artifact graph search budgets ((hops, entries, n) from the
     * artifact's `params` table) — immutable once `_INDEX_OK` lands,
     * same discipline as [[centroidCountMemo]].
     */
   private[catalog] val graphParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
 
   /** Content fingerprints memoized per (dir, batch, log file set) —
     * pure given an append-only log (any mutation changes the key),

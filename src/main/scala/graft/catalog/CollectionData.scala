@@ -812,7 +812,10 @@ class CollectionData(client: ChromaSpark) {
     val q = broadcast(queryEmbeddings.select(col("query_id"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col("id").asc)
-    annCandidates(collection, queryEmbeddings, metric,
+    // route + tail resolved ONCE: the indexed candidate serve and the
+    // scan fallback's artifact-sourced corpus share the same state
+    val tierState = annState(collection, metric)
+    annCandidates(tierState, queryEmbeddings, metric,
       whereJson, whereDocumentJson, nResults, searchEf) match {
       case Some(cands) =>
         // Persisted-index serve path: candidates already pruned to the
@@ -826,7 +829,7 @@ class CollectionData(client: ChromaSpark) {
           lead = Seq("query_id"), trail = Seq("distance", "rank"))
       case None => ()
     }
-    var corpus = embeddedLiveView(collection, metric)
+    var corpus = embeddedLiveView(collection, tierState)
     whereJson.foreach(w => corpus = corpus.filter(metadataPredicate(w)))
     whereDocumentJson.foreach(w => corpus = corpus.filter(documentPredicate(w)))
     val scored = searchEf match {
@@ -1222,12 +1225,18 @@ class CollectionData(client: ChromaSpark) {
 
   /** Shared pointer validation for the persisted collection tiers:
     * the pointer must exist, its artifact must have completed
-    * (`_INDEX_OK`), the log's batch numbering must not have been
-    * reset (compact/vacuum), and every build-time log file must still
-    * be present (append-only witness — a recorded file going missing
-    * means the log was REWRITTEN and batch-delta reasoning is void).
-    * None → the caller rebuilds (content-keyed, so an unchanged
-    * collection resolves to the same artifact instantly).
+    * (`_INDEX_OK`), the artifact must have been built by THIS code's
+    * trainers (every tier's cache key ends in the AlgoVersion, so a
+    * pointer laid down before a version bump must not keep serving —
+    * an a4-era artifact lacks the params/docs/tok_docs relations the
+    * a6 serve reads, and version bumps exist precisely because
+    * content+params cannot distinguish two trainers), the log's
+    * batch numbering must not have been reset (compact/vacuum), and
+    * every build-time log file must still be present (append-only
+    * witness — a recorded file going missing means the log was
+    * REWRITTEN and batch-delta reasoning is void). None → the caller
+    * rebuilds (content-keyed, so an unchanged collection resolves to
+    * the same artifact instantly).
     */
   private def readValidPtr(d: String,
                            ptr: java.nio.file.Path): Option[(String, Long)] = {
@@ -1236,6 +1245,8 @@ class CollectionData(client: ChromaSpark) {
     if (lines.length < 3) return None
     val (idx, b) = (lines(0), lines(1).toLong)
     if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return None
+    if (!Paths.get(idx).getFileName.toString
+      .endsWith("-" + graft.operators.VectorIndex.AlgoVersion)) return None
     if (currentBatchIn(d) < b) return None
     val recorded = lines(2).split(",").filter(_.nonEmpty).toSet
     if (!recorded.subsetOf(logFileNames(d))) return None
@@ -1271,23 +1282,43 @@ class CollectionData(client: ChromaSpark) {
           Some(resolved(collection).filter(col("id").isin(probe: _*)))))
     }
 
+  /** Resolved serve state of the collection's current tier:
+    * (artifact dir, build batch, post-build touched ids, their live
+    * rows) — the route + tail resolution EVERY serve path of one
+    * `query()` call shares, computed once (the tail probe can be a
+    * Spark job on non-snapshot collections, and the pre-r9 shape
+    * paid it twice when a filtered graph query fell through to the
+    * scan path). A tail past the delta cap deletes the pointer and
+    * re-routes — the rebuild folds the tail into the new base.
+    */
+  private def annState(collection: String, metric: String)
+      : Option[(String, Long, Seq[String], Option[DataFrame])] =
+    annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
+      annDelta(collection, baseBatch) match {
+        case Some((touched, deltaLive)) =>
+          Some((idx, baseBatch, touched, deltaLive))
+        case None => // tail outgrew the base — rebuild, then serve clean
+          Files.deleteIfExists(annPtrPath(dir(collection)))
+          annRoute(collection, metric).flatMap { case (idx2, b2) =>
+            annDelta(collection, b2).map { case (t2, d2) => (idx2, b2, t2, d2) }
+          }
+      }
+    }
+
   /** Per-query candidate set from the persisted tier: probed-cell
     * base rows (post-build ids masked) plus the resolved tail, with
     * the `where`/`where_document` filters applied BEFORE any vector
     * math — None when the collection doesn't route through an index.
     */
-  private def annCandidates(collection: String, queryEmbeddings: DataFrame,
+  private def annCandidates(state: Option[(String, Long, Seq[String], Option[DataFrame])],
+                            queryEmbeddings: DataFrame,
                             metric: String, whereJson: Option[String],
                             whereDocumentJson: Option[String],
                             nResults: Int = 10,
                             searchEf: Option[Int] = None): Option[DataFrame] =
-    annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
-      annDelta(collection, baseBatch) match {
-        case None => // tail outgrew the base — rebuild, then serve clean
-          Files.deleteIfExists(annPtrPath(dir(collection)))
-          annCandidates(collection, queryEmbeddings, metric,
-            whereJson, whereDocumentJson, nResults, searchEf)
-        case Some((touched, deltaLive)) if Files.exists(Paths.get(idx, "edges")) =>
+    state.flatMap { case (idx, _, touched, deltaLive) =>
+      (idx, touched, deltaLive) match {
+        case (idx, touched, deltaLive) if Files.exists(Paths.get(idx, "edges")) =>
           // GRAPH tier (hnsw:M / hnsw:construction_ef declared): beam
           // search over the persisted adjacency yields the ef-wide
           // candidate set; the shared exact re-rank tail in query()
@@ -1352,7 +1383,7 @@ class CollectionData(client: ChromaSpark) {
             }
             Some(cand)
           }
-        case Some((touched, deltaLive)) =>
+        case (idx, touched, deltaLive) =>
           val centsDf = graft.operators.IndexCache.readCached(spark, s"$idx/centroids")
             .select(col("c_id"),
               col("centroid").cast("array<float>").as("centroid"))
@@ -1453,21 +1484,20 @@ class CollectionData(client: ChromaSpark) {
     * tier is current (small collections, forks) or the tail outgrew
     * the base.
     */
-  private def embeddedLiveView(collection: String, metric: String): DataFrame = {
-    val fromTier = annRoute(collection, metric).flatMap { case (idx, baseBatch) =>
-      annDelta(collection, baseBatch).map { case (touched, deltaLive) =>
-        val basePath =
-          if (Files.exists(Paths.get(idx, "base"))) s"$idx/base" else s"$idx/vectors"
-        var base = graft.operators.IndexCache.readCached(spark, basePath)
-          .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
-        if (touched.nonEmpty) base = base.filter(!col("id").isin(touched: _*))
-        deltaLive match {
-          case Some(dl) => base.unionByName(
-            dl.filter(col("embedding").isNotNull)
-              .select(col("id"), col("embedding"), col("document"),
-                col("metadata_json")))
-          case None => base
-        }
+  private def embeddedLiveView(collection: String,
+                               state: Option[(String, Long, Seq[String], Option[DataFrame])]): DataFrame = {
+    val fromTier = state.map { case (idx, _, touched, deltaLive) =>
+      val basePath =
+        if (Files.exists(Paths.get(idx, "base"))) s"$idx/base" else s"$idx/vectors"
+      var base = graft.operators.IndexCache.readCached(spark, basePath)
+        .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
+      if (touched.nonEmpty) base = base.filter(!col("id").isin(touched: _*))
+      deltaLive match {
+        case Some(dl) => base.unionByName(
+          dl.filter(col("embedding").isNotNull)
+            .select(col("id"), col("embedding"), col("document"),
+              col("metadata_json")))
+        case None => base
       }
     }
     fromTier.getOrElse(resolved(collection).filter(col("embedding").isNotNull))

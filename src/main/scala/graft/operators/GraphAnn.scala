@@ -202,13 +202,19 @@ object GraphAnn {
       // there), but exponential beyond it: a corpus-derived 12-hop
       // budget would plan 2¹² copies of the entry subtree and
       // planning, not data, becomes the serve cost (measured 4.65 s
-      // at hops=4 lazy vs 2.68 s truncated, sf0.1). Past the lazy
-      // floor, each intermediate beam — |Q|·ef rows, model-scale —
-      // materializes to an RDD-backed frame, so every further hop's
-      // plan is constant-size and total cost returns to linear in
-      // hops. Values are unchanged: only the materialization point
-      // moves, and every downstream op re-sorts deterministically.
-      if (hops > 3 && h < hops) beam = beam.localCheckpoint(true)
+      // at hops=4 fully-lazy vs 2.68 s truncated, sf0.1). Past the
+      // lazy floor, each intermediate beam — |Q|·ef rows, model-scale
+      // — is cut to an RDD-backed frame, so every further hop's plan
+      // is constant-size and total cost returns to linear in hops.
+      // eager = false keeps the search-construction contract lazy
+      // (query() must run no jobs before its caller acts): the hop is
+      // PLANNED here — a small tree, since its input is the previous
+      // hop's RDD — but materializes only when the final action
+      // cascades, and the doubly-referenced RDD is computed once by
+      // reference-sharing. Values are unchanged: only the
+      // materialization point moves, and every downstream op re-sorts
+      // deterministically.
+      if (hops > 3 && h < hops) beam = beam.localCheckpoint(false)
     }
     beam.select(col("query_id"), col("vec_id"))
   }
@@ -286,9 +292,10 @@ object GraphAnn {
         .select(col("query_id"), col("vec_id"), col("score"))
       // deep-budget lineage truncation — see [[beamSearchDist]]: lazy
       // composition doubles the plan per hop; past the certified
-      // 3-hop floor each intermediate beam (|Q|·ef rows) materializes
-      // so plan size, and therefore serve cost, is linear in hops
-      if (hops > 3 && h < hops) beam = beam.localCheckpoint(true)
+      // 3-hop floor each intermediate beam (|Q|·ef rows) is cut to an
+      // RDD-backed frame (lazily — construction runs no jobs) so plan
+      // size, and therefore serve cost, is linear in hops
+      if (hops > 3 && h < hops) beam = beam.localCheckpoint(false)
     }
     beam
       .withColumn("rank", row_number().over(wBeam).cast("long"))

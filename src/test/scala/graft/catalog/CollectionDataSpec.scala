@@ -1055,6 +1055,55 @@ class CollectionDataSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq === Seq("zz", "v002", "v003"))
   }
 
+  test("a tier pointer to an older-AlgoVersion artifact is refused, never served") {
+    // The stale-trainer trap, closed at the POINTER layer: cache keys
+    // embed the AlgoVersion, so a fresh route can never RESOLVE an
+    // old artifact — but a pointer file laid down before a version
+    // bump still names one, and pre-r9 validation (completion marker
+    // + batch + file set) would have kept serving it even though it
+    // lacks the relations the new serve reads (params/docs/tok_docs).
+    val wh = Files.createTempDirectory("graft-stale").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("vg", Some(Map("hnsw:space" -> "l2")))
+    d.add("vg", items((0 until 300).map { i =>
+      (f"v$i%03d", Seq(i.toFloat, 0f), s"d$i", "{}")
+    }: _*))
+    val q = Seq((1L, Seq(0f, 0f))).toDF("query_id", "qvec")
+    assert(d.query("vg", q, nResults = 3, include = Nil)
+      .collect().map(_.getString(1)).toSeq === Seq("v000", "v001", "v002"))
+    // forge a pre-bump pointer: an artifact directory named under an
+    // OLD version, complete marker present, empty otherwise — exactly
+    // what an a4-era build looks like to the validator
+    val ptr = {
+      val s = Files.walk(java.nio.file.Paths.get(wh))
+      try s.filter(_.getFileName.toString == "_index_ptr").findFirst().get()
+      finally s.close()
+    }
+    val lines = new String(Files.readAllBytes(ptr), "UTF-8").split("\n", -1)
+    val current = java.nio.file.Paths.get(lines(0))
+    val ver = graft.operators.VectorIndex.AlgoVersion
+    assert(current.getFileName.toString.endsWith("-" + ver))
+    val stale = current.getParent.resolve(
+      current.getFileName.toString.stripSuffix(ver) + "a0")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("_INDEX_OK"), "a0".getBytes("UTF-8"))
+    Files.write(ptr, (stale.toString + "\n" + lines(1) + "\n" + lines(2))
+      .getBytes("UTF-8"))
+    // the forged pointer is REFUSED: the serve rebuilds (content-keyed
+    // — instant resolve to the real current-version artifact) and the
+    // plan scans a current-version directory, never the stale one
+    val res = d.query("vg", q, nResults = 3, include = Nil)
+    assert(res.collect().map(_.getString(1)).toSeq === Seq("v000", "v001", "v002"))
+    val scanned = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.filter(_.contains("collivf"))
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(!_.contains(stale.getFileName.toString)),
+      s"stale-version artifact served: $scanned")
+  }
+
   test("filtered IVF serve probes adaptively: selective filters reach matches past the fixed width") {
     val wh = Files.createTempDirectory("graft-adaptprobe").toString
     val c = new ChromaSpark(spark, wh)

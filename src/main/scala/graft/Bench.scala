@@ -111,6 +111,14 @@ object Bench {
     // a (fast-fail) time, but one MISSING from the selection would
     // silently understate the gate metric — the reader checks n == 43
     val baselineN = results.keys.count(baseline43.contains)
+    // SELF-INVALIDATION: a baseline query that ERRORED contributes
+    // its fast-fail latency, which flatters the gate metric — so when
+    // any baseline query failed, baseline43_sec is emitted as null
+    // (the gate number cannot be read at all) instead of relying on
+    // the reader to cross-check the separate `errors` count.
+    val baselineFailed = failed.count(baseline43.contains)
+    val baselineSecJson =
+      if (baselineFailed > 0) "null" else fmt(baselineSubtotal)
     // THE BENCH PROTOCOL, codified (VERDICT r7 #6): full-suite runs
     // APPEND a {ts, total, per-query} record to BENCH_LOCAL.json's
     // run history — never overwrite — and the "committed" block is
@@ -152,6 +160,7 @@ object Bench {
       rec.put("total", total)
       rec.put("baseline43_total", baselineSubtotal)
       rec.put("baseline43_n", baselineN)
+      rec.put("baseline43_failed", baselineFailed)
       rec.put("errors", failed.size)
       if (failed.nonEmpty) rec.put("failed_queries", failed.mkString(","))
       rec.put("sf", sfDir)
@@ -204,7 +213,7 @@ object Bench {
     } catch { case e: Throwable => if (debug) e.printStackTrace() }
     val budget = 1800
     val overhead =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":$baselineSecJson,"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":{},"sf":"$sfDir","reps":$reps,"queries_omitted":00}""".length
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val kept = {
@@ -216,7 +225,7 @@ object Bench {
     val omitted = entries.size - kept.size
     val qs = kept.mkString("{", ",", "}")
     val suffix = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":${fmt(baselineSubtotal)},"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline43_sec":$baselineSecJson,"baseline43_n":$baselineN,"baseline43_ref_sec":42.57,"errors":${failed.size},"queries":$qs,"sf":"$sfDir","reps":$reps$suffix}""")
     spark.stop()
   }
 }

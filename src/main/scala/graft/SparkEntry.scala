@@ -666,6 +666,15 @@ object SparkEntry {
       .select(F.array_join(F.slice(F.split(F.trim(col("text")), "\\s+"), 1, 8), " "))
       .collect().map(_.getString(0)).toSeq // 3 query strings, bounded
     val term = texts.head.split("\\s+").head
+    // JSON-injection guard (the metadata SafeField discipline): the
+    // corpus-derived token is interpolated into where_document JSON
+    // verbatim — a quote or backslash in doc 0's first token would
+    // produce invalid JSON and fail the query (the DuckDB oracle has
+    // the same unescaped assumption), so assert the safe pattern and
+    // fail loudly AT the assumption if the testdata ever drifts.
+    require(term.matches("[A-Za-z0-9_-]+"),
+      s"collection_hybrid_filtered: corpus-derived filter token '$term' " +
+        "is not JSON-safe — update the query AND its oracle together")
     d.queryHybrid("hyfl", texts, nResults = 5,
       whereDocumentJson = Some(s"""{"$$contains":"$term"}"""))
   }

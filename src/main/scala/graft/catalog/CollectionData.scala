@@ -1425,12 +1425,31 @@ class CollectionData(client: ChromaSpark) {
               // fixed-width path). Ultra-selective filters degenerate
               // to exact search over exactly the matching cells.
               val need = 16L * nResults
-              var m = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
-              if (touched.nonEmpty) m = m.filter(!col("id").isin(touched: _*))
-              whereJson.foreach(wj => m = m.filter(metadataPredicate(wj)))
-              whereDocumentJson.foreach(wd => m = m.filter(documentPredicate(wd)))
-              val cellStats = m.groupBy(col("label").cast("int").as("c_id"))
-                .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_match"))
+              // Per-cell match counts are a pure function of
+              // (artifact, filter, post-build mask): the artifact is
+              // immutable after _INDEX_OK and the predicates are
+              // literal JSON, so REPEAT filtered calls with the same
+              // predicate (the dashboard pattern) must not recount
+              // the vectors table — the counts memoize per
+              // (artifact, filter fingerprint, touched set) and the
+              // repeat serve rebuilds the model-scale stats frame
+              // (≤ 65536 cells) from the driver-side memo for free.
+              val statsKey = s"$idx|${whereJson.getOrElse("")}|" +
+                s"${whereDocumentJson.getOrElse("")}|${touched.sorted.mkString(",")}"
+              val stats = CollectionData.filteredCellStatsMemo
+                .computeIfAbsent(statsKey, { _: String =>
+                  CollectionData.filteredCellStatsComputes.incrementAndGet()
+                  var m = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
+                  if (touched.nonEmpty) m = m.filter(!col("id").isin(touched: _*))
+                  whereJson.foreach(wj => m = m.filter(metadataPredicate(wj)))
+                  whereDocumentJson.foreach(wd => m = m.filter(documentPredicate(wd)))
+                  m.groupBy(col("label").cast("int").as("c_id"))
+                    .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_match"))
+                    .collect().map(r => (r.getInt(0), r.getLong(1)))
+                })
+              val sp = spark
+              import sp.implicits._
+              val cellStats = stats.toSeq.toDF("c_id", "n_match")
               val cumW = Window.partitionBy(col("query_id"))
                 .orderBy(col("c_rank").asc)
                 .rowsBetween(Window.unboundedPreceding, -1)
@@ -2057,6 +2076,18 @@ object CollectionData {
     */
   private[catalog] val graphParamsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
+
+  /** Adaptive-probe cell stats memoized per (artifact, filter
+    * fingerprint, post-build mask) — pure given an immutable artifact
+    * and literal predicates, so repeat filtered calls with the same
+    * predicate never recount the vectors table. Values are
+    * model-scale (≤ 65536 cells). The compute counter is the ops
+    * metric a cache-hit spec (and a dashboard) reads.
+    */
+  private[catalog] val filteredCellStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long)]]()
+  private[catalog] val filteredCellStatsComputes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Content fingerprints memoized per (dir, batch, log file set) —
     * pure given an append-only log (any mutation changes the key),

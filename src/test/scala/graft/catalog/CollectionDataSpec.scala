@@ -1144,6 +1144,22 @@ class CollectionDataSpec extends SparkSpec {
     val loose = d.query("sel", q, nResults = 3, include = Nil,
       whereJson = Some("""{"far":0}""")).collect().map(_.getString(1)).toSeq
     assert(loose === Seq("v0000", "v0001", "v0002"))
+    // r10: repeat filtered calls with the SAME predicate serve their
+    // per-cell match counts from the (artifact, filter, mask) memo —
+    // the artifact is immutable, so the counts are too. One compute
+    // on first call, zero on the repeat (the dashboard pattern).
+    val computesBefore = CollectionData.filteredCellStatsComputes.get()
+    val repeat = d.query("sel", q, nResults = 5, include = Nil,
+      whereJson = Some("""{"far":1}""")).collect().map(_.getString(1)).toSeq
+    assert(repeat === got, "repeat filtered serve changed answers")
+    assert(CollectionData.filteredCellStatsComputes.get() === computesBefore,
+      "repeat filtered call with an identical predicate recounted the vectors table")
+    // a DIFFERENT predicate is a different fingerprint — it computes
+    val other = d.query("sel", q, nResults = 3, include = Nil,
+      whereJson = Some("""{"far":0}""")) // repeat of 'loose': memoized too
+    other.collect()
+    assert(CollectionData.filteredCellStatsComputes.get() === computesBefore,
+      "repeat of the second predicate recounted despite its own memo entry")
   }
 
   test("collection_ann_index driver query: per-query recall floor 0.9 through the index tier") {

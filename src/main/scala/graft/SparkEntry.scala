@@ -509,14 +509,17 @@ object SparkEntry {
     VectorOps.withRecallAt(ann, queries, corpus, k = 10)
   }
 
-  /** Collection query served through the persisted GRAPH tier (r8
-    * extension — the `hnsw:M`/`hnsw:construction_ef` build knobs
-    * HONORED, not just validated): the collection declares the graph
-    * index in its metadata, so `query()` builds and serves from the
-    * kNN-graph + beam-search tier instead of IVF. Same corpus, query
-    * set and output shape as `collection_ann_index`; fully
-    * DuckDB-oracled with the `vec_ann_graph` replay (build, entries,
-    * hop-by-hop beam, exact re-rank, truth, recall_at_10).
+  /** Collection query served through the persisted GRAPH tier — a
+    * LAYERED navigable hierarchy as of r10 (true HNSW shape: base
+    * layer at degree 2M with reverse edges, ⌊log_M N⌋ sparse upper
+    * layers from a deterministic id-hash rank, greedy descent
+    * seeding a CONSTANT-ef base walk): the collection declares the
+    * graph index via `hnsw:M`/`hnsw:construction_ef` metadata, so
+    * `query()` builds and serves from the layered tier instead of
+    * IVF. Same corpus, query set and output shape as
+    * `collection_ann_index`; fully DuckDB-oracled — the oracle
+    * replays the level assignment, every layer's graph build, the
+    * descent, the base beam, exact re-rank, truth and recall_at_10.
     */
   def collectionHnswGraph(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -6367,23 +6370,29 @@ object SparkEntry {
         |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
-
-    // Collection query through the persisted GRAPH tier, fully
-    // certified: the hnsw:M=8 / construction_ef=256 metadata routes
-    // the collection through the kNN-graph index, and the oracle
-    // replays the whole serve — LSH-banded build candidates
-    // (md5-derived planes), bucket cap 256, top-8 edges by cosine
-    // DISTANCE (1−cos ASC, the collection metric's ordering), both
-    // ring strides, the CORPUS-DERIVED entry count (clamp(⌈log₂N⌉,
-    // 8, 64) — replayed generically from count(*), the r9 log-law),
-    // and the CORPUS-DERIVED beam width ef = max(16·hops, ⌈2√N⌉)
-    // (the flat-NSW recall law, also replayed generically — at this
-    // corpus 48 dominates ⌈2√490⌉ = 45) over hops =
-    // clamp(⌈log_8 490⌉, 3, 12) = 3 (the three unrolled b1/b2/b3
-    // CTEs) — then the exact re-rank, the brute-force truth and
-    // recall_at_10. Collection ids are zero-padded ('v%07d'), so
-    // every string ordering the engine uses coincides with the
-    // numeric vec_id ordering replayed here.
+    // Collection query through the persisted GRAPH tier — the r10
+    // LAYERED hierarchy, fully certified: hnsw:M=8 /
+    // construction_ef=256 routes the collection through the layered
+    // graph index, and the oracle replays the WHOLE serve. Base
+    // layer: LSH-banded candidates (md5-derived planes), bucket cap
+    // 256, top-2M=16 kNN edges by cosine DISTANCE (1−cos ASC) — the
+    // canonical HNSW M_max0 = 2·M — symmetrized (reverse union) and
+    // RE-CAPPED to each node's closest 3M=24 (the shrink step,
+    // bounding hub fan-in), plus both ring strides in both
+    // directions, cap-EXEMPT (the connectivity guarantee).
+    // Hierarchy: rank ids by md5('lvl:'‖id)
+    // (content-independent), layer 1 = top ⌈N/8⌉ ranks with its own
+    // top-M=8 graph (same construction restricted to members, own
+    // rings, no reverse), top layer = top ⌈N/64⌉ ranks (maxlevel =
+    // ⌊log₈ 490⌋ = 2 — structurally unrolled; spec-pinned). Serve:
+    // score the whole top layer (s0), walk layer 1 for
+    // GraphUpperHops=2 hops at ef=8 (u1/u2), then the base walk for
+    // GraphBaseHops=3 hops at the CONSTANT ef = 16·hops = 48
+    // (b1/b2/b3) — the law the hierarchy buys: no √N term anywhere.
+    // Then the exact re-rank, brute-force truth and recall_at_10.
+    // Collection ids are zero-padded ('v%07d'), so every string
+    // ordering the engine uses coincides with the numeric vec_id
+    // ordering replayed here.
     "collection_hnsw_graph" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -6400,6 +6409,7 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
         |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
         |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+        |nn AS (SELECT count(*) AS n FROM c),
         |sized AS (
         |  SELECT vec_id, t, sig FROM (
         |    SELECT vec_id, t, sig,
@@ -6418,42 +6428,118 @@ object SparkEntry {
         |        cd.dst) AS r
         |    FROM cand cd
         |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 16),
         |ranked AS (
         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
-        |nn AS (SELECT count(*) AS n FROM c),
-        |graph AS (
+        |und AS (
+        |  SELECT src, dst FROM knn
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM knn),
+        |capped AS (
         |  SELECT src, dst FROM (
-        |    SELECT src, dst FROM knn
-        |    UNION
+        |    SELECT u.src, u.dst,
+        |      row_number() OVER (PARTITION BY u.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        u.dst) AS r
+        |    FROM und u
+        |    JOIN c sv ON sv.vec_id = u.src
+        |    JOIN c dv ON dv.vec_id = u.dst) WHERE r <= 24),
+        |ring AS (
+        |  SELECT src, dst FROM (
         |    SELECT x.vec_id AS src, y.vec_id AS dst
         |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
         |    UNION
         |    SELECT x.vec_id AS src, y.vec_id AS dst
         |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
         |  WHERE src <> dst),
-        |centf AS (
-        |  SELECT list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY i) AS cv FROM (
-        |    SELECT u.i AS i,
-        |      CAST(sum(CAST(floor(u.x * 1000000.0) AS BIGINT)) AS DOUBLE)
-        |        / count(*) / 1000000.0 AS m
-        |    FROM (SELECT unnest(list_transform(range(1, len(vec) + 1),
-        |            j -> {'i': j, 'x': CAST(vec[j] AS DOUBLE)})) AS u FROM c)
-        |    GROUP BY u.i)),
-        |entries AS (
-        |  SELECT vec_id FROM (
-        |    SELECT c.vec_id,
-        |      row_number() OVER (ORDER BY
-        |        1.0 - list_cosine_similarity(cv, CAST(vec AS DOUBLE[])) ASC,
-        |        c.vec_id) AS er
-        |    FROM c CROSS JOIN centf)
-        |  WHERE er <= (SELECT GREATEST(8, LEAST(64,
-        |                 CAST(ceil(log2(n)) AS INTEGER))) FROM nn)),
-        |b0 AS (
+        |graph AS (
+        |  SELECT src, dst FROM capped
+        |  UNION
+        |  SELECT src, dst FROM ring
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM ring),
+        |lvr AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY
+        |    md5('lvl:' || printf('v%07d', vec_id)), vec_id) AS hrk FROM c),
+        |l1 AS (
+        |  SELECT vec_id FROM lvr CROSS JOIN nn
+        |  WHERE hrk <= CAST(ceil(nn.n / 8.0) AS BIGINT)),
+        |l2 AS (
+        |  SELECT vec_id FROM lvr CROSS JOIN nn
+        |  WHERE hrk <= CAST(ceil(nn.n / 64.0) AS BIGINT)),
+        |nn1 AS (SELECT count(*) AS n FROM l1),
+        |sized1 AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT s.vec_id, s.t, s.sig,
+        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
+        |    FROM sig s JOIN l1 USING (vec_id))
+        |  WHERE bn <= 256),
+        |cand1 AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized1 a JOIN sized1 b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn1 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        cd.dst) AS r
+        |    FROM cand1 cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |ranked1 AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l1),
+        |g1 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn1
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 1) % nn1.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 37) % nn1.n)
+        |  WHERE src <> dst),
+        |s0 AS (
         |  SELECT q.query_id, e.vec_id,
         |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
         |                                 CAST(v.vec AS DOUBLE[])) AS d
-        |  FROM q CROSS JOIN entries e JOIN c v ON v.vec_id = e.vec_id),
+        |  FROM q CROSS JOIN l2 e JOIN c v ON v.vec_id = e.vec_id),
+        |u1 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM s0 b JOIN g1 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM s0)))
+        |  WHERE r <= 8),
+        |u2 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM u1 b JOIN g1 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM u1)))
+        |  WHERE r <= 8),
         |b1 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6465,13 +6551,12 @@ object SparkEntry {
         |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
         |                                       CAST(v.vec AS DOUBLE[])) AS d
         |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM b0 b JOIN graph g ON g.src = b.vec_id) x
+        |              FROM u2 b JOIN graph g ON g.src = b.vec_id) x
         |        JOIN c v ON v.vec_id = x.vec_id
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM b0)))
-        |  WHERE r <= (SELECT GREATEST(48,
-        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
+        |        SELECT query_id, vec_id, d FROM u2)))
+        |  WHERE r <= 48),
         |b2 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6488,8 +6573,7 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM b1)))
-        |  WHERE r <= (SELECT GREATEST(48,
-        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
+        |  WHERE r <= 48),
         |b3 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6506,8 +6590,7 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM b2)))
-        |  WHERE r <= (SELECT GREATEST(48,
-        |                 CAST(ceil(2 * sqrt(n)) AS INTEGER)) FROM nn)),
+        |  WHERE r <= 48),
         |ann AS (
         |  SELECT query_id, vec_id, d AS distance,
         |    CAST(row_number() OVER (PARTITION BY query_id

@@ -1033,91 +1033,117 @@ class CollectionData(client: ChromaSpark) {
   private val GraphDefaultCef = 256
   private val GraphEfPerHop = 16
 
-  /** CORPUS-DERIVED graph search budget — the log-law mirror of the
-    * IVF tier's √N cell law ([[annClustersFor]]). A FIXED hop count
-    * caps the beam-reachable set at ~entries·M^hops nodes forever:
-    * search cost stays flat as the collection grows (the advertised
-    * property) but recall decays toward zero once N outgrows the
-    * reachable set — the same constant-factor trap the fixed 32-cell
-    * IVF had. Deriving hops from the live corpus restores the NSW
-    * contract (Malkov et al. 2014: expected greedy-search path length
-    * is logarithmic in N): hops = ⌈log_M N⌉ makes M^hops ≥ N, so the
-    * beam's reach keeps pace with the corpus while PER-HOP cost
-    * (|Q| × ef × M frontier rows) stays corpus-independent — total
-    * serve cost grows as log N, not N. Clamps: floor 3 preserves the
-    * recall-calibrated budget at small N; cap 12 bounds the plan
-    * depth (at M=8, 8¹² ≈ 7·10¹⁰ — past any collection this engine
-    * will meet, and past it recall degrades gracefully rather than
-    * the plan growing without bound).
+  /** Base-layer walk length — CONSTANT (r10, the layered-hierarchy
+    * law change). The r9 flat graph had to derive hops = ⌈log_M N⌉
+    * because every query started at shared centroid-near entries and
+    * the walk had to CROSS the corpus; with the layered descent
+    * ([[graphMaxLevelFor]]) the base beam starts query-LOCAL (seeded
+    * by the layer above), so its job is local refinement — a fixed
+    * number of hops regardless of N, exactly HNSW's per-layer
+    * constant expected path length (Malkov & Yashunin 2018, §4.2).
+    * Conf-overridable (serve knob, not artifact shape).
     */
-  private[catalog] def graphHopsFor(m: Int, n: Long): Int = {
+  private[catalog] def GraphBaseHops: Int =
+    spark.conf.getOption("spark.graft.graph.baseHops")
+      .map(_.toInt).getOrElse(3)
+
+  /** Per-upper-layer walk length — constant: each layer's seeds come
+    * from the layer above (nested membership), so the within-layer
+    * walk covers an expected O(1) distance before the next descent.
+    */
+  private[catalog] def GraphUpperHops: Int =
+    spark.conf.getOption("spark.graft.graph.upperHops")
+      .map(_.toInt).getOrElse(2)
+
+  /** Upper-layer beam width — constant and deliberately narrow: an
+    * upper layer's job is to hand the next layer a good NEIGHBORHOOD,
+    * not to be exhaustive; the base beam's ef does the recall work.
+    */
+  private[catalog] def GraphUpperEf: Int =
+    spark.conf.getOption("spark.graft.graph.upperEf")
+      .map(_.toInt).getOrElse(8)
+
+  /** Number of hierarchy layers above the base: L = ⌊log_M N⌋
+    * clamped [1, 10] — the canonical HNSW level cap (expected top
+    * layer holds between 1 and M nodes; the deterministic rank
+    * assignment below makes that exact: ⌈N/M^L⌉ ∈ [1, M]). Layer l
+    * holds the ⌈N/M^l⌉ highest-ranked nodes by a content-independent
+    * id hash, so memberships are NESTED and layer sizes are exact
+    * geometric — no empty-middle-layer edge cases to serve around.
+    */
+  private[catalog] def graphMaxLevelFor(m: Int, n: Long): Int = {
     val deg = math.max(2, m).toDouble
-    val raw = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
-    math.min(12, math.max(3, raw))
+    val raw = math.floor(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
+    math.min(10, math.max(1, raw))
   }
 
-  /** Entry-point count grows as log₂ N (clamped [8, 64]) — and the
-    * law sits at the MEASURED optimum, not just a plausible shape: a
-    * controlled sweep at the 4× corpus (ef=90, hops=4) put recall at
-    * 86/91/86/83 for 8/11/22/32 entries — ⌈log₂ 1990⌉ = 11 is the
-    * peak. Too few starts under-seed the beam; too many centroid-
-    * near starts DILUTE it (they occupy ef slots that query-specific
-    * paths need), so entries must grow slowly while ef (the √N law,
-    * [[graphBeamEf]]) carries recall. Always model-scale (≤ 64 ids
-    * collect to the driver). The entries are baked into the artifact
-    * at build time (the build knows N); hops/ef are replayed at
-    * serve time from the artifact's recorded corpus size.
-    */
-  private[catalog] def graphEntriesFor(n: Long): Int = {
-    val raw = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt
-    math.min(64, math.max(8, raw))
+  /** Exact size of hierarchy layer `level` (≥ 1): ⌈N/M^level⌉. */
+  private[catalog] def graphLayerSize(n: Long, m: Int, level: Int): Long = {
+    val deg = math.max(2, m).toDouble
+    math.ceil(math.max(1L, n).toDouble / math.pow(deg, level.toDouble)).toLong
   }
 
   /** Beam width for a graph-tier serve: `hnsw:search_ef` is the
     * user's calibrated candidate breadth and WINS when declared
     * (n_results ≤ search_ef already enforced by [[query]]); absent,
-    * ef = max(16·hops, ⌈2√N⌉), capped at 4096, never below
-    * n_results. The √N term is MEASURED, not assumed: at the
-    * certified 490-row corpus 16·hops = 48 dominates (recall 0.93);
-    * at the 4× corpus the hop-scaled floor alone decays recall to
-    * 0.83 while ef = 2√N ≈ 90 restores 0.91 — and widening M, adding
-    * long-range ring strides, extra hops or extra entry points were
-    * all measured and do NOT recover it (ARCHITECTURE.md r9). That
-    * is the known price of a FLAT navigable-small-world graph: at
-    * fixed recall the beam must widen as √N, so explored rows per
-    * query grow as √N·log N·M — the same asymptotic the IVF tier
-    * pays (24·√N probed rows), far below the corpus, and a real
-    * HNSW hierarchy (layered long links) is the recorded upgrade
-    * path if log N serve ever matters more than build simplicity.
-    * Past the 4096 cap recall degrades gracefully rather than the
-    * beam outgrowing executor memory.
+    * ef = max(16·hops, n_results) — CONSTANT in corpus size. This is
+    * the r10 law change the hierarchy buys: the r9 flat graph needed
+    * ef = 2√N to hold recall (measured — hop/entry/M/stride sweeps
+    * recovered nothing), which capped recall at the 4096-ef bound
+    * past N ≈ 4M vectors. With query-local seeds from the layered
+    * descent the SAME constant ef that certifies the 490-row corpus
+    * holds the 0.9 floor at the 4× corpus (measured, spec-pinned),
+    * so explored rows per query grow as log N (layer count), not √N.
     */
   private[catalog] def graphBeamEf(searchEf: Option[Int], nResults: Int,
-                                   hops: Int, n: Long): Int =
-    searchEf.getOrElse {
-      val sqrtTerm = math.ceil(2.0 * math.sqrt(math.max(1L, n).toDouble)).toInt
-      math.max(math.min(4096, math.max(GraphEfPerHop * hops, sqrtTerm)), nResults)
-    }
+                                   hops: Int): Int =
+    searchEf.getOrElse(
+      spark.conf.getOption("spark.graft.graph.ef").map(_.toInt)
+        .map(e => math.max(e, nResults))
+        .getOrElse(math.max(GraphEfPerHop * hops, nResults)))
+
+  /** Explored-rows budget of one query under the layered serve — the
+    * spec-pinned scale contract: top layer scored exhaustively
+    * (⌈N/M^L⌉ ≤ M rows), each of the L−1 upper walks a constant
+    * hops·ef·M, the base walk a constant hops·ef·M — total
+    * O(log N)·constant, replacing the flat graph's √N·log N·M.
+    */
+  private[catalog] def graphExploredBudget(m: Int, n: Long, nResults: Int): Long = {
+    val lMax = graphMaxLevelFor(m, n)
+    graphLayerSize(n, m, lMax) +
+      (lMax - 1).toLong * GraphUpperHops * GraphUpperEf * m +
+      GraphBaseHops.toLong * graphBeamEf(None, nResults, GraphBaseHops) * m
+  }
 
   /** Serve-time search budget of a persisted graph artifact, read
     * once per (JVM, artifact) from its `params` table — the artifact
     * is immutable after `_INDEX_OK`, so the hot path never pays a
-    * read job. Returns (hops, entries, indexed corpus size).
+    * read job. Returns (hops, entries, indexed corpus size, layers).
     */
-  private def graphParams(idx: String): (Int, Int, Long) =
+  private def graphParams(idx: String): (Int, Int, Long, Int) =
     CollectionData.graphParamsMemo.computeIfAbsent(idx, { _: String =>
       val r = graft.operators.IndexCache.readCached(spark, s"$idx/params").head()
       (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")),
-        r.getLong(r.fieldIndex("n")))
+        r.getLong(r.fieldIndex("n")), r.getInt(r.fieldIndex("maxlevel")))
     })
 
-  /** Build the persisted GRAPH tier (the `hnsw:*` contract honored
-    * structurally, not just validated): base rows, the kNN-graph
-    * adjacency at degree `m` built from a candidate pool capped at
-    * `cef` per LSH bucket, and the fixed centroid-nearest entry
-    * points — all under one artifact so a serve never recomputes a
-    * corpus-derived constant. Build cost amortizes exactly like the
-    * IVF tier (content fingerprint + knob cache key).
+  /** Build the persisted GRAPH tier — a LAYERED navigable graph (the
+    * `hnsw:*` contract honored structurally, r10): the base-layer
+    * kNN adjacency at degree `m` (LSH-bucketed candidates capped at
+    * `cef` per bucket, symmetric ring links for connectivity), plus
+    * ⌊log_M N⌋ sparse UPPER layers — layer l holds the ⌈N/M^l⌉
+    * highest nodes by a deterministic id-hash rank
+    * ([[graft.operators.GraphAnn.levelRankDf]]) with its own kNN
+    * adjacency over exactly those nodes, the same construction at a
+    * geometrically shrinking size (total build cost ≤ a constant
+    * factor over the base graph). The top layer is model-scale
+    * (⌈N/M^L⌉ ≤ M ids) and doubles as the entry set. A serve
+    * greedy-descends the hierarchy — each layer's beam seeds the next
+    * — so the base walk starts query-local and a CONSTANT ef holds
+    * recall at any N: expected path length log N at constant beam
+    * width, the property the flat r9 graph could only buy with
+    * ef ∝ √N. Budget constants are recorded IN the artifact's params
+    * table — a serve never recomputes a corpus-derived constant.
     */
   private def buildGraphIndex(collection: String, scratch: java.nio.file.Path,
                               m: Int, cef: Int, metric: String): Unit = {
@@ -1130,21 +1156,82 @@ class CollectionData(client: ChromaSpark) {
     val dim = corpus.select(size(col("vec")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(1)
     val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
-    graft.operators.GraphAnn
-      .buildKnnGraphDist(corpus, m, dist, dim = dim, maxBucket = cef)
+    // Base layer at DOUBLE degree plus reverse edges, re-capped —
+    // canonical HNSW (Malkov & Yashunin 2018 §4.1: M_max0 = 2·M,
+    // plus the shrink-connections step): the base layer is where the
+    // final refinement walk runs, and its navigability — not the
+    // upper layers' — bounds recall at constant ef (measured:
+    // top-M-only base edges saturate ~0.88 at any walk length; the
+    // 2M + reverse construction holds ≥0.9 at constant budget).
+    // Reverse edges make a node ENTERABLE from every node that chose
+    // it (the in-degree half of navigability) but leave fan-in
+    // unbounded — a hub chosen across every LSH table could carry
+    // ~tables·bucketCap edges, a frontier-skew risk at scale — so
+    // the union re-caps to each node's closest 3M (one join for the
+    // distances + one per-src window, the HNSW shrink step — 3M not
+    // 2M because our kNN edges are not RNG-diversified, so the
+    // theory cap trims real neighbors: measured 0.89 vs 0.93 recall
+    // at the 4× corpus, while 3M ≈ the observed organic mean degree
+    // and still bounds hub fan-in). RING edges are exempt from the
+    // cap and unioned back, both directions: shrinking away a
+    // metric-far ring link is exactly how HNSW's shrink disconnects
+    // graphs, and the ring is the connectivity proof. Out-degree
+    // ≤ 3M + 4.
+    val knn2m = graft.operators.GraphAnn
+      .buildKnnGraphDist(corpus, 2 * m, dist, dim = dim, maxBucket = cef,
+        strides = Seq.empty)
+    val undirected = knn2m
+      .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val vec = corpus.select(col("vec_id"), col("vec"))
+    val wCap = Window.partitionBy(col("src"))
+      .orderBy(col("ed").asc, col("dst").asc)
+    val capped = undirected
+      .join(vec.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
+      .join(vec.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
+      .select(col("src"), col("dst"), dist(col("sv"), col("dv")).as("ed"))
+      .withColumn("r", row_number().over(wCap))
+      .filter(col("r") <= 3 * m)
+      .select(col("src"), col("dst"))
+    val ring = graft.operators.GraphAnn.ringEdges(corpus, Seq(1L, 37L))
+    capped
+      .unionByName(ring)
+      .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       .write.mode("overwrite").parquet(s"$scratch/edges")
-    // corpus-derived search budget, recorded IN the artifact: the
-    // build is the one place N is already being paid for, and a serve
-    // must never recompute a corpus-derived constant (the IVF tier's
-    // centroidCountMemo discipline, made explicit on disk)
-    val n = corpus.count()
-    val entries = graphEntriesFor(n)
-    val hops = graphHopsFor(m, n)
-    graft.operators.GraphAnn.entryPointsDfDist(corpus, entries, dist)
+    // hierarchy levels: nested memberships from the deterministic
+    // hash rank; lvl = the highest layer containing the node (only
+    // lvl ≥ 1 rows persist — N/M of the corpus)
+    val (rankedH, n) = graft.operators.GraphAnn.levelRankDf(corpus)
+    val maxLevel = graphMaxLevelFor(m, n)
+    val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
+    val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (thr, i)) => when(col("hrk") <= thr, lit(i + 1)).otherwise(acc)
+    }
+    rankedH.select(col("vec_id"), lvlCol.as("lvl")).filter(col("lvl") >= 1)
+      .write.mode("overwrite").parquet(s"$scratch/levels")
+    val levels = spark.read.parquet(s"$scratch/levels")
+    // upper-layer adjacencies (layers 1..L−1; the top layer is
+    // enumerated exhaustively at serve time, so it needs no edges):
+    // the SAME LSH-bucketed construction restricted to the layer's
+    // members — per-layer bucket caps and ring links recompute within
+    // the membership, so each layer is a self-contained navigable
+    // graph
+    for (l <- 1 until maxLevel) {
+      val members = levels.filter(col("lvl") >= l).select(col("vec_id"))
+      graft.operators.GraphAnn
+        .buildKnnGraphDist(corpus.join(members, "vec_id"), m, dist,
+          dim = dim, maxBucket = cef)
+        .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
+    }
+    // entries = top-layer membership (model-scale: ⌈N/M^L⌉ ≤ M ids)
+    levels.filter(col("lvl") >= maxLevel).select(col("vec_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
+    val entries = graphLayerSize(n, m, maxLevel).toInt
     val sp = spark
     import sp.implicits._
-    Seq((n, m, cef, entries, hops)).toDF("n", "m", "cef", "entries", "hops")
+    Seq((n, m, cef, entries, GraphBaseHops, maxLevel))
+      .toDF("n", "m", "cef", "entries", "hops", "maxlevel")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/params")
   }
 
@@ -1338,36 +1425,79 @@ class CollectionData(client: ChromaSpark) {
           // pool is ~nprobe·N/k rows, wide enough to post-filter.)
           if (whereJson.isDefined || whereDocumentJson.isDefined) None
           else {
-            // hops/entries were derived from the indexed corpus size
-            // at build time (log-law, [[graphHopsFor]]) and travel
-            // with the artifact — driver constants by serve time
-            val (gHops, gEntries, gN) = graphParams(idx)
+            // structural params (entries, layer count) travel with
+            // the artifact; walk-length/width are LAW constants (they
+            // no longer depend on N — that is the hierarchy's point)
+            val (_, gEntries, _, gMaxLevel) = graphParams(idx)
+            val gHops = GraphBaseHops
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
               else baseAll
             val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
-            val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
             // entry-blackout guard: post-build upserts of entry ids
-            // drop them from the masked corpus; if EVERY start is
-            // gone the beam would start empty and the whole base
-            // would be unreachable until a rebuild. Fall back to the
-            // lowest untouched base ids — deterministic, model-scale.
+            // drop them from the masked corpus; if EVERY top-layer
+            // start is gone the descent would begin empty and the
+            // whole base would be unreachable until a rebuild. Walk
+            // DOWN the nested hierarchy for the first layer with an
+            // untouched member (each probe is a model-scale
+            // ordered-limit over the levels table); final fallback =
+            // lowest untouched base ids. Deterministic at every step.
             val startIds = graft.operators.IndexCache.readCached(spark, s"$idx/entries")
-              .collect().map(_.getString(0)).toSeq // ≤ 64 ids (entries clamp)
+              .collect().map(_.getString(0)).toSeq // ≤ M ids (top layer)
             val liveStarts = startIds.filterNot(touched.contains)
-            val starts =
-              if (liveStarts.nonEmpty) {
-                val sp = spark
-                import sp.implicits._
-                liveStarts.toDF("vec_id")
-              } else base.select(col("id").as("vec_id"))
-                .orderBy(col("vec_id").asc).limit(gEntries)
+            val sp = spark
+            import sp.implicits._
+            val starts: DataFrame =
+              if (liveStarts.nonEmpty) liveStarts.toDF("vec_id")
+              else {
+                val levels = graft.operators.IndexCache.readCached(spark, s"$idx/levels")
+                val fromLayers = (gMaxLevel - 1 to 1 by -1).iterator.map { l =>
+                  var cand = levels.filter(col("lvl") >= l).select(col("vec_id"))
+                  if (touched.nonEmpty) cand = cand.filter(!col("vec_id").isin(touched: _*))
+                  cand.orderBy(col("vec_id").asc)
+                    .limit(math.max(gEntries, GraphUpperEf))
+                    .collect().map(_.getString(0)).toSeq
+                }.find(_.nonEmpty)
+                fromLayers match {
+                  case Some(ids) => ids.toDF("vec_id")
+                  case None => base.select(col("id").as("vec_id"))
+                    .orderBy(col("vec_id").asc)
+                    .limit(math.max(gEntries, GraphUpperEf))
+                }
+              }
             val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
-            val beam = graft.operators.GraphAnn.beamSearchDist(
-              queryEmbeddings.select(col("query_id"), col("qvec")),
-              corpus, graph, starts,
-              ef = graphBeamEf(searchEf, nResults, gHops, gN),
+            val qframe = queryEmbeddings.select(col("query_id"), col("qvec"))
+            // LAYERED DESCENT: score the (exhaustive, model-scale) top
+            // layer, then walk each lower layer with a constant
+            // (GraphUpperEf, GraphUpperHops) beam, each layer's beam
+            // seeding the next — base walk last, at the constant
+            // serve ef. Between layers the model-scale seed frame is
+            // lazily localCheckpoint'ed: each chained beam references
+            // its seeds 2^hops times, so without truncation the plan
+            // tree would multiply per LAYER the way it multiplies per
+            // hop — the cut keeps total plan size linear in layers
+            // while construction stays job-free (eager = false).
+            // Fault-tolerance trade-off, documented: localCheckpoint
+            // blocks are NOT recomputable from lineage — on a real
+            // cluster, losing an executor mid-query fails that query
+            // (retried from the artifact, which is durable), and the
+            // blocks release at driver GC. That is the same contract
+            // Spark's own broadcast-join blocks carry, accepted here
+            // because every truncated frame is |Q|·ef rows.
+            var seeds: DataFrame = qframe.select(col("query_id"))
+              .crossJoin(broadcast(starts))
+            for (l <- (gMaxLevel - 1) to 1 by -1) {
+              val edgesL = graft.operators.IndexCache.readCached(spark, s"$idx/edges_l$l")
+              seeds = graft.operators.GraphAnn.beamSearchSeeded(
+                  qframe, corpus, edgesL, seeds,
+                  ef = GraphUpperEf, hops = GraphUpperHops, dist)
+                .localCheckpoint(false)
+            }
+            val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
+            val beam = graft.operators.GraphAnn.beamSearchSeeded(
+              qframe, corpus, graph, seeds,
+              ef = graphBeamEf(searchEf, nResults, gHops),
               hops = gHops, dist)
             val baseCand = beam.withColumnRenamed("vec_id", "id")
               .join(base, "id")
@@ -2070,12 +2200,12 @@ object CollectionData {
   private[catalog] val centroidCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Per-artifact graph search budgets ((hops, entries, n) from the
-    * artifact's `params` table) — immutable once `_INDEX_OK` lands,
-    * same discipline as [[centroidCountMemo]].
+  /** Per-artifact graph search budgets ((hops, entries, n, maxlevel)
+    * from the artifact's `params` table) — immutable once `_INDEX_OK`
+    * lands, same discipline as [[centroidCountMemo]].
     */
   private[catalog] val graphParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int)]()
 
   /** Adaptive-probe cell stats memoized per (artifact, filter
     * fingerprint, post-build mask) — pure given an immutable artifact

@@ -139,6 +139,40 @@ object GraphAnn {
       .distinct()
   }
 
+  /** Deterministic ring edges over `corpus` ids (rank by vec_id,
+    * sharded — no global window): rank r → r+stride (mod N) for each
+    * stride. The connectivity guarantee a layered build keeps EXEMPT
+    * from its degree re-cap — dropping a ring edge for being
+    * metric-far is exactly how HNSW's shrink step disconnects graphs.
+    */
+  def ringEdges(corpus: DataFrame, strides: Seq[Long]): DataFrame = {
+    val (ranked0, n) = TextAnalysis.withShardedRank(
+      corpus.select(col("vec_id")), "rk", 32, Seq(col("vec_id")))
+    val ranked = ranked0.select(col("vec_id"), (col("rk") - 1L).as("rk"))
+    def ringAt(stride: Long): DataFrame =
+      ranked.as("x").join(ranked.as("y"),
+          col("y.rk") === (col("x.rk") + lit(stride)) % lit(n))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    strides.map(s => ringAt(s % math.max(n, 1L)))
+      .reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Deterministic HNSW level ranks: rank 1..N of every corpus id
+    * ordered by (md5("lvl:" ‖ id), id) — a content-independent hash
+    * order, so the hierarchy a layered build derives from it (layer l
+    * = the top ⌈N/M^l⌉ ranks) is exponential-decay level assignment
+    * (Malkov & Yashunin 2018 §4.1) made EXACT and replayable: same
+    * ids ⇒ same layers in any engine, layer sizes are precise
+    * geometric (never an empty middle layer), and memberships are
+    * nested by construction. Sharded rank — no global window.
+    */
+  def levelRankDf(corpus: DataFrame): (DataFrame, Long) =
+    TextAnalysis.withShardedRank(
+      corpus.select(col("vec_id")), "hrk", 32,
+      Seq(md5(concat(lit("lvl:"), col("vec_id").cast("string"))), col("vec_id")))
+
   /** Generic entry points as a FRAME (no typed collect — works for
     * string ids): the `entries` corpus vectors nearest the
     * fixed-point corpus centroid by `dist`, ascending. Model-scale by
@@ -172,7 +206,25 @@ object GraphAnn {
     */
   def beamSearchDist(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                      startIds: DataFrame, ef: Int, hops: Int,
-                     dist: (Column, Column) => Column): DataFrame = {
+                     dist: (Column, Column) => Column): DataFrame =
+    beamSearchSeeded(queries, corpus, graph,
+      queries.select(col("query_id"))
+        .crossJoin(broadcast(startIds.select(col("vec_id")))),
+      ef, hops, dist)
+
+  /** Beam search from PER-QUERY seeds — the layered-descent primitive
+    * (a true-HNSW serve chains one of these per layer: each layer's
+    * ef-wide beam seeds the next layer's walk, so the base-layer beam
+    * starts query-LOCAL and a constant ef holds recall where the
+    * flat-graph walk needed ef ∝ √N). `seeds` is (query_id, vec_id);
+    * seed rows whose vec_id is not in `corpus` (post-build upserts)
+    * drop at the scoring join, the standard mask. Every hop is one
+    * frontier×adjacency equi-join plus one corpus fetch join —
+    * nothing corpus-sized shuffles, per-hop cost |Q|·ef·M rows.
+    */
+  def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                       seeds: DataFrame, ef: Int, hops: Int,
+                       dist: (Column, Column) => Column): DataFrame = {
     val q = broadcast(queries.select(col("query_id"), col("qvec")))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
@@ -180,8 +232,7 @@ object GraphAnn {
       .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
       .join(q, "query_id")
       .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
-    var beam = scoreOf(
-      q.select(col("query_id")).crossJoin(broadcast(startIds.select(col("vec_id")))))
+    var beam = scoreOf(seeds.select(col("query_id"), col("vec_id")))
     for (h <- 1 to hops) {
       val expanded = beam
         .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")

@@ -86,9 +86,13 @@ object VectorIndex {
     * — pre-a5 artifacts lack both relations and must rebuild. a6 =
     * the lexical stats table gains `tok_docs` (token-bearing doc
     * count, avgdl's exact denominator under empty documents, r9) —
-    * an a5 stats file lacks the column and must rebuild.
+    * an a5 stats file lacks the column and must rebuild. a7 = the
+    * graph tier becomes a LAYERED hierarchy (r10): `levels` +
+    * `edges_l*` relations, `entries` = top-layer membership instead
+    * of centroid-nearest ids, `params` gains `maxlevel` — an a6
+    * graph artifact has none of these and must rebuild.
     */
-  val AlgoVersion = "a6"
+  val AlgoVersion = "a7"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

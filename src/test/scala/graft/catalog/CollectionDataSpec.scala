@@ -606,55 +606,60 @@ class CollectionDataSpec extends SparkSpec {
     assert(fracBig < 1.0, s"big collection probed fraction $fracBig not < 1")
   }
 
-  test("graph tier search budget is corpus-derived: hops ~ log_M N, entries ~ log N, ef ~ sqrt(N)") {
+  test("layered graph tier: explored rows grow as log N at CONSTANT ef; hierarchy laws; artifact records the structure") {
     val wh = Files.createTempDirectory("graft-graphsize").toString
     val c = new ChromaSpark(spark, wh)
     val d = new CollectionData(c)
-    // The log law (the mirror of the IVF tier's sqrt-N cell law): a
-    // fixed 3-hop/8-entry budget caps the beam-reachable set at
-    // ~8·10^3 nodes forever — recall collapses at 10M vectors even
-    // though cost stays flat. hops = ceil(log_M N) keeps M^hops >= N.
-    assert(d.graphHopsFor(8, 1L) === 3) // floor clamp
-    assert(d.graphHopsFor(8, 490L) === 3) // the certified driver corpus
-    assert(d.graphHopsFor(8, 3000L) === 4)
-    assert(d.graphHopsFor(8, 10000000L) === 8)
-    assert(d.graphHopsFor(8, Long.MaxValue) === 12) // depth cap
-    assert(d.graphHopsFor(16, 10000000L) === 6) // denser graphs need fewer hops
-    assert(d.graphEntriesFor(100L) === 8) // floor clamp
-    assert(d.graphEntriesFor(490L) === 9) // the certified driver corpus
-    assert(d.graphEntriesFor(1000000L) === 20)
-    // entries stay model-scale at ANY Long corpus (ceil(log2) ≤ 63;
-    // the 64 clamp is a safety bound)
-    assert(d.graphEntriesFor(Long.MaxValue) === 63)
-    // budget grows MONOTONICALLY with corpus...
-    val ns = Seq(500L, 50000L, 5000000L, 500000000L)
-    val hops = ns.map(d.graphHopsFor(8, _))
-    val entries = ns.map(d.graphEntriesFor)
-    assert(hops === hops.sorted, s"hop budget not monotone: $hops")
-    assert(entries === entries.sorted, s"entry budget not monotone: $entries")
-    assert(hops.last > hops.head && entries.last > entries.head)
-    // ...while the total explored frontier (entries + hops·ef·M rows
-    // per query, ef = max(16·hops, 2√N)) grows as √N·log N — the
-    // flat-NSW price for HOLDING recall (measured: the hop term alone
-    // decays recall 0.93 → 0.83 at 4× corpus; see the 4x spec). The
-    // scale contract mirrors the IVF tier's probed-fraction law: the
-    // explored FRACTION of the corpus shrinks monotonically toward
-    // zero, so the serve stays sublinear even though the absolute
-    // budget grows.
-    val budget = ns.map { n =>
-      val h = d.graphHopsFor(8, n)
-      d.graphEntriesFor(n).toLong + h.toLong * d.graphBeamEf(None, 10, h, n) * 8L
+    // The r10 law change: the flat r9 graph needed ef = 2√N to hold
+    // recall (measured), so explored rows grew √N·log N·M. The
+    // layered hierarchy replaces the √N beam term with a log N LAYER
+    // count at constant per-layer budget.
+    // 1) layer-count law: L = clamp(⌊log_M N⌋, 1, 10)
+    assert(d.graphMaxLevelFor(8, 490L) === 2)  // the certified driver corpus
+    assert(d.graphMaxLevelFor(8, 1990L) === 3) // the 4x corpus
+    assert(d.graphMaxLevelFor(8, 10L) === 1)   // floor clamp
+    assert(d.graphMaxLevelFor(8, 10000000L) === 7)
+    assert(d.graphMaxLevelFor(8, Long.MaxValue) === 10) // depth cap
+    assert(d.graphMaxLevelFor(16, 10000000L) === 5) // denser ⇒ flatter
+    // 2) exact geometric layer sizes — the top layer is model-scale
+    //    (≤ M ids) at ANY corpus size below the level cap
+    assert(d.graphLayerSize(490L, 8, 1) === 62L)
+    assert(d.graphLayerSize(490L, 8, 2) === 8L)
+    assert(d.graphLayerSize(1990L, 8, 3) === 4L)
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val top = d.graphLayerSize(n, 8, d.graphMaxLevelFor(8, n))
+      assert(top >= 1L && top <= 8L, s"top layer at n=$n not model-scale: $top")
     }
-    val explored = ns.zip(budget).map { case (n, b) => b.toDouble / n }
+    // 3) ef is CONSTANT in N (the hierarchy's point): no corpus term
+    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
+    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
+    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200) // search_ef wins
+    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
+    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
+    // 4) explored-rows budget grows ∝ log N — pinned against the
+    //    layer count itself, REPLACING the flat graph's √N term: the
+    //    budget delta per 8× corpus growth is exactly one more
+    //    constant-cost layer walk.
+    val ns = Seq(500L, 4000L, 32000L, 256000L, 2048000L)
+    val budgets = ns.map(d.graphExploredBudget(8, _, 10))
+    val perLayer = 2L * 8L * 8L // GraphUpperHops · GraphUpperEf · M
+    budgets.sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= perLayer + 8L,
+        s"budget step exceeds one layer walk: $budgets for $ns")
+    }
+    val explored = ns.zip(budgets).map { case (n, b) => b.toDouble / n }
     assert(explored === explored.sorted.reverse,
       s"explored fraction not shrinking: $explored for corpora $ns")
     assert(explored.last < 0.01,
-      s"explored fraction at 5·10⁸ rows not <1%: ${explored.last}")
+      s"explored fraction at 2·10⁶ rows not <1%: ${explored.last}")
+    // ...and at a 10⁹-row corpus the whole budget is a few thousand
+    // rows — log N, where the r9 flat law would have needed ef=2√N =
+    // 63k wide beams (capped at 4096, i.e. recall loss)
+    assert(d.graphExploredBudget(8, 1000000000L, 10) < 5000L)
 
-    // And the BUILT artifact records the law: a larger collection
-    // persists a deeper hop budget and more entry points, and the
-    // serve reads them from the artifact's params table.
-    def paramsOf(name: String, n: Int): (Int, Int, Long) = {
+    // 5) the BUILT artifact records the structure: maxlevel + exact
+    //    top-layer entry count, and deeper corpora get more layers
+    def paramsOf(name: String, n: Int): (Int, Int, Long, Int) = {
       c.createCollection(name, Some(Map("hnsw:space" -> "l2", "hnsw:M" -> "8")))
       d.add(name, items((0 until n).map { i =>
         (f"g$i%05d", Seq(i.toFloat, 1f), s"d$i", "{}")
@@ -667,31 +672,58 @@ class CollectionDataSpec extends SparkSpec {
           f.relation.location.rootPaths.map(_.toString)
       }.flatten.find(_.contains("collgraph"))
         .getOrElse(fail(s"$name does not serve from the graph tier"))
-        .replaceAll("/(base|edges|entries|params)$", "")
+        .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
       val p = spark.read.parquet(s"$idx/params").head()
       (p.getInt(p.fieldIndex("hops")), p.getInt(p.fieldIndex("entries")),
-        p.getLong(p.fieldIndex("n")))
+        p.getLong(p.fieldIndex("n")), p.getInt(p.fieldIndex("maxlevel")))
     }
-    val (hSmall, eSmall, nSmall) = paramsOf("gs300", 300)
-    val (hBig, eBig, nBig) = paramsOf("gs3000", 3000)
+    val (hSmall, eSmall, nSmall, lSmall) = paramsOf("gs300", 300)
+    val (hBig, eBig, nBig, lBig) = paramsOf("gs3000", 3000)
     assert(nSmall === 300L && nBig === 3000L)
-    assert(hSmall === d.graphHopsFor(8, 300L) && hBig === d.graphHopsFor(8, 3000L))
-    assert(eSmall === d.graphEntriesFor(300L) && eBig === d.graphEntriesFor(3000L))
-    assert(hBig > hSmall, s"hop budget did not grow with corpus: $hSmall -> $hBig")
-    assert(eBig > eSmall, s"entry budget did not grow with corpus: $eSmall -> $eBig")
+    assert(hSmall === 3 && hBig === 3, "base walk length must be constant")
+    assert(lSmall === d.graphMaxLevelFor(8, 300L)) // = 2
+    assert(lBig === d.graphMaxLevelFor(8, 3000L))  // = 3
+    assert(lBig > lSmall, s"layer count did not grow with corpus: $lSmall -> $lBig")
+    assert(eSmall === d.graphLayerSize(300L, 8, lSmall).toInt)
+    assert(eBig === d.graphLayerSize(3000L, 8, lBig).toInt)
+    // 6) the persisted hierarchy is structurally sound: nested
+    //    memberships with the exact sizes, per-layer edge relations
+    //    present, top layer = the entries relation
+    val q = Seq((1L, Seq(0f, 1f))).toDF("query_id", "qvec")
+    val res = d.query("gs3000", q, nResults = 3, include = Nil)
+    res.collect()
+    val idx = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.find(_.contains("collgraph")).get
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
+    val levels = spark.read.parquet(s"$idx/levels")
+    for (l <- 1 to lBig) {
+      assert(levels.filter(org.apache.spark.sql.functions.col("lvl") >= l).count()
+        === d.graphLayerSize(3000L, 8, l),
+        s"layer $l size mismatch")
+      if (l < lBig)
+        assert(spark.read.parquet(s"$idx/edges_l$l").count() > 0,
+          s"missing/empty edges for layer $l")
+    }
+    val entryIds = spark.read.parquet(s"$idx/entries")
+      .collect().map(_.getString(0)).toSet
+    val topIds = levels.filter(org.apache.spark.sql.functions.col("lvl") >= lBig)
+      .collect().map(_.getString(0)).toSet
+    assert(entryIds === topIds, "entries relation is not the top layer")
   }
 
-  test("graph tier recall holds at a 4x corpus under the derived budget") {
-    // The r8 weak was exactly this: a fixed 3-hop/8-entry budget holds
-    // its recall floor ONLY at the certification corpus. The derived
-    // budget at the 4× corpus (sf0.1 embeddings: 1990 rows ⇒ hops =
-    // ⌈log₈ 1990⌉ = 4, entries = ⌈log₂ 1990⌉ = 11, ef = ⌈2√1990⌉ =
-    // 90 — the beam-width term that actually carries recall here:
-    // the 16·hops floor alone measured 83/100, and wider M, extra
-    // ring strides, more entries and more hops were all measured NOT
-    // to recover it — with the deep-budget beam truncation active)
-    // must hold the same 0.9 recall the 490-row driver corpus
-    // certifies.
+  test("graph tier recall holds at a 4x corpus at CONSTANT ef — the hierarchy carries it") {
+    // The r9 weak was exactly this: on the FLAT graph, holding recall
+    // at the 4× corpus needed ef = 2√N ≈ 90 (measured — hop, entry, M
+    // and stride sweeps recovered nothing), which turns the 4096-ef
+    // cap into a recall ceiling past ~4M vectors. The r10 hierarchy
+    // replaces the √N term: sf0.1 embeddings (1990 rows) build
+    // maxlevel = ⌊log₈ 1990⌋ = 3 layers, the descent seeds the base
+    // walk query-locally, and the SAME constant budget that certifies
+    // the 490-row driver corpus (hops=3, ef=48, upper 2×8) must hold
+    // the 0.9 floor here — with the between-layer lineage truncation
+    // active (two localCheckpointed upper walks in the serve).
     val wh = Files.createTempDirectory("graft-graphbig").toString
     val c = new ChromaSpark(spark, wh)
     val d = new CollectionData(c)
@@ -710,16 +742,19 @@ class CollectionDataSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("embedding").as("qvec"))
     val res = d.query("grbig", queries, nResults = 10, include = Nil)
     res.collect()
-    // the derived budget engaged: the artifact records hops=4
+    // the hierarchy engaged: the artifact records 3 layers, the
+    // top layer is the exact ⌈1990/8³⌉ = 4 ids, and the base walk
+    // stays at the constant 3 hops
     val idx = res.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
     }.flatten.find(_.contains("collgraph"))
       .getOrElse(fail("4x corpus does not serve from the graph tier"))
-      .replaceAll("/(base|edges|entries|params)$", "")
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
     val p = spark.read.parquet(s"$idx/params").head()
-    assert(p.getInt(p.fieldIndex("hops")) === 4)
-    assert(p.getInt(p.fieldIndex("entries")) === 11)
+    assert(p.getInt(p.fieldIndex("maxlevel")) === 3)
+    assert(p.getInt(p.fieldIndex("hops")) === 3)
+    assert(p.getInt(p.fieldIndex("entries")) === 4)
     // recall vs brute force over the same collection state
     val brute = queries.crossJoin(d.get("grbig", include = Seq("embeddings"))
         .select(org.apache.spark.sql.functions.col("id"),
@@ -772,16 +807,28 @@ class CollectionDataSpec extends SparkSpec {
     assert(scans.exists(_.relation.location.rootPaths.exists(
       _.toString.contains("collgraph"))),
       "query does not serve from the persisted graph tier")
-    // 2) the built graph honors hnsw:M: out-degree ≤ M + 2 ring links
+    // 2) the built BASE graph honors hnsw:M under the layered
+    // construction: 2M-degree kNN symmetrized then re-capped to the
+    // closest 3M (the HNSW shrink step bounding hub fan-in), plus
+    // ring links both directions (cap-exempt) — out-degree ≤ 3M + 4
     val idxDir = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-      .find(_.contains("collgraph")).get.replaceAll("/(base|edges|entries)$", "")
+      .find(_.contains("collgraph")).get
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
     val g = spark.read.parquet(s"$idxDir/edges")
     val maxDeg = g.groupBy(org.apache.spark.sql.functions.col("src"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("deg"))
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("deg"))).head().getLong(0)
-    assert(maxDeg <= 6 + 2, s"graph out-degree $maxDeg exceeds hnsw:M + 2")
+    assert(maxDeg <= 3 * 6 + 4, s"graph out-degree $maxDeg exceeds 3M + 4")
+    // upper layers stay at degree ≤ M + 2 (no symmetrize, no recap)
+    val g1 = spark.read.parquet(s"$idxDir/edges_l1")
+    val maxDeg1 = g1.groupBy(org.apache.spark.sql.functions.col("src"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("deg"))).head().getLong(0)
+    assert(maxDeg1 <= 6 + 2, s"layer-1 out-degree $maxDeg1 exceeds M + 2")
     // 3) recall vs brute force over the same collection state
     val brute = queries.crossJoin(d.get("gr", include = Seq("embeddings"))
         .select(org.apache.spark.sql.functions.col("id"),
@@ -825,17 +872,13 @@ class CollectionDataSpec extends SparkSpec {
     val d = new CollectionData(cl)
 
     // beam-width law: search_ef wins when declared; otherwise
-    // ef = max(16·hops, ⌈2√N⌉) capped 4096 — the hop term carries
-    // small corpora (48 at the certified 490), the MEASURED √N term
-    // carries large ones (the flat-NSW recall price; see the 4x spec)
-    assert(d.graphBeamEf(None, 10, hops = 3, n = 490) === 48)
-    assert(d.graphBeamEf(None, 100, hops = 3, n = 490) === 100)
-    assert(d.graphBeamEf(Some(200), 10, hops = 3, n = 490) === 200)
-    assert(d.graphBeamEf(Some(12), 10, hops = 3, n = 490) === 12)
-    assert(d.graphBeamEf(None, 10, hops = 6, n = 490) === 96)
-    assert(d.graphBeamEf(None, 10, hops = 4, n = 1990) === 90) // 2·√1990
-    assert(d.graphBeamEf(None, 10, hops = 7, n = 1000000) === 2000)
-    assert(d.graphBeamEf(None, 10, hops = 12, n = Long.MaxValue) === 4096) // cap
+    // ef = max(16·hops, n_results) — CONSTANT in corpus size (r10:
+    // the hierarchy's descent replaced the flat graph's √N term)
+    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
+    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
+    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200)
+    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
+    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
 
     cl.createCollection("gf", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -878,10 +921,12 @@ class CollectionDataSpec extends SparkSpec {
     val gDir = idxDirOf(served, "collgraph")
     assert(gDir.isDefined, "unfiltered graph-collection query must serve from collgraph")
 
-    // 2) entry blackout: upsert EVERY persisted entry id — the beam
-    // must fall back to untouched base starts and still return base
-    // rows, not just the delta
-    val idxRoot = gDir.get.replaceAll("/(base|edges|entries)$", "")
+    // 2) entry blackout: upsert EVERY persisted entry id (the whole
+    // top layer) — the descent must fall back to the next layer down
+    // (nested membership, untouched members exist) and still return
+    // base rows, not just the delta
+    val idxRoot = gDir.get
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
     val entryIds = spark.read.parquet(s"$idxRoot/entries")
       .collect().map(_.getString(0)).toSeq
     assert(entryIds.nonEmpty)
@@ -892,6 +937,26 @@ class CollectionDataSpec extends SparkSpec {
     val afterIds = after.map(r => r.getString(r.fieldIndex("id"))).toSet
     assert((afterIds -- entryIds.toSet).nonEmpty,
       "post-blackout query returned no base rows — beam started empty")
+    // ...and recall HOLDS under blackout, not just reachability (r10):
+    // the fallback seeds the layer-1 walk, which re-localizes before
+    // the base walk — certify a floor over the full query set against
+    // brute force on the live post-upsert state
+    val queries = emb.filter(c("vec_id") < 10)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
+    val servedB = d.query("gf", queries, nResults = 10, include = Nil).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getString(r.fieldIndex("id"))))
+    val bruteB = queries.crossJoin(d.get("gf", include = Seq("embeddings"))
+        .select(c("id"), c("embedding")))
+      .select(c("query_id"), c("id"),
+        graft.operators.VectorOps.cosine(c("qvec"), c("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(c("query_id"))
+          .orderBy(c("s").desc, c("id").asc)))
+      .filter(c("r") <= 10).select(c("query_id"), c("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hitsB = servedB.count(bruteB.contains)
+    assert(hitsB >= 85, s"recall under full entry blackout: $hitsB/100 < 0.85")
 
     // 3) metadata-driven tier switch: a collection indexed as IVF
     // must re-route through the graph tier when hnsw:M appears later

@@ -543,6 +543,82 @@ object SparkEntry {
     VectorOps.withRecallAt(ann, queries, corpus, k = 10)
   }
 
+  /** FILTERED query on a GRAPH-declared collection (r10 — the r9
+    * verdict's #2, weak cleared): graph collections refuse to walk
+    * the beam under a predicate (the filtered-HNSW trap), and the
+    * pre-r10 fallback was an O(corpus) exact scan per filtered call.
+    * Now the filter routes through an IVF SIDE-TIER under the same
+    * content fingerprint (its own pointer, base+delta maintained),
+    * served by the already-certified adaptive filtered probe — the
+    * collection log never scans (spec-pinned, with pruning active on
+    * the tripled fixture). At this corpus size the probe is
+    * exhaustive (23 cells ≤ nprobe 24), so the serve is EXACT among
+    * matches and the oracle is the filtered brute force, replaying
+    * the predicate as the data rule it encodes (id mod 3 = 1).
+    */
+  def collectionHnswFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswfl-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("grflt", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = Tables.embeddings(s, dir)
+    d.add("grflt", emb.filter(col("vec_id") >= 10)
+      .select(F.format_string("v%07d", col("vec_id")).as("id"),
+        col("embedding"),
+        F.format_string("""{"par":%d}""", col("vec_id") % 3).as("metadata_json")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    d.query("grflt", queries, nResults = 10,
+      whereJson = Some("""{"par":{"$eq":1}}"""), include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+  }
+
+  /** Collection query through the graph tier at a DEEP-hierarchy
+    * corpus (r10 — the r9 verdict's #3, restructured for the layered
+    * law): the 490-vector fixture tripled (the `collection_ann_pruned`
+    * planted-copy idiom) gives 1470 live rows ⇒ maxlevel =
+    * ⌊log₈ 1470⌋ = 3 — TWO chained upper-layer walks, both behind the
+    * between-layer `localCheckpoint` lineage truncation, feeding the
+    * constant-ef base walk. `collection_hnsw_graph` alone cannot
+    * cover this: its 490-row corpus builds a 2-level hierarchy, so
+    * the multi-walk descent (and the truncation in series) ran only
+    * in specs before. The oracle unrolls all three layers — level
+    * ranks, two upper graphs, the descent, the base beam — so the
+    * hash certifies the deep serve end to end.
+    */
+  def collectionHnswDeep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswdp-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("grdeep", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"))
+    def shifted(offset: Long, factor: Float) = base
+      .select((col("vec_id") + F.lit(offset)).as("vec_id"),
+        F.transform(col("embedding"),
+          (x, i) => F.when(i === 0, x * F.lit(factor)).otherwise(x)).as("embedding"))
+    val corpus = base
+      .unionByName(shifted(1000000L, 1.01f))
+      .unionByName(shifted(2000000L, 1.02f))
+    d.add("grdeep", corpus
+      .select(F.format_string("v%07d", col("vec_id")).as("id"), col("embedding")))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = d.query("grdeep", queries, nResults = 10, include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+    VectorOps.withRecallAt(ann, queries,
+      corpus.select(col("vec_id"), col("embedding").as("vec")), k = 10)
+  }
+
   /** Collection-level HYBRID search (r7 extension #5): the
     * `query_texts`-plus-lexical workflow — BM25 over the collection's
     * live documents fused with the collection's embedder+metric kNN
@@ -731,6 +807,8 @@ object SparkEntry {
     "collection_ann_index" -> (collectionAnnIndex _),
     "collection_ann_pruned" -> (collectionAnnPruned _),
     "collection_hnsw_graph" -> (collectionHnswGraph _),
+    "collection_hnsw_deep" -> (collectionHnswDeep _),
+    "collection_hnsw_filtered" -> (collectionHnswFiltered _),
     "collection_hybrid"  -> (collectionHybrid _),
     "collection_hybrid_index" -> (collectionHybridIndex _),
     "collection_hybrid_filtered" -> (collectionHybridFiltered _),
@@ -6386,7 +6464,7 @@ object SparkEntry {
     // rings, no reverse), top layer = top ⌈N/64⌉ ranks (maxlevel =
     // ⌊log₈ 490⌋ = 2 — structurally unrolled; spec-pinned). Serve:
     // score the whole top layer (s0), walk layer 1 for
-    // GraphUpperHops=2 hops at ef=8 (u1/u2), then the base walk for
+    // GraphUpperHops=2 hops at ef=64 (u1/u2), then the base walk for
     // GraphBaseHops=3 hops at the CONSTANT ef = 16·hops = 48
     // (b1/b2/b3) — the law the hierarchy buys: no √N term anywhere.
     // Then the exact re-rank, brute-force truth and recall_at_10.
@@ -6522,7 +6600,7 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM s0)))
-        |  WHERE r <= 8),
+        |  WHERE r <= 64),
         |u2 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6539,7 +6617,7 @@ object SparkEntry {
         |        JOIN q ON q.query_id = x.query_id
         |        UNION ALL
         |        SELECT query_id, vec_id, d FROM u1)))
-        |  WHERE r <= 8),
+        |  WHERE r <= 64),
         |b1 AS (
         |  SELECT query_id, vec_id, d FROM (
         |    SELECT query_id, vec_id, d,
@@ -6613,6 +6691,351 @@ object SparkEntry {
         |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // The DEEP-hierarchy serve certified (r10 — verdict #3
+    // restructured for the layered law): the tripled planted-copy
+    // corpus (1470 rows) builds maxlevel = ⌊log₈ 1470⌋ = 3, so the
+    // serve chains TWO constant-budget upper walks — both behind the
+    // between-layer localCheckpoint truncation — before the
+    // constant-ef base walk. The oracle unrolls all of it against
+    // the same tripled corpus: md5 level ranks (layers ⌈N/8⌉ = 184,
+    // ⌈N/64⌉ = 23, top ⌈N/512⌉ = 3), per-layer kNN graphs (top-M,
+    // own rings, bucket cap within members), the shrink-capped base
+    // graph, the descent s0→w1/w2→u1/u2, the ef=48 base beam, exact
+    // re-rank, brute-force truth, recall_at_10. Near-duplicate
+    // 3-cliques are exactly the corpus that traps narrow upper
+    // beams, so this hash also certifies the ef=64 upper-width law.
+    "collection_hnsw_deep" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.02 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base),
+        |c AS (SELECT vec_id, embedding AS vec FROM allv),
+        |pl AS (
+        |  SELECT t, b,
+        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+        |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
+        |  GROUP BY t, b),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |sized AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT vec_id, t, sig,
+        |      count(*) OVER (PARTITION BY t, sig) AS bn FROM sig)
+        |  WHERE bn <= 256),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized a JOIN sized b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        cd.dst) AS r
+        |    FROM cand cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 16),
+        |ranked AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
+        |und AS (
+        |  SELECT src, dst FROM knn
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM knn),
+        |capped AS (
+        |  SELECT src, dst FROM (
+        |    SELECT u.src, u.dst,
+        |      row_number() OVER (PARTITION BY u.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        u.dst) AS r
+        |    FROM und u
+        |    JOIN c sv ON sv.vec_id = u.src
+        |    JOIN c dv ON dv.vec_id = u.dst) WHERE r <= 24),
+        |ring AS (
+        |  SELECT src, dst FROM (
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
+        |  WHERE src <> dst),
+        |graph AS (
+        |  SELECT src, dst FROM capped
+        |  UNION
+        |  SELECT src, dst FROM ring
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM ring),
+        |lvr AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY
+        |    md5('lvl:' || printf('v%07d', vec_id)), vec_id) AS hrk FROM c),
+        |l1 AS (
+        |  SELECT vec_id FROM lvr CROSS JOIN nn
+        |  WHERE hrk <= CAST(ceil(nn.n / 8.0) AS BIGINT)),
+        |l2 AS (
+        |  SELECT vec_id FROM lvr CROSS JOIN nn
+        |  WHERE hrk <= CAST(ceil(nn.n / 64.0) AS BIGINT)),
+        |l3 AS (
+        |  SELECT vec_id FROM lvr CROSS JOIN nn
+        |  WHERE hrk <= CAST(ceil(nn.n / 512.0) AS BIGINT)),
+        |nn1 AS (SELECT count(*) AS n FROM l1),
+        |sized1 AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT s.vec_id, s.t, s.sig,
+        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
+        |    FROM sig s JOIN l1 USING (vec_id))
+        |  WHERE bn <= 256),
+        |cand1 AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized1 a JOIN sized1 b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn1 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        cd.dst) AS r
+        |    FROM cand1 cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |ranked1 AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l1),
+        |g1 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn1
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 1) % nn1.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 37) % nn1.n)
+        |  WHERE src <> dst),
+        |nn2 AS (SELECT count(*) AS n FROM l2),
+        |sized2 AS (
+        |  SELECT vec_id, t, sig FROM (
+        |    SELECT s.vec_id, s.t, s.sig,
+        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
+        |    FROM sig s JOIN l2 USING (vec_id))
+        |  WHERE bn <= 256),
+        |cand2 AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sized2 a JOIN sized2 b
+        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |knn2 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT cd.src, cd.dst,
+        |      row_number() OVER (PARTITION BY cd.src ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+        |        cd.dst) AS r
+        |    FROM cand2 cd
+        |    JOIN c sv ON sv.vec_id = cd.src
+        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+        |ranked2 AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l2),
+        |g2 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn2
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked2 x CROSS JOIN nn2 JOIN ranked2 y ON y.rk = (x.rk + 1) % nn2.n
+        |    UNION
+        |    SELECT x.vec_id AS src, y.vec_id AS dst
+        |    FROM ranked2 x CROSS JOIN nn2 JOIN ranked2 y ON y.rk = (x.rk + 37) % nn2.n)
+        |  WHERE src <> dst),
+        |s0 AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(v.vec AS DOUBLE[])) AS d
+        |  FROM q CROSS JOIN l3 e JOIN c v ON v.vec_id = e.vec_id),
+        |w1 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM s0 b JOIN g2 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM s0)))
+        |  WHERE r <= 64),
+        |w2 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM w1 b JOIN g2 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM w1)))
+        |  WHERE r <= 64),
+        |u1 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM w2 b JOIN g1 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM w2)))
+        |  WHERE r <= 64),
+        |u2 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM u1 b JOIN g1 g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM u1)))
+        |  WHERE r <= 64),
+        |b1 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM u2 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM u2)))
+        |  WHERE r <= 48),
+        |b2 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b1 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM b1)))
+        |  WHERE r <= 48),
+        |b3 AS (
+        |  SELECT query_id, vec_id, d FROM (
+        |    SELECT query_id, vec_id, d,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d ASC, vec_id) AS r
+        |    FROM (
+        |      SELECT DISTINCT query_id, vec_id, d FROM (
+        |        SELECT x.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS d
+        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        |              FROM b2 b JOIN graph g ON g.src = b.vec_id) x
+        |        JOIN c v ON v.vec_id = x.vec_id
+        |        JOIN q ON q.query_id = x.query_id
+        |        UNION ALL
+        |        SELECT query_id, vec_id, d FROM b2)))
+        |  WHERE r <= 48),
+        |ann AS (
+        |  SELECT query_id, vec_id, d AS distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM b3),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |                               CAST(vec AS DOUBLE[])) DESC,
+        |        c.vec_id) AS tr
+        |    FROM q CROSS JOIN c) WHERE tr <= 10),
+        |hits AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+        |  FROM ann a JOIN truth t USING (query_id, vec_id)
+        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
+        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // Filtered query on a GRAPH-declared collection, served via the
+    // IVF side-tier's adaptive filtered probe (r10). At this corpus
+    // (490 rows ⇒ 23 cells ≤ nprobe 24, spec-pinned) the probe is
+    // exhaustive, so the serve is EXACT among predicate matches and
+    // the oracle is the filtered brute force — the whereJson
+    // {"par":{"$eq":1}} replayed as the data rule that wrote the
+    // metadata (vec_id % 3 = 1). Distances are the collection
+    // metric's 1−cosine; ids zero-padded so string order = numeric.
+    "collection_hnsw_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings
+        |  WHERE vec_id >= 10 AND vec_id % 3 = 1),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                 CAST(c.vec AS DOUBLE[])) AS distance
+        |  FROM q CROSS JOIN c),
+        |rk AS (
+        |  SELECT query_id, vec_id, distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY distance ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, "rank", vec_id, distance
+        |FROM rk WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // Collection-level ANN serving, fully certified: the per-
     // collection persisted IVF tier — cell count CORPUS-DERIVED

@@ -33,7 +33,9 @@ object TuneGraph {
       if (ef > 0) spark.conf.set("spark.graft.graph.ef", ef.toString)
       else spark.conf.unset("spark.graft.graph.ef")
       val t0 = System.nanoTime()
-      val out = SparkEntry.collectionHnswGraph(spark, dir).collect()
+      val out = (if (sys.env.contains("DEEP"))
+          SparkEntry.collectionHnswDeep(spark, dir)
+        else SparkEntry.collectionHnswGraph(spark, dir)).collect()
       val per = out.groupBy(_.getLong(0)).values
         .map(_.head.getAs[Double]("recall_at_10")).toSeq
       val sec = (System.nanoTime() - t0) / 1e9

@@ -642,7 +642,7 @@ class CollectionDataSpec extends SparkSpec {
     //    constant-cost layer walk.
     val ns = Seq(500L, 4000L, 32000L, 256000L, 2048000L)
     val budgets = ns.map(d.graphExploredBudget(8, _, 10))
-    val perLayer = 2L * 8L * 8L // GraphUpperHops · GraphUpperEf · M
+    val perLayer = 2L * 64L * 8L // GraphUpperHops · GraphUpperEf · M
     budgets.sliding(2).foreach { case Seq(a, b) =>
       assert(b - a <= perLayer + 8L,
         s"budget step exceeds one layer walk: $budgets for $ns")
@@ -655,7 +655,7 @@ class CollectionDataSpec extends SparkSpec {
     // ...and at a 10⁹-row corpus the whole budget is a few thousand
     // rows — log N, where the r9 flat law would have needed ef=2√N =
     // 63k wide beams (capped at 4096, i.e. recall loss)
-    assert(d.graphExploredBudget(8, 1000000000L, 10) < 5000L)
+    assert(d.graphExploredBudget(8, 1000000000L, 10) < 12000L)
 
     // 5) the BUILT artifact records the structure: maxlevel + exact
     //    top-layer entry count, and deeper corpora get more layers
@@ -713,6 +713,71 @@ class CollectionDataSpec extends SparkSpec {
     assert(entryIds === topIds, "entries relation is not the top layer")
   }
 
+  test("oracle structural assumptions pinned: testdata growth fails HERE, not at the hash") {
+    // The graph oracles structurally UNROLL the hierarchy (one upper
+    // layer for collection_hnsw_graph, two for collection_hnsw_deep)
+    // and the hybrid-filtered oracle brute-forces the filtered corpus
+    // while the engine's adaptive probe stops at 16·perRankerK
+    // cumulative matches. Those are scope assumptions about the
+    // PINNED testdata — if the corpus ever grows, certification must
+    // fail at this spec with a readable message, not as an opaque
+    // hash mismatch in the driver gate.
+    val wh = Files.createTempDirectory("graft-oraclepin").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val n = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 10).count()
+      assert(d.graphMaxLevelFor(8, n) === 2,
+        s"collection_hnsw_graph oracle unrolls exactly ONE upper layer " +
+          s"(maxlevel 2) but $dir corpus n=$n derives " +
+          s"${d.graphMaxLevelFor(8, n)} — regenerate the oracle")
+      assert(d.graphMaxLevelFor(8, 3 * n) === 3,
+        s"collection_hnsw_deep oracle unrolls exactly TWO upper layers " +
+          s"(maxlevel 3) but the tripled $dir corpus n=${3 * n} derives " +
+          s"${d.graphMaxLevelFor(8, 3 * n)} — regenerate the oracle")
+      // collection_hnsw_filtered: its oracle is the filtered brute
+      // force — valid ONLY while the fixture's IVF side-probe is
+      // exhaustive (cells ≤ nprobe); past nprobe² = 576 embedded
+      // rows, pruning engages and the inline oracle goes out of scope
+      assert(d.annNprobeFor(d.annClustersFor(n)) === d.annClustersFor(n),
+        s"collection_hnsw_filtered's brute-force oracle is out of scope " +
+          s"at $dir: $n rows ⇒ ${d.annClustersFor(n)} cells > nprobe — rescope")
+      // the certified layer thresholds at sf0.01 (the driver gate's SF)
+      if (dir.endsWith("sf0.01")) {
+        assert(n === 490L, s"graph fixtures pin n=490, got $n")
+        assert(d.graphLayerSize(n, 8, 1) === 62L)
+        assert(d.graphLayerSize(n, 8, 2) === 8L)
+        assert(d.graphLayerSize(3 * n, 8, 1) === 184L)
+        assert(d.graphLayerSize(3 * n, 8, 2) === 23L)
+        assert(d.graphLayerSize(3 * n, 8, 3) === 3L)
+      }
+      // collection_hybrid_filtered / collection_hybrid_index: the
+      // oracles brute-force the vector ranker inline — valid ONLY
+      // because at this corpus size the IVF tier's probe is
+      // EXHAUSTIVE (cells ≤ nprobe ⇒ every cell probed ⇒ the indexed
+      // serve is exact, filtered or not: the adaptive probe floors
+      // at the unfiltered width). If the documents table ever grows
+      // past nprobe² = 576 embedded rows, pruning engages and the
+      // inline-replay oracles stop being byte-valid.
+      val docs = graft.Tables.documents(spark, dir)
+      val hyDocs = docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") >= 3).count()
+      val cells = d.annClustersFor(hyDocs)
+      assert(d.annNprobeFor(cells) === cells,
+        s"hybrid fixtures at $dir hold $hyDocs docs ⇒ $cells cells > " +
+          s"nprobe ${d.annNprobeFor(cells)}: the IVF probe would prune, " +
+          "so the inline-replay hybrid oracles are out of scope — rescope")
+      // ...and the filter term the driver query interpolates into
+      // where_document JSON must stay JSON-safe (same derivation)
+      val term = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+        .head().getAs[String]("text").trim.split("\\s+").head
+      assert(term.matches("[A-Za-z0-9_-]+"),
+        s"hybrid-filtered oracle term '$term' not JSON-safe at $dir")
+    }
+  }
+
   test("graph tier recall holds at a 4x corpus at CONSTANT ef — the hierarchy carries it") {
     // The r9 weak was exactly this: on the FLAT graph, holding recall
     // at the 4× corpus needed ef = 2√N ≈ 90 (measured — hop, entry, M
@@ -721,7 +786,7 @@ class CollectionDataSpec extends SparkSpec {
     // replaces the √N term: sf0.1 embeddings (1990 rows) build
     // maxlevel = ⌊log₈ 1990⌋ = 3 layers, the descent seeds the base
     // walk query-locally, and the SAME constant budget that certifies
-    // the 490-row driver corpus (hops=3, ef=48, upper 2×8) must hold
+    // the 490-row driver corpus (hops=3, ef=48, upper 2×64) must hold
     // the 0.9 floor here — with the between-layer lineage truncation
     // active (two localCheckpointed upper walks in the serve).
     val wh = Files.createTempDirectory("graft-graphbig").toString
@@ -865,7 +930,7 @@ class CollectionDataSpec extends SparkSpec {
     assert(after.head.getString(after.head.fieldIndex("id")) === "zzz_exact")
   }
 
-  test("graph tier: filtered queries keep the exact filter-first scan; search_ef sets beam width; tier follows metadata changes; entry blackout survives") {
+  test("graph tier: filtered queries route to the IVF side-tier; search_ef sets beam width; tier follows metadata changes; entry blackout survives") {
     import org.apache.spark.sql.functions.{col => c, format_string, lit}
     val wh = Files.createTempDirectory("graft-graphfix").toString
     val cl = new ChromaSpark(spark, wh)
@@ -890,23 +955,24 @@ class CollectionDataSpec extends SparkSpec {
       .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
 
     // 1) FILTERED query: pick a target id and filter to exactly it —
-    // the graph beam would almost surely not contain an arbitrary id,
-    // but the filter-first contract must return it anyway
+    // the graph beam would almost surely not contain an arbitrary id.
+    // As of r10 the filter routes through the IVF SIDE-TIER's
+    // adaptive probe, which degenerates to exactly the matching
+    // cells for an ultra-selective predicate — so the target comes
+    // back exactly, served from collivf, never the collection log
+    // and never a corpus-wide scan
     val target = rows(rows.length / 2).getString(0)
     val filteredDf = d.query("gf", q1, nResults = 1,
       whereJson = Some(s"""{"tag":"$target"}"""), include = Nil)
     val filtered = filteredDf.collect()
     assert(filtered.length === 1)
     assert(filtered.head.getString(filtered.head.fieldIndex("id")) === target)
-    // ...and the exact scan is SOURCED from the artifact's base +
-    // delta (r9): the filtered serve reads the collgraph base — a
-    // plain columnar scan — never the log's merge-on-read resolve
     val fScans = filteredDf.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
     }.flatten
-    assert(fScans.exists(_.contains("collgraph")),
-      "filtered graph-collection query must scan the artifact base")
+    assert(fScans.exists(_.contains("collivf")),
+      "filtered graph-collection query must serve from the IVF side-tier")
     assert(!fScans.exists(_.contains(wh)),
       s"filtered graph-collection serve scanned the collection log: $fScans")
 
@@ -1063,6 +1129,93 @@ class CollectionDataSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("filtered GRAPH-collection serve is sublinear: IVF side-tier with pruning ACTIVE, exact on deltas") {
+    import org.apache.spark.sql.functions.{col => c, format_string, lit}
+    // the tripled fixture: 1470 rows ⇒ 39 cells > nprobe 24, so the
+    // side tier's filtered probe actually PRUNES directories (the
+    // 490-row driver query certifies values with an exhaustive
+    // probe; this spec certifies the scale shape)
+    val wh = Files.createTempDirectory("graft-gfside").toString
+    val cl = new ChromaSpark(spark, wh)
+    val d = new CollectionData(cl)
+    cl.createCollection("gfs", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(c("vec_id") >= 10).select(c("vec_id"), c("embedding"))
+    def shifted(off: Long, f: Float) = base.select(
+      (c("vec_id") + lit(off)).as("vec_id"),
+      org.apache.spark.sql.functions.transform(c("embedding"),
+        (x, i) => org.apache.spark.sql.functions.when(i === 0, x * lit(f))
+          .otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(shifted(1000000L, 1.01f))
+      .unionByName(shifted(2000000L, 1.02f))
+    d.add("gfs", corpus.select(format_string("v%07d", c("vec_id")).as("id"),
+      c("embedding"),
+      format_string("""{"par":%d}""", c("vec_id") % 3).as("metadata_json")))
+    val queries = emb.filter(c("vec_id") < 3)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
+    val res = d.query("gfs", queries, nResults = 10,
+      whereJson = Some("""{"par":{"$eq":1}}"""), include = Nil)
+    val got = res.collect()
+    assert(got.length === 30)
+    // 1) the serve plan reads the collivf side artifact with
+    //    directories PRUNED, and never touches the collection log
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.exists(_.contains("collivf")),
+      "filtered graph-collection query must serve from the IVF side-tier")
+    assert(!paths.exists(_.contains(wh)),
+      s"filtered side-tier serve scanned the collection log: $paths")
+    val ivfScan = scans.find(_.relation.location.rootPaths
+      .exists(p => p.toString.contains("collivf") && p.toString.contains("vectors")))
+      .getOrElse(fail("no pruned scan of the side tier's vectors"))
+    val allCells = spark.read.parquet(ivfScan.relation.location.rootPaths
+        .head.toString).select(c("label")).distinct().count()
+    assert(allCells > 24, s"fixture too small for pruning: $allCells cells")
+    assert(ivfScan.selectedPartitions.partitionCount < allCells,
+      s"side-tier probe scanned every cell: " +
+        s"${ivfScan.selectedPartitions.partitionCount} of $allCells")
+    // 2) recall vs filtered brute force over the same state
+    val brute = queries.crossJoin(
+        d.get("gfs", include = Seq("embeddings", "metadatas"))
+          .filter(org.apache.spark.sql.functions.get_json_object(
+            c("metadata_json"), "$.par").cast("double") === 1.0)
+          .select(c("id"), c("embedding")))
+      .select(c("query_id"), c("id"),
+        graft.operators.VectorOps.cosine(c("qvec"), c("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(c("query_id"))
+          .orderBy(c("s").desc, c("id").asc)))
+      .filter(c("r") <= 10).select(c("query_id"), c("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val served = got.map(r => (r.getLong(r.fieldIndex("query_id")),
+      r.getString(r.fieldIndex("id"))))
+    assert(served.forall { case (_, id) =>
+      id.stripPrefix("v").toLong % 3 === 1L }, "served a non-matching row")
+    val hits = served.count(brute.contains)
+    assert(hits >= 26, s"filtered side-tier recall@10: $hits/30 < 0.85")
+    // 3) exact on deltas: a post-build matching insert that is the
+    //    true nearest must surface at rank 1 without a rebuild
+    val q0vec = queries.filter(c("query_id") === 0L).head().getSeq[Float](1)
+    d.add("gfs", Seq(("zzz_match", q0vec, null: String, """{"par":1}"""))
+      .toDF("id", "embedding", "document", "metadata_json"))
+    val after = d.query("gfs", queries.filter(c("query_id") === 0L),
+      nResults = 1, whereJson = Some("""{"par":{"$eq":1}}"""), include = Nil)
+      .collect()
+    assert(after.head.getString(after.head.fieldIndex("id")) === "zzz_match")
+    // 4) the graph pointer is untouched: unfiltered queries still
+    //    serve from collgraph
+    val unf = d.query("gfs", queries, nResults = 3, include = Nil)
+    unf.collect()
+    val unfPaths = unf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(unfPaths.exists(_.contains("collgraph")),
+      "unfiltered query stopped serving from the graph tier")
+  }
+
   test("collection_hnsw_graph driver query: recall_at_10 mean holds the 0.9 floor") {
     val out = graft.SparkEntry.collectionHnswGraph(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 100)
@@ -1070,6 +1223,20 @@ class CollectionDataSpec extends SparkSpec {
       .map(_.head.getAs[Double]("recall_at_10"))
     val mean = perQuery.sum / perQuery.size
     assert(mean >= 0.9, s"graph-served collection mean recall $mean below 0.9")
+  }
+
+  test("collection_hnsw_deep driver query: 3-layer descent holds the 0.9 floor on the clique corpus") {
+    // the tripled corpus is the adversarial case: every vector sits in
+    // a near-duplicate 3-clique, exactly what trapped narrow upper
+    // beams (recall 0.1 on one query at upper ef=8; 1.0 at the
+    // shipped ef=64) — so this floor guards the upper-width law, and
+    // the serve runs BOTH between-layer localCheckpoint truncations
+    val out = graft.SparkEntry.collectionHnswDeep(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 30)
+    val perQuery = out.groupBy(_.getLong(0)).values
+      .map(_.head.getAs[Double]("recall_at_10"))
+    val mean = perQuery.sum / perQuery.size
+    assert(mean >= 0.9, s"deep graph-served mean recall $mean below 0.9")
   }
 
   test("large collections serve query() from a pruned persisted index, exact on deltas") {

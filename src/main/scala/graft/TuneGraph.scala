@@ -10,6 +10,35 @@ import org.apache.spark.sql.SparkSession
   * by hand while calibrating, the [[TuneAnn]] discipline.
   */
 object TuneGraph {
+  /** The collectionHnswDeep fixture with configurable copy factors. */
+  private def deepVariant(s: SparkSession, dir: String,
+                          f1: Float, f2: Float): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswdv").toString
+    val client = new graft.catalog.ChromaSpark(s, wh)
+    val d = new graft.catalog.CollectionData(client)
+    client.createCollection("grdv", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+    def shifted(off: Long, f: Float) = base.select(
+      (col("vec_id") + lit(off)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(f)).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(shifted(1000000L, f1))
+      .unionByName(shifted(2000000L, f2))
+    d.add("grdv", corpus
+      .select(format_string("v%07d", col("vec_id")).as("id"), col("embedding")))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = d.query("grdv", queries, nResults = 10, include = Nil)
+      .select(col("query_id"), col("rank"),
+        substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+    graft.operators.VectorOps.withRecallAt(ann, queries,
+      corpus.select(col("vec_id"), col("embedding").as("vec")), k = 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -27,15 +56,27 @@ object TuneGraph {
       case None => Seq((3, 2, 8, 0))
     }
     for (dir <- dirs; (bh, uh, ue, ef) <- points) {
+      if (sys.env.contains("RNG")) spark.conf.set("spark.graft.graph.rng", "true")
+      sys.env.get("MAXLEVEL").foreach(v =>
+        spark.conf.set("spark.graft.graph.maxLevel", v))
       spark.conf.set("spark.graft.graph.baseHops", bh.toString)
       spark.conf.set("spark.graft.graph.upperHops", uh.toString)
       spark.conf.set("spark.graft.graph.upperEf", ue.toString)
       if (ef > 0) spark.conf.set("spark.graft.graph.ef", ef.toString)
       else spark.conf.unset("spark.graft.graph.ef")
       val t0 = System.nanoTime()
-      val out = (if (sys.env.contains("DEEP"))
+      // FACTORS="1.5,2.5" builds the tripled corpus with SEPARATED
+      // copies (distinct regions) instead of the near-dup cliques —
+      // isolates "deep hierarchy at natural data" from "beam slots
+      // eaten by duplicates"
+      val out = (sys.env.get("FACTORS") match {
+        case Some(fs) =>
+          val Array(f1, f2) = fs.split(",").map(_.trim.toFloat)
+          deepVariant(spark, dir, f1, f2)
+        case None if sys.env.contains("DEEP") =>
           SparkEntry.collectionHnswDeep(spark, dir)
-        else SparkEntry.collectionHnswGraph(spark, dir)).collect()
+        case None => SparkEntry.collectionHnswGraph(spark, dir)
+      }).collect()
       val per = out.groupBy(_.getLong(0)).values
         .map(_.head.getAs[Double]("recall_at_10")).toSeq
       val sec = (System.nanoTime() - t0) / 1e9

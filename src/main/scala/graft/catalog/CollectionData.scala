@@ -1082,11 +1082,12 @@ class CollectionData(client: ChromaSpark) {
     * id hash, so memberships are NESTED and layer sizes are exact
     * geometric — no empty-middle-layer edge cases to serve around.
     */
-  private[catalog] def graphMaxLevelFor(m: Int, n: Long): Int = {
-    val deg = math.max(2, m).toDouble
-    val raw = math.floor(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
-    math.min(10, math.max(1, raw))
-  }
+  private[catalog] def graphMaxLevelFor(m: Int, n: Long): Int =
+    spark.conf.getOption("spark.graft.graph.maxLevel").map(_.toInt).getOrElse {
+      val deg = math.max(2, m).toDouble
+      val raw = math.floor(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
+      math.min(10, math.max(1, raw))
+    }
 
   /** Exact size of hierarchy layer `level` (≥ 1): ⌈N/M^level⌉. */
   private[catalog] def graphLayerSize(n: Long, m: Int, level: Int): Long = {
@@ -1167,49 +1168,54 @@ class CollectionData(client: ChromaSpark) {
     val dim = corpus.select(size(col("vec")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(1)
     val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
-    // Base layer at DOUBLE degree plus reverse edges, re-capped —
-    // canonical HNSW (Malkov & Yashunin 2018 §4.1: M_max0 = 2·M,
-    // plus the shrink-connections step): the base layer is where the
-    // final refinement walk runs, and its navigability — not the
-    // upper layers' — bounds recall at constant ef (measured:
-    // top-M-only base edges saturate ~0.88 at any walk length; the
-    // 2M + reverse construction holds ≥0.9 at constant budget).
-    // Reverse edges make a node ENTERABLE from every node that chose
-    // it (the in-degree half of navigability) but leave fan-in
-    // unbounded — a hub chosen across every LSH table could carry
-    // ~tables·bucketCap edges, a frontier-skew risk at scale — so
-    // the union re-caps to each node's closest 3M (one join for the
-    // distances + one per-src window, the HNSW shrink step — 3M not
-    // 2M because our kNN edges are not RNG-diversified, so the
-    // theory cap trims real neighbors: measured 0.89 vs 0.93 recall
-    // at the 4× corpus, while 3M ≈ the observed organic mean degree
-    // and still bounds hub fan-in). RING edges are exempt from the
-    // cap and unioned back, both directions: shrinking away a
-    // metric-far ring link is exactly how HNSW's shrink disconnects
-    // graphs, and the ring is the connectivity proof. Out-degree
-    // ≤ 3M + 4.
-    val knn2m = graft.operators.GraphAnn
-      .buildKnnGraphDist(corpus, 2 * m, dist, dim = dim, maxBucket = cef,
-        strides = Seq.empty)
-    val undirected = knn2m
-      .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val vec = corpus.select(col("vec_id"), col("vec"))
-    val wCap = Window.partitionBy(col("src"))
-      .orderBy(col("ed").asc, col("dst").asc)
-    val capped = undirected
-      .join(vec.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
-      .join(vec.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
-      .select(col("src"), col("dst"), dist(col("sv"), col("dv")).as("ed"))
-      .withColumn("r", row_number().over(wCap))
-      .filter(col("r") <= 3 * m)
-      .select(col("src"), col("dst"))
-    val ring = graft.operators.GraphAnn.ringEdges(corpus, Seq(1L, 37L))
-    capped
-      .unionByName(ring)
-      .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .write.mode("overwrite").parquet(s"$scratch/edges")
+    // NAVIGABLE edge construction, every layer (canonical HNSW:
+    // Malkov & Yashunin 2018 §4.1 M_max0 = 2·M plus the
+    // shrink-connections step): 2M-degree kNN from LSH-bucketed
+    // candidates, SYMMETRIZED (reverse edges make a node ENTERABLE
+    // from every node that chose it — the in-degree half of
+    // navigability), then RE-CAPPED to each node's closest 3M (one
+    // join for the distances + one per-src window; 3M not 2M because
+    // our kNN edges are not RNG-diversified, so the theory cap trims
+    // real neighbors — measured 0.89 vs 0.93 recall at the 4× corpus
+    // — while 3M ≈ the organic mean degree and still bounds hub
+    // fan-in, which the LSH bucket cap otherwise leaves at
+    // ~tables·bucketCap). RING edges are exempt from the cap and
+    // unioned back, both directions: shrinking away a metric-far
+    // ring link is exactly how HNSW's shrink disconnects graphs, and
+    // the ring is the connectivity proof. Out-degree ≤ 3M + 4.
+    //
+    // Applied to the BASE and EVERY UPPER layer alike: top-M-only
+    // edges saturate recall ~0.88 at any walk length (measured r10),
+    // and with top-M-only UPPER layers the defect compounds per
+    // descent step — the 4-layer clique fixture decayed to 0.70 even
+    // at upper ef=64 while the navigable uppers hold the constant
+    // budget. Upper layers shrink geometrically, so the extra build
+    // cost is a constant factor on the base build.
+    def navigableEdges(layerCorpus: DataFrame): DataFrame = {
+      val knn2m = graft.operators.GraphAnn
+        .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim, maxBucket = cef,
+          strides = Seq.empty)
+      val undirected = knn2m
+        .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val vec = layerCorpus.select(col("vec_id"), col("vec"))
+      val scored = undirected
+        .join(vec.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
+        .join(vec.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
+        .select(col("src"), col("dst"), dist(col("sv"), col("dv")).as("ed"))
+      val wCap = Window.partitionBy(col("src"))
+        .orderBy(col("ed").asc, col("dst").asc)
+      val capped = scored
+        .withColumn("r", row_number().over(wCap))
+        .filter(col("r") <= 3 * m)
+        .select(col("src"), col("dst"))
+      val ring = graft.operators.GraphAnn.ringEdges(layerCorpus, Seq(1L, 37L))
+      capped
+        .unionByName(ring)
+        .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    }
+    navigableEdges(corpus).write.mode("overwrite").parquet(s"$scratch/edges")
     // hierarchy levels: nested memberships from the deterministic
     // hash rank; lvl = the highest layer containing the node (only
     // lvl ≥ 1 rows persist — N/M of the corpus)
@@ -1224,10 +1230,11 @@ class CollectionData(client: ChromaSpark) {
     val levels = spark.read.parquet(s"$scratch/levels")
     // upper-layer adjacencies (layers 1..L−1; the top layer is
     // enumerated exhaustively at serve time, so it needs no edges):
-    // the SAME LSH-bucketed construction restricted to the layer's
-    // members — per-layer bucket caps and ring links recompute within
-    // the membership, so each layer is a self-contained navigable
-    // graph
+    // plain top-M + rings restricted to the layer's members. NOT the
+    // base construction: applying symmetrize+recap to the uppers was
+    // measured WORSE on the deep clique fixture (0.70 → 0.50) — an
+    // upper layer's job is coarse routing, and the re-cap
+    // concentrates its few slots on near-duplicates.
     for (l <- 1 until maxLevel) {
       val members = levels.filter(col("lvl") >= l).select(col("vec_id"))
       graft.operators.GraphAnn
@@ -1286,9 +1293,16 @@ class CollectionData(client: ChromaSpark) {
       val idx = graphKnobs(collection) match {
         case Some((m, cef)) =>
           // the collection DECLARED a graph index via hnsw:M /
-          // hnsw:construction_ef → honor it with the graph tier
+          // hnsw:construction_ef → honor it with the graph tier.
+          // The EFFECTIVE layer count folds into the key: it is
+          // derived from (m, live rows) by default — already implied
+          // by the content fingerprint — but the maxLevel conf
+          // override shapes the artifact, and a cached graph built
+          // under one override must never serve another (the
+          // AlgoVersion stale-serve discipline, applied to knobs).
+          val lvl = graphMaxLevelFor(m, annLiveVecRows(collection))
           graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
-            s"$fp-m$m-c$cef-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+            s"$fp-m$m-c$cef-L$lvl-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
             buildGraphIndex(collection, scratch, m, cef, metric)
           }
         case None =>

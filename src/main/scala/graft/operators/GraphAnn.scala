@@ -173,45 +173,6 @@ object GraphAnn {
       corpus.select(col("vec_id")), "hrk", 32,
       Seq(md5(concat(lit("lvl:"), col("vec_id").cast("string"))), col("vec_id")))
 
-  /** Generic entry points as a FRAME (no typed collect — works for
-    * string ids): the `entries` corpus vectors nearest the
-    * fixed-point corpus centroid by `dist`, ascending. Model-scale by
-    * the limit; callers persist it next to the edges.
-    */
-  def entryPointsDfDist(corpus: DataFrame, entries: Int,
-                        dist: (Column, Column) => Column): DataFrame = {
-    val cent = corpus
-      .select(posexplode(col("vec")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(floor(col("x").cast("double") * lit(1000000.0))).as("s_micro"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getInt(0) ->
-        r.getLong(1).toDouble / r.getLong(2).toDouble / 1000000.0)
-      .sortBy(_._1).map(_._2)
-    val centLit = array(cent.map(c => lit(c.toFloat)): _*)
-    corpus
-      .select(col("vec_id"), dist(centLit, col("vec")).as("d"))
-      .orderBy(col("d").asc, col("vec_id").asc)
-      .limit(entries)
-      .select(col("vec_id"))
-  }
-
-  /** Generic beam search: distance-ordered (ASC), id-type-agnostic,
-    * entry points supplied as a frame. Returns the final EF-WIDE beam
-    * as (query_id, vec_id) CANDIDATES — the caller owns the exact
-    * re-rank (the collection tier's shared tail), so no score column
-    * leaves here. Same one-action ReuseExchange shape as
-    * [[beamSearch]].
-    */
-  def beamSearchDist(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
-                     startIds: DataFrame, ef: Int, hops: Int,
-                     dist: (Column, Column) => Column): DataFrame =
-    beamSearchSeeded(queries, corpus, graph,
-      queries.select(col("query_id"))
-        .crossJoin(broadcast(startIds.select(col("vec_id")))),
-      ef, hops, dist)
-
   /** Beam search from PER-QUERY seeds — the layered-descent primitive
     * (a true-HNSW serve chains one of these per layer: each layer's
     * ef-wide beam seeds the next layer's walk, so the base-layer beam
@@ -341,7 +302,7 @@ object GraphAnn {
         .withColumn("r", row_number().over(wBeam))
         .filter(col("r") <= ef)
         .select(col("query_id"), col("vec_id"), col("score"))
-      // deep-budget lineage truncation — see [[beamSearchDist]]: lazy
+      // deep-budget lineage truncation — see [[beamSearchSeeded]]: lazy
       // composition doubles the plan per hop; past the certified
       // 3-hop floor each intermediate beam (|Q|·ef rows) is cut to an
       // RDD-backed frame (lazily — construction runs no jobs) so plan

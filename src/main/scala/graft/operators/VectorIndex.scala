@@ -90,9 +90,12 @@ object VectorIndex {
     * graph tier becomes a LAYERED hierarchy (r10): `levels` +
     * `edges_l*` relations, `entries` = top-layer membership instead
     * of centroid-nearest ids, `params` gains `maxlevel` — an a6
-    * graph artifact has none of these and must rebuild.
+    * graph artifact has none of these and must rebuild. a8 = the
+    * base layer gains the symmetrize + 3M-recap navigability pass
+    * and the collgraph key gains the effective layer count (r10
+    * calibration) — mid-r10 a7 artifacts predate both.
     */
-  val AlgoVersion = "a7"
+  val AlgoVersion = "a8"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

@@ -56,7 +56,6 @@ object TuneGraph {
       case None => Seq((3, 2, 8, 0))
     }
     for (dir <- dirs; (bh, uh, ue, ef) <- points) {
-      if (sys.env.contains("RNG")) spark.conf.set("spark.graft.graph.rng", "true")
       sys.env.get("MAXLEVEL").foreach(v =>
         spark.conf.set("spark.graft.graph.maxLevel", v))
       spark.conf.set("spark.graft.graph.baseHops", bh.toString)

@@ -1041,11 +1041,13 @@ class CollectionData(client: ChromaSpark) {
     * by the layer above), so its job is local refinement — a fixed
     * number of hops regardless of N, exactly HNSW's per-layer
     * constant expected path length (Malkov & Yashunin 2018, §4.2).
-    * Conf-overridable (serve knob, not artifact shape).
+    * Conf-overridable (serve knob, not artifact shape); the params
+    * table records the LAW default, never a sweep override.
     */
+  private[catalog] val GraphBaseHopsDefault = 3
   private[catalog] def GraphBaseHops: Int =
     spark.conf.getOption("spark.graft.graph.baseHops")
-      .map(_.toInt).getOrElse(3)
+      .map(_.toInt).getOrElse(GraphBaseHopsDefault)
 
   /** Per-upper-layer walk length — constant: each layer's seeds come
     * from the layer above (nested membership), so the within-layer
@@ -1086,8 +1088,17 @@ class CollectionData(client: ChromaSpark) {
     spark.conf.getOption("spark.graft.graph.maxLevel").map(_.toInt).getOrElse {
       val deg = math.max(2, m).toDouble
       val raw = math.floor(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
-      math.min(10, math.max(1, raw))
+      math.min(16, math.max(1, raw))
     }
+
+  /** Entry-set cap: when the level clamp binds (tiny `hnsw:M` on a
+    * huge corpus — e.g. M=2 past 2¹⁷ rows), the top layer outgrows
+    * "≤ M ids"; the entry relation then keeps only the top `GraphMaxEntries`
+    * hash ranks — still a rank PREFIX, so memberships stay nested and
+    * the exhaustive top-layer scoring stays driver- and
+    * broadcast-safe at any (M, N).
+    */
+  private[catalog] val GraphMaxEntries = 4096
 
   /** Exact size of hierarchy layer `level` (≥ 1): ⌈N/M^level⌉. */
   private[catalog] def graphLayerSize(n: Long, m: Int, level: Int): Long = {
@@ -1242,13 +1253,16 @@ class CollectionData(client: ChromaSpark) {
           dim = dim, maxBucket = cef)
         .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
     }
-    // entries = top-layer membership (model-scale: ⌈N/M^L⌉ ≤ M ids)
-    levels.filter(col("lvl") >= maxLevel).select(col("vec_id"))
+    // entries = top-layer membership (⌈N/M^L⌉ ≤ M ids whenever the
+    // level clamp is slack; a hash-rank PREFIX capped at
+    // GraphMaxEntries when it binds — see [[GraphMaxEntries]])
+    val entries = math.min(graphLayerSize(n, m, maxLevel),
+      GraphMaxEntries.toLong).toInt
+    rankedH.filter(col("hrk") <= entries).select(col("vec_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
-    val entries = graphLayerSize(n, m, maxLevel).toInt
     val sp = spark
     import sp.implicits._
-    Seq((n, m, cef, entries, GraphBaseHops, maxLevel))
+    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel))
       .toDF("n", "m", "cef", "entries", "hops", "maxlevel")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/params")
   }
@@ -1278,6 +1292,21 @@ class CollectionData(client: ChromaSpark) {
       } finally s.close()
   }
 
+  /** Build (or cache-resolve) the IVF artifact for the collection's
+    * CURRENT content — the one key template, shared by the primary
+    * route and the graph tier's filtered side route so the
+    * "identical cache key ⇒ identical artifact" guarantee cannot
+    * drift between the two call sites.
+    */
+  private def ivfArtifact(collection: String, metric: String): String = {
+    val fp = annContentFingerprint(collection)
+    val cells = annClustersFor(annLiveVecRows(collection))
+    graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
+      s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+      buildAnnIndex(collection, scratch, cells)
+    }
+  }
+
   private def annRoute(collection: String, metric: String): Option[(String, Long)] = {
     if (forkEdge(collection).isDefined) return None
     val d = dir(collection)
@@ -1285,7 +1314,6 @@ class CollectionData(client: ChromaSpark) {
     def build(): Option[(String, Long)] = {
       val files = logFileNames(d)
       val b = currentBatchIn(d)
-      val fp = annContentFingerprint(collection)
       // every sizing/build parameter is part of the cache key: given
       // identical content AND identical knobs the build is
       // deterministic, so a key hit can only serve the artifact this
@@ -1300,17 +1328,13 @@ class CollectionData(client: ChromaSpark) {
           // override shapes the artifact, and a cached graph built
           // under one override must never serve another (the
           // AlgoVersion stale-serve discipline, applied to knobs).
+          val fp = annContentFingerprint(collection)
           val lvl = graphMaxLevelFor(m, annLiveVecRows(collection))
           graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
             s"$fp-m$m-c$cef-L$lvl-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
             buildGraphIndex(collection, scratch, m, cef, metric)
           }
-        case None =>
-          val cells = annClustersFor(annLiveVecRows(collection))
-          graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-            s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
-            buildAnnIndex(collection, scratch, cells)
-          }
+        case None => ivfArtifact(collection, metric)
       }
       Files.write(annPtrPath(d),
         s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
@@ -1324,11 +1348,29 @@ class CollectionData(client: ChromaSpark) {
         // (or one set of graph knobs) must not keep serving after the
         // metadata declares another — the artifact basename encodes
         // both (collgraph-…-m$M-c$CEF-… / collivf-…), so the check is
-        // two string ops, no snapshot hash
+        // two string ops, no snapshot hash. When the maxLevel conf
+        // override is SET, the pointer must also carry that exact
+        // layer count — a pointer laid down under one override must
+        // not keep serving after the override changes (the default
+        // derivation needs no check here: it is a pure function of
+        // content + m, both already pointer-validated).
         val artifact = Paths.get(idx).getFileName.toString
         val consistent = graphKnobs(collection) match {
           case Some((m, cef)) =>
-            artifact.startsWith("collgraph-") && artifact.contains(s"-m$m-c$cef-")
+            artifact.startsWith("collgraph-") &&
+              artifact.contains(s"-m$m-c$cef-") &&
+              (spark.conf.getOption("spark.graft.graph.maxLevel") match {
+                case Some(l) => artifact.contains(s"-L$l-")
+                case None =>
+                  // conf unset: the artifact's recorded layer count
+                  // must match the default law for its OWN indexed
+                  // corpus — a pointer laid down under a maxLevel
+                  // override must not keep serving after the
+                  // override is removed (params read is memoized
+                  // per (JVM, artifact) and re-used by the serve)
+                  val (_, _, pn, plvl) = graphParams(idx)
+                  plvl == graphMaxLevelFor(m, pn)
+              })
           case None => !artifact.startsWith("collgraph-")
         }
         if (consistent) Some((idx, b)) else build()
@@ -1438,12 +1480,7 @@ class CollectionData(client: ChromaSpark) {
     def build(): Option[(String, Long)] = {
       val files = logFileNames(d)
       val b = currentBatchIn(d)
-      val fp = annContentFingerprint(collection)
-      val cells = annClustersFor(annLiveVecRows(collection))
-      val idx = graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-        s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
-        buildAnnIndex(collection, scratch, cells)
-      }
+      val idx = ivfArtifact(collection, metric) // the ONE shared key template
       Files.write(sideIvfPtrPath(d),
         s"$idx\n$b\n${files.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
       Some((idx, b))
@@ -1665,8 +1702,21 @@ class CollectionData(client: ChromaSpark) {
               // (artifact, filter fingerprint, touched set) and the
               // repeat serve rebuilds the model-scale stats frame
               // (≤ 65536 cells) from the driver-side memo for free.
-              val statsKey = s"$idx|${whereJson.getOrElse("")}|" +
-                s"${whereDocumentJson.getOrElse("")}|${touched.sorted.mkString(",")}"
+              // length-prefixed key parts: ids and predicate JSON may
+              // contain any delimiter, so plain joins are not
+              // injective — two different (filter, mask) states must
+              // never share a memo entry (a collided entry's
+              // overstated counts would stop the adaptive prefix
+              // before the cells that actually hold the matches)
+              def part(s: String) = s"${s.length}:$s"
+              val statsKey = part(idx) + part(whereJson.getOrElse("")) +
+                part(whereDocumentJson.getOrElse("")) +
+                touched.sorted.map(part).mkString
+              // bound the memo: touched changes on every post-build
+              // ingest batch, orphaning prior entries — past the cap,
+              // drop everything (recount once) rather than leak
+              if (CollectionData.filteredCellStatsMemo.size > 1024)
+                CollectionData.filteredCellStatsMemo.clear()
               val stats = CollectionData.filteredCellStatsMemo
                 .computeIfAbsent(statsKey, { _: String =>
                   CollectionData.filteredCellStatsComputes.incrementAndGet()

@@ -619,8 +619,15 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.graphMaxLevelFor(8, 1990L) === 3) // the 4x corpus
     assert(d.graphMaxLevelFor(8, 10L) === 1)   // floor clamp
     assert(d.graphMaxLevelFor(8, 10000000L) === 7)
-    assert(d.graphMaxLevelFor(8, Long.MaxValue) === 10) // depth cap
+    assert(d.graphMaxLevelFor(8, Long.MaxValue) === 16) // depth cap
     assert(d.graphMaxLevelFor(16, 10000000L) === 5) // denser ⇒ flatter
+    // when the depth cap binds (pathological: tiny hnsw:M on a huge
+    // corpus), the top layer outgrows "≤ M ids" — the entry set then
+    // caps at a hash-rank prefix, keeping the exhaustive top-layer
+    // scoring driver-safe at ANY (M, N)
+    assert(math.min(d.graphLayerSize(1000000000L, 2,
+      d.graphMaxLevelFor(2, 1000000000L)), d.GraphMaxEntries.toLong) ===
+      d.GraphMaxEntries.toLong)
     // 2) exact geometric layer sizes — the top layer is model-scale
     //    (≤ M ids) at ANY corpus size below the level cap
     assert(d.graphLayerSize(490L, 8, 1) === 62L)
@@ -1214,6 +1221,50 @@ class CollectionDataSpec extends SparkSpec {
     }.flatten
     assert(unfPaths.exists(_.contains("collgraph")),
       "unfiltered query stopped serving from the graph tier")
+  }
+
+  test("maxLevel override folds into the artifact identity: no stale-serve in either direction") {
+    import org.apache.spark.sql.functions.{col => c, format_string}
+    val wh = Files.createTempDirectory("graft-lvlknob").toString
+    val cl = new ChromaSpark(spark, wh)
+    val d = new CollectionData(cl)
+    cl.createCollection("lk", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    d.add("lk", emb.filter(c("vec_id") >= 10)
+      .select(format_string("v%07d", c("vec_id")).as("id"), c("embedding")))
+    val q = emb.filter(c("vec_id") === 0L)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
+    def servedArtifact(): String = {
+      val res = d.query("lk", q, nResults = 3, include = Nil)
+      res.collect()
+      res.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.find(_.contains("collgraph"))
+        .getOrElse(fail("not served from the graph tier"))
+        .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
+    }
+    val key = "spark.graft.graph.maxLevel"
+    // 1) build under an override: the artifact carries -L1- and a
+    //    single-layer structure
+    spark.conf.set(key, "1")
+    try {
+      val flat = servedArtifact()
+      assert(flat.contains("-L1-"), s"override not in the key: $flat")
+      assert(spark.read.parquet(s"$flat/params").head()
+        .getAs[Int]("maxlevel") === 1)
+    } finally spark.conf.unset(key)
+    // 2) override removed: the flat pointer must NOT keep serving —
+    //    the default law (maxlevel 2 at 490 rows) rebuilds/re-routes
+    val def2 = servedArtifact()
+    assert(def2.contains("-L2-"),
+      s"flat override artifact kept serving after the override was removed: $def2")
+    // 3) re-setting the override routes back to the L1 artifact
+    //    (cache hit, no rebuild), and a DIFFERENT override value
+    //    builds its own artifact
+    spark.conf.set(key, "1")
+    try assert(servedArtifact().contains("-L1-"))
+    finally spark.conf.unset(key)
   }
 
   test("collection_hnsw_graph driver query: recall_at_10 mean holds the 0.9 floor") {

@@ -588,7 +588,13 @@ object SparkEntry {
     * the multi-walk descent (and the truncation in series) ran only
     * in specs before. The oracle unrolls all three layers — level
     * ranks, two upper graphs, the descent, the base beam — so the
-    * hash certifies the deep serve end to end.
+    * hash certifies the deep serve end to end. Honesty note for the
+    * bench artifact: at sf0.1 this fixture triples to 5970 rows of
+    * 3-cliques and the recall column reads ~0.7 at the constant
+    * budget — the documented near-duplicate limit (a k×-duplicated
+    * corpus consumes beam slots ∝ k; see ARCHITECTURE r10), not a
+    * certification gap: the oracle SF (sf0.01, 1470 rows) serves at
+    * recall 1.0 and is hash-exact.
     */
   def collectionHnswDeep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}

@@ -4,18 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** GRAPH-BASED ANN — the navigable-small-world family (HNSW's
-  * ancestor, Malkov et al. 2014), re-expressed as DataFrame ops: a
-  * BUILD step materializes an approximate k-NN GRAPH (top-M cosine
-  * neighbors per vector from LSH-bucketed candidates, symmetrized,
-  * plus deterministic ring links for guaranteed connectivity), and a
-  * SEARCH step runs per-query BEAM SEARCH over it — start at fixed
-  * medoid-nearest entry points, repeatedly expand the current beam's
-  * out-edges, score, keep the best `ef`, for a bounded number of
-  * hops. This closes the "no graph-based ANN" gap honestly rather
-  * than simulating it: search cost is hops × |Q| × ef × M —
-  * INDEPENDENT of corpus size once the graph exists, which is the
-  * whole point of graph ANN.
+/** GRAPH-BASED ANN — the navigable-small-world family (Malkov et
+  * al. 2014), re-expressed as DataFrame ops, in two roles:
+  *
+  *  - the FLAT operator family ([[buildKnnGraph]]/[[beamSearch]],
+  *    Long ids, cosine): an approximate k-NN graph (top-M neighbors
+  *    from LSH-bucketed candidates plus deterministic ring links for
+  *    guaranteed connectivity) searched by per-query beam from fixed
+  *    medoid-nearest entries — `vec_ann_graph`'s certified shape,
+  *    search cost hops × |Q| × ef × M once the graph exists;
+  *  - the LAYERED-hierarchy primitives the collection tier's true-
+  *    HNSW serve composes ([[buildKnnGraphDist]]/[[levelRankDf]]/
+  *    [[ringEdges]]/[[beamSearchSeeded]], any id type, any metric):
+  *    per-layer graph builds, deterministic level ranks, and
+  *    per-query-seeded walks chained top-down so the base walk is
+  *    query-local at constant ef (see CollectionData.buildGraphIndex).
   *
   * Scale shape:
   *  - Build: candidates come from the banded LSH equi-join (never

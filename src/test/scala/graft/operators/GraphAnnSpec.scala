@@ -73,4 +73,66 @@ class GraphAnnSpec extends SparkSpec {
     val mean = perQuery.sum / perQuery.size
     assert(mean >= 0.8, s"mean recall_at_10 $mean below floor")
   }
+
+  test("levelRankDf: deterministic, a permutation of 1..N, stable under row order") {
+    val (corpus, _) = frames
+    val (r1, n1) = GraphAnn.levelRankDf(corpus)
+    val (r2, n2) = GraphAnn.levelRankDf(corpus.orderBy(col("vec_id").desc))
+    assert(n1 === n2)
+    val m1 = r1.collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("hrk"))).toMap
+    val m2 = r2.collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("hrk"))).toMap
+    // identical assignment regardless of input row order (the rank is
+    // a pure function of the id hash), and a permutation of 1..N —
+    // so every "top ceil(N/M^l) ranks" layer has its EXACT size
+    assert(m1 === m2, "level ranks depend on input row order")
+    assert(m1.values.toSeq.sorted === (1L to n1).toSeq)
+    // hash order is not id order (the layers are a random-like sample,
+    // not a prefix of the id space)
+    assert(m1.toSeq.sortBy(_._1).map(_._2).sliding(2).exists(p => p(0) > p(1)))
+  }
+
+  test("ringEdges: one cycle per stride, in- and out-degree exactly 1, covers every node") {
+    val (corpus, _) = frames
+    val n = corpus.count()
+    val ring = GraphAnn.ringEdges(corpus, Seq(1L))
+    assert(ring.count() === n)
+    assert(ring.select(col("src")).distinct().count() === n)
+    assert(ring.select(col("dst")).distinct().count() === n)
+    // following succ from the minimum id returns after exactly N steps
+    val succ = ring.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val start = succ.keys.min
+    var cur = start; var steps = 0
+    do { cur = succ(cur); steps += 1 } while (cur != start && steps <= n)
+    assert(steps === n, s"stride-1 ring is not a single $n-cycle (closed after $steps)")
+  }
+
+  test("beamSearchSeeded: per-query seeds stay per-query, and a seed at the true NN is kept") {
+    val (corpus, queries) = frames
+    val graph = GraphAnn.buildKnnGraph(corpus)
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      lit(1.0) - VectorOps.cosine(a, b)
+    // seed each query with its brute-force nearest neighbor — the
+    // walk may wander, but the seed itself is in the initial beam and
+    // can only be displaced by STRICTLY closer rows, so it must
+    // survive into the final ef-wide candidate set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val nn = queries.crossJoin(corpus)
+      .select(col("query_id"), col("vec_id"),
+        (lit(1.0) - VectorOps.cosine(col("qvec"), col("vec"))).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("query_id"), col("vec_id"))
+    val out = GraphAnn.beamSearchSeeded(queries, corpus, graph, nn,
+      ef = 16, hops = 2, dist).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeds = nn.collect().map(r => (r.getLong(0), r.getLong(1)))
+    seeds.foreach { s =>
+      assert(out.contains(s), s"true-NN seed $s displaced from the beam")
+    }
+    // nothing leaks across queries: every output row's query_id is a
+    // real query and the per-query beam is bounded by ef
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keys.toSet === seeds.map(_._1).toSet)
+    byQ.foreach { case (q, rows) => assert(rows.size <= 16, s"query $q beam > ef") }
+  }
 }

@@ -588,13 +588,14 @@ object SparkEntry {
     * the multi-walk descent (and the truncation in series) ran only
     * in specs before. The oracle unrolls all three layers — level
     * ranks, two upper graphs, the descent, the base beam — so the
-    * hash certifies the deep serve end to end. Honesty note for the
-    * bench artifact: at sf0.1 this fixture triples to 5970 rows of
-    * 3-cliques and the recall column reads ~0.7 at the constant
-    * budget — the documented near-duplicate limit (a k×-duplicated
-    * corpus consumes beam slots ∝ k; see ARCHITECTURE r10), not a
-    * certification gap: the oracle SF (sf0.01, 1470 rows) serves at
-    * recall 1.0 and is hash-exact.
+    * hash certifies the deep serve end to end. r11: the DEDUP-AWARE
+    * build removed the r10 near-duplicate limit on exactly this
+    * corpus — at sf0.1 (5970 rows of 3-cliques) the recall column
+    * read ~0.7 at the constant budget because clique members consumed
+    * beam slots ∝ 3; with the cliques collapsed to representatives
+    * and expanded after the walk it reads 1.000/1.000 (measured,
+    * spec-pinned), and the oracle — regenerated by the shared
+    * [[hnswGraphOracleSql]] — replays the grouping itself.
     */
   def collectionHnswDeep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -1044,6 +1045,240 @@ object SparkEntry {
         |SELECT l.doc_id, l.group_id, s.group_size
         |FROM labels l JOIN sizes s USING (group_id)
         |ORDER BY group_id, doc_id""".stripMargin
+
+  /** Shared DuckDB unrolling of the LAYERED, DEDUP-AWARE collection
+    * graph tier (r11) — one generator for every `collection_hnsw_*`
+    * graph oracle, so a law change lands in exactly one place (the
+    * r10 graph and deep oracles duplicated ~230 lines of CTEs).
+    * Parameters: the fixture's query CTE, its corpus CTEs (must end
+    * by defining `c(vec_id BIGINT, vec FLOAT[])`), and the UNROLLED
+    * layer count — a STRUCTURAL assumption on the fixture's size
+    * (maxLevel = ⌊log₈ N_full⌋, pinned by the "oracle structural
+    * assumptions" spec, which fails loudly if testdata outgrows it).
+    * Numeric `vec_id`s map to engine ids via printf('v%%07d', ·) —
+    * both graph fixtures write ids in that shape.
+    *
+    * Mirrors [[graft.catalog.CollectionData]]'s buildGraphIndex +
+    * layered serve exactly:
+    *   1. 8×6-bit md5-plane LSH signatures over the corpus (`sig`);
+    *   2. near-dup GROUPING (r11): candidate groups by FULL-signature
+    *      equality, candidate rep = min id, VERIFIED by relative-L2
+    *      near-identity (‖m−r‖ ≤ 2%·max(‖m‖,‖r‖)) — failed members
+    *      stay ordinary nodes; the graph's nodes are the reps;
+    *   3. base navigable graph over reps: 2M kNN from ≤256-capped
+    *      LSH buckets, symmetrized, re-capped to each node's closest
+    *      3M, rings (strides 1, 37 over rep rank) cap-EXEMPT;
+    *   4. hash-rank layers over reps with thresholds from the FULL
+    *      count ⌈N/8^l⌉ (collapse-rate-independent hierarchy shape),
+    *      per-layer top-M kNN + ring graphs;
+    *   5. layered descent: exhaustive top layer, two ef=64 walks per
+    *      upper layer, three ef=48 walks on the base graph;
+    *   6. GROUP EXPANSION of the final beam + exact re-rank; truth
+    *      runs over the FULL corpus (members included), so
+    *      recall_at_10 certifies the expansion, not just the walk.
+    */
+  private def hnswGraphOracleSql(qCte: String, corpusCtes: String,
+                                 maxLevel: Int): String = {
+    def walk(out: String, seed: String, graph: String, ef: Int): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT query_id, vec_id, d FROM (
+         |    SELECT query_id, vec_id, d,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d ASC, vec_id) AS r
+         |    FROM (
+         |      SELECT DISTINCT query_id, vec_id, d FROM (
+         |        SELECT x.query_id, v.vec_id,
+         |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+         |                                       CAST(v.vec AS DOUBLE[])) AS d
+         |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
+         |              FROM $seed b JOIN $graph g ON g.src = b.vec_id) x
+         |        JOIN c v ON v.vec_id = x.vec_id
+         |        JOIN q ON q.query_id = x.query_id
+         |        UNION ALL
+         |        SELECT query_id, vec_id, d FROM $seed)))
+         |  WHERE r <= $ef),""".stripMargin
+    def upperGraph(l: Int): String =
+      s"""nn$l AS MATERIALIZED (SELECT count(*) AS n FROM l$l),
+         |sized$l AS MATERIALIZED (
+         |  SELECT vec_id, t, sig FROM (
+         |    SELECT s.vec_id, s.t, s.sig,
+         |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
+         |    FROM sig s JOIN l$l USING (vec_id))
+         |  WHERE bn <= 256),
+         |cand$l AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sized$l a JOIN sized$l b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |knn$l AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT cd.src, cd.dst,
+         |      row_number() OVER (PARTITION BY cd.src ORDER BY
+         |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+         |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+         |        cd.dst) AS r
+         |    FROM cand$l cd
+         |    JOIN c sv ON sv.vec_id = cd.src
+         |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
+         |ranked$l AS MATERIALIZED (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l$l),
+         |g$l AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst FROM knn$l
+         |    UNION
+         |    SELECT x.vec_id AS src, y.vec_id AS dst
+         |    FROM ranked$l x CROSS JOIN nn$l JOIN ranked$l y
+         |      ON y.rk = (x.rk + 1) % nn$l.n
+         |    UNION
+         |    SELECT x.vec_id AS src, y.vec_id AS dst
+         |    FROM ranked$l x CROSS JOIN nn$l JOIN ranked$l y
+         |      ON y.rk = (x.rk + 37) % nn$l.n)
+         |  WHERE src <> dst),""".stripMargin
+    val layerCtes = (1 to maxLevel).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT vec_id FROM lvr CROSS JOIN nn
+         |  WHERE hrk <= CAST(ceil(nn.n / ${math.pow(8, i).toLong}.0) AS BIGINT)),""".stripMargin
+    }.mkString("\n")
+    val upperGraphs = (1 until maxLevel).map(upperGraph).mkString("\n")
+    val walks = new StringBuilder
+    var seed = "s0"
+    for (l <- (maxLevel - 1) to 1 by -1; h <- 1 to 2) {
+      val out = s"u${l}_$h"
+      walks ++= walk(out, seed, s"g$l", 64) + "\n"
+      seed = out
+    }
+    for (h <- 1 to 3) {
+      val out = s"b$h"
+      walks ++= walk(out, seed, "graph", 48) + "\n"
+      seed = out
+    }
+    s"""WITH $qCte,
+       |$corpusCtes,
+       |pl AS (
+       |  SELECT t, b,
+       |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
+       |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
+       |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
+       |  GROUP BY t, b),
+       |sig AS MATERIALIZED (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
+       |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
+       |gk AS MATERIALIZED (
+       |  SELECT vec_id, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY t) AS k
+       |  FROM sig GROUP BY vec_id),
+       |grp0 AS MATERIALIZED (
+       |  SELECT vec_id, min(vec_id) OVER (PARTITION BY k) AS cand_rep FROM gk),
+       |mem AS MATERIALIZED (
+       |  SELECT g.vec_id AS member, g.cand_rep AS rep
+       |  FROM grp0 g
+       |  JOIN c mv ON mv.vec_id = g.vec_id
+       |  JOIN c rv ON rv.vec_id = g.cand_rep
+       |  WHERE g.vec_id <> g.cand_rep
+       |    AND list_distance(CAST(mv.vec AS DOUBLE[]), CAST(rv.vec AS DOUBLE[]))
+       |        <= 0.02 * sqrt(greatest(
+       |             list_dot_product(CAST(mv.vec AS DOUBLE[]), CAST(mv.vec AS DOUBLE[])),
+       |             list_dot_product(CAST(rv.vec AS DOUBLE[]), CAST(rv.vec AS DOUBLE[]))))),
+       |reps AS MATERIALIZED (
+       |  SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT member FROM mem)),
+       |nn AS (SELECT count(*) AS n FROM c),
+       |nnr AS (SELECT count(*) AS n FROM reps),
+       |sized AS MATERIALIZED (
+       |  SELECT vec_id, t, sig FROM (
+       |    SELECT s.vec_id, s.t, s.sig,
+       |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
+       |    FROM sig s JOIN reps USING (vec_id))
+       |  WHERE bn <= 256),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM sized a JOIN sized b
+       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT cd.src, cd.dst,
+       |      row_number() OVER (PARTITION BY cd.src ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+       |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+       |        cd.dst) AS r
+       |    FROM cand cd
+       |    JOIN c sv ON sv.vec_id = cd.src
+       |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 16),
+       |ranked AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM reps),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM knn
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM knn),
+       |capped AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT u.src, u.dst,
+       |      row_number() OVER (PARTITION BY u.src ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
+       |                                     CAST(dv.vec AS DOUBLE[])) ASC,
+       |        u.dst) AS r
+       |    FROM und u
+       |    JOIN c sv ON sv.vec_id = u.src
+       |    JOIN c dv ON dv.vec_id = u.dst) WHERE r <= 24),
+       |ring AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst
+       |    FROM ranked x CROSS JOIN nnr JOIN ranked y ON y.rk = (x.rk + 1) % nnr.n
+       |    UNION
+       |    SELECT x.vec_id AS src, y.vec_id AS dst
+       |    FROM ranked x CROSS JOIN nnr JOIN ranked y ON y.rk = (x.rk + 37) % nnr.n)
+       |  WHERE src <> dst),
+       |graph AS MATERIALIZED (
+       |  SELECT src, dst FROM capped
+       |  UNION
+       |  SELECT src, dst FROM ring
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM ring),
+       |lvr AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |    md5('lvl:' || printf('v%07d', vec_id)), vec_id) AS hrk FROM reps),
+       |$layerCtes
+       |$upperGraphs
+       |s0 AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id,
+       |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+       |                                 CAST(v.vec AS DOUBLE[])) AS d
+       |  FROM q CROSS JOIN l$maxLevel e JOIN c v ON v.vec_id = e.vec_id),
+       |$walks
+       |bexp AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM b3
+       |  UNION
+       |  SELECT b.query_id, m.member AS vec_id
+       |  FROM b3 b JOIN mem m ON m.rep = b.vec_id),
+       |bscored AS MATERIALIZED (
+       |  SELECT e.query_id, e.vec_id,
+       |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+       |                                 CAST(v.vec AS DOUBLE[])) AS d
+       |  FROM bexp e
+       |  JOIN c v ON v.vec_id = e.vec_id
+       |  JOIN q ON q.query_id = e.query_id),
+       |ann AS MATERIALIZED (
+       |  SELECT query_id, vec_id, d AS distance,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d ASC, vec_id) AS BIGINT) AS "rank"
+       |  FROM bscored),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+       |                               CAST(vec AS DOUBLE[])) DESC,
+       |        c.vec_id) AS tr
+       |    FROM q CROSS JOIN c) WHERE tr <= 10),
+       |hits AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM ann a JOIN truth t USING (query_id, vec_id)
+       |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+       |SELECT a.query_id, a."rank", a.vec_id, a.distance,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id, a."rank"""".stripMargin
+  }
 
   /** DuckDB twin of [[TextAnalysis.svmClassifier]] — the full
     * training RUN unrolled: features, planted labels, fixed-point
@@ -6478,225 +6713,12 @@ object SparkEntry {
     // ordering the engine uses coincides with the numeric vec_id
     // ordering replayed here.
     "collection_hnsw_graph" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-        |c AS (
-        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
-        |pl AS (
-        |  SELECT t, b,
-        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
-        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
-        |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
-        |  GROUP BY t, b),
-        |sig AS (
-        |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
-        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
-        |nn AS (SELECT count(*) AS n FROM c),
-        |sized AS (
-        |  SELECT vec_id, t, sig FROM (
-        |    SELECT vec_id, t, sig,
-        |      count(*) OVER (PARTITION BY t, sig) AS bn FROM sig)
-        |  WHERE bn <= 256),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM sized a JOIN sized b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |knn AS (
-        |  SELECT src, dst FROM (
-        |    SELECT cd.src, cd.dst,
-        |      row_number() OVER (PARTITION BY cd.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        cd.dst) AS r
-        |    FROM cand cd
-        |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 16),
-        |ranked AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
-        |und AS (
-        |  SELECT src, dst FROM knn
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM knn),
-        |capped AS (
-        |  SELECT src, dst FROM (
-        |    SELECT u.src, u.dst,
-        |      row_number() OVER (PARTITION BY u.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        u.dst) AS r
-        |    FROM und u
-        |    JOIN c sv ON sv.vec_id = u.src
-        |    JOIN c dv ON dv.vec_id = u.dst) WHERE r <= 24),
-        |ring AS (
-        |  SELECT src, dst FROM (
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
-        |  WHERE src <> dst),
-        |graph AS (
-        |  SELECT src, dst FROM capped
-        |  UNION
-        |  SELECT src, dst FROM ring
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM ring),
-        |lvr AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY
-        |    md5('lvl:' || printf('v%07d', vec_id)), vec_id) AS hrk FROM c),
-        |l1 AS (
-        |  SELECT vec_id FROM lvr CROSS JOIN nn
-        |  WHERE hrk <= CAST(ceil(nn.n / 8.0) AS BIGINT)),
-        |l2 AS (
-        |  SELECT vec_id FROM lvr CROSS JOIN nn
-        |  WHERE hrk <= CAST(ceil(nn.n / 64.0) AS BIGINT)),
-        |nn1 AS (SELECT count(*) AS n FROM l1),
-        |sized1 AS (
-        |  SELECT vec_id, t, sig FROM (
-        |    SELECT s.vec_id, s.t, s.sig,
-        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
-        |    FROM sig s JOIN l1 USING (vec_id))
-        |  WHERE bn <= 256),
-        |cand1 AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM sized1 a JOIN sized1 b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |knn1 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT cd.src, cd.dst,
-        |      row_number() OVER (PARTITION BY cd.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        cd.dst) AS r
-        |    FROM cand1 cd
-        |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
-        |ranked1 AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l1),
-        |g1 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst FROM knn1
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 1) % nn1.n
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 37) % nn1.n)
-        |  WHERE src <> dst),
-        |s0 AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                 CAST(v.vec AS DOUBLE[])) AS d
-        |  FROM q CROSS JOIN l2 e JOIN c v ON v.vec_id = e.vec_id),
-        |u1 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM s0 b JOIN g1 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM s0)))
-        |  WHERE r <= 64),
-        |u2 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM u1 b JOIN g1 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM u1)))
-        |  WHERE r <= 64),
-        |b1 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM u2 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM u2)))
-        |  WHERE r <= 48),
-        |b2 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM b1 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM b1)))
-        |  WHERE r <= 48),
-        |b3 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM b2 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM b2)))
-        |  WHERE r <= 48),
-        |ann AS (
-        |  SELECT query_id, vec_id, d AS distance,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY d ASC, vec_id) AS BIGINT) AS "rank"
-        |  FROM b3),
-        |truth AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT q.query_id, c.vec_id,
-        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
-        |                               CAST(vec AS DOUBLE[])) DESC,
-        |        c.vec_id) AS tr
-        |    FROM q CROSS JOIN c) WHERE tr <= 10),
-        |hits AS (
-        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
-        |  FROM ann a JOIN truth t USING (query_id, vec_id)
-        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
-        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
-        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
-        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
-        |LEFT JOIN hits h USING (query_id)
-        |ORDER BY query_id, a."rank"""".stripMargin,
+      hnswGraphOracleSql(
+        qCte = """q AS (
+          |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10)""".stripMargin,
+        corpusCtes = """c AS (
+          |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10)""".stripMargin,
+        maxLevel = 2),
 
     // The DEEP-hierarchy serve certified (r10 — verdict #3
     // restructured for the layered law): the tripled planted-copy
@@ -6712,308 +6734,25 @@ object SparkEntry {
     // 3-cliques are exactly the corpus that traps narrow upper
     // beams, so this hash also certifies the ef=64 upper-width law.
     "collection_hnsw_deep" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
-        |base AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
-        |allv AS (
-        |  SELECT vec_id, embedding FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(embedding, (x, i) ->
-        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS embedding
-        |  FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 2000000 AS vec_id,
-        |    list_transform(embedding, (x, i) ->
-        |      CASE WHEN i = 1 THEN x * CAST(1.02 AS FLOAT) ELSE x END) AS embedding
-        |  FROM base),
-        |c AS (SELECT vec_id, embedding AS vec FROM allv),
-        |pl AS (
-        |  SELECT t, b,
-        |    list(CAST(('0x' || substr(md5('lsh:42:' || t || ':' || b || ':' || i), 1, 4))
-        |      AS INTEGER) / 32768.0 - 1.0 ORDER BY i) AS plane
-        |  FROM range(0, 8) r1(t), range(0, 6) r2(b), range(0, 64) r3(i)
-        |  GROUP BY t, b),
-        |sig AS (
-        |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
-        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
-        |nn AS (SELECT count(*) AS n FROM c),
-        |sized AS (
-        |  SELECT vec_id, t, sig FROM (
-        |    SELECT vec_id, t, sig,
-        |      count(*) OVER (PARTITION BY t, sig) AS bn FROM sig)
-        |  WHERE bn <= 256),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM sized a JOIN sized b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |knn AS (
-        |  SELECT src, dst FROM (
-        |    SELECT cd.src, cd.dst,
-        |      row_number() OVER (PARTITION BY cd.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        cd.dst) AS r
-        |    FROM cand cd
-        |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 16),
-        |ranked AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM c),
-        |und AS (
-        |  SELECT src, dst FROM knn
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM knn),
-        |capped AS (
-        |  SELECT src, dst FROM (
-        |    SELECT u.src, u.dst,
-        |      row_number() OVER (PARTITION BY u.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        u.dst) AS r
-        |    FROM und u
-        |    JOIN c sv ON sv.vec_id = u.src
-        |    JOIN c dv ON dv.vec_id = u.dst) WHERE r <= 24),
-        |ring AS (
-        |  SELECT src, dst FROM (
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 1) % nn.n
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked x CROSS JOIN nn JOIN ranked y ON y.rk = (x.rk + 37) % nn.n)
-        |  WHERE src <> dst),
-        |graph AS (
-        |  SELECT src, dst FROM capped
-        |  UNION
-        |  SELECT src, dst FROM ring
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM ring),
-        |lvr AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY
-        |    md5('lvl:' || printf('v%07d', vec_id)), vec_id) AS hrk FROM c),
-        |l1 AS (
-        |  SELECT vec_id FROM lvr CROSS JOIN nn
-        |  WHERE hrk <= CAST(ceil(nn.n / 8.0) AS BIGINT)),
-        |l2 AS (
-        |  SELECT vec_id FROM lvr CROSS JOIN nn
-        |  WHERE hrk <= CAST(ceil(nn.n / 64.0) AS BIGINT)),
-        |l3 AS (
-        |  SELECT vec_id FROM lvr CROSS JOIN nn
-        |  WHERE hrk <= CAST(ceil(nn.n / 512.0) AS BIGINT)),
-        |nn1 AS (SELECT count(*) AS n FROM l1),
-        |sized1 AS (
-        |  SELECT vec_id, t, sig FROM (
-        |    SELECT s.vec_id, s.t, s.sig,
-        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
-        |    FROM sig s JOIN l1 USING (vec_id))
-        |  WHERE bn <= 256),
-        |cand1 AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM sized1 a JOIN sized1 b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |knn1 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT cd.src, cd.dst,
-        |      row_number() OVER (PARTITION BY cd.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        cd.dst) AS r
-        |    FROM cand1 cd
-        |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
-        |ranked1 AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l1),
-        |g1 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst FROM knn1
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 1) % nn1.n
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked1 x CROSS JOIN nn1 JOIN ranked1 y ON y.rk = (x.rk + 37) % nn1.n)
-        |  WHERE src <> dst),
-        |nn2 AS (SELECT count(*) AS n FROM l2),
-        |sized2 AS (
-        |  SELECT vec_id, t, sig FROM (
-        |    SELECT s.vec_id, s.t, s.sig,
-        |      count(*) OVER (PARTITION BY s.t, s.sig) AS bn
-        |    FROM sig s JOIN l2 USING (vec_id))
-        |  WHERE bn <= 256),
-        |cand2 AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM sized2 a JOIN sized2 b
-        |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |knn2 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT cd.src, cd.dst,
-        |      row_number() OVER (PARTITION BY cd.src ORDER BY
-        |        1.0 - list_cosine_similarity(CAST(sv.vec AS DOUBLE[]),
-        |                                     CAST(dv.vec AS DOUBLE[])) ASC,
-        |        cd.dst) AS r
-        |    FROM cand2 cd
-        |    JOIN c sv ON sv.vec_id = cd.src
-        |    JOIN c dv ON dv.vec_id = cd.dst) WHERE r <= 8),
-        |ranked2 AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM l2),
-        |g2 AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst FROM knn2
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked2 x CROSS JOIN nn2 JOIN ranked2 y ON y.rk = (x.rk + 1) % nn2.n
-        |    UNION
-        |    SELECT x.vec_id AS src, y.vec_id AS dst
-        |    FROM ranked2 x CROSS JOIN nn2 JOIN ranked2 y ON y.rk = (x.rk + 37) % nn2.n)
-        |  WHERE src <> dst),
-        |s0 AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                 CAST(v.vec AS DOUBLE[])) AS d
-        |  FROM q CROSS JOIN l3 e JOIN c v ON v.vec_id = e.vec_id),
-        |w1 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM s0 b JOIN g2 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM s0)))
-        |  WHERE r <= 64),
-        |w2 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM w1 b JOIN g2 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM w1)))
-        |  WHERE r <= 64),
-        |u1 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM w2 b JOIN g1 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM w2)))
-        |  WHERE r <= 64),
-        |u2 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM u1 b JOIN g1 g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM u1)))
-        |  WHERE r <= 64),
-        |b1 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM u2 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM u2)))
-        |  WHERE r <= 48),
-        |b2 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM b1 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM b1)))
-        |  WHERE r <= 48),
-        |b3 AS (
-        |  SELECT query_id, vec_id, d FROM (
-        |    SELECT query_id, vec_id, d,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY d ASC, vec_id) AS r
-        |    FROM (
-        |      SELECT DISTINCT query_id, vec_id, d FROM (
-        |        SELECT x.query_id, v.vec_id,
-        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
-        |                                       CAST(v.vec AS DOUBLE[])) AS d
-        |        FROM (SELECT DISTINCT b.query_id, g.dst AS vec_id
-        |              FROM b2 b JOIN graph g ON g.src = b.vec_id) x
-        |        JOIN c v ON v.vec_id = x.vec_id
-        |        JOIN q ON q.query_id = x.query_id
-        |        UNION ALL
-        |        SELECT query_id, vec_id, d FROM b2)))
-        |  WHERE r <= 48),
-        |ann AS (
-        |  SELECT query_id, vec_id, d AS distance,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY d ASC, vec_id) AS BIGINT) AS "rank"
-        |  FROM b3),
-        |truth AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT q.query_id, c.vec_id,
-        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
-        |                               CAST(vec AS DOUBLE[])) DESC,
-        |        c.vec_id) AS tr
-        |    FROM q CROSS JOIN c) WHERE tr <= 10),
-        |hits AS (
-        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
-        |  FROM ann a JOIN truth t USING (query_id, vec_id)
-        |  WHERE a."rank" <= 10 GROUP BY a.query_id)
-        |SELECT a.query_id, a."rank", a.vec_id, a.distance,
-        |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
-        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
-        |LEFT JOIN hits h USING (query_id)
-        |ORDER BY query_id, a."rank"""".stripMargin,
+      hnswGraphOracleSql(
+        qCte = """q AS (
+          |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3)""".stripMargin,
+        corpusCtes = """base AS (
+          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+          |allv AS (
+          |  SELECT vec_id, embedding FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id,
+          |    list_transform(embedding, (x, i) ->
+          |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS embedding
+          |  FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 2000000 AS vec_id,
+          |    list_transform(embedding, (x, i) ->
+          |      CASE WHEN i = 1 THEN x * CAST(1.02 AS FLOAT) ELSE x END) AS embedding
+          |  FROM base),
+          |c AS (SELECT vec_id, embedding AS vec FROM allv)""".stripMargin,
+        maxLevel = 3),
 
     // Filtered query on a GRAPH-declared collection, served via the
     // IVF side-tier's adaptive filtered probe (r10). At this corpus

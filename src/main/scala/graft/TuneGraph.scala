@@ -79,8 +79,15 @@ object TuneGraph {
       val per = out.groupBy(_.getLong(0)).values
         .map(_.head.getAs[Double]("recall_at_10")).toSeq
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"TUNEGRAPH $dir%-26s bh=$bh uh=$uh ue=$ue ef=$ef " +
-        f"mean=${per.sum / per.size}%.3f min=${per.min}%.3f ${sec}%.1fs")
+      // a sweep point that returns zero rows (e.g. a broken override
+      // combination) must not abort the remaining points — per.min on
+      // an empty Seq throws; print a marker line instead
+      if (per.isEmpty)
+        println(f"TUNEGRAPH $dir%-26s bh=$bh uh=$uh ue=$ue ef=$ef " +
+          f"EMPTY-RESULT ${sec}%.1fs")
+      else
+        println(f"TUNEGRAPH $dir%-26s bh=$bh uh=$uh ue=$ue ef=$ef " +
+          f"mean=${per.sum / per.size}%.3f min=${per.min}%.3f ${sec}%.1fs")
     }
     spark.stop()
   }

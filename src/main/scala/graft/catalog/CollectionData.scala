@@ -1045,17 +1045,44 @@ class CollectionData(client: ChromaSpark) {
     * table records the LAW default, never a sweep override.
     */
   private[catalog] val GraphBaseHopsDefault = 3
+
+  /** Read a serve-time graph knob from session conf, VALIDATED (r11,
+    * closing an r10 advisory): these knobs ride the production serve
+    * path but are NOT folded into any artifact or pointer identity
+    * (unlike `maxLevel`), so a leftover sweep override (TuneGraph in
+    * the same session) or a 0/negative value would silently degrade
+    * a certified serve. Non-integer or non-positive values fail
+    * loudly; any deviation from the law default emits one warning
+    * per (key, value) so the override is visible in the session log.
+    */
+  private def graphServeKnob(key: String, lawDefault: Int,
+                             warnOnDeviation: Boolean = true): Int =
+    spark.conf.getOption(key) match {
+      case None => lawDefault
+      case Some(raw) =>
+        val v =
+          try raw.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$key must be a positive integer, got '$raw'") }
+        if (v <= 0) throw new IllegalArgumentException(
+          s"$key must be a positive integer, got $v")
+        if (warnOnDeviation && v != lawDefault) CollectionData.warnOnce(
+          s"$key=$v overrides the law default $lawDefault — serve knobs " +
+            "are session-scoped and not part of the artifact identity; " +
+            "unset after sweeps to restore the certified serve")
+        v
+    }
+
   private[catalog] def GraphBaseHops: Int =
-    spark.conf.getOption("spark.graft.graph.baseHops")
-      .map(_.toInt).getOrElse(GraphBaseHopsDefault)
+    graphServeKnob("spark.graft.graph.baseHops", GraphBaseHopsDefault)
 
   /** Per-upper-layer walk length — constant: each layer's seeds come
     * from the layer above (nested membership), so the within-layer
     * walk covers an expected O(1) distance before the next descent.
     */
   private[catalog] def GraphUpperHops: Int =
-    spark.conf.getOption("spark.graft.graph.upperHops")
-      .map(_.toInt).getOrElse(2)
+    graphServeKnob("spark.graft.graph.upperHops", 2)
 
   /** Upper-layer beam width — constant, and WIDER than the canonical
     * HNSW upper-layer greedy (ef=1) on purpose: hnswlib's upper walks
@@ -1073,8 +1100,7 @@ class CollectionData(client: ChromaSpark) {
     * corpus needs narrower upper walks.
     */
   private[catalog] def GraphUpperEf: Int =
-    spark.conf.getOption("spark.graft.graph.upperEf")
-      .map(_.toInt).getOrElse(64)
+    graphServeKnob("spark.graft.graph.upperEf", 64)
 
   /** Number of hierarchy layers above the base: L = ⌊log_M N⌋
     * clamped [1, 10] — the canonical HNSW level cap (expected top
@@ -1084,12 +1110,17 @@ class CollectionData(client: ChromaSpark) {
     * id hash, so memberships are NESTED and layer sizes are exact
     * geometric — no empty-middle-layer edge cases to serve around.
     */
-  private[catalog] def graphMaxLevelFor(m: Int, n: Long): Int =
-    spark.conf.getOption("spark.graft.graph.maxLevel").map(_.toInt).getOrElse {
+  private[catalog] def graphMaxLevelFor(m: Int, n: Long): Int = {
+    val law = {
       val deg = math.max(2, m).toDouble
       val raw = math.floor(math.log(math.max(2L, n).toDouble) / math.log(deg)).toInt
       math.min(16, math.max(1, raw))
     }
+    // unlike the walk knobs, a maxLevel override IS folded into the
+    // artifact identity (the cache key's -L segment), so deviation is
+    // safe-by-construction — only validate it parses positive
+    graphServeKnob("spark.graft.graph.maxLevel", law, warnOnDeviation = false)
+  }
 
   /** Entry-set cap: when the level clamp binds (tiny `hnsw:M` on a
     * huge corpus — e.g. M=2 past 2¹⁷ rows), the top layer outgrows
@@ -1120,10 +1151,9 @@ class CollectionData(client: ChromaSpark) {
     */
   private[catalog] def graphBeamEf(searchEf: Option[Int], nResults: Int,
                                    hops: Int): Int =
-    searchEf.getOrElse(
-      spark.conf.getOption("spark.graft.graph.ef").map(_.toInt)
-        .map(e => math.max(e, nResults))
-        .getOrElse(math.max(GraphEfPerHop * hops, nResults)))
+    searchEf.getOrElse(math.max(
+      graphServeKnob("spark.graft.graph.ef", GraphEfPerHop * hops),
+      nResults))
 
   /** Explored-rows budget of one query under the layered serve — the
     * spec-pinned scale contract: top layer scored exhaustively
@@ -1143,11 +1173,12 @@ class CollectionData(client: ChromaSpark) {
     * is immutable after `_INDEX_OK`, so the hot path never pays a
     * read job. Returns (hops, entries, indexed corpus size, layers).
     */
-  private def graphParams(idx: String): (Int, Int, Long, Int) =
+  private def graphParams(idx: String): (Int, Int, Long, Int, Long) =
     CollectionData.graphParamsMemo.computeIfAbsent(idx, { _: String =>
       val r = graft.operators.IndexCache.readCached(spark, s"$idx/params").head()
       (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")),
-        r.getLong(r.fieldIndex("n")), r.getInt(r.fieldIndex("maxlevel")))
+        r.getLong(r.fieldIndex("n")), r.getInt(r.fieldIndex("maxlevel")),
+        r.getLong(r.fieldIndex("ngroups")))
     })
 
   /** Build the persisted GRAPH tier — a LAYERED navigable graph (the
@@ -1173,12 +1204,76 @@ class CollectionData(client: ChromaSpark) {
     val base = resolved(collection).filter(col("embedding").isNotNull)
     base.select(col("id"), col("embedding"), col("document"), col("metadata_json"))
       .write.mode("overwrite").parquet(s"$scratch/base")
-    val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    val fullCorpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
     // LSH planes must match the data's dimensionality — one header
     // probe (first row), model-scale
-    val dim = corpus.select(size(col("vec")).as("d")).limit(1)
+    val dim = fullCorpus.select(size(col("vec")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(1)
     val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
+    // DEDUP-AWARE BUILD (r11 — the recorded near-dup upgrade path,
+    // ARCHITECTURE r10): a k×-duplicated corpus consumes beam slots
+    // ∝ k — recall@10 over 3-cliques is recall@30 over the distinct
+    // points, so EVERY constant budget decays on un-deduped data
+    // (measured 0.70 at the sf0.1 clique fixture). Collapse near-dup
+    // GROUPS to one representative each, build the whole hierarchy
+    // over representatives, and expand groups back after the walk
+    // (one serve-side join; the exact re-rank tail restores
+    // per-member distances) — recall@k over k-cliques becomes
+    // recall@⌈k/dups⌉ over distinct points, removing the limit
+    // instead of paying dups× budget.
+    //
+    // Group law, two stages — both deterministic and SQL-replayable:
+    //
+    //   1. CANDIDATE grouping: vectors whose FULL 8-table LSH
+    //      signature vectors agree (the same md5-derived planes,
+    //      seed, and table/bit shape the kNN candidate stage below
+    //      uses — the oracle re-derives both from one `sig`
+    //      relation). Signature equality is an equivalence relation,
+    //      so this is ONE hash-partitioned groupBy — no pair join,
+    //      no iterative label propagation, nothing corpus²-sized at
+    //      any N. The candidate representative is the group's
+    //      MINIMUM id.
+    //   2. VERIFY gate: a candidate member joins its group only if
+    //      it is relatively NEAR-IDENTICAL to the representative —
+    //      ‖m − r‖ ≤ 2% · max(‖m‖, ‖r‖). Sign bits capture only
+    //      DIRECTION, so without this gate collinear-but-metric-far
+    //      vectors (a ray of l2 points) would collapse into one
+    //      unbounded group — degenerate serve fan-out and broken
+    //      layer laws. The gate is metric-free and scale-free:
+    //      vectors passing it are interchangeable under l2, ip, and
+    //      cosine alike, up to the exact re-rank the serve always
+    //      runs. Members that FAIL the gate stay ordinary graph
+    //      nodes (grouping never loses a vector). One equi-join of
+    //      candidate members against their rep's vector — O(N).
+    //
+    // A verified member is still served at its TRUE exact-re-ranked
+    // distance (via its rep's expansion) — a rare false merge only
+    // degrades its reachability to its rep's, never its score.
+    val grpPlanes = (0 until 8).map(t =>
+      graft.operators.VectorOps.hashHyperplanes(6, dim, t, 42L))
+    val keyed = fullCorpus.withColumn("gk", concat_ws(",",
+      graft.functions.LshSignatures(col("vec"), grpPlanes)
+        .cast("array<string>")))
+    val withCand = keyed.withColumn("cand",
+      min(col("vec_id")).over(Window.partitionBy(col("gk"))))
+    val repVecs = fullCorpus
+      .select(col("vec_id").as("cand"), col("vec").as("rvec"))
+    // groups persists only the VERIFIED non-representative members —
+    // empty on a dup-free corpus, |duplicates| rows otherwise (never N)
+    withCand.filter(col("vec_id") =!= col("cand"))
+      .join(repVecs, "cand")
+      .filter(graft.operators.VectorOps.l2(col("vec"), col("rvec")) <=
+        lit(0.02) * sqrt(greatest(
+          graft.operators.VectorOps.dot(col("vec"), col("vec")),
+          graft.operators.VectorOps.dot(col("rvec"), col("rvec")))))
+      .select(col("vec_id").as("member_id"), col("cand").as("rep_id"))
+      .write.mode("overwrite").parquet(s"$scratch/groups")
+    val nGroupMembers = spark.read.parquet(s"$scratch/groups").count()
+    // representatives = everything not absorbed as a member
+    val memberIds = spark.read.parquet(s"$scratch/groups")
+      .select(col("member_id").as("vec_id"))
+    val corpus = fullCorpus.join(memberIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec"))
     // NAVIGABLE edge construction, every layer (canonical HNSW:
     // Malkov & Yashunin 2018 §4.1 M_max0 = 2·M plus the
     // shrink-connections step): 2M-degree kNN from LSH-bucketed
@@ -1229,8 +1324,15 @@ class CollectionData(client: ChromaSpark) {
     navigableEdges(corpus).write.mode("overwrite").parquet(s"$scratch/edges")
     // hierarchy levels: nested memberships from the deterministic
     // hash rank; lvl = the highest layer containing the node (only
-    // lvl ≥ 1 rows persist — N/M of the corpus)
-    val (rankedH, n) = graft.operators.GraphAnn.levelRankDf(corpus)
+    // lvl ≥ 1 rows persist — N/M of the corpus). Ranks run over the
+    // REPRESENTATIVES (the graph's nodes), but layer THRESHOLDS and
+    // the level count derive from the FULL live count: the hierarchy
+    // shape must not depend on the collapse rate (the oracle unrolls
+    // a fixed layer structure, and a near-boundary rep count would
+    // make ⌊log_M N⌋ data-fragile). The over-provision is at most
+    // one layer when duplication ≤ M× — a constant-cost walk each.
+    val (rankedH, nReps) = graft.operators.GraphAnn.levelRankDf(corpus)
+    val n = nReps + nGroupMembers // full live embedded count
     val maxLevel = graphMaxLevelFor(m, n)
     val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
@@ -1262,8 +1364,8 @@ class CollectionData(client: ChromaSpark) {
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
     val sp = spark
     import sp.implicits._
-    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel))
-      .toDF("n", "m", "cef", "entries", "hops", "maxlevel")
+    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel, nGroupMembers))
+      .toDF("n", "m", "cef", "entries", "hops", "maxlevel", "ngroups")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/params")
   }
 
@@ -1368,7 +1470,7 @@ class CollectionData(client: ChromaSpark) {
                   // override must not keep serving after the
                   // override is removed (params read is memoized
                   // per (JVM, artifact) and re-used by the serve)
-                  val (_, _, pn, plvl) = graphParams(idx)
+                  val (_, _, pn, plvl, _) = graphParams(idx)
                   plvl == graphMaxLevelFor(m, pn)
               })
           case None => !artifact.startsWith("collgraph-")
@@ -1542,7 +1644,19 @@ class CollectionData(client: ChromaSpark) {
           // sublinear (probed cells only) instead of the O(corpus)
           // exact scan this path used to pay, and exact among
           // matches wherever the adaptive prefix covers them.
-          if (whereJson.isDefined || whereDocumentJson.isDefined)
+          // EXACT ESCAPE HATCH (r11, closing an r10 advisory): the
+          // side-tier probe is approximate — recall can drop below
+          // 1.0 when a selective/skewed predicate's matches spread
+          // past the 16·nResults adaptive cell prefix. Users who need
+          // the pre-r10 exactness for such predicates set this conf
+          // and filtered calls fall back to the exact filter-first
+          // scan over the artifact base (returning None routes
+          // query() there) — O(corpus) per call, by explicit opt-in.
+          if ((whereJson.isDefined || whereDocumentJson.isDefined) &&
+              spark.conf.getOption("spark.graft.graph.filteredExactScan")
+                .exists(_.trim.equalsIgnoreCase("true")))
+            None
+          else if (whereJson.isDefined || whereDocumentJson.isDefined)
             sideIvfState(collection, metric).map { case (sidx, _, st, sd) =>
               ivfCandidates(sidx, st, sd, queryEmbeddings, metric,
                 whereJson, whereDocumentJson, nResults)
@@ -1551,7 +1665,7 @@ class CollectionData(client: ChromaSpark) {
             // structural params (entries, layer count) travel with
             // the artifact; walk-length/width are LAW constants (they
             // no longer depend on N — that is the hierarchy's point)
-            val (_, gEntries, _, gMaxLevel) = graphParams(idx)
+            val (_, gEntries, _, gMaxLevel, gNGroups) = graphParams(idx)
             val gHops = GraphBaseHops
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
@@ -1622,7 +1736,51 @@ class CollectionData(client: ChromaSpark) {
               qframe, corpus, graph, seeds,
               ef = graphBeamEf(searchEf, nResults, gHops),
               hops = gHops, dist)
-            val baseCand = beam.withColumnRenamed("vec_id", "id")
+            // GROUP EXPANSION (r11, the dedup-aware build's serve
+            // half): the walk ran over group REPRESENTATIVES, so
+            // every beam hit fans back out to its group's members —
+            // one scan of the groups artifact against the broadcast
+            // model-scale beam (|Q|·ef rows); the shared exact
+            // re-rank tail in query() restores per-member distances.
+            // Candidates grow by at most the duplication factor —
+            // the rows recall@k information-theoretically needs on a
+            // duplicated corpus. Skipped entirely (no job, no scan)
+            // on dup-free corpora via the artifact-recorded group
+            // count. Two touched-mask obligations: (1) an upserted
+            // member must NOT be resurrected through its group — the
+            // post-expansion filter drops it (its live state joins
+            // via the delta, same as every touched id); (2) members
+            // whose REP was upserted are unreachable through the
+            // walk (the rep left the masked corpus), so they are
+            // injected directly for every query — bounded by the
+            // touched cap × group fan-out, and removed entirely at
+            // the next content-keyed rebuild.
+            val expanded =
+              if (gNGroups == 0L) beam
+              else {
+                val groupsDf = graft.operators.IndexCache
+                  .readCached(spark, s"$idx/groups")
+                val viaReps = groupsDf
+                  .join(broadcast(beam.withColumnRenamed("vec_id", "rep_id")),
+                    Seq("rep_id"))
+                  .select(col("query_id"), col("member_id").as("vec_id"))
+                val liveMembers =
+                  if (touched.nonEmpty)
+                    viaReps.filter(!col("vec_id").isin(touched: _*))
+                  else viaReps
+                val withMembers = beam.unionByName(liveMembers)
+                val withOrphans =
+                  if (touched.isEmpty) withMembers
+                  else withMembers.unionByName(
+                    groupsDf.filter(col("rep_id").isin(touched: _*) &&
+                        !col("member_id").isin(touched: _*))
+                      .select(col("member_id").as("vec_id"))
+                      .crossJoin(broadcast(
+                        queryEmbeddings.select(col("query_id"))))
+                      .select(col("query_id"), col("vec_id")))
+                withOrphans.dropDuplicates("query_id", "vec_id")
+              }
+            val baseCand = expanded.withColumnRenamed("vec_id", "id")
               .join(base, "id")
               .select(col("query_id"), col("id"), col("embedding"),
                 col("document"), col("metadata_json"))
@@ -1702,32 +1860,45 @@ class CollectionData(client: ChromaSpark) {
               // (artifact, filter fingerprint, touched set) and the
               // repeat serve rebuilds the model-scale stats frame
               // (≤ 65536 cells) from the driver-side memo for free.
-              // length-prefixed key parts: ids and predicate JSON may
-              // contain any delimiter, so plain joins are not
-              // injective — two different (filter, mask) states must
-              // never share a memo entry (a collided entry's
-              // overstated counts would stop the adaptive prefix
-              // before the cells that actually hold the matches)
+              // key = artifact dir (plain, human-auditable) + a
+              // SHA-256 over the length-prefixed (filter JSON, sorted
+              // touched ids) state. Length-prefixing keeps the hashed
+              // byte stream injective in the parts (ids and predicate
+              // JSON may contain any delimiter); hashing keeps every
+              // key O(1) bytes where the old concatenation embedded
+              // up to AnnDeltaCap full ids per entry. A digest
+              // collision across two different (filter, mask) states
+              // is the usual 2^-128 non-event, and the blast radius
+              // is recall (an overstated count stops the adaptive
+              // prefix early), never wrong distances.
               def part(s: String) = s"${s.length}:$s"
-              val statsKey = part(idx) + part(whereJson.getOrElse("")) +
+              val statePart = part(whereJson.getOrElse("")) +
                 part(whereDocumentJson.getOrElse("")) +
                 touched.sorted.map(part).mkString
-              // bound the memo: touched changes on every post-build
-              // ingest batch, orphaning prior entries — past the cap,
-              // drop everything (recount once) rather than leak
-              if (CollectionData.filteredCellStatsMemo.size > 1024)
-                CollectionData.filteredCellStatsMemo.clear()
-              val stats = CollectionData.filteredCellStatsMemo
-                .computeIfAbsent(statsKey, { _: String =>
+              val digest = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(statePart.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+              val statsKey = s"$idx#$digest"
+              // LRU-bounded memo (see companion): the count job runs
+              // OUTSIDE the map lock — a concurrent same-key race
+              // recomputes a pure value, which beats serializing
+              // unrelated serves behind one Spark job
+              val stats = {
+                val cached = CollectionData.filteredCellStatsMemo.get(statsKey)
+                if (cached != null) cached
+                else {
                   CollectionData.filteredCellStatsComputes.incrementAndGet()
                   var m = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
                   if (touched.nonEmpty) m = m.filter(!col("id").isin(touched: _*))
                   whereJson.foreach(wj => m = m.filter(metadataPredicate(wj)))
                   whereDocumentJson.foreach(wd => m = m.filter(documentPredicate(wd)))
-                  m.groupBy(col("label").cast("int").as("c_id"))
+                  val computed = m.groupBy(col("label").cast("int").as("c_id"))
                     .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_match"))
                     .collect().map(r => (r.getInt(0), r.getLong(1)))
-                })
+                  CollectionData.filteredCellStatsMemo.put(statsKey, computed)
+                  computed
+                }
+              }
               val sp = spark
               import sp.implicits._
               val cellStats = stats.toSeq.toDF("c_id", "n_match")
@@ -2350,12 +2521,12 @@ object CollectionData {
   private[catalog] val centroidCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Per-artifact graph search budgets ((hops, entries, n, maxlevel)
-    * from the artifact's `params` table) — immutable once `_INDEX_OK`
-    * lands, same discipline as [[centroidCountMemo]].
+  /** Per-artifact graph search budgets ((hops, entries, n, maxlevel,
+    * ngroups) from the artifact's `params` table) — immutable once
+    * `_INDEX_OK` lands, same discipline as [[centroidCountMemo]].
     */
   private[catalog] val graphParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int, Long)]()
 
   /** Adaptive-probe cell stats memoized per (artifact, filter
     * fingerprint, post-build mask) — pure given an immutable artifact
@@ -2363,11 +2534,33 @@ object CollectionData {
     * predicate never recount the vectors table. Values are
     * model-scale (≤ 65536 cells). The compute counter is the ops
     * metric a cache-hit spec (and a dashboard) reads.
+    *
+    * Access-order LRU bounded at 1024 entries (r11, closing an r10
+    * advisory): the old ConcurrentHashMap was wiped by a racy full
+    * `clear()` past the cap, evicting hot unfiltered-artifact entries
+    * along with the orphans each post-build ingest batch leaves
+    * behind. The synchronized LinkedHashMap holds its lock only for
+    * O(1) get/put — the Spark count job that COMPUTES an entry runs
+    * outside it at the call site (a lost race recomputes a pure
+    * value; it never blocks unrelated serves).
     */
-  private[catalog] val filteredCellStatsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long)]]()
+  private[catalog] val filteredCellStatsMemo: java.util.Map[String, Array[(Int, Long)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[(Int, Long)]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[(Int, Long)]]): Boolean =
+          size() > 1024
+      })
   private[catalog] val filteredCellStatsComputes =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One warning per distinct message for the serve-knob deviation
+    * audit trail — session-long dedup so a sweep loop does not spam.
+    */
+  private val warnedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[catalog] def warnOnce(msg: String): Unit =
+    if (warnedOnce.add(msg)) Console.err.println(s"[graft] WARN $msg")
 
   /** Content fingerprints memoized per (dir, batch, log file set) —
     * pure given an append-only log (any mutation changes the key),

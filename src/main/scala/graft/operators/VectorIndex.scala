@@ -93,9 +93,13 @@ object VectorIndex {
     * graph artifact has none of these and must rebuild. a8 = the
     * base layer gains the symmetrize + 3M-recap navigability pass
     * and the collgraph key gains the effective layer count (r10
-    * calibration) — mid-r10 a7 artifacts predate both.
+    * calibration) — mid-r10 a7 artifacts predate both. a9 = the
+    * graph tier's DEDUP-AWARE build (r11): the hierarchy is built
+    * over near-dup group representatives, the artifact gains the
+    * `groups` relation and `params` gains `ngroups` — an a8 serve
+    * reading an a9 artifact (or vice versa) would miss whole groups.
     */
-  val AlgoVersion = "a8"
+  val AlgoVersion = "a9"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

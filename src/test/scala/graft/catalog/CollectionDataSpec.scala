@@ -851,6 +851,118 @@ class CollectionDataSpec extends SparkSpec {
     assert(hits >= 90, s"4x-corpus graph recall@10 below 0.9: $hits/100")
   }
 
+  test("dedup-aware graph build: cliques collapse to reps, constant budget holds recall, groups honor the touched mask") {
+    import org.apache.spark.sql.functions.{col => cc, format_string, lit,
+      transform => atransform, when => awhen}
+    // The r10 documented limit: a k×-duplicated corpus consumes beam
+    // slots ∝ k (recall@10 over 3-cliques = recall@30 over distinct
+    // points), measured 0.70 at the sf0.1 clique fixture. The r11
+    // dedup-aware build collapses verified near-dup groups to their
+    // min-id representative, walks over reps, and expands groups
+    // back after the walk — so the SAME constant budget must hold a
+    // near-perfect floor on exactly that corpus.
+    val wh = Files.createTempDirectory("graft-dedupbuild").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("grdd", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(cc("vec_id") >= 10)
+      .select(cc("vec_id"), cc("embedding"))
+    def shifted(off: Long, f: Float) = base.select(
+      (cc("vec_id") + lit(off)).as("vec_id"),
+      atransform(cc("embedding"),
+        (x, i) => awhen(i === 0, x * lit(f)).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(shifted(1000000L, 1.01f))
+      .unionByName(shifted(2000000L, 1.02f))
+    val nFull = corpus.count()
+    d.add("grdd", corpus.select(
+      format_string("v%07d", cc("vec_id")).as("id"), cc("embedding")))
+    val queries = emb.filter(cc("vec_id") < 5)
+      .select(cc("vec_id").as("query_id"), cc("embedding").as("qvec"))
+    val res = d.query("grdd", queries, nResults = 10, include = Nil)
+    val served = res.collect().map(r =>
+      (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id"))))
+
+    // 1) artifact shape: groups non-empty and recorded in params;
+    //    most cliques collapsed (members ≈ 2/3 of the corpus); the
+    //    graph's nodes are reps ONLY (no absorbed member in edges)
+    val idx = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.find(_.contains("collgraph"))
+      .getOrElse(fail("clique corpus does not serve from the graph tier"))
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params|groups)$", "")
+    val groups = spark.read.parquet(s"$idx/groups")
+    val nMembers = groups.count()
+    val p = spark.read.parquet(s"$idx/params").head()
+    assert(p.getLong(p.fieldIndex("ngroups")) === nMembers)
+    assert(p.getLong(p.fieldIndex("n")) === nFull)
+    assert(nMembers >= nFull / 2,
+      s"clique collapse too weak: $nMembers members of $nFull rows")
+    val memberIds = groups.select(cc("member_id"))
+      .collect().map(_.getString(0)).toSet
+    val edgeNodes = spark.read.parquet(s"$idx/edges")
+      .select(cc("src")).distinct().collect().map(_.getString(0)).toSet
+    assert(edgeNodes.intersect(memberIds).isEmpty,
+      "graph edges reference absorbed group members")
+    // every group is VERIFIED near-identical: members map to the
+    // clique sibling with the same base id (rep = min id = base row)
+    val badPair = groups.collect().find { r =>
+      val m = r.getString(0).drop(1).toLong; val g = r.getString(1).drop(1).toLong
+      m % 1000000L != g % 1000000L
+    }
+    assert(badPair.isEmpty, s"cross-clique group: $badPair")
+
+    // 2) recall vs brute force over the clique corpus at the
+    //    CONSTANT budget — the pre-r11 law decayed here by design
+    val brute = queries.crossJoin(
+        d.get("grdd", include = Seq("embeddings"))
+          .select(cc("id"), cc("embedding")))
+      .select(cc("query_id"), cc("id"),
+        graft.operators.VectorOps.cosine(cc("qvec"), cc("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cc("query_id"))
+          .orderBy(cc("s").desc, cc("id").asc)))
+      .filter(cc("r") <= 10).select(cc("query_id"), cc("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hits = served.count(brute.contains)
+    assert(hits >= 48, s"clique-corpus recall@10 below 0.96: $hits/50")
+
+    // 3) touched-rep ORPHAN INJECTION: upsert a REP far away — its
+    //    unmoved members leave the masked walk's reach, so the serve
+    //    must inject them directly; they are clique siblings of the
+    //    old top hits and must still surface for the same query
+    val q0 = queries.filter(cc("query_id") === 0L)
+    val top0 = served.filter(_._1 == 0L).map(_._2)
+    val repWithMembers = groups.select(cc("rep_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val movedRep = top0.find(repWithMembers.contains)
+      .getOrElse(fail("query 0's top-10 holds no grouped rep — fixture drift"))
+    val expectedMembers = groups
+      .filter(cc("rep_id") === movedRep)
+      .collect().map(_.getString(0)).toSet
+    assert(expectedMembers.nonEmpty)
+    d.upsert("grdd", Seq((movedRep, Seq.fill(64)(9f)))
+      .toDF("id", "embedding"))
+    val afterRep = d.query("grdd", q0, nResults = 10, include = Nil)
+      .collect().map(r => r.getString(r.fieldIndex("id"))).toSet
+    assert(expectedMembers.subsetOf(afterRep),
+      s"members of the moved rep vanished: ${expectedMembers -- afterRep}")
+    assert(!afterRep.contains(movedRep),
+      "moved rep still served at its stale position")
+
+    // 4) touched-MEMBER mask: upsert a member far away — expansion
+    //    must not resurrect its build-time embedding
+    val movedMember = expectedMembers.head
+    d.upsert("grdd", Seq((movedMember, Seq.fill(64)(-9f)))
+      .toDF("id", "embedding"))
+    val afterMem = d.query("grdd", q0, nResults = 10, include = Nil)
+      .collect().map(r => r.getString(r.fieldIndex("id"))).toSet
+    assert(!afterMem.contains(movedMember),
+      "moved member resurrected through group expansion")
+  }
+
   test("hnsw:M metadata routes query() through the persisted GRAPH tier, exact on deltas") {
     val wh = Files.createTempDirectory("graft-graphidx").toString
     val c = new ChromaSpark(spark, wh)
@@ -1045,6 +1157,82 @@ class CollectionDataSpec extends SparkSpec {
     graphServed.collect()
     assert(idxDirOf(graphServed, "collgraph").isDefined,
       "stale IVF pointer kept serving after hnsw:M was declared")
+  }
+
+  test("graph serve knobs are validated; filteredExactScan forces the exact scan path") {
+    import org.apache.spark.sql.functions.{col => c, format_string}
+    val wh = Files.createTempDirectory("graft-knobs").toString
+    val cl = new ChromaSpark(spark, wh)
+    val d = new CollectionData(cl)
+
+    // 1) serve knobs ride the production path but are NOT folded into
+    // any artifact identity — a 0/negative/non-integer leftover (e.g.
+    // from a TuneGraph sweep in the same session) must fail loudly
+    // instead of silently degrading a certified serve (r11 advisory)
+    for ((k, bad) <- Seq(
+        ("spark.graft.graph.baseHops", "0"),
+        ("spark.graft.graph.upperHops", "-2"),
+        ("spark.graft.graph.upperEf", "abc"),
+        ("spark.graft.graph.ef", "0"),
+        ("spark.graft.graph.maxLevel", "-1"))) {
+      spark.conf.set(k, bad)
+      try intercept[IllegalArgumentException] {
+        k match {
+          case "spark.graft.graph.baseHops"  => d.GraphBaseHops
+          case "spark.graft.graph.upperHops" => d.GraphUpperHops
+          case "spark.graft.graph.upperEf"   => d.GraphUpperEf
+          case "spark.graft.graph.ef"        => d.graphBeamEf(None, 10, 3)
+          case _                             => d.graphMaxLevelFor(8, 1000L)
+        }
+      } finally spark.conf.unset(k)
+    }
+    // a VALID override still works (it warns once; it must not fail)
+    spark.conf.set("spark.graft.graph.baseHops", "4")
+    try assert(d.GraphBaseHops === 4)
+    finally spark.conf.unset("spark.graft.graph.baseHops")
+
+    // 2) exact escape hatch (r11 advisory): the r10 side-tier probe
+    // made filtered queries on graph-declared collections approximate
+    // — users with selective/skewed predicates can opt back into the
+    // pre-r10 exactness per session; the serve then never touches the
+    // collivf side-tier and matches brute force over live state
+    cl.createCollection("ex", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.filter(c("vec_id") >= 10)
+      .select(format_string("v%07d", c("vec_id")), c("embedding")).collect()
+    d.add("ex", items(rows.map(r => (r.getString(0), r.getSeq[Float](1),
+      s"doc ${r.getString(0)}",
+      s"""{"par":${r.getString(0).drop(1).toLong % 7}}""")): _*))
+    val qvec = emb.filter(c("vec_id") === 0L)
+      .select(c("embedding")).collect().head.getSeq[Float](0)
+    val q = emb.filter(c("vec_id") === 0L)
+      .select(c("vec_id").as("query_id"), c("embedding").as("qvec"))
+    def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, x, y), (p, r)) =>
+          (s + p.toDouble * r.toDouble, x + p.toDouble * p.toDouble,
+            y + r.toDouble * r.toDouble)
+      }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val truth = rows.filter(_.getString(0).drop(1).toLong % 7 == 3)
+      .map(r => (r.getString(0), cosDist(qvec, r.getSeq[Float](1))))
+      .sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1).toSeq
+    spark.conf.set("spark.graft.graph.filteredExactScan", "true")
+    try {
+      val res = d.query("ex", q, nResults = 5, include = Nil,
+        whereJson = Some("""{"par":3}"""))
+      val got = res.collect().map(r => r.getString(r.fieldIndex("id"))).toSeq
+      val scans = res.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(!scans.exists(_.contains("collivf")),
+        s"exact escape hatch still served from the IVF side-tier: $scans")
+      assert(got === truth,
+        s"exact filtered scan diverged from brute force: $got vs $truth")
+    } finally spark.conf.unset("spark.graft.graph.filteredExactScan")
   }
 
   test("hybrid BM25 serves from the persisted lexical tier, bitwise-equal to inline, exact on deltas") {

@@ -891,6 +891,8 @@ object SparkEntry {
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
+    "vec_kcenter"        -> ((s, d) =>
+      VectorOps.kcenterSelect(Tables.embeddings(s, d), 8)),
     "catalog_lifecycle"  -> (catalogLifecycle _),
     "txt_token_counts"   -> (TextAnalysis.tokenCounts _),
     "txt_quality"        -> (TextAnalysis.qualityScore _),
@@ -1278,6 +1280,54 @@ object SparkEntry {
        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id, a."rank"""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.VectorOps.kcenterSelect]] —
+    * the greedy farthest-point selection unrolled round-by-round
+    * (the classifierOracleSql discipline: per-round arithmetic
+    * stated exactly once, generated by loop). Round CTEs are
+    * MATERIALIZED — each round's running-min frame is referenced by
+    * both the next argmax and the next update, and DuckDB would
+    * otherwise inline-recompute the whole selection chain per
+    * reference.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT vec_id, md FROM d${i - 1} ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.vec,
+         |    least(p.md, 1.0 - list_cosine_similarity(CAST(p.vec AS DOUBLE[]),
+         |      (SELECT CAST(c.vec AS DOUBLE[]) FROM c JOIN s$i USING (vec_id)))) AS md
+         |  FROM d${i - 1} p),""".stripMargin
+    }.mkString("\n")
+    val sel = (2 to k).map { i =>
+      s"""  UNION ALL
+         |  SELECT CAST($i AS BIGINT), vec_id, floor(md * 10000.0 + 0.5) / 10000.0
+         |  FROM s$i""".stripMargin
+    }.mkString("\n")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS vec FROM embeddings
+       |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) > 0),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY md5('kc:' || vec_id), vec_id) AS r
+       |    FROM c)
+       |  WHERE r = 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT x.vec_id, x.vec,
+       |    1.0 - list_cosine_similarity(CAST(x.vec AS DOUBLE[]),
+       |      (SELECT CAST(c.vec AS DOUBLE[]) FROM c JOIN s1 USING (vec_id))) AS md
+       |  FROM c x),
+       |$rounds
+       |sel AS (
+       |  SELECT CAST(1 AS BIGINT) AS "rank", vec_id,
+       |    CAST(NULL AS DOUBLE) AS sel_dist
+       |  FROM s1
+       |$sel)
+       |SELECT "rank", vec_id, sel_dist FROM sel ORDER BY "rank"""".stripMargin
   }
 
   /** DuckDB twin of [[TextAnalysis.svmClassifier]] — the full
@@ -3457,6 +3507,11 @@ object SparkEntry {
         |FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
+
+    // Greedy k-center coreset selection, round-by-round (generator
+    // above): deterministic md5 seed, incremental running-min update,
+    // argmax with id tie-break — the full selection sequence hashes.
+    "vec_kcenter" -> kcenterOracleSql(8),
 
     "vec_quantize" ->
       """WITH t AS (

@@ -1201,10 +1201,16 @@ class CollectionData(client: ChromaSpark) {
     */
   private def buildGraphIndex(collection: String, scratch: java.nio.file.Path,
                               m: Int, cef: Int, metric: String): Unit = {
-    val base = resolved(collection).filter(col("embedding").isNotNull)
-    base.select(col("id"), col("embedding"), col("document"), col("metadata_json"))
+    resolved(collection).filter(col("embedding").isNotNull)
+      .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
       .write.mode("overwrite").parquet(s"$scratch/base")
-    val fullCorpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    // every later build pass (grouping, edges, levels, L−1 upper
+    // layers, entries) reads the JUST-WRITTEN columnar snapshot, not
+    // the lazy merge-on-read log view — the log's
+    // latest-version-per-id window runs exactly once per build
+    // instead of once per build job (r11)
+    val fullCorpus = spark.read.parquet(s"$scratch/base")
+      .select(col("id").as("vec_id"), col("embedding").as("vec"))
     // LSH planes must match the data's dimensionality — one header
     // probe (first row), model-scale
     val dim = fullCorpus.select(size(col("vec")).as("d")).limit(1)
@@ -1269,11 +1275,17 @@ class CollectionData(client: ChromaSpark) {
       .select(col("vec_id").as("member_id"), col("cand").as("rep_id"))
       .write.mode("overwrite").parquet(s"$scratch/groups")
     val nGroupMembers = spark.read.parquet(s"$scratch/groups").count()
-    // representatives = everything not absorbed as a member
-    val memberIds = spark.read.parquet(s"$scratch/groups")
-      .select(col("member_id").as("vec_id"))
-    val corpus = fullCorpus.join(memberIds, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("vec"))
+    // representatives = everything not absorbed as a member; on a
+    // dup-free corpus (the common case) the anti-join is skipped
+    // outright so every downstream build job reads the snapshot
+    // directly — grouping costs exactly one signature+verify pass
+    val corpus =
+      if (nGroupMembers == 0L) fullCorpus
+      else fullCorpus.join(
+          spark.read.parquet(s"$scratch/groups")
+            .select(col("member_id").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec"))
     // NAVIGABLE edge construction, every layer (canonical HNSW:
     // Malkov & Yashunin 2018 §4.1 M_max0 = 2·M plus the
     // shrink-connections step): 2M-degree kNN from LSH-bucketed

@@ -948,6 +948,74 @@ object VectorOps {
     ivfPqSearch(queries, encoded, corpus, probes, k, m, kCodes, shortlist)
   }
 
+  /** Greedy k-center (farthest-point-first) coreset selection —
+    * Gonzalez (1985), the 2-approximation every diverse-subset /
+    * data-pruning recipe builds on: pick a budgeted subset whose
+    * covering radius over the corpus is provably within 2× of
+    * optimal, the primitive a training-data pipeline uses to prune a
+    * near-duplicate-heavy corpus down to a coverage-maximizing
+    * sample (complements the dedup family: dedup removes the
+    * near-identical, k-center picks the spread-out survivors).
+    *
+    * Fully deterministic and cross-engine replayable: the seed is
+    * the minimum (md5('kc:'‖id), id) hash rank — content-independent
+    * — and every later round's argmax ties break by id, so a DuckDB
+    * oracle unrolls the identical selection CTE-by-CTE.
+    *
+    * Scale shape: the running min-distance-to-selected column updates
+    * INCREMENTALLY — each round is one map over the corpus
+    * (`least(md, dist-to-new-center)`, the new center's vector a
+    * literal) plus one 1-row argmax reduce; k rounds total, so cost
+    * is k linear scans with NO shuffle of the corpus and nothing
+    * pairwise. Each round's state is localCheckpointed so round i+1
+    * scans the materialized round-i frame instead of re-running the
+    * whole lineage (k scans, not k²). Distances are cosine
+    * (1 − cos), computed in DOUBLE by the codegen'd kernel.
+    *
+    * Output: one row per selected center — (rank, vec_id, sel_dist)
+    * where sel_dist is the center's distance to the previously
+    * selected set at the moment of selection (the covering radius
+    * sequence — non-increasing by construction; NULL for the seed),
+    * rounded to 4 decimals for the cross-engine hash.
+    */
+  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // zero vectors have no cosine — excluded upfront (NaN would
+    // otherwise win every DESC argmax, in both engines)
+    val c = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+      .filter(dot(col("vec"), col("vec")) > 0)
+    val seedId = c.select(col("vec_id"),
+        md5(concat(lit("kc:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
+    val seedVec = c.filter(col("vec_id") === seedId)
+      .select(col("vec")).head().getSeq[Float](0)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Option[Double])](
+      (1L, seedId, None))
+    var state = c.select(col("vec_id"), col("vec"),
+        (lit(1.0) - cosine(vecLit(seedVec), col("vec"))).as("md"))
+      .localCheckpoint(true)
+    var round = 2
+    while (round <= k) {
+      val next = state.filter(col("md").isNotNull)
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("md"), col("vec")).collect().head
+      val nid = next.getLong(0)
+      out += ((round.toLong, nid,
+        Some(math.floor(next.getDouble(1) * 10000.0 + 0.5) / 10000.0)))
+      val nv = next.getSeq[Float](2)
+      state = state.select(col("vec_id"), col("vec"),
+          least(col("md"), lit(1.0) - cosine(vecLit(nv), col("vec"))).as("md"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "sel_dist")
+      .orderBy(col("rank"))
+  }
+
   /** Per-query recall@k vs exact brute force on the same frames,
     * attached as a constant `recall_at_k` column — the driver's
     * rows-only artifact then certifies retrieval QUALITY, not just

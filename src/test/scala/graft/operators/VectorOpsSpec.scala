@@ -388,4 +388,48 @@ class VectorOpsSpec extends SparkSpec {
       assert(rows.find(_._2 == 1L).get._3 === top._1)
     }
   }
+
+  test("k-center coreset: greedy selection replays exactly; covering radius non-increasing") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val res = VectorOps.kcenterSelect(emb, 8).collect()
+    assert(res.length === 8)
+    val ids = res.map(_.getLong(1))
+    assert(ids.distinct.length === 8, "selected centers repeat")
+    assert(res.head.isNullAt(2), "seed must carry NULL sel_dist")
+    // radius sequence non-increasing (greedy invariant)
+    val dists = res.drop(1).map(_.getDouble(2))
+    dists.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"covering radius grew: $a -> $b")
+    }
+    // full driver-side replay in plain doubles: same seed law (min
+    // md5('kc:'||id) hex rank), same kernel arithmetic (left-to-right
+    // double fold), same argmax with id tie-break
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = all.toMap
+    val seed = all.map(_._1).minBy(id => (md5hex("kc:" + id), id))
+    assert(ids.head === seed, s"seed diverged: ${ids.head} vs $seed")
+    var mind = all.map { case (id, v) => id -> cosDist(byId(seed), v) }.toMap
+    for (i <- 1 until 8) {
+      val next = mind.toSeq.minBy { case (id, d) => (-d, id) }
+      assert(ids(i) === next._1,
+        s"round ${i + 1} selection diverged: got ${ids(i)}, replay ${next._1}")
+      assert(math.abs(dists(i - 1) -
+        math.floor(next._2 * 10000.0 + 0.5) / 10000.0) < 1e-9)
+      val nv = byId(next._1)
+      mind = mind.map { case (id, d) => id -> math.min(d, cosDist(nv, byId(id))) }
+    }
+  }
 }

@@ -58,6 +58,8 @@ object TuneGraph {
     for (dir <- dirs; (bh, uh, ue, ef) <- points) {
       sys.env.get("MAXLEVEL").foreach(v =>
         spark.conf.set("spark.graft.graph.maxLevel", v))
+      sys.env.get("GATE").foreach(v =>
+        spark.conf.set("spark.graft.graph.dedupGatePct", v))
       spark.conf.set("spark.graft.graph.baseHops", bh.toString)
       spark.conf.set("spark.graft.graph.upperHops", uh.toString)
       spark.conf.set("spark.graft.graph.upperEf", ue.toString)

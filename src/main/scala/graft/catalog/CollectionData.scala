@@ -1077,6 +1077,17 @@ class CollectionData(client: ChromaSpark) {
   private[catalog] def GraphBaseHops: Int =
     graphServeKnob("spark.graft.graph.baseHops", GraphBaseHopsDefault)
 
+  /** Dedup-grouping verify-gate width in PERCENT of the larger norm
+    * (BUILD knob, default 2 — the certified constant the oracles
+    * replay). Folded into the collgraph cache key and
+    * pointer-checked, so an overridden build can never stale-serve a
+    * default one (the maxLevel discipline); overrides are
+    * ops/experiment knobs for TuneGraph sweeps, not certified serves.
+    */
+  private[catalog] def GraphDedupGatePct: Int =
+    graphServeKnob("spark.graft.graph.dedupGatePct", 2,
+      warnOnDeviation = false)
+
   /** Per-upper-layer walk length — constant: each layer's seeds come
     * from the layer above (nested membership), so the within-layer
     * walk covers an expected O(1) distance before the next descent.
@@ -1269,7 +1280,7 @@ class CollectionData(client: ChromaSpark) {
     withCand.filter(col("vec_id") =!= col("cand"))
       .join(repVecs, "cand")
       .filter(graft.operators.VectorOps.l2(col("vec"), col("rvec")) <=
-        lit(0.02) * sqrt(greatest(
+        lit(GraphDedupGatePct / 100.0) * sqrt(greatest(
           graft.operators.VectorOps.dot(col("vec"), col("vec")),
           graft.operators.VectorOps.dot(col("rvec"), col("rvec")))))
       .select(col("vec_id").as("member_id"), col("cand").as("rep_id"))
@@ -1278,14 +1289,23 @@ class CollectionData(client: ChromaSpark) {
     // representatives = everything not absorbed as a member; on a
     // dup-free corpus (the common case) the anti-join is skipped
     // outright so every downstream build job reads the snapshot
-    // directly — grouping costs exactly one signature+verify pass
+    // directly — grouping costs exactly one signature+verify pass.
+    // When groups DID form, the rep set is materialized once to
+    // scratch: ~10 downstream build jobs (base edges, levels, L−1
+    // upper layers, entries) would otherwise each re-run the
+    // anti-join; a grouped corpus shrinks the node set anyway, so
+    // the extra relation is smaller than what grouping saved.
     val corpus =
       if (nGroupMembers == 0L) fullCorpus
-      else fullCorpus.join(
-          spark.read.parquet(s"$scratch/groups")
-            .select(col("member_id").as("vec_id")),
-          Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("vec"))
+      else {
+        fullCorpus.join(
+            spark.read.parquet(s"$scratch/groups")
+              .select(col("member_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("vec"))
+          .write.mode("overwrite").parquet(s"$scratch/nodes")
+        spark.read.parquet(s"$scratch/nodes")
+      }
     // NAVIGABLE edge construction, every layer (canonical HNSW:
     // Malkov & Yashunin 2018 §4.1 M_max0 = 2·M plus the
     // shrink-connections step): 2M-degree kNN from LSH-bucketed
@@ -1445,7 +1465,8 @@ class CollectionData(client: ChromaSpark) {
           val fp = annContentFingerprint(collection)
           val lvl = graphMaxLevelFor(m, annLiveVecRows(collection))
           graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
-            s"$fp-m$m-c$cef-L$lvl-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
+            s"$fp-m$m-c$cef-L$lvl-g$GraphDedupGatePct-$metric-" +
+              graft.operators.VectorIndex.AlgoVersion) { scratch =>
             buildGraphIndex(collection, scratch, m, cef, metric)
           }
         case None => ivfArtifact(collection, metric)
@@ -1473,6 +1494,10 @@ class CollectionData(client: ChromaSpark) {
           case Some((m, cef)) =>
             artifact.startsWith("collgraph-") &&
               artifact.contains(s"-m$m-c$cef-") &&
+              // the dedup gate always resolves to a concrete value,
+              // so the pointer must carry exactly it (same stale-serve
+              // discipline as maxLevel, simpler check)
+              artifact.contains(s"-g$GraphDedupGatePct-") &&
               (spark.conf.getOption("spark.graft.graph.maxLevel") match {
                 case Some(l) => artifact.contains(s"-L$l-")
                 case None =>

@@ -887,6 +887,7 @@ object SparkEntry {
     "ev_cuped"           -> ((s, d) => Events.cupedAb(s, d)),
     "ev_bootstrap"       -> ((s, d) => Events.bootstrapCi(s, d)),
     "ev_ewma"            -> (Events.ewma _),
+    "ev_forecast"        -> ((s, d) => Events.holtWinters(s, d)),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -1280,6 +1281,80 @@ object SparkEntry {
        |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id, a."rank"""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Events.holtWinters]] — the
+    * integer fixed-point triple-exponential-smoothing recursion
+    * replayed with a RECURSIVE CTE whose row carries the 7-slot
+    * seasonal window as a LIST (slide = `seas[2:7] || [s_new]`), the
+    * floorDiv steps in the classifier oracle's pmod construction, and
+    * lateral column aliases for the within-row l→b→s dependency.
+    * Emitted yhat on fit rows is the one-step-ahead forecast (uses
+    * the PREVIOUS row's state), matching the engine exactly.
+    */
+  private val holtWintersOracleSql: String = {
+    def fd(a: String, b: String) = s"(($a - (($a % $b + $b) % $b)) // $b)"
+    val M = "1000000"
+    s"""WITH RECURSIVE
+       |daily0 AS MATERIALIZED (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |spine AS MATERIALIZED (
+       |  SELECT s.day_d,
+       |    CAST(s.day_d - (SELECT min(day_d) FROM daily0) AS BIGINT) AS t,
+       |    coalesce(n, CAST(0 AS BIGINT)) AS y
+       |  FROM (SELECT unnest(range(lo, hi + 1)) AS day_d
+       |        FROM (SELECT min(day_d) AS lo, max(day_d) AS hi FROM daily0)) s
+       |  LEFT JOIN daily0 USING (day_d)),
+       |maxt AS MATERIALIZED (SELECT max(t) AS mt FROM spine),
+       |init AS MATERIALIZED (
+       |  SELECT
+       |    (SELECT sum(y) FROM spine WHERE t <= 6) AS w1,
+       |    (SELECT sum(y) FROM spine WHERE t BETWEEN 7 AND 13) AS w2),
+       |hw AS (
+       |  SELECT CAST(6 AS BIGINT) AS t,
+       |    ${fd(s"(w1 * $M)", "7")} AS l,
+       |    ${fd(s"((w2 - w1) * $M)", "49")} AS b,
+       |    (SELECT list(y * $M - (${fd(s"(w1 * $M)", "7")} +
+       |        (t - 3) * ${fd(s"((w2 - w1) * $M)", "49")}) ORDER BY t)
+       |     FROM spine, init WHERE t <= 6) AS seas,
+       |    CAST(NULL AS BIGINT) AS y,
+       |    CAST(NULL AS BIGINT) AS s_t,
+       |    CAST(NULL AS BIGINT) AS yhat
+       |  FROM init
+       |  UNION ALL
+       |  SELECT sp.t,
+       |    ${fd(s"(3 * (sp.y * $M - p.seas[1]) + 7 * (p.l + p.b))", "10")} AS l2,
+       |    ${fd("((l2 - p.l) + 9 * p.b)", "10")} AS b2,
+       |    p.seas[2:7] ||
+       |      [${fd(s"(2 * (sp.y * $M - l2) + 8 * p.seas[1])", "10")}] AS seas2,
+       |    sp.y,
+       |    seas2[7] AS s_t2,
+       |    p.l + p.b + p.seas[1] AS yhat2
+       |  FROM hw p JOIN spine sp ON sp.t = p.t + 1),
+       |fit AS (
+       |  SELECT h.t, 'fit' AS kind, h.y, h.l AS level_micro,
+       |    h.b AS trend_micro, h.s_t AS season_micro, h.yhat AS yhat_micro
+       |  FROM hw h WHERE h.t >= 7),
+       |fin AS MATERIALIZED (
+       |  SELECT h.* FROM hw h, maxt WHERE h.t = maxt.mt),
+       |fc AS (
+       |  SELECT f.t + st.step AS t, 'forecast' AS kind,
+       |    CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS level_micro,
+       |    CAST(NULL AS BIGINT) AS trend_micro,
+       |    CAST(NULL AS BIGINT) AS season_micro,
+       |    f.l + st.step * f.b +
+       |      f.seas[CAST(((st.step - 1) % 7) + 1 AS BIGINT)] AS yhat_micro
+       |  FROM fin f, (SELECT unnest(range(1, 15)) AS step) st),
+       |allrows AS (
+       |  SELECT * FROM fit UNION ALL SELECT * FROM fc)
+       |SELECT CAST(to_timestamp((a.t + (SELECT min(day_d) FROM daily0)) * 86400)
+       |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS day_ts,
+       |  a.kind, a.y, a.level_micro, a.trend_micro, a.season_micro,
+       |  a.yhat_micro
+       |FROM allrows a
+       |ORDER BY day_ts""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.VectorOps.kcenterSelect]] —
@@ -1872,6 +1947,8 @@ object SparkEntry {
     // adjusted 8-tap EWMA re-derived: integer-cent dailies over a
     // calendar spine, BIGINT tap weights 3^i*4^(7-i), one final
     // division of identical integers on both engines, then rnd4
+    "ev_forecast" -> holtWintersOracleSql,
+
     "ev_ewma" ->
       """WITH daily0 AS (
         |  SELECT event_type,

@@ -1213,6 +1213,90 @@ object Events {
     * — so the per-type window partition skew is irrelevant; spine
     * fill guarantees the taps are calendar-contiguous.
     */
+  /** Holt-Winters triple exponential smoothing (additive, weekly
+    * seasonality) over the daily event-count series, plus a 14-day
+    * forecast — the classic capacity-planning / anomaly-baseline
+    * forecaster a metrics pipeline layers over raw dailies.
+    *
+    * Cross-engine exactness by construction (the svmClassifier
+    * discipline): state lives in integer MICROS and every smoothing
+    * step is `Math.floorDiv` over exact BIGINTs with the rational
+    * constants α=3/10, β=1/10, γ=2/10 — no float drift anywhere, so
+    * the DuckDB oracle replays the recursion bit-for-bit with a
+    * recursive CTE carrying the 7-slot seasonal window as a LIST.
+    * Init: l₀ = mean(week 1), b₀ = (mean(week 2) − mean(week 1))/7,
+    * sⱼ = yⱼ − l₀ — requires ≥ 15 days of spine, enforced loudly.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the daily hash agg
+    * (map-side combinable, one shuffle). The recurrence is inherently
+    * sequential, so it runs on the driver over the 0-filled day
+    * spine — time-span-sized (30 rows here, ≤ thousands for decades
+    * of data), never data-sized; the result frame is spine+horizon
+    * rows. Emitted `yhat_micro` on fit rows is the ONE-STEP-AHEAD
+    * forecast (made before seeing that day), so fit error is honest.
+    */
+  def holtWinters(s: SparkSession, dir: String,
+                  horizon: Int = 14): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("day_d")).agg(count(lit(1)).as("n"))
+    holtWintersOf(daily0, horizon)
+  }
+
+  /** The smoothing core over a (day_d, n) daily frame — split out so
+    * specs can drive it with planted series of known structure. */
+  def holtWintersOf(daily0: DataFrame, horizon: Int): DataFrame = {
+    val s = daily0.sparkSession
+    import s.implicits._
+    val spineDf = daily0.agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_d"))
+      .join(daily0, Seq("day_d"), "left")
+      .select(col("day_d"), coalesce(col("n"), lit(0L)).as("y"))
+      .orderBy(col("day_d"))
+    val spine = spineDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val T = spine.length
+    if (T < 15) throw new IllegalStateException(
+      s"holtWinters needs >= 15 days of data (weekly init + one step), got $T")
+    val y = spine.map(_._2)
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val M = 1000000L
+    val w1 = y.slice(0, 7).sum
+    val w2 = y.slice(7, 14).sum
+    var l = fd(w1 * M, 7L)
+    var b = fd((w2 - w1) * M, 49L)
+    // seasonal init is DETRENDED: s_j = y_j − (l₀ + (j−3)·b₀) — the
+    // raw y_j − l₀ would absorb week-1's trend into the seasonal
+    // slots (error up to ±3b₀), which γ=0.2 takes many cycles to
+    // unlearn; centering at mid-week (j=3) keeps s summing ≈ 0
+    val seas = scala.collection.mutable.ArrayBuffer[Long](
+      (0 until 7).map(j => y(j) * M - (l + (j - 3L) * b)): _*)
+    val rows = scala.collection.mutable.ListBuffer[
+      (Long, String, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]()
+    for (t <- 7 until T) {
+      val sPrev = seas(t - 7)
+      val yhat = l + b + sPrev
+      val lNew = fd(3L * (y(t) * M - sPrev) + 7L * (l + b), 10L)
+      val bNew = fd(1L * (lNew - l) + 9L * b, 10L)
+      val sNew = fd(2L * (y(t) * M - lNew) + 8L * sPrev, 10L)
+      rows += ((spine(t)._1, "fit", Some(y(t)), Some(lNew), Some(bNew),
+        Some(sNew), Some(yhat)))
+      seas += sNew
+      l = lNew; b = bNew
+    }
+    for (step <- 1 to horizon) {
+      val sIdx = T - 1 + step - 7 * ((step + 6) / 7)
+      rows += ((spine(T - 1)._1 + step, "forecast", None, None, None, None,
+        Some(l + step.toLong * b + seas(sIdx))))
+    }
+    rows.toSeq
+      .toDF("day_d", "kind", "y", "level_micro", "trend_micro",
+        "season_micro", "yhat_micro")
+      .select((col("day_d") * 86400L).cast("timestamp").as("day_ts"),
+        col("kind"), col("y"), col("level_micro"), col("trend_micro"),
+        col("season_micro"), col("yhat_micro"))
+      .orderBy(col("day_ts"))
+  }
+
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val daily0 = Tables.events(s, dir)
       .select(col("event_type"),

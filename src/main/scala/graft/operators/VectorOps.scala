@@ -977,6 +977,13 @@ object VectorOps {
     * selected set at the moment of selection (the covering radius
     * sequence — non-increasing by construction; NULL for the seed),
     * rounded to 4 decimals for the cross-engine hash.
+    *
+    * Degenerate-input edge, mirrored by the oracle on purpose: if
+    * k exceeds the number of DISTINCT non-zero vectors, every
+    * remaining min-distance is 0 and the argmax (ties by id) re-emits
+    * the lowest-id exhausted point — callers selecting a coreset
+    * larger than their corpus get visible repeats, not a crash, and
+    * both engines emit the identical sequence.
     */
   def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
     require(k >= 1)

@@ -530,4 +530,44 @@ class EventsSpec extends SparkSpec {
     // peak never below the residual occupancy it leaves behind
     assert(out.forall(r => r.getLong(2) >= r.getLong(3)))
   }
+
+  test("Holt-Winters: a planted trend+weekly series forecasts its exact continuation; structure pinned") {
+    import spark.implicits._
+    // planted series: y_t = 1000 + 20·t + season(t mod 7) over 35
+    // days — EXACTLY representable by the additive model, so after
+    // the warm-up the one-step fit error must shrink toward 0 and the
+    // 14-day forecast must track the true continuation closely
+    val season = Array(60L, -40L, 10L, -30L, 80L, -50L, -30L) // sums to 0
+    val daily = (0 until 35).map(t =>
+      (t.toLong, 1000L + 20L * t + season(t % 7))).toDF("day_d", "n")
+    val res = graft.operators.Events.holtWintersOf(daily, horizon = 14)
+      .collect()
+    val fit = res.filter(_.getString(1) == "fit")
+    val fc = res.filter(_.getString(1) == "forecast")
+    assert(fit.length === 28 && fc.length === 14)
+    // structure: fit rows carry full state; forecast rows only yhat
+    assert(fit.forall(r => !r.isNullAt(2) && !r.isNullAt(3) &&
+      !r.isNullAt(4) && !r.isNullAt(5) && !r.isNullAt(6)))
+    assert(fc.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+      r.isNullAt(5) && !r.isNullAt(6)))
+    // late-fit one-step error under 2% of level (model matches data)
+    val lateErr = fit.takeRight(7).map { r =>
+      math.abs(r.getLong(6).toDouble / 1e6 - r.getLong(2).toDouble)
+    }.max
+    assert(lateErr <= 0.02 * 1700, s"late one-step fit error too large: $lateErr")
+    // forecast tracks the true continuation within 2.5%
+    fc.zipWithIndex.foreach { case (r, i) =>
+      val step = i + 1
+      val t = 34 + step
+      val truth = 1000.0 + 20.0 * t + season(t % 7)
+      val yhat = r.getLong(6).toDouble / 1e6
+      assert(math.abs(yhat - truth) <= 0.025 * truth,
+        s"forecast step $step off: $yhat vs $truth")
+    }
+    // the real-table query is deterministic and spans fit+forecast
+    val real = graft.operators.Events.holtWinters(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(real.count(_.getString(1) == "forecast") === 14)
+    assert(real.count(_.getString(1) == "fit") >= 10)
+  }
 }

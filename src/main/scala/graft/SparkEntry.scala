@@ -1290,7 +1290,10 @@ object SparkEntry {
     * floorDiv steps in the classifier oracle's pmod construction, and
     * lateral column aliases for the within-row l→b→s dependency.
     * Emitted yhat on fit rows is the one-step-ahead forecast (uses
-    * the PREVIOUS row's state), matching the engine exactly.
+    * the PREVIOUS row's state), matching the engine exactly. The
+    * split-conformal 90% band on forecast rows is the exact BIGINT
+    * order statistic of the |fit residuals| at the integer index
+    * law min(n, ⌊(9(n+1)+9)/10⌋).
     */
   private val holtWintersOracleSql: String = {
     def fd(a: String, b: String) = s"(($a - (($a % $b + $b) % $b)) // $b)"
@@ -1333,10 +1336,19 @@ object SparkEntry {
        |    seas2[7] AS s_t2,
        |    p.l + p.b + p.seas[1] AS yhat2
        |  FROM hw p JOIN spine sp ON sp.t = p.t + 1),
-       |fit AS (
+       |fit AS MATERIALIZED (
        |  SELECT h.t, 'fit' AS kind, h.y, h.l AS level_micro,
-       |    h.b AS trend_micro, h.s_t AS season_micro, h.yhat AS yhat_micro
+       |    h.b AS trend_micro, h.s_t AS season_micro, h.yhat AS yhat_micro,
+       |    CAST(NULL AS BIGINT) AS lo90_micro,
+       |    CAST(NULL AS BIGINT) AS hi90_micro
        |  FROM hw h WHERE h.t >= 7),
+       |qv AS MATERIALIZED (
+       |  SELECT r AS q FROM (
+       |    SELECT abs(y * $M - yhat_micro) AS r,
+       |      row_number() OVER (ORDER BY abs(y * $M - yhat_micro)) AS rn,
+       |      count(*) OVER () AS n
+       |    FROM fit)
+       |  WHERE rn = least(n, ${fd("(9 * (n + 1) + 9)", "10")})),
        |fin AS MATERIALIZED (
        |  SELECT h.* FROM hw h, maxt WHERE h.t = maxt.mt),
        |fc AS (
@@ -1345,14 +1357,16 @@ object SparkEntry {
        |    CAST(NULL AS BIGINT) AS trend_micro,
        |    CAST(NULL AS BIGINT) AS season_micro,
        |    f.l + st.step * f.b +
-       |      f.seas[CAST(((st.step - 1) % 7) + 1 AS BIGINT)] AS yhat_micro
-       |  FROM fin f, (SELECT unnest(range(1, 15)) AS step) st),
+       |      f.seas[CAST(((st.step - 1) % 7) + 1 AS BIGINT)] AS yhat_micro,
+       |    yhat_micro - qv.q AS lo90_micro,
+       |    yhat_micro + qv.q AS hi90_micro
+       |  FROM fin f, (SELECT unnest(range(1, 15)) AS step) st, qv),
        |allrows AS (
        |  SELECT * FROM fit UNION ALL SELECT * FROM fc)
        |SELECT CAST(to_timestamp((a.t + (SELECT min(day_d) FROM daily0)) * 86400)
        |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS day_ts,
        |  a.kind, a.y, a.level_micro, a.trend_micro, a.season_micro,
-       |  a.yhat_micro
+       |  a.yhat_micro, a.lo90_micro, a.hi90_micro
        |FROM allrows a
        |ORDER BY day_ts""".stripMargin
   }

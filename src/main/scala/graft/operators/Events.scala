@@ -1283,17 +1283,33 @@ object Events {
       seas += sNew
       l = lNew; b = bNew
     }
-    for (step <- 1 to horizon) {
+    // split-conformal 90% interval: q = the ⌈0.9·(n+1)⌉-th smallest
+    // absolute one-step fit residual (the standard conformal index,
+    // computed as the INTEGER law ⌊(9(n+1)+9)/10⌋ clamped to n — no
+    // float at the boundary), attached to every forecast row as
+    // yhat ± q. Distribution-free coverage ≥ 90% under
+    // exchangeability of the one-step errors; exact BIGINT
+    // order statistic, so the oracle replays it bit-for-bit.
+    val resid = rows.map(r => math.abs(r._3.get * M - r._7.get)).sorted
+    val qIdx = math.min(resid.length.toLong,
+      Math.floorDiv(9L * (resid.length + 1) + 9L, 10L)).toInt
+    val q = resid(qIdx - 1)
+    val out = rows.map { case (d, k, y, l0, b0, s0, yh) =>
+      (d, k, y, l0, b0, s0, yh, None: Option[Long], None: Option[Long])
+    } ++ (1 to horizon).map { step =>
       val sIdx = T - 1 + step - 7 * ((step + 6) / 7)
-      rows += ((spine(T - 1)._1 + step, "forecast", None, None, None, None,
-        Some(l + step.toLong * b + seas(sIdx))))
+      val yh = l + step.toLong * b + seas(sIdx)
+      (spine(T - 1)._1 + step, "forecast", None: Option[Long],
+        None: Option[Long], None: Option[Long], None: Option[Long],
+        Some(yh), Some(yh - q), Some(yh + q))
     }
-    rows.toSeq
+    out.toSeq
       .toDF("day_d", "kind", "y", "level_micro", "trend_micro",
-        "season_micro", "yhat_micro")
+        "season_micro", "yhat_micro", "lo90_micro", "hi90_micro")
       .select((col("day_d") * 86400L).cast("timestamp").as("day_ts"),
         col("kind"), col("y"), col("level_micro"), col("trend_micro"),
-        col("season_micro"), col("yhat_micro"))
+        col("season_micro"), col("yhat_micro"), col("lo90_micro"),
+        col("hi90_micro"))
       .orderBy(col("day_ts"))
   }
 

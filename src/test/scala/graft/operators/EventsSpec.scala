@@ -555,7 +555,8 @@ class EventsSpec extends SparkSpec {
       math.abs(r.getLong(6).toDouble / 1e6 - r.getLong(2).toDouble)
     }.max
     assert(lateErr <= 0.02 * 1700, s"late one-step fit error too large: $lateErr")
-    // forecast tracks the true continuation within 2.5%
+    // forecast tracks the true continuation within 2.5%, and the
+    // split-conformal 90% band contains it at every step
     fc.zipWithIndex.foreach { case (r, i) =>
       val step = i + 1
       val t = 34 + step
@@ -563,7 +564,14 @@ class EventsSpec extends SparkSpec {
       val yhat = r.getLong(6).toDouble / 1e6
       assert(math.abs(yhat - truth) <= 0.025 * truth,
         s"forecast step $step off: $yhat vs $truth")
+      val lo = r.getLong(7).toDouble / 1e6
+      val hi = r.getLong(8).toDouble / 1e6
+      assert(lo <= truth && truth <= hi,
+        s"step $step: conformal band [$lo, $hi] misses truth $truth")
+      assert(lo < yhat && yhat < hi)
     }
+    // fit rows carry no interval
+    assert(fit.forall(r => r.isNullAt(7) && r.isNullAt(8)))
     // the real-table query is deterministic and spans fit+forecast
     val real = graft.operators.Events.holtWinters(spark, "/root/testdata/sf0.001")
       .collect()

@@ -851,6 +851,7 @@ object SparkEntry {
     "ev_props_json"      -> (Events.propsStats _),
     "ev_hourly"          -> (Events.hourly _),
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
+    "stream_forecast"    -> (graft.streaming.EventStreams.runForecastAvailableNow _),
     "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
     "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
     "stream_transitions" -> (graft.streaming.EventStreams.runTransitionsAvailableNow _),
@@ -1962,6 +1963,9 @@ object SparkEntry {
     // calendar spine, BIGINT tap weights 3^i*4^(7-i), one final
     // division of identical integers on both engines, then rnd4
     "ev_forecast" -> holtWintersOracleSql,
+    // streamed ≡ batch by construction: the streaming daily agg feeds
+    // the identical smoothing core, so the batch oracle applies verbatim
+    "stream_forecast" -> holtWintersOracleSql,
 
     "ev_ewma" ->
       """WITH daily0 AS (

@@ -124,6 +124,45 @@ object EventStreams {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** STREAMED FORECAST (r11 — the ELEVENTH driver-gated streaming
+    * runtime): daily event counts aggregated by a real
+    * `StreamingQuery` (readStream over the events parquet →
+    * watermarked 1-day tumbling window → Complete-mode memory sink
+    * under Trigger.AvailableNow), then the SAME Holt-Winters +
+    * split-conformal serve ([[graft.operators.Events.holtWintersOf]])
+    * over the streamed dailies. The driver entry shares
+    * `ev_forecast`'s DuckDB oracle VERBATIM (the stream_collection
+    * discipline): streamed ≡ batch holds by construction — the
+    * streamed daily agg produces exactly the batch `daily0` rows
+    * (UTC tumbling windows align with the epoch-day buckets) — and
+    * any drift in the streaming agg path breaks the HASH, not just a
+    * spec. Day×nothing cardinality is time-span-bounded, so
+    * complete-mode state is model-sized at any stream length.
+    */
+  def runForecastAvailableNow(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sink = s"stream_forecast_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(floor(col("window.start").cast("long") / 86400L)
+          .cast("long").as("day_d"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    graft.operators.Events.holtWintersOf(s.table(sink), horizon = 14)
+  }
+
   /** HOPPING-window counts with a watermark — the streaming twin of
     * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands
     * each admitted event into its 4 overlapping windows map-side;

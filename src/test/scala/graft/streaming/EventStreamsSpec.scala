@@ -565,4 +565,20 @@ class EventStreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streamed forecast equals the batch Holt-Winters row-for-row") {
+    // stream_forecast shares ev_forecast's DuckDB oracle VERBATIM —
+    // this spec pins the precondition on the live engine: the
+    // streaming 1-day tumbling agg (UTC windows) produces exactly
+    // the batch daily buckets, so the shared smoothing core emits
+    // identical fit, forecast, and conformal-band rows.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = graft.streaming.EventStreams
+      .runForecastAvailableNow(spark, dir).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Events
+      .holtWinters(spark, dir).collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed forecast diverged from the batch twin")
+  }
 }

@@ -889,6 +889,7 @@ object SparkEntry {
     "ev_bootstrap"       -> ((s, d) => Events.bootstrapCi(s, d)),
     "ev_ewma"            -> (Events.ewma _),
     "ev_forecast"        -> ((s, d) => Events.holtWinters(s, d)),
+    "ev_changepoints"    -> (Events.changepoints _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -1370,6 +1371,82 @@ object SparkEntry {
        |  a.yhat_micro, a.lo90_micro, a.hi90_micro
        |FROM allrows a
        |ORDER BY day_ts""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Events.changepoints]] — the
+    * fixed-depth binary segmentation unrolled as three argmax blocks
+    * (full series, then each side of the first cut), each an
+    * exact-integer variance-reduction argmax: candidates carry
+    * (a, b) = (S_l²·n_r + S_r²·n_l, n_l·n_r) and the winner is the
+    * row no other row beats under the BIGINT cross-product compare
+    * (ties to the smaller k). Side blocks take their bounds as
+    * scalar subqueries from the parent cut, so an unsplittable side
+    * (shorter than 2·minLen) yields an empty block and the segment
+    * survives unsplit — exactly the engine's recursion guard.
+    */
+  private val changepointsOracleSql: String = {
+    def fd(a: String, b: String) = s"(($a - (($a % $b + $b) % $b)) // $b)"
+    // one candidates+argmax block over segment [lo, hi)
+    def block(name: String, lo: String, hi: String): String =
+      s"""${name}_s AS MATERIALIZED (
+         |  SELECT s.t AS k,
+         |    (pk.p - plo.p) * (pk.p - plo.p) * (($hi) - s.t) +
+         |    (phi.p - pk.p) * (phi.p - pk.p) * (s.t - ($lo)) AS a,
+         |    (s.t - ($lo)) * (($hi) - s.t) AS b
+         |  FROM spine s
+         |  JOIN ptab pk ON pk.t = s.t
+         |  JOIN ptab plo ON plo.t = ($lo)
+         |  JOIN ptab phi ON phi.t = ($hi)
+         |  WHERE s.t BETWEEN ($lo) + 4 AND ($hi) - 4),
+         |$name AS MATERIALIZED (
+         |  SELECT k FROM ${name}_s s WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${name}_s s2
+         |    WHERE s2.a * s.b > s.a * s2.b
+         |       OR (s2.a * s.b = s.a * s2.b AND s2.k < s.k))),""".stripMargin
+    s"""WITH daily0 AS MATERIALIZED (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |spine AS MATERIALIZED (
+       |  SELECT s.day_d,
+       |    CAST(s.day_d - (SELECT min(day_d) FROM daily0) AS BIGINT) AS t,
+       |    coalesce(n, CAST(0 AS BIGINT)) AS y
+       |  FROM (SELECT unnest(range(lo, hi + 1)) AS day_d
+       |        FROM (SELECT min(day_d) AS lo, max(day_d) AS hi FROM daily0)) s
+       |  LEFT JOIN daily0 USING (day_d)),
+       |tt AS MATERIALIZED (SELECT count(*) AS n FROM spine),
+       |ptab AS MATERIALIZED (
+       |  SELECT t, coalesce(sum(y) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+       |  FROM spine
+       |  UNION ALL
+       |  SELECT (SELECT n FROM tt), (SELECT sum(y) FROM spine)),
+       |${block("b1", "0", "(SELECT n FROM tt)")}
+       |${block("b2", "0", "(SELECT k FROM b1)")}
+       |${block("b3", "(SELECT k FROM b1)", "(SELECT n FROM tt)")}
+       |cps AS MATERIALIZED (
+       |  SELECT k FROM b1 UNION SELECT k FROM b2 UNION SELECT k FROM b3),
+       |segb AS (
+       |  SELECT CAST(0 AS BIGINT) AS t0 UNION SELECT k FROM cps),
+       |seg AS MATERIALIZED (
+       |  SELECT t0,
+       |    coalesce((SELECT min(k) FROM cps WHERE k > t0),
+       |             (SELECT n FROM tt)) AS t1,
+       |    row_number() OVER (ORDER BY t0) - 1 AS seg
+       |  FROM segb),
+       |agg AS (
+       |  SELECT g.seg, min(s.day_d) AS sd, max(s.day_d) AS ed,
+       |    g.t1 - g.t0 AS n_days, sum(s.y) AS n_events
+       |  FROM seg g JOIN spine s ON s.t >= g.t0 AND s.t < g.t1
+       |  GROUP BY g.seg, g.t0, g.t1)
+       |SELECT CAST(seg AS BIGINT) AS seg,
+       |  CAST(to_timestamp(sd * 86400) AT TIME ZONE 'UTC' AS TIMESTAMP) AS start_ts,
+       |  CAST(to_timestamp(ed * 86400) AT TIME ZONE 'UTC' AS TIMESTAMP) AS end_ts,
+       |  CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(${fd("(n_events * 1000000)", "n_days")} AS BIGINT) AS mean_micro
+       |FROM agg
+       |ORDER BY seg""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.VectorOps.kcenterSelect]] —
@@ -1963,6 +2040,7 @@ object SparkEntry {
     // calendar spine, BIGINT tap weights 3^i*4^(7-i), one final
     // division of identical integers on both engines, then rnd4
     "ev_forecast" -> holtWintersOracleSql,
+    "ev_changepoints" -> changepointsOracleSql,
     // streamed ≡ batch by construction: the streaming daily agg feeds
     // the identical smoothing core, so the batch oracle applies verbatim
     "stream_forecast" -> holtWintersOracleSql,

@@ -1313,6 +1313,88 @@ object Events {
       .orderBy(col("day_ts"))
   }
 
+  /** Changepoint detection over the daily event-count series —
+    * fixed-depth (2) BINARY SEGMENTATION: the best split of the full
+    * series by the classic variance-reduction criterion, then the
+    * best split of each resulting side, yielding up to 4 segments.
+    * The drift detector a training-data pipeline runs over ingest
+    * volumes (a corpus mix shifting under a fixed pipeline shows up
+    * as mean shifts in per-source dailies). Fixed depth + a minimum
+    * segment length of 4 days keeps the procedure deterministic and
+    * certifiable; significance testing is the consumer's layer (the
+    * emitted per-segment means make the effect size visible).
+    *
+    * EXACT integer arithmetic throughout (the Holt-Winters
+    * discipline): minimizing SSE_l + SSE_r is equivalent to
+    * MAXIMIZING f(k) = S_l²/n_l + S_r²/n_r (the Σy² term is split-
+    * invariant), and f(k) > f(k′) is decided by the BIGINT
+    * cross-product (S_l²·n_r + S_r²·n_l)·(n_l′·n_r′) vs the mirror —
+    * no float ever touches the argmax, so the DuckDB oracle replays
+    * the selection bit-for-bit (ties break toward the smaller k).
+    * Magnitudes: |S|²·n³ must fit in a signed 64-bit — fine for any
+    * series with ≤ ~10⁷ events per day-window at month spans; scale
+    * counts down before calling for extreme volumes.
+    *
+    * Scale shape: the corpus collapses in the daily hash agg; the
+    * segmentation runs on the driver over the 0-filled day spine
+    * (time-span-sized), same as [[holtWinters]].
+    */
+  def changepoints(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("day_d")).agg(count(lit(1)).as("n"))
+    changepointsOf(daily0)
+  }
+
+  /** The segmentation core over a (day_d, n) daily frame. */
+  def changepointsOf(daily0: DataFrame, minLen: Int = 4): DataFrame = {
+    val s = daily0.sparkSession
+    import s.implicits._
+    val spine = daily0
+      .agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_d"))
+      .join(daily0, Seq("day_d"), "left")
+      .select(col("day_d"), coalesce(col("n"), lit(0L)).as("y"))
+      .orderBy(col("day_d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val y = spine.map(_._2)
+    // prefix sums; BigInt only for the comparison cross-products
+    val pre = y.scanLeft(0L)(_ + _) // pre(i) = Σ y[0,i)
+    // best split of [lo, hi): argmax of S_l²/n_l + S_r²/n_r over
+    // k ∈ [lo+minLen, hi−minLen], exact rational compare, min-k ties
+    def bestSplit(lo: Int, hi: Int): Option[Int] = {
+      val cands = (lo + minLen) to (hi - minLen)
+      if (cands.isEmpty) return None
+      def score(k: Int): (BigInt, BigInt) = {
+        val sl = BigInt(pre(k) - pre(lo)); val nl = BigInt(k - lo)
+        val sr = BigInt(pre(hi) - pre(k)); val nr = BigInt(hi - k)
+        (sl * sl * nr + sr * sr * nl, nl * nr)
+      }
+      Some(cands.reduceLeft { (a, b) =>
+        val (na, da) = score(a); val (nb, db) = score(b)
+        if (nb * da > na * db) b else a // strict: ties keep smaller k
+      })
+    }
+    val cuts = scala.collection.mutable.SortedSet[Int]()
+    bestSplit(0, y.length).foreach { k1 =>
+      cuts += k1
+      bestSplit(0, k1).foreach(cuts += _)
+      bestSplit(k1, y.length).foreach(cuts += _)
+    }
+    val bounds = (0 +: cuts.toSeq) :+ y.length
+    val segs = bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      val total = pre(b) - pre(a)
+      (i.toLong, spine(a)._1, spine(b - 1)._1, (b - a).toLong, total,
+        Math.floorDiv(total * 1000000L, (b - a).toLong))
+    }.toSeq
+    segs.toDF("seg", "start_day", "end_day", "n_days", "n_events", "mean_micro")
+      .select(col("seg"),
+        (col("start_day") * 86400L).cast("timestamp").as("start_ts"),
+        (col("end_day") * 86400L).cast("timestamp").as("end_ts"),
+        col("n_days"), col("n_events"), col("mean_micro"))
+      .orderBy(col("seg"))
+  }
+
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val daily0 = Tables.events(s, dir)
       .select(col("event_type"),

@@ -578,4 +578,54 @@ class EventsSpec extends SparkSpec {
     assert(real.count(_.getString(1) == "forecast") === 14)
     assert(real.count(_.getString(1) == "fit") >= 10)
   }
+
+  test("changepoints: planted level shifts are recovered exactly; argmax matches a brute-force SSE replay") {
+    import spark.implicits._
+    // 36 days, three regimes: mean 100 (days 0-11), 300 (12-23),
+    // 150 (24-35), small deterministic ripple so segments aren't
+    // constant — binary segmentation must cut at exactly 12 and 24
+    def ripple(t: Int): Long = (t % 3).toLong - 1L
+    val daily = (0 until 36).map { t =>
+      val base = if (t < 12) 100L else if (t < 24) 300L else 150L
+      (t.toLong, base + ripple(t))
+    }.toDF("day_d", "n")
+    // fixed depth-2 splits BOTH viable sides (documented design), so
+    // one planted regime is sub-split — 4 segments whose starts
+    // INCLUDE both planted boundaries, and every segment's mean sits
+    // on its regime's level
+    val segs = graft.operators.Events.changepointsOf(daily).collect()
+    assert(segs.length === 4, s"expected 4 segments, got ${segs.length}")
+    val starts = segs.map(r => r.getTimestamp(1).getTime / 86400000L)
+    assert(Set(12L, 24L).subsetOf(starts.toSet),
+      s"planted boundaries not recovered: ${starts.toSeq}")
+    segs.foreach { r =>
+      val st = r.getTimestamp(1).getTime / 86400000L
+      val regime = if (st < 12) 100.0 else if (st < 24) 300.0 else 150.0
+      val mean = r.getLong(5).toDouble / 1e6
+      assert(math.abs(mean - regime) < 1.1,
+        s"segment starting day $st has mean $mean, regime $regime")
+    }
+    assert(segs.map(_.getLong(4)).sum ===
+      (0 until 36).map(t => (if (t < 12) 100L else if (t < 24) 300L
+        else 150L) + ripple(t)).sum, "segment events do not cover the series")
+    // brute-force replay of the FIRST cut: argmax of the exact
+    // rational variance-reduction score with min-k ties
+    val y = (0 until 36).map(t => (if (t < 12) 100L else if (t < 24) 300L
+      else 150L) + ripple(t))
+    val pre = y.scanLeft(0L)(_ + _)
+    def f(k: Int): (BigInt, BigInt) = {
+      val sl = BigInt(pre(k)); val nl = BigInt(k)
+      val sr = BigInt(pre(36) - pre(k)); val nr = BigInt(36 - k)
+      (sl * sl * nr + sr * sr * nl, nl * nr)
+    }
+    val k1 = (4 to 32).reduceLeft { (a, b) =>
+      val (na, da) = f(a); val (nb, db) = f(b)
+      if (nb * da > na * db) b else a
+    }
+    assert(Set(12, 24).contains(k1),
+      s"first brute-force cut $k1 is not a planted boundary")
+    // determinism: a second run is byte-identical
+    val again = graft.operators.Events.changepointsOf(daily).collect()
+    assert(again.map(_.toSeq).toSeq === segs.map(_.toSeq).toSeq)
+  }
 }

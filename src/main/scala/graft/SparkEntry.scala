@@ -890,6 +890,7 @@ object SparkEntry {
     "ev_ewma"            -> (Events.ewma _),
     "ev_forecast"        -> ((s, d) => Events.holtWinters(s, d)),
     "ev_changepoints"    -> (Events.changepoints _),
+    "ev_acf"             -> (Events.acf _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -1447,6 +1448,64 @@ object SparkEntry {
        |  CAST(${fd("(n_events * 1000000)", "n_days")} AS BIGINT) AS mean_micro
        |FROM agg
        |ORDER BY seg""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Events.acfOf]] — the cent-fixed
+    * correlogram replayed relationally: the lag taps become a spine
+    * self-join on `day_d + lag`, the floor divisions use the pmod
+    * construction, and the dominant-lag flag is the same integer-
+    * numerator row_number (den is lag-invariant per type, so ordering
+    * by Σd·d_h IS ordering by acf). DuckDB sums BIGINTs in HUGEINT;
+    * the Spark side's documented signed-64 magnitude contract keeps
+    * every value inside the common range, so the final BIGINT casts
+    * are lossless on both engines.
+    */
+  private val acfOracleSql: String = {
+    def fd(a: String, b: String) = s"(($a - (($a % $b + $b) % $b)) // $b)"
+    s"""WITH daily0 AS MATERIALIZED (
+       |  SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spine AS MATERIALIZED (
+       |  SELECT event_type, unnest(range(lo, hi + 1)) AS day_d
+       |  FROM (SELECT event_type, min(day_d) AS lo, max(day_d) AS hi
+       |        FROM daily0 GROUP BY 1)),
+       |daily AS MATERIALIZED (
+       |  SELECT s.event_type, s.day_d, coalesce(d.n, CAST(0 AS BIGINT)) AS y
+       |  FROM spine s LEFT JOIN daily0 d
+       |    ON d.event_type = s.event_type AND d.day_d = s.day_d),
+       |stats AS (
+       |  SELECT event_type, count(*) AS n_days, sum(y) AS s_tot
+       |  FROM daily GROUP BY 1),
+       |dev AS MATERIALIZED (
+       |  SELECT d.event_type, d.day_d, st.n_days,
+       |    d.y * 100 - ${fd("(st.s_tot * 100)", "st.n_days")} AS dd
+       |  FROM daily d JOIN stats st USING (event_type)),
+       |den AS (SELECT event_type, sum(dd * dd) AS den FROM dev GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.event_type, l.lag_h, min(a.n_days) AS n_days,
+       |    count(*) AS n_pairs, sum(a.dd * b.dd) AS num
+       |  FROM dev a
+       |  CROSS JOIN (SELECT unnest(range(1, 15)) AS lag_h) l
+       |  JOIN dev b ON b.event_type = a.event_type
+       |    AND b.day_d = a.day_d + l.lag_h
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.event_type, p.lag_h, p.n_days, p.n_pairs,
+       |    CASE WHEN dn.den > 0
+       |      THEN ${fd("(p.num * 10000)", "dn.den")}
+       |      ELSE 0 END AS acf_1e4,
+       |    row_number() OVER (PARTITION BY p.event_type
+       |      ORDER BY p.num DESC, p.lag_h ASC) AS rn
+       |  FROM pairs p JOIN den dn USING (event_type))
+       |SELECT event_type, CAST(lag_h AS BIGINT) AS lag,
+       |  CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(acf_1e4 AS BIGINT) AS acf_1e4,
+       |  rn = 1 AS is_dominant
+       |FROM scored
+       |ORDER BY event_type, lag""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.VectorOps.kcenterSelect]] —
@@ -2041,6 +2100,7 @@ object SparkEntry {
     // division of identical integers on both engines, then rnd4
     "ev_forecast" -> holtWintersOracleSql,
     "ev_changepoints" -> changepointsOracleSql,
+    "ev_acf" -> acfOracleSql,
     // streamed ≡ batch by construction: the streaming daily agg feeds
     // the identical smoothing core, so the batch oracle applies verbatim
     "stream_forecast" -> holtWintersOracleSql,

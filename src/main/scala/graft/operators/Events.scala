@@ -1395,6 +1395,83 @@ object Events {
       .orderBy(col("seg"))
   }
 
+  /** Autocorrelation function (ACF) of the per-type daily event-count
+    * series at lags 1..14 — the SEASONALITY DETECTOR that decides
+    * whether the forecasting layer ([[holtWinters]]) should model a
+    * weekly cycle at all, and at what period: a genuine weekly rhythm
+    * shows as the lag-7 autocorrelation dominating lags 1..14. Box &
+    * Jenkins 1970 correlogram, restated in the engine's exact-integer
+    * discipline.
+    *
+    * EXACT arithmetic end to end: the series 0-fills onto the per-type
+    * day spine, deviations are CENT-scaled integers about the
+    * floor-mean (d_t = 100·y_t − ⌊100·Σy / n⌋ — the fix-before-sum
+    * rule: both engines square and cross-multiply the same BIGINTs),
+    * acf(h) = ⌊10⁴·Σ_t d_t·d_{t+h} / Σ_t d_t²⌋ by the pmod floor-div
+    * construction, and the dominant lag is a row_number over the
+    * integer numerators (den is lag-invariant, so comparing Σd·d_h
+    * IS comparing acf) with min-lag ties. Magnitude contract:
+    * |Σ d_t·d_{t+h}|·10⁴ ≤ 10⁴·Σd² must fit signed-64 — holds to
+    * ~10⁸ events/day at month spans (|d| ≤ 100·y_max, Cauchy–Schwarz
+    * bounds every numerator by the denominator); scale counts first
+    * for extreme volumes, same contract as [[changepoints]].
+    *
+    * Scale shape: the corpus collapses in the daily hash agg (one
+    * map-side-combinable shuffle); the spine join, the 14 lead taps
+    * and both reductions run on the bounded (types × days) frame —
+    * the lag window partitions by event_type, so no global window
+    * ever forms.
+    */
+  def acf(s: SparkSession, dir: String): DataFrame =
+    acfOf(Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("event_type"), col("day_d"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The correlogram core over any (event_type, day_d, n) daily frame
+    * — split out so specs can drive it with planted periodic series. */
+  def acfOf(daily0: DataFrame, maxLag: Int = 14): DataFrame = {
+    val spine = daily0.groupBy(col("event_type"))
+      .agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day_d"))
+    val daily = spine.join(daily0, Seq("event_type", "day_d"), "left")
+      .select(col("event_type"), col("day_d"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s_tot"))
+    val dev = daily.join(broadcast(stats), "event_type")
+      .withColumn("d", col("y") * lit(100L) -
+        expr("(s_tot * 100L - pmod(s_tot * 100L, n_days)) DIV n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_d"))
+    val taps = (1 to maxLag).map(h => lead(col("d"), h).over(w).as(s"d$h"))
+    val wide = dev.select(
+      Seq(col("event_type"), col("n_days"), col("d")) ++ taps: _*)
+    val den = wide.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    val stacked = wide.select(col("event_type"), col("n_days"),
+      explode(array((1 to maxLag).map(h =>
+        struct(lit(h.toLong).as("lag"),
+          (col("d") * col(s"d$h")).as("prod"))): _*)).as("lp"))
+      .select(col("event_type"), col("n_days"),
+        col("lp.lag").as("lag"), col("lp.prod").as("prod"))
+    val num = stacked.filter(col("prod").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(min(col("n_days")).as("n_days"),
+        count(lit(1)).as("n_pairs"), sum(col("prod")).as("num"))
+    val dom = Window.partitionBy(col("event_type"))
+      .orderBy(col("num").desc, col("lag").asc)
+    num.join(broadcast(den), "event_type")
+      .withColumn("acf_1e4", when(col("den") > 0L,
+        expr("(num * 10000L - pmod(num * 10000L, den)) DIV den"))
+        .otherwise(lit(0L)))
+      .withColumn("is_dominant", row_number().over(dom) === 1)
+      .select(col("event_type"), col("lag"), col("n_days"),
+        col("n_pairs"), col("acf_1e4"), col("is_dominant"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val daily0 = Tables.events(s, dir)
       .select(col("event_type"),

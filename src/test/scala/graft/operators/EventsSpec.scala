@@ -628,4 +628,48 @@ class EventsSpec extends SparkSpec {
     val again = graft.operators.Events.changepointsOf(daily).collect()
     assert(again.map(_.toSeq).toSeq === segs.map(_.toSeq).toSeq)
   }
+
+  test("acf: a planted weekly cycle dominates at lag 7; constant series guard; brute-force replay") {
+    import spark.implicits._
+    // type 'weekly': strong period-7 signal over 42 days — lag 7 (and
+    // its harmonic 14) must carry the large positive autocorrelations,
+    // with lag 7 the dominant one; type 'flat': constant series, so
+    // every deviation is 0 and the den=0 guard must pin acf to 0
+    val season = Array(400L, -300L, 100L, -200L, 500L, -350L, -150L)
+    val rows =
+      (0 until 42).map(t => ("weekly", t.toLong, 1000L + season(t % 7))) ++
+      (0 until 42).map(t => ("flat", t.toLong, 250L))
+    val daily = rows.toDF("event_type", "day_d", "n")
+    val out = graft.operators.Events.acfOf(daily).collect()
+    assert(out.length === 28, s"expected 2 types x 14 lags, got ${out.length}")
+    val weekly = out.filter(_.getString(0) == "weekly")
+      .map(r => r.getLong(1) -> r).toMap
+    // lag 7 is dominant, strongly positive; the off-cycle lags 1..6
+    // all sit below it
+    assert(weekly(7L).getBoolean(5), "lag 7 not flagged dominant")
+    assert(weekly(7L).getLong(4) > 8000L,
+      s"lag-7 acf too weak: ${weekly(7L).getLong(4)}")
+    (1L to 6L).foreach(h => assert(
+      weekly(h).getLong(4) < weekly(7L).getLong(4), s"lag $h >= lag 7"))
+    assert(weekly.values.count(_.getBoolean(5)) === 1)
+    // n_pairs bookkeeping: exactly n_days - lag at every lag
+    weekly.foreach { case (h, r) =>
+      assert(r.getLong(2) === 42L && r.getLong(3) === 42L - h) }
+    // constant series: den = 0 -> acf pinned to 0 at every lag
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.length === 14 && flat.forall(_.getLong(4) === 0L))
+    // brute-force replay of the weekly type's exact integer law
+    val y = (0 until 42).map(t => 1000L + season(t % 7))
+    val mean = Math.floorDiv(y.sum * 100L, 42L)
+    val d = y.map(_ * 100L - mean)
+    val den = d.map(v => v * v).sum
+    (1 to 14).foreach { h =>
+      val num = (0 until 42 - h).map(t => d(t) * d(t + h)).sum
+      assert(weekly(h.toLong).getLong(4) ===
+        Math.floorDiv(num * 10000L, den), s"lag $h mismatch vs replay")
+    }
+    // determinism: a second run is byte-identical
+    val again = graft.operators.Events.acfOf(daily).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

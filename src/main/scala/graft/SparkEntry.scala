@@ -934,6 +934,7 @@ object SparkEntry {
     "txt_hybrid_rrf"     -> (HybridSearch.hybridQuery _),
     "txt_multivec"       -> ((s, d) => HybridSearch.multivecQuery(s, d)),
     "txt_hard_negatives" -> ((s, d) => HybridSearch.hardNegatives(s, d)),
+    "txt_ndcg"           -> ((s, d) => HybridSearch.retrievalEval(s, d)),
     "txt_keywords"       -> ((s, d) => TextAnalysis.keywords(s, d)),
     "txt_qnorm"          -> (TextAnalysis.quantileNorm _),
     "txt_gopher_rules"   -> ((s, d) => TextAnalysis.gopherRules(s, d)),
@@ -975,6 +976,7 @@ object SparkEntry {
     "q54_trimmed"        -> (Relational.q54Trimmed _),
     "q49_sampled_agg"    -> ((s, d) => Relational.q49SampledAgg(s, d)),
     "q50_ldiversity"     -> ((s, d) => Profile.lDiversity(s, d)),
+    "q55_tcloseness"     -> ((s, d) => Profile.tCloseness(s, d)),
     "q52_benford"        -> ((s, d) => Profile.benford(s, d)),
     "er_matches"         -> (EntityResolution.erMatches _),
     "q44_item_sim"       -> ((s, d) => Graph.itemSimQuery(s, d)),
@@ -3033,6 +3035,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |  min(class_size) AS min_class_size
         |FROM classes
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // ordered-EMD t-closeness replayed exactly: the class x bin grid
+    // 0-fills, both cumulatives are windows, |C_j*N - G_j*n| sums in
+    // HUGEINT, and the floorDiv uses the pmod construction; j=m term
+    // is identically 0 on both engines (full mass)
+    "q55_tcloseness" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |gbins AS MATERIALIZED (
+        |  SELECT bal_bucket, count(*) AS g FROM cust GROUP BY 1),
+        |gcum AS MATERIALIZED (
+        |  SELECT bal_bucket,
+        |    sum(g) OVER (ORDER BY bal_bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+        |    (SELECT sum(g) FROM gbins) AS n_total,
+        |    (SELECT count(*) FROM gbins) AS m_bins
+        |  FROM gbins),
+        |cbins AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS c
+        |  FROM cust GROUP BY 1, 2, 3),
+        |classes AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM cust),
+        |grid AS MATERIALIZED (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, gb.bal_bucket,
+        |    coalesce(cb.c, 0) AS c
+        |  FROM classes cl
+        |  CROSS JOIN gbins gb
+        |  LEFT JOIN cbins cb ON cb.c_nationkey = cl.c_nationkey
+        |    AND cb.c_mktsegment = cl.c_mktsegment
+        |    AND cb.bal_bucket = gb.bal_bucket),
+        |cum AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+        |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bal_bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |      AS class_size
+        |  FROM grid),
+        |emd AS MATERIALIZED (
+        |  SELECT m.c_nationkey, m.c_mktsegment,
+        |    min(m.class_size) AS class_size,
+        |    sum(abs(m.cum_c * q.n_total - q.cum_g * m.class_size)) AS raw,
+        |    min(q.n_total) AS n_total, min(q.m_bins) AS m_bins
+        |  FROM cum m JOIN gcum q USING (bal_bucket)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c_nationkey, class_size,
+        |    (raw * 1000000 - ((raw * 1000000 % ((m_bins - 1) * class_size * n_total)
+        |       + ((m_bins - 1) * class_size * n_total))
+        |       % ((m_bins - 1) * class_size * n_total)))
+        |      // ((m_bins - 1) * class_size * n_total) AS emd_1e6
+        |  FROM emd)
+        |SELECT c_nationkey, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN emd_1e6 > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN emd_1e6 > 200000 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_rows_exposed,
+        |  CAST(max(emd_1e6) AS BIGINT) AS max_emd_1e6
+        |FROM scored
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
@@ -5643,6 +5707,90 @@ object SparkEntry {
         |  CASE WHEN v.vec_rank IS NOT NULL THEN 'positive' ELSE 'hard_negative' END AS label
         |FROM trank t LEFT JOIN vrank v USING (query_id, doc_id)
         |ORDER BY query_id, text_rank""".stripMargin,
+
+    // the retrieval scorecard: both certified rankers re-derived (the
+    // hard_negatives prefix at k=10), grades from the vector rank
+    // band, then pure BIGINT metric arithmetic — the ten discount
+    // micros are interpolated from HybridSearch.NdcgWeightsMicro so
+    // both engines share the frozen constants
+    "txt_ndcg" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 3),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM corpus),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM corpus),
+        |avgs AS (SELECT avg(dl) AS avgdl FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\\s+')[1:8])) AS token
+        |  FROM documents WHERE doc_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN n CROSS JOIN avgs),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY query_id, doc_id),
+        |trank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS text_rank
+        |  FROM agg QUALIFY text_rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |vc AS (SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 3),
+        |vscored AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(vec AS DOUBLE[])) AS s
+        |  FROM vq CROSS JOIN vc),
+        |vrank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS vec_rank
+        |  FROM vscored QUALIFY vec_rank <= 10),
+        |rel AS (
+        |  SELECT query_id, doc_id, vec_rank,
+        |    CASE WHEN vec_rank <= 2 THEN 3 WHEN vec_rank <= 5 THEN 2
+        |      ELSE 1 END AS rel
+        |  FROM vrank),
+        |wtab AS (SELECT unnest(range(1, 11)) AS rk,
+        |  unnest([${graft.operators.HybridSearch.NdcgWeightsMicro.mkString(", ")}]) AS w),
+        |sys AS (
+        |  SELECT t.query_id, t.text_rank, coalesce(r.rel, 0) AS rel
+        |  FROM trank t LEFT JOIN rel r USING (query_id, doc_id)),
+        |perq AS (
+        |  SELECT s.query_id, sum(s.rel * wtab.w) AS dcg_micro,
+        |    min(CASE WHEN s.rel > 0 THEN s.text_rank END) AS first_rel,
+        |    sum(CASE WHEN s.rel > 0 THEN 1 ELSE 0 END) AS n_hits
+        |  FROM sys s JOIN wtab ON wtab.rk = s.text_rank
+        |  GROUP BY 1),
+        |ideal AS (
+        |  SELECT i.query_id, sum(i.rel * wtab.w) AS idcg_micro,
+        |    count(*) AS n_rel
+        |  FROM (SELECT query_id, rel,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, vec_rank ASC) AS irn
+        |        FROM rel) i
+        |  JOIN wtab ON wtab.rk = i.irn
+        |  WHERE i.irn <= 10
+        |  GROUP BY 1)
+        |SELECT p.query_id, CAST(d.n_rel AS BIGINT) AS n_rel,
+        |  CAST(p.dcg_micro AS BIGINT) AS dcg_micro,
+        |  CAST(d.idcg_micro AS BIGINT) AS idcg_micro,
+        |  CAST(CASE WHEN d.idcg_micro > 0
+        |    THEN (p.dcg_micro * 10000) // d.idcg_micro ELSE 0 END AS BIGINT)
+        |    AS ndcg_1e4,
+        |  CAST(CASE WHEN p.first_rel IS NOT NULL
+        |    THEN 1000000 // p.first_rel ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  CAST((p.n_hits * 10000) // d.n_rel AS BIGINT) AS recall_1e4
+        |FROM perq p JOIN ideal d USING (query_id)
+        |ORDER BY query_id""".stripMargin,
 
     "txt_hybrid_rrf" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 3),

@@ -332,4 +332,86 @@ object HybridSearch {
         col("bm25"), col("vec_rank"), col("cosine"), col("label"))
       .orderBy(col("query_id"), col("text_rank"))
   }
+
+  /** nDCG@10 discount weights in integer micros —
+    * w_r = round(10⁶ / log₂(r+1)), r = 1..10. Computed ONCE here and
+    * interpolated as literals into the DuckDB oracle, so the only
+    * transcendental in the whole metric is frozen into ten shared
+    * constants and every downstream step is exact BIGINT arithmetic
+    * (the fix-before-sum rule applied to the discount curve itself).
+    */
+  val NdcgWeightsMicro: Array[Long] =
+    (1 to 10).map(r =>
+      math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))).toArray
+
+  /** Retrieval-quality EVALUATION harness — the metric layer every
+    * retrieval pipeline needs next to its rankers: score a system
+    * ranking against graded relevance judgments with nDCG@10
+    * (Järvelin & Kekäläinen 2002), MRR@10 and recall@10. System =
+    * the BM25 lexical ranker; judgments = the exact vector top-10
+    * graded 3/2/1 by cosine rank band (1-2 / 3-5 / 6-10) — the
+    * lexical-vs-semantic agreement audit, sharing both certified
+    * rankers with [[hardNegatives]] so the harness itself is the only
+    * new surface. EXACT integer metrics: gains are integer grades,
+    * discounts the frozen [[NdcgWeightsMicro]] micros, DCG/IDCG exact
+    * BIGINT sums, ndcg = ⌊10⁴·DCG/IDCG⌋, mrr = 10⁶ DIV first-hit
+    * rank, recall = ⌊10⁴·hits/judged⌋ — every division floor-exact on
+    * non-negative operands, so the whole scorecard hashes.
+    *
+    * Scale shape: both rankers are the already-certified per-query
+    * top-k plans (broadcast queries, one corpus scan each); the
+    * metric layer runs on O(queries × k) rows — rank joins, one
+    * bounded ideal-ordering window, two small aggs. Nothing
+    * corpus-sized is added by evaluation.
+    */
+  def retrievalEval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ").as("query_text"))
+    val text = TextAnalysis.bm25(docs.filter(col("doc_id") >= 3), queries, topK = k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("text_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val rel = VectorOps.knnBrute(
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.filter(col("vec_id") >= 3)
+        .select(col("vec_id"), col("embedding").as("vec")),
+      k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+      .withColumn("rel",
+        when(col("vec_rank") <= 2, 3L)
+          .when(col("vec_rank") <= 5, 2L)
+          .otherwise(1L))
+    val wLit = lit(NdcgWeightsMicro)
+    val sys = text
+      .join(rel.select(col("query_id"), col("doc_id"), col("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("w", element_at(wLit, col("text_rank").cast("int")))
+    val perQ = sys.groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("w")).as("dcg_micro"),
+        min(when(col("rel") > 0L, col("text_rank"))).as("first_rel"),
+        sum(when(col("rel") > 0L, 1L).otherwise(0L)).as("n_hits"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_rank").asc)
+    val ideal = rel
+      .withColumn("irn", row_number().over(wIdeal))
+      .filter(col("irn") <= 10)
+      .withColumn("w", element_at(wLit, col("irn")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("w")).as("idcg_micro"),
+        count(lit(1)).as("n_rel"))
+    perQ.join(ideal, "query_id")
+      .select(col("query_id"), col("n_rel"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0L,
+          expr("(dcg_micro * 10000L) DIV idcg_micro")).otherwise(0L)
+          .as("ndcg_1e4"),
+        when(col("first_rel").isNotNull,
+          expr("1000000L DIV first_rel")).otherwise(0L).as("mrr_micro"),
+        expr("(n_hits * 10000L) DIV n_rel").as("recall_1e4"))
+      .orderBy(col("query_id"))
+  }
 }

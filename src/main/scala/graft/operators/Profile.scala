@@ -206,4 +206,91 @@ object Profile {
           .as("n_rows_exposed"),
         min(col("n_sensitive")).as("min_diversity"))
       .orderBy(col("c_nationkey"))
+
+  /** t-closeness — the third rung of the re-identification-audit
+    * ladder (Li, Li & Venkatasubramanian 2007): [[kAnonymity]] bounds
+    * class SIZE, [[lDiversity]] bounds distinct sensitive values, but
+    * a class can pass both while its sensitive DISTRIBUTION is so
+    * skewed vs the population that membership alone leaks (the
+    * "everyone in this class is in the two lowest balance bands"
+    * attack). t-closeness bounds the Earth Mover's Distance between
+    * each class's sensitive distribution and the global one; for an
+    * ORDERED sensitive domain (balance bands here) EMD has the closed
+    * form (1/(m−1))·Σ_j |CumP_j − CumQ_j| over the m ordered bins.
+    *
+    * Quasi-identifiers: nation × market segment (the class an
+    * adversary can see); sensitive: the $1000 balance band (ordered,
+    * ≤ 11 bins on TPC-H's [-999.99, 9999.99] domain). EXACT integer
+    * arithmetic: with class cumulative counts C_j (size n) and global
+    * cumulative counts G_j (total N), |CumP_j − CumQ_j| =
+    * |C_j·N − G_j·n| / (n·N), so emd_1e6 =
+    * ⌊10⁶·Σ_j |C_j·N − G_j·n| / ((m−1)·n·N)⌋ — all BIGINT, floorDiv
+    * by the pmod construction, and the j=m term is identically 0
+    * (both cumulatives are full mass). Magnitude contract: n·N·(m−1)
+    * and 10⁶·Σ must fit signed-64 — holds for N up to ~2³⁰ rows;
+    * audit per-partition beyond that.
+    *
+    * Scale shape: the corpus collapses in the (class × bin) hash agg;
+    * the 0-filled class×bin grid, both cumulative windows and the
+    * per-class EMD run on bounded frames (#classes·m and m rows —
+    * the global cumsum window is a ≤ 11-row frame). Violations
+    * aggregate per nation like the sibling audits; `t` defaults to
+    * 0.20 (200000 micro).
+    */
+  def tCloseness(s: SparkSession, dir: String,
+                 tMicro: Long = 200000L): DataFrame =
+    tClosenessOf(graft.Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket")),
+      tMicro)
+
+  /** The audit core over any (c_nationkey, c_mktsegment, bal_bucket)
+    * relation — split out so specs can drive it with planted skew. */
+  def tClosenessOf(cust: DataFrame, tMicro: Long): DataFrame = {
+    // global ordered-bin distribution: bounded by the bin domain
+    val globalBins = cust.groupBy(col("bal_bucket"))
+      .agg(count(lit(1)).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.partitionBy().orderBy(col("bal_bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum(col("g")).over(Window.partitionBy()))
+      .withColumn("m_bins", count(lit(1)).over(Window.partitionBy()))
+      .select(col("bal_bucket"), col("cum_g"), col("n_total"), col("m_bins"))
+    // per-class bin counts, 0-filled onto the full bin grid so the
+    // class cumulative is defined at every global bin boundary
+    val classBins = cust
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("c"))
+    val classes = classBins
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+    val grid = classes.join(broadcast(globalBins.select(col("bal_bucket"))))
+      .join(classBins, Seq("c_nationkey", "c_mktsegment", "bal_bucket"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wClass = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("bal_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = grid
+      .withColumn("cum_c", sum(col("c")).over(wClass))
+      .withColumn("class_size", sum(col("c")).over(
+        Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))))
+      .join(broadcast(globalBins), "bal_bucket")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(min(col("class_size")).as("class_size"),
+        sum(abs(col("cum_c") * col("n_total") - col("cum_g") * col("class_size")))
+          .as("raw"),
+        min(col("n_total")).as("n_total"), min(col("m_bins")).as("m_bins"))
+    emd
+      .withColumn("emd_1e6", expr(
+        """(raw * 1000000L -
+          |  pmod(raw * 1000000L, (m_bins - 1L) * class_size * n_total))
+          | DIV ((m_bins - 1L) * class_size * n_total)""".stripMargin))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("emd_1e6") > tMicro, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("emd_1e6") > tMicro, col("class_size")).otherwise(lit(0L)))
+          .as("n_rows_exposed"),
+        max(col("emd_1e6")).as("max_emd_1e6"))
+      .orderBy(col("c_nationkey"))
+  }
 }

@@ -132,4 +132,41 @@ class ProfileSpec extends SparkSpec {
     // no NULL digit group — chi2 stays finite and NULL-free
     assert(Profile.benfordOf(big).filter(col("digit").isNull).count() === 0)
   }
+
+  test("tCloseness: a distribution-skewed class is caught that k-anon and l-diversity both pass") {
+    import spark.implicits._
+    // three classes in nation 0, 50 rows each, 5 balance bins.
+    // 'A' and 'C' mirror the population (10 per bin). 'B' is size-50
+    // (passes k=5) and touches all 5 bins (passes l=3), but
+    // concentrates 46 of 50 rows in bin 0 — membership alone reveals
+    // "almost certainly lowest band". Only t-closeness flags it.
+    // (Two classes would NOT do: with one skewed and one uniform
+    // class the uniform one mirrors the skew in the global mix and
+    // both violate — the extra uniform class anchors the population.)
+    val a = (0 until 50).map(i => (0L, "A", (i % 5).toLong))
+    val c = (0 until 50).map(i => (0L, "C", (i % 5).toLong))
+    val b = (0 until 50).map(i => (0L, "B", if (i < 46) 0L else (1L + i % 4)))
+    val cust = (a ++ b ++ c).toDF("c_nationkey", "c_mktsegment", "bal_bucket")
+    val out = Profile.tClosenessOf(cust, 200000L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 3L, "three classes expected")
+    assert(r.getLong(2) === 1L, s"exactly class B must violate, got ${r.getLong(2)}")
+    assert(r.getLong(3) === 50L, "exposed rows = class B's size")
+    // exact-integer replay of class B's EMD: global cum counts over
+    // bins 0..4 vs B's, m=5, n=50, N=150
+    val bFromData = (0 until 50).map(i => if (i < 46) 0 else (1 + i % 4))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bArr = (0 to 4).map(j => bFromData.getOrElse(j, 0L)).toArray
+    val gArr = (0 to 4).map(j => 20L + bArr(j)).toArray
+    val bCum = bArr.scanLeft(0L)(_ + _).tail
+    val gCum2 = gArr.scanLeft(0L)(_ + _).tail
+    val raw = (0 to 4).map(j => math.abs(bCum(j) * 150L - gCum2(j) * 50L)).sum
+    val expected = Math.floorDiv(raw * 1000000L, 4L * 50L * 150L)
+    assert(r.getLong(4) === expected, s"max_emd ${r.getLong(4)} != replay $expected")
+    assert(expected > 200000L, "planted skew must exceed t=0.2")
+    // the sibling audits both PASS class B (k=5, l=3) — t-closeness is
+    // the only rung that catches distribution skew
+    assert(bArr.sum === 50L && bArr.count(_ > 0L) >= 3)
+  }
 }

@@ -959,6 +959,7 @@ object SparkEntry {
     "dd_semantic"        -> (Dedup.semanticNearDupQuery _),
     "q28_profile"        -> (Profile.profileQuery _),
     "q29_zorder"         -> (Layout.zorderQuery _),
+    "q56_hilbert"        -> (Layout.hilbertQuery _),
     "q31_integrity"      -> (Relational.qIntegrity _),
     "q34_histogram"      -> ((s, d) => Relational.q34Histogram(s, d)),
     "q35_heavy_hitters"  -> (Relational.q35HeavyHitters _),
@@ -970,6 +971,7 @@ object SparkEntry {
     "q45_sketch_quantile" -> (Relational.q45SketchQuantile _),
     "q46_kmv_overlap"    -> (DistinctSketch.vocabOverlapQuery _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
+    "q57_sssp"           -> ((s, d) => Graph.ssspQuery(s, d)),
     "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
     "q53_clustering"     -> ((s, d) => Graph.clusteringQuery(s, d)),
@@ -1450,6 +1452,48 @@ object SparkEntry {
        |  CAST(${fd("(n_events * 1000000)", "n_days")} AS BIGINT) AS mean_micro
        |FROM agg
        |ORDER BY seg""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Layout.hilbertQuery]] — the
+    * order-16 Hilbert descent unrolled as 16 relational rounds, each
+    * round stating the quadrant charge and the rot-and-reflect update
+    * exactly once (generated by loop, the kcenter/classifier
+    * discipline). s²-sized literals are precomputed in Scala so every
+    * SQL literal is a plain BIGINT — no integer-width promotion
+    * ambiguity inside the oracle engine.
+    */
+  private val hilbertOracleSql: String = {
+    val steps = (1 to 16).map { i =>
+      val S = 1L << (16 - i)
+      s"""s$i AS (SELECT *,
+         |  CASE WHEN (x & $S) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN (y & $S) > 0 THEN 1 ELSE 0 END AS ry FROM h${i - 1}),
+         |h$i AS (SELECT bx, by_, d + ${S * S} * xor(3 * rx, ry) AS d,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $S - 1 - y ELSE y END)
+         |    ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $S - 1 - x ELSE x END)
+         |    ELSE y END AS y
+         |FROM s$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS (
+       |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS bx,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      % 65536 AS BIGINT) AS by_
+       |  FROM orders),
+       |h0 AS (SELECT bx, by_, bx AS x, by_ AS y, CAST(0 AS BIGINT) AS d
+       |  FROM base),
+       |$steps
+       |agg AS (
+       |  SELECT CAST(floor(d / 1048576.0) AS BIGINT) AS h_bucket,
+       |    CAST(count(*) AS BIGINT) AS n_orders,
+       |    min(bx) AS min_x, max(bx) AS max_x,
+       |    min(by_) AS min_y, max(by_) AS max_y
+       |  FROM h16 GROUP BY 1)
+       |SELECT h_bucket, n_orders, min_x, max_x, min_y, max_y,
+       |  max_x - min_x AS span_x, max_y - min_y AS span_y,
+       |  (max_x - min_x) <= 1023 AND (max_y - min_y) <= 1023 AS tile_ok
+       |FROM agg
+       |ORDER BY h_bucket""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.Events.acfOf]] — the cent-fixed
@@ -2320,6 +2364,8 @@ object SparkEntry {
         |FROM z GROUP BY 1
         |ORDER BY z_bucket""".stripMargin,
 
+    "q56_hilbert" -> hilbertOracleSql,
+
     // single-pass recompute: hash-matching it proves the three-way
     // incremental merge lost nothing
     "ev_delta_agg" ->
@@ -2910,6 +2956,53 @@ object SparkEntry {
         |  GROUP BY node)
         |SELECT node AS p_partkey, hops FROM r3
         |ORDER BY hops, p_partkey""".stripMargin,
+
+    // weighted Bellman-Ford unrolled (the q43 shape with lengths):
+    // instance-pair weights re-mined, len = 1e6 DIV w, labels are
+    // dist*4+hops so min() is the lexicographic (dist, hops) law
+    "q57_sssp" ->
+      """WITH bi AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, sum(a.cnt * b.cnt) AS w
+        |  FROM bi a JOIN bi b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT pa AS src, pb AS dst, w FROM p
+        |  UNION ALL
+        |  SELECT pb AS src, pa AS dst, w FROM p),
+        |el AS MATERIALIZED (
+        |  SELECT src, dst, 1000000 // w AS len FROM e),
+        |seeds AS (
+        |  SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+        |  ORDER BY node LIMIT 5),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS key FROM seeds),
+        |d1 AS MATERIALIZED (
+        |  SELECT node, min(key) AS key FROM (
+        |    SELECT node, key FROM d0
+        |    UNION ALL
+        |    SELECT el.dst AS node, ((d0.key // 4) + el.len) * 4 + (d0.key % 4 + 1) AS key
+        |    FROM el JOIN d0 ON el.src = d0.node)
+        |  GROUP BY node),
+        |d2 AS MATERIALIZED (
+        |  SELECT node, min(key) AS key FROM (
+        |    SELECT node, key FROM d1
+        |    UNION ALL
+        |    SELECT el.dst AS node, ((d1.key // 4) + el.len) * 4 + (d1.key % 4 + 1) AS key
+        |    FROM el JOIN d1 ON el.src = d1.node)
+        |  GROUP BY node),
+        |d3 AS MATERIALIZED (
+        |  SELECT node, min(key) AS key FROM (
+        |    SELECT node, key FROM d2
+        |    UNION ALL
+        |    SELECT el.dst AS node, ((d2.key // 4) + el.len) * 4 + (d2.key % 4 + 1) AS key
+        |    FROM el JOIN d2 ON el.src = d2.node)
+        |  GROUP BY node)
+        |SELECT node AS p_partkey, CAST(key // 4 AS BIGINT) AS dist_micro,
+        |  CAST(key % 4 AS BIGINT) AS hops
+        |FROM d3
+        |ORDER BY p_partkey""".stripMargin,
 
     // Horvitz–Thompson over Bernoulli-sampled ORDER clusters: SE²
     // = ((1−f)/f²)·Σ t² from the sample's own integer moment sums

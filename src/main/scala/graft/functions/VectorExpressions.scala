@@ -356,6 +356,8 @@ object VectorExpressions {
       MinHashGridSignature(args(0), GraftExtensions.intLiteral(args(1), "perms")) }),
     ("graft_cms_estimate", { args =>
       require(args.length == 2); CmsEstimate(args(0), args(1)) }),
+    ("graft_hilbert", { args =>
+      require(args.length == 2); HilbertIndex(args(0), args(1)) }),
     ("graft_hist_quantile", { args =>
       require(args.length == 5)
       HistQuantile(args(0),

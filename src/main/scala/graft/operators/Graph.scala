@@ -484,4 +484,57 @@ object Graph {
       broadcastFrontier = true)
       .select(col("node").as("p_partkey"), col("hops"))
   }
+
+  /** WEIGHTED single-source-set shortest paths — [[khopQuery]]'s
+    * metric sibling: `rounds` Bellman-Ford relaxations over the
+    * persisted co-purchase edge list (fifth consumer of the shared
+    * index), with edge length `10⁶ DIV n_inst` micro-units — heavily
+    * co-purchased parts are CLOSE, so the distances read as an
+    * affinity metric, not a hop count. Bounded rounds make the
+    * result exact for all paths of ≤ `rounds` edges (the k-hop
+    * certification discipline applied to weighted relaxation) and
+    * keep the oracle an unrolled chain of min-aggregations.
+    *
+    * Tie law: each label is the single BIGINT `dist·4 + hops`
+    * (hops ≤ rounds < 4), so `min(key)` IS the lexicographic
+    * (dist, hops) minimum — equal-length paths resolve to the fewest
+    * hops, deterministically, with no float and no struct-min.
+    *
+    * Scale shape: one relaxation = one equi-join of the edge list
+    * against the BROADCAST distance frontier (the reachable set is
+    * part-dimension-sized, khopQuery's contract) + one
+    * map-side-combinable min-agg; each round localCheckpoints so
+    * lineage stays linear ([[khopOnEdges]]'s discipline).
+    */
+  def ssspQuery(s: SparkSession, dir: String,
+                rounds: Int = 3, nSeeds: Int = 5): DataFrame = {
+    val edges = s.read.parquet(s"${indexDir(s, dir)}/edges")
+      .select(col("src"), col("dst"), expr("1000000L DIV w").as("len"))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    ssspOnEdges(edges, seeds, rounds)
+      .select(col("node").as("p_partkey"),
+        expr("key DIV 4").as("dist_micro"), expr("key % 4").as("hops"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** The relaxation core over any (src, dst, len) edge list and
+    * (node) seed set — returns (node, key) with key = dist·4 + hops;
+    * split out so specs can drive it with planted weighted graphs. */
+  def ssspOnEdges(edges: DataFrame, seeds: DataFrame,
+                  rounds: Int): DataFrame = {
+    require(rounds < 4, "hops ride the low 2 bits of the label key")
+    var d = seeds.select(col("node")).withColumn("key", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = edges
+        .join(broadcast(d.select(col("node").as("src"), col("key"))), "src")
+        .select(col("dst").as("node"),
+          expr("((key DIV 4) + len) * 4 + (key % 4 + 1)").as("key"))
+      d = d.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("key")).as("key"))
+        .localCheckpoint(true)
+    }
+    d
+  }
 }

@@ -105,4 +105,60 @@ object Layout {
         max(col("day")).cast("long").as("max_day"))
       .orderBy(col("z_bucket"))
   }
+
+  /** Write `df` clustered along the HILBERT curve of (xCol, yCol) —
+    * same normalization and range-partition discipline as
+    * [[writeZOrdered]], but on [[graft.functions.HilbertIndex]]: the
+    * Hilbert curve never jumps (consecutive indices are orthogonal
+    * unit steps), so contiguous files cover compact rectangles with
+    * none of the Z-curve's diagonal seam-crossings — tighter footer
+    * min/max on BOTH dimensions for the same file count.
+    */
+  def writeHilbertOrdered(df: DataFrame, xCol: Column, yCol: Column,
+                          outDir: String, numFiles: Int): Unit = {
+    val b = df.agg(
+      min(xCol).cast("double"), max(xCol).cast("double"),
+      min(yCol).cast("double"), max(yCol).cast("double")).head()
+    if (b.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
+    def bucket16(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else width_bucket(c.cast("double"), lit(lo), lit(hi + 1e-9), lit(65536)) - lit(1L)
+    df.withColumn("_h", graft.functions.HilbertIndex(
+        bucket16(xCol, b.getDouble(0), b.getDouble(1)).cast("long"),
+        bucket16(yCol, b.getDouble(2), b.getDouble(3)).cast("long")))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Driver query: Hilbert-bucket summary of orders on (customer,
+    * order-day) — the [[zorderQuery]] twin on the jump-free curve,
+    * with the tile containment CERTIFIED IN-ROW: every 2²⁰-index
+    * bucket is exactly one depth-6 quadtree subtree, so all its
+    * cells must sit inside one aligned 1024×1024 tile — `tile_ok`
+    * pins span_x ≤ 1023 AND span_y ≤ 1023 on every emitted row, and
+    * the oracle re-derives the full 16-round curve arithmetic, so a
+    * single wrong rotation anywhere breaks both the spans and the
+    * hash.
+    */
+  def hilbertQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    graft.Tables.orders(s, dir)
+      .select((col("o_custkey") % 65536L).cast("long").as("x"),
+        (day % 65536L).as("y"))
+      .withColumn("h", graft.functions.HilbertIndex(col("x"), col("y")))
+      .groupBy(floor(col("h") / lit(1048576.0)).cast("long").as("h_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("span_x", col("max_x") - col("min_x"))
+      .withColumn("span_y", col("max_y") - col("min_y"))
+      .withColumn("tile_ok", col("span_x") <= 1023L && col("span_y") <= 1023L)
+      .orderBy(col("h_bucket"))
+  }
 }

@@ -204,4 +204,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(four.values.toSet === Set(1L))
   }
+
+  test("ssspOnEdges: weighted shortcut beats fewer hops; tie resolves to fewest hops; round bound") {
+    // planted graph from seed 1:
+    //   1->2 len 10, 2->3 len 10 (two-hop cost 20)
+    //   1->3 len 50 (direct but LONGER — must lose to the 2-hop path)
+    //   1->4 len 7, 4->5 len 7, 5->6 len 7 (3 hops, exact at rounds=3)
+    //   1->7 len 20 and 1->2(10)->7(10): EQUAL dist 20 -> tie law
+    //   must pick fewest hops (1)
+    val e = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 50L),
+      (1L, 4L, 7L), (4L, 5L, 7L), (5L, 6L, 7L),
+      (1L, 7L, 20L), (2L, 7L, 10L)
+    ).toDF("src", "dst", "len")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.ssspOnEdges(e, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(n: Long) = out(n) / 4
+    def hops(n: Long) = out(n) % 4
+    assert(dist(1L) === 0L && hops(1L) === 0L)
+    assert(dist(3L) === 20L && hops(3L) === 2L, "shortcut must lose to cheaper 2-hop")
+    assert(dist(6L) === 21L && hops(6L) === 3L, "3-edge path exact at rounds=3")
+    assert(dist(7L) === 20L && hops(7L) === 1L, "dist tie must resolve to fewest hops")
+    // round bound: at rounds=2 node 6 (only reachable in 3 edges) is absent
+    val two = Graph.ssspOnEdges(e, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!two.contains(6L) && two.contains(5L))
+    // determinism
+    val again = Graph.ssspOnEdges(e, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
 }

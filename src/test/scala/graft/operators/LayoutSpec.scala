@@ -60,4 +60,34 @@ class LayoutSpec extends SparkSpec {
     // and the data survives the layout unchanged
     assert(spark.read.parquet(s"$dir/zorder").count() === orders.count())
   }
+
+  test("hilbert: subtree contiguity, unit-step adjacency, codegen == reference, SQL registration") {
+    import spark.implicits._
+    import graft.functions.HilbertIndex
+    // the 64x64 origin tile is one aligned quadtree subtree, so its
+    // 4096 indices must be a CONTIGUOUS distinct block...
+    val cells = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val ds = cells.toDF("x", "y")
+      .withColumn("h", HilbertIndex(col("x"), col("y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val hs = ds.map(_._2)
+    assert(hs.distinct.length === 4096 && hs.max - hs.min === 4095L,
+      "origin tile is not a contiguous distinct index block")
+    // ...and walking that block in index order must take orthogonal
+    // UNIT steps — the jump-free property Z-order does not have
+    val byH = ds.sortBy(_._2).map(_._1)
+    byH.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+    // codegen path (DataFrame eval above) == interpreted reference
+    ds.foreach { case ((x, y), h) => assert(h === HilbertIndex.xy2d(x, y)) }
+    // SQL registration
+    graft.functions.VectorExpressions.register(spark)
+    assert(spark.sql("SELECT graft_hilbert(3::long, 5::long) AS h").head().getLong(0)
+      === HilbertIndex.xy2d(3L, 5L))
+    // driver query: every bucket's in-row tile certification holds
+    val q = Layout.hilbertQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(q.nonEmpty && q.forall(_.getBoolean(8)), "tile_ok violated")
+  }
 }

@@ -852,6 +852,7 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourly _),
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
     "stream_forecast"    -> (graft.streaming.EventStreams.runForecastAvailableNow _),
+    "stream_changepoints" -> (graft.streaming.EventStreams.runChangepointsAvailableNow _),
     "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
     "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
     "stream_transitions" -> (graft.streaming.EventStreams.runTransitionsAvailableNow _),
@@ -972,6 +973,7 @@ object SparkEntry {
     "q46_kmv_overlap"    -> (DistinctSketch.vocabOverlapQuery _),
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "q57_sssp"           -> ((s, d) => Graph.ssspQuery(s, d)),
+    "q58_hits"           -> ((s, d) => Graph.hitsQuery(s, d)),
     "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
     "q53_clustering"     -> ((s, d) => Graph.clusteringQuery(s, d)),
@@ -2150,6 +2152,7 @@ object SparkEntry {
     // streamed ≡ batch by construction: the streaming daily agg feeds
     // the identical smoothing core, so the batch oracle applies verbatim
     "stream_forecast" -> holtWintersOracleSql,
+    "stream_changepoints" -> changepointsOracleSql,
 
     "ev_ewma" ->
       """WITH daily0 AS (
@@ -3003,6 +3006,32 @@ object SparkEntry {
         |  CAST(key % 4 AS BIGINT) AS hops
         |FROM d3
         |ORDER BY p_partkey""".stripMargin,
+
+    // two unrolled HITS rounds on the bipartite supplier-part edge
+    // set; every half-step renormalizes to the 1e6 grid by integer
+    // DIV max (values non-negative, trunc == floor), so the whole
+    // iteration replays bitwise; (auth, pk) is a total order so the
+    // top-20 cut is engine-deterministic
+    "q58_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |h1r AS (SELECT sk, count(*) AS h FROM e GROUP BY 1),
+        |h1 AS MATERIALIZED (
+        |  SELECT sk, (h * 1000000) // (SELECT max(h) FROM h1r) AS h FROM h1r),
+        |a1r AS (SELECT pk, sum(h1.h) AS a FROM e JOIN h1 USING (sk) GROUP BY 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT pk, (a * 1000000) // (SELECT max(a) FROM a1r) AS a FROM a1r),
+        |h2r AS (SELECT sk, sum(a1.a) AS h FROM e JOIN a1 USING (pk) GROUP BY 1),
+        |h2 AS MATERIALIZED (
+        |  SELECT sk, (h * 1000000) // (SELECT max(h) FROM h2r) AS h FROM h2r),
+        |a2r AS (SELECT pk, sum(h2.h) AS a FROM e JOIN h2 USING (sk) GROUP BY 1),
+        |a2 AS (SELECT pk, (a * 1000000) // (SELECT max(a) FROM a2r) AS a FROM a2r),
+        |deg AS (SELECT pk, count(*) AS n_suppliers FROM e GROUP BY 1)
+        |SELECT a2.pk AS p_partkey, CAST(a2.a AS BIGINT) AS auth_1e6,
+        |  CAST(deg.n_suppliers AS BIGINT) AS n_suppliers
+        |FROM a2 JOIN deg USING (pk)
+        |ORDER BY a2.a DESC, a2.pk
+        |LIMIT 20""".stripMargin,
 
     // Horvitz–Thompson over Bernoulli-sampled ORDER clusters: SE²
     // = ((1−f)/f²)·Σ t² from the sample's own integer moment sums

@@ -518,6 +518,55 @@ object Graph {
       .orderBy(col("p_partkey"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the BIPARTITE
+    * supplier→part graph — the mutual-reinforcement ranking PageRank
+    * cannot express: a supplier is a good HUB if it stocks
+    * authoritative parts, a part is a good AUTHORITY if good hubs
+    * stock it. Two unrolled h/a rounds in exact integer fixed point:
+    * every score is re-normalized to the 10⁶ grid by `·10⁶ DIV max`
+    * after each half-step (all values non-negative, so truncating DIV
+    * is floor), which keeps magnitudes bounded without a float norm —
+    * the iteration, both normalizations and the rounded top-k cut all
+    * replay bitwise in the oracle (the pagerank/classifier
+    * reproducible-iteration discipline).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT edge list in
+    * one hash agg; each half-step is one edge-keyed join against the
+    * BROADCAST score frame (vertex relations are dimension-sized) +
+    * one map-side-combinable sum; the 1-row max re-joins by
+    * broadcast. Nothing quadratic, no global window.
+    */
+  def hitsQuery(s: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    hitsOnEdges(Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint(true), topK)
+
+  /** The two-round iteration core over any distinct (sk, pk) edge
+    * list — split out so specs can drive it with planted bipartite
+    * graphs where mutual reinforcement disagrees with raw degree. */
+  def hitsOnEdges(e: DataFrame, topK: Int): DataFrame = {
+    def norm(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(df.columns.filter(_ != c).map(col) :+
+          expr(s"($c * 1000000L) DIV mx").as(c): _*)
+    }
+    // h₁(s) ∝ Σ_p a₀ = |parts of s| (uniform a₀ cancels in the norm)
+    val h1 = norm(e.groupBy(col("sk")).agg(count(lit(1)).as("h")), "h")
+    val a1 = norm(e.join(broadcast(h1), "sk")
+      .groupBy(col("pk")).agg(sum(col("h")).as("a")), "a")
+    val h2 = norm(e.join(broadcast(a1), "pk")
+      .groupBy(col("sk")).agg(sum(col("a")).as("h")), "h")
+    val a2 = norm(e.join(broadcast(h2), "sk")
+      .groupBy(col("pk")).agg(sum(col("h")).as("a")), "a")
+    val deg = e.groupBy(col("pk")).agg(count(lit(1)).as("n_suppliers"))
+    a2.join(broadcast(deg), "pk")
+      .orderBy(col("a").desc, col("pk"))
+      .limit(topK)
+      .select(col("pk").as("p_partkey"), col("a").as("auth_1e6"),
+        col("n_suppliers"))
+  }
+
   /** The relaxation core over any (src, dst, len) edge list and
     * (node) seed set — returns (node, key) with key = dist·4 + hops;
     * split out so specs can drive it with planted weighted graphs. */

@@ -163,6 +163,42 @@ object EventStreams {
     graft.operators.Events.holtWintersOf(s.table(sink), horizon = 14)
   }
 
+  /** Streamed CHANGEPOINT detection — the TWELFTH driver-gated
+    * streaming runtime: the identical checkpointless AvailableNow
+    * ingest shape as [[runForecastAvailableNow]] (readStream events
+    * parquet → watermarked 1-day tumbling agg → Complete-mode memory
+    * sink) feeding the SAME exact-integer binary-segmentation core as
+    * the batch `ev_changepoints`. UTC tumbling windows align with
+    * epoch-day buckets, so streamed ≡ batch by construction and the
+    * driver entry shares `ev_changepoints`' DuckDB oracle VERBATIM —
+    * any drift in the streaming agg path breaks the hash. The
+    * ingest-drift detector, running where drift actually arrives:
+    * on the stream.
+    */
+  def runChangepointsAvailableNow(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sink = s"stream_cp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(floor(col("window.start").cast("long") / 86400L)
+          .cast("long").as("day_d"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    graft.operators.Events.changepointsOf(s.table(sink))
+  }
+
   /** HOPPING-window counts with a watermark — the streaming twin of
     * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands
     * each admitted event into its 4 overlapping windows map-side;

@@ -235,4 +235,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === out)
   }
+
+  test("hitsOnEdges: strong-hub endorsement beats raw degree; exact integer replay") {
+    // bipartite: S1 is a strong hub stocking parts 10..14; S2 also
+    // stocks part 10; S3,S4,S5 are weak hubs all stocking part 15.
+    // Part 15 has HIGHER degree (3) than part 10 (2) and parts 11..14
+    // (1), but its endorsers are weak — HITS must rank it BELOW the
+    // strong hub's parts, which raw degree cannot do.
+    val edges = (Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 10L), (3L, 15L), (4L, 15L), (5L, 15L))).toDF("sk", "pk")
+    val out = Graph.hitsOnEdges(edges, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auth = out.map(t => t._1 -> t._2).toMap
+    val deg = out.map(t => t._1 -> t._3).toMap
+    assert(deg(15L) === 3L && deg(10L) === 2L)
+    assert(auth(10L) > auth(15L), "strong-hub part must out-rank the popular weak part")
+    (11L to 14L).foreach(p => assert(auth(p) > auth(15L),
+      s"degree-1 strong-hub part $p must out-rank degree-3 weak part 15"))
+    // exact replay of the integer law: h = deg, norm 1e6 DIV max,
+    // then two a/h half-steps with the same normalization
+    def fd(a: Long, b: Long) = Math.floorDiv(a, b)
+    val adj = Map(1L -> Seq(10L, 11L, 12L, 13L, 14L), 2L -> Seq(10L),
+      3L -> Seq(15L), 4L -> Seq(15L), 5L -> Seq(15L))
+    val parts = adj.values.flatten.toSeq.distinct
+    var h = adj.map { case (s, ps) => s -> ps.length.toLong }
+    def normM(m: Map[Long, Long]) = { val mx = m.values.max; m.map { case (k, v) => k -> fd(v * 1000000L, mx) } }
+    h = normM(h)
+    var a = parts.map(p => p -> adj.collect { case (s, ps) if ps.contains(p) => h(s) }.sum).toMap
+    a = normM(a)
+    h = normM(adj.map { case (s, ps) => s -> ps.map(a).sum })
+    a = normM(parts.map(p => p -> adj.collect { case (s, ps) if ps.contains(p) => h(s) }.sum).toMap)
+    parts.foreach(p => assert(auth(p) === a(p), s"auth($p) != replay"))
+  }
 }

@@ -581,4 +581,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch,
       "streamed forecast diverged from the batch twin")
   }
+
+  test("streamed changepoints equal the batch segmentation row-for-row") {
+    // stream_changepoints shares ev_changepoints' DuckDB oracle
+    // VERBATIM — same precondition as the forecast twin: the
+    // streaming 1-day tumbling agg produces exactly the batch daily
+    // buckets, so the shared exact-integer segmentation core emits
+    // identical segment rows.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = graft.streaming.EventStreams
+      .runChangepointsAvailableNow(spark, dir).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Events
+      .changepoints(spark, dir).collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed changepoints diverged from the batch twin")
+  }
 }

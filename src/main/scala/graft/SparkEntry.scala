@@ -974,6 +974,8 @@ object SparkEntry {
     "q43_khop"           -> ((s, d) => Graph.khopQuery(s, d)),
     "q57_sssp"           -> ((s, d) => Graph.ssspQuery(s, d)),
     "q58_hits"           -> ((s, d) => Graph.hitsQuery(s, d)),
+    "q59_cv_ols"         -> ((s, d) => Relational.q59CvOls(s, d)),
+    "q60_rfm"            -> (Relational.q60Rfm _),
     "q47_communities"    -> ((s, d) => Graph.communitiesQuery(s, d)),
     "q48_kanon"          -> ((s, d) => Profile.kAnonymity(s, d)),
     "q53_clustering"     -> ((s, d) => Graph.clusteringQuery(s, d)),
@@ -3032,6 +3034,97 @@ object SparkEntry {
         |FROM a2 JOIN deg USING (pk)
         |ORDER BY a2.a DESC, a2.pk
         |LIMIT 20""".stripMargin,
+
+    // leave-fold-out sufficient statistics as exact LONG differences,
+    // q42's division order on identical integers, cent-rounded
+    // held-out predictions, integer MAE
+    "q59_cv_ols" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT CAST(('0x' || substr(md5('cv:' || CAST(l_orderkey AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 5 AS fold,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |pf AS MATERIALIZED (
+        |  SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM li GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |    sum(sxy) AS tsxy, sum(sxx) AS tsxx FROM pf),
+        |tr AS (
+        |  SELECT fold, n, tn - n AS ntr, tsx - sx AS sxtr, tsy - sy AS sytr,
+        |    tsxy - sxy AS sxytr, tsxx - sxx AS sxxtr
+        |  FROM pf CROSS JOIN tot),
+        |model AS MATERIALIZED (
+        |  SELECT fold, n AS n_test, ntr AS n_train,
+        |    (CAST(ntr AS DOUBLE) * CAST(sxytr AS DOUBLE)
+        |       - CAST(sxtr AS DOUBLE) * CAST(sytr AS DOUBLE)) /
+        |    (CAST(ntr AS DOUBLE) * CAST(sxxtr AS DOUBLE)
+        |       - CAST(sxtr AS DOUBLE) * CAST(sxtr AS DOUBLE)) AS b,
+        |    sxtr, sytr, ntr
+        |  FROM tr),
+        |model2 AS MATERIALIZED (
+        |  SELECT fold, n_test, n_train, b,
+        |    (CAST(sytr AS DOUBLE) - b * CAST(sxtr AS DOUBLE))
+        |      / CAST(ntr AS DOUBLE) AS a_c
+        |  FROM model),
+        |res AS (
+        |  SELECT li.fold,
+        |    sum(abs(li.y - CAST(floor(m.a_c + m.b * li.x + 0.5) AS BIGINT))) AS sae,
+        |    count(*) AS nt
+        |  FROM li JOIN model2 m USING (fold) GROUP BY 1)
+        |SELECT m.fold, CAST(m.n_train AS BIGINT) AS n_train,
+        |  CAST(m.n_test AS BIGINT) AS n_test,
+        |  floor(m.b * 10000.0 + 0.5) / 10000.0 AS slope,
+        |  floor(m.a_c / 100.0 * 10000.0 + 0.5) / 10000.0 AS intercept,
+        |  CAST((r.sae * 10000) // r.nt AS BIGINT) AS mae_c4
+        |FROM model2 m JOIN res r USING (fold)
+        |ORDER BY m.fold""".stripMargin,
+
+    // the q41 exact-percentile + spelled-out tie rule, three measures
+    // at once; recency anchored at the corpus max day; exact integer
+    // cell means
+    "q60_rfm" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+        |    count(*) AS freq,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS money
+        |  FROM orders GROUP BY 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT o_custkey, (SELECT max(last_day) FROM cust) - last_day AS recency,
+        |    freq, money
+        |  FROM cust),
+        |b AS (
+        |  SELECT quantile_cont(recency, 0.2) AS r1, quantile_cont(recency, 0.4) AS r2,
+        |    quantile_cont(recency, 0.6) AS r3, quantile_cont(recency, 0.8) AS r4,
+        |    quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+        |    quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+        |    quantile_cont(money, 0.2) AS m1, quantile_cont(money, 0.4) AS m2,
+        |    quantile_cont(money, 0.6) AS m3, quantile_cont(money, 0.8) AS m4
+        |  FROM c2),
+        |scored AS (
+        |  SELECT CAST(1 + (CASE WHEN recency > r1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN recency > r2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN recency > r3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN recency > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+        |  CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_q,
+        |  CAST(1 + (CASE WHEN money > m1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN money > m2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN money > m3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN money > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_q,
+        |  money
+        |  FROM c2 CROSS JOIN b)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(money) AS BIGINT) AS money_cents,
+        |  CAST(sum(money) // count(*) AS BIGINT) AS avg_money_c
+        |FROM scored
+        |GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
 
     // Horvitz–Thompson over Bernoulli-sampled ORDER clusters: SE²
     // = ((1−f)/f²)·Σ t² from the sample's own integer moment sums

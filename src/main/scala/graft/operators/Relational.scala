@@ -685,6 +685,64 @@ object Relational {
       .orderBy(col("flag"))
   }
 
+  /** k-fold CROSS-VALIDATED OLS — the model-selection layer on top of
+    * [[q42Ols]]'s estimator: cluster folds by md5(order) (whole
+    * orders stay together — the leakage discipline every sampler
+    * here follows), train each fold's line on the OTHER k−1 folds,
+    * and score it on the held-out fold with an exact integer MAE.
+    *
+    * ONE training scan for ALL k models: the pass computes per-fold
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) and each fold's
+    * TRAIN stats are the exact LONG differences total − fold — the
+    * algebraic-partials trick that makes leave-fold-out free at any
+    * scale. Slope/intercept divisions follow q42's operation order on
+    * identical integers (same doubles on both engines); the held-out
+    * residual rounds ŷ to whole cents with the same floor(·+0.5) on
+    * both sides, so the per-fold sum of absolute errors is an exact
+    * BIGINT and `mae_c4 = ⌊10⁴·Σ|r| / n_test⌋` hashes. Magnitude
+    * contract: Σx·y in cents² is the q42 bound (~10⁹ rows at TPC-H
+    * prices); the scoring join broadcasts the k-row model relation.
+    */
+  def q59CvOls(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(100.0) + lit(0.5)).cast("long")
+    val li = Tables.lineitem(s, dir).select(
+      (conv(substring(md5(concat(lit("cv:"), col("l_orderkey").cast("string"))),
+        1, 4), 16, 10).cast("long") % k).as("fold"),
+      cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+    val perFold = li.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val tot = perFold.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+      sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+      sum(col("sxx")).as("tsxx"))
+    val d = (c: String) => col(c).cast("double")
+    val train = perFold.crossJoin(broadcast(tot))
+      .withColumn("ntr", col("tn") - col("n"))
+      .withColumn("sxtr", col("tsx") - col("sx"))
+      .withColumn("sytr", col("tsy") - col("sy"))
+      .withColumn("sxytr", col("tsxy") - col("sxy"))
+      .withColumn("sxxtr", col("tsxx") - col("sxx"))
+    val model = train
+      .withColumn("b", (d("ntr") * d("sxytr") - d("sxtr") * d("sytr")) /
+        (d("ntr") * d("sxxtr") - d("sxtr") * d("sxtr")))
+      .withColumn("a_c", (d("sytr") - col("b") * d("sxtr")) / d("ntr"))
+      .select(col("fold"), col("n").as("n_test"), col("ntr").as("n_train"),
+        col("b"), col("a_c"))
+    val res = li.join(broadcast(model.select(col("fold"), col("b"), col("a_c"))), "fold")
+      .withColumn("r", col("y") -
+        floor(col("a_c") + col("b") * col("x") + lit(0.5)).cast("long"))
+      .groupBy(col("fold"))
+      .agg(sum(abs(col("r"))).as("sae"), count(lit(1)).as("nt"))
+    model.join(broadcast(res), "fold")
+      .select(col("fold"), col("n_train"), col("n_test"),
+        (floor(col("b") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("slope"),
+        (floor(col("a_c") / lit(100.0) * lit(10000.0) + lit(0.5)) /
+          lit(10000.0)).as("intercept"),
+        expr("(sae * 10000L) DIV nt").as("mae_c4"))
+      .orderBy(col("fold"))
+  }
+
   /** EQUI-DEPTH binning (quantile discretization) — the ML
     * feature-binning dual of [[q34Histogram]]'s equi-width buckets,
     * and the scalable shape for it: a naive `ntile()` is a GLOBAL
@@ -777,6 +835,48 @@ object Relational {
           avg(greatest(col("lo"), least(col("hi"), col("v")))))
           .as("mean_winsorized"))
       .orderBy(col("grp"))
+  }
+
+  /** RFM customer segmentation — the marketing/analytics staple that
+    * buckets every customer by Recency (days since last order,
+    * anchored at the corpus max day so the cut is data-relative and
+    * rerun-stable), Frequency (order count) and Monetary (lifetime
+    * cents) into QUINTILES, then reports the populated (r,f,m) cells.
+    * r_q = 1 is the MOST RECENT quintile (recency measures days ago —
+    * ascending value is descending freshness). Quintile boundaries
+    * come from ONE exact-percentile aggregate broadcast back
+    * ([[q41Bins]]'s no-global-window discipline and its spelled-out
+    * `value > boundary` tie rule); cell money means are exact
+    * integer `DIV`. Scale shape: orders collapse per customer in one
+    * hash agg, the boundary agg and the 1-row anchor broadcast, cell
+    * output is ≤ 125 rows at any corpus size.
+    */
+  def q60Rfm(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val cust = Tables.orders(s, dir)
+      .select(col("o_custkey"), day.as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("money"))
+    val anchor = cust.agg(max(col("last_day")).as("maxd"))
+    val c2 = cust.crossJoin(broadcast(anchor))
+      .withColumn("recency", col("maxd") - col("last_day"))
+    val bounds = c2.agg(
+      expr("percentile(recency, array(0.2,0.4,0.6,0.8))").as("rb"),
+      expr("percentile(freq, array(0.2,0.4,0.6,0.8))").as("fb"),
+      expr("percentile(money, array(0.2,0.4,0.6,0.8))").as("mb"))
+    def quint(v: String, b: String) = (1 to 4).map(i =>
+      when(col(v) > element_at(col(b), i), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    c2.crossJoin(broadcast(bounds))
+      .select(quint("recency", "rb").as("r_q"), quint("freq", "fb").as("f_q"),
+        quint("money", "mb").as("m_q"), col("money"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("money")).as("money_cents"))
+      .withColumn("avg_money_c", expr("money_cents DIV n_customers"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
   def q41Bins(s: SparkSession, dir: String): DataFrame = {

@@ -83,4 +83,73 @@ class QualityOpsSpec extends SparkSpec {
     val b = TextAnalysis.mixtureSample(spark, sf).collect().toSeq
     assert(a === b)
   }
+
+  test("cv-OLS: folds partition the data leakage-free; fold-0 training and held-out MAE replay exactly") {
+    val out = Relational.q59CvOls(spark, sf).collect()
+    assert(out.length === 5, "five folds expected")
+    val nAll = Tables.lineitem(spark, sf).count()
+    // the folds PARTITION the rows: test sizes sum to the corpus, and
+    // every fold's train size is its exact complement
+    assert(out.map(_.getLong(2)).sum === nAll)
+    out.foreach(r => assert(r.getLong(1) === nAll - r.getLong(2)))
+    // cluster folding: whole orders stay in one fold (leakage law)
+    val crossFold = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        (conv(substring(md5(concat(lit("cv:"), col("l_orderkey").cast("string"))),
+          1, 4), 16, 10).cast("long") % 5).as("fold"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(crossFold === 0L)
+    // exact driver-side replay of fold 0's leave-out training and
+    // held-out MAE from the raw rows (the integer law end to end)
+    val rows = Tables.lineitem(spark, sf)
+      .select(
+        (conv(substring(md5(concat(lit("cv:"), col("l_orderkey").cast("string"))),
+          1, 4), 16, 10).cast("long") % 5).as("fold"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tr = rows.filter(_._1 != 0L); val te = rows.filter(_._1 == 0L)
+    val (n, sx, sy) = (tr.length.toLong, tr.map(_._2).sum, tr.map(_._3).sum)
+    val sxy = tr.map(t => t._2 * t._3).sum; val sxx = tr.map(t => t._2 * t._2).sum
+    val b = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val aC = (sy.toDouble - b * sx.toDouble) / n.toDouble
+    val sae = te.map(t => math.abs(t._3 -
+      math.floor(aC + b * t._2 + 0.5).toLong)).sum
+    val f0 = out.find(_.getLong(0) == 0L).get
+    assert(f0.getDouble(3) === math.floor(b * 10000.0 + 0.5) / 10000.0, "slope replay")
+    assert(f0.getDouble(4) ===
+      math.floor(aC / 100.0 * 10000.0 + 0.5) / 10000.0, "intercept replay")
+    assert(f0.getLong(5) === Math.floorDiv(sae * 10000L, te.length.toLong), "mae replay")
+    out.foreach(r => assert(r.getLong(5) > 0L))
+    // determinism
+    val again = Relational.q59CvOls(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("RFM: quintile populations balance per dimension; cell accounting is exact") {
+    val out = Relational.q60Rfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(out.map(_.getLong(3)).sum === nCust, "cells must partition customers")
+    // per-dimension quintile populations: each of the 5 buckets holds
+    // 20% +- interpolation ties (freq is heavily tied, so allow wide
+    // slack there; recency/money are near-continuous)
+    def dimCounts(i: Int) = out.groupBy(_.getLong(i)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    val r = dimCounts(0)
+    val m = dimCounts(2)
+    assert(r.keySet.subsetOf((1L to 5L).toSet) && m.keySet.subsetOf((1L to 5L).toSet))
+    Seq(r, m).foreach { dc =>
+      dc.values.foreach(v => assert(v >= nCust / 10 && v <= nCust * 4 / 10,
+        s"quintile badly unbalanced: $dc"))
+    }
+    // exact integer cell mean law
+    out.foreach(row => assert(row.getLong(5) ===
+      Math.floorDiv(row.getLong(4), row.getLong(3))))
+    // determinism
+    val again = Relational.q60Rfm(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

@@ -895,6 +895,8 @@ object SparkEntry {
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
+    "txt_kn_lm"          -> (TextAnalysis.knLmScore _),
+    "txt_heaps"          -> (TextAnalysis.heapsFit _),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "vec_kcenter"        -> ((s, d) =>
       VectorOps.kcenterSelect(Tables.embeddings(s, d), 8)),
@@ -4616,6 +4618,91 @@ object SparkEntry {
         |    / 10000.0 AS avg_logp
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney: continuation counts from the bigram
+    // TYPE relation, one ln per type with a pinned operation order,
+    // exact integer per-doc sums; same rnd4 boundary as lm_score
+    "txt_kn_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        |  FROM base WHERE len(toks) >= 2),
+        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY 1),
+        |nc AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
+        |t AS (SELECT count(*) AS t FROM c12),
+        |ts AS MATERIALIZED (
+        |  SELECT w1, w2,
+        |    CAST(floor(ln(((CAST(c12 AS DOUBLE) - 0.75)
+        |        + 0.75 * n1f * nc / t) / c1)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM c12 JOIN c1 USING (w1) JOIN n1f USING (w1)
+        |       JOIN nc USING (w2) CROSS JOIN t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_logp,
+        |  floor(exp(-(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0))
+        |    * 10000.0 + 0.5) / 10000.0 AS ppl
+        |FROM bi JOIN ts USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Heaps-law replay: exact-percentile checkpoints, first-occurrence
+    // vocabulary counting, micro-fixed ln, q42's OLS division order
+    "txt_heaps" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM base),
+        |fd AS MATERIALIZED (
+        |  SELECT w, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+        |  GROUP BY w),
+        |ks AS MATERIALIZED (
+        |  SELECT k, CASE k WHEN 1 THEN quantile_cont(doc_id, 0.1)
+        |    WHEN 2 THEN quantile_cont(doc_id, 0.2)
+        |    WHEN 3 THEN quantile_cont(doc_id, 0.3)
+        |    WHEN 4 THEN quantile_cont(doc_id, 0.4)
+        |    WHEN 5 THEN quantile_cont(doc_id, 0.5)
+        |    WHEN 6 THEN quantile_cont(doc_id, 0.6)
+        |    WHEN 7 THEN quantile_cont(doc_id, 0.7)
+        |    WHEN 8 THEN quantile_cont(doc_id, 0.8)
+        |    WHEN 9 THEN quantile_cont(doc_id, 0.9)
+        |    ELSE quantile_cont(doc_id, 1.0) END AS thr
+        |  FROM dlen CROSS JOIN (SELECT unnest(range(1, 11)) AS k) kk
+        |  GROUP BY k),
+        |vk AS (
+        |  SELECT k, count(*) AS vocab_cum
+        |  FROM fd CROSS JOIN ks WHERE fd.fd <= ks.thr GROUP BY k),
+        |nk AS (
+        |  SELECT k, sum(nt) AS n_tokens_cum
+        |  FROM dlen CROSS JOIN ks WHERE dlen.doc_id <= ks.thr GROUP BY k),
+        |pts AS MATERIALIZED (
+        |  SELECT k, n_tokens_cum, vocab_cum,
+        |    CAST(floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM nk JOIN vk USING (k)),
+        |fit AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
+        |sl AS (
+        |  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM fit)
+        |SELECT k AS k, CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+        |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        |  floor(beta * 10000.0 + 0.5) / 10000.0 AS heaps_beta,
+        |  floor(exp((syd - beta * sxd) / nd / 1000000.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS heaps_k
+        |FROM pts CROSS JOIN sl
+        |ORDER BY k""".stripMargin,
 
     "txt_sample" ->
       """WITH a AS (

@@ -599,6 +599,125 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HEAPS'-LAW vocabulary-growth fit — [[zipfFit]]'s companion
+    * corpus diagnostic: natural text grows vocabulary as V(N) ≈ K·N^β
+    * with β ≈ 0.4–0.6 (Heaps 1978), and a corpus whose growth curve
+    * bends away from a power law (β drifting toward 0 = template
+    * repetition; toward 1 = ID/noise floods) earns a look before
+    * training — it is also the estimator for "how much new vocabulary
+    * will 10× more data buy". Ten cumulative checkpoints along the
+    * doc_id order (boundaries from ONE exact-percentile aggregate,
+    * the q41 contract), V via per-token FIRST-occurrence doc (a token
+    * counts from the checkpoint that first saw it — no per-checkpoint
+    * distinct), N via per-doc token counts; both ln'd to integer
+    * micros once, then the log-log OLS runs on exact longs with q42's
+    * division order. β and K ride every row (the zipf_slope
+    * discipline).
+    *
+    * Scale shape: one explode pass → vocab-sized first-doc relation +
+    * doc-sized length relation; each crosses only the broadcast
+    * 10-row checkpoint frame. No window, no sort, nothing
+    * occurrence-sized past the first agg.
+    */
+  def heapsFit(s: SparkSession, dir: String): DataFrame =
+    heapsFrom(Tables.documents(s, dir))
+
+  /** [[heapsFit]] over any (doc_id, text) frame — spec entry point. */
+  def heapsFrom(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val dlen = base.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+    val firstDoc = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val ks = dlen.agg(expr(
+      "percentile(doc_id, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0))").as("ts"))
+      .select(posexplode(col("ts")).as(Seq("k0", "thr")))
+      .select((col("k0") + 1).cast("long").as("k"), col("thr"))
+    val vk = firstDoc.crossJoin(broadcast(ks))
+      .filter(col("fd") <= col("thr"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab_cum"))
+    val nk = dlen.crossJoin(broadcast(ks))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("k")).agg(sum(col("nt")).as("n_tokens_cum"))
+    val pts = nk.join(vk, "k")
+      .withColumn("x", floor(log(col("n_tokens_cum").cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("y", floor(log(col("vocab_cum").cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val d = (c: String) => col(c).cast("double")
+    pts.crossJoin(broadcast(fit))
+      .withColumn("beta", (d("n") * d("sxy") - d("sx") * d("sy")) /
+        (d("n") * d("sxx") - d("sx") * d("sx")))
+      .select(col("k"), col("n_tokens_cum"), col("vocab_cum"),
+        rnd4(col("beta")).as("heaps_beta"),
+        rnd4(exp((d("sy") - col("beta") * d("sx")) / d("n") / lit(1000000.0)))
+          .as("heaps_k"))
+      .orderBy(col("k"))
+  }
+
+  /** Interpolated KNESER-NEY bigram scoring — the production-grade
+    * smoothing upgrade over [[lmScore]]'s add-one baseline (Kneser &
+    * Ney 1995; Chen & Goodman 1998 found interpolated KN the
+    * strongest n-gram smoother, and perplexity filters built on it
+    * sort corpora better than add-k, whose mass assignment punishes
+    * frequent-context bigrams): p(w|v) = max(c(vw)−D, 0)/c(v) +
+    * D·N₁₊(v·)/c(v) · N₁₊(·w)/T, with D = 0.75 and the CONTINUATION
+    * count N₁₊(·w) — "how many contexts does w complete" — replacing
+    * raw frequency in the backoff, which is the insight that stops
+    * "Francisco" (frequent, one context) from stealing mass from
+    * genuinely versatile words.
+    *
+    * Determinism: the whole per-TYPE log-probability is fixed to
+    * integer micros once (single ln, the [[lmScore]] discipline, with
+    * a pinned operation order shared by the oracle), so per-doc sums
+    * are exact integer arithmetic; scored bigrams all have c ≥ 1 >
+    * D, so the max(·,0) branch never fires and the formula is
+    * division-safe.
+    *
+    * Plan shape improvement over lmScore: the model joins resolve on
+    * the TYPE relation (bigram vocabulary), and the corpus-sized
+    * occurrence stream pays exactly ONE equi-join against the scored
+    * types — not one join per count table.
+    */
+  def knLmScore(s: SparkSession, dir: String): DataFrame =
+    knLmFrom(Tables.documents(s, dir))
+
+  /** [[knLmScore]] over any (doc_id, text) frame — spec entry point. */
+  def knLmFrom(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1f = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val nc = c12.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val t = broadcast(c12.agg(count(lit(1)).as("t")))
+    val typeScore = c12
+      .join(c1, "w1").join(n1f, "w1").join(nc, "w2").crossJoin(t)
+      .withColumn("micro", floor(log(
+        ((col("c12").cast("double") - lit(0.75)) +
+          lit(0.75) * col("n1f") * col("nc") / col("t")) / col("c1"))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("w1"), col("w2"), col("micro"))
+    bigrams.join(typeScore, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd4(col("sum_micro").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("avg_logp"),
+        rnd4(exp(-(col("sum_micro").cast("double") / col("n_bigrams")
+          / lit(1000000.0)))).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-domain-like its HASHED n-gram profile is.

@@ -592,4 +592,73 @@ class TextAnalysisSpec extends SparkSpec {
     val agreeRate = out.count(_.getBoolean(4)).toDouble / n
     assert(agreeRate >= 0.85, s"agree rate $agreeRate")
   }
+
+  test("knLm: exact replay of the interpolated KN law; continuation counting discounts one-context words") {
+    import spark.implicits._
+    // crafted corpus: 'san francisco' appears often but 'francisco'
+    // only ever follows 'san' (continuation count 1); 'go' follows
+    // many contexts. Replay the whole formula driver-side.
+    val docs = Seq(
+      (0L, "san francisco san francisco san francisco"),
+      (1L, "we go they go you go dogs go"),
+      (2L, "san francisco we go they run you run")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knLmFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // driver replay
+    val corpus = Seq(
+      0L -> "san francisco san francisco san francisco",
+      1L -> "we go they go you go dogs go",
+      2L -> "san francisco we go they run you run")
+    val bigrams = corpus.flatMap { case (id, t) =>
+      val w = t.split("\\s+"); w.sliding(2).map(p => (id, p(0), p(1))).toSeq }
+    val c12 = bigrams.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1f = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nc = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = c12.size.toLong
+    def micro(v: String, w: String): Long =
+      math.floor(math.log(((c12((v, w)) - 0.75) +
+        0.75 * n1f(v) * nc(w) / t) / c1(v)) * 1e6 + 0.5).toLong
+    corpus.foreach { case (id, _) =>
+      val ms = bigrams.filter(_._1 == id).map(b => micro(b._2, b._3))
+      val r = out(id)
+      assert(r.getLong(1) === ms.length.toLong)
+      val avg = ms.sum.toDouble / ms.length / 1e6
+      assert(r.getDouble(2) === math.floor(avg * 1e4 + 0.5) / 1e4, s"avg_logp doc $id")
+      assert(r.getDouble(3) === math.floor(math.exp(-avg) * 1e4 + 0.5) / 1e4, s"ppl doc $id")
+    }
+    // the KN insight: 'francisco' completes ONE context, 'go' four —
+    // continuation mass must rank them accordingly even though
+    // 'francisco' is the more frequent token after its context
+    assert(nc("francisco") === 1L && nc("go") >= 3L)
+  }
+
+  test("heaps: planted sublinear vocabulary growth fits beta in the power-law band") {
+    import spark.implicits._
+    // doc i introduces ~10/sqrt(i+1) fresh tokens and pads to 20 with
+    // a stopword: V(N) grows ~ sqrt(N), so the log-log fit must land
+    // near beta = 0.5 and far from 0 or 1
+    var fresh = 0
+    val docs = (0 until 100).map { i =>
+      val nNew = math.max(1, math.floor(10.0 / math.sqrt(i + 1.0)).toInt)
+      val words = (0 until nNew).map { j => fresh += 1; s"w$fresh" } ++
+        Seq.fill(20 - nNew)("the")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.heapsFrom(docs).collect()
+    assert(out.length === 10)
+    // checkpoints are cumulative and cover the corpus at k=10
+    val vocab = out.map(_.getLong(2))
+    assert(vocab.sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.map(_.getLong(1)).sliding(2).forall(p => p(0) < p(1)))
+    assert(vocab.last === fresh.toLong + 1L, "k=10 must see the whole vocabulary")
+    val betas = out.map(_.getDouble(3)).distinct
+    assert(betas.length === 1, "beta must ride every row identically")
+    assert(betas.head > 0.25 && betas.head < 0.75,
+      s"planted sqrt growth must fit in the power-law band, got ${betas.head}")
+    // determinism
+    val again = TextAnalysis.heapsFrom(docs).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

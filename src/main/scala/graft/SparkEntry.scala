@@ -921,6 +921,7 @@ object SparkEntry {
     "vec_ann_lsh"        -> (VectorOps.annLshQuery _),
     "vec_ann_ivf"        -> (VectorOps.annIvfQuery _),
     "vec_ann_kmeans"     -> (VectorOps.annKmeansQuery _),
+    "vec_silhouette"     -> ((s, d) => VectorOps.silhouetteQuery(s, d)),
     "vec_ann_ivf_index"  -> (VectorIndex.annIvfIndexQuery _),
     "vec_ann_bq_index"   -> (VectorIndex.annBqIndexQuery _),
     "vec_ann_graph"      -> (GraphAnn.annGraphQuery _),
@@ -947,6 +948,7 @@ object SparkEntry {
     "txt_zipf"           -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "txt_classifier"     -> ((s, d) => TextAnalysis.svmClassifier(s, d)),
     "txt_classifier_scores" -> ((s, d) => TextAnalysis.svmScores(s, d)),
+    "txt_calibration"    -> ((s, d) => TextAnalysis.svmCalibration(s, d)),
     "dd_signatures"      -> (Dedup.signaturesQuery _),
     "dd_minhash_pairs"   -> (Dedup.minhashPairsQuery _),
     "dd_incremental"     -> (Dedup.incrementalPairsQuery _),
@@ -1703,9 +1705,34 @@ object SparkEntry {
       |FROM feat CROSS JOIN w6
       |ORDER BY doc_id""".stripMargin
 
+  /** txt_calibration final select: the reliability table — margins
+    * from the same trained weights bucketed equi-width, observed
+    * positive rate per bucket, all exact integer arithmetic.
+    */
+  private def classifierCalibrationTail: String =
+    """SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  floor(CAST(min(m) AS DOUBLE) / 10000000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS lo_score,
+      |  floor(CAST(max(m) AS DOUBLE) / 10000000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS hi_score,
+      |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+      |  CAST((sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000) // count(*)
+      |    AS BIGINT) AS pos_rate_1e4
+      |FROM (
+      |  SELECT y, m, least(9, ((m - mn) * 10) // (mx - mn + 1)) AS bin
+      |  FROM (SELECT y, a0*x0 + a1*x1 + a2*x2 + a3*x3 AS m
+      |        FROM feat CROSS JOIN w6) t
+      |  CROSS JOIN (SELECT min(a0*x0 + a1*x1 + a2*x2 + a3*x3) AS mn,
+      |                max(a0*x0 + a1*x1 + a2*x2 + a3*x3) AS mx
+      |              FROM feat CROSS JOIN w6) e)
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "txt_classifier" -> classifierOracleSql(classifierTraceTail),
     "txt_classifier_scores" -> classifierOracleSql(classifierScoresTail),
+    "txt_calibration" -> classifierOracleSql(classifierCalibrationTail),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -5716,6 +5743,80 @@ object SparkEntry {
         |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id, a."rank"""".stripMargin,
+
+    // simplified silhouette over the SAME replayed k-means training
+    // as vec_ann_kmeans (seeds -> two Lloyd rounds -> labels under
+    // c2); per-point scores fix to the 1e-4 grid before the exact
+    // integer cluster means
+    "vec_silhouette" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+        |comp AS (
+        |  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM c)
+        |  WHERE rn <= 16),
+        |a1 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (vec_id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |dist AS MATERIALIZED (
+        |  SELECT v.vec_id, s.c_id,
+        |    list_distance(CAST(v.vec AS DOUBLE[]), s.centroid) AS d
+        |  FROM c v CROSS JOIN c2 s),
+        |ab AS (
+        |  SELECT d.vec_id, l.c_id,
+        |    min(CASE WHEN d.c_id = l.c_id THEN d.d END) AS a,
+        |    min(CASE WHEN d.c_id <> l.c_id THEN d.d END) AS b
+        |  FROM dist d JOIN labels l USING (vec_id)
+        |  GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT c_id,
+        |    CASE WHEN greatest(a, b) > 0.0
+        |      THEN CAST(floor((b - a) / greatest(a, b) * 10000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS s4
+        |  FROM ab)
+        |SELECT CAST(c_id AS BIGINT) AS c_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST((sum(s4) - ((sum(s4) % count(*) + count(*)) % count(*))) // count(*)
+        |    AS BIGINT) AS mean_sil_1e4,
+        |  CAST(min(s4) AS BIGINT) AS min_sil_1e4,
+        |  CAST(max(s4) AS BIGINT) AS max_sil_1e4
+        |FROM sil
+        |GROUP BY c_id
+        |ORDER BY c_id""".stripMargin,
 
     // Second full cross-engine ANN certification: label-partitioned
     // IVF (nprobe 8 of 10 cells). The per-label mean centroids use

@@ -1887,6 +1887,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CALIBRATION / reliability table for the trained quality
+    * classifier — the third model-evaluation harness (retrieval has
+    * `txt_ndcg`, regression `q59_cv_ols`, clustering
+    * `vec_silhouette`): margins from the SAME certified training run
+    * as [[svmScores]] bucket into `bins` equi-width cells, and each
+    * cell reports its observed positive-label rate next to its score
+    * range — the table behind a reliability diagram, and the evidence
+    * for whether a margin threshold shift would trade precision for
+    * recall predictably. A well-ranked model shows pos_rate
+    * monotone in bin; the spec pins top-vs-bottom separation.
+    *
+    * All exact: margins are the trainer's BIGINTs, the bin law is
+    * `min(bins−1, (m−mn)·bins DIV (mx−mn+1))` on non-negative
+    * operands, rates are integer floorDivs, and the score-range
+    * columns divide exact longs once before the rnd4 floor — the
+    * whole table hashes. One extra corpus scan over the feature map
+    * beyond training (the svmScores cost shape).
+    */
+  def svmCalibration(s: SparkSession, dir: String,
+                     iters: Int = 6, etaNum: Long = 400L,
+                     bins: Int = 10): DataFrame = {
+    val (feat, w, _) = trainSvm(s, dir, iters, etaNum)
+    feat.unpersist()
+    val m = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val scored = feat.select(m.as("m"), col("y"))
+    val ext = scored.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    scored.crossJoin(broadcast(ext))
+      .withColumn("bin", least(lit((bins - 1).toLong),
+        expr(s"((m - mn) * ${bins}L) DIV (mx - mn + 1L)")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        rnd4(min(col("m")).cast("double") / lit(1.0e10)).as("lo_score"),
+        rnd4(max(col("m")).cast("double") / lit(1.0e10)).as("hi_score"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("m") > 0L, 1L).otherwise(0L)).as("n_pred_pos"))
+      .withColumn("pos_rate_1e4", expr("(n_pos * 10000L) DIV n_docs"))
+      .select(col("bin"), col("n_docs"), col("lo_score"), col("hi_score"),
+        col("n_pos"), col("n_pred_pos"), col("pos_rate_1e4"))
+      .orderBy(col("bin"))
+  }
+
   /** Shared trainer behind [[svmClassifier]] / [[svmScores]]: builds
     * the standardized fixed-point feature frame (persisted — caller
     * unpersists), runs `iters` full-batch epochs, and returns the

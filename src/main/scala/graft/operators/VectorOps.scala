@@ -381,6 +381,60 @@ object VectorOps {
     annIvf(queries, labeled, k, nprobe)
   }
 
+  /** SIMPLIFIED SILHOUETTE clustering-quality score over the trained
+    * k-means model — the evaluation harness for the engine's
+    * clustering family (the retrieval side already has `txt_ndcg`,
+    * regression has `q59_cv_ols`): per point, a = distance to the
+    * ASSIGNED centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1] (Kaufman & Rousseeuw's
+    * centroid-based simplification — O(N·k) instead of the O(N²)
+    * full silhouette, the only version that exists at corpus scale).
+    * Negative mean silhouette in a cluster = its members sit closer
+    * to a neighboring centroid — the "k is wrong / clusters overlap"
+    * diagnostic.
+    *
+    * Shares [[kmeansCentroidsCached]]'s certified trained model (the
+    * vec_ann_kmeans oracle replays the identical training), so the
+    * oracle re-derives seeds → both Lloyd rounds → labels, then the
+    * distance table. Per-point silhouettes fix to the 1e-4 grid
+    * before summing (the rnd4 boundary contract), so cluster means
+    * are exact integer floorDivs.
+    *
+    * Scale shape: distances to all k centroids are ONE map stage
+    * (k literal-vector kernels, whole-stage codegen'd); the only
+    * shuffle is the final per-cluster agg — k·stats rows.
+    */
+  def silhouetteQuery(s: SparkSession, dir: String,
+                      kClusters: Int = 16, iters: Int = 2): DataFrame =
+    silhouetteOf(corpusSet(s, dir), kClusters, iters)
+
+  /** The score table over any (vec_id, vec) corpus — spec entry
+    * point for planted cluster geometries. */
+  def silhouetteOf(c: DataFrame, kClusters: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroidsCached(c, kClusters, iters).sortBy(_._1)
+    val dCols = cents.map { case (id, ctr) =>
+      graft.functions.VectorExpressions.l2(col("vec"), typedLit(ctr)).as(s"d$id") }
+    val wd = c.select(Seq(col("vec_id"),
+      nearestCentroidId(col("vec"), cents).as("c_id")) ++ dCols: _*)
+    val aCol = cents.map { case (id, _) => (col("c_id") === id, col(s"d$id")) }
+      .foldLeft(lit(Double.NaN)) { case (acc, (p, d)) => when(p, d).otherwise(acc) }
+    val bCol = least(cents.map { case (id, _) =>
+      when(col("c_id") === id, lit(Double.PositiveInfinity))
+        .otherwise(col(s"d$id")) }: _*)
+    wd.select(col("c_id"), aCol.as("a"), bCol.as("b"))
+      .withColumn("s4", when(greatest(col("a"), col("b")) > 0.0,
+        floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+          * lit(10000.0) + lit(0.5)).cast("long")).otherwise(0L))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s4")).as("ssil"),
+        min(col("s4")).as("min_sil_1e4"), max(col("s4")).as("max_sil_1e4"))
+      .withColumn("mean_sil_1e4",
+        expr("(ssil - pmod(ssil, n_vecs)) DIV n_vecs"))
+      .select(col("c_id").cast("long").as("c_id"), col("n_vecs"),
+        col("mean_sil_1e4"), col("min_sil_1e4"), col("max_sil_1e4"))
+      .orderBy(col("c_id"))
+  }
+
   /** Symmetric int8 quantization quality stats — the storage-shrink
     * step of an embedding pipeline (float32 → int8 is 4× smaller and
     * what most ANN index formats store). Per vector: scale =

@@ -634,6 +634,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nc("francisco") === 1L && nc("go") >= 3L)
   }
 
+  test("calibration: bins partition the corpus; margin ranking separates label rates; sign bookkeeping exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.svmCalibration(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum === nDocs, "bins must partition the corpus")
+    // the trained margin ranks the planted concept: the top bin's
+    // observed positive rate clears the bottom bin's by a wide band
+    val byBin = out.sortBy(_.getLong(0))
+    assert(byBin.last.getLong(6) >= byBin.head.getLong(6) + 5000L,
+      s"top ${byBin.last.getLong(6)} vs bottom ${byBin.head.getLong(6)}")
+    out.foreach { r =>
+      // rate law and sign bookkeeping are exact
+      assert(r.getLong(6) === Math.floorDiv(r.getLong(4) * 10000L, r.getLong(1)))
+      if (r.getDouble(3) < 0.0) assert(r.getLong(5) === 0L, "neg-range bin predicted pos")
+      if (r.getDouble(2) > 0.0) assert(r.getLong(5) === r.getLong(1), "pos-range bin not all-pos")
+      assert(r.getDouble(2) <= r.getDouble(3), "lo must not exceed hi")
+    }
+    // determinism
+    val again = TextAnalysis.svmCalibration(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("heaps: planted sublinear vocabulary growth fits beta in the power-law band") {
     import spark.implicits._
     // doc i introduces ~10/sqrt(i+1) fresh tokens and pads to 20 with

@@ -432,4 +432,32 @@ class VectorOpsSpec extends SparkSpec {
       mind = mind.map { case (id, d) => id -> math.min(d, cosDist(nv, byId(id))) }
     }
   }
+
+  test("silhouette: tight separated clusters score near 1; straddlers score low; coverage exact") {
+    import spark.implicits._
+    // two tight blobs far apart in 4-d, plus one straddler midway:
+    // k=2 k-means must separate the blobs; blob members score near 1
+    // (a ~ 0.1-scale, b ~ 10-scale) while the midpoint straddler's
+    // a and b are comparable, pulling ITS cluster's min down
+    def blob(cx: Double, n: Int, off: Int) = (0 until n).map { i =>
+      (s"v${off + i}", Array(cx + 0.01f * (i % 5), cx - 0.01f * (i % 3),
+        cx.toFloat, cx.toFloat).map(_.toFloat).toSeq)
+    }
+    val pts = blob(0.0, 20, 0) ++ blob(10.0, 20, 100) ++
+      Seq(("vmid", Seq(5.0f, 5.0f, 5.0f, 5.0f)))
+    val c = pts.toDF("vec_id", "vec")
+    val out = VectorOps.silhouetteOf(c, kClusters = 2, iters = 2).collect()
+    assert(out.map(_.getLong(1)).sum === 41L, "every point scored exactly once")
+    // both clusters' MEAN silhouette is high (blob members dominate)
+    out.foreach(r => assert(r.getLong(2) > 8000L,
+      s"cluster ${r.getLong(0)} mean ${r.getLong(2)}"))
+    // the straddler is the corpus-wide minimum and is far below the
+    // blob members' scores
+    val minSil = out.map(_.getLong(3)).min
+    assert(minSil < 5000L, s"straddler not visible in min: $minSil")
+    assert(out.map(_.getLong(4)).max > 9500L, "tight members must approach 1")
+    // determinism
+    val again = VectorOps.silhouetteOf(c, kClusters = 2, iters = 2).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

@@ -76,7 +76,8 @@ object Explain {
       "ev_concurrency" -> "hourly post-aggregation grid (time-span-sized, not data-sized)",
       "ev_stl" -> "daily post-aggregation spine (time-span-sized, not data-sized)",
       "vec_ann_curve" -> "<=16 nprobe curve points",
-      "ev_survival" -> "day-granular duration spine (observation-window-sized, not data-sized)")
+      "ev_survival" -> "day-granular duration spine (observation-window-sized, not data-sized)",
+      "q55_tcloseness" -> "global balance-bin cumulative: <=11 post-aggregation bins")
     val census = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -77,7 +77,8 @@ object Explain {
       "ev_stl" -> "daily post-aggregation spine (time-span-sized, not data-sized)",
       "vec_ann_curve" -> "<=16 nprobe curve points",
       "ev_survival" -> "day-granular duration spine (observation-window-sized, not data-sized)",
-      "q55_tcloseness" -> "global balance-bin cumulative: <=11 post-aggregation bins")
+      "q55_tcloseness" -> "global balance-bin cumulative: <=11 post-aggregation bins",
+      "q61_skyline" -> "<=50 distinct whole quantities after the min-price collapse")
     val census = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     names.foreach { n =>
       println(s"\n======== $n ========")

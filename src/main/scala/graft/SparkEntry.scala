@@ -892,6 +892,8 @@ object SparkEntry {
     "ev_forecast"        -> ((s, d) => Events.holtWinters(s, d)),
     "ev_changepoints"    -> (Events.changepoints _),
     "ev_acf"             -> (Events.acf _),
+    "ev_xcorr"           -> ((s, d) => Events.xcorr(s, d)),
+    "q61_skyline"        -> (Relational.q61Skyline _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
@@ -2180,6 +2182,78 @@ object SparkEntry {
     "ev_forecast" -> holtWintersOracleSql,
     "ev_changepoints" -> changepointsOracleSql,
     "ev_acf" -> acfOracleSql,
+
+    // lead-lag cross-correlation on the global spine: the acf
+    // deviations discipline per pair, IEEE-exact sqrt normalization
+    // (sqrt is correctly rounded, unlike ln), integer-numerator peak
+    "ev_xcorr" ->
+      """WITH daily0 AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day_d) AS lo, max(day_d) AS hi FROM daily0),
+        |types AS (SELECT DISTINCT event_type FROM daily0),
+        |spine AS (
+        |  SELECT t.event_type, unnest(range(lo, hi + 1)) AS day_d
+        |  FROM types t CROSS JOIN bounds),
+        |daily AS MATERIALIZED (
+        |  SELECT s.event_type, s.day_d, coalesce(d.n, CAST(0 AS BIGINT)) AS y
+        |  FROM spine s LEFT JOIN daily0 d
+        |    ON d.event_type = s.event_type AND d.day_d = s.day_d),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_days, sum(y) AS s_tot
+        |  FROM daily GROUP BY 1),
+        |dev AS MATERIALIZED (
+        |  SELECT d.event_type, d.day_d,
+        |    d.y * 100 - ((st.s_tot * 100 - ((st.s_tot * 100 % st.n_days
+        |      + st.n_days) % st.n_days)) // st.n_days) AS dd
+        |  FROM daily d JOIN stats st USING (event_type)),
+        |den AS (SELECT event_type, sum(dd * dd) AS den FROM dev GROUP BY 1),
+        |num AS MATERIALIZED (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+        |    count(*) AS n_pairs, sum(a.dd * b.dd) AS num
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag_h) l
+        |  JOIN dev b ON a.event_type < b.event_type
+        |    AND b.day_d = a.day_d + l.lag_h
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT n.type_a, n.type_b, n.lag_h, n.n_pairs, n.num,
+        |    da.den AS den_a, db.den AS den_b,
+        |    row_number() OVER (PARTITION BY n.type_a, n.type_b
+        |      ORDER BY n.num DESC, n.lag_h ASC) AS rn
+        |  FROM num n JOIN den da ON da.event_type = n.type_a
+        |       JOIN den db ON db.event_type = n.type_b)
+        |SELECT type_a, type_b, CAST(lag_h AS BIGINT) AS lag,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN den_a > 0 AND den_b > 0
+        |    THEN floor(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(den_a AS DOUBLE)) * sqrt(CAST(den_b AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0
+        |    ELSE 0.0 END AS r4,
+        |  rn = 1 AS is_peak
+        |FROM scored
+        |ORDER BY type_a, type_b, lag""".stripMargin,
+
+    // Pareto dominance on exact cents over the <=50-row quantity
+    // frame; the strict-below tie law spelled out on both engines
+    "q61_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS min_price_c,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |sk AS (
+        |  SELECT qty, min_price_c, n_rows,
+        |    min(min_price_c) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_higher
+        |  FROM pts)
+        |SELECT qty, CAST(min_price_c AS BIGINT) AS min_price_c,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM sk
+        |WHERE best_higher IS NULL OR min_price_c < best_higher
+        |ORDER BY qty""".stripMargin,
     // streamed ≡ batch by construction: the streaming daily agg feeds
     // the identical smoothing core, so the batch oracle applies verbatim
     "stream_forecast" -> holtWintersOracleSql,

@@ -1472,6 +1472,81 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** CROSS-correlation between event-type daily series at lags
+    * −7..+7 — [[acf]]'s pair companion and the LEAD-LAG detector: a
+    * peak at lag h > 0 for (a, b) means a's daily volume leads b's by
+    * h days (the "signups today, purchases in three days" readout
+    * that drives capacity and attribution decisions). Series 0-fill
+    * onto the GLOBAL day spine so every pair aligns; deviations are
+    * the cent-scaled integers about each type's floor-mean (the acf
+    * discipline) and every sum is an exact BIGINT.
+    *
+    * Normalization without a determinism hole: Pearson's r divides by
+    * √den_a·√den_b — and IEEE-754 `sqrt` is an EXACTLY-ROUNDED
+    * operation (unlike ln/exp), so sqrt of the same exact-integer-
+    * derived double is the same double on both engines, the pinned
+    * num/(sqrt·sqrt) order gives the same quotient, and the rnd4
+    * boundary is deterministic, not just probable. The PEAK lag is
+    * flagged by row_number over the exact integer numerators (den is
+    * lag-invariant per pair) with min-lag ties — the acf dominant-lag
+    * law extended to a signed lag range.
+    *
+    * Scale shape: one corpus-collapsing daily hash agg; the lag
+    * expansion and the pair join run on the bounded types×days frame
+    * (pairs are type-vocabulary-sized); windows partition by pair.
+    */
+  def xcorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("event_type"), col("day_d"))
+      .agg(count(lit(1)).as("n"))
+    xcorrOf(daily0, maxLag)
+  }
+
+  /** The estimator core over any (event_type, day_d, n) daily frame. */
+  def xcorrOf(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    // GLOBAL spine so pair series align day-for-day
+    val bounds = daily0.agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi"))
+    val types = daily0.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day_d"))
+    val daily = spine.join(daily0, Seq("event_type", "day_d"), "left")
+      .select(col("event_type"), col("day_d"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s_tot"))
+    val dev = daily.join(broadcast(stats), "event_type")
+      .withColumn("d", col("y") * lit(100L) -
+        expr("(s_tot * 100L - pmod(s_tot * 100L, n_days)) DIV n_days"))
+      .select(col("event_type"), col("day_d"), col("d"))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    val lags = (-maxLag to maxLag).map(_.toLong)
+    val a = dev.select(col("event_type").as("type_a"), col("day_d"), col("d").as("da"))
+      .withColumn("lag", explode(lit(lags.toArray)))
+    val b = dev.select(col("event_type").as("type_b"),
+      col("day_d").as("day_b"), col("d").as("db"))
+    val num = a.join(b,
+        col("type_a") < col("type_b") && col("day_b") === col("day_d") + col("lag"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("da") * col("db")).as("num"))
+    val peak = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("num").desc, col("lag").asc)
+    num
+      .join(broadcast(den.select(col("event_type").as("type_a"), col("den").as("den_a"))), "type_a")
+      .join(broadcast(den.select(col("event_type").as("type_b"), col("den").as("den_b"))), "type_b")
+      .withColumn("r4", when(col("den_a") > 0L && col("den_b") > 0L,
+        CrossEngine.rnd4(col("num").cast("double") /
+          (sqrt(col("den_a").cast("double")) * sqrt(col("den_b").cast("double")))))
+        .otherwise(lit(0.0)))
+      .withColumn("is_peak", row_number().over(peak) === 1)
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        col("r4"), col("is_peak"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val daily0 = Tables.events(s, dir)
       .select(col("event_type"),

@@ -685,6 +685,46 @@ object Relational {
       .orderBy(col("flag"))
   }
 
+  /** SKYLINE (Pareto-front) operator — Börzsönyi et al. 2001's
+    * multi-objective selection: the line items no other row beats on
+    * BOTH objectives (maximize quantity, minimize price); the
+    * data-selection primitive behind "best trade-off" queries that
+    * plain top-k by a single weighted score cannot answer.
+    *
+    * Scale shape: the corpus collapses to one (quantity → min price,
+    * count) row per DISTINCT quantity in a map-side-combinable hash
+    * agg — TPC-H quantities are whole 1..50, so the dominance pass is
+    * a running min over a ≤50-row post-aggregation frame (census
+    * allowlisted with that bound; for unbounded objective domains
+    * you'd range-partition the running min like `txt_global_ids`).
+    * Dominance law with ties spelled out: a point survives iff its
+    * price is STRICTLY below every higher-quantity point's min price
+    * (equal price at higher quantity dominates), decided on exact
+    * integer cents.
+    */
+  def q61Skyline(s: SparkSession, dir: String): DataFrame =
+    q61SkylineOf(Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("price_c")))
+
+  /** The dominance core over any (qty, price_c) relation — spec
+    * entry point for planted fronts. */
+  def q61SkylineOf(rows: DataFrame): DataFrame = {
+    val pts = rows
+      .groupBy(col("qty"))
+      .agg(min(col("price_c")).as("min_price_c"),
+        count(lit(1)).as("n_rows"))
+    val better = Window.orderBy(col("qty").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("best_higher", min(col("min_price_c")).over(better))
+      .filter(col("best_higher").isNull ||
+        col("min_price_c") < col("best_higher"))
+      .select(col("qty"), col("min_price_c"), col("n_rows"))
+      .orderBy(col("qty"))
+  }
+
   /** k-fold CROSS-VALIDATED OLS — the model-selection layer on top of
     * [[q42Ols]]'s estimator: cluster folds by md5(order) (whole
     * orders stay together — the leakage discipline every sampler

@@ -672,4 +672,36 @@ class EventsSpec extends SparkSpec {
     val again = graft.operators.Events.acfOf(daily).collect()
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
+
+  test("xcorr: a planted 3-day lead peaks at lag +3; flat series guard; pair bookkeeping") {
+    import spark.implicits._
+    // 'a' has a distinctive spiky series; 'b' is the SAME series
+    // shifted 3 days later (a leads b by 3); 'flat' is constant.
+    val base = (0 until 40).map(t =>
+      1000L + (if (t % 9 == 0) 700L else 0L) + (t % 4) * 37L)
+    val rows =
+      (0 until 40).map(t => ("a", t.toLong, base(t))) ++
+      (0 until 40).map(t => ("b", t.toLong, if (t >= 3) base(t - 3) else 950L)) ++
+      (0 until 40).map(t => ("flat", t.toLong, 500L))
+    val daily = rows.toDF("event_type", "day_d", "n")
+    val out = graft.operators.Events.xcorrOf(daily).collect()
+    // 3 pairs x 15 lags
+    assert(out.length === 45)
+    val ab = out.filter(r => r.getString(0) == "a" && r.getString(1) == "b")
+      .map(r => r.getLong(2) -> r).toMap
+    // peak flagged exactly at lag +3, with near-perfect correlation
+    assert(ab(3L).getBoolean(5), "peak not at +3")
+    assert(ab(3L).getDouble(4) > 0.9, s"peak r too low: ${ab(3L).getDouble(4)}")
+    (-7L to 7L).filter(_ != 3L).foreach(h =>
+      assert(ab(h).getDouble(4) < ab(3L).getDouble(4), s"lag $h >= lag 3"))
+    assert(ab.values.count(_.getBoolean(5)) === 1)
+    // pair bookkeeping: n_pairs = T - |lag| on the 40-day spine
+    ab.foreach { case (h, r) => assert(r.getLong(3) === 40L - math.abs(h)) }
+    // a constant series has zero deviations: r pinned to 0 at all lags
+    out.filter(r => r.getString(1) == "flat")
+      .foreach(r => assert(r.getDouble(4) === 0.0))
+    // determinism
+    val again = graft.operators.Events.xcorrOf(daily).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

@@ -129,6 +129,32 @@ class QualityOpsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("skyline: dominated points drop, the tie law is strict, counts survive the collapse") {
+    import spark.implicits._
+    // planted front on (maximize qty, minimize price_c):
+    //   (10, 500) dominated by (20, 400) — higher qty AND cheaper;
+    //   (20, 400) dominated by (30, 400) by the STRICT tie law (equal
+    //   price, higher qty); (25, 900) dominated by (30, 400);
+    //   (40, 650) front (no higher qty is cheaper-or-equal);
+    //   (50, 700) front (nothing above it)
+    val rows = Seq(
+      (10L, 500L), (10L, 800L), (20L, 400L), (30L, 400L), (30L, 450L),
+      (25L, 900L), (40L, 650L), (50L, 700L), (50L, 950L)
+    ).toDF("qty", "price_c")
+    val out = Relational.q61SkylineOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((30L, 400L, 2L),
+      (40L, 650L, 1L), (50L, 700L, 2L)),
+      s"front mismatch: ${out.toSeq}")
+    // brute-force dominance replay over the collapsed points
+    val pts = Seq((10L, 500L, 2L), (20L, 400L, 1L), (25L, 900L, 1L),
+      (30L, 400L, 2L), (40L, 650L, 1L), (50L, 700L, 2L))
+    val expect = pts.filter { case (q, p, _) =>
+      !pts.exists { case (q2, p2, _) => q2 > q && p2 <= p } }
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      expect.map(t => (t._1, t._2)))
+  }
+
   test("RFM: quintile populations balance per dimension; cell accounting is exact") {
     val out = Relational.q60Rfm(spark, sf).collect()
     val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()

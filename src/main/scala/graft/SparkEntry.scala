@@ -893,6 +893,8 @@ object SparkEntry {
     "ev_changepoints"    -> (Events.changepoints _),
     "ev_acf"             -> (Events.acf _),
     "ev_xcorr"           -> ((s, d) => Events.xcorr(s, d)),
+    "ev_gini"            -> (Events.gini _),
+    "ev_power"           -> ((s, d) => Events.power(s, d)),
     "q61_skyline"        -> (Relational.q61Skyline _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_cdc_dedup"      -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
@@ -2235,6 +2237,68 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM scored
         |ORDER BY type_a, type_b, lag""".stripMargin,
+
+    // ascending within-type ranks replayed as a plain partitioned
+    // row_number (the sharded construction's contract), exact
+    // rational Gini with the pmod floorDiv, integer top-decile share
+    "ev_gini" ->
+      """WITH totals AS MATERIALIZED (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM totals),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_users, sum(x) AS n_events,
+        |    sum(i * x) AS s1
+        |  FROM r GROUP BY 1),
+        |top AS (
+        |  SELECT r.event_type, sum(r.x) AS top_x
+        |  FROM r JOIN agg a USING (event_type)
+        |  WHERE r.i > a.n_users - (a.n_users // 10)
+        |  GROUP BY 1)
+        |SELECT a.event_type, CAST(a.n_users AS BIGINT) AS n_users,
+        |  CAST(a.n_events AS BIGINT) AS n_events,
+        |  CAST(((2 * a.s1 - (a.n_users + 1) * a.n_events) * 1000000
+        |    - (((2 * a.s1 - (a.n_users + 1) * a.n_events) * 1000000
+        |        % (a.n_users * a.n_events) + (a.n_users * a.n_events))
+        |       % (a.n_users * a.n_events)))
+        |    // (a.n_users * a.n_events) AS BIGINT) AS gini_1e6,
+        |  CAST((t.top_x * 10000) // a.n_events AS BIGINT) AS top10_share_1e4
+        |FROM agg a JOIN top t USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+
+    // frozen z-quantile micros (the ndcg discount discipline), exact
+    // integer moments, pinned double order, engine-deterministic ceil
+    "ev_power" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv
+        |  FROM pu GROUP BY 1 HAVING count(*) >= 2),
+        |calc AS (
+        |  SELECT event_type, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    (CAST(n AS DOUBLE) * CAST(qv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_c2
+        |  FROM st),
+        |grid AS (
+        |  SELECT c.*, m.mde_pct,
+        |    c.mean_c * CAST(m.mde_pct AS DOUBLE) / 100.0 AS delta_c
+        |  FROM calc c CROSS JOIN (SELECT unnest([1, 2, 5, 10, 20]) AS mde_pct) m)
+        |SELECT event_type, CAST(mde_pct AS BIGINT) AS mde_pct,
+        |  CAST(n AS BIGINT) AS n_users,
+        |  floor(mean_c / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_value,
+        |  floor(sqrt(var_c2) / 100.0 * 10000.0 + 0.5) / 10000.0 AS sd_value,
+        |  CAST(ceil((2801585.0 / 1000000.0) * (2801585.0 / 1000000.0) * 2.0
+        |    * var_c2 / (delta_c * delta_c)) AS BIGINT) AS n_required_per_arm
+        |FROM grid
+        |ORDER BY event_type, mde_pct""".stripMargin,
 
     // Pareto dominance on exact cents over the <=50-row quantity
     // frame; the strict-below tie law spelled out on both engines

@@ -1547,6 +1547,105 @@ object Events {
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
+  /** GINI concentration of event volume across users, per event type
+    * — the whale-detection / load-imbalance audit (a Gini near 0 =
+    * uniform usage, near 1 = a handful of users generate everything;
+    * the same number also prices how badly a user-keyed shuffle will
+    * skew). Exact rational: with per-user totals x ranked ascending
+    * i = 1..n, Gini = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), all BIGINT, one
+    * pmod floorDiv to the 1e-6 grid. `top10_share_1e4` (volume held
+    * by the top decile of users) rides along as the operational
+    * readout of the same ranking.
+    *
+    * Scale shape: the corpus collapses to per-(type, user) totals in
+    * one hash agg; the ascending rank comes from ONE sharded
+    * global-rank pass over (type, x, user) — the certified
+    * `txt_global_ids` construction, NO unpartitioned and NO
+    * type-partitioned user-sized window — and within-type ranks are
+    * the global rank minus the broadcast per-type base. Magnitude
+    * contract: 2·Σi·xᵢ·10⁶ must fit signed-64 (holds to ~10⁹ user
+    * rows × 10³ events each; partition the audit beyond that).
+    */
+  def gini(s: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.events(s, dir).select(col("event_type"), col("user_id")))
+
+  /** The audit core over any (event_type, user_id) event relation. */
+  def giniOf(ev: DataFrame): DataFrame = {
+    val totals = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val (ranked, _) = TextAnalysis.withShardedRank(totals, "g", 32,
+      Seq(col("event_type"), col("x"), col("user_id")))
+    val base = ranked.groupBy(col("event_type"))
+      .agg(min(col("g")).as("g0"))
+    val r = ranked.join(broadcast(base), "event_type")
+      .withColumn("i", col("g") - col("g0") + lit(1L))
+    val agg = r.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
+        sum(col("i") * col("x")).as("s1"))
+    val top = r.join(broadcast(agg.select(col("event_type"), col("n_users").as("nu"))),
+        "event_type")
+      .filter(col("i") > col("nu") - expr("nu DIV 10"))
+      .groupBy(col("event_type")).agg(sum(col("x")).as("top_x"))
+    agg.join(broadcast(top), "event_type")
+      .withColumn("gini_1e6", expr(
+        """((2L * s1 - (n_users + 1L) * n_events) * 1000000L -
+          |  pmod((2L * s1 - (n_users + 1L) * n_events) * 1000000L,
+          |       n_users * n_events)) DIV (n_users * n_events)""".stripMargin))
+      .withColumn("top10_share_1e4", expr("(top_x * 10000L) DIV n_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        col("gini_1e6"), col("top10_share_1e4"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A/B-test POWER analysis — the sample-size calculator the
+    * experimentation stack (CUPED, bootstrap, chi-square) was
+    * missing: per event type, the per-user value distribution's
+    * exact integer moments give σ², and the required users PER ARM
+    * to detect a relative lift of mde% at α = 0.05 (two-sided) with
+    * 80% power is n = ⌈(z₀.₉₇₅ + z₀.₈)² · 2σ² / δ²⌉, δ = mde·mean.
+    * The two normal quantiles are FROZEN micro literals
+    * (1959964, 841621 — the txt_ndcg discount-table discipline: the
+    * only transcendentals in the formula are shared constants), so
+    * every downstream double derives from exact integers with a
+    * pinned operation order and the ceil is engine-deterministic.
+    *
+    * Scale shape: one corpus-collapsing (type, user) hash agg, one
+    * moments agg, then a 5-row MDE grid broadcast-exploded onto the
+    * type-sized stats relation.
+    */
+  def power(s: SparkSession, dir: String): DataFrame =
+    powerOf(Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100.0).cast("long").as("cents")))
+
+  /** The calculator core over any (event_type, user_id, cents)
+    * relation. */
+  def powerOf(ev: DataFrame, mdes: Seq[Int] = Seq(1, 2, 5, 10, 20)): DataFrame = {
+    val zSumMicro = 1959964L + 841621L // z_{0.975} + z_{0.80}, frozen
+    val perUser = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("v"))
+    val stats = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("qv"))
+      .filter(col("n") >= 2L)
+    val d = (c: String) => col(c).cast("double")
+    stats
+      .withColumn("mean_c", d("sv") / d("n"))
+      .withColumn("var_c2", (d("n") * d("qv") - d("sv") * d("sv")) /
+        (d("n") * (d("n") - lit(1.0))))
+      .withColumn("mde_pct", explode(lit(mdes.map(_.toLong).toArray)))
+      .withColumn("delta_c", col("mean_c") * col("mde_pct").cast("double") / lit(100.0))
+      .withColumn("n_required_per_arm",
+        ceil(lit(zSumMicro.toDouble / 1.0e6) * lit(zSumMicro.toDouble / 1.0e6)
+          * lit(2.0) * col("var_c2") / (col("delta_c") * col("delta_c")))
+          .cast("long"))
+      .select(col("event_type"), col("mde_pct"), col("n").as("n_users"),
+        CrossEngine.rnd4(col("mean_c") / lit(100.0)).as("mean_value"),
+        CrossEngine.rnd4(sqrt(col("var_c2")) / lit(100.0)).as("sd_value"),
+        col("n_required_per_arm"))
+      .orderBy(col("event_type"), col("mde_pct"))
+  }
+
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val daily0 = Tables.events(s, dir)
       .select(col("event_type"),

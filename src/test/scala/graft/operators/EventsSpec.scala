@@ -704,4 +704,58 @@ class EventsSpec extends SparkSpec {
     val again = graft.operators.Events.xcorrOf(daily).collect()
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
+
+  test("gini: uniform usage scores 0, a whale dominates, exact rational replay") {
+    import spark.implicits._
+    // 'even': 10 users x 5 events each -> Gini exactly 0, top decile
+    // (1 user) holds exactly 1/10 of the volume.
+    // 'whale': 9 users x 1 event + 1 user x 91 -> heavy concentration
+    val rows =
+      (0 until 10).flatMap(u => Seq.fill(5)(("even", u.toLong))) ++
+      (0 until 9).map(u => ("whale", u.toLong)) ++
+      Seq.fill(91)(("whale", 99L))
+    val out = graft.operators.Events.giniOf(rows.toDF("event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("even").getLong(3) === 0L, "uniform usage must score 0")
+    assert(out("even").getLong(4) === 1000L, "top decile of uniform = 10%")
+    // exact replay of the whale type: x sorted asc = (1 x 9, 91)
+    val xs = Seq.fill(9)(1L) :+ 91L
+    val n = xs.length.toLong; val sx = xs.sum
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val expected = Math.floorDiv((2L * s1 - (n + 1L) * sx) * 1000000L, n * sx)
+    assert(out("whale").getLong(3) === expected, "whale gini replay")
+    assert(out("whale").getLong(3) > 700000L, "whale must show heavy concentration")
+    assert(out("whale").getLong(4) === Math.floorDiv(91L * 10000L, 100L))
+    assert(out("whale").getLong(1) === 10L && out("whale").getLong(2) === 100L)
+  }
+
+  test("power: exact formula replay; required n shrinks with the square of the detectable lift") {
+    import spark.implicits._
+    // two users per type would make variance exact but tiny n; use a
+    // crafted spread so sigma is meaningful
+    val rows = (0 until 50).map(u =>
+      ("buy", u.toLong, (1000L + (u % 10) * 100L) / 100.0))
+    val ev = rows.toDF("event_type", "user_id", "value")
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+    val out = graft.operators.Events.powerOf(ev).collect()
+    assert(out.length === 5)
+    // exact replay at mde = 5%
+    val vs = rows.map(r => math.round(r._3 * 100.0))
+    val n = vs.length.toLong; val sv = vs.sum; val qv = vs.map(v => v * v).sum
+    val mean = sv.toDouble / n.toDouble
+    val variance = (n.toDouble * qv.toDouble - sv.toDouble * sv.toDouble) /
+      (n.toDouble * (n.toDouble - 1.0))
+    val z = 2801585.0 / 1.0e6
+    def req(mde: Long): Long =
+      math.ceil(z * z * 2.0 * variance /
+        ((mean * mde.toDouble / 100.0) * (mean * mde.toDouble / 100.0))).toLong
+    val byMde = out.map(r => r.getLong(1) -> r.getLong(5)).toMap
+    Seq(1L, 2L, 5L, 10L, 20L).foreach(m =>
+      assert(byMde(m) === req(m), s"mde $m replay"))
+    // inverse-square law: halving the detectable lift ~quadruples n
+    assert(byMde(1L) > 3L * byMde(2L) && byMde(2L) > 3L * byMde(5L) / 2L)
+    assert(byMde(1L) > byMde(2L) && byMde(2L) > byMde(5L) &&
+      byMde(5L) > byMde(10L) && byMde(10L) >= byMde(20L))
+  }
 }

@@ -894,6 +894,7 @@ object SparkEntry {
     "ev_acf"             -> (Events.acf _),
     "ev_xcorr"           -> ((s, d) => Events.xcorr(s, d)),
     "ev_gini"            -> (Events.gini _),
+    "ev_backtest"        -> ((s, d) => Events.backtest(s, d)),
     "ev_power"           -> ((s, d) => Events.power(s, d)),
     "q61_skyline"        -> (Relational.q61Skyline _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -901,6 +902,7 @@ object SparkEntry {
     "txt_lm_score"       -> (TextAnalysis.lmScore _),
     "txt_kn_lm"          -> (TextAnalysis.knLmScore _),
     "txt_heaps"          -> (TextAnalysis.heapsFit _),
+    "txt_langid_ngram"   -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "vec_kcenter"        -> ((s, d) =>
       VectorOps.kcenterSelect(Tables.embeddings(s, d), 8)),
@@ -1388,6 +1390,86 @@ object SparkEntry {
        |  a.yhat_micro, a.lo90_micro, a.hi90_micro
        |FROM allrows a
        |ORDER BY day_ts""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Events.backtestOf]] — the
+    * holtWintersOracleSql recursion re-run on the spine TRUNCATED by
+    * the 14-day holdout (the train/serve split lives in the spine
+    * CTE; everything downstream is the certified forecaster chain
+    * verbatim), then the forecast steps join the FULL spine's
+    * 0-filled actuals for the integer error/sMAPE/coverage tail.
+    */
+  private val backtestOracleSql: String = {
+    def fd(a: String, b: String) = s"(($a - (($a % $b + $b) % $b)) // $b)"
+    val M = "1000000"
+    s"""WITH RECURSIVE
+       |daily0 AS MATERIALIZED (
+       |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |spineall AS MATERIALIZED (
+       |  SELECT s.day_d,
+       |    CAST(s.day_d - (SELECT min(day_d) FROM daily0) AS BIGINT) AS t,
+       |    coalesce(n, CAST(0 AS BIGINT)) AS y
+       |  FROM (SELECT unnest(range(lo, hi + 1)) AS day_d
+       |        FROM (SELECT min(day_d) AS lo, max(day_d) AS hi FROM daily0)) s
+       |  LEFT JOIN daily0 USING (day_d)),
+       |spine AS MATERIALIZED (
+       |  SELECT day_d, t, y FROM spineall
+       |  WHERE t <= (SELECT max(t) FROM spineall) - 14),
+       |init AS MATERIALIZED (
+       |  SELECT
+       |    (SELECT sum(y) FROM spine WHERE t <= 6) AS w1,
+       |    (SELECT sum(y) FROM spine WHERE t BETWEEN 7 AND 13) AS w2),
+       |hw AS (
+       |  SELECT CAST(6 AS BIGINT) AS t,
+       |    ${fd(s"(w1 * $M)", "7")} AS l,
+       |    ${fd(s"((w2 - w1) * $M)", "49")} AS b,
+       |    (SELECT list(y * $M - (${fd(s"(w1 * $M)", "7")} +
+       |        (t - 3) * ${fd(s"((w2 - w1) * $M)", "49")}) ORDER BY t)
+       |     FROM spine, init WHERE t <= 6) AS seas,
+       |    CAST(NULL AS BIGINT) AS y,
+       |    CAST(NULL AS BIGINT) AS yhat
+       |  FROM init
+       |  UNION ALL
+       |  SELECT sp.t,
+       |    ${fd(s"(3 * (sp.y * $M - p.seas[1]) + 7 * (p.l + p.b))", "10")} AS l2,
+       |    ${fd("((l2 - p.l) + 9 * p.b)", "10")} AS b2,
+       |    p.seas[2:7] ||
+       |      [${fd(s"(2 * (sp.y * $M - l2) + 8 * p.seas[1])", "10")}] AS seas2,
+       |    sp.y,
+       |    p.l + p.b + p.seas[1] AS yhat2
+       |  FROM hw p JOIN spine sp ON sp.t = p.t + 1),
+       |fit AS MATERIALIZED (
+       |  SELECT h.t, h.y, h.yhat AS yhat_micro FROM hw h WHERE h.t >= 7),
+       |qv AS MATERIALIZED (
+       |  SELECT r AS q FROM (
+       |    SELECT abs(y * $M - yhat_micro) AS r,
+       |      row_number() OVER (ORDER BY abs(y * $M - yhat_micro)) AS rn,
+       |      count(*) OVER () AS n
+       |    FROM fit)
+       |  WHERE rn = least(n, ${fd("(9 * (n + 1) + 9)", "10")})),
+       |fin AS MATERIALIZED (
+       |  SELECT h.* FROM hw h WHERE h.t = (SELECT max(t) FROM spine)),
+       |fc AS MATERIALIZED (
+       |  SELECT st.step, f.t + st.step AS t,
+       |    f.l + st.step * f.b +
+       |      f.seas[CAST(((st.step - 1) % 7) + 1 AS BIGINT)] AS yhat_micro,
+       |    yhat_micro - qv.q AS lo90_micro,
+       |    yhat_micro + qv.q AS hi90_micro
+       |  FROM fin f, (SELECT unnest(range(1, 15)) AS step) st, qv)
+       |SELECT CAST(fc.step AS BIGINT) AS step,
+       |  CAST(to_timestamp((fc.t + (SELECT min(day_d) FROM daily0)) * 86400)
+       |    AT TIME ZONE 'UTC' AS TIMESTAMP) AS day_ts,
+       |  sa.y AS y, CAST(fc.yhat_micro AS BIGINT) AS yhat_micro,
+       |  CAST(abs(sa.y * $M - fc.yhat_micro) AS BIGINT) AS abs_err_micro,
+       |  CAST(CASE WHEN sa.y * $M + fc.yhat_micro > 0
+       |    THEN ${fd(s"(2 * abs(sa.y * $M - fc.yhat_micro) * 10000)",
+                      s"(sa.y * $M + fc.yhat_micro)")}
+       |    ELSE 0 END AS BIGINT) AS smape_1e4,
+       |  sa.y * $M >= fc.lo90_micro AND sa.y * $M <= fc.hi90_micro AS in_band
+       |FROM fc JOIN spineall sa ON sa.t = fc.t
+       |ORDER BY step""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.Events.changepoints]] — the
@@ -2184,6 +2266,7 @@ object SparkEntry {
     "ev_forecast" -> holtWintersOracleSql,
     "ev_changepoints" -> changepointsOracleSql,
     "ev_acf" -> acfOracleSql,
+    "ev_backtest" -> backtestOracleSql,
 
     // lead-lag cross-correlation on the global spine: the acf
     // deviations discipline per pair, IEEE-exact sqrt normalization
@@ -4815,6 +4898,54 @@ object SparkEntry {
         |FROM bi JOIN ts USING (w1, w2)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Cavnar-Trenkle rank profiles replayed: identical tie-breaks on
+    // (count desc, gram asc) and (dist asc, lang asc), integer
+    // out-of-place distances with the full-width missing penalty
+    "txt_langid_ngram" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t,
+        |    (CAST(('0x' || substr(md5('lid:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |       AS BIGINT) % 1000) < 700 AS is_train
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, lang, is_train,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> substring(t, CAST(i AS INTEGER), 3))) AS g
+        |  FROM docs WHERE len(t) >= 3),
+        |lp AS MATERIALIZED (
+        |  SELECT lang, g, rl FROM (
+        |    SELECT lang, g, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, g ASC) AS BIGINT) AS rl
+        |    FROM grams WHERE is_train GROUP BY lang, g)
+        |  WHERE rl <= 50),
+        |dp AS MATERIALIZED (
+        |  SELECT doc_id, true_lang, g, rd FROM (
+        |    SELECT doc_id, lang AS true_lang, g,
+        |      CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY count(*) DESC, g ASC) AS BIGINT) AS rd
+        |    FROM grams WHERE NOT is_train GROUP BY doc_id, lang, g)
+        |  WHERE rd <= 50),
+        |langs AS (SELECT DISTINCT lang AS cand FROM lp),
+        |dist AS MATERIALIZED (
+        |  SELECT d.doc_id, d.true_lang, l.cand,
+        |    sum(CASE WHEN p.rl IS NOT NULL THEN abs(d.rd - p.rl)
+        |        ELSE 50 END) AS dist
+        |  FROM dp d
+        |  CROSS JOIN langs l
+        |  LEFT JOIN lp p ON p.lang = l.cand AND p.g = d.g
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, true_lang, cand FROM (
+        |    SELECT doc_id, true_lang, cand,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY dist ASC, cand ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1)
+        |SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred
+        |GROUP BY 1, 2
+        |ORDER BY true_lang, pred_lang""".stripMargin,
 
     // Heaps-law replay: exact-percentile checkpoints, first-occurrence
     // vocabulary counting, micro-fixed ln, q42's OLS division order

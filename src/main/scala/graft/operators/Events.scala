@@ -1313,6 +1313,64 @@ object Events {
       .orderBy(col("day_ts"))
   }
 
+  /** Rolling-origin FORECAST BACKTEST — the evaluation harness for
+    * the forecasting family (the pattern every other model family
+    * here already has: txt_ndcg for retrieval, q59_cv_ols for
+    * regression, vec_silhouette for clustering, txt_calibration for
+    * the classifier): hold out the LAST `horizon` days, train
+    * [[holtWinters]] on the truncated series, and score each
+    * forecast step against the actual — per-step absolute error in
+    * micros, sMAPE on the 1e-4 grid (2·|f−a| DIV (f+a), exact
+    * integers), and whether the split-conformal 90% band covered the
+    * actual. A model whose band covers ≪ 90% of holdout steps or
+    * whose sMAPE drifts with step is telling you the seasonality
+    * model is wrong — BEFORE you ship the forecast.
+    *
+    * All arithmetic inherits the forecaster's exact fixed-point
+    * discipline, so the whole scorecard hashes; the only additions
+    * are integer compares and floorDivs. Scale shape: identical to
+    * [[holtWinters]] (one daily hash agg; the recursion runs on the
+    * truncated time-span-sized spine).
+    */
+  def backtest(s: SparkSession, dir: String, horizon: Int = 14): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"))
+      .groupBy(col("day_d")).agg(count(lit(1)).as("n"))
+    backtestOf(daily0, horizon)
+  }
+
+  /** The harness core over any (day_d, n) daily frame. */
+  def backtestOf(daily0: DataFrame, horizon: Int): DataFrame = {
+    val hi = daily0.agg(max(col("day_d")).as("hi")).head().getLong(0)
+    val cut = hi - horizon
+    val fc = holtWintersOf(daily0.filter(col("day_d") <= cut), horizon)
+      .filter(col("kind") === "forecast")
+      .select((col("day_ts").cast("long") / 86400L).cast("long").as("day_d"),
+        col("yhat_micro"), col("lo90_micro"), col("hi90_micro"))
+    val s = daily0.sparkSession
+    import s.implicits._
+    // 0-filled holdout actuals (a missing day is a 0-count day, the
+    // spine discipline)
+    val holdout = (cut + 1 to hi).map(d => d).toDF("day_d")
+      .join(daily0, Seq("day_d"), "left")
+      .select(col("day_d"), coalesce(col("n"), lit(0L)).as("y"))
+    fc.join(holdout, "day_d")
+      .withColumn("step", col("day_d") - lit(cut))
+      .withColumn("abs_err_micro", abs(col("y") * lit(1000000L) - col("yhat_micro")))
+      .withColumn("smape_1e4",
+        when(col("y") * lit(1000000L) + col("yhat_micro") > 0L,
+          expr("(2L * abs_err_micro * 10000L) DIV (y * 1000000L + yhat_micro)"))
+          .otherwise(0L))
+      .withColumn("in_band",
+        col("y") * lit(1000000L) >= col("lo90_micro") &&
+          col("y") * lit(1000000L) <= col("hi90_micro"))
+      .select(col("step"),
+        (col("day_d") * 86400L).cast("timestamp").as("day_ts"),
+        col("y"), col("yhat_micro"), col("abs_err_micro"),
+        col("smape_1e4"), col("in_band"))
+      .orderBy(col("step"))
+  }
+
   /** Changepoint detection over the daily event-count series —
     * fixed-depth (2) BINARY SEGMENTATION: the best split of the full
     * series by the classic variance-reduction criterion, then the

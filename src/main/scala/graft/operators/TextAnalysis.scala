@@ -599,6 +599,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Char-n-gram LANGUAGE IDENTIFICATION (Cavnar & Trenkle 1994) —
+    * the real rank-profile classifier beside the heuristic
+    * script/diacritic tiers of `txt_langid`: each language's TRAIN
+    * split builds a top-`prof` character-trigram RANK profile, and a
+    * held-out doc is classified to the profile minimizing the
+    * out-of-place distance Σ|rank_doc − rank_lang| (missing trigram
+    * costs the full profile width). Every quantity is an integer —
+    * counts, ranks, the penalty, the distance — so the confusion
+    * matrix hashes with no float anywhere; ties break (count desc,
+    * gram asc) and (distance asc, lang asc), spelled identically in
+    * the oracle.
+    *
+    * Scale shape: one trigram explode (the corpus-sized stage),
+    * language profiles collapse to a ≤ langs·prof relation that
+    * BROADCASTS; per-doc profiles are a doc-keyed window over
+    * ≤ prof rows; the candidate grid is doc-grams × langs (vocabulary
+    * of languages, not corpus) and the argmin window partitions by
+    * doc. Train/eval membership is the md5 split discipline, so the
+    * evaluation is honest and rerun-stable.
+    */
+  def langIdNgram(s: SparkSession, dir: String, prof: Int = 50): DataFrame =
+    langIdNgramFrom(Tables.documents(s, dir), prof)
+
+  /** [[langIdNgram]] over any (doc_id, lang, text) frame — spec
+    * entry point for planted separable corpora. */
+  def langIdNgramFrom(docsIn: DataFrame, prof: Int = 50): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+      .withColumn("is_train",
+        conv(substring(md5(concat(lit("lid:"), col("doc_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 1000L < 700L)
+    val grams = docs.select(col("doc_id"), col("lang"), col("is_train"),
+      explode(when(length(col("t")) >= 3,
+        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("g").asc)
+    val langProf = grams.filter(col("is_train"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rl", row_number().over(wLang).cast("long"))
+      .filter(col("rl") <= prof)
+      .select(col("lang"), col("g"), col("rl"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("g").asc)
+    val docProf = grams.filter(!col("is_train"))
+      .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(wDoc).cast("long"))
+      .filter(col("rd") <= prof)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("g"), col("rd"))
+    val langs = langProf.select(col("lang").as("cand")).distinct()
+    val dist = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf.select(col("lang").as("cand"), col("g"), col("rl"))),
+        Seq("cand", "g"), "left")
+      .withColumn("d", when(col("rl").isNotNull, abs(col("rd") - col("rl")))
+        .otherwise(lit(prof.toLong)))
+      .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+      .agg(sum(col("d")).as("dist"))
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    dist.withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   /** HEAPS'-LAW vocabulary-growth fit — [[zipfFit]]'s companion
     * corpus diagnostic: natural text grows vocabulary as V(N) ≈ K·N^β
     * with β ≈ 0.4–0.6 (Heaps 1978), and a corpus whose growth curve

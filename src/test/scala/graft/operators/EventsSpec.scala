@@ -705,6 +705,34 @@ class EventsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("backtest: holdout scoring of an exactly-modelable series; error/coverage laws replay") {
+    import spark.implicits._
+    // 49-day planted trend+weekly series (the Holt-Winters spec's
+    // family): the model can represent it exactly, so training on the
+    // first 35 days and scoring the last 14 must stay within a few
+    // percent and the conformal band must cover every step
+    val season = Array(60L, -40L, 10L, -30L, 80L, -50L, -30L)
+    val daily = (0 until 49).map(t =>
+      (t.toLong, 1000L + 20L * t + season(t % 7))).toDF("day_d", "n")
+    val out = graft.operators.Events.backtestOf(daily, horizon = 14)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 14L), "steps 1..14")
+    out.foreach { r =>
+      val (y, yhat) = (r.getLong(2), r.getLong(3))
+      // error law replay
+      assert(r.getLong(4) === math.abs(y * 1000000L - yhat))
+      assert(r.getLong(5) === Math.floorDiv(
+        2L * r.getLong(4) * 10000L, y * 1000000L + yhat), "smape law")
+      // exactly-modelable series: sMAPE under 3% at every step and
+      // the 90% conformal band covers the actual
+      assert(r.getLong(5) < 300L, s"step ${r.getLong(0)} sMAPE ${r.getLong(5)}")
+      assert(r.getBoolean(6), s"step ${r.getLong(0)} outside the band")
+    }
+    // determinism
+    val again = graft.operators.Events.backtestOf(daily, horizon = 14).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("gini: uniform usage scores 0, a whale dominates, exact rational replay") {
     import spark.implicits._
     // 'even': 10 users x 5 events each -> Gini exactly 0, top decile

@@ -657,6 +657,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("langIdNgram: disjoint-alphabet languages classify to the diagonal; distance law replays") {
+    import spark.implicits._
+    // three planted 'languages' with disjoint character inventories —
+    // a rank-profile classifier must put essentially every held-out
+    // doc on the confusion diagonal
+    def doc(lang: String, alphabet: String, i: Long) = {
+      val words = (0 until 12).map(j => alphabet.drop((i + j).toInt % 3).take(3))
+      (lang.hashCode.toLong * 1000 + i, lang, words.mkString(" "))
+    }
+    val docs = (0L until 30L).flatMap(i => Seq(
+      doc("aa", "abcde", i), doc("bb", "mnopq", i), doc("cc", "xyzuv", i)))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgramFrom(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = out.map(_._3).sum
+    val diag = out.filter(t => t._1 == t._2).map(_._3).sum
+    assert(total > 0L, "eval split must be non-empty")
+    assert(diag === total,
+      s"disjoint alphabets must classify perfectly: $diag/$total (${out.toSeq})")
+    // determinism
+    val again = TextAnalysis.langIdNgramFrom(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("heaps: planted sublinear vocabulary growth fits beta in the power-law band") {
     import spark.implicits._
     // doc i introduces ~10/sqrt(i+1) fresh tokens and pads to 20 with

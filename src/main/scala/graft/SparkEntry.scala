@@ -853,6 +853,7 @@ object SparkEntry {
     "stream_hourly"      -> (graft.streaming.EventStreams.runHourlyAvailableNow _),
     "stream_forecast"    -> (graft.streaming.EventStreams.runForecastAvailableNow _),
     "stream_changepoints" -> (graft.streaming.EventStreams.runChangepointsAvailableNow _),
+    "stream_acf"         -> (graft.streaming.EventStreams.runAcfAvailableNow _),
     "stream_cdc"         -> (graft.streaming.EventStreams.runCdcAvailableNow _),
     "stream_sessions"    -> (graft.streaming.EventStreams.runSessionsAvailableNow _),
     "stream_transitions" -> (graft.streaming.EventStreams.runTransitionsAvailableNow _),
@@ -895,6 +896,7 @@ object SparkEntry {
     "ev_xcorr"           -> ((s, d) => Events.xcorr(s, d)),
     "ev_gini"            -> (Events.gini _),
     "ev_backtest"        -> ((s, d) => Events.backtest(s, d)),
+    "ev_did"             -> (Events.did _),
     "ev_power"           -> ((s, d) => Events.power(s, d)),
     "q61_skyline"        -> (Relational.q61Skyline _),
     "txt_sample"         -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -2268,6 +2270,56 @@ object SparkEntry {
     "ev_acf" -> acfOracleSql,
     "ev_backtest" -> backtestOracleSql,
 
+    // eight exact cell statistics in one conditional-aggregate pass;
+    // midpoint period split by integer floorDiv; pinned double order
+    // for the cell means and the DiD contrast, rnd4 boundary
+    "ev_did" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_d,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT min(day_d) AS lo, max(day_d) AS hi FROM ev),
+        |tagged AS MATERIALIZED (
+        |  SELECT event_type,
+        |    (CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 4))
+        |       AS BIGINT) % 2) = 1 AS treat,
+        |    day_d >= ((lo + hi + 1 - (((lo + hi + 1) % 2 + 2) % 2)) // 2) AS post,
+        |    cents
+        |  FROM ev CROSS JOIN b),
+        |cells AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS n_tp,
+        |    sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS s_tp,
+        |    sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS n_tq,
+        |    sum(CASE WHEN treat AND post THEN cents ELSE 0 END) AS s_tq,
+        |    sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS n_cp,
+        |    sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS s_cp,
+        |    sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS n_cq,
+        |    sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS s_cq
+        |  FROM tagged GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(n_tp AS BIGINT) AS n_treat_pre,
+        |  floor(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_treat_pre,
+        |  CAST(n_tq AS BIGINT) AS n_treat_post,
+        |  floor(CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_treat_post,
+        |  CAST(n_cp AS BIGINT) AS n_ctrl_pre,
+        |  floor(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_ctrl_pre,
+        |  CAST(n_cq AS BIGINT) AS n_ctrl_post,
+        |  floor(CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_ctrl_post,
+        |  floor((CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE)
+        |      - CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+        |      - (CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE)
+        |         - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE))) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS did_value
+        |FROM cells
+        |WHERE n_tp > 0 AND n_tq > 0 AND n_cp > 0 AND n_cq > 0
+        |ORDER BY event_type""".stripMargin,
+
     // lead-lag cross-correlation on the global spine: the acf
     // deviations discipline per pair, IEEE-exact sqrt normalization
     // (sqrt is correctly rounded, unlike ln), integer-numerator peak
@@ -2405,6 +2457,7 @@ object SparkEntry {
     // the identical smoothing core, so the batch oracle applies verbatim
     "stream_forecast" -> holtWintersOracleSql,
     "stream_changepoints" -> changepointsOracleSql,
+    "stream_acf" -> acfOracleSql,
 
     "ev_ewma" ->
       """WITH daily0 AS (

@@ -1605,6 +1605,64 @@ object Events {
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator the
+    * A/B family (CUPED, bootstrap, chi-square, power) was missing for
+    * the cases WITHOUT randomized concurrent exposure: compare the
+    * treated arm's pre→post change against the control arm's, so any
+    * shared trend cancels and the residual is the treatment effect
+    * (under the parallel-trends assumption the spec exercises both
+    * ways). Arms come from the md5 user split (the CUPED idiom),
+    * periods from the exact integer midpoint of the observed day
+    * span. ONE conditional-aggregate scan produces all eight cell
+    * statistics per event type (exact BIGINT sums and counts); cell
+    * means and the DiD estimate are pinned-order doubles from those
+    * exact integers, rnd4'd — the q42 determinism contract.
+    */
+  def did(s: SparkSession, dir: String): DataFrame =
+    didOf(Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("day_d"),
+        round(col("value") * 100.0).cast("long").as("cents")))
+
+  /** The estimator core over any (event_type, user_id, day_d, cents)
+    * relation. */
+  def didOf(ev: DataFrame): DataFrame = {
+    val b = ev.agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi")).head()
+    val mid = Math.floorDiv(b.getLong(0) + b.getLong(1) + 1L, 2L)
+    val tagged = ev
+      .withColumn("treat",
+        (conv(substring(md5(concat(lit("did:"), col("user_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 2L) === 1L)
+      .withColumn("post", col("day_d") >= mid)
+    def cell(t: Boolean, p: Boolean, agg: String) = {
+      val c = col("treat") === t && col("post") === p
+      if (agg == "n") sum(when(c, 1L).otherwise(0L))
+      else sum(when(c, col("cents")).otherwise(0L))
+    }
+    val d = (c: String) => col(c).cast("double")
+    tagged.groupBy(col("event_type"))
+      .agg(cell(true, false, "n").as("n_tp"), cell(true, false, "s").as("s_tp"),
+        cell(true, true, "n").as("n_tq"), cell(true, true, "s").as("s_tq"),
+        cell(false, false, "n").as("n_cp"), cell(false, false, "s").as("s_cp"),
+        cell(false, true, "n").as("n_cq"), cell(false, true, "s").as("s_cq"))
+      .filter(col("n_tp") > 0L && col("n_tq") > 0L &&
+        col("n_cp") > 0L && col("n_cq") > 0L)
+      .withColumn("mean_treat_pre", CrossEngine.rnd4(d("s_tp") / d("n_tp") / lit(100.0)))
+      .withColumn("mean_treat_post", CrossEngine.rnd4(d("s_tq") / d("n_tq") / lit(100.0)))
+      .withColumn("mean_ctrl_pre", CrossEngine.rnd4(d("s_cp") / d("n_cp") / lit(100.0)))
+      .withColumn("mean_ctrl_post", CrossEngine.rnd4(d("s_cq") / d("n_cq") / lit(100.0)))
+      .withColumn("did_value", CrossEngine.rnd4(
+        (d("s_tq") / d("n_tq") - d("s_tp") / d("n_tp")
+          - (d("s_cq") / d("n_cq") - d("s_cp") / d("n_cp"))) / lit(100.0)))
+      .select(col("event_type"),
+        col("n_tp").as("n_treat_pre"), col("mean_treat_pre"),
+        col("n_tq").as("n_treat_post"), col("mean_treat_post"),
+        col("n_cp").as("n_ctrl_pre"), col("mean_ctrl_pre"),
+        col("n_cq").as("n_ctrl_post"), col("mean_ctrl_post"),
+        col("did_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** GINI concentration of event volume across users, per event type
     * — the whale-detection / load-imbalance audit (a Gini near 0 =
     * uniform usage, near 1 = a handful of users generate everything;

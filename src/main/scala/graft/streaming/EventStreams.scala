@@ -199,6 +199,45 @@ object EventStreams {
     graft.operators.Events.changepointsOf(s.table(sink))
   }
 
+  /** Streamed AUTOCORRELATION — the THIRTEENTH driver-gated streaming
+    * runtime, and the first whose streamed aggregate is PER-KEY (the
+    * forecast/changepoint twins aggregate globally): readStream →
+    * watermarked (event_type × 1-day tumbling window) agg →
+    * Complete-mode memory sink, feeding the SAME exact-integer
+    * correlogram core as the batch `ev_acf`. UTC windows align with
+    * epoch-day buckets, so streamed ≡ batch by construction and the
+    * driver entry shares `ev_acf`'s DuckDB oracle VERBATIM — the
+    * seasonality detector runs where the seasons actually arrive.
+    */
+  def runAcfAvailableNow(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sink = s"stream_acf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withStatePartitions(s, 4) {
+      src.withWatermark("ts", "1 hour")
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          floor(col("window.start").cast("long") / 86400L)
+            .cast("long").as("day_d"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // the correlogram core SELF-JOINS its daily frame (spine ⨝
+    // counts); a MemorySink-backed view resolves both sides to the
+    // same attribute ids, so freeze the (types × days)-sized result
+    // into an RDD-backed frame first — model-scale by construction
+    graft.operators.Events.acfOf(s.table(sink).localCheckpoint(true))
+  }
+
   /** HOPPING-window counts with a watermark — the streaming twin of
     * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands
     * each admitted event into its 4 overlapping windows map-side;

@@ -733,6 +733,40 @@ class EventsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("did: a shared trend cancels exactly; a planted treatment lift is recovered") {
+    import spark.implicits._
+    // 40 days, 200 users. EVERY user's value drifts +2.00/day (the
+    // shared trend); users in the md5-treat arm additionally gain a
+    // flat +5.00 in the post period. A naive post-vs-pre comparison
+    // would report trend + lift; DiD must cancel the trend and
+    // recover ~5.00 alone.
+    def isTreat(u: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"did:$u".getBytes("UTF-8"))
+      val hex = md5.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 1
+    }
+    val mid = Math.floorDiv(0L + 39L + 1L, 2L) // the operator's law
+    val rows = for (u <- 0L until 200L; day <- 0L until 40L) yield {
+      val base = 100.0 + 2.0 * day
+      val lift = if (isTreat(u) && day >= mid) 5.0 else 0.0
+      ("buy", u, day, math.round((base + lift) * 100.0))
+    }
+    val ev = rows.toDF("event_type", "user_id", "day_d", "cents")
+    val out = graft.operators.Events.didOf(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val did = r.getDouble(9)
+    assert(math.abs(did - 5.0) < 0.01, s"DiD must isolate the lift: $did")
+    // the naive treated post-pre contrast is trend-contaminated
+    val naive = r.getDouble(4) - r.getDouble(2)
+    assert(naive > 30.0, s"naive contrast should carry the trend: $naive")
+    // cell accounting: both arms populated in both periods, and the
+    // four means are ordered by the planted structure
+    assert((1 to 4).forall(i => r.getLong(2 * i - 1) > 0L))
+    assert(r.getDouble(4) > r.getDouble(2) && r.getDouble(8) > r.getDouble(6))
+  }
+
   test("gini: uniform usage scores 0, a whale dominates, exact rational replay") {
     import spark.implicits._
     // 'even': 10 users x 5 events each -> Gini exactly 0, top decile

@@ -597,4 +597,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch,
       "streamed changepoints diverged from the batch twin")
   }
+
+  test("streamed acf equals the batch correlogram row-for-row") {
+    // stream_acf shares ev_acf's DuckDB oracle VERBATIM — the first
+    // streamed twin with a PER-KEY streaming aggregate, so this spec
+    // additionally covers keyed Complete-mode state feeding the core.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val streamed = graft.streaming.EventStreams
+      .runAcfAvailableNow(spark, dir).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Events
+      .acf(spark, dir).collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "streamed acf diverged from the batch twin")
+  }
 }

@@ -905,6 +905,7 @@ object SparkEntry {
     "txt_kn_lm"          -> (TextAnalysis.knLmScore _),
     "txt_heaps"          -> (TextAnalysis.heapsFit _),
     "txt_langid_ngram"   -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
+    "txt_bpe_fertility"  -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     "vec_quantize"       -> (VectorOps.quantizeStats _),
     "vec_kcenter"        -> ((s, d) =>
       VectorOps.kcenterSelect(Tables.embeddings(s, d), 8)),
@@ -4625,6 +4626,7 @@ object SparkEntry {
     // wrong replace order would pass the merge-table check but fail
     // this one
     "txt_bpe_encode" -> operators.TextAnalysis.bpeEncodeOracleSql(),
+    "txt_bpe_fertility" -> operators.TextAnalysis.bpeFertilityOracleSql(),
 
     // the NAIVE all-pairs levenshtein join IS the oracle: the
     // deletion-neighborhood blocked join must reproduce it exactly

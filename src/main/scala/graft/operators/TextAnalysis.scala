@@ -323,6 +323,71 @@ object TextAnalysis {
     } finally vocab.unpersist()
   }
 
+  /** TOKENIZER FERTILITY — the evaluation metric for the trained BPE
+    * tokenizer itself (how many tokens a word costs, how many
+    * characters a token carries): the number that decides whether a
+    * vocabulary/merge budget suits a corpus BEFORE training pays for
+    * it, and the standard cross-lingual tokenizer-fairness readout.
+    * One row per distinct tokens-per-word count (bounded by max word
+    * length) with type/occurrence tallies and the corpus share;
+    * corpus-level tokens-per-word and chars-per-token ride every row
+    * in exact 1e-4 integers (the q39 psi_total discipline). Measured
+    * over the trainer's own vocabulary contract (lowercase a–z words,
+    * length ≥ 2 — the [[bpeMerges]] discipline).
+    *
+    * Third consumer of the persisted BPE artifact (merge table,
+    * tokenizer application, now the fertility audit) — the
+    * train-once/serve-many contract; the audit itself is one
+    * vocab-sized map + two aggs.
+    */
+  def bpeFertility(s: SparkSession, dir: String, merges: Int = 10): DataFrame =
+    bpeFertilityOfState(
+      s.read.parquet(s"${bpeIndexIfAbsent(s, dir, merges)}/vocab"))
+
+  /** The audit core over any post-merge (seq, n) vocabulary state —
+    * spec entry point (feed it `bpeLoop`'s state via
+    * [[bpeEncodeTopFrom]]'s path or a hand-built state). */
+  def bpeFertilityOfState(state: DataFrame): DataFrame = {
+    val words = state.select(
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("seq"), " ", "")).cast("long").as("n_chars"),
+      col("n"))
+    val tot = words.agg(sum(col("n")).as("tw"),
+      sum(col("n") * col("n_tokens")).as("tt"),
+      sum(col("n") * col("n_chars")).as("tc"))
+    words.groupBy(col("n_tokens"))
+      .agg(count(lit(1)).as("n_word_types"),
+        sum(col("n")).as("n_occurrences"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_1e4", expr("(n_occurrences * 10000L) DIV tw"))
+      .withColumn("tokens_per_word_1e4", expr("(tt * 10000L) DIV tw"))
+      .withColumn("chars_per_token_1e4", expr("(tc * 10000L) DIV tt"))
+      .select(col("n_tokens"), col("n_word_types"), col("n_occurrences"),
+        col("share_1e4"), col("tokens_per_word_1e4"),
+        col("chars_per_token_1e4"))
+      .orderBy(col("n_tokens"))
+  }
+
+  /** DuckDB twin of [[bpeFertility]]: the same unrolled merge chain,
+    * final state measured instead of exploded. */
+  def bpeFertilityOracleSql(merges: Int = 10): String =
+    bpeOracleCtes(merges) + s"""
+      |, wrd AS MATERIALIZED (
+      |  SELECT CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tokens,
+      |    CAST(length(replace(seq, ' ', '')) AS BIGINT) AS n_chars, n
+      |  FROM v$merges),
+      |tot AS (
+      |  SELECT sum(n) AS tw, sum(n * n_tokens) AS tt, sum(n * n_chars) AS tc
+      |  FROM wrd)
+      |SELECT n_tokens, CAST(count(*) AS BIGINT) AS n_word_types,
+      |  CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |  CAST((sum(n) * 10000) // tw AS BIGINT) AS share_1e4,
+      |  CAST((tt * 10000) // tw AS BIGINT) AS tokens_per_word_1e4,
+      |  CAST((tc * 10000) // tt AS BIGINT) AS chars_per_token_1e4
+      |FROM wrd CROSS JOIN tot
+      |GROUP BY n_tokens, tw, tt, tc
+      |ORDER BY n_tokens""".stripMargin
+
   /** The M-step unrolled DuckDB twin of [[bpeMerges]] — identical
     * state string representation, identical replace-based merge, so
     * the hash compare checks the whole loop, not just round one.

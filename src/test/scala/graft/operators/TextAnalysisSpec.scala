@@ -657,6 +657,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("bpeFertility: hand-built state replays every law; distribution covers the vocab") {
+    import spark.implicits._
+    // state rows use the trainer's string representation: tokens are
+    // double-space separated inside single-space padding
+    val state = Seq(
+      (" th  e ", 10L),   // 2 tokens, 3 chars, 10 occurrences
+      (" a  b  c ", 5L),  // 3 tokens, 3 chars
+      (" xy ", 2L),       // 1 token, 2 chars
+      (" d  e ", 3L)      // 2 tokens, 2 chars
+    ).toDF("seq", "n")
+    val out = TextAnalysis.bpeFertilityOfState(state).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val tw = 20L; val tt = 10L * 2 + 5 * 3 + 2 * 1 + 3 * 2; val tc = 30L + 15 + 4 + 6
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).getLong(1) === 1L && out(1L).getLong(2) === 2L)
+    assert(out(2L).getLong(1) === 2L && out(2L).getLong(2) === 13L)
+    assert(out(3L).getLong(1) === 1L && out(3L).getLong(2) === 5L)
+    out.values.foreach { r =>
+      assert(r.getLong(3) === Math.floorDiv(r.getLong(2) * 10000L, tw))
+      assert(r.getLong(4) === Math.floorDiv(tt * 10000L, tw))
+      assert(r.getLong(5) === Math.floorDiv(tc * 10000L, tt))
+    }
+    // shares cover the vocabulary (floor loss < one grid step per row)
+    assert(out.values.map(_.getLong(2)).sum === tw)
+  }
+
   test("langIdNgram: disjoint-alphabet languages classify to the diagonal; distance law replays") {
     import spark.implicits._
     // three planted 'languages' with disjoint character inventories —

@@ -2393,7 +2393,7 @@ object SparkEntry {
         |top AS (
         |  SELECT r.event_type, sum(r.x) AS top_x
         |  FROM r JOIN agg a USING (event_type)
-        |  WHERE r.i > a.n_users - (a.n_users // 10)
+        |  WHERE r.i > a.n_users - greatest(a.n_users // 10, 1)
         |  GROUP BY 1)
         |SELECT a.event_type, CAST(a.n_users AS BIGINT) AS n_users,
         |  CAST(a.n_events AS BIGINT) AS n_events,
@@ -2402,8 +2402,9 @@ object SparkEntry {
         |        % (a.n_users * a.n_events) + (a.n_users * a.n_events))
         |       % (a.n_users * a.n_events)))
         |    // (a.n_users * a.n_events) AS BIGINT) AS gini_1e6,
-        |  CAST((t.top_x * 10000) // a.n_events AS BIGINT) AS top10_share_1e4
-        |FROM agg a JOIN top t USING (event_type)
+        |  CAST((coalesce(t.top_x, 0) * 10000) // a.n_events AS BIGINT)
+        |    AS top10_share_1e4
+        |FROM agg a LEFT JOIN top t USING (event_type)
         |ORDER BY a.event_type""".stripMargin,
 
     // frozen z-quantile micros (the ndcg discount discipline), exact
@@ -2415,7 +2416,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |st AS (
         |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv
-        |  FROM pu GROUP BY 1 HAVING count(*) >= 2),
+        |  FROM pu GROUP BY 1 HAVING count(*) >= 2 AND sum(v) > 0),
         |calc AS (
         |  SELECT event_type, n,
         |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
@@ -6507,16 +6508,17 @@ object SparkEntry {
         |  JOIN wtab ON wtab.rk = i.irn
         |  WHERE i.irn <= 10
         |  GROUP BY 1)
-        |SELECT p.query_id, CAST(d.n_rel AS BIGINT) AS n_rel,
-        |  CAST(p.dcg_micro AS BIGINT) AS dcg_micro,
+        |SELECT d.query_id, CAST(d.n_rel AS BIGINT) AS n_rel,
+        |  CAST(coalesce(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
         |  CAST(d.idcg_micro AS BIGINT) AS idcg_micro,
         |  CAST(CASE WHEN d.idcg_micro > 0
-        |    THEN (p.dcg_micro * 10000) // d.idcg_micro ELSE 0 END AS BIGINT)
-        |    AS ndcg_1e4,
+        |    THEN (coalesce(p.dcg_micro, 0) * 10000) // d.idcg_micro
+        |    ELSE 0 END AS BIGINT) AS ndcg_1e4,
         |  CAST(CASE WHEN p.first_rel IS NOT NULL
         |    THEN 1000000 // p.first_rel ELSE 0 END AS BIGINT) AS mrr_micro,
-        |  CAST((p.n_hits * 10000) // d.n_rel AS BIGINT) AS recall_1e4
-        |FROM perq p JOIN ideal d USING (query_id)
+        |  CAST((coalesce(p.n_hits, 0) * 10000) // d.n_rel AS BIGINT)
+        |    AS recall_1e4
+        |FROM ideal d LEFT JOIN perq p USING (query_id)
         |ORDER BY query_id""".stripMargin,
 
     "txt_hybrid_rrf" ->

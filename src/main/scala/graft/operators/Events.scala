@@ -1341,7 +1341,17 @@ object Events {
 
   /** The harness core over any (day_d, n) daily frame. */
   def backtestOf(daily0: DataFrame, horizon: Int): DataFrame = {
-    val hi = daily0.agg(max(col("day_d")).as("hi")).head().getLong(0)
+    val hiRow = daily0.agg(max(col("day_d")).as("hi")).head()
+    if (hiRow.isNullAt(0)) {
+      // empty series: nothing to hold out — empty readout with the
+      // output schema beats an unboxing NPE (the cupedAb guard)
+      val sp = daily0.sparkSession
+      return sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "step BIGINT, day_ts TIMESTAMP, y BIGINT, yhat_micro BIGINT, " +
+            "abs_err_micro BIGINT, smape_1e4 BIGINT, in_band BOOLEAN"))
+    }
+    val hi = hiRow.getLong(0)
     val cut = hi - horizon
     val fc = holtWintersOf(daily0.filter(col("day_d") <= cut), horizon)
       .filter(col("kind") === "forecast")
@@ -1628,6 +1638,17 @@ object Events {
     * relation. */
   def didOf(ev: DataFrame): DataFrame = {
     val b = ev.agg(min(col("day_d")).as("lo"), max(col("day_d")).as("hi")).head()
+    if (b.isNullAt(0)) {
+      // degenerate input: no events, no experiment — an empty readout
+      // with the output schema beats an unboxing NPE (the cupedAb guard)
+      val sp = ev.sparkSession
+      return sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, n_treat_pre BIGINT, mean_treat_pre DOUBLE, " +
+            "n_treat_post BIGINT, mean_treat_post DOUBLE, n_ctrl_pre BIGINT, " +
+            "mean_ctrl_pre DOUBLE, n_ctrl_post BIGINT, mean_ctrl_post DOUBLE, " +
+            "did_value DOUBLE"))
+    }
     val mid = Math.floorDiv(b.getLong(0) + b.getLong(1) + 1L, 2L)
     val tagged = ev
       .withColumn("treat",
@@ -1698,11 +1719,18 @@ object Events {
     val agg = r.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
         sum(col("i") * col("x")).as("s1"))
+    // top decile = the heaviest max(1, ⌊n/10⌋) users — the max(·,1)
+    // floor keeps SMALL types in the audit (review finding: nu < 10
+    // made the decile empty and the inner join silently dropped the
+    // type — exactly the classes a concentration audit must not
+    // lose); the left join + coalesce below is belt-and-braces for
+    // the same failure shape
     val top = r.join(broadcast(agg.select(col("event_type"), col("n_users").as("nu"))),
         "event_type")
-      .filter(col("i") > col("nu") - expr("nu DIV 10"))
+      .filter(col("i") > col("nu") - greatest(expr("nu DIV 10"), lit(1L)))
       .groupBy(col("event_type")).agg(sum(col("x")).as("top_x"))
-    agg.join(broadcast(top), "event_type")
+    agg.join(broadcast(top), Seq("event_type"), "left")
+      .withColumn("top_x", coalesce(col("top_x"), lit(0L)))
       .withColumn("gini_1e6", expr(
         """((2L * s1 - (n_users + 1L) * n_events) * 1000000L -
           |  pmod((2L * s1 - (n_users + 1L) * n_events) * 1000000L,
@@ -1740,10 +1768,15 @@ object Events {
     val zSumMicro = 1959964L + 841621L // z_{0.975} + z_{0.80}, frozen
     val perUser = ev.groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("cents")).as("v"))
+    // a relative MDE needs a POSITIVE baseline mean: a type whose
+    // per-user sums cancel to ≤ 0 (refund-dominated) has no defined
+    // "x% lift", and delta = 0 would divide to ±Inf — which the two
+    // engines then cast differently (review finding). Excluded
+    // loudly by the same HAVING on both sides.
     val stats = perUser.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(col("v") * col("v")).as("qv"))
-      .filter(col("n") >= 2L)
+      .filter(col("n") >= 2L && col("sv") > 0L)
     val d = (c: String) => col(c).cast("double")
     stats
       .withColumn("mean_c", d("sv") / d("n"))

@@ -365,6 +365,10 @@ object HybridSearch {
     * corpus-sized is added by evaluation.
     */
   def retrievalEval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // the discount table defines an @10 metric; a deeper cut would
+    // need more frozen constants, not silent nulls (review finding)
+    require(k <= NdcgWeightsMicro.length,
+      s"retrievalEval scores at most @${NdcgWeightsMicro.length}")
     val docs = Tables.documents(s, dir)
     val queries = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"),
@@ -403,7 +407,15 @@ object HybridSearch {
       .groupBy(col("query_id"))
       .agg(sum(col("rel") * col("w")).as("idcg_micro"),
         count(lit(1)).as("n_rel"))
-    perQ.join(ideal, "query_id")
+    // LEFT join from the judgment side: a query whose lexical ranker
+    // returns NOTHING is a total retrieval failure and must appear in
+    // the scorecard as zeros — dropping it (the old inner join)
+    // silently excluded exactly the worst-case queries the harness
+    // exists to surface (review finding; the oracle mirrors the
+    // direction)
+    ideal.join(perQ, Seq("query_id"), "left")
+      .withColumn("dcg_micro", coalesce(col("dcg_micro"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .select(col("query_id"), col("n_rel"),
         col("dcg_micro"), col("idcg_micro"),
         when(col("idcg_micro") > 0L,

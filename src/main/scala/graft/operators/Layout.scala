@@ -52,7 +52,20 @@ object Layout {
     * The stats pass is one map-side-combinable aggregate.
     */
   def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
-                    outDir: String, numFiles: Int): Unit = {
+                    outDir: String, numFiles: Int): Unit =
+    writeCurveOrdered(df, xCol, yCol, outDir, numFiles, mortonZ)
+
+  /** The shared layout core behind BOTH curve writers (review
+    * finding: the Hilbert path duplicated the min/max pass, the
+    * empty-input guard and the bucket law wholesale — a fix to the
+    * shared normalization would have had to land twice): normalize
+    * each dimension to the 16-bit range via its observed min/max,
+    * index with `curve`, range-partition along the index, sort
+    * within partitions, drop the helper column.
+    */
+  private def writeCurveOrdered(df: DataFrame, xCol: Column, yCol: Column,
+                                outDir: String, numFiles: Int,
+                                curve: (Column, Column) => Column): Unit = {
     val b = df.agg(
       min(xCol).cast("double"), max(xCol).cast("double"),
       min(yCol).cast("double"), max(yCol).cast("double")).head()
@@ -65,12 +78,12 @@ object Layout {
     def bucket16(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else width_bucket(c.cast("double"), lit(lo), lit(hi + 1e-9), lit(65536)) - lit(1L)
-    df.withColumn("_z", mortonZ(
+    df.withColumn("_c", curve(
         bucket16(xCol, b.getDouble(0), b.getDouble(1)),
         bucket16(yCol, b.getDouble(2), b.getDouble(3))))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+      .repartitionByRange(numFiles, col("_c"))
+      .sortWithinPartitions(col("_c"))
+      .drop("_c")
       .write.mode("overwrite").parquet(outDir)
   }
 
@@ -115,25 +128,9 @@ object Layout {
     * min/max on BOTH dimensions for the same file count.
     */
   def writeHilbertOrdered(df: DataFrame, xCol: Column, yCol: Column,
-                          outDir: String, numFiles: Int): Unit = {
-    val b = df.agg(
-      min(xCol).cast("double"), max(xCol).cast("double"),
-      min(yCol).cast("double"), max(yCol).cast("double")).head()
-    if (b.isNullAt(0)) {
-      df.write.mode("overwrite").parquet(outDir)
-      return
-    }
-    def bucket16(c: Column, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
-      else width_bucket(c.cast("double"), lit(lo), lit(hi + 1e-9), lit(65536)) - lit(1L)
-    df.withColumn("_h", graft.functions.HilbertIndex(
-        bucket16(xCol, b.getDouble(0), b.getDouble(1)).cast("long"),
-        bucket16(yCol, b.getDouble(2), b.getDouble(3)).cast("long")))
-      .repartitionByRange(numFiles, col("_h"))
-      .sortWithinPartitions(col("_h"))
-      .drop("_h")
-      .write.mode("overwrite").parquet(outDir)
-  }
+                          outDir: String, numFiles: Int): Unit =
+    writeCurveOrdered(df, xCol, yCol, outDir, numFiles,
+      (x, y) => graft.functions.HilbertIndex(x.cast("long"), y.cast("long")))
 
   /** Driver query: Hilbert-bucket summary of orders on (customer,
     * order-day) — the [[zorderQuery]] twin on the jump-free curve,

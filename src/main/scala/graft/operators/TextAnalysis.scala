@@ -2040,14 +2040,19 @@ object TextAnalysis {
                      iters: Int = 6, etaNum: Long = 400L,
                      bins: Int = 10): DataFrame = {
     val (feat, w, _) = trainSvm(s, dir, iters, etaNum)
-    feat.unpersist()
     val m = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    // materialize the 1-row margin extrema WHILE feat is persisted
+    // (review finding: aggregating after unpersist re-ran the whole
+    // feature pipeline, doubling the documented one-extra-scan cost);
+    // the bounds then re-enter the plan as literals
+    val ext = feat.select(m.as("m")).agg(min(col("m")), max(col("m"))).head()
+    val (mn, mx) = (ext.getLong(0), ext.getLong(1))
+    feat.unpersist()
     val scored = feat.select(m.as("m"), col("y"))
-    val ext = scored.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
-    scored.crossJoin(broadcast(ext))
+    scored
       .withColumn("bin", least(lit((bins - 1).toLong),
-        expr(s"((m - mn) * ${bins}L) DIV (mx - mn + 1L)")).cast("long"))
+        expr(s"((m - ${mn}L) * ${bins}L) DIV (${mx}L - ${mn}L + 1L)")).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         rnd4(min(col("m")).cast("double") / lit(1.0e10)).as("lo_score"),

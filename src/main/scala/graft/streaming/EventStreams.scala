@@ -140,27 +140,49 @@ object EventStreams {
     * complete-mode state is model-sized at any stream length.
     */
   def runForecastAvailableNow(s: org.apache.spark.sql.SparkSession,
-                              dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-    val src = s.readStream.schema(schema)
+                              dir: String): DataFrame =
+    graft.operators.Events.holtWintersOf(
+      streamedDaily(s, dir, "stream_forecast", byType = false), horizon = 14)
+
+  /** Shared daily-count ingest behind the forecast / changepoint /
+    * correlogram streamed twins (review finding: three verbatim
+    * copies of the readStream → watermark → 1-day tumbling agg →
+    * Complete-mode memory sink scaffold, plus inline re-declarations
+    * of the shared [[EventSchema]]): runs the real `StreamingQuery`
+    * under `Trigger.AvailableNow` and returns the streamed daily
+    * frame — (day_d, n), or (event_type, day_d, n) when `byType` —
+    * frozen via localCheckpoint so downstream cores may self-join it
+    * (a MemorySink-backed view resolves both sides of a self-join to
+    * the same attribute ids). Day(×type) cardinality is
+    * time-span-bounded, so complete-mode state AND the frozen frame
+    * are model-sized at any stream length.
+    */
+  private def streamedDaily(s: org.apache.spark.sql.SparkSession,
+                            dir: String, sinkPrefix: String,
+                            byType: Boolean): DataFrame = {
+    val src = s.readStream.schema(EventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val sink = s"stream_forecast_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val sink = s"${sinkPrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val keys =
+      if (byType) Seq(col("event_type"), window(col("ts"), "1 day"))
+      else Seq(window(col("ts"), "1 day"))
+    val outCols =
+      (if (byType) Seq(col("event_type")) else Nil) ++ Seq(
+        floor(col("window.start").cast("long") / 86400L)
+          .cast("long").as("day_d"), col("n"))
     val q = withStatePartitions(s, 4) {
       src.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 day"))
+        .groupBy(keys: _*)
         .agg(count(lit(1)).as("n"))
-        .select(floor(col("window.start").cast("long") / 86400L)
-          .cast("long").as("day_d"), col("n"))
+        .select(outCols: _*)
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Complete())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
     q.awaitTermination()
-    graft.operators.Events.holtWintersOf(s.table(sink), horizon = 14)
+    s.table(sink).localCheckpoint(true)
   }
 
   /** Streamed CHANGEPOINT detection — the TWELFTH driver-gated
@@ -176,28 +198,9 @@ object EventStreams {
     * on the stream.
     */
   def runChangepointsAvailableNow(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sink = s"stream_cp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withStatePartitions(s, 4) {
-      src.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 day"))
-        .agg(count(lit(1)).as("n"))
-        .select(floor(col("window.start").cast("long") / 86400L)
-          .cast("long").as("day_d"), col("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    q.awaitTermination()
-    graft.operators.Events.changepointsOf(s.table(sink))
-  }
+                                  dir: String): DataFrame =
+    graft.operators.Events.changepointsOf(
+      streamedDaily(s, dir, "stream_cp", byType = false))
 
   /** Streamed AUTOCORRELATION — the THIRTEENTH driver-gated streaming
     * runtime, and the first whose streamed aggregate is PER-KEY (the
@@ -210,33 +213,9 @@ object EventStreams {
     * seasonality detector runs where the seasons actually arrive.
     */
   def runAcfAvailableNow(s: org.apache.spark.sql.SparkSession,
-                         dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sink = s"stream_acf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withStatePartitions(s, 4) {
-      src.withWatermark("ts", "1 hour")
-        .groupBy(col("event_type"), window(col("ts"), "1 day"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("event_type"),
-          floor(col("window.start").cast("long") / 86400L)
-            .cast("long").as("day_d"), col("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    q.awaitTermination()
-    // the correlogram core SELF-JOINS its daily frame (spine ⨝
-    // counts); a MemorySink-backed view resolves both sides to the
-    // same attribute ids, so freeze the (types × days)-sized result
-    // into an RDD-backed frame first — model-scale by construction
-    graft.operators.Events.acfOf(s.table(sink).localCheckpoint(true))
-  }
+                         dir: String): DataFrame =
+    graft.operators.Events.acfOf(
+      streamedDaily(s, dir, "stream_acf", byType = true))
 
   /** HOPPING-window counts with a watermark — the streaming twin of
     * `graft.operators.Events.hopping`: `window(ts, 1h, 15m)` expands

@@ -775,7 +775,11 @@ class EventsSpec extends SparkSpec {
     val rows =
       (0 until 10).flatMap(u => Seq.fill(5)(("even", u.toLong))) ++
       (0 until 9).map(u => ("whale", u.toLong)) ++
-      Seq.fill(91)(("whale", 99L))
+      Seq.fill(91)(("whale", 99L)) ++
+      // a SMALL type (3 users) must stay in the audit: the top-decile
+      // law floors at one user (review finding: nu < 10 silently
+      // dropped the type through an empty decile + inner join)
+      Seq(("tiny", 0L), ("tiny", 1L), ("tiny", 1L), ("tiny", 2L))
     val out = graft.operators.Events.giniOf(rows.toDF("event_type", "user_id"))
       .collect().map(r => r.getString(0) -> r).toMap
     assert(out("even").getLong(3) === 0L, "uniform usage must score 0")
@@ -789,6 +793,11 @@ class EventsSpec extends SparkSpec {
     assert(out("whale").getLong(3) > 700000L, "whale must show heavy concentration")
     assert(out("whale").getLong(4) === Math.floorDiv(91L * 10000L, 100L))
     assert(out("whale").getLong(1) === 10L && out("whale").getLong(2) === 100L)
+    // the 3-user type is present, its top "decile" is its single
+    // heaviest user (x=2 of 4 events -> share 5000)
+    assert(out.contains("tiny"), "small types must not drop from the audit")
+    assert(out("tiny").getLong(1) === 3L && out("tiny").getLong(2) === 4L)
+    assert(out("tiny").getLong(4) === 5000L)
   }
 
   test("power: exact formula replay; required n shrinks with the square of the detectable lift") {

@@ -61,6 +61,30 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/zorder").count() === orders.count())
   }
 
+  test("hilbert-ordered layout gives narrow per-file spans in BOTH dimensions") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("hilbert").toString
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val files = 16
+    orders.repartition(files, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/plain")
+    Layout.writeHilbertOrdered(orders, col("o_custkey"), col("day"),
+      s"$dir/hilbert", files)
+    def meanSpan(path: String, c: String): Double = {
+      val row = Layout.fileSpans(spark.read.parquet(path), col(c))
+        .agg(avg(col("span"))).head()
+      row.getDouble(0)
+    }
+    assert(meanSpan(s"$dir/hilbert", "o_custkey") <
+      0.5 * meanSpan(s"$dir/plain", "o_custkey"), "custkey spans not clustered")
+    assert(meanSpan(s"$dir/hilbert", "day") <
+      0.5 * meanSpan(s"$dir/plain", "day"), "day spans not clustered")
+    assert(spark.read.parquet(s"$dir/hilbert").count() === orders.count())
+  }
+
   test("hilbert: subtree contiguity, unit-step adjacency, codegen == reference, SQL registration") {
     import spark.implicits._
     import graft.functions.HilbertIndex

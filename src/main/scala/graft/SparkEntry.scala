@@ -3605,10 +3605,12 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT c_nationkey, class_size,
-        |    (raw * 1000000 - ((raw * 1000000 % ((m_bins - 1) * class_size * n_total)
-        |       + ((m_bins - 1) * class_size * n_total))
-        |       % ((m_bins - 1) * class_size * n_total)))
-        |      // ((m_bins - 1) * class_size * n_total) AS emd_1e6
+        |    CASE WHEN m_bins > 1 THEN
+        |      (raw * 1000000 - ((raw * 1000000 % ((m_bins - 1) * class_size * n_total)
+        |         + ((m_bins - 1) * class_size * n_total))
+        |         % ((m_bins - 1) * class_size * n_total)))
+        |        // ((m_bins - 1) * class_size * n_total)
+        |    ELSE 0 END AS emd_1e6
         |  FROM emd)
         |SELECT c_nationkey, count(*) AS n_classes,
         |  CAST(sum(CASE WHEN emd_1e6 > 200000 THEN 1 ELSE 0 END) AS BIGINT)

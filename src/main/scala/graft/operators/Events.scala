@@ -1700,16 +1700,26 @@ object Events {
     * `txt_global_ids` construction, NO unpartitioned and NO
     * type-partitioned user-sized window — and within-type ranks are
     * the global rank minus the broadcast per-type base. Magnitude
-    * contract: 2·Σi·xᵢ·10⁶ must fit signed-64 (holds to ~10⁹ user
-    * rows × 10³ events each; partition the audit beyond that).
+    * contract: Σi·xᵢ can reach n·Σx, so the signed-64 numerator
+    * 2·Σi·xᵢ·10⁶ only holds to n·Σx ≲ 4.6·10¹² — far short of a
+    * 10⁹-user corpus. The score therefore runs the numerator and
+    * denominator through DECIMAL(38,0) (mirroring DuckDB's silent
+    * HUGEINT promotion of BIGINT sums), which is exact to
+    * n·Σx ≲ 10³¹ — comfortably past any single-audit shard.
     */
   def gini(s: SparkSession, dir: String): DataFrame =
     giniOf(Tables.events(s, dir).select(col("event_type"), col("user_id")))
 
   /** The audit core over any (event_type, user_id) event relation. */
-  def giniOf(ev: DataFrame): DataFrame = {
-    val totals = ev.groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("x"))
+  def giniOf(ev: DataFrame): DataFrame =
+    giniOfTotals(ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The ranking+score core over pre-aggregated per-user totals
+    * (event_type, user_id, x: BIGINT) — split out so specs can plant
+    * totals large enough to exercise the DECIMAL(38,0) numerator
+    * path (x values no event fixture could reach by row count). */
+  def giniOfTotals(totals: DataFrame): DataFrame = {
     val (ranked, _) = TextAnalysis.withShardedRank(totals, "g", 32,
       Seq(col("event_type"), col("x"), col("user_id")))
     val base = ranked.groupBy(col("event_type"))
@@ -1731,11 +1741,20 @@ object Events {
       .groupBy(col("event_type")).agg(sum(col("x")).as("top_x"))
     agg.join(broadcast(top), Seq("event_type"), "left")
       .withColumn("top_x", coalesce(col("top_x"), lit(0L)))
+      // DECIMAL(38,0) intermediates: 2·s1·10⁶ wraps signed-64 past
+      // n·Σx ≈ 4.6·10¹² while DuckDB promotes to HUGEINT — decimal
+      // keeps the two engines bitwise-aligned at scale. IntegralDivide
+      // on decimals already yields BIGINT, matching the schema.
+      .withColumn("gini_num", expr(
+        """(2L * CAST(s1 AS DECIMAL(38,0))
+          | - (CAST(n_users AS DECIMAL(38,0)) + 1L)
+          |   * CAST(n_events AS DECIMAL(38,0))) * 1000000L""".stripMargin))
+      .withColumn("gini_den", expr(
+        "CAST(n_users AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0))"))
       .withColumn("gini_1e6", expr(
-        """((2L * s1 - (n_users + 1L) * n_events) * 1000000L -
-          |  pmod((2L * s1 - (n_users + 1L) * n_events) * 1000000L,
-          |       n_users * n_events)) DIV (n_users * n_events)""".stripMargin))
-      .withColumn("top10_share_1e4", expr("(top_x * 10000L) DIV n_events"))
+        "(gini_num - pmod(gini_num, gini_den)) DIV gini_den"))
+      .withColumn("top10_share_1e4", expr(
+        "(CAST(top_x AS DECIMAL(38,0)) * 10000L) DIV n_events"))
       .select(col("event_type"), col("n_users"), col("n_events"),
         col("gini_1e6"), col("top10_share_1e4"))
       .orderBy(col("event_type"))

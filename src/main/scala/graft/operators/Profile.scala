@@ -280,11 +280,19 @@ object Profile {
         sum(abs(col("cum_c") * col("n_total") - col("cum_g") * col("class_size")))
           .as("raw"),
         min(col("n_total")).as("n_total"), min(col("m_bins")).as("m_bins"))
+    // m_bins = 1 ⇒ every class trivially matches the global
+    // distribution (one bin carries full mass on both sides), but the
+    // (m−1) normalizer degenerates to a 0 denominator and the DIV
+    // would yield NULL — which then compares false against tMicro and
+    // silently reads as "non-violating" with a NULL max. Pin the
+    // mathematically-correct EMD = 0 explicitly.
     emd
       .withColumn("emd_1e6", expr(
-        """(raw * 1000000L -
-          |  pmod(raw * 1000000L, (m_bins - 1L) * class_size * n_total))
-          | DIV ((m_bins - 1L) * class_size * n_total)""".stripMargin))
+        """CASE WHEN m_bins > 1L THEN
+          |  (raw * 1000000L -
+          |    pmod(raw * 1000000L, (m_bins - 1L) * class_size * n_total))
+          |   DIV ((m_bins - 1L) * class_size * n_total)
+          |ELSE 0L END""".stripMargin))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_classes"),
         sum(when(col("emd_1e6") > tMicro, 1L).otherwise(0L)).as("n_violating"),

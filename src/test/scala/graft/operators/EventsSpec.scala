@@ -800,6 +800,31 @@ class EventsSpec extends SparkSpec {
     assert(out("tiny").getLong(4) === 5000L)
   }
 
+  test("gini: DECIMAL numerator survives totals that wrap the signed-64 path") {
+    import spark.implicits._
+    // 1000 users with x = u·10^10: n·Σx ≈ 5·10^18·10^3 — the old
+    // 2·Σi·xᵢ·10⁶ BIGINT numerator wraps (advisory r11), the decimal
+    // path must match an exact BigInt replay bit-for-bit
+    val totals = (1 to 1000).map(u => ("huge", u.toLong, u.toLong * 10000000000L))
+      .toDF("event_type", "user_id", "x")
+    val r = graft.operators.Events.giniOfTotals(totals).collect().head
+    val xs = (1 to 1000).map(u => BigInt(u) * BigInt("10000000000")).sorted
+    val n = BigInt(1000); val sx = xs.sum
+    val s1 = xs.zipWithIndex.map { case (x, i) => (BigInt(i) + 1) * x }.sum
+    val num = (2 * s1 - (n + 1) * sx) * 1000000
+    assert(2 * s1 * 1000000 > BigInt(Long.MaxValue),
+      "fixture numerator must exceed signed-64")
+    val den = n * sx
+    val expectedGini = ((num - (((num % den) + den) % den)) / den).toLong
+    assert(r.getLong(3) === expectedGini, s"decimal gini ${r.getLong(3)} != $expectedGini")
+    // top decile = heaviest 100 users; its share also rides decimal
+    val topX = xs.takeRight(100).sum
+    val expectedShare = ((topX * 10000) / sx).toLong
+    assert(r.getLong(4) === expectedShare, s"decimal share ${r.getLong(4)} != $expectedShare")
+    // linear-ramp Gini → (n-1)/(3n)·2 ≈ 1/3·(1 - 1/n): sanity band
+    assert(r.getLong(3) > 320000L && r.getLong(3) < 340000L)
+  }
+
   test("power: exact formula replay; required n shrinks with the square of the detectable lift") {
     import spark.implicits._
     // two users per type would make variance exact but tiny n; use a

@@ -169,4 +169,22 @@ class ProfileSpec extends SparkSpec {
     // the only rung that catches distribution skew
     assert(bArr.sum === 50L && bArr.count(_ > 0L) >= 3)
   }
+
+  test("tCloseness: a single-bin sensitive domain scores EMD 0, not NULL") {
+    import spark.implicits._
+    // every row lands in bal_bucket 0 → m_bins = 1 and the (m−1)
+    // normalizer degenerates; advisory r11: the unguarded DIV made
+    // emd NULL, which silently read as non-violating with a NULL max.
+    // The correct EMD is 0 (each class trivially equals the global).
+    val cust = ((0 until 20).map(i => (0L, "A", 0L)) ++
+      (0 until 30).map(i => (0L, "B", 0L)))
+      .toDF("c_nationkey", "c_mktsegment", "bal_bucket")
+    val out = Profile.tClosenessOf(cust, 200000L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2L, "both classes audited")
+    assert(r.getLong(2) === 0L, "nothing violates on a 1-bin domain")
+    assert(!r.isNullAt(4) && r.getLong(4) === 0L,
+      "max_emd must be an explicit 0, never NULL")
+  }
 }

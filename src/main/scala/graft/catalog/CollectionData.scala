@@ -371,8 +371,12 @@ class CollectionData(client: ChromaSpark) {
 
   private type LogRow = (String, Seq[Float], String, String, Long, Boolean)
 
-  private val snapshotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[LogRow])]()
+  // Access-order LRU bounded at 256 levels (r11 advisory #2: the old
+  // ConcurrentHashMap wiped EVERYTHING past the cap, evicting hot
+  // collections along with cold ones). The driver parquet read that
+  // computes an entry runs outside the [[graft.Lru]] lock.
+  private val snapshotCache: java.util.Map[String, (String, Seq[LogRow])] =
+    graft.Lru.bounded[String, (String, Seq[LogRow])](256)
 
   private def snapshotMaxBytes: Long =
     spark.conf.getOption("spark.graft.collection.snapshotMaxBytes")
@@ -419,7 +423,6 @@ class CollectionData(client: ChromaSpark) {
     val cached = snapshotCache.get(d)
     if (cached != null && cached._1 == sig) cached._2
     else {
-      if (snapshotCache.size > 256) snapshotCache.clear()
       val rows = liveLogName(d) match {
         case Some(name) =>
           DriverParquet.readLog(spark.sessionState.newHadoopConf(), s"$d/$name")
@@ -2582,12 +2585,7 @@ object CollectionData {
     * value; it never blocks unrelated serves).
     */
   private[catalog] val filteredCellStatsMemo: java.util.Map[String, Array[(Int, Long)]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[(Int, Long)]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[(Int, Long)]]): Boolean =
-          size() > 1024
-      })
+    graft.Lru.bounded[String, Array[(Int, Long)]](1024)
   private[catalog] val filteredCellStatsComputes =
     new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -159,7 +159,8 @@ object Graph {
     * of one per instance.
     */
   def pagerankOnWeightedEdges(edges: DataFrame, iters: Int, topK: Int,
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = true,
+                              maxBroadcastNodes: Long = 100000000L): DataFrame = {
     // localCheckpoint: a DERIVED edge list feeds deg + every iteration,
     // so it materializes once rather than re-deriving per pass; callers
     // whose edges already sit at rest (the index's parquet) skip it.
@@ -173,16 +174,18 @@ object Graph {
     // exchange is the partial-agg'd contribution sum on dst. The
     // naive plan joins edges×ranks by shuffle, moving the whole graph
     // through the network once per iteration; this moves it zero
-    // times. At a scale where the vertex vector itself outgrows
-    // broadcast (~100M+ nodes), flip back to a co-partitioned shuffle
-    // join on a pre-bucketed edge list — same join, minus the hint.
+    // times. The flip-back rule is CODE, not advice (r11 advisory):
+    // past `maxBroadcastNodes` the vertex vector itself outgrows
+    // broadcast, and the measured node count auto-demotes the join to
+    // a co-partitioned shuffle — same join, minus the hint.
+    val bcRanks = n <= maxBroadcastNodes
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("r"))
     for (_ <- 1 to iters) {
       // pre-fold r/outdeg into the tiny vertex frame so the edge-side
       // work per iteration is a single hash-probe + partial sum
       val rw = ranks.join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("src"), (col("r") / col("outdeg")).as("rw"))
-      val contrib = e.join(broadcast(rw), "src")
+      val contrib = e.join(if (bcRanks) broadcast(rw) else rw, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rw") * col("w")).as("in_c"))
       ranks = contrib.select(col("node"),
@@ -512,7 +515,9 @@ object Graph {
       .select(col("src"), col("dst"), expr("1000000L DIV w").as("len"))
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
-    ssspOnEdges(edges, seeds, rounds)
+    // reachable set = co-purchase part keys: dimension-sized, so the
+    // broadcast relaxation is the zero-edge-exchange plan
+    ssspOnEdges(edges, seeds, rounds, broadcastDistances = true)
       .select(col("node").as("p_partkey"),
         expr("key DIV 4").as("dist_micro"), expr("key % 4").as("hops"))
       .orderBy(col("p_partkey"))
@@ -539,12 +544,26 @@ object Graph {
   def hitsQuery(s: SparkSession, dir: String, topK: Int = 20): DataFrame =
     hitsOnEdges(Tables.lineitem(s, dir)
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-      .distinct().localCheckpoint(true), topK)
+      .distinct().localCheckpoint(true), topK,
+      // supplier/part vertex sides: dimension-sized by contract
+      broadcastScores = true)
 
   /** The two-round iteration core over any distinct (sk, pk) edge
     * list — split out so specs can drive it with planted bipartite
-    * graphs where mutual reinforcement disagrees with raw degree. */
-  def hitsOnEdges(e: DataFrame, topK: Int): DataFrame = {
+    * graphs where mutual reinforcement disagrees with raw degree.
+    *
+    * `broadcastScores` ships the per-node h/a score frames (and the
+    * degree readout) as broadcasts — sound ONLY when both vertex
+    * sides are dimension-sized (the supplier/part contract of
+    * [[hitsQuery]]). The DEFAULT is the shuffle path: for a general
+    * bipartite graph the score frames are data-sized, and each
+    * half-step must be an edge-keyed co-partitioned equi-join, the
+    * [[khopOnEdges]] flag discipline (r11 advisory #1). The 1-row
+    * `mx` normalizer broadcast is size-independent and stays. */
+  def hitsOnEdges(e: DataFrame, topK: Int,
+                  broadcastScores: Boolean = false): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
     def norm(df: DataFrame, c: String): DataFrame = {
       val mx = df.agg(max(col(c)).as("mx"))
       df.crossJoin(broadcast(mx))
@@ -553,14 +572,14 @@ object Graph {
     }
     // h₁(s) ∝ Σ_p a₀ = |parts of s| (uniform a₀ cancels in the norm)
     val h1 = norm(e.groupBy(col("sk")).agg(count(lit(1)).as("h")), "h")
-    val a1 = norm(e.join(broadcast(h1), "sk")
+    val a1 = norm(e.join(bc(h1), "sk")
       .groupBy(col("pk")).agg(sum(col("h")).as("a")), "a")
-    val h2 = norm(e.join(broadcast(a1), "pk")
+    val h2 = norm(e.join(bc(a1), "pk")
       .groupBy(col("sk")).agg(sum(col("a")).as("h")), "h")
-    val a2 = norm(e.join(broadcast(h2), "sk")
+    val a2 = norm(e.join(bc(h2), "sk")
       .groupBy(col("pk")).agg(sum(col("h")).as("a")), "a")
     val deg = e.groupBy(col("pk")).agg(count(lit(1)).as("n_suppliers"))
-    a2.join(broadcast(deg), "pk")
+    a2.join(bc(deg), "pk")
       .orderBy(col("a").desc, col("pk"))
       .limit(topK)
       .select(col("pk").as("p_partkey"), col("a").as("auth_1e6"),
@@ -569,15 +588,25 @@ object Graph {
 
   /** The relaxation core over any (src, dst, len) edge list and
     * (node) seed set — returns (node, key) with key = dist·4 + hops;
-    * split out so specs can drive it with planted weighted graphs. */
+    * split out so specs can drive it with planted weighted graphs.
+    *
+    * `broadcastDistances` ships each round's full distance relation
+    * as a broadcast — `d` grows to EVERY reached node, so this is
+    * sound only when the reachable set is dimension-sized (the
+    * co-purchase part-key contract of [[ssspQuery]]). The DEFAULT is
+    * the shuffle path: relaxation becomes a src-keyed co-partitioned
+    * equi-join and only the frontier-delta rows move, the
+    * [[khopOnEdges]] flag discipline (r11 advisory #1). */
   def ssspOnEdges(edges: DataFrame, seeds: DataFrame,
-                  rounds: Int): DataFrame = {
+                  rounds: Int,
+                  broadcastDistances: Boolean = false): DataFrame = {
     require(rounds < 4, "hops ride the low 2 bits of the label key")
     var d = seeds.select(col("node")).withColumn("key", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      val probe = d.select(col("node").as("src"), col("key"))
       val relax = edges
-        .join(broadcast(d.select(col("node").as("src"), col("key"))), "src")
+        .join(if (broadcastDistances) broadcast(probe) else probe, "src")
         .select(col("dst").as("node"),
           expr("((key DIV 4) + len) * 4 + (key % 4 + 1)").as("key"))
       d = d.unionByName(relax)

@@ -27,19 +27,29 @@ private[graft] object IndexCache {
     */
   private val relationMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+      java.util.Map[String, org.apache.spark.sql.DataFrame]]()
 
   def readCached(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // Per-session access-order LRU bounded at 256 relations (r11
+    // advisory #2: the old full `clear()` past the cap evicted hot
+    // shared-index relations with the cold). The plan-building
+    // `spark.read.parquet` runs outside the lock; a lost race merely
+    // rebuilds a pure relation.
     val perSession = relationMemo.synchronized {
       var m = relationMemo.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+        m = graft.Lru.bounded[String, org.apache.spark.sql.DataFrame](256)
         relationMemo.put(spark, m)
       }
       m
     }
-    if (perSession.size > 256) perSession.clear()
-    perSession.computeIfAbsent(dir, { _: String => spark.read.parquet(dir) })
+    val hit = perSession.get(dir)
+    if (hit != null) hit
+    else {
+      val built = spark.read.parquet(dir)
+      perSession.put(dir, built)
+      built
+    }
   }
 
   /** Drop cached relations for `dir` across every session — REQUIRED

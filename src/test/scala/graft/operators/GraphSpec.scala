@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, count, lit}
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -31,6 +32,14 @@ class GraphSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(k => assert(out(k) === rnd4(l * 4)))
     // probability mass is conserved by the iteration
     assert(math.abs(c + 3 * l - 1.0) < 1e-12)
+    // the auto flip-back gate (r11 advisory: rule as code): forcing
+    // the measured node count past the broadcast ceiling demotes the
+    // per-iteration join to a shuffle — identical ranks either way
+    val shuffled = Graph.pagerankOnWeightedEdges(
+      edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")),
+      iters = 3, topK = 10, maxBroadcastNodes = 0L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank_x_n")).toMap
+    assert(shuffled === out, "shuffle flip-back must not change ranks")
   }
 
   test("topK cuts deterministically and output is rank-descending") {
@@ -266,5 +275,42 @@ class GraphSpec extends SparkSpec {
     h = normM(adj.map { case (s, ps) => s -> ps.map(a).sum })
     a = normM(parts.map(p => p -> adj.collect { case (s, ps) if ps.contains(p) => h(s) }.sum).toMap)
     parts.foreach(p => assert(auth(p) === a(p), s"auth($p) != replay"))
+  }
+
+  test("sssp/hits: shuffle-default and broadcast paths agree; score-frame hints only on opt-in") {
+    // r11 advisory #1: the generic iteration cores must not broadcast
+    // data-sized relations by default. The planted graphs above run
+    // the shuffle default; here both flags produce identical answers
+    // and the analyzed-plan hint census shows the score/distance
+    // broadcasts appear ONLY on opt-in (the 1-row mx normalizer's
+    // 4 hints are size-independent and always present).
+    val e = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 50L), (1L, 7L, 20L), (2L, 7L, 10L)
+    ).toDF("src", "dst", "len")
+    val seeds = Seq(1L).toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.ssspOnEdges(e, seeds, 3)) ===
+      m(Graph.ssspOnEdges(e, seeds, 3, broadcastDistances = true)))
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 15L), (4L, 15L))
+      .toDF("sk", "pk")
+    // hint census over the analyzed tree. Each norm() embeds its df
+    // TWICE (under the mx agg and as the crossJoin side), so hint
+    // occurrences follow hints(norm(x)) = 2·hints(x) + 1 — the
+    // normalizer-only chain h1,a1,h2,a2 yields 1,3,7,15. The
+    // broadcast opt-in adds one score-frame hint inside each of the
+    // three half-step joins (2·(x+1)+1) plus the deg join at the top:
+    // 1,5,13,29 → 30. What matters: the DELTA is the score/degree
+    // frames, present only on opt-in.
+    def hintCount(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.length
+    val off = Graph.hitsOnEdges(edges, 10)
+    val on = Graph.hitsOnEdges(edges, 10, broadcastScores = true)
+    assert(m(off.select(col("p_partkey"), col("auth_1e6"))) ===
+      m(on.select(col("p_partkey"), col("auth_1e6"))))
+    assert(hintCount(off) === 15, "shuffle path: only the 1-row mx normalizers hint")
+    assert(hintCount(on) === 30, "broadcast path: + score/degree frame hints")
   }
 }

@@ -1191,21 +1191,33 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN list_dot_product(CAST(vec AS DOUBLE[]), plane) >= 0
        |      THEN 1 << (5 - b) ELSE 0 END) AS BIGINT) AS sig
        |  FROM c CROSS JOIN pl GROUP BY vec_id, t),
-       |gk AS MATERIALIZED (
-       |  SELECT vec_id, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY t) AS k
-       |  FROM sig GROUP BY vec_id),
-       |grp0 AS MATERIALIZED (
-       |  SELECT vec_id, min(vec_id) OVER (PARTITION BY k) AS cand_rep FROM gk),
-       |mem AS MATERIALIZED (
-       |  SELECT g.vec_id AS member, g.cand_rep AS rep
-       |  FROM grp0 g
-       |  JOIN c mv ON mv.vec_id = g.vec_id
-       |  JOIN c rv ON rv.vec_id = g.cand_rep
-       |  WHERE g.vec_id <> g.cand_rep
-       |    AND list_distance(CAST(mv.vec AS DOUBLE[]), CAST(rv.vec AS DOUBLE[]))
+       |loo AS MATERIALIZED (
+       |  SELECT s.vec_id, tt.band,
+       |    string_agg(CAST(s.sig AS VARCHAR), ',' ORDER BY s.t) AS bkey
+       |  FROM sig s CROSS JOIN range(0, 8) tt(band)
+       |  WHERE s.t <> tt.band
+       |  GROUP BY s.vec_id, tt.band),
+       |bm AS MATERIALIZED (
+       |  SELECT band, bkey, min(vec_id) AS bm FROM loo GROUP BY band, bkey),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT l.vec_id, b.bm AS cand
+       |  FROM loo l JOIN bm b USING (band, bkey)
+       |  WHERE b.bm < l.vec_id),
+       |ver AS MATERIALIZED (
+       |  SELECT cp.vec_id, cp.cand
+       |  FROM cp
+       |  JOIN c mv ON mv.vec_id = cp.vec_id
+       |  JOIN c rv ON rv.vec_id = cp.cand
+       |  WHERE list_distance(CAST(mv.vec AS DOUBLE[]), CAST(rv.vec AS DOUBLE[]))
        |        <= 0.02 * sqrt(greatest(
        |             list_dot_product(CAST(mv.vec AS DOUBLE[]), CAST(mv.vec AS DOUBLE[])),
        |             list_dot_product(CAST(rv.vec AS DOUBLE[]), CAST(rv.vec AS DOUBLE[]))))),
+       |vrep AS MATERIALIZED (
+       |  SELECT vec_id, min(cand) AS rep FROM ver GROUP BY vec_id),
+       |mem AS MATERIALIZED (
+       |  SELECT m.vec_id AS member, m.rep
+       |  FROM vrep m
+       |  WHERE m.rep NOT IN (SELECT vec_id FROM vrep)),
        |reps AS MATERIALIZED (
        |  SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT member FROM mem)),
        |nn AS (SELECT count(*) AS n FROM c),

@@ -10,17 +10,24 @@ import org.apache.spark.sql.SparkSession
   * by hand while calibrating, the [[TuneAnn]] discipline.
   */
 object TuneGraph {
-  /** The collectionHnswDeep fixture with configurable copy factors. */
+  /** The collectionHnswDeep fixture with configurable copy factors.
+    * `NQ` (default 3) widens the out-of-sample query set — 3 queries
+    * quantize recall in 0.1 steps and swing ±0.1 mean / ±0.2 min
+    * between graph realizations (measured r12), so law calibration
+    * runs NQ=30. The base corpus excludes the query ids, so the
+    * artifact is keyed per NQ. */
   private def deepVariant(s: SparkSession, dir: String,
                           f1: Float, f2: Float): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val nq = sys.env.get("NQ").map(_.toInt).getOrElse(3)
     val wh = java.nio.file.Files.createTempDirectory("graft-hnswdv").toString
     val client = new graft.catalog.ChromaSpark(s, wh)
     val d = new graft.catalog.CollectionData(client)
     client.createCollection("grdv", Some(Map("hnsw:space" -> "cosine",
       "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
     val emb = Tables.embeddings(s, dir)
-    val base = emb.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") >= math.max(10, nq))
+      .select(col("vec_id"), col("embedding"))
     def shifted(off: Long, f: Float) = base.select(
       (col("vec_id") + lit(off)).as("vec_id"),
       transform(col("embedding"),
@@ -29,7 +36,7 @@ object TuneGraph {
       .unionByName(shifted(2000000L, f2))
     d.add("grdv", corpus
       .select(format_string("v%07d", col("vec_id")).as("id"), col("embedding")))
-    val queries = emb.filter(col("vec_id") < 3)
+    val queries = emb.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val ann = d.query("grdv", queries, nResults = 10, include = Nil)
       .select(col("query_id"), col("rank"),

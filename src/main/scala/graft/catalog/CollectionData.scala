@@ -1242,51 +1242,76 @@ class CollectionData(client: ChromaSpark) {
     // recall@⌈k/dups⌉ over distinct points, removing the limit
     // instead of paying dups× budget.
     //
-    // Group law, two stages — both deterministic and SQL-replayable:
+    // Group law, three stages — deterministic, SQL-replayable,
+    // non-iterative, and NOTHING pairwise at any N:
     //
-    //   1. CANDIDATE grouping: vectors whose FULL 8-table LSH
-    //      signature vectors agree (the same md5-derived planes,
-    //      seed, and table/bit shape the kNN candidate stage below
-    //      uses — the oracle re-derives both from one `sig`
-    //      relation). Signature equality is an equivalence relation,
-    //      so this is ONE hash-partitioned groupBy — no pair join,
-    //      no iterative label propagation, nothing corpus²-sized at
-    //      any N. The candidate representative is the group's
-    //      MINIMUM id.
-    //   2. VERIFY gate: a candidate member joins its group only if
-    //      it is relatively NEAR-IDENTICAL to the representative —
-    //      ‖m − r‖ ≤ 2% · max(‖m‖, ‖r‖). Sign bits capture only
-    //      DIRECTION, so without this gate collinear-but-metric-far
-    //      vectors (a ray of l2 points) would collapse into one
-    //      unbounded group — degenerate serve fan-out and broken
-    //      layer laws. The gate is metric-free and scale-free:
-    //      vectors passing it are interchangeable under l2, ip, and
-    //      cosine alike, up to the exact re-rank the serve always
-    //      runs. Members that FAIL the gate stay ordinary graph
-    //      nodes (grouping never loses a vector). One equi-join of
-    //      candidate members against their rep's vector — O(N).
+    //   1. BANDED candidacy (r12 — closing the r11 separated-copies
+    //      weak): r11 required the FULL 48-bit LSH signature to
+    //      agree, but a near-identical copy that moves ~6% of the
+    //      vector's direction flips ≥1 of 48 sign bits ~60% of the
+    //      time and never became a candidate — the measured binding
+    //      constraint (ARCHITECTURE r11 gate-width calibration).
+    //      Candidacy now runs over 8 LEAVE-ONE-OUT bands of 42 bits
+    //      (band t = the 7 signatures of the OTHER tables, same
+    //      md5-derived planes/seed the kNN candidate stage uses): a
+    //      pair whose flips are confined to one table still agrees
+    //      on the band omitting that table. Each band is ONE
+    //      hash-partitioned groupBy producing the bucket's MINIMUM
+    //      id; a vector's candidate reps are its ≤ 8 bucket mins —
+    //      no pair join, no label propagation. 42-bit keys keep
+    //      buckets essentially dup-only (random collisions ∝
+    //      N²/2⁴², and a polluted bucket min merely fails the gate
+    //      below — it never blocks another band's true twin).
+    //   2. VERIFY gate, unchanged: a candidate pair survives only if
+    //      relatively NEAR-IDENTICAL — ‖m − r‖ ≤ 2% · max(‖m‖,‖r‖).
+    //      Sign bits capture only DIRECTION, so without this gate
+    //      collinear-but-metric-far vectors would collapse into one
+    //      unbounded group. Metric-free and scale-free; members that
+    //      fail stay ordinary graph nodes. The member's rep is its
+    //      MINIMUM verified candidate.
+    //   3. DEPTH-1 ROOT law: banded matching is not transitive, so a
+    //      chosen rep might itself be a verified member of a smaller
+    //      id. A member only joins a rep that is a ROOT (has no
+    //      verified candidate of its own); chain tails stay ordinary
+    //      nodes. On exact-dup cliques every band agrees, the clique
+    //      min is its own root, and the law reduces bitwise to the
+    //      r11 full-signature grouping.
     //
     // A verified member is still served at its TRUE exact-re-ranked
     // distance (via its rep's expansion) — a rare false merge only
     // degrades its reachability to its rep's, never its score.
     val grpPlanes = (0 until 8).map(t =>
       graft.operators.VectorOps.hashHyperplanes(6, dim, t, 42L))
-    val keyed = fullCorpus.withColumn("gk", concat_ws(",",
-      graft.functions.LshSignatures(col("vec"), grpPlanes)
-        .cast("array<string>")))
-    val withCand = keyed.withColumn("cand",
-      min(col("vec_id")).over(Window.partitionBy(col("gk"))))
+    val sigArr = fullCorpus.withColumn("sigarr",
+      graft.functions.LshSignatures(col("vec"), grpPlanes))
+    val looBands = (0 until 8).map { t =>
+      sigArr.select(col("vec_id"), lit(t).as("band"),
+        concat_ws(",", (0 until 8).filter(_ != t)
+          .map(u => col("sigarr").getItem(u).cast("string")): _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val bucketMin = looBands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("vec_id")).as("bm"))
+    val candPairs = looBands.join(bucketMin, Seq("band", "bkey"))
+      .filter(col("bm") < col("vec_id"))
+      .select(col("vec_id"), col("bm").as("cand")).distinct()
     val repVecs = fullCorpus
       .select(col("vec_id").as("cand"), col("vec").as("rvec"))
-    // groups persists only the VERIFIED non-representative members —
-    // empty on a dup-free corpus, |duplicates| rows otherwise (never N)
-    withCand.filter(col("vec_id") =!= col("cand"))
+    val verified = candPairs
+      .join(fullCorpus, "vec_id")
       .join(repVecs, "cand")
       .filter(graft.operators.VectorOps.l2(col("vec"), col("rvec")) <=
         lit(GraphDedupGatePct / 100.0) * sqrt(greatest(
           graft.operators.VectorOps.dot(col("vec"), col("vec")),
           graft.operators.VectorOps.dot(col("rvec"), col("rvec")))))
-      .select(col("vec_id").as("member_id"), col("cand").as("rep_id"))
+      .select(col("vec_id"), col("cand"))
+    val memberRep = verified.groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("rep_id"))
+    // groups persists only the VERIFIED members of ROOT reps —
+    // empty on a dup-free corpus, |duplicates| rows otherwise (never N)
+    memberRep
+      .join(memberRep.select(col("vec_id").as("rep_id")).distinct(),
+        Seq("rep_id"), "left_anti")
+      .select(col("vec_id").as("member_id"), col("rep_id"))
       .write.mode("overwrite").parquet(s"$scratch/groups")
     val nGroupMembers = spark.read.parquet(s"$scratch/groups").count()
     // representatives = everything not absorbed as a member; on a

@@ -99,7 +99,7 @@ object VectorIndex {
     * `groups` relation and `params` gains `ngroups` — an a8 serve
     * reading an a9 artifact (or vice versa) would miss whole groups.
     */
-  val AlgoVersion = "a9"
+  val AlgoVersion = "a10"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

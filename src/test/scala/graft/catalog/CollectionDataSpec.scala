@@ -963,6 +963,112 @@ class CollectionDataSpec extends SparkSpec {
       "moved member resurrected through group expansion")
   }
 
+  test("banded grouping candidacy: exact law replay; sign-flipped near-copies group where full-sig equality could not") {
+    import org.apache.spark.sql.functions.{col => cc, format_string, lit,
+      transform => atransform, when => awhen}
+    // r12 law (closing the r11 separated-copies weak): candidacy by
+    // 8 LEAVE-ONE-OUT bands of 42 bits instead of full 48-bit
+    // signature equality — a near-identical copy flipping sign bits
+    // confined to one table still becomes a candidate. This spec
+    // (a) replays the full three-stage law driver-side and asserts
+    // the persisted groups relation matches it EXACTLY, and
+    // (b) proves the banded stage is doing new work: at least one
+    // grouped member's full 48-bit signature DIFFERS from its rep's.
+    val wh = Files.createTempDirectory("graft-bandedlaw").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("grbl", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(cc("vec_id") >= 10)
+      .select(cc("vec_id"), cc("embedding"))
+    // factor-1.5 copies on dim 0: copies with small |x0| are within
+    // the 2% gate but flip a few direction sign bits — the pairs the
+    // r11 full-sig law measurably missed (85% vs 98.6% coverage at
+    // the sf0.1 fixture)
+    val corpus = base.unionByName(base.select(
+      (cc("vec_id") + lit(1000000L)).as("vec_id"),
+      atransform(cc("embedding"),
+        (x, i) => awhen(i === 0, x * lit(1.5f)).otherwise(x)).as("embedding")))
+    d.add("grbl", corpus.select(
+      format_string("v%07d", cc("vec_id")).as("id"), cc("embedding")))
+    // force the build + locate the artifact
+    val res = d.query("grbl",
+      emb.filter(cc("vec_id") < 2)
+        .select(cc("vec_id").as("query_id"), cc("embedding").as("qvec")),
+      nResults = 5, include = Nil)
+    res.collect()
+    val idx = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.find(_.contains("collgraph"))
+      .getOrElse(fail("fixture does not serve from the graph tier"))
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params|groups)$", "")
+    val got = spark.read.parquet(s"$idx/groups")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+
+    // ---- driver-side exact replay of the three-stage law ----
+    val dim = 64
+    val planes = (0 until 8).map(t =>
+      graft.operators.VectorOps.hashHyperplanes(6, dim, t, 42L))
+    val rows = corpus
+      .select(format_string("v%07d", cc("vec_id")).as("id"), cc("embedding"),
+        graft.functions.LshSignatures(cc("embedding"), planes).as("sig"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // stage 1: leave-one-out band bucket minima → candidate pairs
+    val buckets = new scala.collection.mutable.HashMap[(Int, String),
+      scala.collection.mutable.ArrayBuffer[String]]()
+    rows.foreach { case (id, _, sig) =>
+      (0 until 8).foreach { t =>
+        val key = (t, (0 until 8).filter(_ != t).map(sig).mkString(","))
+        buckets.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[String]()) += id
+      }
+    }
+    val candPairs = buckets.values.flatMap { b =>
+      val bm = b.min
+      b.filter(_ > bm).map(m => (m, bm))
+    }.toSet
+    // stage 2: verify gate (left-to-right double accumulation, the
+    // expression's documented order)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val dv = a(i).toDouble - b(i).toDouble; s += dv * dv; i += 1
+      }
+      math.sqrt(s)
+    }
+    val verifiedPairs = candPairs.filter { case (m, r) =>
+      val mv = byId(m)._2; val rv = byId(r)._2
+      l2(mv, rv) <= 0.02 * math.sqrt(math.max(dot(mv, mv), dot(rv, rv)))
+    }
+    // member's rep = min verified candidate
+    val rep = verifiedPairs.groupBy(_._1).map { case (m, ps) =>
+      m -> ps.map(_._2).min }
+    // stage 3: depth-1 roots — a rep that is itself a verified member
+    // is no root; its would-be members stay ordinary nodes
+    val expected = rep.filter { case (_, r) => !rep.contains(r) }.toSet
+    assert(expected.nonEmpty, "fixture drift: no groups formed")
+    assert(got === expected,
+      s"groups != law replay (got ${got.size}, expected ${expected.size}; " +
+        s"diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)})")
+    // the banded stage does NEW work: some grouped member differs
+    // from its rep in the full 48-bit signature (r11 candidacy = 0
+    // such pairs by construction)
+    val flipped = got.count { case (m, r) =>
+      !java.util.Arrays.equals(byId(m)._3, byId(r)._3) }
+    assert(flipped > 0,
+      "no sign-flipped pair grouped — banded candidacy adds nothing here")
+    // and every rep is a root (nothing chains)
+    assert(got.map(_._2).intersect(got.map(_._1)).isEmpty)
+  }
+
   test("hnsw:M metadata routes query() through the persisted GRAPH tier, exact on deltas") {
     val wh = Files.createTempDirectory("graft-graphidx").toString
     val c = new ChromaSpark(spark, wh)

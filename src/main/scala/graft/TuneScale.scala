@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-law certification harness (r12): builds the collection ANN
+  * tiers on DETERMINISTIC synthetic corpora far past the driver
+  * fixtures (≤ 5,970 rows) and measures the laws the 100-TB story
+  * rests on — graph recall at CONSTANT ef across N (explored rows ∝
+  * log N), and the IVF probed fraction ∝ N^(−1/2). Not part of the
+  * driver contract — run by hand, the [[TuneGraph]]/[[TuneAnn]]
+  * discipline; the committed record table lives in ARCHITECTURE.md.
+  *
+  * Corpus: `CENTERS` (default 4096) cluster centers with coordinates
+  * xxhash64-derived in [−1, 1]; vector i sits on center
+  * xxhash64("a:i") mod CENTERS plus xxhash64-derived noise scaled by
+  * 0.25 — clustered enough that IVF cells and graph navigation mean
+  * something, fully reproducible from the ids alone (no RNG state).
+  * Queries are ids n..n+NQ−1 of the SAME construction (in
+  * distribution, out of corpus). Truth = exact brute-force cosine
+  * top-k over the full corpus per query ([[operators.VectorOps.knnBrute]]).
+  *
+  * Env: SIZES=100000,400000,1600000  NQ=100  CENTERS=4096  TIERS=graph,ivf
+  *      CPUS=16  SPARK_DRIVER_MEM=48g (read by build.sbt)
+  */
+object TuneScale {
+
+  private def hfloat(tag: String, a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column, scale: Double) =
+    (pmod(xxhash64(concat_ws(":", lit(tag), a, b)), lit(20001L)) / 10000.0 - 1.0) * scale
+
+  /** Deterministic clustered vectors for ids [lo, hi). */
+  def vectors(s: SparkSession, lo: Long, hi: Long, dim: Int,
+              centers: Int): DataFrame = {
+    val cents = s.range(0, centers).select(col("id").as("cl"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => hfloat("c", col("id"), j, 1.0)).as("center"))
+    s.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        pmod(xxhash64(concat(lit("a:"), col("id"))), lit(centers.toLong)).as("cl"))
+      .join(broadcast(cents), "cl")
+      .select(col("vec_id"),
+        zip_with(col("center"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => hfloat("n", col("vec_id"), j, 0.25)),
+          (c, nz) => (c + nz).cast("float")).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.maxResultSize", "4g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sizes = sys.env.getOrElse("SIZES", "100000").split(",").map(_.trim.toLong)
+    val nq = sys.env.get("NQ").map(_.toInt).getOrElse(100)
+    val centers = sys.env.get("CENTERS").map(_.toInt).getOrElse(4096)
+    val tiers = sys.env.getOrElse("TIERS", "graph,ivf").split(",").map(_.trim).toSet
+    val dim = 64
+
+    for (n <- sizes) {
+      val corpus = vectors(spark, 0L, n, dim, centers).localCheckpoint(true)
+      val queries = vectors(spark, n, n + nq, dim, centers)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .localCheckpoint(true)
+      val truth = graft.operators.VectorOps
+        .knnBrute(queries, corpus.select(col("vec_id"), col("embedding").as("vec")), 10)
+        .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+
+      def measure(tier: String, meta: Option[Map[String, String]]): Unit = {
+        val wh = java.nio.file.Files.createTempDirectory(s"graft-scale-$tier-$n").toString
+        val client = new graft.catalog.ChromaSpark(spark, wh)
+        val d = new graft.catalog.CollectionData(client)
+        client.createCollection("sc", meta)
+        d.add("sc", corpus.select(
+          format_string("v%09d", col("vec_id")).as("id"), col("embedding")))
+        val t0 = System.nanoTime()
+        // first query builds the artifact
+        d.query("sc", queries.limit(1), nResults = 10, include = Nil).collect()
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val res = d.query("sc", queries, nResults = 10, include = Nil)
+          .select(col("query_id"),
+            expr("CAST(substr(id, 2, 10) AS BIGINT)").as("vec_id"))
+        val served = res.collect()
+        val serveSec = (System.nanoTime() - t1) / 1e9
+        // recall@10 against the exact truth
+        val hit = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val perQ = served.map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rows) =>
+            rows.count(hit.contains).toDouble / 10.0 }
+        val mean = perQ.sum / perQ.size
+        val min = perQ.min
+        // tier-specific law readouts from the artifact
+        val law = res.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten.find(p => p.contains("collgraph") || p.contains("collivf")) match {
+          case Some(p0) =>
+            val p = p0.replaceAll(
+              "/(base|edges|edges_l\\d+|levels|entries|params|groups|vectors|centroids)(/.*)?$", "")
+            if (p.contains("collgraph")) {
+              val pr = spark.read.parquet(s"$p/params").head()
+              val lvl = pr.getInt(pr.fieldIndex("maxlevel"))
+              val entries = pr.getInt(pr.fieldIndex("entries"))
+              // explored budget per query at the serve defaults:
+              // top layer + (L−1) upper walks + base walk
+              val explored = entries + (lvl - 1).toLong * 2 * 64 * 8 + 3L * 48 * 8
+              s"maxlevel=$lvl entries=$entries explored=$explored"
+            } else {
+              val cells = spark.read.parquet(s"$p/centroids").count()
+              f"cells=$cells nprobe=24 probedFrac=${24.0 / cells}%.4f"
+            }
+          case None => "tier=scan"
+        }
+        println(f"TUNESCALE tier=$tier n=$n nq=$nq mean=$mean%.3f min=$min%.2f " +
+          f"build=${buildSec}%.0fs serve=${serveSec}%.1fs $law")
+      }
+
+      if (tiers("graph"))
+        measure("graph", Some(Map("hnsw:space" -> "cosine",
+          "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+      if (tiers("ivf")) measure("ivf", None)
+    }
+    spark.stop()
+  }
+}

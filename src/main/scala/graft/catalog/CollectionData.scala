@@ -1357,9 +1357,15 @@ class CollectionData(client: ChromaSpark) {
     // at upper ef=64 while the navigable uppers hold the constant
     // budget. Upper layers shrink geometrically, so the extra build
     // cost is a constant factor on the base build.
-    def navigableEdges(layerCorpus: DataFrame): DataFrame = {
+    // layerN sizes the LSH signature width ([[GraphAnn.bitsForLayer]]):
+    // 6 bits for every oracled corpus (≤ 8,192 rows — the DuckDB
+    // twins' fixed derivation stays exact), widening past that so the
+    // expected bucket stays ~64 rows and the dense-bucket skip never
+    // swallows the whole layer (the r12 scale-audit cliff).
+    def navigableEdges(layerCorpus: DataFrame, layerN: Long): DataFrame = {
       val knn2m = graft.operators.GraphAnn
         .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim, maxBucket = cef,
+          bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
           strides = Seq.empty)
       val undirected = knn2m
         .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst")))
@@ -1381,7 +1387,6 @@ class CollectionData(client: ChromaSpark) {
         .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     }
-    navigableEdges(corpus).write.mode("overwrite").parquet(s"$scratch/edges")
     // hierarchy levels: nested memberships from the deterministic
     // hash rank; lvl = the highest layer containing the node (only
     // lvl ≥ 1 rows persist — N/M of the corpus). Ranks run over the
@@ -1391,8 +1396,11 @@ class CollectionData(client: ChromaSpark) {
     // a fixed layer structure, and a near-boundary rep count would
     // make ⌊log_M N⌋ data-fragile). The over-provision is at most
     // one layer when duplication ≤ M× — a constant-cost walk each.
+    // (Ranked before the base edges so nReps can size the base
+    // layer's signature width — levelRankDf already counts.)
     val (rankedH, nReps) = graft.operators.GraphAnn.levelRankDf(corpus)
     val n = nReps + nGroupMembers // full live embedded count
+    navigableEdges(corpus, nReps).write.mode("overwrite").parquet(s"$scratch/edges")
     val maxLevel = graphMaxLevelFor(m, n)
     val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
@@ -1410,9 +1418,13 @@ class CollectionData(client: ChromaSpark) {
     // concentrates its few slots on near-duplicates.
     for (l <- 1 until maxLevel) {
       val members = levels.filter(col("lvl") >= l).select(col("vec_id"))
+      // layer l holds exactly min(threshold_l, nReps) reps — known
+      // without a job, sizing the layer's signature width
+      val layerN = math.min(thresholds(l - 1), nReps)
       graft.operators.GraphAnn
         .buildKnnGraphDist(corpus.join(members, "vec_id"), m, dist,
-          dim = dim, maxBucket = cef)
+          dim = dim, maxBucket = cef,
+          bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN))
         .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
     }
     // entries = top-layer membership (⌈N/M^L⌉ ≤ M ids whenever the

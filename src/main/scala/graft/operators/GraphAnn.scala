@@ -104,6 +104,19 @@ object GraphAnn {
     * the certified Long/cosine path so this addition cannot perturb
     * `vec_ann_graph`'s byte-exact oracle.
     */
+  /** Signature width for an N-row layer: 6 bits (64 buckets/table)
+    * up to 8,192 rows — every oracled corpus, so the DuckDB twins'
+    * fixed range(0,6) derivation stays exact — then grows so the
+    * EXPECTED bucket holds ~64 rows (⌈log₂(N/64)⌉). Without this the
+    * fixed width is a hidden scale cliff: past 64·maxBucket rows
+    * every bucket trips the `bn <= maxBucket` dense-skip and the
+    * "graph" silently degenerates to the ring (r12 scale audit — the
+    * exact failure shape r9's flat-√N law had, one level up).
+    */
+  def bitsForLayer(n: Long): Int =
+    if (n <= 8192L) 6
+    else math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
+
   def buildKnnGraphDist(corpus: DataFrame, m: Int,
                         dist: (Column, Column) => Column,
                         tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
@@ -116,16 +129,22 @@ object GraphAnn {
     val sized = sig.withColumn("bn",
       count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
       .filter(col("bn") <= maxBucket)
-    val cand = sized.as("a").join(sized.as("b"),
+    // Candidate scoring is MAP-SIDE on the co-partitioned bucket
+    // join — (src, dst, d) is all that ever shuffles after it
+    // (r12): the old shape dropDuplicates'd pairs that still carried
+    // BOTH vectors, so the pair-sized exchange moved ~2·dim floats
+    // per candidate — at 10⁶ rows that is a ~10²-GB shuffle for a
+    // ~GB of ids+distances. Dedup across tables now rides the
+    // same-keyed (src, dst) hash agg (identical d on every copy).
+    val scored0 = sized.as("a").join(sized.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("a.vec").as("svec"), col("b.vec").as("dvec"))
-      .dropDuplicates("src", "dst")
+        dist(col("a.vec"), col("b.vec")).as("d"))
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("d").asc, col("dst").asc)
-    val scored = cand
-      .select(col("src"), col("dst"), dist(col("svec"), col("dvec")).as("d"))
+    val scored = scored0
+      .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
       .withColumn("r", row_number().over(wTop))
       .filter(col("r") <= m)
       .select(col("src"), col("dst"))

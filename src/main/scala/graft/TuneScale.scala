@@ -60,6 +60,11 @@ object TuneScale {
     val centers = sys.env.get("CENTERS").map(_.toInt).getOrElse(4096)
     val tiers = sys.env.getOrElse("TIERS", "graph,ivf").split(",").map(_.trim).toSet
     val dim = 64
+    // optional serve-budget overrides (artifact reused — serve-only)
+    Seq("baseHops" -> "BH", "upperHops" -> "UH", "upperEf" -> "UE").foreach {
+      case (knob, env) => sys.env.get(env).foreach(v =>
+        spark.conf.set(s"spark.graft.graph.$knob", v))
+    }
 
     for (n <- sizes) {
       val corpus = vectors(spark, 0L, n, dim, centers).localCheckpoint(true)
@@ -94,6 +99,7 @@ object TuneScale {
             rows.count(hit.contains).toDouble / 10.0 }
         val mean = perQ.sum / perQ.size
         val min = perQ.min
+        val p10 = perQ.toSeq.sorted.apply(math.max(0, perQ.size / 10 - 1))
         // tier-specific law readouts from the artifact
         val law = res.queryExecution.sparkPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -117,7 +123,7 @@ object TuneScale {
           case None => "tier=scan"
         }
         println(f"TUNESCALE tier=$tier n=$n nq=$nq mean=$mean%.3f min=$min%.2f " +
-          f"build=${buildSec}%.0fs serve=${serveSec}%.1fs $law")
+          f"p10=$p10%.2f build=${buildSec}%.0fs serve=${serveSec}%.1fs $law")
       }
 
       if (tiers("graph"))

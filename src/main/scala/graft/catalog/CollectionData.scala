@@ -1215,9 +1215,19 @@ class CollectionData(client: ChromaSpark) {
     */
   private def buildGraphIndex(collection: String, scratch: java.nio.file.Path,
                               m: Int, cef: Int, metric: String): Unit = {
+    // base and (below) base edges are PARTITIONED by a 64-way id-hash
+    // bucket (r12, a11): each beam-search hop equi-joins a model-
+    // scale frontier against these relations, and the bucket column
+    // in the join key lets dynamic partition pruning cut the hop to
+    // the frontier's buckets instead of scanning every edge/vector —
+    // at cluster scale that is the difference between hops × (whole
+    // graph) and hops × (touched buckets). Values are unchanged; the
+    // bucket is derived from the id alone ([[GraphAnn.pbOf]]).
     resolved(collection).filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
-      .write.mode("overwrite").parquet(s"$scratch/base")
+      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("id")))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/base")
     // every later build pass (grouping, edges, levels, L−1 upper
     // layers, entries) reads the JUST-WRITTEN columnar snapshot, not
     // the lazy merge-on-read log view — the log's
@@ -1400,7 +1410,10 @@ class CollectionData(client: ChromaSpark) {
     // layer's signature width — levelRankDf already counts.)
     val (rankedH, nReps) = graft.operators.GraphAnn.levelRankDf(corpus)
     val n = nReps + nGroupMembers // full live embedded count
-    navigableEdges(corpus, nReps).write.mode("overwrite").parquet(s"$scratch/edges")
+    navigableEdges(corpus, nReps)
+      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("src")))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/edges")
     val maxLevel = graphMaxLevelFor(m, n)
     val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
@@ -1748,7 +1761,14 @@ class CollectionData(client: ChromaSpark) {
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
               else baseAll
-            val corpus = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+            // keep the partition bucket in the walk relation so each
+            // hop's vector fetch can dynamically prune to the
+            // frontier's buckets (GraphAnn.pbOf layout, r12)
+            val corpus =
+              if (base.columns.contains("pb"))
+                base.select(col("id").as("vec_id"), col("embedding").as("vec"),
+                  col("pb"))
+              else base.select(col("id").as("vec_id"), col("embedding").as("vec"))
             // entry-blackout guard: post-build upserts of entry ids
             // drop them from the masked corpus; if EVERY top-layer
             // start is gone the descent would begin empty and the

@@ -205,20 +205,51 @@ object GraphAnn {
     * frontier×adjacency equi-join plus one corpus fetch join —
     * nothing corpus-sized shuffles, per-hop cost |Q|·ef·M rows.
     */
+  /** 64-way id-hash bucket — the partition column the graph tier's
+    * `base` and `edges` relations are laid out by (r12): deriving it
+    * on the model-scale frontier side of each hop join lets dynamic
+    * partition pruning read only the frontier's buckets. Stringly
+    * deterministic: same id ⇒ same bucket in build and serve.
+    */
+  def pbOf(id: Column): Column =
+    pmod(xxhash64(id.cast("string")), lit(64L))
+
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        seeds: DataFrame, ef: Int, hops: Int,
                        dist: (Column, Column) => Column): DataFrame = {
     val q = broadcast(queries.select(col("query_id"), col("qvec")))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
-    def scoreOf(ids: DataFrame): DataFrame = ids
-      .join(corpus.select(col("vec_id"), col("vec")), "vec_id")
-      .join(q, "query_id")
-      .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
+    // When the relations carry the `pb` partition column, fold it
+    // into the join keys from the (broadcast, model-scale) frontier
+    // side: semantically redundant — vec_id equality already implies
+    // bucket equality — but it is what hands Spark a dynamic
+    // partition-pruning filter, so a hop reads the frontier's
+    // buckets instead of the whole relation.
+    val corpusPb = corpus.columns.contains("pb")
+    val graphPb = graph.columns.contains("pb")
+    def scoreOf(ids: DataFrame): DataFrame = {
+      val idsK =
+        if (corpusPb) broadcast(ids.withColumn("pb", pbOf(col("vec_id"))))
+        else ids
+      val corpusK =
+        if (corpusPb) corpus.select(col("vec_id"), col("vec"), col("pb"))
+        else corpus.select(col("vec_id"), col("vec"))
+      idsK
+        .join(corpusK, if (corpusPb) Seq("vec_id", "pb") else Seq("vec_id"))
+        .join(q, "query_id")
+        .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
+    }
     var beam = scoreOf(seeds.select(col("query_id"), col("vec_id")))
     for (h <- 1 to hops) {
-      val expanded = beam
-        .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")
+      val beamK =
+        if (graphPb)
+          broadcast(beam.select(col("query_id"), col("vec_id"))
+            .withColumn("pb", pbOf(col("vec_id"))))
+        else beam
+      val expanded = beamK
+        .join(graph.withColumnRenamed("src", "vec_id"),
+          if (graphPb) Seq("vec_id", "pb") else Seq("vec_id"))
         .select(col("query_id"), col("dst").as("vec_id"))
         .dropDuplicates("query_id", "vec_id")
       val candidates = scoreOf(expanded)

@@ -98,8 +98,14 @@ object VectorIndex {
     * over near-dup group representatives, the artifact gains the
     * `groups` relation and `params` gains `ngroups` — an a8 serve
     * reading an a9 artifact (or vice versa) would miss whole groups.
+    * a10 = banded leave-one-out grouping candidacy + adaptive
+    * signature width in the kNN build (r12) — an a9 graph artifact
+    * groups strictly less and, past 8,192 rows, has a degenerate
+    * base layer. a11 = the graph tier's `base` and `edges` relations
+    * gain the 64-way `pb` id-hash partition layout the pruned hop
+    * joins read (r12) — an a10 artifact lacks the partition column.
     */
-  val AlgoVersion = "a10"
+  val AlgoVersion = "a11"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

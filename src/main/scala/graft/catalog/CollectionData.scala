@@ -1519,7 +1519,7 @@ class CollectionData(client: ChromaSpark) {
           val lvl = graphMaxLevelFor(m, annLiveVecRows(collection))
           graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
             s"$fp-m$m-c$cef-L$lvl-g$GraphDedupGatePct-$metric-" +
-              graft.operators.VectorIndex.AlgoVersion) { scratch =>
+              graft.operators.GraphAnn.GraphAlgoVersion) { scratch =>
             buildGraphIndex(collection, scratch, m, cef, metric)
           }
         case None => ivfArtifact(collection, metric)
@@ -1591,8 +1591,14 @@ class CollectionData(client: ChromaSpark) {
     if (lines.length < 3) return None
     val (idx, b) = (lines(0), lines(1).toLong)
     if (!Files.exists(Paths.get(idx, "_INDEX_OK"))) return None
-    if (!Paths.get(idx).getFileName.toString
-      .endsWith("-" + graft.operators.VectorIndex.AlgoVersion)) return None
+    // per-tier version suffix (r12 split): graph artifacts carry
+    // GraphAlgoVersion, trained-model tiers carry AlgoVersion
+    val name = Paths.get(idx).getFileName.toString
+    val wantVersion =
+      if (name.startsWith("collgraph-"))
+        graft.operators.GraphAnn.GraphAlgoVersion
+      else graft.operators.VectorIndex.AlgoVersion
+    if (!name.endsWith("-" + wantVersion)) return None
     if (currentBatchIn(d) < b) return None
     val recorded = lines(2).split(",").filter(_.nonEmpty).toSet
     if (!recorded.subsetOf(logFileNames(d))) return None

@@ -94,16 +94,6 @@ object GraphAnn {
       .distinct()
   }
 
-  /** Metric- and id-type-generic kNN-graph build — the collection
-    * tier's entry point (string ids, the collection's own distance).
-    * Same construction as [[buildKnnGraph]] (LSH-bucketed candidates,
-    * dense-bucket skip, per-src top-M, deterministic ring links), but
-    * neighbors rank by `dist` ASCENDING (lower = closer) and `vec_id`
-    * may be any orderable type — every id touch is an equi-join, a
-    * window partition, or an orderable tie-break. Kept separate from
-    * the certified Long/cosine path so this addition cannot perturb
-    * `vec_ann_graph`'s byte-exact oracle.
-    */
   /** Signature width for an N-row layer: 6 bits (64 buckets/table)
     * up to 8,192 rows — every oracled corpus, so the DuckDB twins'
     * fixed range(0,6) derivation stays exact — then grows so the
@@ -117,6 +107,16 @@ object GraphAnn {
     if (n <= 8192L) 6
     else math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
 
+  /** Metric- and id-type-generic kNN-graph build — the collection
+    * tier's entry point (string ids, the collection's own distance).
+    * Same construction as [[buildKnnGraph]] (LSH-bucketed candidates,
+    * dense-bucket skip, per-src top-M, deterministic ring links), but
+    * neighbors rank by `dist` ASCENDING (lower = closer) and `vec_id`
+    * may be any orderable type — every id touch is an equi-join, a
+    * window partition, or an orderable tie-break. Kept separate from
+    * the certified Long/cosine path so this addition cannot perturb
+    * `vec_ann_graph`'s byte-exact oracle.
+    */
   def buildKnnGraphDist(corpus: DataFrame, m: Int,
                         dist: (Column, Column) => Column,
                         tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
@@ -211,6 +211,16 @@ object GraphAnn {
     * partition pruning read only the frontier's buckets. Stringly
     * deterministic: same id ⇒ same bucket in build and serve.
     */
+  /** Version tag of the GRAPH tier's build algorithm, baked into
+    * every collgraph cache key (split from
+    * [[VectorIndex.AlgoVersion]] in r12 so graph iterations stop
+    * retiring trained-model artifacts). a11 = banded grouping
+    * candidacy + adaptive signature width + the 64-way `pb`
+    * partition layout of base/edges — an earlier artifact lacks the
+    * partition column the pruned hop joins read.
+    */
+  val GraphAlgoVersion = "a11"
+
   def pbOf(id: Column): Column =
     pmod(xxhash64(id.cast("string")), lit(64L))
 

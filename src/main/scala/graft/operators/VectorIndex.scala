@@ -101,11 +101,17 @@ object VectorIndex {
     * a10 = banded leave-one-out grouping candidacy + adaptive
     * signature width in the kNN build (r12) — an a9 graph artifact
     * groups strictly less and, past 8,192 rows, has a degenerate
-    * base layer. a11 = the graph tier's `base` and `edges` relations
-    * gain the 64-way `pb` id-hash partition layout the pruned hop
-    * joins read (r12) — an a10 artifact lacks the partition column.
+    * base layer.
+    *
+    * r12 split: the GRAPH tier versions independently as
+    * [[GraphAnn.GraphAlgoVersion]] — graph-only changes (a7..a10
+    * were all graph work) were retiring every trained-model artifact
+    * (IVF/lex/PQ) for no reason, and at a 50-minute 10⁶-row k-means
+    * rebuild that ops cost is real. This value now versions ONLY the
+    * trained-model tiers (IVF coarse quantizer, lexical stats, PQ
+    * codebooks); bump it when THEIR math changes.
     */
-  val AlgoVersion = "a11"
+  val AlgoVersion = "a10"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

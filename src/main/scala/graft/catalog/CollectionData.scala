@@ -1185,14 +1185,16 @@ class CollectionData(client: ChromaSpark) {
   /** Serve-time search budget of a persisted graph artifact, read
     * once per (JVM, artifact) from its `params` table — the artifact
     * is immutable after `_INDEX_OK`, so the hot path never pays a
-    * read job. Returns (hops, entries, indexed corpus size, layers).
+    * read job. Returns (hops, entries, indexed corpus size, layers,
+    * group count, partition-bucket count).
     */
-  private def graphParams(idx: String): (Int, Int, Long, Int, Long) =
+  private def graphParams(idx: String): (Int, Int, Long, Int, Long, Int) =
     CollectionData.graphParamsMemo.computeIfAbsent(idx, { _: String =>
       val r = graft.operators.IndexCache.readCached(spark, s"$idx/params").head()
       (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")),
         r.getLong(r.fieldIndex("n")), r.getInt(r.fieldIndex("maxlevel")),
-        r.getLong(r.fieldIndex("ngroups")))
+        r.getLong(r.fieldIndex("ngroups")),
+        r.getInt(r.fieldIndex("npb")))
     })
 
   /** Build the persisted GRAPH tier — a LAYERED navigable graph (the
@@ -1223,9 +1225,14 @@ class CollectionData(client: ChromaSpark) {
     // at cluster scale that is the difference between hops × (whole
     // graph) and hops × (touched buckets). Values are unchanged; the
     // bucket is derived from the id alone ([[GraphAnn.pbOf]]).
+    // bucket count is an ARTIFACT constant derived from the live
+    // size ([[GraphAnn.pbBucketsFor]]) and recorded in params (npb):
+    // pruning needs bucket count to grow with the corpus, and a
+    // serve must derive frontier buckets with its artifact's layout
+    val npb = graft.operators.GraphAnn.pbBucketsFor(annLiveVecRows(collection))
     resolved(collection).filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
-      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("id")))
+      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("id"), npb))
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/base")
     // every later build pass (grouping, edges, levels, L−1 upper
@@ -1411,7 +1418,7 @@ class CollectionData(client: ChromaSpark) {
     val (rankedH, nReps) = graft.operators.GraphAnn.levelRankDf(corpus)
     val n = nReps + nGroupMembers // full live embedded count
     navigableEdges(corpus, nReps)
-      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("src")))
+      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("src"), npb))
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/edges")
     val maxLevel = graphMaxLevelFor(m, n)
@@ -1449,8 +1456,8 @@ class CollectionData(client: ChromaSpark) {
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
     val sp = spark
     import sp.implicits._
-    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel, nGroupMembers))
-      .toDF("n", "m", "cef", "entries", "hops", "maxlevel", "ngroups")
+    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel, nGroupMembers, npb))
+      .toDF("n", "m", "cef", "entries", "hops", "maxlevel", "ngroups", "npb")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/params")
   }
 
@@ -1560,7 +1567,7 @@ class CollectionData(client: ChromaSpark) {
                   // override must not keep serving after the
                   // override is removed (params read is memoized
                   // per (JVM, artifact) and re-used by the serve)
-                  val (_, _, pn, plvl, _) = graphParams(idx)
+                  val (_, _, pn, plvl, _, _) = graphParams(idx)
                   plvl == graphMaxLevelFor(m, pn)
               })
           case None => !artifact.startsWith("collgraph-")
@@ -1761,7 +1768,7 @@ class CollectionData(client: ChromaSpark) {
             // structural params (entries, layer count) travel with
             // the artifact; walk-length/width are LAW constants (they
             // no longer depend on N — that is the hierarchy's point)
-            val (_, gEntries, _, gMaxLevel, gNGroups) = graphParams(idx)
+            val (_, gEntries, _, gMaxLevel, gNGroups, gNpb) = graphParams(idx)
             val gHops = GraphBaseHops
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
@@ -1831,14 +1838,15 @@ class CollectionData(client: ChromaSpark) {
               val edgesL = graft.operators.IndexCache.readCached(spark, s"$idx/edges_l$l")
               seeds = graft.operators.GraphAnn.beamSearchSeeded(
                   qframe, corpus, edgesL, seeds,
-                  ef = GraphUpperEf, hops = GraphUpperHops, dist)
+                  ef = GraphUpperEf, hops = GraphUpperHops, dist,
+                  pbBuckets = gNpb)
                 .localCheckpoint(false)
             }
             val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
             val beam = graft.operators.GraphAnn.beamSearchSeeded(
               qframe, corpus, graph, seeds,
               ef = graphBeamEf(searchEf, nResults, gHops),
-              hops = gHops, dist)
+              hops = gHops, dist, pbBuckets = gNpb)
             // GROUP EXPANSION (r11, the dedup-aware build's serve
             // half): the walk ran over group REPRESENTATIVES, so
             // every beam hit fans back out to its group's members —
@@ -2629,7 +2637,7 @@ object CollectionData {
     * `_INDEX_OK` lands, same discipline as [[centroidCountMemo]].
     */
   private[catalog] val graphParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int, Long, Int)]()
 
   /** Adaptive-probe cell stats memoized per (artifact, filter
     * fingerprint, post-build mask) — pure given an immutable artifact

@@ -205,28 +205,47 @@ object GraphAnn {
     * frontier×adjacency equi-join plus one corpus fetch join —
     * nothing corpus-sized shuffles, per-hop cost |Q|·ef·M rows.
     */
-  /** 64-way id-hash bucket — the partition column the graph tier's
-    * `base` and `edges` relations are laid out by (r12): deriving it
-    * on the model-scale frontier side of each hop join lets dynamic
-    * partition pruning read only the frontier's buckets. Stringly
-    * deterministic: same id ⇒ same bucket in build and serve.
-    */
   /** Version tag of the GRAPH tier's build algorithm, baked into
     * every collgraph cache key (split from
     * [[VectorIndex.AlgoVersion]] in r12 so graph iterations stop
     * retiring trained-model artifacts). a11 = banded grouping
-    * candidacy + adaptive signature width + the 64-way `pb`
+    * candidacy + adaptive signature width + the `pb` id-hash
     * partition layout of base/edges — an earlier artifact lacks the
-    * partition column the pruned hop joins read.
+    * partition column the pruned hop joins read. a12 = the bucket
+    * count becomes the size-derived artifact constant `npb`
+    * ([[pbBucketsFor]], recorded in params) — an a11 artifact is
+    * always 64-way and lacks the column.
     */
-  val GraphAlgoVersion = "a11"
+  val GraphAlgoVersion = "a12"
 
-  def pbOf(id: Column): Column =
-    pmod(xxhash64(id.cast("string")), lit(64L))
+  /** Id-hash bucket — the partition column the graph tier's `base`
+    * and `edges` relations are laid out by (r12): deriving it on the
+    * model-scale frontier side of each hop join lets dynamic
+    * partition pruning read only the frontier's buckets. Stringly
+    * deterministic: same (id, buckets) ⇒ same bucket in build and
+    * serve; `buckets` is an ARTIFACT constant (params `npb`), so a
+    * serve always derives with the layout its artifact was built
+    * under.
+    */
+  def pbOf(id: Column, buckets: Int = 64): Column =
+    pmod(xxhash64(id.cast("string")), lit(buckets.toLong))
+
+  /** Bucket count for an N-row graph: pruning only bites when the
+    * frontier's distinct ids cover a small FRACTION of the buckets,
+    * so the count grows with the corpus — ~15k rows per bucket,
+    * floored at 64 (every current fixture keeps its layout) and
+    * capped at 4096 directories (file-count hygiene; at the cap a
+    * bucket of a 10⁹-row graph holds ~250k rows, still a ~10⁻²
+    * read fraction for a single-query frontier).
+    */
+  def pbBucketsFor(n: Long): Int =
+    math.min(4096L, math.max(64L,
+      java.lang.Long.highestOneBit(math.max(1L, n / 15000L)) * 2L)).toInt
 
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        seeds: DataFrame, ef: Int, hops: Int,
-                       dist: (Column, Column) => Column): DataFrame = {
+                       dist: (Column, Column) => Column,
+                       pbBuckets: Int = 64): DataFrame = {
     val q = broadcast(queries.select(col("query_id"), col("qvec")))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
@@ -240,7 +259,7 @@ object GraphAnn {
     val graphPb = graph.columns.contains("pb")
     def scoreOf(ids: DataFrame): DataFrame = {
       val idsK =
-        if (corpusPb) broadcast(ids.withColumn("pb", pbOf(col("vec_id"))))
+        if (corpusPb) broadcast(ids.withColumn("pb", pbOf(col("vec_id"), pbBuckets)))
         else ids
       val corpusK =
         if (corpusPb) corpus.select(col("vec_id"), col("vec"), col("pb"))
@@ -255,7 +274,7 @@ object GraphAnn {
       val beamK =
         if (graphPb)
           broadcast(beam.select(col("query_id"), col("vec_id"))
-            .withColumn("pb", pbOf(col("vec_id"))))
+            .withColumn("pb", pbOf(col("vec_id"), pbBuckets)))
         else beam
       val expanded = beamK
         .join(graph.withColumnRenamed("src", "vec_id"),

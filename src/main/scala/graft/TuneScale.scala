@@ -61,7 +61,9 @@ object TuneScale {
     val tiers = sys.env.getOrElse("TIERS", "graph,ivf").split(",").map(_.trim).toSet
     val dim = 64
     // optional serve-budget overrides (artifact reused — serve-only)
-    Seq("baseHops" -> "BH", "upperHops" -> "UH", "upperEf" -> "UE").foreach {
+    // and the keyed maxLevel BUILD override
+    Seq("baseHops" -> "BH", "upperHops" -> "UH", "upperEf" -> "UE",
+        "maxLevel" -> "MAXLEVEL").foreach {
       case (knob, env) => sys.env.get(env).foreach(v =>
         spark.conf.set(s"spark.graft.graph.$knob", v))
     }

@@ -1087,6 +1087,18 @@ class CollectionData(client: ChromaSpark) {
     * default one (the maxLevel discipline); overrides are
     * ops/experiment knobs for TuneGraph sweeps, not certified serves.
     */
+  /** Frontier-broadcast flag for the graph serve's hop joins: ON by
+    * default (the frontier is |Q|·ef·M rows — model-scale under the
+    * serve's batch contract, and the hint is what reliably arms
+    * dynamic partition pruning); huge offline query batches set
+    * `spark.graft.graph.broadcastFrontier=false` and let AQE pick
+    * the join side (the khop/sssp flag discipline, r12 review
+    * closure).
+    */
+  private[catalog] def graphBroadcastFrontier: Boolean =
+    !spark.conf.getOption("spark.graft.graph.broadcastFrontier")
+      .exists(_.trim.equalsIgnoreCase("false"))
+
   private[catalog] def GraphDedupGatePct: Int =
     graphServeKnob("spark.graft.graph.dedupGatePct", 2,
       warnOnDeviation = false)
@@ -1839,14 +1851,16 @@ class CollectionData(client: ChromaSpark) {
               seeds = graft.operators.GraphAnn.beamSearchSeeded(
                   qframe, corpus, edgesL, seeds,
                   ef = GraphUpperEf, hops = GraphUpperHops, dist,
-                  pbBuckets = gNpb)
+                  pbBuckets = Some(gNpb),
+                  broadcastFrontier = graphBroadcastFrontier)
                 .localCheckpoint(false)
             }
             val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
             val beam = graft.operators.GraphAnn.beamSearchSeeded(
               qframe, corpus, graph, seeds,
               ef = graphBeamEf(searchEf, nResults, gHops),
-              hops = gHops, dist, pbBuckets = gNpb)
+              hops = gHops, dist, pbBuckets = Some(gNpb),
+              broadcastFrontier = graphBroadcastFrontier)
             // GROUP EXPANSION (r11, the dedup-aware build's serve
             // half): the walk ran over group REPRESENTATIVES, so
             // every beam hit fans back out to its group's members —

@@ -1700,12 +1700,14 @@ object Events {
     * `txt_global_ids` construction, NO unpartitioned and NO
     * type-partitioned user-sized window — and within-type ranks are
     * the global rank minus the broadcast per-type base. Magnitude
-    * contract: Σi·xᵢ can reach n·Σx, so the signed-64 numerator
-    * 2·Σi·xᵢ·10⁶ only holds to n·Σx ≲ 4.6·10¹² — far short of a
-    * 10⁹-user corpus. The score therefore runs the numerator and
-    * denominator through DECIMAL(38,0) (mirroring DuckDB's silent
-    * HUGEINT promotion of BIGINT sums), which is exact to
-    * n·Σx ≲ 10³¹ — comfortably past any single-audit shard.
+    * contract: Σi·xᵢ can reach n·Σx, so signed-64 wraps past
+    * n·Σx ≈ 4.6·10¹² — far short of a 10⁹-user corpus. The sums
+    * therefore ACCUMULATE in DECIMAL(38,0) (mirroring DuckDB's
+    * silent HUGEINT promotion — widening only after a LongType agg
+    * would wrap inside the partial sums, the r12 review finding),
+    * keeping the whole score exact while the numerator
+    * 2·n·Σx·10⁶ ≲ 10³⁸, i.e. to n·Σx ≈ 10³¹; only the REPORTED
+    * n_events column is bounded by its BIGINT output cast.
     */
   def gini(s: SparkSession, dir: String): DataFrame =
     giniOf(Tables.events(s, dir).select(col("event_type"), col("user_id")))
@@ -1726,9 +1728,14 @@ object Events {
       .agg(min(col("g")).as("g0"))
     val r = ranked.join(broadcast(base), "event_type")
       .withColumn("i", col("g") - col("g0") + lit(1L))
+    // aggregate IN decimal (r12 review closure): s1 = Σi·xᵢ can reach
+    // n·Σx and a LongType sum wraps during accumulation long before
+    // the score arithmetic — decimal partials keep the whole chain
+    // exact to 38 digits, matching DuckDB's HUGEINT sums
     val agg = r.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
-        sum(col("i") * col("x")).as("s1"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("n_events"),
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("s1"))
     // top decile = the heaviest max(1, ⌊n/10⌋) users — the max(·,1)
     // floor keeps SMALL types in the audit (review finding: nu < 10
     // made the decile empty and the inner join silently dropped the
@@ -1738,9 +1745,10 @@ object Events {
     val top = r.join(broadcast(agg.select(col("event_type"), col("n_users").as("nu"))),
         "event_type")
       .filter(col("i") > col("nu") - greatest(expr("nu DIV 10"), lit(1L)))
-      .groupBy(col("event_type")).agg(sum(col("x")).as("top_x"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("x").cast("decimal(38,0)")).as("top_x"))
     agg.join(broadcast(top), Seq("event_type"), "left")
-      .withColumn("top_x", coalesce(col("top_x"), lit(0L)))
+      .withColumn("top_x", coalesce(col("top_x"), lit(0).cast("decimal(38,0)")))
       // DECIMAL(38,0) intermediates: 2·s1·10⁶ wraps signed-64 past
       // n·Σx ≈ 4.6·10¹² while DuckDB promotes to HUGEINT — decimal
       // keeps the two engines bitwise-aligned at scale. IntegralDivide
@@ -1755,7 +1763,11 @@ object Events {
         "(gini_num - pmod(gini_num, gini_den)) DIV gini_den"))
       .withColumn("top10_share_1e4", expr(
         "(CAST(top_x AS DECIMAL(38,0)) * 10000L) DIV n_events"))
-      .select(col("event_type"), col("n_users"), col("n_events"),
+      // output representation stays BIGINT (the oracle CASTs its
+      // HUGEINT sums the same way); the cast bounds only what can be
+      // REPORTED per column, not the score arithmetic above
+      .select(col("event_type"), col("n_users"),
+        col("n_events").cast("long").as("n_events"),
         col("gini_1e6"), col("top10_share_1e4"))
       .orderBy(col("event_type"))
   }

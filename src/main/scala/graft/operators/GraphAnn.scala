@@ -225,10 +225,14 @@ object GraphAnn {
     * deterministic: same (id, buckets) ⇒ same bucket in build and
     * serve; `buckets` is an ARTIFACT constant (params `npb`), so a
     * serve always derives with the layout its artifact was built
-    * under.
+    * under. INT-typed (r12 review closure): partition-column
+    * inference reads the written `pb` back as IntegerType, and a
+    * long-typed frontier key would put an analyzer Cast on the
+    * partition attribute — the exact thing that can stop dynamic
+    * partition pruning from firing.
     */
   def pbOf(id: Column, buckets: Int = 64): Column =
-    pmod(xxhash64(id.cast("string")), lit(buckets.toLong))
+    pmod(xxhash64(id.cast("string")), lit(buckets.toLong)).cast("int")
 
   /** Bucket count for an N-row graph: pruning only bites when the
     * frontier's distinct ids cover a small FRACTION of the buckets,
@@ -245,7 +249,8 @@ object GraphAnn {
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        seeds: DataFrame, ef: Int, hops: Int,
                        dist: (Column, Column) => Column,
-                       pbBuckets: Int = 64): DataFrame = {
+                       pbBuckets: Option[Int] = None,
+                       broadcastFrontier: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col("query_id"), col("qvec")))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
@@ -254,12 +259,26 @@ object GraphAnn {
     // side: semantically redundant — vec_id equality already implies
     // bucket equality — but it is what hands Spark a dynamic
     // partition-pruning filter, so a hop reads the frontier's
-    // buckets instead of the whole relation.
+    // buckets instead of the whole relation. The bucket count MUST
+    // be the artifact's own (params `npb`): deriving under a
+    // different modulus would silently drop every row whose two
+    // residues differ, so pb-carrying relations refuse to run
+    // without an explicit count (r12 review closure).
     val corpusPb = corpus.columns.contains("pb")
     val graphPb = graph.columns.contains("pb")
+    require(!(corpusPb || graphPb) || pbBuckets.isDefined,
+      "relations carry the pb partition column — pass the artifact's npb")
+    val npb = pbBuckets.getOrElse(64)
+    // The frontier hint amplifies the existing |Q|-row query
+    // broadcast by ef·M — still model-scale under the serve's
+    // batch contract, but callers fanning out huge offline batches
+    // flip it off and let AQE pick the join side (the khop/sssp
+    // flag discipline; conf-driven at the collection serve).
+    def hintF(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
     def scoreOf(ids: DataFrame): DataFrame = {
       val idsK =
-        if (corpusPb) broadcast(ids.withColumn("pb", pbOf(col("vec_id"), pbBuckets)))
+        if (corpusPb) hintF(ids.withColumn("pb", pbOf(col("vec_id"), npb)))
         else ids
       val corpusK =
         if (corpusPb) corpus.select(col("vec_id"), col("vec"), col("pb"))
@@ -273,8 +292,8 @@ object GraphAnn {
     for (h <- 1 to hops) {
       val beamK =
         if (graphPb)
-          broadcast(beam.select(col("query_id"), col("vec_id"))
-            .withColumn("pb", pbOf(col("vec_id"), pbBuckets)))
+          hintF(beam.select(col("query_id"), col("vec_id"))
+            .withColumn("pb", pbOf(col("vec_id"), npb)))
         else beam
       val expanded = beamK
         .join(graph.withColumnRenamed("src", "vec_id"),

@@ -109,9 +109,12 @@ object VectorIndex {
     * (IVF/lex/PQ) for no reason, and at a 50-minute 10⁶-row k-means
     * rebuild that ops cost is real. This value now versions ONLY the
     * trained-model tiers (IVF coarse quantizer, lexical stats, PQ
-    * codebooks); bump it when THEIR math changes.
+    * codebooks); bump it when THEIR math changes — which it has NOT
+    * since a9 (a10's banded-candidacy bump was graph-only too, the
+    * r12 review caught the residue), so existing a9 trained
+    * artifacts stay valid.
     */
-  val AlgoVersion = "a10"
+  val AlgoVersion = "a9"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

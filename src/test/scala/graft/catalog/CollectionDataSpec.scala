@@ -1097,6 +1097,15 @@ class CollectionDataSpec extends SparkSpec {
     assert(scans.exists(_.relation.location.rootPaths.exists(
       _.toString.contains("collgraph"))),
       "query does not serve from the persisted graph tier")
+    // 1b) the pruned-layout contract actually arms (r12): the hop
+    // joins carry the pb partition key from the broadcast frontier,
+    // so the executed plan must hold dynamic-pruning subqueries and
+    // non-empty PartitionFilters on the bucketed artifact scans
+    val executed = res.queryExecution.executedPlan.toString
+    assert(executed.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning in the graph serve plan")
+    assert("""PartitionFilters: \[[^\]]""".r.findFirstIn(executed).isDefined,
+      "no non-empty PartitionFilters on the bucketed scans")
     // 2) the built BASE graph honors hnsw:M under the layered
     // construction: 2M-degree kNN symmetrized then re-capped to the
     // closest 3M (the HNSW shrink step bounding hub fan-in), plus

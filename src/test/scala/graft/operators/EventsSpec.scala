@@ -802,18 +802,20 @@ class EventsSpec extends SparkSpec {
 
   test("gini: DECIMAL numerator survives totals that wrap the signed-64 path") {
     import spark.implicits._
-    // 1000 users with x = u·10^10: n·Σx ≈ 5·10^18·10^3 — the old
-    // 2·Σi·xᵢ·10⁶ BIGINT numerator wraps (advisory r11), the decimal
-    // path must match an exact BigInt replay bit-for-bit
-    val totals = (1 to 1000).map(u => ("huge", u.toLong, u.toLong * 10000000000L))
+    // 1000 users with x = u·10^12: s1 = Σi·xᵢ ≈ 3.3·10^20 wraps the
+    // signed-64 SUM itself (r12 review closure — not just the final
+    // 2·s1·10⁶ numerator the r11 advisory flagged), so the whole
+    // aggregation chain must run in decimal and match an exact
+    // BigInt replay bit-for-bit
+    val totals = (1 to 1000).map(u => ("huge", u.toLong, u.toLong * 1000000000000L))
       .toDF("event_type", "user_id", "x")
     val r = graft.operators.Events.giniOfTotals(totals).collect().head
-    val xs = (1 to 1000).map(u => BigInt(u) * BigInt("10000000000")).sorted
+    val xs = (1 to 1000).map(u => BigInt(u) * BigInt("1000000000000")).sorted
     val n = BigInt(1000); val sx = xs.sum
     val s1 = xs.zipWithIndex.map { case (x, i) => (BigInt(i) + 1) * x }.sum
     val num = (2 * s1 - (n + 1) * sx) * 1000000
-    assert(2 * s1 * 1000000 > BigInt(Long.MaxValue),
-      "fixture numerator must exceed signed-64")
+    assert(s1 > BigInt(Long.MaxValue),
+      "fixture must wrap the aggregation itself, not just the numerator")
     val den = n * sx
     val expectedGini = ((num - (((num % den) + den) % den)) / den).toLong
     assert(r.getLong(3) === expectedGini, s"decimal gini ${r.getLong(3)} != $expectedGini")

@@ -1095,6 +1095,23 @@ class CollectionData(client: ChromaSpark) {
     * the join side (the khop/sssp flag discipline, r12 review
     * closure).
     */
+  /** Effective partition-bucket count for a graph BUILD over `live`
+    * rows: the `spark.graft.graph.pbBuckets` conf override (keyed
+    * `-p` segment + pointer-checked, the maxLevel discipline) or the
+    * size-derived [[graft.operators.GraphAnn.pbBucketsFor]] law.
+    */
+  private[catalog] def graphPbBuckets(live: Long): Int =
+    spark.conf.getOption("spark.graft.graph.pbBuckets") match {
+      case None => graft.operators.GraphAnn.pbBucketsFor(live)
+      case Some(raw) =>
+        val v = try raw.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.graph.pbBuckets must be a positive integer, got '$raw'") }
+        if (v <= 0) throw new IllegalArgumentException(
+          s"spark.graft.graph.pbBuckets must be a positive integer, got $v")
+        v
+    }
+
   private[catalog] def graphBroadcastFrontier: Boolean =
     !spark.conf.getOption("spark.graft.graph.broadcastFrontier")
       .exists(_.trim.equalsIgnoreCase("false"))
@@ -1238,15 +1255,21 @@ class CollectionData(client: ChromaSpark) {
     // graph) and hops × (touched buckets). Values are unchanged; the
     // bucket is derived from the id alone ([[GraphAnn.pbOf]]).
     // bucket count is an ARTIFACT constant derived from the live
-    // size ([[GraphAnn.pbBucketsFor]]) and recorded in params (npb):
-    // pruning needs bucket count to grow with the corpus, and a
-    // serve must derive frontier buckets with its artifact's layout
-    val npb = graft.operators.GraphAnn.pbBucketsFor(annLiveVecRows(collection))
-    resolved(collection).filter(col("embedding").isNotNull)
+    // size ([[GraphAnn.pbBucketsFor]]; conf override for sweeps and
+    // the DPP spec, keyed like maxLevel) and recorded in params
+    // (npb): pruning needs bucket count to grow with the corpus, a
+    // serve must derive frontier buckets with its artifact's layout,
+    // and sub-65k corpora skip the layout entirely (npb = 1 — the
+    // pruning subqueries cost more than the scans they save there)
+    val npb = graphPbBuckets(annLiveVecRows(collection))
+    val baseRaw = resolved(collection).filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("document"), col("metadata_json"))
-      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("id"), npb))
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/base")
+    if (npb > 1)
+      baseRaw
+        .withColumn("pb", graft.operators.GraphAnn.pbOf(col("id"), npb))
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/base")
+    else baseRaw.write.mode("overwrite").parquet(s"$scratch/base")
     // every later build pass (grouping, edges, levels, L−1 upper
     // layers, entries) reads the JUST-WRITTEN columnar snapshot, not
     // the lazy merge-on-read log view — the log's
@@ -1429,10 +1452,13 @@ class CollectionData(client: ChromaSpark) {
     // layer's signature width — levelRankDf already counts.)
     val (rankedH, nReps) = graft.operators.GraphAnn.levelRankDf(corpus)
     val n = nReps + nGroupMembers // full live embedded count
-    navigableEdges(corpus, nReps)
-      .withColumn("pb", graft.operators.GraphAnn.pbOf(col("src"), npb))
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/edges")
+    val edgesRaw = navigableEdges(corpus, nReps)
+    if (npb > 1)
+      edgesRaw
+        .withColumn("pb", graft.operators.GraphAnn.pbOf(col("src"), npb))
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/edges")
+    else edgesRaw.write.mode("overwrite").parquet(s"$scratch/edges")
     val maxLevel = graphMaxLevelFor(m, n)
     val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
@@ -1535,9 +1561,11 @@ class CollectionData(client: ChromaSpark) {
           // under one override must never serve another (the
           // AlgoVersion stale-serve discipline, applied to knobs).
           val fp = annContentFingerprint(collection)
-          val lvl = graphMaxLevelFor(m, annLiveVecRows(collection))
+          val live = annLiveVecRows(collection)
+          val lvl = graphMaxLevelFor(m, live)
+          val npbKey = graphPbBuckets(live)
           graft.operators.IndexCache.getOrBuild(annIndexRoot, "collgraph",
-            s"$fp-m$m-c$cef-L$lvl-g$GraphDedupGatePct-$metric-" +
+            s"$fp-m$m-c$cef-L$lvl-g$GraphDedupGatePct-p$npbKey-$metric-" +
               graft.operators.GraphAnn.GraphAlgoVersion) { scratch =>
             buildGraphIndex(collection, scratch, m, cef, metric)
           }
@@ -1570,6 +1598,15 @@ class CollectionData(client: ChromaSpark) {
               // so the pointer must carry exactly it (same stale-serve
               // discipline as maxLevel, simpler check)
               artifact.contains(s"-g$GraphDedupGatePct-") &&
+              // pbBuckets override discipline mirrors maxLevel: a
+              // pointer laid down under one override must not keep
+              // serving after it changes (the content-derived
+              // default is a pure function of build-time live rows,
+              // already pointer-validated)
+              (spark.conf.getOption("spark.graft.graph.pbBuckets") match {
+                case Some(v) => artifact.contains(s"-p${v.trim}-")
+                case None => true
+              }) &&
               (spark.conf.getOption("spark.graft.graph.maxLevel") match {
                 case Some(l) => artifact.contains(s"-L$l-")
                 case None =>

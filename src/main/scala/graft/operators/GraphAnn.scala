@@ -214,9 +214,13 @@ object GraphAnn {
     * partition column the pruned hop joins read. a12 = the bucket
     * count becomes the size-derived artifact constant `npb`
     * ([[pbBucketsFor]], recorded in params) — an a11 artifact is
-    * always 64-way and lacks the column.
+    * always 64-way and lacks the column. a13 = sub-65k corpora skip
+    * the layout entirely (npb = 1, plain writes — the r12 closing
+    * bench measured fixture-scale builds paying for pruning that
+    * cannot help them) and the count is conf-overridable
+    * (`spark.graft.graph.pbBuckets`, keyed `-p` segment).
     */
-  val GraphAlgoVersion = "a12"
+  val GraphAlgoVersion = "a13"
 
   /** Id-hash bucket — the partition column the graph tier's `base`
     * and `edges` relations are laid out by (r12): deriving it on the
@@ -237,13 +241,18 @@ object GraphAnn {
   /** Bucket count for an N-row graph: pruning only bites when the
     * frontier's distinct ids cover a small FRACTION of the buckets,
     * so the count grows with the corpus — ~15k rows per bucket,
-    * floored at 64 (every current fixture keeps its layout) and
-    * capped at 4096 directories (file-count hygiene; at the cap a
-    * bucket of a 10⁹-row graph holds ~250k rows, still a ~10⁻²
-    * read fraction for a single-query frontier).
+    * floored at 64 and capped at 4096 directories (file-count
+    * hygiene; at the cap a bucket of a 10⁹-row graph holds ~250k
+    * rows, still a ~10⁻² read fraction for a single-query frontier).
+    * BELOW 65,536 rows the layout is skipped entirely (1 = plain
+    * writes): the whole relation is a few MB, per-hop pruning
+    * subqueries cost more than the scan they save, and the r12
+    * closing bench measured the fixture-scale builds/serves paying
+    * +3 s each for a layout that cannot help them.
     */
   def pbBucketsFor(n: Long): Int =
-    math.min(4096L, math.max(64L,
+    if (n < 65536L) 1
+    else math.min(4096L, math.max(64L,
       java.lang.Long.highestOneBit(math.max(1L, n / 15000L)) * 2L)).toInt
 
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,

@@ -1088,7 +1088,12 @@ class CollectionDataSpec extends SparkSpec {
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
       .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
         org.apache.spark.sql.functions.col("embedding").as("qvec"))
-    val res = d.query("gr", queries, nResults = 10, include = Nil)
+    // force the partition-bucket layout at fixture scale (the
+    // size-derived law skips it below 65k rows) so 1b can assert the
+    // pruning contract; keyed + pointer-checked like maxLevel
+    spark.conf.set("spark.graft.graph.pbBuckets", "8")
+    val res = try d.query("gr", queries, nResults = 10, include = Nil)
+      finally {}
     res.collect()
     // 1) the plan reads the persisted collgraph artifact (not a scan)
     val scans = res.queryExecution.sparkPlan.collect {
@@ -1102,6 +1107,7 @@ class CollectionDataSpec extends SparkSpec {
     // so the executed plan must hold dynamic-pruning subqueries and
     // non-empty PartitionFilters on the bucketed artifact scans
     val executed = res.queryExecution.executedPlan.toString
+    spark.conf.unset("spark.graft.graph.pbBuckets")
     assert(executed.toLowerCase.contains("dynamicpruning"),
       "no dynamic partition pruning in the graph serve plan")
     assert("""PartitionFilters: \[[^\]]""".r.findFirstIn(executed).isDefined,

@@ -48,10 +48,26 @@ object TuneScale {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("CPUS", "16")
+    // Shuffle/spill blocks go to DISK, in a per-run directory wiped
+    // at startup (r13, closing the r12 ops finding): java.io.tmpdir
+    // here is RAM-backed tmpfs, and a killed predecessor JVM's
+    // orphaned blockmgr-* dirs do not clean themselves — 59 GB of
+    // them OOM'd the r12 6.4M ladder point. Artifacts (the small
+    // output) stay on the tmpfs cache; only transient shuffle state
+    // moves to disk.
+    val localDir = sys.env.getOrElse("SCALE_LOCAL_DIR", "/root/tmp/graft-scale-local")
+    val ldPath = java.nio.file.Paths.get(localDir)
+    if (java.nio.file.Files.exists(ldPath)) {
+      import java.util.Comparator
+      java.nio.file.Files.walk(ldPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    java.nio.file.Files.createDirectories(ldPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.driver.maxResultSize", "4g")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +118,10 @@ object TuneScale {
         val mean = perQ.sum / perQ.size
         val min = perQ.min
         val p10 = perQ.toSeq.sorted.apply(math.max(0, perQ.size / 10 - 1))
+        // whole-basin misses (recall < 0.5) — the bimodal failure mode
+        // the r12 ladder found; p10 alone can hide up to NQ/10 − 1 of
+        // them, so the count is printed outright
+        val nmiss = perQ.count(_ < 0.5)
         // tier-specific law readouts from the artifact
         val law = res.queryExecution.sparkPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -114,18 +134,39 @@ object TuneScale {
               val pr = spark.read.parquet(s"$p/params").head()
               val lvl = pr.getInt(pr.fieldIndex("maxlevel"))
               val entries = pr.getInt(pr.fieldIndex("entries"))
-              // explored budget per query at the serve defaults:
-              // top layer + (L−1) upper walks + base walk
-              val explored = entries + (lvl - 1).toLong * 2 * 64 * 8 + 3L * 48 * 8
-              s"maxlevel=$lvl entries=$entries explored=$explored"
+              val pn = pr.getLong(pr.fieldIndex("n"))
+              // explored budget per query at the SERVED defaults —
+              // the law values for the artifact's own N, overridden
+              // by the same session knobs the serve itself reads
+              // (r13: the readout can no longer silently diverge
+              // from the serve)
+              val (bhL, uhL, ueL) = graft.operators.GraphAnn.serveBudgetFor(pn)
+              def knob(k: String, dflt: Int) =
+                spark.conf.getOption(s"spark.graft.graph.$k").map(_.toInt).getOrElse(dflt)
+              val (bh, uh, ue) = (knob("baseHops", bhL), knob("upperHops", uhL),
+                knob("upperEf", ueL))
+              val ef = math.max(16 * bh, 10)
+              val explored = entries + (lvl - 1).toLong * uh * ue * 8 + bh.toLong * ef * 8
+              s"maxlevel=$lvl entries=$entries bh=$bh uh=$uh ue=$ue explored=$explored"
             } else {
               val cells = spark.read.parquet(s"$p/centroids").count()
-              f"cells=$cells nprobe=24 probedFrac=${24.0 / cells}%.4f"
+              // the same resolver the serve uses (knob override or
+              // the r13 √cells law) — never a hardcoded constant
+              val nprobe = d.annNprobeFor(cells.toInt)
+              f"cells=$cells nprobe=$nprobe probedFrac=${nprobe.toDouble / cells}%.4f"
             }
           case None => "tier=scan"
         }
         println(f"TUNESCALE tier=$tier n=$n nq=$nq mean=$mean%.3f min=$min%.2f " +
-          f"p10=$p10%.2f build=${buildSec}%.0fs serve=${serveSec}%.1fs $law")
+          f"p10=$p10%.2f miss=$nmiss build=${buildSec}%.0fs serve=${serveSec}%.1fs $law")
+        // the tmpfs warehouse (the ingested log copy of the corpus) is
+        // per-measure scratch — at 6.4M rows each abandoned one holds
+        // ~1.6 GB of RAM-backed parquet, and the r12 OOM taught us
+        // tmpfs debris is not hypothetical
+        import java.util.Comparator
+        java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
       }
 
       if (tiers("graph"))

@@ -926,14 +926,22 @@ class CollectionData(client: ChromaSpark) {
       .getOrElse(math.min(65536, math.max(4,
         math.ceil(math.sqrt(math.max(1L, liveVecRows).toDouble)).toInt)))
 
-  /** Probe width for an index with `cells` cells: a recall-calibrated
-    * constant (24 holds ≥0.9 recall@10 on the certified driver
-    * corpus), clamped to the cell count — tiny collections probe
-    * everything (exact), large ones probe a vanishing fraction.
+  /** Probe width for an index with `cells` cells: below the scale
+    * gate a recall-calibrated constant (24 holds ≥0.9 recall@10 on
+    * the certified driver corpus), clamped to the cell count — tiny
+    * collections probe everything (exact). Above the gate nprobe
+    * GROWS as √cells = N^(1/4) ([[CollectionData.nprobeLawFor]] —
+    * the r13 law replacing the manual `annNprobe` knob the r12
+    * ladder needed to hold recall): the probed fraction keeps
+    * shrinking as N^(−1/4), still sublinear in probed rows
+    * (nprobe·N/cells ∝ N^(3/4)), while the widening probe tracks the
+    * measured recall decay (constant nprobe read 0.92→0.81 over
+    * 100k→1.6M; the law column in ARCHITECTURE.md r13 holds the
+    * floor). The conf knob remains an override, not the mechanism.
     */
-  private[catalog] def annNprobeFor(cells: Int): Int =
+  private[graft] def annNprobeFor(cells: Int): Int =
     spark.conf.getOption("spark.graft.collection.annNprobe")
-      .map(_.toInt).getOrElse(math.min(cells, 24))
+      .map(_.toInt).getOrElse(CollectionData.nprobeLawFor(cells))
 
   /** Live rows with embeddings — the N the cell count derives from.
     * Driver-resolved from the snapshot cache when small, one pushed
@@ -992,8 +1000,32 @@ class CollectionData(client: ChromaSpark) {
 
   private def buildAnnIndex(collection: String, scratch: java.nio.file.Path,
                             cells: Int): Unit = {
-    val base = resolved(collection).filter(col("embedding").isNotNull)
-    val train = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    // SNAPSHOT-FIRST (r13 — the buildGraphIndex r11 discipline,
+    // finally applied to the IVF build): k-means makes 1 + AnnIters
+    // passes over the corpus, and every pass over the lazy
+    // merge-on-read view re-runs the log's latest-version-per-id
+    // window shuffle — measured as a dominant share of the 1.6M-row
+    // ladder build (2,998 s, ARCHITECTURE r12). Resolve the live rows
+    // ONCE to a columnar snapshot, train from that, drop it after
+    // (the artifact serves vectors/centroids only).
+    val snap = s"$scratch/train_snapshot"
+    resolved(collection).filter(col("embedding").isNotNull)
+      .write.mode("overwrite").parquet(snap)
+    val base = spark.read.parquet(snap)
+    val train0 = base.select(col("id").as("vec_id"), col("embedding").as("vec"))
+    // SAMPLED TRAINING above the scale gate (r13, cutting the
+    // N·cells·dim·iters assignment law to sample·cells·dim·iters):
+    // the full corpus is assigned exactly ONCE, at the layout write
+    // below. The sample is a pure function of the id (xxhash64 mod),
+    // so the trained model stays deterministic and engine-replayable;
+    // every sub-gate corpus (all oracles) trains on every row.
+    val nLive = base.count()
+    val every = CollectionData.annTrainSampleEvery(nLive, cells)
+    val train =
+      if (every <= 1L) train0
+      else train0.filter(
+        pmod(xxhash64(concat(lit("ks:"), col("vec_id").cast("string"))),
+          lit(every)) === 0L)
     val cents = VectorOps.kmeansCentroids(train, cells, AnnIters)
     // cluster by label BEFORE the partitioned write: without it every
     // upstream partition writes a file into every cell directory
@@ -1009,6 +1041,12 @@ class CollectionData(client: ChromaSpark) {
     import sp.implicits._
     cents.toDF("c_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/centroids")
+    // the training snapshot is build scratch, not artifact surface
+    import java.util.Comparator
+    val snapPath = java.nio.file.Paths.get(snap)
+    if (Files.exists(snapPath))
+      Files.walk(snapPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
   }
 
   /** Graph build knobs from collection metadata: Some((M,
@@ -1206,24 +1244,41 @@ class CollectionData(client: ChromaSpark) {
     */
   private[catalog] def graphExploredBudget(m: Int, n: Long, nResults: Int): Long = {
     val lMax = graphMaxLevelFor(m, n)
-    graphLayerSize(n, m, lMax) +
-      (lMax - 1).toLong * GraphUpperHops * GraphUpperEf * m +
-      GraphBaseHops.toLong * graphBeamEf(None, nResults, GraphBaseHops) * m
+    // the serve-budget LAW values (r13), not the session knobs: the
+    // budget this formula pins is what the DEFAULT serve explores at
+    // N. Above the scale gate the serve seeds from the exhaustive
+    // model-scale layer (largest layer ≤ the gate — scored outright,
+    // layers above it are nested subsets and never touched) and
+    // walks only the layers too big to enumerate: budget = one
+    // bounded layer scan + walks · the stepped per-layer constant +
+    // the base walk — a ≤-gate constant plus log₈(N/gate) walks,
+    // still nothing polynomial.
+    val (bh, uh, ue) = graft.operators.GraphAnn.serveBudgetFor(n)
+    val baseWalk = bh.toLong * math.max(GraphEfPerHop * bh, nResults) * m
+    val gate = graft.operators.GraphAnn.ScaleGateRows
+    val lStar =
+      if (n < gate) lMax
+      else (1 until lMax).find(l => graphLayerSize(n, m, l) <= gate)
+        .getOrElse(lMax)
+    if (lStar < lMax)
+      graphLayerSize(n, m, lStar) + (lStar - 1).toLong * uh * ue * m + baseWalk
+    else
+      graphLayerSize(n, m, lMax) + (lMax - 1).toLong * uh * ue * m + baseWalk
   }
 
   /** Serve-time search budget of a persisted graph artifact, read
     * once per (JVM, artifact) from its `params` table — the artifact
     * is immutable after `_INDEX_OK`, so the hot path never pays a
     * read job. Returns (hops, entries, indexed corpus size, layers,
-    * group count, partition-bucket count).
+    * group count, partition-bucket count, graph degree m).
     */
-  private def graphParams(idx: String): (Int, Int, Long, Int, Long, Int) =
+  private def graphParams(idx: String): (Int, Int, Long, Int, Long, Int, Int) =
     CollectionData.graphParamsMemo.computeIfAbsent(idx, { _: String =>
       val r = graft.operators.IndexCache.readCached(spark, s"$idx/params").head()
       (r.getInt(r.fieldIndex("hops")), r.getInt(r.fieldIndex("entries")),
         r.getLong(r.fieldIndex("n")), r.getInt(r.fieldIndex("maxlevel")),
         r.getLong(r.fieldIndex("ngroups")),
-        r.getInt(r.fieldIndex("npb")))
+        r.getInt(r.fieldIndex("npb")), r.getInt(r.fieldIndex("m")))
     })
 
   /** Build the persisted GRAPH tier — a LAYERED navigable graph (the
@@ -1336,11 +1391,20 @@ class CollectionData(client: ChromaSpark) {
       graft.operators.VectorOps.hashHyperplanes(6, dim, t, 42L))
     val sigArr = fullCorpus.withColumn("sigarr",
       graft.functions.LshSignatures(col("vec"), grpPlanes))
-    val looBands = (0 until 8).map { t =>
-      sigArr.select(col("vec_id"), lit(t).as("band"),
+    // all 8 leave-one-out band keys derive in ONE projection and
+    // posexplode to (band, bkey) rows (r13, closing the r12 watch
+    // item): the previous 8-way union planned 8 scan+signature
+    // branches — and 16 with looBands' second reference in the
+    // candidate join — recomputing the 8-table LSH per branch; the
+    // exploded shape computes signatures once per row and scans the
+    // snapshot once per reference. Same (band, bkey) set bitwise
+    // (posexplode's pos ≡ the old lit(t)), so the oracle replay and
+    // every group law downstream are untouched.
+    val looBands = sigArr.select(col("vec_id"),
+      posexplode(array((0 until 8).map(t =>
         concat_ws(",", (0 until 8).filter(_ != t)
-          .map(u => col("sigarr").getItem(u).cast("string")): _*).as("bkey"))
-    }.reduce(_ unionByName _)
+          .map(u => col("sigarr").getItem(u).cast("string")): _*)): _*))
+        .as(Seq("band", "bkey")))
     val bucketMin = looBands.groupBy(col("band"), col("bkey"))
       .agg(min(col("vec_id")).as("bm"))
     val candPairs = looBands.join(bucketMin, Seq("band", "bkey"))
@@ -1464,7 +1528,15 @@ class CollectionData(client: ChromaSpark) {
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (thr, i)) => when(col("hrk") <= thr, lit(i + 1)).otherwise(acc)
     }
+    // levels carries the member VECTOR too (r13, a14): every upper
+    // layer is a nested prefix of this N/M-row relation, so a serve
+    // scores upper layers — walked or exhaustive — against it
+    // directly instead of joining each hop's ids back through the
+    // N-row base; the whole hierarchy above the base costs one
+    // relation of ~N/(M−1) rows.
     rankedH.select(col("vec_id"), lvlCol.as("lvl")).filter(col("lvl") >= 1)
+      .join(corpus, "vec_id")
+      .select(col("vec_id"), col("lvl"), col("vec"))
       .write.mode("overwrite").parquet(s"$scratch/levels")
     val levels = spark.read.parquet(s"$scratch/levels")
     // upper-layer adjacencies (layers 1..L−1; the top layer is
@@ -1600,12 +1672,19 @@ class CollectionData(client: ChromaSpark) {
               artifact.contains(s"-g$GraphDedupGatePct-") &&
               // pbBuckets override discipline mirrors maxLevel: a
               // pointer laid down under one override must not keep
-              // serving after it changes (the content-derived
-              // default is a pure function of build-time live rows,
-              // already pointer-validated)
+              // serving after it changes — in BOTH directions (r13,
+              // closing an r12 advisory): when the conf is unset, the
+              // artifact's recorded npb must match the size law for
+              // its OWN indexed corpus, or an artifact built under a
+              // removed override (e.g. -p8-) keeps serving a
+              // non-default layout silently (results unaffected — the
+              // serve derives with the artifact's own npb — but the
+              // stated stale-serve discipline is layout too)
               (spark.conf.getOption("spark.graft.graph.pbBuckets") match {
                 case Some(v) => artifact.contains(s"-p${v.trim}-")
-                case None => true
+                case None =>
+                  val (_, _, pn, _, _, gNpb, _) = graphParams(idx)
+                  gNpb == graft.operators.GraphAnn.pbBucketsFor(pn)
               }) &&
               (spark.conf.getOption("spark.graft.graph.maxLevel") match {
                 case Some(l) => artifact.contains(s"-L$l-")
@@ -1616,7 +1695,7 @@ class CollectionData(client: ChromaSpark) {
                   // override must not keep serving after the
                   // override is removed (params read is memoized
                   // per (JVM, artifact) and re-used by the serve)
-                  val (_, _, pn, plvl, _, _) = graphParams(idx)
+                  val (_, _, pn, plvl, _, _, _) = graphParams(idx)
                   plvl == graphMaxLevelFor(m, pn)
               })
           case None => !artifact.startsWith("collgraph-")
@@ -1814,11 +1893,21 @@ class CollectionData(client: ChromaSpark) {
                 whereJson, whereDocumentJson, nResults)
             }
           else {
-            // structural params (entries, layer count) travel with
-            // the artifact; walk-length/width are LAW constants (they
-            // no longer depend on N — that is the hierarchy's point)
-            val (_, gEntries, _, gMaxLevel, gNGroups, gNpb) = graphParams(idx)
-            val gHops = GraphBaseHops
+            // structural params (entries, layer count, indexed N)
+            // travel with the artifact; walk length/width derive from
+            // the artifact's OWN size through the serve-budget law
+            // (r13, [[graft.operators.GraphAnn.serveBudgetFor]]):
+            // explored cost stays ∝ log N — the hierarchy's point —
+            // while the per-layer constant steps up past the scale
+            // gate, which is what holds the measured recall floor
+            // (the r12 ladder's constant-budget decay). The conf
+            // knobs remain overrides, not the mechanism.
+            val (_, gEntries, gN, gMaxLevel, gNGroups, gNpb, gM) = graphParams(idx)
+            val (bhLaw, uhLaw, ueLaw) =
+              graft.operators.GraphAnn.serveBudgetFor(gN)
+            val gHops = graphServeKnob("spark.graft.graph.baseHops", bhLaw)
+            val gUpperHops = graphServeKnob("spark.graft.graph.upperHops", uhLaw)
+            val gUpperEf = graphServeKnob("spark.graft.graph.upperEf", ueLaw)
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
@@ -1831,64 +1920,129 @@ class CollectionData(client: ChromaSpark) {
                 base.select(col("id").as("vec_id"), col("embedding").as("vec"),
                   col("pb"))
               else base.select(col("id").as("vec_id"), col("embedding").as("vec"))
-            // entry-blackout guard: post-build upserts of entry ids
-            // drop them from the masked corpus; if EVERY top-layer
-            // start is gone the descent would begin empty and the
-            // whole base would be unreachable until a rebuild. Walk
-            // DOWN the nested hierarchy for the first layer with an
-            // untouched member (each probe is a model-scale
-            // ordered-limit over the levels table); final fallback =
-            // lowest untouched base ids. Deterministic at every step.
-            val startIds = graft.operators.IndexCache.readCached(spark, s"$idx/entries")
-              .collect().map(_.getString(0)).toSeq // ≤ M ids (top layer)
-            val liveStarts = startIds.filterNot(touched.contains)
-            val sp = spark
-            import sp.implicits._
-            val starts: DataFrame =
-              if (liveStarts.nonEmpty) liveStarts.toDF("vec_id")
-              else {
-                val levels = graft.operators.IndexCache.readCached(spark, s"$idx/levels")
-                val fromLayers = (gMaxLevel - 1 to 1 by -1).iterator.map { l =>
-                  var cand = levels.filter(col("lvl") >= l).select(col("vec_id"))
-                  if (touched.nonEmpty) cand = cand.filter(!col("vec_id").isin(touched: _*))
-                  cand.orderBy(col("vec_id").asc)
-                    .limit(math.max(gEntries, GraphUpperEf))
-                    .collect().map(_.getString(0)).toSeq
-                }.find(_.nonEmpty)
-                fromLayers match {
-                  case Some(ids) => ids.toDF("vec_id")
-                  case None => base.select(col("id").as("vec_id"))
-                    .orderBy(col("vec_id").asc)
-                    .limit(math.max(gEntries, GraphUpperEf))
-                }
-              }
             val dist = (a: Column, b: Column) => distanceExpr(metric, a, b)
             val qframe = queryEmbeddings.select(col("query_id"), col("qvec"))
-            // LAYERED DESCENT: score the (exhaustive, model-scale) top
-            // layer, then walk each lower layer with a constant
-            // (GraphUpperEf, GraphUpperHops) beam, each layer's beam
-            // seeding the next — base walk last, at the constant
-            // serve ef. Between layers the model-scale seed frame is
-            // lazily localCheckpoint'ed: each chained beam references
-            // its seeds 2^hops times, so without truncation the plan
-            // tree would multiply per LAYER the way it multiplies per
-            // hop — the cut keeps total plan size linear in layers
-            // while construction stays job-free (eager = false).
-            // Fault-tolerance trade-off, documented: localCheckpoint
-            // blocks are NOT recomputable from lineage — on a real
-            // cluster, losing an executor mid-query fails that query
-            // (retried from the artifact, which is durable), and the
-            // blocks release at driver GC. That is the same contract
+            val sp = spark
+            import sp.implicits._
+            // the hierarchy relation (vec_id, lvl, vec — a14): every
+            // upper layer is a nested prefix of these ~N/(M−1) rows,
+            // so the whole descent above the base scores against it
+            // and never re-joins the N-row base per hop
+            val levelsAll = graft.operators.IndexCache.readCached(spark, s"$idx/levels")
+            val levelsLive =
+              if (touched.nonEmpty) levelsAll.filter(!col("vec_id").isin(touched: _*))
+              else levelsAll
+            def layerFrame(l: Int): DataFrame =
+              levelsLive.filter(col("lvl") >= l).select(col("vec_id"), col("vec"))
+            // EXHAUSTIVE MODEL-SCALE LAYER (r13 — the whole-basin-miss
+            // fix the r12 ladder asked for): above the scale gate,
+            // the serve picks the LARGEST layer that is still
+            // model-scale (law size ≤ exhaustiveCap, default the
+            // 65,536-row scale gate) and scores it exhaustively —
+            // one |Q| × layer join against the levels relation, no
+            // edges, no navigation. Nested membership makes every
+            // layer above it a subset, so its true top-ue IS a
+            // better seed set than any walk through those layers
+            // could produce: the measured ~10% whole-basin misses
+            // were exactly walks failing to cross basins in sparse
+            // mid-hierarchy layers (kNN edges are intra-basin; only
+            // ring links cross, at random). Walks remain for the
+            // layers too big to enumerate — which, having ≥
+            // cap/basins members per basin, are the ones local
+            // navigation actually works on. Sub-gate corpora (every
+            // oracled fixture) keep the certified full walk serve.
+            val exhaustCap = graphServeKnob("spark.graft.graph.exhaustiveCap",
+              graft.operators.GraphAnn.ScaleGateRows.toInt,
+              warnOnDeviation = false).toLong
+            val lStar: Int =
+              if (gN < graft.operators.GraphAnn.ScaleGateRows) gMaxLevel
+              else (1 until gMaxLevel)
+                .find(l => graphLayerSize(gN, gM, l) <= exhaustCap)
+                .getOrElse(gMaxLevel)
+            // entry-blackout guard (walk-start path only): post-build
+            // upserts of entry ids drop them from the masked corpus;
+            // if EVERY top-layer start is gone the descent would
+            // begin empty and the whole base would be unreachable
+            // until a rebuild. Walk DOWN the nested hierarchy for
+            // the first layer with an untouched member (each probe
+            // is a model-scale ordered-limit over the levels table);
+            // final fallback = lowest untouched base ids.
+            // Deterministic at every step.
+            // returns (seed frame, highest layer to walk): seeds are
+            // members of every layer ≤ that index (nested
+            // membership), so the descent starts exactly where its
+            // seeds are resolvable — a blackout that fell through to
+            // layer l (or to raw base ids, layer 0) must not feed a
+            // higher layer's scoring join, where non-members drop
+            // and the beam would silently empty (r13, closing a gap
+            // the layer-frame scoring made load-bearing).
+            def walkStarts(): (DataFrame, Int) = {
+              val startIds = graft.operators.IndexCache.readCached(spark, s"$idx/entries")
+                .collect().map(_.getString(0)).toSeq // ≤ M ids (top layer)
+              val liveStarts = startIds.filterNot(touched.contains)
+              if (liveStarts.nonEmpty) (liveStarts.toDF("vec_id"), gMaxLevel - 1)
+              else {
+                val fromLayers = (gMaxLevel - 1 to 1 by -1).iterator.map { l =>
+                  l -> levelsLive.filter(col("lvl") >= l).select(col("vec_id"))
+                    .orderBy(col("vec_id").asc)
+                    .limit(math.max(gEntries, gUpperEf))
+                    .collect().map(_.getString(0)).toSeq
+                }.find(_._2.nonEmpty)
+                fromLayers match {
+                  case Some((l, ids)) => (ids.toDF("vec_id"), l)
+                  case None => (base.select(col("id").as("vec_id"))
+                    .orderBy(col("vec_id").asc)
+                    .limit(math.max(gEntries, gUpperEf)), 0)
+                }
+              }
+            }
+            // LAYERED DESCENT: seed from the exhaustive model-scale
+            // layer when the law provides one (its true top-ue per
+            // query — layers above it are subsets and need no walk),
+            // else from the top-layer entries; then walk each bigger
+            // layer with the constant (gUpperEf, gUpperHops) law
+            // beam, each layer's beam seeding the next — base walk
+            // last, at the constant serve ef. Between layers the
+            // model-scale seed frame is lazily localCheckpoint'ed:
+            // each chained beam references its seeds 2^hops times,
+            // so without truncation the plan tree would multiply per
+            // LAYER the way it multiplies per hop — the cut keeps
+            // total plan size linear in layers while construction
+            // stays job-free (eager = false). Fault-tolerance
+            // trade-off, documented: localCheckpoint blocks are NOT
+            // recomputable from lineage — on a real cluster, losing
+            // an executor mid-query fails that query (retried from
+            // the artifact, which is durable), and the blocks
+            // release at driver GC. That is the same contract
             // Spark's own broadcast-join blocks carry, accepted here
             // because every truncated frame is |Q|·ef rows.
-            var seeds: DataFrame = qframe.select(col("query_id"))
-              .crossJoin(broadcast(starts))
-            for (l <- (gMaxLevel - 1) to 1 by -1) {
+            val wSeed = Window.partitionBy(col("query_id"))
+              .orderBy(col("d").asc, col("vec_id").asc)
+            val (seeds0, firstWalk) =
+              if (lStar < gMaxLevel) {
+                (layerFrame(lStar)
+                  .join(broadcast(qframe))
+                  .select(col("query_id"), col("vec_id"),
+                    dist(col("qvec"), col("vec")).as("d"))
+                  .withColumn("r", row_number().over(wSeed))
+                  .filter(col("r") <= gUpperEf)
+                  .select(col("query_id"), col("vec_id"))
+                  .localCheckpoint(false), lStar - 1)
+              } else {
+                val (st, fw) = walkStarts()
+                (qframe.select(col("query_id")).crossJoin(broadcast(st)), fw)
+              }
+            var seeds: DataFrame = seeds0
+            for (l <- firstWalk to 1 by -1) {
               val edgesL = graft.operators.IndexCache.readCached(spark, s"$idx/edges_l$l")
+              // walked upper layers score against their own layer
+              // frame (a subset of levels) — no pb column there, and
+              // none needed: the relation is already M^l-fold
+              // smaller than the base
               seeds = graft.operators.GraphAnn.beamSearchSeeded(
-                  qframe, corpus, edgesL, seeds,
-                  ef = GraphUpperEf, hops = GraphUpperHops, dist,
-                  pbBuckets = Some(gNpb),
+                  qframe, layerFrame(l), edgesL, seeds,
+                  ef = gUpperEf, hops = gUpperHops, dist,
+                  pbBuckets = None,
                   broadcastFrontier = graphBroadcastFrontier)
                 .localCheckpoint(false)
             }
@@ -2675,6 +2829,45 @@ object CollectionData {
     */
   val AutoEmbedDim = 16
 
+  /** The IVF probe-width LAW (r13): constant 24 up to 256 cells
+    * (⌈√N⌉ cells puts the scale gate at N = 65,536 — the shared
+    * [[graft.operators.GraphAnn.ScaleGateRows]] threshold, and every
+    * oracled corpus sits at ≤ 78 cells), then one 4/3 step and
+    * growth ∝ √cells, so the probed fraction shrinks as N^(−1/4)
+    * instead of N^(−1/2) — the same one-step-then-law shape as the
+    * graph serve budget. Ladder-calibrated on the HARD query set
+    * (ARCHITECTURE.md r13): in-distribution queries measure recall
+    * 1.000 at nprobe 12 at every ladder point (the r12 "IVF decay"
+    * was an l2-top-10 vs cosine-truth artifact — full-probe recall
+    * equals nprobe-24 recall at all three N), so the law is sized
+    * against boundary queries (two-basin midpoints), where
+    * 32·√(cells/256) holds mean ≥ 0.95 across 100k→1.6M while the
+    * constant 24 decays 0.937→0.918.
+    */
+  def nprobeLawFor(cells: Int): Int =
+    if (cells <= 256) math.min(cells, 24)
+    else math.min(cells,
+      math.ceil(32.0 * math.sqrt(cells / 256.0)).toInt)
+
+  /** Training-sample gate for the IVF k-means build (r13): below
+    * [[graft.operators.GraphAnn.ScaleGateRows]] the trainer sees
+    * every row (all oracled/fixture corpora — the certified driver
+    * path is bitwise untouched); above it centroids train on a
+    * deterministic xxhash-derived 1-in-`every` sample and only the
+    * FINAL assignment touches the full corpus. Target sample is
+    * ~256 rows per centroid (two orders over the scalable-k-means
+    * O(k) floor, Bahmani et al. 2012, because the sample must also
+    * keep empty cells rare), so `every` = ⌊N / (256·cells)⌋ — with
+    * cells = ⌈√N⌉ the training pass shrinks from N·cells·dim to
+    * 256·cells²·dim ≈ 256·N·dim per iteration: linear in N with no
+    * √N factor. Keyed by [[graft.operators.VectorIndex.AlgoVersion]]
+    * (a14) — a different trainer must never stale-serve a
+    * full-train artifact.
+    */
+  def annTrainSampleEvery(nLive: Long, cells: Int): Long =
+    if (nLive < graft.operators.GraphAnn.ScaleGateRows) 1L
+    else math.max(1L, nLive / (256L * cells))
+
   /** Per-artifact centroid counts: an index directory is immutable
     * once `_INDEX_OK` lands, so its cell count is counted once per
     * JVM and every later serve resolves it here instead of running a
@@ -2688,7 +2881,7 @@ object CollectionData {
     * `_INDEX_OK` lands, same discipline as [[centroidCountMemo]].
     */
   private[catalog] val graphParamsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int, Long, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Int, Long, Int, Int)]()
 
   /** Adaptive-probe cell stats memoized per (artifact, filter
     * fingerprint, post-build mask) — pure given an immutable artifact

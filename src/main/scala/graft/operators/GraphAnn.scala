@@ -218,9 +218,14 @@ object GraphAnn {
     * the layout entirely (npb = 1, plain writes — the r12 closing
     * bench measured fixture-scale builds paying for pruning that
     * cannot help them) and the count is conf-overridable
-    * (`spark.graft.graph.pbBuckets`, keyed `-p` segment).
+    * (`spark.graft.graph.pbBuckets`, keyed `-p` segment). a14 = the
+    * `levels` relation carries each member's VECTOR (r13): upper
+    * layers score against the ~N/(M−1)-row hierarchy relation
+    * instead of re-joining the N-row base per hop, and the
+    * scale-serve's exhaustive model-scale layer reads it outright —
+    * an a13 artifact's levels lack the column the a14 serve scores.
     */
-  val GraphAlgoVersion = "a13"
+  val GraphAlgoVersion = "a14"
 
   /** Id-hash bucket — the partition column the graph tier's `base`
     * and `edges` relations are laid out by (r12): deriving it on the
@@ -254,6 +259,34 @@ object GraphAnn {
     if (n < 65536L) 1
     else math.min(4096L, math.max(64L,
       java.lang.Long.highestOneBit(math.max(1L, n / 15000L)) * 2L)).toInt
+
+  /** Row gate shared by the scale-adaptive serve laws: below it the
+    * fixture-calibrated constants hold (every oracled corpus — the
+    * DuckDB twins replay them literally), above it the measured
+    * scale laws engage. Same threshold as the [[pbBucketsFor]]
+    * layout gate on purpose: "model-scale fixture" and "scale
+    * regime" should flip together, not at two magic numbers.
+    */
+  val ScaleGateRows = 65536L
+
+  /** Serve-time search budget (baseHops, upperHops, upperEf) for a
+    * graph artifact over `n` indexed rows — the LAW the r12 verdict
+    * asked for in place of a manual knob (r13): the TuneScale ladder
+    * measured recall at the constant fixture budget (3, 2, 64)
+    * decaying 0.940→0.871 mean with p10 = 0.00 from 400k rows up
+    * (whole-basin misses), while the stepped budget (4, 3, 128)
+    * holds mean ≥ 0.95 / p10 = 1.00 across 100k→6.4M at ~2.4× the
+    * constant cost — still ∝ log N, since the step multiplies the
+    * per-layer constant and leaves the layer count as the only
+    * N-term (re-measured table in ARCHITECTURE.md r13). Below the
+    * gate the fixture constants are the certified optimum (recall
+    * 1.000 on every driver fixture); the serve knobs
+    * (`spark.graft.graph.{baseHops,upperHops,upperEf}`) override the
+    * law either way, now as genuine overrides instead of the only
+    * way to hold recall at scale.
+    */
+  def serveBudgetFor(n: Long): (Int, Int, Int) =
+    if (n < ScaleGateRows) (3, 2, 64) else (4, 3, 128)
 
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        seeds: DataFrame, ef: Int, hops: Int,

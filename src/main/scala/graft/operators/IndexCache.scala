@@ -29,6 +29,22 @@ private[graft] object IndexCache {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.Map[String, org.apache.spark.sql.DataFrame]]()
 
+  /** Per-dir invalidation generation (r13, closing an r12 advisory):
+    * the relation is BUILT outside the lock, so a writer that appends
+    * and calls [[invalidate]] between this reader's miss and its put
+    * would otherwise have its invalidation silently lost — the stale
+    * file index gets cached and later serves miss the appended rows.
+    * The reader records the dir's generation at the miss and skips
+    * the put (under the same lock invalidate bumps under) if it
+    * moved; skipping a put is always safe — the next read rebuilds.
+    * Bounded: entries exist only for dirs that were ever invalidated;
+    * a wholesale clear resets generations to 0, which can only make
+    * in-flight readers SKIP their put (0 ≠ recorded gen), never cache
+    * stale state.
+    */
+  private val generation =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def readCached(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     // Per-session access-order LRU bounded at 256 relations (r11
     // advisory #2: the old full `clear()` past the cap evicted hot
@@ -46,8 +62,11 @@ private[graft] object IndexCache {
     val hit = perSession.get(dir)
     if (hit != null) hit
     else {
+      val gen0 = generation.getOrDefault(dir, 0L)
       val built = spark.read.parquet(dir)
-      perSession.put(dir, built)
+      relationMemo.synchronized {
+        if (generation.getOrDefault(dir, 0L) == gen0) perSession.put(dir, built)
+      }
       built
     }
   }
@@ -56,9 +75,14 @@ private[graft] object IndexCache {
     * after any `mode("append")` into an artifact subdirectory (the
     * delta-append index paths), or a cached file index would silently
     * miss the new files. Writers that only ever create fresh
-    * fingerprint-keyed directories never need this.
+    * fingerprint-keyed directories never need this. Bumps the dir's
+    * generation under the same lock so a concurrent reader that
+    * resolved the PRE-append file index can never cache it (see
+    * [[generation]]).
     */
   def invalidate(dir: String): Unit = relationMemo.synchronized {
+    if (generation.size > 4096) generation.clear()
+    generation.merge(dir, 1L, (a, b) => java.lang.Long.valueOf(a + b))
     relationMemo.values.forEach(m => { m.remove(dir); () })
   }
 

@@ -645,24 +645,34 @@ class CollectionDataSpec extends SparkSpec {
     assert(d.graphBeamEf(None, 10, hops = 6) === 96)
     // 4) explored-rows budget grows ∝ log N — pinned against the
     //    layer count itself, REPLACING the flat graph's √N term: the
-    //    budget delta per 8× corpus growth is exactly one more
-    //    constant-cost layer walk.
+    //    budget delta per 8× corpus growth is one more constant-cost
+    //    layer walk, at whichever budget tier the serve-budget LAW
+    //    (r13) puts the corpus — the 32k→256k step crosses the
+    //    65,536-row scale gate and carries the law's one-time ~2.4×
+    //    step-up; every other delta is one walk at its tier.
     val ns = Seq(500L, 4000L, 32000L, 256000L, 2048000L)
     val budgets = ns.map(d.graphExploredBudget(8, _, 10))
-    val perLayer = 2L * 64L * 8L // GraphUpperHops · GraphUpperEf · M
-    budgets.sliding(2).foreach { case Seq(a, b) =>
-      assert(b - a <= perLayer + 8L,
-        s"budget step exceeds one layer walk: $budgets for $ns")
+    val perLayerSub = 2L * 64L * 8L   // uh·ue·m below the gate
+    val perLayerScale = 3L * 128L * 8L // uh·ue·m above it
+    budgets.sliding(2).zip(ns.sliding(2)).foreach { case (Seq(a, b), Seq(_, n2)) =>
+      val crossesGate = n2 >= graft.operators.GraphAnn.ScaleGateRows &&
+        ns(ns.indexOf(n2) - 1) < graft.operators.GraphAnn.ScaleGateRows
+      val bound = if (crossesGate) a * 3 // one-time step, bounded
+        else if (n2 >= graft.operators.GraphAnn.ScaleGateRows) perLayerScale + 8L
+        else perLayerSub + 8L
+      assert(b - a <= bound,
+        s"budget step exceeds its tier's layer walk: $budgets for $ns")
     }
     val explored = ns.zip(budgets).map { case (n, b) => b.toDouble / n }
     assert(explored === explored.sorted.reverse,
       s"explored fraction not shrinking: $explored for corpora $ns")
     assert(explored.last < 0.01,
       s"explored fraction at 2·10⁶ rows not <1%: ${explored.last}")
-    // ...and at a 10⁹-row corpus the whole budget is a few thousand
-    // rows — log N, where the r9 flat law would have needed ef=2√N =
-    // 63k wide beams (capped at 4096, i.e. recall loss)
-    assert(d.graphExploredBudget(8, 1000000000L, 10) < 12000L)
+    // ...and at a 10⁹-row corpus the whole budget is a few tens of
+    // thousands of rows — log N at the stepped tier, where the r9
+    // flat law would have needed ef=2√N = 63k wide beams PER QUERY
+    // (capped at 4096, i.e. recall loss)
+    assert(d.graphExploredBudget(8, 1000000000L, 10) < 27000L)
 
     // 5) the BUILT artifact records the structure: maxlevel + exact
     //    top-layer entry count, and deeper corpora get more layers
@@ -1091,14 +1101,20 @@ class CollectionDataSpec extends SparkSpec {
     // force the partition-bucket layout at fixture scale (the
     // size-derived law skips it below 65k rows) so 1b can assert the
     // pruning contract; keyed + pointer-checked like maxLevel
-    spark.conf.set("spark.graft.graph.pbBuckets", "8")
-    val res = try d.query("gr", queries, nResults = 10, include = Nil)
-      finally {}
-    res.collect()
+    // whole override window under one finally (r13, closing an r12
+    // advisory): a throw anywhere inside — query, collect, the plan
+    // asserts — must not leak the 8-bucket layout conf into the rest
+    // of the shared-session suite
+    val (res, scans, executed) = try {
+      spark.conf.set("spark.graft.graph.pbBuckets", "8")
+      val res0 = d.query("gr", queries, nResults = 10, include = Nil)
+      res0.collect()
+      val scans0 = res0.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      (res0, scans0, res0.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.graft.graph.pbBuckets")
     // 1) the plan reads the persisted collgraph artifact (not a scan)
-    val scans = res.queryExecution.sparkPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
     assert(scans.exists(_.relation.location.rootPaths.exists(
       _.toString.contains("collgraph"))),
       "query does not serve from the persisted graph tier")
@@ -1106,8 +1122,6 @@ class CollectionDataSpec extends SparkSpec {
     // joins carry the pb partition key from the broadcast frontier,
     // so the executed plan must hold dynamic-pruning subqueries and
     // non-empty PartitionFilters on the bucketed artifact scans
-    val executed = res.queryExecution.executedPlan.toString
-    spark.conf.unset("spark.graft.graph.pbBuckets")
     assert(executed.toLowerCase.contains("dynamicpruning"),
       "no dynamic partition pruning in the graph serve plan")
     assert("""PartitionFilters: \[[^\]]""".r.findFirstIn(executed).isDefined,

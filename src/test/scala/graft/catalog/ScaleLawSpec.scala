@@ -29,39 +29,86 @@ class ScaleLawSpec extends SparkSpec {
     // each x8 adds exactly one layer...
     val levels = sizes.map(n => cd.graphMaxLevelFor(m, n))
     assert(levels === Seq(4, 5, 6, 7, 8))
-    // ...and one layer costs one constant upper walk (uh*ue*m = 1024
-    // at the serve defaults) plus the shrinking top-layer scan — the
-    // budget DELTA per x8 is bounded by that constant, i.e. explored
-    // ∝ log N, nothing polynomial
+    // ...and one layer costs one constant upper walk (uh·ue·m per
+    // the serve-budget LAW — (3,2,64) below the 65,536-row scale
+    // gate, (4,3,128) above it, r13) plus the shrinking top-layer
+    // scan. The 10k→80k step CROSSES the gate, so that one delta
+    // also carries the law's single budget step-up (~2.4× — the
+    // price of holding the measured recall floor, paid once);
+    // every later x8 is one constant walk again: explored ∝ log N,
+    // nothing polynomial, at both budget tiers.
+    val perLayerAbove = 3L * 128 * m // uh·ue·m at the scale tier
     val deltas = budgets.sliding(2).map { case Seq(a, b) => b - a }.toSeq
-    deltas.foreach(d => assert(d > 0 && d <= 2L * 64 * m + 16,
+    deltas.tail.foreach(d => assert(d > 0 && d <= perLayerAbove + 16,
       s"explored delta per x8 must be one constant walk, got $d"))
+    // the gate step: bounded by the full stepped budget — one-time,
+    // NOT a new growth term (every subsequent delta is flat again)
+    assert(deltas.head > 0 && deltas.head <= budgets.head * 3,
+      s"gate step must be a bounded one-time step, got ${deltas.head} from ${budgets.head}")
     // fitted growth exponent: on log-log axes a power law explored ∝
     // N^p has slope p = dlog(budget)/dlog(N); for a log-growth curve
     // the slope must collapse toward 0 as N grows — far below even
-    // the r9 flat graph's p = 1/2
+    // the r9 flat graph's p = 1/2. The head slope carries the gate
+    // step, so the monotone-shrink pin starts after it.
     val slopes = sizes.zip(budgets).sliding(2).map {
       case Seq((n1, b1), (n2, b2)) =>
         math.log(b2.toDouble / b1) / math.log(n2.toDouble / n1)
     }.toSeq
     assert(slopes.last < 0.1, s"tail growth exponent ${slopes.last} not log-like")
-    assert(slopes == slopes.sorted.reverse, "slope must shrink as N grows")
+    assert(slopes.tail == slopes.tail.sorted.reverse, "slope must shrink as N grows")
   }
 
-  test("IVF cells follow the sqrt law: probed fraction at constant nprobe shrinks as N^(-1/2)") {
+  test("graph serve-budget law: fixture constants below the gate, one certified step above, knob overrides win") {
+    import graft.operators.GraphAnn.{serveBudgetFor, ScaleGateRows}
+    // every oracled corpus (≤ 5,970 rows) serves the certified
+    // fixture constants — the DuckDB twins replay them literally
+    Seq(490L, 1470L, 5970L, ScaleGateRows - 1).foreach(n =>
+      assert(serveBudgetFor(n) === ((3, 2, 64)), s"sub-gate budget at $n"))
+    // at and above the gate: the ladder-measured stepped budget that
+    // holds the recall floor (ARCHITECTURE.md r13 table)
+    Seq(ScaleGateRows, 100000L, 400000L, 1600000L, 6400000L,
+        1000000000L).foreach(n =>
+      assert(serveBudgetFor(n) === ((4, 3, 128)), s"scale budget at $n"))
+    // the serve reads the law through graphServeKnob, so a session
+    // override still wins (sweep/ops discipline) — and is a genuine
+    // override now, not the only way to hold recall
+    spark.conf.set("spark.graft.graph.upperEf", "96")
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("graft-budgetlaw").toString
+      val d = new CollectionData(new ChromaSpark(spark, wh))
+      assert(d.GraphUpperEf === 96)
+    } finally spark.conf.unset("spark.graft.graph.upperEf")
+  }
+
+  test("IVF cells follow the sqrt law; probed fraction shrinks as N^(-1/2) below the gate, N^(-1/4) above") {
     val sizes = Seq(10000L, 40000L, 160000L, 640000L, 2560000L)
     val cells = sizes.map(cd.annClustersFor)
     cells.zip(sizes).foreach { case (c, n) =>
       assert(c === math.ceil(math.sqrt(n.toDouble)).toInt) }
-    // each x4 of corpus doubles the cells → halves the probed
-    // fraction: the fitted exponent of probedFrac vs N is -1/2
+    // below the scale gate nprobe is the certified constant 24, so
+    // each x4 of corpus doubles the cells and halves the probed
+    // fraction (exponent -1/2); above it the r13 law grows nprobe ∝
+    // √cells to hold the boundary-query recall floor, so the
+    // fraction keeps shrinking at exponent -1/4 — still sublinear,
+    // never constant-fraction. The gate-crossing step mixes the two
+    // regimes plus the one-time 4/3 coefficient step; it is skipped,
+    // like the graph budget's gate step.
     val fracs = cells.map(c => cd.annNprobeFor(c).toDouble / c)
     val slopes = sizes.zip(fracs).sliding(2).map {
       case Seq((n1, f1), (n2, f2)) =>
         math.log(f2 / f1) / math.log(n2.toDouble / n1)
     }.toSeq
-    slopes.foreach(s => assert(math.abs(s - (-0.5)) < 0.02,
-      s"probed-fraction exponent $s != -1/2"))
+    assert(math.abs(slopes.head - (-0.5)) < 0.02,
+      s"sub-gate probed-fraction exponent ${slopes.head} != -1/2")
+    slopes.drop(2).foreach(s => assert(math.abs(s - (-0.25)) < 0.02,
+      s"scale-tier probed-fraction exponent $s != -1/4"))
+    // the law itself, pinned at the ladder points (cells = ⌈√N⌉ of
+    // 100k/400k/1.6M) and at the certified fixture widths
+    assert(CollectionData.nprobeLawFor(78) === 24)
+    assert(CollectionData.nprobeLawFor(23) === 23) // tiny: probe all
+    assert(CollectionData.nprobeLawFor(317) === 36)
+    assert(CollectionData.nprobeLawFor(633) === 51)
+    assert(CollectionData.nprobeLawFor(1265) === 72)
   }
 
   test("kNN-build signature width adapts: expected bucket stays bounded, oracled corpora stay at 6 bits") {

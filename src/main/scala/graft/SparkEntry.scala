@@ -626,6 +626,58 @@ object SparkEntry {
       corpus.select(col("vec_id"), col("embedding").as("vec")), k = 10)
   }
 
+  /** FILTERED query on a DEDUP-GROUPED graph collection (r13 — the
+    * r11 #5 / r12 #4 carryover): the tripled clique corpus (1470
+    * rows — `collection_hnsw_deep`'s fixture) under the graph tier,
+    * with `par` metadata laid out so every 3-clique spans all three
+    * values — a `par = 1` filter therefore selects exactly ONE
+    * member per clique, and for two thirds of cliques that member
+    * is an ABSORBED group member, not its representative. The
+    * filtered call routes through the IVF SIDE TIER (graph
+    * collections refuse to walk the beam under a predicate), whose
+    * ADAPTIVE probe actually engages at this size: 39 cells hold
+    * ~12.6 matches each, the 16·nResults = 160 cumulative-match
+    * prefix needs ~13 cells and the unfiltered-nprobe floor lifts
+    * it to 24 — a genuinely pruned, genuinely approximate serve.
+    * The oracle replays the whole route: the shared-fingerprint
+    * k-means (seeds, both Lloyd rounds, labels), the FLOAT-cast
+    * centroid ranking over MATCHING cells only, the
+    * cumulative-match cutoff with the nprobe floor, and the exact
+    * re-rank among matches in the probed cells. What the hash
+    * certifies end to end: dedup-grouping in the graph artifact
+    * never leaks into the filtered route — absorbed members serve
+    * individually, at their own embeddings, under predicates the
+    * walk path could not evaluate.
+    */
+  def collectionHnswGroupedFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswgf-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("grgf", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"))
+    def shifted(offset: Long, factor: Float) = base
+      .select((col("vec_id") + F.lit(offset)).as("vec_id"),
+        F.transform(col("embedding"),
+          (x, i) => F.when(i === 0, x * F.lit(factor)).otherwise(x)).as("embedding"))
+    val corpus = base
+      .unionByName(shifted(1000000L, 1.01f))
+      .unionByName(shifted(2000000L, 1.02f))
+    d.add("grgf", corpus
+      .select(F.format_string("v%07d", col("vec_id")).as("id"), col("embedding"),
+        F.format_string("""{"par":%d}""", col("vec_id") % 3).as("metadata_json")))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    d.query("grgf", queries, nResults = 10,
+      whereJson = Some("""{"par":{"$eq":1}}"""), include = Nil)
+      .select(col("query_id"), col("rank"),
+        F.substring(col("id"), 2, 10).cast("long").as("vec_id"),
+        col("distance"))
+  }
+
   /** Collection-level HYBRID search (r7 extension #5): the
     * `query_texts`-plus-lexical workflow — BM25 over the collection's
     * live documents fused with the collection's embedder+metric kNN
@@ -816,6 +868,7 @@ object SparkEntry {
     "collection_hnsw_graph" -> (collectionHnswGraph _),
     "collection_hnsw_deep" -> (collectionHnswDeep _),
     "collection_hnsw_filtered" -> (collectionHnswFiltered _),
+    "collection_hnsw_grouped_filtered" -> (collectionHnswGroupedFiltered _),
     "collection_hybrid"  -> (collectionHybrid _),
     "collection_hybrid_index" -> (collectionHybridIndex _),
     "collection_hybrid_filtered" -> (collectionHybridFiltered _),
@@ -7959,6 +8012,121 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, "rank", vec_id, distance
         |FROM rk WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // Filtered query on a dedup-grouped graph collection (r13): the
+    // side IVF tier's ADAPTIVE probe, replayed end to end — the
+    // shared-fingerprint k-means over the tripled clique corpus
+    // (seeds by md5(id), both Lloyd rounds, final labels), per-cell
+    // MATCH counts for par = 1, the per-query centroid ranking over
+    // matching cells with the cumulative-match cutoff (need = 16·10)
+    // floored at the unfiltered nprobe, and the exact re-rank among
+    // matches inside the probed cells. par = vec_id % 3 spans every
+    // 3-clique, so two thirds of the served rows are ABSORBED group
+    // members of the graph artifact — the hash certifies grouping
+    // never leaks into the filtered route.
+    "collection_hnsw_grouped_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.01 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CASE WHEN i = 1 THEN x * CAST(1.02 AS FLOAT) ELSE x END) AS embedding
+        |  FROM base),
+        |c AS (
+        |  SELECT printf('v%07d', vec_id) AS id, vec_id, embedding AS vec,
+        |    vec_id % 3 AS par
+        |  FROM allv),
+        |kp AS (
+        |  SELECT GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))) AS k,
+        |         LEAST(GREATEST(4, LEAST(65536,
+        |           CAST(ceil(sqrt(count(*))) AS INTEGER))), 24) AS np
+        |  FROM c),
+        |comp AS (
+        |  SELECT id, u.pos AS pos, u.x AS x FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(vec) + 1),
+        |      i -> {'pos': i, 'x': CAST(vec[i] AS DOUBLE)})) AS u
+        |    FROM c)),
+        |seeds AS (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(vec AS DOUBLE[]) AS centroid
+        |  FROM (SELECT vec, row_number() OVER (
+        |          ORDER BY md5(id), id) AS rn FROM c)
+        |  WHERE rn <= (SELECT k FROM kp)),
+        |a1 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN seeds s) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a1 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c1 s) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c_id, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT a.c_id, p.pos,
+        |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1000000.0 AS m
+        |    FROM a2 a JOIN comp p USING (id) GROUP BY a.c_id, p.pos)
+        |  GROUP BY c_id),
+        |labels AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT v.id, s.c_id,
+        |      row_number() OVER (PARTITION BY v.id ORDER BY
+        |        list_distance(CAST(v.vec AS DOUBLE[]), s.centroid), s.c_id) AS rn
+        |    FROM c v CROSS JOIN c2 s) WHERE rn = 1),
+        |stats AS (
+        |  SELECT l.c_id, CAST(count(*) AS BIGINT) AS n_match
+        |  FROM labels l JOIN c v ON v.id = l.id
+        |  WHERE v.par = 1 GROUP BY l.c_id),
+        |rc AS (
+        |  SELECT query_id, c_id, n_match, cr FROM (
+        |    SELECT q.query_id, cl.c_id, st.n_match,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        1.0 - list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+        |          list_transform(cl.centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) ASC,
+        |        cl.c_id) AS cr
+        |    FROM q CROSS JOIN c2 cl JOIN stats st ON st.c_id = cl.c_id)),
+        |probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT query_id, c_id, cr,
+        |      coalesce(sum(n_match) OVER (PARTITION BY query_id ORDER BY cr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    FROM rc)
+        |  WHERE cum_before < 160 OR cr <= (SELECT np FROM kp)),
+        |ann AS (
+        |  SELECT query_id, vec_id, distance,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY distance ASC, vec_id) AS BIGINT) AS "rank"
+        |  FROM (SELECT p.query_id, v.vec_id,
+        |          1.0 - list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                       CAST(v.vec AS DOUBLE[])) AS distance
+        |        FROM probes p
+        |        JOIN labels l ON l.c_id = p.c_id
+        |        JOIN c v ON v.id = l.id
+        |        JOIN q ON q.query_id = p.query_id
+        |        WHERE v.par = 1))
+        |SELECT query_id, "rank", vec_id, distance
+        |FROM ann WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
 
     // Collection-level ANN serving, fully certified: the per-

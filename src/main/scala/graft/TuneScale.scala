@@ -145,8 +145,10 @@ object TuneScale {
                 spark.conf.getOption(s"spark.graft.graph.$k").map(_.toInt).getOrElse(dflt)
               val (bh, uh, ue) = (knob("baseHops", bhL), knob("upperHops", uhL),
                 knob("upperEf", ueL))
-              val ef = math.max(16 * bh, 10)
-              val explored = entries + (lvl - 1).toLong * uh * ue * 8 + bh.toLong * ef * 8
+              // the shared law formula itself (exhaustive model-scale
+              // layer + walks above it + base walk) — the readout can
+              // no longer drift from what the serve explores
+              val explored = d.graphExploredBudget(8, pn, 10)
               s"maxlevel=$lvl entries=$entries bh=$bh uh=$uh ue=$ue explored=$explored"
             } else {
               val cells = spark.read.parquet(s"$p/centroids").count()

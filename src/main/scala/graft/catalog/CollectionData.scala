@@ -1242,7 +1242,7 @@ class CollectionData(client: ChromaSpark) {
     * hops·ef·M, the base walk a constant hops·ef·M — total
     * O(log N)·constant, replacing the flat graph's √N·log N·M.
     */
-  private[catalog] def graphExploredBudget(m: Int, n: Long, nResults: Int): Long = {
+  private[graft] def graphExploredBudget(m: Int, n: Long, nResults: Int): Long = {
     val lMax = graphMaxLevelFor(m, n)
     // the serve-budget LAW values (r13), not the session knobs: the
     // budget this formula pins is what the DEFAULT serve explores at

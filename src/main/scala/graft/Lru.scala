@@ -16,4 +16,27 @@ object Lru {
         override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
           size() > cap
       })
+
+  /** The one blessed read-through shape for [[bounded]] maps (r13,
+    * closing an r12 advisory: the check-then-put contract lived only
+    * in a comment, so each new call site could get it subtly wrong):
+    * return the cached value when present AND `fresh` accepts it,
+    * else run `compute` OUTSIDE the lock and publish the result. A
+    * concurrent same-key race computes a pure value twice and keeps
+    * the later put — never blocks other readers, never caches a
+    * value its own freshness check would reject. Callers needing
+    * more than freshness (e.g. [[graft.operators.IndexCache]]'s
+    * invalidation generations) keep their hand-rolled sequence, with
+    * the contract documented there.
+    */
+  def getOrCompute[K, V](m: java.util.Map[K, V], k: K)
+                        (fresh: V => Boolean)(compute: => V): V = {
+    val hit = m.get(k)
+    if (hit != null && fresh(hit)) hit
+    else {
+      val v = compute
+      m.put(k, v)
+      v
+    }
+  }
 }

@@ -861,8 +861,52 @@ object SparkEntry {
     VectorOps.withRecallAt(ann, queries, corpus, k = 10)
   }
 
+  /** STREAMED HYBRID serve (r13 — the r11 #7 carryover, the
+    * fourteenth driver-gated streaming runtime): the documents table
+    * arrives as a Structured Streaming file source and upserts into
+    * a collection through [[graft.streaming.CollectionIngest]]
+    * (at-least-once foreachBatch, idempotent under latest-wins);
+    * after the stream drains, the SAME `queryHybrid` call as
+    * `collection_hybrid_index` runs against the streamed state. The
+    * corpus (497 docs) crosses the routing threshold, so BOTH fused
+    * rankers serve from persisted tiers built over stream-ingested
+    * state — BM25 from the lexical index, vectors from the IVF tier
+    * — and the result hash-matches the batch fixture's oracle
+    * verbatim (same docs, same hash16 embedder, same tiers: the
+    * oracle entry IS `collection_hybrid_index`'s SQL, one source of
+    * truth). What this certifies beyond `stream_collection` (vector
+    * tier only): the lexical tier's postings/doclens/stats build
+    * correctly from a log written in streaming micro-batches, and
+    * the rank fusion over both tiers is byte-stable across the
+    * ingest path.
+    */
+  def streamHybridServe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val wh = java.nio.file.Files.createTempDirectory("graft-shyb-q").toString
+    val client = new ChromaSpark(s, wh)
+    val d = new CollectionData(client)
+    client.createCollection("shyb") // defaults: hash16 embedder, l2 metric
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") >= 3)
+      .select(F.format_string("d%07d", col("doc_id")).as("id"),
+        col("text").as("document"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shyb-ckpt").toString
+    val q = graft.streaming.CollectionIngest.start(d, "shyb", src, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val docs = Tables.documents(s, dir)
+    val texts = docs.filter(col("doc_id") < 3).orderBy(col("doc_id"))
+      .select(F.array_join(F.slice(F.split(F.trim(col("text")), "\\s+"), 1, 8), " "))
+      .collect().map(_.getString(0)).toSeq // 3 query strings, bounded
+    d.queryHybrid("shyb", texts, nResults = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2/§7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hybrid" -> (streamHybridServe _),
     "collection_ann_index" -> (collectionAnnIndex _),
     "collection_ann_pruned" -> (collectionAnnPruned _),
     "collection_hnsw_graph" -> (collectionHnswGraph _),
@@ -1883,7 +1927,16 @@ object SparkEntry {
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // The streamed hybrid serve (r13, the r11 #7 carryover): the
+    // post-stream collection state is BIT-IDENTICAL to the batch
+    // collection_hybrid_index fixture (same docs, same embedder,
+    // same tiers), so its oracle IS that query's oracle — one
+    // source of truth, no second copy to drift.
+    "stream_hybrid" -> oracleSqlBase("collection_hybrid_index"),
+  )
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "txt_classifier" -> classifierOracleSql(classifierTraceTail),
     "txt_classifier_scores" -> classifierOracleSql(classifierScoresTail),
     "txt_calibration" -> classifierOracleSql(classifierCalibrationTail),

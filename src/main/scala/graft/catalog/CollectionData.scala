@@ -419,19 +419,15 @@ class CollectionData(client: ChromaSpark) {
     }
   }
 
-  private def levelRows(d: String, sig: String): Seq[LogRow] = {
-    val cached = snapshotCache.get(d)
-    if (cached != null && cached._1 == sig) cached._2
-    else {
+  private def levelRows(d: String, sig: String): Seq[LogRow] =
+    graft.Lru.getOrCompute(snapshotCache, d)(_._1 == sig) {
       val rows = liveLogName(d) match {
         case Some(name) =>
           DriverParquet.readLog(spark.sessionState.newHadoopConf(), s"$d/$name")
         case None => Nil
       }
-      snapshotCache.put(d, (sig, rows))
-      rows
-    }
-  }
+      (sig, rows)
+    }._2
 
   private val ItemSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "id STRING, embedding ARRAY<FLOAT>, document STRING, metadata_json STRING")
@@ -2195,25 +2191,22 @@ class CollectionData(client: ChromaSpark) {
                 .digest(statePart.getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 .map("%02x".format(_)).mkString
               val statsKey = s"$idx#$digest"
-              // LRU-bounded memo (see companion): the count job runs
-              // OUTSIDE the map lock — a concurrent same-key race
-              // recomputes a pure value, which beats serializing
-              // unrelated serves behind one Spark job
-              val stats = {
-                val cached = CollectionData.filteredCellStatsMemo.get(statsKey)
-                if (cached != null) cached
-                else {
-                  CollectionData.filteredCellStatsComputes.incrementAndGet()
-                  var m = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
-                  if (touched.nonEmpty) m = m.filter(!col("id").isin(touched: _*))
-                  whereJson.foreach(wj => m = m.filter(metadataPredicate(wj)))
-                  whereDocumentJson.foreach(wd => m = m.filter(documentPredicate(wd)))
-                  val computed = m.groupBy(col("label").cast("int").as("c_id"))
-                    .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_match"))
-                    .collect().map(r => (r.getInt(0), r.getLong(1)))
-                  CollectionData.filteredCellStatsMemo.put(statsKey, computed)
-                  computed
-                }
+              // LRU-bounded memo (see companion), through the one
+              // blessed read-through shape (Lru.getOrCompute, r13):
+              // the count job runs OUTSIDE the map lock — a
+              // concurrent same-key race recomputes a pure value,
+              // which beats serializing unrelated serves behind one
+              // Spark job
+              val stats = graft.Lru.getOrCompute(
+                  CollectionData.filteredCellStatsMemo, statsKey)(_ => true) {
+                CollectionData.filteredCellStatsComputes.incrementAndGet()
+                var m = graft.operators.IndexCache.readCached(spark, s"$idx/vectors")
+                if (touched.nonEmpty) m = m.filter(!col("id").isin(touched: _*))
+                whereJson.foreach(wj => m = m.filter(metadataPredicate(wj)))
+                whereDocumentJson.foreach(wd => m = m.filter(documentPredicate(wd)))
+                m.groupBy(col("label").cast("int").as("c_id"))
+                  .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_match"))
+                  .collect().map(r => (r.getInt(0), r.getLong(1)))
               }
               val sp = spark
               import sp.implicits._

@@ -55,14 +55,28 @@ object TuneScale {
     // them OOM'd the r12 6.4M ladder point. Artifacts (the small
     // output) stay on the tmpfs cache; only transient shuffle state
     // moves to disk.
-    val localDir = sys.env.getOrElse("SCALE_LOCAL_DIR", "/root/tmp/graft-scale-local")
-    val ldPath = java.nio.file.Paths.get(localDir)
-    if (java.nio.file.Files.exists(ldPath)) {
-      import java.util.Comparator
-      java.nio.file.Files.walk(ldPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
+    // comma-separated list supported (Spark spreads blocks round-robin
+    // across the dirs): the 6.4M build's candidate shuffle outgrows
+    // this box's 80 GB disk alone, so the big ladder points pool the
+    // disk with a bounded tmpfs slice
+    // NOTE the startup wipe makes concurrent TuneScale processes
+    // sharing one SCALE_LOCAL_DIR mutually destructive — parallel
+    // runs must each set their own (the tools/run-main.sh pattern).
+    // Spark splits spark.local.dir on ',' WITHOUT trimming, so the
+    // wiped/created paths and the ones Spark writes to must come
+    // from the same trimmed list.
+    val localDirs = sys.env.getOrElse("SCALE_LOCAL_DIR", "/root/tmp/graft-scale-local")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    localDirs.foreach { one =>
+      val ldPath = java.nio.file.Paths.get(one)
+      if (java.nio.file.Files.exists(ldPath)) {
+        import java.util.Comparator
+        java.nio.file.Files.walk(ldPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      java.nio.file.Files.createDirectories(ldPath)
     }
-    java.nio.file.Files.createDirectories(ldPath)
+    val localDir = localDirs.mkString(",")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,9 +160,17 @@ object TuneScale {
               val (bh, uh, ue) = (knob("baseHops", bhL), knob("upperHops", uhL),
                 knob("upperEf", ueL))
               // the shared law formula itself (exhaustive model-scale
-              // layer + walks above it + base walk) — the readout can
-              // no longer drift from what the serve explores
-              val explored = d.graphExploredBudget(8, pn, 10)
+              // layer + walks above it + base walk), at the
+              // artifact's own degree — and never printed when a
+              // session knob overrides the law, where the formula
+              // would pair a wrong budget with the measured recall
+              // (r13 review)
+              val mArt = pr.getInt(pr.fieldIndex("m"))
+              val overridden = Seq("baseHops", "upperHops", "upperEf", "ef")
+                .exists(k => spark.conf.getOption(s"spark.graft.graph.$k").isDefined)
+              val explored =
+                if (overridden) "overridden"
+                else d.graphExploredBudget(mArt, pn, 10).toString
               s"maxlevel=$lvl entries=$entries bh=$bh uh=$uh ue=$ue explored=$explored"
             } else {
               val cells = spark.read.parquet(s"$p/centroids").count()

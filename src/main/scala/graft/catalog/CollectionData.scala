@@ -995,7 +995,7 @@ class CollectionData(client: ChromaSpark) {
   }
 
   private def buildAnnIndex(collection: String, scratch: java.nio.file.Path,
-                            cells: Int): Unit = {
+                            cells: Int, nLive: Long): Unit = {
     // SNAPSHOT-FIRST (r13 — the buildGraphIndex r11 discipline,
     // finally applied to the IVF build): k-means makes 1 + AnnIters
     // passes over the corpus, and every pass over the lazy
@@ -1015,7 +1015,9 @@ class CollectionData(client: ChromaSpark) {
     // below. The sample is a pure function of the id (xxhash64 mod),
     // so the trained model stays deterministic and engine-replayable;
     // every sub-gate corpus (all oracles) trains on every row.
-    val nLive = base.count()
+    // nLive arrives from the caller's annLiveVecRows — identical to
+    // the snapshot's count by construction (r13 review: re-counting
+    // the just-written snapshot was one redundant job per build)
     val every = CollectionData.annTrainSampleEvery(nLive, cells)
     val train =
       if (every <= 1L) train0
@@ -1476,7 +1478,8 @@ class CollectionData(client: ChromaSpark) {
     // swallows the whole layer (the r12 scale-audit cliff).
     def navigableEdges(layerCorpus: DataFrame, layerN: Long): DataFrame = {
       val knn2m = graft.operators.GraphAnn
-        .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim, maxBucket = cef,
+        .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim,
+          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
           strides = Seq.empty)
       val undirected = knn2m
@@ -1549,7 +1552,8 @@ class CollectionData(client: ChromaSpark) {
       val layerN = math.min(thresholds(l - 1), nReps)
       graft.operators.GraphAnn
         .buildKnnGraphDist(corpus.join(members, "vec_id"), m, dist,
-          dim = dim, maxBucket = cef,
+          dim = dim,
+          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN))
         .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
     }
@@ -1600,10 +1604,17 @@ class CollectionData(client: ChromaSpark) {
     */
   private def ivfArtifact(collection: String, metric: String): String = {
     val fp = annContentFingerprint(collection)
-    val cells = annClustersFor(annLiveVecRows(collection))
+    val live = annLiveVecRows(collection)
+    val cells = annClustersFor(live)
+    // the IVF trainer versions through its OWN key segment (r13):
+    // the sampled-training change affects collivf artifacts alone,
+    // so bumping the shared AlgoVersion would have retired every
+    // lexical/PQ/dedup artifact for nothing — the r12
+    // GraphAlgoVersion lesson, applied to the trained-model side
     graft.operators.IndexCache.getOrBuild(annIndexRoot, "collivf",
-      s"$fp-k$cells-$metric-${graft.operators.VectorIndex.AlgoVersion}") { scratch =>
-      buildAnnIndex(collection, scratch, cells)
+      s"$fp-k$cells-$metric-${CollectionData.IvfTrainerVersion}-" +
+        graft.operators.VectorIndex.AlgoVersion) { scratch =>
+      buildAnnIndex(collection, scratch, cells, live)
     }
   }
 
@@ -1730,6 +1741,12 @@ class CollectionData(client: ChromaSpark) {
         graft.operators.GraphAnn.GraphAlgoVersion
       else graft.operators.VectorIndex.AlgoVersion
     if (!name.endsWith("-" + wantVersion)) return None
+    // collivf artifacts additionally carry the IVF trainer segment
+    // (r13): a pre-t2 full-train artifact must not keep serving
+    // under the sampled trainer — the same stale-serve rule the
+    // shared version enforces, scoped to the one tier that changed
+    if (name.startsWith("collivf-") &&
+        !name.contains(s"-${CollectionData.IvfTrainerVersion}-")) return None
     if (currentBatchIn(d) < b) return None
     val recorded = lines(2).split(",").filter(_.nonEmpty).toSet
     if (!recorded.subsetOf(logFileNames(d))) return None
@@ -2860,6 +2877,15 @@ object CollectionData {
   def annTrainSampleEvery(nLive: Long, cells: Int): Long =
     if (nLive < graft.operators.GraphAnn.ScaleGateRows) 1L
     else math.max(1L, nLive / (256L * cells))
+
+  /** Version of the collection-IVF TRAINER, a segment of the collivf
+    * cache key only (r13): t2 = snapshot-first resolution + sampled
+    * k-means above the scale gate ([[annTrainSampleEvery]]). Scoped
+    * here so trainer changes never retire the lexical/PQ/dedup
+    * artifacts that share [[graft.operators.VectorIndex.AlgoVersion]]
+    * — the r12 GraphAlgoVersion lesson.
+    */
+  val IvfTrainerVersion = "t2"
 
   /** Per-artifact centroid counts: an index directory is immutable
     * once `_INDEX_OK` lands, so its cell count is counted once per

@@ -105,7 +105,33 @@ object GraphAnn {
     */
   def bitsForLayer(n: Long): Int =
     if (n <= 8192L) 6
-    else math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
+    else if (n < BuildVolumeGateRows)
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
+    else math.ceil(math.log(n / 24.0) / math.log(2.0)).toInt
+
+  /** Row gate for the BUILD-VOLUME tier of the candidate laws (r13):
+    * past ~4.2M rows the kNN stage's pair volume Σ b·min(b, cap) —
+    * which the shuffle (and, on skewed sign patterns, the dense tail
+    * at the cef cap) must carry — outgrows a single box's scratch
+    * space (the 6.4M ladder build materialized > 150 GB of candidate
+    * traffic at the 64-row bucket target and died on it, twice).
+    * Above the gate the expected bucket tightens to ~24 rows
+    * ([[bitsForLayer]]'s third tier) and the dense-bucket cap drops
+    * to ≤ 96 ([[bucketCapFor]]): each node still draws ~8·24 ≈ 190
+    * candidates for its top-2M edges (a 6× oversample), while the
+    * worst-case pair volume is bounded by 8N·96 regardless of how
+    * the corpus clusters. Ladder-certified at 6.4M (the only
+    * affected point — every smaller artifact is bit-identical).
+    */
+  val BuildVolumeGateRows = 4194304L
+
+  /** Effective dense-bucket skip cap for an N-row layer: the
+    * caller's `cef` (the user's construction-pool knob) below the
+    * build-volume gate, min(cef, 96) above it — see
+    * [[BuildVolumeGateRows]].
+    */
+  def bucketCapFor(n: Long, cef: Int): Int =
+    if (n < BuildVolumeGateRows) cef else math.min(cef, 96)
 
   /** Metric- and id-type-generic kNN-graph build — the collection
     * tier's entry point (string ids, the collection's own distance).
@@ -224,8 +250,13 @@ object GraphAnn {
     * instead of re-joining the N-row base per hop, and the
     * scale-serve's exhaustive model-scale layer reads it outright —
     * an a13 artifact's levels lack the column the a14 serve scores.
+    * a15 = the build-volume tier ([[BuildVolumeGateRows]]): past
+    * ~4.2M rows the candidate buckets tighten (target 24, cap ≤ 96)
+    * so the pair shuffle stays bounded — artifacts below the gate
+    * are bit-identical to a14, but the version string is the
+    * stale-serve contract and it stays honest.
     */
-  val GraphAlgoVersion = "a14"
+  val GraphAlgoVersion = "a15"
 
   /** Id-hash bucket — the partition column the graph tier's `base`
     * and `edges` relations are laid out by (r12): deriving it on the

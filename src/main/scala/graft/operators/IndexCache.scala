@@ -37,13 +37,20 @@ private[graft] object IndexCache {
     * The reader records the dir's generation at the miss and skips
     * the put (under the same lock invalidate bumps under) if it
     * moved; skipping a put is always safe — the next read rebuilds.
-    * Bounded: entries exist only for dirs that were ever invalidated;
-    * a wholesale clear resets generations to 0, which can only make
-    * in-flight readers SKIP their put (0 ≠ recorded gen), never cache
-    * stale state.
+    * Bounded: entries exist only for dirs that were ever invalidated,
+    * and an overflow clear bumps the EPOCH first — a clear alone
+    * would reset a dir's generation to the same 0 an in-flight
+    * reader recorded (for a dir never invalidated before), letting
+    * it cache a pre-append index; with the epoch folded into every
+    * recorded generation, a post-clear check can only mismatch, and
+    * skipping a put is always safe.
     */
   private val generation =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  @volatile private var genEpoch = 0L
+
+  private def genOf(dir: String): (Long, Long) =
+    (genEpoch, generation.getOrDefault(dir, 0L))
 
   def readCached(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     // Per-session access-order LRU bounded at 256 relations (r11
@@ -62,10 +69,10 @@ private[graft] object IndexCache {
     val hit = perSession.get(dir)
     if (hit != null) hit
     else {
-      val gen0 = generation.getOrDefault(dir, 0L)
+      val gen0 = genOf(dir)
       val built = spark.read.parquet(dir)
       relationMemo.synchronized {
-        if (generation.getOrDefault(dir, 0L) == gen0) perSession.put(dir, built)
+        if (genOf(dir) == gen0) perSession.put(dir, built)
       }
       built
     }
@@ -81,7 +88,7 @@ private[graft] object IndexCache {
     * [[generation]]).
     */
   def invalidate(dir: String): Unit = relationMemo.synchronized {
-    if (generation.size > 4096) generation.clear()
+    if (generation.size > 4096) { genEpoch += 1; generation.clear() }
     generation.merge(dir, 1L, (a, b) => java.lang.Long.valueOf(a + b))
     relationMemo.values.forEach(m => { m.remove(dir); () })
   }

@@ -112,20 +112,16 @@ object VectorIndex {
     * codebooks); bump it when THEIR math changes — which it has NOT
     * since a9 (a10's banded-candidacy bump was graph-only too, the
     * r12 review caught the residue), so existing a9 trained
-    * artifacts stay valid.
-    *
-    * a14 = SAMPLED k-means training above the 65,536-row gate (r13,
-    * [[graft.catalog.CollectionData]] buildAnnIndex): the coarse
-    * centroids of a large collection now train on a deterministic
-    * xxhash sample, so the trained model genuinely differs above the
-    * gate and a full-train artifact must not stale-serve it
-    * (sub-gate artifacts are bitwise identical, but the key cannot
-    * express "same below, different above"). Jumps straight to a14
-    * because a10–a13 key strings already exist on disk from mid-r12
-    * version churn — reusing any of them would resurrect exactly the
-    * stale artifacts the bump exists to retire.
+    * artifacts stay valid. r13's sampled-k-means change is scoped
+    * the same way in the OTHER direction: it touches only the
+    * collection IVF trainer, so it versions through the collivf
+    * key's own trainer segment
+    * ([[graft.catalog.CollectionData.IvfTrainerVersion]]) instead of
+    * retiring every lexical/PQ/dedup/flat-ANN artifact through this
+    * shared value — the identical mistake the r12 split fixed for
+    * graph bumps.
     */
-  val AlgoVersion = "a14"
+  val AlgoVersion = "a9"
 
   /** INCREMENTAL maintenance: assign `delta` to the FROZEN coarse
     * centroids and append to the label partitions — an O(delta)

@@ -576,9 +576,13 @@ class CollectionDataSpec extends SparkSpec {
       d.annNprobeFor(k).toDouble / k
     }
     assert(fractions === fractions.sorted.reverse, s"fraction not shrinking: $fractions")
-    assert(fractions.last <=
-      CollectionData.nprobeLawFor(d.annClustersFor(1000000000L)).toDouble
-        / d.annClustersFor(1000000000L) + 1e-9)
+    // absolute scale pin, derived INDEPENDENTLY of the function under
+    // test (r13 review: bounding by nprobeLawFor itself was a
+    // tautology): frac(cells) = ⌈32·√(cells/256)⌉/cells ≤ 2/√cells +
+    // 1/cells, so at 10⁹ rows (cells = ⌈√10⁹⌉ = 31623) the probed
+    // fraction must sit under ~1.13% — a law that stopped shrinking
+    // (e.g. went linear in cells) blows straight through this
+    assert(fractions.last <= 2.0 / math.sqrt(31623.0) + 1.0 / 31623.0 + 1e-9)
     // tiny collections probe every cell — the exact serve
     assert(d.annNprobeFor(10) === 10)
 

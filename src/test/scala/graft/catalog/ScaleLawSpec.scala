@@ -116,14 +116,28 @@ class ScaleLawSpec extends SparkSpec {
     // every oracled corpus (<= 8192 rows) keeps the DuckDB twins'
     // fixed 6-bit derivation
     Seq(490L, 1470L, 5970L, 8192L).foreach(n => assert(bitsForLayer(n) === 6))
-    // past that, buckets stay in [64, 128) expected rows — never the
+    // past that, buckets stay in (32, 128] expected rows — never the
     // r12 cliff where N/2^bits > maxBucket kills every bucket
-    Seq(10000L, 20000L, 100000L, 1600000L, 100000000L, 10000000000L).foreach { n =>
+    Seq(10000L, 20000L, 100000L, 1600000L).foreach { n =>
       val b = bitsForLayer(n)
       val expectedBucket = n.toDouble / math.pow(2.0, b.toDouble)
       assert(expectedBucket <= 128.0 && expectedBucket > 32.0,
         s"n=$n bits=$b bucket=$expectedBucket")
     }
+    // past the build-volume gate (~4.2M) the target tightens to
+    // (12, 24] and the dense cap drops to ≤ 96, bounding the
+    // candidate pair shuffle by 8N·96 at any skew (the 6.4M ladder
+    // build materialized > 150 GB of pair traffic at the 64-row
+    // target — r13); each node still draws a ~6× candidate
+    // oversample for its top-2M edges
+    Seq(6400000L, 100000000L, 10000000000L).foreach { n =>
+      val b = bitsForLayer(n)
+      val expectedBucket = n.toDouble / math.pow(2.0, b.toDouble)
+      assert(expectedBucket <= 24.0 && expectedBucket > 12.0,
+        s"n=$n bits=$b bucket=$expectedBucket")
+      assert(graft.operators.GraphAnn.bucketCapFor(n, 256) === 96)
+    }
+    assert(graft.operators.GraphAnn.bucketCapFor(1600000L, 256) === 256)
   }
 
   test("past the old cliff the kNN stage still yields metric edges, not just the ring") {

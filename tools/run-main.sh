@@ -15,6 +15,7 @@ for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.security.action java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens ${p}=ALL-UNNAMED"
 done
+mkdir -p /dev/shm/graft-tmp
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx"$MEM" \
   -Djava.io.tmpdir=/dev/shm/graft-tmp \

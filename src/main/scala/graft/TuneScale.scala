@@ -93,7 +93,8 @@ object TuneScale {
     // optional serve-budget overrides (artifact reused — serve-only)
     // and the keyed maxLevel BUILD override
     Seq("baseHops" -> "BH", "upperHops" -> "UH", "upperEf" -> "UE",
-        "maxLevel" -> "MAXLEVEL").foreach {
+        "ef" -> "EF", "maxLevel" -> "MAXLEVEL",
+        "exhaustiveCap" -> "ECAP").foreach {
       case (knob, env) => sys.env.get(env).foreach(v =>
         spark.conf.set(s"spark.graft.graph.$knob", v))
     }
@@ -154,11 +155,11 @@ object TuneScale {
               // by the same session knobs the serve itself reads
               // (r13: the readout can no longer silently diverge
               // from the serve)
-              val (bhL, uhL, ueL) = graft.operators.GraphAnn.serveBudgetFor(pn)
+              val (bhL, uhL, ueL, efL) = graft.operators.GraphAnn.serveBudgetFor(pn)
               def knob(k: String, dflt: Int) =
                 spark.conf.getOption(s"spark.graft.graph.$k").map(_.toInt).getOrElse(dflt)
-              val (bh, uh, ue) = (knob("baseHops", bhL), knob("upperHops", uhL),
-                knob("upperEf", ueL))
+              val (bh, uh, ue, ef) = (knob("baseHops", bhL), knob("upperHops", uhL),
+                knob("upperEf", ueL), knob("ef", efL))
               // the shared law formula itself (exhaustive model-scale
               // layer + walks above it + base walk), at the
               // artifact's own degree — and never printed when a
@@ -171,7 +172,7 @@ object TuneScale {
               val explored =
                 if (overridden) "overridden"
                 else d.graphExploredBudget(mArt, pn, 10).toString
-              s"maxlevel=$lvl entries=$entries bh=$bh uh=$uh ue=$ue explored=$explored"
+              s"maxlevel=$lvl entries=$entries bh=$bh uh=$uh ue=$ue ef=$ef explored=$explored"
             } else {
               val cells = spark.read.parquet(s"$p/centroids").count()
               // the same resolver the serve uses (knob override or

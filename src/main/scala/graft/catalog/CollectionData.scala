@@ -1219,19 +1219,21 @@ class CollectionData(client: ChromaSpark) {
   /** Beam width for a graph-tier serve: `hnsw:search_ef` is the
     * user's calibrated candidate breadth and WINS when declared
     * (n_results ≤ search_ef already enforced by [[query]]); absent,
-    * ef = max(16·hops, n_results) — CONSTANT in corpus size. This is
-    * the r10 law change the hierarchy buys: the r9 flat graph needed
-    * ef = 2√N to hold recall (measured — hop/entry/M/stride sweeps
-    * recovered nothing), which capped recall at the 4096-ef bound
-    * past N ≈ 4M vectors. With query-local seeds from the layered
-    * descent the SAME constant ef that certifies the 490-row corpus
-    * holds the 0.9 floor at the 4× corpus (measured, spec-pinned),
-    * so explored rows per query grow as log N (layer count), not √N.
+    * ef = max(law base ef, n_results) — a CONSTANT per budget tier
+    * ([[graft.operators.GraphAnn.serveBudgetFor]]'s fourth value:
+    * 48 at fixture scale = the certified 16·hops, 64 above the scale
+    * gate, 96 above the build-volume gate where the bounded-volume
+    * edges need the wider beam — r13). This is the r10 law change
+    * the hierarchy buys: the r9 flat graph needed ef = 2√N to hold
+    * recall (measured — hop/entry/M/stride sweeps recovered
+    * nothing), which capped recall at the 4096-ef bound past N ≈ 4M
+    * vectors. With query-local seeds the ef never grows with N —
+    * only with the two one-time budget steps.
     */
   private[catalog] def graphBeamEf(searchEf: Option[Int], nResults: Int,
-                                   hops: Int): Int =
+                                   efLaw: Int): Int =
     searchEf.getOrElse(math.max(
-      graphServeKnob("spark.graft.graph.ef", GraphEfPerHop * hops),
+      graphServeKnob("spark.graft.graph.ef", efLaw),
       nResults))
 
   /** Explored-rows budget of one query under the layered serve — the
@@ -1251,12 +1253,12 @@ class CollectionData(client: ChromaSpark) {
     // bounded layer scan + walks · the stepped per-layer constant +
     // the base walk — a ≤-gate constant plus log₈(N/gate) walks,
     // still nothing polynomial.
-    val (bh, uh, ue) = graft.operators.GraphAnn.serveBudgetFor(n)
-    val baseWalk = bh.toLong * math.max(GraphEfPerHop * bh, nResults) * m
-    val gate = graft.operators.GraphAnn.ScaleGateRows
+    val (bh, uh, ue, efL) = graft.operators.GraphAnn.serveBudgetFor(n)
+    val baseWalk = bh.toLong * math.max(efL, nResults) * m
+    val cap = graft.operators.GraphAnn.ExhaustiveLayerCapRows
     val lStar =
-      if (n < gate) lMax
-      else (1 until lMax).find(l => graphLayerSize(n, m, l) <= gate)
+      if (n < graft.operators.GraphAnn.ScaleGateRows) lMax
+      else (1 until lMax).find(l => graphLayerSize(n, m, l) <= cap)
         .getOrElse(lMax)
     if (lStar < lMax)
       graphLayerSize(n, m, lStar) + (lStar - 1).toLong * uh * ue * m + baseWalk
@@ -1916,11 +1918,12 @@ class CollectionData(client: ChromaSpark) {
             // (the r12 ladder's constant-budget decay). The conf
             // knobs remain overrides, not the mechanism.
             val (_, gEntries, gN, gMaxLevel, gNGroups, gNpb, gM) = graphParams(idx)
-            val (bhLaw, uhLaw, ueLaw) =
+            val (bhLaw, uhLaw, ueLaw, efLaw) =
               graft.operators.GraphAnn.serveBudgetFor(gN)
             val gHops = graphServeKnob("spark.graft.graph.baseHops", bhLaw)
             val gUpperHops = graphServeKnob("spark.graft.graph.upperHops", uhLaw)
             val gUpperEf = graphServeKnob("spark.graft.graph.upperEf", ueLaw)
+            val gEfLaw = efLaw
             val baseAll = graft.operators.IndexCache.readCached(spark, s"$idx/base")
             val base =
               if (touched.nonEmpty) baseAll.filter(!col("id").isin(touched: _*))
@@ -1965,7 +1968,7 @@ class CollectionData(client: ChromaSpark) {
             // navigation actually works on. Sub-gate corpora (every
             // oracled fixture) keep the certified full walk serve.
             val exhaustCap = graphServeKnob("spark.graft.graph.exhaustiveCap",
-              graft.operators.GraphAnn.ScaleGateRows.toInt,
+              graft.operators.GraphAnn.ExhaustiveLayerCapRows.toInt,
               warnOnDeviation = false).toLong
             val lStar: Int =
               if (gN < graft.operators.GraphAnn.ScaleGateRows) gMaxLevel
@@ -2062,7 +2065,7 @@ class CollectionData(client: ChromaSpark) {
             val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
             val beam = graft.operators.GraphAnn.beamSearchSeeded(
               qframe, corpus, graph, seeds,
-              ef = graphBeamEf(searchEf, nResults, gHops),
+              ef = graphBeamEf(searchEf, nResults, gEfLaw),
               hops = gHops, dist, pbBuckets = Some(gNpb),
               broadcastFrontier = graphBroadcastFrontier)
             // GROUP EXPANSION (r11, the dedup-aware build's serve

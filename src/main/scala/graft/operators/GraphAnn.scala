@@ -107,7 +107,7 @@ object GraphAnn {
     if (n <= 8192L) 6
     else if (n < BuildVolumeGateRows)
       math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt
-    else math.ceil(math.log(n / 24.0) / math.log(2.0)).toInt
+    else math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt
 
   /** Row gate for the BUILD-VOLUME tier of the candidate laws (r13):
     * past ~4.2M rows the kNN stage's pair volume Σ b·min(b, cap) —
@@ -115,13 +115,16 @@ object GraphAnn {
     * at the cef cap) must carry — outgrows a single box's scratch
     * space (the 6.4M ladder build materialized > 150 GB of candidate
     * traffic at the 64-row bucket target and died on it, twice).
-    * Above the gate the expected bucket tightens to ~24 rows
+    * Above the gate the expected bucket tightens to ~32 rows
     * ([[bitsForLayer]]'s third tier) and the dense-bucket cap drops
-    * to ≤ 96 ([[bucketCapFor]]): each node still draws ~8·24 ≈ 190
-    * candidates for its top-2M edges (a 6× oversample), while the
-    * worst-case pair volume is bounded by 8N·96 regardless of how
-    * the corpus clusters. Ladder-certified at 6.4M (the only
-    * affected point — every smaller artifact is bit-identical).
+    * to ≤ 128 ([[bucketCapFor]]): each node still draws ~8·32 ≈ 250
+    * candidates for its top-2M edges (an ~8× oversample — the first
+    * cut at 24/96 measured a recall tail at 6.4M: base edges from a
+    * 6× pool left min-recall 0.50 queries that 8× repairs), while
+    * the worst-case pair volume stays bounded by 8N·128 regardless
+    * of how the corpus clusters (~25% of the unbounded 6.4M build's
+    * shuffle, which twice outgrew local scratch). Ladder-certified
+    * at 6.4M — every smaller artifact is bit-identical.
     */
   val BuildVolumeGateRows = 4194304L
 
@@ -131,7 +134,7 @@ object GraphAnn {
     * [[BuildVolumeGateRows]].
     */
   def bucketCapFor(n: Long, cef: Int): Int =
-    if (n < BuildVolumeGateRows) cef else math.min(cef, 96)
+    if (n < BuildVolumeGateRows) cef else math.min(cef, 128)
 
   /** Metric- and id-type-generic kNN-graph build — the collection
     * tier's entry point (string ids, the collection's own distance).
@@ -251,12 +254,13 @@ object GraphAnn {
     * scale-serve's exhaustive model-scale layer reads it outright —
     * an a13 artifact's levels lack the column the a14 serve scores.
     * a15 = the build-volume tier ([[BuildVolumeGateRows]]): past
-    * ~4.2M rows the candidate buckets tighten (target 24, cap ≤ 96)
-    * so the pair shuffle stays bounded — artifacts below the gate
-    * are bit-identical to a14, but the version string is the
-    * stale-serve contract and it stays honest.
+    * ~4.2M rows the candidate buckets tighten so the pair shuffle
+    * stays bounded — artifacts below the gate are bit-identical to
+    * a14, but the version string is the stale-serve contract and it
+    * stays honest. a16 = the tier's constants loosen 24/96 → 32/128
+    * (the 6.4M recall-tail measurement).
     */
-  val GraphAlgoVersion = "a15"
+  val GraphAlgoVersion = "a16"
 
   /** Id-hash bucket — the partition column the graph tier's `base`
     * and `edges` relations are laid out by (r12): deriving it on the
@@ -300,24 +304,48 @@ object GraphAnn {
     */
   val ScaleGateRows = 65536L
 
-  /** Serve-time search budget (baseHops, upperHops, upperEf) for a
-    * graph artifact over `n` indexed rows — the LAW the r12 verdict
-    * asked for in place of a manual knob (r13): the TuneScale ladder
-    * measured recall at the constant fixture budget (3, 2, 64)
-    * decaying 0.940→0.871 mean with p10 = 0.00 from 400k rows up
-    * (whole-basin misses), while the stepped budget (4, 3, 128)
-    * holds mean ≥ 0.95 / p10 = 1.00 across 100k→6.4M at ~2.4× the
-    * constant cost — still ∝ log N, since the step multiplies the
-    * per-layer constant and leaves the layer count as the only
-    * N-term (re-measured table in ARCHITECTURE.md r13). Below the
-    * gate the fixture constants are the certified optimum (recall
-    * 1.000 on every driver fixture); the serve knobs
-    * (`spark.graft.graph.{baseHops,upperHops,upperEf}`) override the
-    * law either way, now as genuine overrides instead of the only
-    * way to hold recall at scale.
+  /** Serve-time search budget (baseHops, upperHops, upperEf, baseEf)
+    * for a graph artifact over `n` indexed rows — the LAW the r12
+    * verdict asked for in place of a manual knob (r13): the TuneScale
+    * ladder measured recall at the constant fixture budget (3, 2, 64,
+    * 48) decaying 0.940→0.871 mean with p10 = 0.00 from 400k rows up
+    * (whole-basin misses), while the stepped budget (4, 3, 128, 64) —
+    * paired with the exhaustive model-scale seed layer — measures
+    * 0.990/1.000/1.000 mean at 100k/400k/1.6M with zero basin misses
+    * (ARCHITECTURE.md r13 tables). Past the BUILD-VOLUME gate the
+    * base beam widens once more to 96: the bounded-volume edges draw
+    * from an ~8× candidate oversample instead of ~20×, and the wider
+    * beam buys the lost granularity back (6.4M: 0.956→0.970 mean /
+    * p10 0.80→0.90; ef 128 measures the same 0.971 — 96 is the
+    * knee). Still ∝ log N everywhere: the steps multiply per-layer
+    * constants and leave the layer count as the only N-term. Below
+    * the gate the fixture constants are the certified optimum
+    * (recall 1.000 on every driver fixture); the serve knobs
+    * (`spark.graft.graph.{baseHops,upperHops,upperEf,ef}`) override
+    * the law either way, now as genuine overrides instead of the
+    * only way to hold recall at scale.
     */
-  def serveBudgetFor(n: Long): (Int, Int, Int) =
-    if (n < ScaleGateRows) (3, 2, 64) else (4, 3, 128)
+  def serveBudgetFor(n: Long): (Int, Int, Int, Int) =
+    if (n < ScaleGateRows) (3, 2, 64, 48)
+    else if (n < BuildVolumeGateRows) (4, 3, 128, 64)
+    else (4, 3, 128, 96)
+
+  /** Cap on the layer the scale serve scores EXHAUSTIVELY (r13): 2×
+    * the scale gate. The exhaustive layer is the largest one at or
+    * under this law size, so its realized size sits in (cap/M, cap]
+    * — the basin-coverage knob: a corpus structured as B clusters
+    * leaves ~e^(−layerSize/B) of them unrepresented in a sampled
+    * layer, and every uncovered basin is a potential whole-basin
+    * miss (intra-basin kNN edges give walks no route in). At 6.4M
+    * rows a 65,536 cap picked the 12.5k-row layer (~3 rows/basin at
+    * the ladder's 4,096 basins — e^−3 ≈ 5% uncovered, exactly the 5
+    * measured misses); 131,072 picks the 100k-row layer (~24/basin,
+    * coverage ≈ 1) and the misses vanish — measured, not
+    * extrapolated. Still a CONSTANT: explored rows stay ≤ cap +
+    * walks·(uh·ue·m) + base walk, and the per-batch layer scan
+    * amortizes across the query batch.
+    */
+  val ExhaustiveLayerCapRows = 131072L
 
   def beamSearchSeeded(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
                        seeds: DataFrame, ef: Int, hops: Int,

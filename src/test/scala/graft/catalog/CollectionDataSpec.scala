@@ -647,11 +647,11 @@ class CollectionDataSpec extends SparkSpec {
       assert(top >= 1L && top <= 8L, s"top layer at n=$n not model-scale: $top")
     }
     // 3) ef is CONSTANT in N (the hierarchy's point): no corpus term
-    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
-    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
-    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200) // search_ef wins
-    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
-    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
+    assert(d.graphBeamEf(None, 10, efLaw = 48) === 48)
+    assert(d.graphBeamEf(None, 100, efLaw = 48) === 100)
+    assert(d.graphBeamEf(Some(200), 10, efLaw = 48) === 200) // search_ef wins
+    assert(d.graphBeamEf(Some(12), 10, efLaw = 48) === 12)
+    assert(d.graphBeamEf(None, 10, efLaw = 96) === 96)
     // 4) explored-rows budget grows ∝ log N — pinned against the
     //    layer count itself, REPLACING the flat graph's √N term.
     //    Below the 65,536-row scale gate (r13 law) each 8× adds one
@@ -668,10 +668,14 @@ class CollectionDataSpec extends SparkSpec {
     val perLayerSub = 2L * 64L * 8L   // uh·ue·m below the gate
     val perLayerScale = 3L * 128L * 8L // uh·ue·m above it
     val gate = graft.operators.GraphAnn.ScaleGateRows
+    val volGate = graft.operators.GraphAnn.BuildVolumeGateRows
     budgets.sliding(2).zip(ns.sliding(2)).foreach { case (Seq(a, b), Seq(n1, n2)) =>
+      // crossing the build-volume gate carries the one-time base-beam
+      // widening (64→96: 32·bh·m extra rows) on top of its walk
+      val efStep = if (n1 < volGate && n2 >= volGate) 32L * 4 * 8 else 0L
       val bound =
         if (n1 < gate && n2 >= gate) gate // one-time step ≤ the gate cap
-        else if (n2 >= gate) perLayerScale + 8L
+        else if (n2 >= gate) perLayerScale + efStep + 8L
         else perLayerSub + 8L
       assert(b - a <= bound,
         s"budget step exceeds its tier's law: $budgets for $ns")
@@ -1213,11 +1217,11 @@ class CollectionDataSpec extends SparkSpec {
     // beam-width law: search_ef wins when declared; otherwise
     // ef = max(16·hops, n_results) — CONSTANT in corpus size (r10:
     // the hierarchy's descent replaced the flat graph's √N term)
-    assert(d.graphBeamEf(None, 10, hops = 3) === 48)
-    assert(d.graphBeamEf(None, 100, hops = 3) === 100)
-    assert(d.graphBeamEf(Some(200), 10, hops = 3) === 200)
-    assert(d.graphBeamEf(Some(12), 10, hops = 3) === 12)
-    assert(d.graphBeamEf(None, 10, hops = 6) === 96)
+    assert(d.graphBeamEf(None, 10, efLaw = 48) === 48)
+    assert(d.graphBeamEf(None, 100, efLaw = 48) === 100)
+    assert(d.graphBeamEf(Some(200), 10, efLaw = 48) === 200)
+    assert(d.graphBeamEf(Some(12), 10, efLaw = 48) === 12)
+    assert(d.graphBeamEf(None, 10, efLaw = 96) === 96)
 
     cl.createCollection("gf", Some(Map("hnsw:space" -> "cosine", "hnsw:M" -> "8")))
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

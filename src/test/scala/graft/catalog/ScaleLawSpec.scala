@@ -29,46 +29,65 @@ class ScaleLawSpec extends SparkSpec {
     // each x8 adds exactly one layer...
     val levels = sizes.map(n => cd.graphMaxLevelFor(m, n))
     assert(levels === Seq(4, 5, 6, 7, 8))
-    // ...and one layer costs one constant upper walk (uh·ue·m per
-    // the serve-budget LAW — (3,2,64) below the 65,536-row scale
-    // gate, (4,3,128) above it, r13) plus the shrinking top-layer
-    // scan. The 10k→80k step CROSSES the gate, so that one delta
-    // also carries the law's single budget step-up (~2.4× — the
-    // price of holding the measured recall floor, paid once);
-    // every later x8 is one constant walk again: explored ∝ log N,
-    // nothing polynomial, at both budget tiers.
+    // ...and the whole budget obeys the r13 scale-serve law at every
+    // point: one exhaustive model-scale layer (≤ the 131,072-row
+    // cap — the basin-coverage constant), plus one stepped walk per
+    // layer too big to enumerate, plus the constant base walk.
+    // Nothing polynomial: the N-terms are the layer count (log₈ N)
+    // and the cap-bounded exhaustive scan.
     val perLayerAbove = 3L * 128 * m // uh·ue·m at the scale tier
+    val baseMax = 4L * 96 * m        // bh·ef·m at the volume tier
+    val cap = graft.operators.GraphAnn.ExhaustiveLayerCapRows
+    sizes.zip(budgets).zip(levels).foreach { case ((n, b), lvl) =>
+      assert(b <= cap + (lvl - 1).toLong * perLayerAbove + baseMax,
+        s"budget at $n exceeds cap + walks + base: $b")
+    }
+    // once the exhaustive layer size stabilizes (8×-aligned sizes
+    // from 640k up all pick an 80,000-row layer), each further x8
+    // adds EXACTLY one stepped walk — plus, at the 640k→5.12M step,
+    // the one-time base-beam widening 64→96 the build-volume gate
+    // pays (32·bh·m rows)
     val deltas = budgets.sliding(2).map { case Seq(a, b) => b - a }.toSeq
-    deltas.tail.foreach(d => assert(d > 0 && d <= perLayerAbove + 16,
-      s"explored delta per x8 must be one constant walk, got $d"))
-    // the gate step: bounded by the full stepped budget — one-time,
-    // NOT a new growth term (every subsequent delta is flat again)
-    assert(deltas.head > 0 && deltas.head <= budgets.head * 3,
-      s"gate step must be a bounded one-time step, got ${deltas.head} from ${budgets.head}")
+    val efStep = 32L * 4 * m
+    assert(deltas(2) === perLayerAbove + efStep,
+      s"640k->5.12M must be one walk + the beam step, got ${deltas(2)}")
+    assert(deltas(3) === perLayerAbove,
+      s"5.12M->41M must be exactly one stepped walk, got ${deltas(3)}")
+    // every sub-stabilization delta is a bounded one-time step, not
+    // a growth term: the gate crossing ≤ 3× the prior budget, the
+    // exhaustive-layer drift ≤ the cap itself
+    assert(deltas(0) > 0 && deltas(0) <= budgets(0) * 3,
+      s"gate step must be bounded, got ${deltas(0)}")
+    assert(deltas(1) > 0 && deltas(1) <= cap,
+      s"exhaustive-layer drift must stay under the cap, got ${deltas(1)}")
     // fitted growth exponent: on log-log axes a power law explored ∝
     // N^p has slope p = dlog(budget)/dlog(N); for a log-growth curve
     // the slope must collapse toward 0 as N grows — far below even
-    // the r9 flat graph's p = 1/2. The head slope carries the gate
-    // step, so the monotone-shrink pin starts after it.
+    // the r9 flat graph's p = 1/2 once past the one-time steps.
     val slopes = sizes.zip(budgets).sliding(2).map {
       case Seq((n1, b1), (n2, b2)) =>
         math.log(b2.toDouble / b1) / math.log(n2.toDouble / n1)
     }.toSeq
     assert(slopes.last < 0.1, s"tail growth exponent ${slopes.last} not log-like")
-    assert(slopes.tail == slopes.tail.sorted.reverse, "slope must shrink as N grows")
   }
 
-  test("graph serve-budget law: fixture constants below the gate, one certified step above, knob overrides win") {
-    import graft.operators.GraphAnn.{serveBudgetFor, ScaleGateRows}
+  test("graph serve-budget law: fixture constants below the gate, certified steps above, knob overrides win") {
+    import graft.operators.GraphAnn.{serveBudgetFor, ScaleGateRows,
+      BuildVolumeGateRows}
     // every oracled corpus (≤ 5,970 rows) serves the certified
     // fixture constants — the DuckDB twins replay them literally
     Seq(490L, 1470L, 5970L, ScaleGateRows - 1).foreach(n =>
-      assert(serveBudgetFor(n) === ((3, 2, 64)), s"sub-gate budget at $n"))
+      assert(serveBudgetFor(n) === ((3, 2, 64, 48)), s"sub-gate budget at $n"))
     // at and above the gate: the ladder-measured stepped budget that
     // holds the recall floor (ARCHITECTURE.md r13 table)
-    Seq(ScaleGateRows, 100000L, 400000L, 1600000L, 6400000L,
-        1000000000L).foreach(n =>
-      assert(serveBudgetFor(n) === ((4, 3, 128)), s"scale budget at $n"))
+    Seq(ScaleGateRows, 100000L, 400000L, 1600000L,
+        BuildVolumeGateRows - 1).foreach(n =>
+      assert(serveBudgetFor(n) === ((4, 3, 128, 64)), s"scale budget at $n"))
+    // at and above the build-volume gate the base beam widens once
+    // more (96 — the bounded-volume-edges compensation, measured at
+    // 6.4M: 0.956→0.970 mean / p10 0.80→0.90, saturating at 128)
+    Seq(BuildVolumeGateRows, 6400000L, 1000000000L).foreach(n =>
+      assert(serveBudgetFor(n) === ((4, 3, 128, 96)), s"volume-tier budget at $n"))
     // the serve reads the law through graphServeKnob, so a session
     // override still wins (sweep/ops discipline) — and is a genuine
     // override now, not the only way to hold recall
@@ -125,17 +144,18 @@ class ScaleLawSpec extends SparkSpec {
         s"n=$n bits=$b bucket=$expectedBucket")
     }
     // past the build-volume gate (~4.2M) the target tightens to
-    // (12, 24] and the dense cap drops to ≤ 96, bounding the
-    // candidate pair shuffle by 8N·96 at any skew (the 6.4M ladder
+    // (16, 32] and the dense cap drops to ≤ 128, bounding the
+    // candidate pair shuffle by 8N·128 at any skew (the 6.4M ladder
     // build materialized > 150 GB of pair traffic at the 64-row
-    // target — r13); each node still draws a ~6× candidate
-    // oversample for its top-2M edges
+    // target — r13); each node still draws an ~8× candidate
+    // oversample for its top-2M edges (the first cut at 24/96
+    // measured a base-edge recall tail at 6.4M)
     Seq(6400000L, 100000000L, 10000000000L).foreach { n =>
       val b = bitsForLayer(n)
       val expectedBucket = n.toDouble / math.pow(2.0, b.toDouble)
-      assert(expectedBucket <= 24.0 && expectedBucket > 12.0,
+      assert(expectedBucket <= 32.0 && expectedBucket > 16.0,
         s"n=$n bits=$b bucket=$expectedBucket")
-      assert(graft.operators.GraphAnn.bucketCapFor(n, 256) === 96)
+      assert(graft.operators.GraphAnn.bucketCapFor(n, 256) === 128)
     }
     assert(graft.operators.GraphAnn.bucketCapFor(1600000L, 256) === 256)
   }

@@ -160,6 +160,92 @@ class ScaleLawSpec extends SparkSpec {
     assert(graft.operators.GraphAnn.bucketCapFor(1600000L, 256) === 256)
   }
 
+  test("scale serve integration: past the gate the descent seeds from the exhaustive model-scale layer, no upper walks, recall holds") {
+    import org.apache.spark.sql.functions.{col => cc, format_string}
+    // 66,000 rows — just past the 65,536 scale gate: the ONLY
+    // automated exercise of the lStar serve branch (every driver
+    // fixture is sub-gate BY DESIGN so the DuckDB twins replay the
+    // certified walk constants; the ladder certifies this path by
+    // hand at 100k–6.4M). dim 8 / 512 centers keeps the build tens
+    // of seconds at the suite's local[4] while the LAW inputs (row
+    // count, layer sizes) are exactly the scale regime's.
+    val n = 66000L
+    val corpus = graft.TuneScale.vectors(spark, 0L, n, 8, 512)
+      .localCheckpoint(true)
+    val wh = java.nio.file.Files.createTempDirectory("graft-scaleserve").toString
+    val c = new ChromaSpark(spark, wh)
+    val d = new CollectionData(c)
+    c.createCollection("ss", Some(Map("hnsw:space" -> "cosine",
+      "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
+    d.add("ss", corpus.select(
+      format_string("v%09d", cc("vec_id")).as("id"), cc("embedding")))
+    val queries = graft.TuneScale.vectors(spark, n, n + 15L, 8, 512)
+      .select(cc("vec_id").as("query_id"), cc("embedding").as("qvec"))
+      .localCheckpoint(true)
+    val res = d.query("ss", queries, nResults = 10, include = Nil)
+    val served = res.collect().map(r =>
+      (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id"))))
+    // 1) the artifact is the a14+ scale shape: levels carries the
+    //    member VECTOR (the whole hierarchy above the base reads one
+    //    relation) and the scale layout law is recorded
+    val scanned = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val idx = scanned.find(_.contains("collgraph"))
+      .getOrElse(fail("not serving from the graph tier"))
+      .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params|groups)(/.*)?$", "")
+      .replaceAll("^file:", "") // rootPaths are URIs; Files.* wants paths
+    assert(spark.read.parquet(s"$idx/levels").columns.toSet ===
+      Set("vec_id", "lvl", "vec"))
+    val pr = spark.read.parquet(s"$idx/params").head()
+    assert(pr.getInt(pr.fieldIndex("npb")) ===
+      graft.operators.GraphAnn.pbBucketsFor(n))
+    assert(graft.operators.GraphAnn.serveBudgetFor(
+      pr.getLong(pr.fieldIndex("n"))) === ((4, 3, 128, 64)))
+    // 3) recall vs brute cosine truth over the collection state —
+    //    the law's point is that the floor HOLDS here (the ladder
+    //    measures 0.99–1.00 from 100k up; 0.85 absorbs the 15-query
+    //    fixture's quantization)
+    val brute = queries.crossJoin(
+        d.get("ss", include = Seq("embeddings"))
+          .select(cc("id"), cc("embedding")))
+      .select(cc("query_id"), cc("id"),
+        graft.operators.VectorOps.cosine(cc("qvec"), cc("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cc("query_id"))
+          .orderBy(cc("s").desc, cc("id").asc)))
+      .filter(cc("r") <= 10).select(cc("query_id"), cc("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hits = served.count(brute.contains)
+    assert(hits >= 128, s"scale-serve recall@10 below 0.85: $hits/150")
+    // 4) the sharpest behavioral proof that the descent really runs
+    //    the EXHAUSTIVE path: above the gate the upper-layer edges
+    //    and the entry list are not load-bearing (the model-scale
+    //    layer's true top-ue supersedes every walk through the
+    //    nested layers above it) — delete them from the artifact and
+    //    the serve must return the IDENTICAL rows. A walk-path serve
+    //    would fail outright reading edges_l1. (Plan inspection
+    //    cannot see this: the between-layer localCheckpoint
+    //    truncates the seed subtree out of the final plan.)
+    import java.util.Comparator
+    val lvlCount = pr.getInt(pr.fieldIndex("maxlevel"))
+    (1 until lvlCount).foreach { l =>
+      val pth = java.nio.file.Paths.get(s"$idx/edges_l$l")
+      if (java.nio.file.Files.exists(pth))
+        java.nio.file.Files.walk(pth).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    val entPath = java.nio.file.Paths.get(s"$idx/entries")
+    java.nio.file.Files.walk(entPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    val served2 = d.query("ss", queries, nResults = 10, include = Nil)
+      .collect().map(r =>
+        (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id")))).toSet
+    assert(served2 === served.toSet,
+      "scale serve must not depend on upper-layer edges or the entry list")
+  }
+
   test("past the old cliff the kNN stage still yields metric edges, not just the ring") {
     import org.apache.spark.sql.functions.{col => cc, countDistinct}
     // 80k direction-uniform rows (5x past 64*256, the fixed-width

@@ -167,8 +167,9 @@ object TuneScale {
               // would pair a wrong budget with the measured recall
               // (r13 review)
               val mArt = pr.getInt(pr.fieldIndex("m"))
-              val overridden = Seq("baseHops", "upperHops", "upperEf", "ef")
-                .exists(k => spark.conf.getOption(s"spark.graft.graph.$k").isDefined)
+              val overridden =
+                Seq("baseHops", "upperHops", "upperEf", "ef", "exhaustiveCap")
+                  .exists(k => spark.conf.getOption(s"spark.graft.graph.$k").isDefined)
               val explored =
                 if (overridden) "overridden"
                 else d.graphExploredBudget(mArt, pn, 10).toString

@@ -1070,7 +1070,6 @@ class CollectionData(client: ChromaSpark) {
 
   private val GraphDefaultM = 8
   private val GraphDefaultCef = 256
-  private val GraphEfPerHop = 16
 
   /** Base-layer walk length — CONSTANT (r10, the layered-hierarchy
     * law change). The r9 flat graph had to derive hops = ⌈log_M N⌉
@@ -1481,7 +1480,7 @@ class CollectionData(client: ChromaSpark) {
     def navigableEdges(layerCorpus: DataFrame, layerN: Long): DataFrame = {
       val knn2m = graft.operators.GraphAnn
         .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim,
-          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef),
+          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef, 2 * m),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
           strides = Seq.empty)
       val undirected = knn2m
@@ -1555,7 +1554,7 @@ class CollectionData(client: ChromaSpark) {
       graft.operators.GraphAnn
         .buildKnnGraphDist(corpus.join(members, "vec_id"), m, dist,
           dim = dim,
-          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef),
+          maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef, m),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN))
         .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
     }

@@ -130,11 +130,16 @@ object GraphAnn {
 
   /** Effective dense-bucket skip cap for an N-row layer: the
     * caller's `cef` (the user's construction-pool knob) below the
-    * build-volume gate, min(cef, 96) above it — see
-    * [[BuildVolumeGateRows]].
+    * build-volume gate, min(cef, 128) above it — floored at
+    * `degree + 1` so a node can still fill its requested degree
+    * from one bucket (the graphKnobs cef ≥ M+1 contract survives
+    * the cap: an hnsw:M ≥ 64 collection at the volume tier would
+    * otherwise quietly go sparse at exactly the scale the cap
+    * protects). See [[BuildVolumeGateRows]].
     */
-  def bucketCapFor(n: Long, cef: Int): Int =
-    if (n < BuildVolumeGateRows) cef else math.min(cef, 128)
+  def bucketCapFor(n: Long, cef: Int, degree: Int = 16): Int =
+    if (n < BuildVolumeGateRows) cef
+    else math.min(cef, math.max(128, degree + 1))
 
   /** Metric- and id-type-generic kNN-graph build — the collection
     * tier's entry point (string ids, the collection's own distance).

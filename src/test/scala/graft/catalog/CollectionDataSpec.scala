@@ -646,7 +646,8 @@ class CollectionDataSpec extends SparkSpec {
       val top = d.graphLayerSize(n, 8, d.graphMaxLevelFor(8, n))
       assert(top >= 1L && top <= 8L, s"top layer at n=$n not model-scale: $top")
     }
-    // 3) ef is CONSTANT in N (the hierarchy's point): no corpus term
+    // 3) ef never carries a corpus term (the hierarchy's point) —
+    //    only the law tier's constant (serveBudgetFor's 4th value)
     assert(d.graphBeamEf(None, 10, efLaw = 48) === 48)
     assert(d.graphBeamEf(None, 100, efLaw = 48) === 100)
     assert(d.graphBeamEf(Some(200), 10, efLaw = 48) === 200) // search_ef wins
@@ -1215,8 +1216,9 @@ class CollectionDataSpec extends SparkSpec {
     val d = new CollectionData(cl)
 
     // beam-width law: search_ef wins when declared; otherwise
-    // ef = max(16·hops, n_results) — CONSTANT in corpus size (r10:
-    // the hierarchy's descent replaced the flat graph's √N term)
+    // ef = max(law base ef, n_results) — the serveBudgetFor 4-tuple's
+    // fourth value (48/64/96 per budget tier, r13), never a corpus
+    // term (r10: the hierarchy's descent replaced the flat √N law)
     assert(d.graphBeamEf(None, 10, efLaw = 48) === 48)
     assert(d.graphBeamEf(None, 100, efLaw = 48) === 100)
     assert(d.graphBeamEf(Some(200), 10, efLaw = 48) === 200)

@@ -55,35 +55,56 @@ object TuneScale {
     // them OOM'd the r12 6.4M ladder point. Artifacts (the small
     // output) stay on the tmpfs cache; only transient shuffle state
     // moves to disk.
+    // SCALE_LOCAL_DIR is now OPTIONAL (r14): the build-volume tier
+    // stages its candidate scoring in capacity-bounded waves
+    // ([[graft.operators.GraphAnn.wavesForVolume]]), so the big
+    // ladder points complete on Spark's DEFAULT local dirs — the
+    // env var remains an ops override for pooling extra scratch.
     // comma-separated list supported (Spark spreads blocks round-robin
-    // across the dirs): the 6.4M build's candidate shuffle outgrows
-    // this box's 80 GB disk alone, so the big ladder points pool the
-    // disk with a bounded tmpfs slice
-    // NOTE the startup wipe makes concurrent TuneScale processes
-    // sharing one SCALE_LOCAL_DIR mutually destructive — parallel
-    // runs must each set their own (the tools/run-main.sh pattern).
-    // Spark splits spark.local.dir on ',' WITHOUT trimming, so the
-    // wiped/created paths and the ones Spark writes to must come
-    // from the same trimmed list.
-    val localDirs = sys.env.getOrElse("SCALE_LOCAL_DIR", "/root/tmp/graft-scale-local")
-      .split(",").map(_.trim).filter(_.nonEmpty)
+    // across the dirs). Spark splits spark.local.dir on ',' WITHOUT
+    // trimming, so the wiped/created paths and the ones Spark writes
+    // to must come from the same trimmed list.
+    //
+    // Wipe guard (r14, closing the r13 advisory): the startup wipe
+    // only ever deletes a directory this harness itself created — it
+    // must contain the marker file a previous run wrote (or not
+    // exist yet / be empty). A mis-set SCALE_LOCAL_DIR pointing at a
+    // home dir or shared scratch now fails loudly instead of being
+    // silently destroyed. The marker also documents the standing
+    // hazard: concurrent TuneScale processes sharing one
+    // SCALE_LOCAL_DIR are mutually destructive — parallel runs must
+    // each set their own (the tools/run-main.sh pattern).
+    val Marker = ".graft-scale-scratch"
+    val localDirs = sys.env.get("SCALE_LOCAL_DIR").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     localDirs.foreach { one =>
       val ldPath = java.nio.file.Paths.get(one)
       if (java.nio.file.Files.exists(ldPath)) {
+        val hasMarker = java.nio.file.Files.exists(ldPath.resolve(Marker))
+        val isEmpty = {
+          val s = java.nio.file.Files.list(ldPath)
+          try s.findFirst().isEmpty finally s.close()
+        }
+        require(hasMarker || isEmpty,
+          s"SCALE_LOCAL_DIR entry '$one' exists, is non-empty, and has no " +
+            s"$Marker marker from a previous TuneScale run — refusing to " +
+            "wipe a directory this harness did not create. Point the env " +
+            "var at a fresh/dedicated scratch path.")
         import java.util.Comparator
         java.nio.file.Files.walk(ldPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.delete(f))
       }
       java.nio.file.Files.createDirectories(ldPath)
+      java.nio.file.Files.createFile(ldPath.resolve(Marker))
     }
-    val localDir = localDirs.mkString(",")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.driver.maxResultSize", "4g")
-      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (localDirs.nonEmpty)
+        builder0.config("spark.local.dir", localDirs.mkString(","))
+      else builder0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sizes = sys.env.getOrElse("SIZES", "100000").split(",").map(_.trim.toLong)
     val nq = sys.env.get("NQ").map(_.toInt).getOrElse(100)

@@ -1257,9 +1257,11 @@ class CollectionData(client: ChromaSpark) {
     val cap = graft.operators.GraphAnn.ExhaustiveLayerCapRows
     val lStar =
       if (n < graft.operators.GraphAnn.ScaleGateRows) lMax
+      else if (n <= cap) 0 // exhaustive-base band (r14): serve is exact
       else (1 until lMax).find(l => graphLayerSize(n, m, l) <= cap)
         .getOrElse(lMax)
-    if (lStar < lMax)
+    if (lStar == 0) n // one ≤-cap base scan, no walks, no edge reads
+    else if (lStar < lMax)
       graphLayerSize(n, m, lStar) + (lStar - 1).toLong * uh * ue * m + baseWalk
     else
       graphLayerSize(n, m, lMax) + (lMax - 1).toLong * uh * ue * m + baseWalk
@@ -1477,23 +1479,31 @@ class CollectionData(client: ChromaSpark) {
     // twins' fixed derivation stays exact), widening past that so the
     // expected bucket stays ~64 rows and the dense-bucket skip never
     // swallows the whole layer (the r12 scale-audit cliff).
+    // The kNN stage returns (src, dst, d) with d = dist(src, dst)
+    // EXACT (GraphAnn.knnTopD) — and every collection metric
+    // (cosine, l2, ip) is symmetric AND bitwise symmetric in the
+    // generated code (a·b ≡ b·a per position; (a−b)² ≡ (b−a)²; same
+    // summation order), so the reverse edge reuses d and the re-cap
+    // ranks on carried distances. The previous shape re-joined the
+    // layer's vectors onto BOTH endpoints of the symmetrized edge
+    // set to recompute ed — at 25.6M rows that is ~2·N·2M edge rows
+    // × dim floats ≈ 10²-GB of vector-carrying shuffle (the largest
+    // transient of the build after the candidate stage itself) for
+    // values the build had already computed. Values are bit-identical
+    // either way; the ed column merely stops being recomputed (r14).
     def navigableEdges(layerCorpus: DataFrame, layerN: Long): DataFrame = {
       val knn2m = graft.operators.GraphAnn
-        .buildKnnGraphDist(layerCorpus, 2 * m, dist, dim = dim,
+        .knnTopD(layerCorpus, 2 * m, dist, dim = dim,
           maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef, 2 * m),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
-          strides = Seq.empty)
+          n = layerN)
       val undirected = knn2m
-        .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      val vec = layerCorpus.select(col("vec_id"), col("vec"))
-      val scored = undirected
-        .join(vec.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
-        .join(vec.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
-        .select(col("src"), col("dst"), dist(col("sv"), col("dv")).as("ed"))
+        .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst"),
+          col("d")))
+        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("ed"))
       val wCap = Window.partitionBy(col("src"))
         .orderBy(col("ed").asc, col("dst").asc)
-      val capped = scored
+      val capped = undirected
         .withColumn("r", row_number().over(wCap))
         .filter(col("r") <= 3 * m)
         .select(col("src"), col("dst"))
@@ -1555,7 +1565,8 @@ class CollectionData(client: ChromaSpark) {
         .buildKnnGraphDist(corpus.join(members, "vec_id"), m, dist,
           dim = dim,
           maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef, m),
-          bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN))
+          bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
+          layerN = layerN)
         .write.mode("overwrite").parquet(s"$scratch/edges_l$l")
     }
     // entries = top-layer membership (⌈N/M^L⌉ ≤ M ids whenever the
@@ -1567,7 +1578,15 @@ class CollectionData(client: ChromaSpark) {
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/entries")
     val sp = spark
     import sp.implicits._
-    Seq((n, m, cef, entries, GraphBaseHopsDefault, maxLevel, nGroupMembers, npb))
+    // `hops` is a READOUT column (the serve derives its walk length
+    // from serveBudgetFor at query time, never from params) — record
+    // the law value for the artifact's own N so the recorded budget
+    // matches what the serve will actually run (r14, closing the
+    // r13 readout-divergence advisory: GraphBaseHopsDefault=3 was
+    // recorded unconditionally while above-gate serves walk bh=4).
+    Seq((n, m, cef, entries,
+        graft.operators.GraphAnn.serveBudgetFor(n)._1,
+        maxLevel, nGroupMembers, npb))
       .toDF("n", "m", "cef", "entries", "hops", "maxlevel", "ngroups", "npb")
       .coalesce(1).write.mode("overwrite").parquet(s"$scratch/params")
   }
@@ -1867,7 +1886,14 @@ class CollectionData(client: ChromaSpark) {
                             searchEf: Option[Int] = None): Option[DataFrame] =
     state.flatMap { case (idx, _, touched, deltaLive) =>
       (idx, touched, deltaLive) match {
-        case (idx, touched, deltaLive) if Files.exists(Paths.get(idx, "edges")) =>
+        // Tier dispatch keys on the artifact KIND (its cache-key
+        // prefix — the same idiom the pointer validation uses), not
+        // on a data file's existence: the r14 exhaustive-base band
+        // serves a graph artifact without ever reading `edges`, so
+        // an edges-existence probe both misroutes diagnostic states
+        // and implies a dependence the band doesn't have.
+        case (idx, touched, deltaLive)
+            if Paths.get(idx).getFileName.toString.startsWith("collgraph-") =>
           // GRAPH tier (hnsw:M / hnsw:construction_ef declared): beam
           // search over the persisted adjacency yields the ef-wide
           // candidate set; the shared exact re-rank tail in query()
@@ -1969,8 +1995,19 @@ class CollectionData(client: ChromaSpark) {
             val exhaustCap = graphServeKnob("spark.graft.graph.exhaustiveCap",
               graft.operators.GraphAnn.ExhaustiveLayerCapRows.toInt,
               warnOnDeviation = false).toLong
+            // lStar = the layer scored exhaustively. 0 is the BASE
+            // itself (r14): in the band gate ≤ N ≤ cap the whole
+            // corpus is already model-scale by the law's own
+            // definition — the hierarchy cannot add information, and
+            // the r13 ladder's one remaining 100k whole-basin miss
+            // was exactly this band seeding from a 12.5k-row layer
+            // (~3 rows/basin) when the ≤-cap base was sitting right
+            // there. Scoring the base outright makes the serve EXACT
+            // in the band at the same ≤-cap explored bound the
+            // layer-seed path already concedes.
             val lStar: Int =
               if (gN < graft.operators.GraphAnn.ScaleGateRows) gMaxLevel
+              else if (gN <= exhaustCap) 0
               else (1 until gMaxLevel)
                 .find(l => graphLayerSize(gN, gM, l) <= exhaustCap)
                 .getOrElse(gMaxLevel)
@@ -2033,8 +2070,42 @@ class CollectionData(client: ChromaSpark) {
             // because every truncated frame is |Q|·ef rows.
             val wSeed = Window.partitionBy(col("query_id"))
               .orderBy(col("d").asc, col("vec_id").asc)
+            val beamEfServe = graphBeamEf(searchEf, nResults, gEfLaw)
+            val beam = if (lStar == 0) {
+              // EXHAUSTIVE BASE (band: gate ≤ N ≤ cap): one |Q| × N
+              // broadcast-q scan of the masked base — the exact
+              // top-ef per query, no seeds, no walks, no edge reads.
+              // Explored rows ≤ cap, the identical bound the
+              // exhaustive-layer seed concedes. The artifact's
+              // hierarchy stays dormant; growth past the cap
+              // re-engages it with no rebuild (lStar is a serve-time
+              // law of (N, cap), not an artifact property).
+              corpus.select(col("vec_id"), col("vec"))
+                .join(broadcast(qframe))
+                .select(col("query_id"), col("vec_id"),
+                  dist(col("qvec"), col("vec")).as("d"))
+                .withColumn("r", row_number().over(wSeed))
+                .filter(col("r") <= beamEfServe)
+                .select(col("query_id"), col("vec_id"))
+            } else {
+            // Exhaustive-seed blackout guard (r14, closing the r13
+            // advisory): a post-build delta can in principle mask
+            // layer lStar ENTIRELY (only when the touched set is at
+            // least the layer's law size — impossible at the default
+            // caps since the r14 base band means every reachable
+            // lStar layer holds > cap/M > AnnDeltaCap rows, but the
+            // caps are conf-overridable and this branch must not
+            // silently return zero rows). The size test keeps the
+            // common path job-free; the limit-1 probe runs only in
+            // the could-be-fully-masked case. On blackout the serve
+            // falls back to walkStarts(), which already walks down
+            // the nested hierarchy to the first live layer.
+            val exhaustiveSeedLive: Boolean =
+              lStar >= gMaxLevel ||
+                touched.size < graphLayerSize(gN, gM, lStar) ||
+                !layerFrame(lStar).isEmpty
             val (seeds0, firstWalk) =
-              if (lStar < gMaxLevel) {
+              if (lStar < gMaxLevel && exhaustiveSeedLive) {
                 (layerFrame(lStar)
                   .join(broadcast(qframe))
                   .select(col("query_id"), col("vec_id"),
@@ -2062,11 +2133,12 @@ class CollectionData(client: ChromaSpark) {
                 .localCheckpoint(false)
             }
             val graph = graft.operators.IndexCache.readCached(spark, s"$idx/edges")
-            val beam = graft.operators.GraphAnn.beamSearchSeeded(
+            graft.operators.GraphAnn.beamSearchSeeded(
               qframe, corpus, graph, seeds,
-              ef = graphBeamEf(searchEf, nResults, gEfLaw),
+              ef = beamEfServe,
               hops = gHops, dist, pbBuckets = Some(gNpb),
               broadcastFrontier = graphBroadcastFrontier)
+            }
             // GROUP EXPANSION (r11, the dedup-aware build's serve
             // half): the walk ran over group REPRESENTATIVES, so
             // every beam hit fans back out to its group's members —
@@ -2872,9 +2944,11 @@ object CollectionData {
     * keep empty cells rare), so `every` = ⌊N / (256·cells)⌋ — with
     * cells = ⌈√N⌉ the training pass shrinks from N·cells·dim to
     * 256·cells²·dim ≈ 256·N·dim per iteration: linear in N with no
-    * √N factor. Keyed by [[graft.operators.VectorIndex.AlgoVersion]]
-    * (a14) — a different trainer must never stale-serve a
-    * full-train artifact.
+    * √N factor. Keyed by [[IvfTrainerVersion]] (t2) — the
+    * trainer-scoped segment of the collivf cache key, so a different
+    * trainer can never stale-serve a full-train artifact without
+    * retiring unrelated artifacts that share the broader
+    * [[graft.operators.VectorIndex.AlgoVersion]].
     */
   def annTrainSampleEvery(nLive: Long, cells: Int): Long =
     if (nLive < graft.operators.GraphAnn.ScaleGateRows) 1L

@@ -141,6 +141,154 @@ object GraphAnn {
     if (n < BuildVolumeGateRows) cef
     else math.min(cef, math.max(128, degree + 1))
 
+  /** Usable bytes across the session's Spark local dirs — the
+    * scratch capacity the candidate stage's transient shuffle must
+    * fit ([[wavesForVolume]]). Read at build time, not cached: a
+    * prior build's leftover spill legitimately shrinks what the next
+    * one may claim.
+    */
+  private[graft] def localScratchUsableBytes(spark: SparkSession): Long =
+    spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map(d => new java.io.File(d).getUsableSpace).sum
+
+  /** Effective bytes one candidate pair costs in shuffle transit —
+    * CALIBRATED, not guessed: the 6.4M ladder build's bounded
+    * candidate stage moved ~40 GB for ~1.6·10⁹ (src, dst, d) pairs
+    * (lz4-compressed shuffle of two short string ids + a double ≈
+    * 24 B/pair effective, ARCHITECTURE.md r13).
+    */
+  private[graft] val PairShuffleBytes = 24L
+
+  /** Number of sequential WAVES the kNN candidate stage splits into
+    * so its transient pair shuffle fits local scratch (r14 — the
+    * automatic replacement for hand-pooled SCALE_LOCAL_DIR scratch):
+    * the (t, sig) bucket space is hash-partitioned into `waves`
+    * slices, each wave scores only its slice's pairs and folds into
+    * a running per-src top-M (disk-backed, N·M rows), so peak
+    * transient usage is ~volume/waves instead of the whole
+    * Σ b·min(b, cap) at once. Budget = 25% of usable local-dir
+    * bytes: a wave holds two live shuffle generations (candidate
+    * pairs → pair agg → per-src window) plus the two running top-M
+    * snapshots, and on this box the default local dir is RAM-backed
+    * tmpfs whose statvfs headroom the JVM heap also competes for.
+    */
+  private[graft] def wavesForVolume(pairCount: Long, usableBytes: Long): Int = {
+    val budget = math.max(1L, usableBytes / 4)
+    math.min(64L, math.max(1L,
+      (pairCount * PairShuffleBytes + budget - 1) / budget)).toInt
+  }
+
+  /** The kNN candidate stage shared by the metric-generic builds:
+    * per-src top-`m` neighbors as (src, dst, d) — d IS
+    * dist(src, dst), exact, so symmetric-metric callers (cosine, l2,
+    * ip — every collection metric) can symmetrize and re-cap edges
+    * WITHOUT re-joining vectors (r14: the re-cap's two
+    * vector-carrying joins were the largest transient of the 6.4M
+    * build after the pair shuffle itself, and grow ∝ N·M·dim).
+    *
+    * Above [[BuildVolumeGateRows]] the stage runs in
+    * capacity-derived WAVES (see [[wavesForVolume]]): the realized
+    * pair volume Σ b·(b−1) is first measured from the bucket
+    * histogram (one aggregate over the signature frame — map-side
+    * combined, output is bucket-count-sized), then the bucket space
+    * is hash-split so each wave's shuffle fits the measured local
+    * scratch. Per-wave results fold into a running top-m: the final
+    * per-src top-m over the union of per-wave top-m sets equals the
+    * global top-m exactly (each true top-m pair ranks ≤ m inside
+    * its own wave; ties break (d asc, dst asc) in both passes), so
+    * wave staging is bit-invisible in the artifact. Below the gate:
+    * one wave, the certified single-pass shape.
+    */
+  private[graft] def knnTopD(corpus: DataFrame, m: Int,
+                             dist: (Column, Column) => Column,
+                             tables: Int = 8, bitsPerTable: Int = 6,
+                             dim: Int = 64, maxBucket: Int = 256,
+                             seed: Long = 42L, n: Long = 0L,
+                             forcedWaves: Option[Int] = None): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
+    val sig = corpus.select(col("vec_id"), col("vec"),
+      posexplode(graft.functions.LshSignatures(col("vec"), allPlanes)).as(Seq("t", "sig")))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("d").asc, col("dst").asc)
+    // per-src top-m over one bucket slice (or everything, waves = 1).
+    // Candidate scoring is MAP-SIDE on the co-partitioned bucket
+    // join — (src, dst, d) is all that ever shuffles after it
+    // (r12): the old shape dropDuplicates'd pairs that still carried
+    // BOTH vectors, so the pair-sized exchange moved ~2·dim floats
+    // per candidate — at 10⁶ rows that is a ~10²-GB shuffle for a
+    // ~GB of ids+distances. Dedup across tables rides the
+    // same-keyed (src, dst) hash agg (identical d on every copy).
+    def topOf(slice: DataFrame): DataFrame = {
+      val sized = slice.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
+        .filter(col("bn") <= maxBucket)
+      sized.as("a").join(sized.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          dist(col("a.vec"), col("b.vec")).as("d"))
+        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+        .withColumn("r", row_number().over(wTop))
+        .filter(col("r") <= m)
+        .select(col("src"), col("dst"), col("d"))
+    }
+    val waves = forcedWaves.getOrElse {
+      if (n < BuildVolumeGateRows) 1
+      else {
+        // measured, not modeled: clustered sign patterns make the
+        // realized Σ b·(b−1) diverge arbitrarily from 8N·E[b] (the
+        // r13 lesson — the 6.4M build died twice on the difference)
+        val pairs = sig.groupBy(col("t"), col("sig"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket)
+          .agg(coalesce(sum(col("bn") * (col("bn") - lit(1L))), lit(0L)))
+          .head().getLong(0)
+        val w = wavesForVolume(pairs, localScratchUsableBytes(corpus.sparkSession))
+        if (w > 1) println(s"GRAFT knnTopD: n=$n pairs=$pairs -> $w waves " +
+          s"(usable=${localScratchUsableBytes(corpus.sparkSession) / (1L << 30)}G)")
+        w
+      }
+    }
+    if (waves <= 1) topOf(sig)
+    else {
+      // wave filter keys on (t, sig) — a function of the BUCKET, so
+      // filtering groups before the bucket-size window is exact
+      def sliceOf(w: Int): DataFrame = sig.filter(
+        pmod(xxhash64(concat_ws(":", col("t"), col("sig"))), lit(waves.toLong))
+          === lit(w.toLong))
+      var acc: DataFrame = null
+      for (w <- 0 until waves) {
+        val waveTop = topOf(sliceOf(w))
+        val merged =
+          if (acc == null) waveTop
+          else acc.unionByName(waveTop)
+            // the same (src, dst) can surface in two waves via
+            // different tables — same d, the min is the dedup
+            .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+            .withColumn("r", row_number().over(wTop))
+            .filter(col("r") <= m)
+            .select(col("src"), col("dst"), col("d"))
+        // EAGER disk-backed cut per wave: the running top-m state is
+        // N·m rows of (src, dst, d) — bounded, unlike the wave
+        // shuffles it summarizes — and materializing it lets the
+        // context cleaner retire the wave's shuffle files before the
+        // next wave claims scratch. DISK_ONLY keeps the heap out of
+        // the accounting (the state is read once, by the next merge).
+        acc = merged.localCheckpoint(eager = true,
+          storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // the previous snapshot and the wave's shuffles are
+        // unreachable now — a GC nudge lets ContextCleaner free
+        // their blocks/files promptly instead of at an arbitrary
+        // later collection (the transient budget assumes it)
+        System.gc()
+      }
+      acc
+    }
+  }
+
   /** Metric- and id-type-generic kNN-graph build — the collection
     * tier's entry point (string ids, the collection's own distance).
     * Same construction as [[buildKnnGraph]] (LSH-bucketed candidates,
@@ -149,39 +297,18 @@ object GraphAnn {
     * may be any orderable type — every id touch is an equi-join, a
     * window partition, or an orderable tie-break. Kept separate from
     * the certified Long/cosine path so this addition cannot perturb
-    * `vec_ann_graph`'s byte-exact oracle.
+    * `vec_ann_graph`'s byte-exact oracle. Pass the layer row count
+    * `n` so the volume tier's wave staging ([[knnTopD]]) can engage
+    * past [[BuildVolumeGateRows]].
     */
   def buildKnnGraphDist(corpus: DataFrame, m: Int,
                         dist: (Column, Column) => Column,
                         tables: Int = 8, bitsPerTable: Int = 6, dim: Int = 64,
                         maxBucket: Int = 256, seed: Long = 42L,
-                        strides: Seq[Long] = Seq(1L, 37L)): DataFrame = {
-    val allPlanes = (0 until tables).map(t =>
-      VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
-    val sig = corpus.select(col("vec_id"), col("vec"),
-      posexplode(graft.functions.LshSignatures(col("vec"), allPlanes)).as(Seq("t", "sig")))
-    val sized = sig.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
-      .filter(col("bn") <= maxBucket)
-    // Candidate scoring is MAP-SIDE on the co-partitioned bucket
-    // join — (src, dst, d) is all that ever shuffles after it
-    // (r12): the old shape dropDuplicates'd pairs that still carried
-    // BOTH vectors, so the pair-sized exchange moved ~2·dim floats
-    // per candidate — at 10⁶ rows that is a ~10²-GB shuffle for a
-    // ~GB of ids+distances. Dedup across tables now rides the
-    // same-keyed (src, dst) hash agg (identical d on every copy).
-    val scored0 = sized.as("a").join(sized.as("b"),
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        dist(col("a.vec"), col("b.vec")).as("d"))
-    val wTop = Window.partitionBy(col("src"))
-      .orderBy(col("d").asc, col("dst").asc)
-    val scored = scored0
-      .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
-      .withColumn("r", row_number().over(wTop))
-      .filter(col("r") <= m)
-      .select(col("src"), col("dst"))
+                        strides: Seq[Long] = Seq(1L, 37L),
+                        layerN: Long = 0L): DataFrame = {
+    val scored = knnTopD(corpus, m, dist, tables, bitsPerTable, dim,
+      maxBucket, seed, layerN).select(col("src"), col("dst"))
     val (ranked0, n) = TextAnalysis.withShardedRank(
       corpus.select(col("vec_id")), "rk", 32, Seq(col("vec_id")))
     val ranked = ranked0.select(col("vec_id"), (col("rk") - 1L).as("rk"))
@@ -263,9 +390,15 @@ object GraphAnn {
     * stays bounded — artifacts below the gate are bit-identical to
     * a14, but the version string is the stale-serve contract and it
     * stays honest. a16 = the tier's constants loosen 24/96 → 32/128
-    * (the 6.4M recall-tail measurement).
+    * (the 6.4M recall-tail measurement). a17 (r14) = the params
+    * `hops` column records the serve-budget law value for the
+    * artifact's own N (above-gate params differed from what the
+    * serve runs — the r13 readout-divergence advisory); edge VALUES
+    * at every N are bit-identical to a16 (the wave-staged candidate
+    * scoring and the carried-distance re-cap are exact refactors),
+    * but the honest-version discipline bumps on any bit difference.
     */
-  val GraphAlgoVersion = "a16"
+  val GraphAlgoVersion = "a17"
 
   /** Id-hash bucket — the partition column the graph tier's `base`
     * and `edges` relations are laid out by (r12): deriving it on the

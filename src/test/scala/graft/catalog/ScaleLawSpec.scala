@@ -53,13 +53,17 @@ class ScaleLawSpec extends SparkSpec {
       s"640k->5.12M must be one walk + the beam step, got ${deltas(2)}")
     assert(deltas(3) === perLayerAbove,
       s"5.12M->41M must be exactly one stepped walk, got ${deltas(3)}")
-    // every sub-stabilization delta is a bounded one-time step, not
-    // a growth term: the gate crossing ≤ 3× the prior budget, the
-    // exhaustive-layer drift ≤ the cap itself
-    assert(deltas(0) > 0 && deltas(0) <= budgets(0) * 3,
-      s"gate step must be bounded, got ${deltas(0)}")
+    // in the exhaustive-base band (gate ≤ N ≤ cap) the serve scores
+    // the base outright — budget = N exactly, and the serve is EXACT
+    // (the r14 closure of the 100k whole-basin miss: a ≤-cap corpus
+    // is model-scale by the law's own definition)
+    assert(budgets(1) === sizes(1),
+      s"band budget must be the base itself, got ${budgets(1)}")
+    assert(sizes(1) <= cap)
+    // leaving the band costs only the base walk the exhaustive base
+    // didn't need (the exhaustive LAYER stays ~the same size)
     assert(deltas(1) > 0 && deltas(1) <= cap,
-      s"exhaustive-layer drift must stay under the cap, got ${deltas(1)}")
+      s"band exit must stay under the cap, got ${deltas(1)}")
     // fitted growth exponent: on log-log axes a power law explored ∝
     // N^p has slope p = dlog(budget)/dlog(N); for a log-growth curve
     // the slope must collapse toward 0 as N grows — far below even
@@ -160,19 +164,27 @@ class ScaleLawSpec extends SparkSpec {
     assert(graft.operators.GraphAnn.bucketCapFor(1600000L, 256) === 256)
   }
 
-  test("scale serve integration: past the gate the descent seeds from the exhaustive model-scale layer, no upper walks, recall holds") {
+  test("scale serve integration: exhaustive-base band is exact, forced layer branch holds recall, blackout guard survives a full-layer mask") {
     import org.apache.spark.sql.functions.{col => cc, format_string}
-    // 66,000 rows — just past the 65,536 scale gate: the ONLY
-    // automated exercise of the lStar serve branch (every driver
-    // fixture is sub-gate BY DESIGN so the DuckDB twins replay the
-    // certified walk constants; the ladder certifies this path by
-    // hand at 100k–6.4M). dim 8 / 512 centers keeps the build tens
-    // of seconds at the suite's local[4] while the LAW inputs (row
-    // count, layer sizes) are exactly the scale regime's.
+    // 66,000 rows — just past the 65,536 scale gate AND inside the
+    // 131,072-row exhaustive-base band (r14): the ONLY automated
+    // exercise of the scale serve branches (every driver fixture is
+    // sub-gate BY DESIGN so the DuckDB twins replay the certified
+    // walk constants; the ladder certifies by hand at 100k–25.6M).
+    // dim 8 / 512 centers keeps the build tens of seconds at the
+    // suite's local[4] while the LAW inputs (row count, layer sizes)
+    // are exactly the scale regime's.
     val n = 66000L
     val corpus = graft.TuneScale.vectors(spark, 0L, n, 8, 512)
       .localCheckpoint(true)
     val wh = java.nio.file.Files.createTempDirectory("graft-scaleserve").toString
+    // a PRIVATE index root: this test mutilates its artifact (part 4)
+    // and the artifact cache is content-keyed, so a re-run against
+    // the shared root would cache-hit the mutilated remains and fail
+    // in part 2 (which still needs the adjacency it deletes later)
+    spark.conf.set("spark.graft.collection.annIndexRoot",
+      java.nio.file.Files.createTempDirectory("graft-scaleserve-idx").toString)
+    try {
     val c = new ChromaSpark(spark, wh)
     val d = new CollectionData(c)
     c.createCollection("ss", Some(Map("hnsw:space" -> "cosine",
@@ -182,12 +194,33 @@ class ScaleLawSpec extends SparkSpec {
     val queries = graft.TuneScale.vectors(spark, n, n + 15L, 8, 512)
       .select(cc("vec_id").as("query_id"), cc("embedding").as("qvec"))
       .localCheckpoint(true)
+    def bruteTop10: Set[(Long, String)] = queries.crossJoin(
+        d.get("ss", include = Seq("embeddings"))
+          .select(cc("id"), cc("embedding")))
+      .select(cc("query_id"), cc("id"),
+        graft.operators.VectorOps.cosine(cc("qvec"), cc("embedding")).as("s"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cc("query_id"))
+          .orderBy(cc("s").desc, cc("id").asc)))
+      .filter(cc("r") <= 10).select(cc("query_id"), cc("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def serve(): Array[(Long, String)] =
+      d.query("ss", queries, nResults = 10, include = Nil)
+        .collect().map(r =>
+          (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id"))))
+    // 1) DEFAULT LAW — the exhaustive-base band: N ≤ the 131,072
+    //    cap, so the serve scores the base outright and the result
+    //    is EXACT (the r14 closure of the 100k whole-basin miss).
+    //    Both sides rank by the same cosine with id tie-breaks, so
+    //    equality is set equality, not a recall floor.
     val res = d.query("ss", queries, nResults = 10, include = Nil)
     val served = res.collect().map(r =>
       (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id"))))
-    // 1) the artifact is the a14+ scale shape: levels carries the
-    //    member VECTOR (the whole hierarchy above the base reads one
-    //    relation) and the scale layout law is recorded
+    assert(served.toSet === bruteTop10,
+      "exhaustive-base band must serve the exact top-10")
+    // the artifact is still the full scale shape (levels carries the
+    // member VECTOR, layout law recorded) — the band is a SERVE-time
+    // law; growth past the cap re-engages the hierarchy, no rebuild
     val scanned = res.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
@@ -203,35 +236,57 @@ class ScaleLawSpec extends SparkSpec {
       graft.operators.GraphAnn.pbBucketsFor(n))
     assert(graft.operators.GraphAnn.serveBudgetFor(
       pr.getLong(pr.fieldIndex("n"))) === ((4, 3, 128, 64)))
-    // 3) recall vs brute cosine truth over the collection state —
-    //    the law's point is that the floor HOLDS here (the ladder
-    //    measures 0.99–1.00 from 100k up; 0.85 absorbs the 15-query
-    //    fixture's quantization)
-    val brute = queries.crossJoin(
-        d.get("ss", include = Seq("embeddings"))
-          .select(cc("id"), cc("embedding")))
-      .select(cc("query_id"), cc("id"),
-        graft.operators.VectorOps.cosine(cc("qvec"), cc("embedding")).as("s"))
-      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(cc("query_id"))
-          .orderBy(cc("s").desc, cc("id").asc)))
-      .filter(cc("r") <= 10).select(cc("query_id"), cc("id"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val hits = served.count(brute.contains)
-    assert(hits >= 128, s"scale-serve recall@10 below 0.85: $hits/150")
-    // 4) the sharpest behavioral proof that the descent really runs
-    //    the EXHAUSTIVE path: above the gate the upper-layer edges
-    //    and the entry list are not load-bearing (the model-scale
-    //    layer's true top-ue supersedes every walk through the
-    //    nested layers above it) — delete them from the artifact and
-    //    the serve must return the IDENTICAL rows. A walk-path serve
-    //    would fail outright reading edges_l1. (Plan inspection
-    //    cannot see this: the between-layer localCheckpoint
-    //    truncates the seed subtree out of the final plan.)
+    // params `hops` records the serve law for the artifact's own N
+    // (r14 — the readout-divergence closure): above the gate, 4
+    assert(pr.getInt(pr.fieldIndex("hops")) === 4)
+    // 2) FORCED LAYER BRANCH: shrinking the cap below N (session
+    //    knob) pushes the serve onto the exhaustive-LAYER seed +
+    //    base walk — the path the ladder certifies at 400k+. Layer 1
+    //    (8,250 rows ≤ 16,000) seeds; recall floor holds (0.85
+    //    absorbs the 15-query fixture's quantization).
+    spark.conf.set("spark.graft.graph.exhaustiveCap", "16000")
+    try {
+      val servedL = serve()
+      val hitsL = servedL.count(bruteTop10.contains)
+      assert(hitsL >= 128, s"forced layer-branch recall@10 below 0.85: $hitsL/150")
+      // 3) BLACKOUT GUARD (r14 advisory closure): upsert EVERY
+      //    layer-1 member — the exhaustive seed layer is now fully
+      //    masked, and without the guard the seed frame would be
+      //    empty and the serve would silently return zero rows. The
+      //    guard must fall back to walkStarts' layered descent
+      //    (whose own fallbacks bottom out at live base ids) and
+      //    still produce full result sets.
+      val layer1 = spark.read.parquet(s"$idx/levels")
+        .filter(cc("lvl") >= 1).select(cc("vec_id"))
+        .collect().map(_.getString(0)).toSeq
+      assert(layer1.size < 10000, "fixture drift: layer 1 must stay under the delta cap")
+      val sess = spark
+      import sess.implicits._
+      d.upsert("ss", layer1.map(id => (id, Seq.fill(8)(-9f)))
+        .toDF("id", "embedding"))
+      val servedB = serve()
+      assert(servedB.length === 150,
+        s"blackout fallback must still serve 10 rows per query, got ${servedB.length}")
+      assert(servedB.groupBy(_._1).size === 15)
+    } finally spark.conf.unset("spark.graft.graph.exhaustiveCap")
+    // 4) BAND + DELTA, then ARTIFACT MUTILATION — the sharpest
+    //    behavioral proof the band path reads NO graph structure:
+    //    at the default law the masked base + delta serve is exact
+    //    against the post-upsert truth; delete the upper-layer
+    //    edges, the entry list, AND the base adjacency, and the
+    //    serve must return the IDENTICAL rows (a walk serve would
+    //    fail outright reading edges). Plan inspection cannot see
+    //    this: localCheckpoint truncates seed subtrees out of the
+    //    final plan.
+    val servedAfter = serve().toSet
+    assert(servedAfter === bruteTop10,
+      "band serve with a post-build delta must stay exact")
     import java.util.Comparator
     val lvlCount = pr.getInt(pr.fieldIndex("maxlevel"))
-    (1 until lvlCount).foreach { l =>
-      val pth = java.nio.file.Paths.get(s"$idx/edges_l$l")
+    val doomed = (1 until lvlCount).map(l => s"$idx/edges_l$l") ++
+      Seq(s"$idx/entries", s"$idx/edges")
+    doomed.foreach { p =>
+      val pth = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(pth))
         java.nio.file.Files.walk(pth).sorted(Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.delete(f))
@@ -239,15 +294,10 @@ class ScaleLawSpec extends SparkSpec {
     // idempotent: the artifact is content-keyed, so a re-run of this
     // spec finds it already mutilated by the previous run — which is
     // itself the assertion still doing its job
-    val entPath = java.nio.file.Paths.get(s"$idx/entries")
-    if (java.nio.file.Files.exists(entPath))
-      java.nio.file.Files.walk(entPath).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-    val served2 = d.query("ss", queries, nResults = 10, include = Nil)
-      .collect().map(r =>
-        (r.getLong(r.fieldIndex("query_id")), r.getString(r.fieldIndex("id")))).toSet
-    assert(served2 === served.toSet,
-      "scale serve must not depend on upper-layer edges or the entry list")
+    val served2 = serve().toSet
+    assert(served2 === servedAfter,
+      "band serve must not depend on any adjacency or the entry list")
+    } finally spark.conf.unset("spark.graft.collection.annIndexRoot")
   }
 
   test("past the old cliff the kNN stage still yields metric edges, not just the ring") {

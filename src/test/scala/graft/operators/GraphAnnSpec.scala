@@ -135,4 +135,41 @@ class GraphAnnSpec extends SparkSpec {
     assert(byQ.keys.toSet === seeds.map(_._1).toSet)
     byQ.foreach { case (q, rows) => assert(rows.size <= 16, s"query $q beam > ef") }
   }
+
+  test("wave-staged candidate scoring is bit-invisible: any wave count yields the single-pass top-m exactly") {
+    // the r14 volume-tier claim ([[GraphAnn.knnTopD]]): the global
+    // per-src top-m equals the final top-m over the union of
+    // per-wave top-m sets — each true top-m pair ranks ≤ m inside
+    // its own wave, and ties break (d asc, dst asc) in both passes.
+    // forcedWaves exercises the fold at fixture scale (the law
+    // engages organically only past BuildVolumeGateRows).
+    val (corpus0, _) = frames
+    val corpus = corpus0.withColumn("vec_id", col("vec_id").cast("string"))
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      lit(1.0) - VectorOps.cosine(a, b)
+    def edgesAt(waves: Option[Int]) = GraphAnn
+      .knnTopD(corpus, 8, dist, forcedWaves = waves)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val single = edgesAt(None)
+    assert(single.nonEmpty)
+    assert(edgesAt(Some(3)) === single, "3-wave fold diverged from single-pass")
+    assert(edgesAt(Some(7)) === single, "7-wave fold diverged from single-pass")
+  }
+
+  test("wavesForVolume: capacity-derived, bounded, and 1 whenever the volume fits") {
+    import GraphAnn.{wavesForVolume, PairShuffleBytes}
+    val G = 1L << 30
+    // fits in a quarter of scratch -> single pass
+    assert(wavesForVolume(1000L, 100L * G) === 1)
+    assert(wavesForVolume(G / PairShuffleBytes / 4, 100L * G) === 1)
+    // the 6.4M-calibrated point: ~1.6e9 pairs ≈ 40 GB of transit
+    // against this box's ~113 GB default local dir -> 2 waves
+    assert(wavesForVolume(1600000000L, 113L * G) === 2)
+    // the 25.6M projection (~4x) splits further
+    assert(wavesForVolume(6400000000L, 113L * G) === 6)
+    // degenerate capacity never divides by zero, and the wave count
+    // is capped (a pathological estimate must not schedule thousands
+    // of sequential jobs)
+    assert(wavesForVolume(Long.MaxValue / PairShuffleBytes, 1L) === 64)
+  }
 }

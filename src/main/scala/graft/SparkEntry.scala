@@ -5395,10 +5395,13 @@ object SparkEntry {
     // exact cosine re-rank AND the brute-force truth the recall
     // column compares against. recall_at_10 flips from self-certified
     // to hash-matched. (The LSH/kmeans/PQ families are ALSO fully
-    // oracled since r7 via md5-derived reproducible models, and the
-    // mm_* family since r8; only the Jacobi-eigensolve family —
-    // vec_ann_opq / vec_ann_bq / vec_ann_bq_index / vec_procrustes —
-    // remains rows-only, by the decision recorded in ARCHITECTURE.md.)
+    // oracled since r7 via md5-derived reproducible models, the mm_*
+    // family since r8, and the eigensolve-ROTATED retrieval family —
+    // vec_ann_bq / vec_ann_bq_index / vec_ann_opq — since r14 via
+    // the model-frozen oracles in [[oracleSqlResolved]]; only
+    // vec_procrustes remains rows-only, because there the SOLVE is
+    // the contract — freezing its output into the oracle would
+    // certify arithmetic, not recovery. Decision in COVERAGE.md.)
     "vec_ann_sq" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -8778,4 +8781,242 @@ object SparkEntry {
         |ORDER BY match_len DESC, doc_a, doc_b, start_a, start_b
         |LIMIT 40""".stripMargin,
   )
+
+  /** The BQ family's oracle SQL with the MODEL FROZEN IN (r14,
+    * closing the r13 "eigensolve four" gap for two of them): the
+    * Jacobi eigensolve itself cannot replay in SQL (iterative,
+    * transcendental pivots), but its OUTPUT is 64 + 64×64 constants —
+    * micro-quantized in the Scala path ([[graft.operators.VectorOps
+    * .bqMicroModel]]) and interpolated here as integer literals, so
+    * BOTH engines derive every working double as `micros/10⁶` (an
+    * exactly-representable-divisor division — bit-identical). DuckDB
+    * then replays the ENTIRE post-rotation pipeline independently:
+    * center+rotate (left-to-right double sum, per-lane float cast —
+    * the MatVecCentered arithmetic), sign extraction, the 320-wide
+    * Hamming shortlist with (hamming, vec_id) tie-breaks, the exact
+    * cosine re-rank, the brute-force truth, and recall_at_10. The
+    * persisted `vec_ann_bq_index` is spec-pinned bit-for-bit equal
+    * to the inline search (its stored model IS the frozen model), so
+    * one SQL certifies both.
+    */
+  private def bqOracleSql(meanM: Array[Long], rotM: Array[Array[Long]]): String = {
+    val meanLit = meanM.mkString("[", ",", "]")
+    val rotLit = rotM.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       |c AS (
+       |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+       |km AS (SELECT $meanLit::BIGINT[] AS meanm, $rotLit::BIGINT[][] AS rotm),
+       |cs AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(list_sum(list_transform(range(1, 65), j ->
+       |        (CAST(rotm[i][j] AS DOUBLE) / 1000000.0) *
+       |        (CAST(vec[j] AS DOUBLE) - CAST(meanm[j] AS DOUBLE) / 1000000.0)))
+       |        AS REAL) > 0) AS sbits
+       |  FROM c CROSS JOIN km),
+       |qsg AS (
+       |  SELECT query_id,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(list_sum(list_transform(range(1, 65), j ->
+       |        (CAST(rotm[i][j] AS DOUBLE) / 1000000.0) *
+       |        (CAST(qvec[j] AS DOUBLE) - CAST(meanm[j] AS DOUBLE) / 1000000.0)))
+       |        AS REAL) > 0) AS qbits
+       |  FROM q CROSS JOIN km),
+       |ham AS (
+       |  SELECT query_id, vec_id,
+       |    list_sum(list_transform(range(1, 65), j ->
+       |      CASE WHEN sbits[j] != qbits[j] THEN 1 ELSE 0 END)) AS hamming
+       |  FROM cs CROSS JOIN qsg),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY hamming, vec_id) AS hr
+       |    FROM ham) WHERE hr <= 320),
+       |ann AS (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+       |  FROM (SELECT s.query_id, s.vec_id,
+       |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+       |                                 CAST(c.vec AS DOUBLE[])) AS score
+       |        FROM short s JOIN c USING (vec_id) JOIN q USING (query_id))),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+       |                               CAST(vec AS DOUBLE[])) DESC,
+       |        c.vec_id) AS tr
+       |    FROM q CROSS JOIN c) WHERE tr <= 10),
+       |hits AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM ann a JOIN truth t USING (query_id, vec_id)
+       |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+       |SELECT a.query_id, a."rank", a.vec_id,
+       |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id, a."rank"""".stripMargin
+  }
+
+  /** vec_ann_opq's oracle: the [[bqOracleSql]] freeze applied to the
+    * OPQ rotation (PCA + balanced block allocation), then the ENTIRE
+    * vec_ann_pq certification machinery replayed in the ROTATED
+    * basis — md5-ordered seeds, two Lloyd iterations with
+    * fixed-point micro means, encoding, per-query ADC tables, the
+    * 200-candidate shortlist — with the exact cosine re-rank and the
+    * brute truth back on the ORIGINAL floats (rotation about the
+    * mean preserves L2, not cosine — the operator's own contract).
+    * Rotated coordinates materialize as REAL (the MatVecCentered
+    * per-lane float cast) before any PQ math casts them back up.
+    */
+  private def opqOracleSql(meanM: Array[Long], rotM: Array[Array[Long]]): String = {
+    val meanLit = meanM.mkString("[", ",", "]")
+    val rotLit = rotM.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       |c AS (
+       |  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+       |km AS (SELECT $meanLit::BIGINT[] AS meanm, $rotLit::BIGINT[][] AS rotm),
+       |rc AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(list_sum(list_transform(range(1, 65), j ->
+       |        (CAST(rotm[i][j] AS DOUBLE) / 1000000.0) *
+       |        (CAST(vec[j] AS DOUBLE) - CAST(meanm[j] AS DOUBLE) / 1000000.0)))
+       |        AS REAL)) AS rvec
+       |  FROM c CROSS JOIN km),
+       |rq AS (
+       |  SELECT query_id,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(list_sum(list_transform(range(1, 65), j ->
+       |        (CAST(rotm[i][j] AS DOUBLE) / 1000000.0) *
+       |        (CAST(qvec[j] AS DOUBLE) - CAST(meanm[j] AS DOUBLE) / 1000000.0)))
+       |        AS REAL)) AS rqvec
+       |  FROM q CROSS JOIN km),
+       |compb AS (
+       |  SELECT vec_id, CAST((u.i - 1) // 8 AS INTEGER) AS block,
+       |    CAST((u.i - 1) % 8 + 1 AS INTEGER) AS pos, u.x AS x
+       |  FROM (
+       |    SELECT vec_id, unnest(list_transform(range(1, 65),
+       |      i -> {'i': i, 'x': CAST(rvec[i] AS DOUBLE)})) AS u
+       |    FROM rc)),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS c_id, CAST(rvec AS DOUBLE[]) AS fullvec
+       |  FROM (SELECT rvec, row_number() OVER (
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM rc)
+       |  WHERE rn <= 32),
+       |bs0 AS (
+       |  SELECT CAST(b.b AS INTEGER) AS block, s.c_id,
+       |    list_slice(s.fullvec, b.b * 8 + 1, b.b * 8 + 8) AS centroid
+       |  FROM seeds s CROSS JOIN range(0, 8) b(b)),
+       |pa1 AS (
+       |  SELECT vec_id, block, c_id FROM (
+       |    SELECT v.vec_id, s.block, s.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+       |        list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+       |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+       |    FROM rc v CROSS JOIN bs0 s) WHERE rn = 1),
+       |pc1 AS (
+       |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+       |    SELECT a.block, a.c_id, p.pos,
+       |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 1000000.0 AS m
+       |    FROM pa1 a JOIN compb p ON p.vec_id = a.vec_id AND p.block = a.block
+       |    GROUP BY a.block, a.c_id, p.pos)
+       |  GROUP BY block, c_id),
+       |pa2 AS (
+       |  SELECT vec_id, block, c_id FROM (
+       |    SELECT v.vec_id, s.block, s.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+       |        list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+       |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+       |    FROM rc v CROSS JOIN pc1 s) WHERE rn = 1),
+       |pc2 AS (
+       |  SELECT block, c_id, list(m ORDER BY pos) AS centroid FROM (
+       |    SELECT a.block, a.c_id, p.pos,
+       |      CAST(sum(CAST(floor(p.x * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 1000000.0 AS m
+       |    FROM pa2 a JOIN compb p ON p.vec_id = a.vec_id AND p.block = a.block
+       |    GROUP BY a.block, a.c_id, p.pos)
+       |  GROUP BY block, c_id),
+       |codes AS (
+       |  SELECT vec_id, block, c_id FROM (
+       |    SELECT v.vec_id, s.block, s.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, s.block ORDER BY
+       |        list_distance(CAST(list_slice(v.rvec, s.block * 8 + 1, s.block * 8 + 8)
+       |          AS DOUBLE[]), s.centroid), s.c_id) AS rn
+       |    FROM rc v CROSS JOIN pc2 s) WHERE rn = 1),
+       |lut AS (
+       |  SELECT rq.query_id, s.block, s.c_id,
+       |    list_sum(list_transform(range(1, 9), j ->
+       |      (CAST(rq.rqvec[s.block * 8 + j] AS DOUBLE) - s.centroid[j])
+       |        * (CAST(rq.rqvec[s.block * 8 + j] AS DOUBLE) - s.centroid[j]))) AS sqd
+       |  FROM rq CROSS JOIN pc2 s),
+       |shortlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist, vec_id) AS arank
+       |    FROM (SELECT l.query_id, k.vec_id,
+       |            list_sum(list(l.sqd ORDER BY l.block)) AS adist
+       |          FROM codes k
+       |          JOIN lut l ON l.block = k.block AND l.c_id = k.c_id
+       |          GROUP BY l.query_id, k.vec_id))
+       |  WHERE arank <= 200),
+       |ann AS (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS "rank"
+       |  FROM (SELECT sl.query_id, sl.vec_id,
+       |          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+       |                                 CAST(v.vec AS DOUBLE[])) AS score
+       |        FROM shortlist sl
+       |        JOIN c v ON v.vec_id = sl.vec_id
+       |        JOIN q ON q.query_id = sl.query_id)),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+       |                               CAST(vec AS DOUBLE[])) DESC,
+       |        c.vec_id) AS tr
+       |    FROM q CROSS JOIN c) WHERE tr <= 10),
+       |hits AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM ann a JOIN truth t USING (query_id, vec_id)
+       |  WHERE a."rank" <= 10 GROUP BY a.query_id)
+       |SELECT a.query_id, a."rank", a.vec_id,
+       |  floor(a.score * 10000.0 + 0.5) / 10000.0 AS score,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM (SELECT * FROM ann WHERE "rank" <= 10) a
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id, a."rank"""".stripMargin
+  }
+
+  /** [[oracleSql]] plus the MODEL-FROZEN entries the static map
+    * cannot express (r14): the frozen constants are trained on the
+    * sf dir's own corpus, so they resolve at Verify time — through
+    * the same memoized derivation the queries themselves use (one
+    * model per JVM per content fingerprint), which is what makes the
+    * dumped SQL and the dumped parquet agree by construction.
+    */
+  def oracleSqlResolved(s: SparkSession, dir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    // the exact frame shape vec_ann_bq's corpus uses (label column
+    // included) — the covariance memo keys on content, and this must
+    // HIT the entry the query populated, not derive a sibling
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val (meanM, rotM) = graft.operators.VectorOps.bqMicroModel(corpus, 64)
+    val bq = bqOracleSql(meanM, rotM)
+    val (meanO, rotO) = graft.operators.VectorOps.opqMicroModel(corpus, 8, 64)
+    oracleSql ++ Map(
+      "vec_ann_bq" -> bq,
+      "vec_ann_bq_index" -> bq,
+      "vec_ann_opq" -> opqOracleSql(meanO, rotO))
+  }
 }

@@ -220,6 +220,13 @@ object TuneScale {
         measure("graph", Some(Map("hnsw:space" -> "cosine",
           "hnsw:M" -> "8", "hnsw:construction_ef" -> "256")))
       if (tiers("ivf")) measure("ivf", None)
+      // metric-consistent IVF point (r14, verdict #4): hnsw:space
+      // alone selects the metric without engaging the graph tier, so
+      // the IVF trainer/probes run in COSINE — the ladder's truth
+      // metric — instead of the default l2 whose top-10 disagreement
+      // with cosine truth produced the misleading 0.758 reading.
+      if (tiers("ivfcos"))
+        measure("ivfcos", Some(Map("hnsw:space" -> "cosine")))
     }
     spark.stop()
   }

@@ -40,7 +40,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlResolved = the static map plus the MODEL-FROZEN
+    // entries (r14): the eigensolve family's oracles interpolate the
+    // micro-quantized rotation trained on THIS sf dir's corpus, so
+    // the dumped SQL replays the exact post-rotation pipeline the
+    // parquet dumps were produced with (same JVM, same memoized
+    // model). Falls back to the static map if the resolution itself
+    // fails — a broken resolver must degrade those keys to their old
+    // rows-only status, never zero the whole round's oracle file.
+    val oracles =
+      try SparkEntry.oracleSqlResolved(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle resolution failed: ${e.getMessage}")
+        SparkEntry.oracleSql
+      }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -166,4 +166,27 @@ object OpqRotation {
   def rotateExpr(vec: Column, rot: Array[Array[Double]],
                  mean: Array[Double]): Column =
     graft.functions.MatrixExpressions.matVec(vec, rot, mean)
+
+  /** Freeze a trained (mean, rotation) model to the micro grid
+    * (r14 — the cross-engine certification recipe): entries become
+    * integer micros, and BOTH engines re-derive the working double
+    * as `micros / 10⁶` — an exactly-representable-divisor division,
+    * so the Scala value and a DuckDB `CAST(k AS BIGINT)/1000000.0`
+    * are the same double bit for bit. This is what lets the
+    * eigensolve family's POST-rotation pipeline (rotate → sign/code →
+    * shortlist → exact re-rank) replay in SQL: the Jacobi solve
+    * itself cannot cross engines (iterative, transcendental), but a
+    * frozen model is just 64 + 64×64 constants. Quantizing a
+    * near-orthogonal rotation to 1e-6 leaves it a fixed linear map —
+    * the sign/PQ codes it feeds are hash buckets, not geometry
+    * proofs, and the measured recall is unchanged (spec floors).
+    */
+  def microModel(mean: Array[Double], rot: Array[Array[Double]])
+      : (Array[Long], Array[Array[Long]]) =
+    (mean.map(x => math.floor(x * 1e6 + 0.5).toLong),
+      rot.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong)))
+
+  /** The working doubles of a [[microModel]] — the ONLY way model
+    * constants may enter the compute path once frozen. */
+  def fromMicros(m: Array[Long]): Array[Double] = m.map(_ / 1e6)
 }

@@ -398,11 +398,12 @@ object VectorIndex {
   def buildBq(corpus: DataFrame, indexDir: String, dim: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
-    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
-    // PCA order, eigenvalue descending with index tiebreak — the
-    // deterministic inline [[VectorOps.annBq]] rotation, exactly
-    val rot = vals.indices.sortBy(i => (-vals(i), i)).map(vecs).toArray
+    // the inline [[VectorOps.annBq]] rotation EXACTLY — PCA order,
+    // micro-frozen (r14): the persisted model must be the same
+    // constants the inline search and the DuckDB oracle apply
+    val (meanM, rotM) = VectorOps.bqMicroModel(corpus, dim)
+    val mean = OpqRotation.fromMicros(meanM)
+    val rot = rotM.map(OpqRotation.fromMicros)
     encodeBq(corpus, rot, mean, dim)
       .write.mode("overwrite").parquet(s"$indexDir/codes")
     Seq((dim, mean.toSeq, rot.flatten.toSeq))
@@ -434,8 +435,11 @@ object VectorIndex {
   /** Idempotent [[buildBq]]: fingerprint-keyed under `indexRoot`.
     * AlgoVersion-tagged like every trained-model artifact key. */
   def buildBqIfAbsent(corpus: DataFrame, indexRoot: String, dim: Int = 64): String =
+    // `q1` = the micro-frozen rotation model (r14) — scoped to the BQ
+    // key so the model change retires only BQ artifacts, never the
+    // PQ/IVF tiers that share AlgoVersion (the r12 version lesson)
     IndexCache.getOrBuild(indexRoot, "bq",
-      s"${contentHash(corpus)}-d$dim-$AlgoVersion") {
+      s"${contentHash(corpus)}-d$dim-q1-$AlgoVersion") {
       scratch => buildBq(corpus, scratch.toString, dim)
     }
 

@@ -787,14 +787,27 @@ object VectorOps {
     * At production scale the rotation is a write-time map stage and
     * only rotated codes are resident, exactly like flat PQ.
     */
+  /** OPQ's frozen rotation model (PCA + balanced eigenvalue
+    * allocation into `m` blocks, then micro-quantized) — the same
+    * freeze-and-share discipline as [[bqMicroModel]], so the DuckDB
+    * oracle replays the rotated-basis PQ pipeline with the identical
+    * constants (r14).
+    */
+  private[graft] def opqMicroModel(corpus: DataFrame, m: Int, dim: Int)
+      : (Array[Long], Array[Array[Long]]) = {
+    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
+    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
+    OpqRotation.microModel(mean, OpqRotation.allocatedRotation(vals, vecs, m))
+  }
+
   def annOpq(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, kCodes: Int = 32, iters: Int = 2,
              dim: Int = 64, shortlist: Int = 200): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
-    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
-    val rot = OpqRotation.allocatedRotation(vals, vecs, m)
+    val (meanM, rotM) = opqMicroModel(corpus, m, dim)
+    val mean = OpqRotation.fromMicros(meanM)
+    val rot = rotM.map(OpqRotation.fromMicros)
     val corpusR = corpus
       .select(col("vec_id"), OpqRotation.rotateExpr(col("vec"), rot, mean).as("vec"))
       .localCheckpoint(true)
@@ -838,15 +851,29 @@ object VectorOps {
     * code here, so the shortlist oversample is the recall knob, and
     * the driver-visible recall column prices that honestly.
     */
+  /** The BQ family's frozen rotation model for `corpus`: PCA order
+    * (eigenvalue descending, index tiebreak), micro-quantized
+    * ([[OpqRotation.microModel]]) so the inline search, the persisted
+    * index, AND the DuckDB oracle all apply the identical constants —
+    * the r14 change that turns `vec_ann_bq`/`vec_ann_bq_index` from
+    * rows-only into hash-certified: the oracle interpolates these
+    * micros as literals and replays the whole post-rotation pipeline.
+    */
+  private[graft] def bqMicroModel(corpus: DataFrame, dim: Int)
+      : (Array[Long], Array[Array[Long]]) = {
+    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
+    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
+    OpqRotation.microModel(mean,
+      vals.indices.sortBy(i => (-vals(i), i)).map(vecs).toArray)
+  }
+
   def annBq(queries: DataFrame, corpus: DataFrame, k: Int,
             dim: Int = 64, shortlist: Int = 320): DataFrame = {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or results are silently truncated")
-    val (mean, cov) = OpqRotation.meanCovarianceCached(corpus, "vec", dim)
-    val (vals, vecs) = OpqRotation.jacobiEigen(cov)
-    // PCA order (no block allocation — there are no blocks): sorted by
-    // eigenvalue descending, index tiebreak, deterministic
-    val rot = vals.indices.sortBy(i => (-vals(i), i)).map(vecs).toArray
+    val (meanM, rotM) = bqMicroModel(corpus, dim)
+    val mean = OpqRotation.fromMicros(meanM)
+    val rot = rotM.map(OpqRotation.fromMicros)
     // STAGED: materialize the rotated array BEFORE sign extraction —
     // signPack reads element_at(·, i) dim times, and an unmaterialized
     // rotation would re-inline the dim² expression into every read

@@ -55,15 +55,22 @@ object TuneScale {
     // them OOM'd the r12 6.4M ladder point. Artifacts (the small
     // output) stay on the tmpfs cache; only transient shuffle state
     // moves to disk.
-    // SCALE_LOCAL_DIR is now OPTIONAL (r14): the build-volume tier
-    // stages its candidate scoring in capacity-bounded waves
-    // ([[graft.operators.GraphAnn.wavesForVolume]]), so the big
-    // ladder points complete on Spark's DEFAULT local dirs — the
-    // env var remains an ops override for pooling extra scratch.
-    // comma-separated list supported (Spark spreads blocks round-robin
-    // across the dirs). Spark splits spark.local.dir on ',' WITHOUT
-    // trimming, so the wiped/created paths and the ones Spark writes
-    // to must come from the same trimmed list.
+    // SCALE_LOCAL_DIR is now OPTIONAL (r14): unset, the harness
+    // POOLS ITS OWN scratch automatically — a disk dir plus a tmpfs
+    // slice — because Spark's literal default here is RAM-backed
+    // tmpfs, and a big build's shuffle files persist until their
+    // stage's lineage is GC'd: the CUMULATIVE shuffle total (not
+    // just the largest stage) must fit scratch, and RAM cannot hold
+    // it alongside the heap (the first default-dirs 6.4M attempt was
+    // OOM-killed at 70 GB of tmpfs blockmgr + a 54 GB heap). The
+    // build-volume tier's capacity-derived waves
+    // ([[graft.operators.GraphAnn.wavesForVolume]]) bound the peak
+    // per stage so the pool suffices; the env var remains an ops
+    // override for custom pooling. Comma-separated list supported
+    // (Spark spreads blocks round-robin across the dirs). Spark
+    // splits spark.local.dir on ',' WITHOUT trimming, so the
+    // wiped/created paths and the ones Spark writes to must come
+    // from the same trimmed list.
     //
     // Wipe guard (r14, closing the r13 advisory): the startup wipe
     // only ever deletes a directory this harness itself created — it
@@ -75,8 +82,12 @@ object TuneScale {
     // SCALE_LOCAL_DIR are mutually destructive — parallel runs must
     // each set their own (the tools/run-main.sh pattern).
     val Marker = ".graft-scale-scratch"
-    val localDirs = sys.env.get("SCALE_LOCAL_DIR").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val defaultPool = Seq(
+      "/root/tmp/graft-scale-local",
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-scale-local")
+    val localDirs = sys.env.get("SCALE_LOCAL_DIR")
+      .map(_.split(",").toSeq).getOrElse(defaultPool)
+      .map(_.trim).filter(_.nonEmpty)
     localDirs.foreach { one =>
       val ldPath = java.nio.file.Paths.get(one)
       if (java.nio.file.Files.exists(ldPath)) {
@@ -97,14 +108,13 @@ object TuneScale {
       java.nio.file.Files.createDirectories(ldPath)
       java.nio.file.Files.createFile(ldPath.resolve(Marker))
     }
-    val builder0 = SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.driver.maxResultSize", "4g")
+      .config("spark.local.dir", localDirs.mkString(","))
       .config("spark.ui.enabled", "false")
-    val spark = (if (localDirs.nonEmpty)
-        builder0.config("spark.local.dir", localDirs.mkString(","))
-      else builder0).getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sizes = sys.env.getOrElse("SIZES", "100000").split(",").map(_.trim.toLong)
     val nq = sys.env.get("NQ").map(_.toInt).getOrElse(100)

@@ -1533,6 +1533,15 @@ class CollectionData(client: ChromaSpark) {
         .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$scratch/edges")
     else edgesRaw.write.mode("overwrite").parquet(s"$scratch/edges")
+    // Volume-tier lineage release (r14): a completed write's input
+    // lineage still pins every upstream stage's shuffle files until
+    // the next GC lets ContextCleaner collect them — at fixture
+    // scale irrelevant, but a ≥4.2M base build's candidate/recap
+    // stages are tens of GB of scratch that the REMAINING build
+    // steps (levels, upper layers) would otherwise share capacity
+    // with. The nudge is what makes the capacity math in
+    // [[graft.operators.GraphAnn.wavesForVolume]] hold cumulatively.
+    if (nReps >= graft.operators.GraphAnn.BuildVolumeGateRows) System.gc()
     val maxLevel = graphMaxLevelFor(m, n)
     val thresholds = (1 to maxLevel).map(l => graphLayerSize(n, m, l))
     val lvlCol = thresholds.zipWithIndex.foldLeft(lit(0)) {

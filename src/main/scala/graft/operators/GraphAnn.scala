@@ -147,11 +147,25 @@ object GraphAnn {
     * prior build's leftover spill legitimately shrinks what the next
     * one may claim.
     */
+  /** Usable SCRATCH bytes across the session's Spark local dirs,
+    * media-aware (r14, recalibrated after the first default-dirs
+    * 6.4M attempt was OOM-killed): a tmpfs local dir's statvfs
+    * headroom is RAM the JVM heap also competes for — and shuffle
+    * files persist until their stage's lineage is GC'd, so the
+    * figure must be conservative. A tmpfs dir contributes 30% of its
+    * usable bytes, a disk dir 80%.
+    */
   private[graft] def localScratchUsableBytes(spark: SparkSession): Long =
     spark.sparkContext.getConf
       .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
       .split(",").map(_.trim).filter(_.nonEmpty)
-      .map(d => new java.io.File(d).getUsableSpace).sum
+      .map { d =>
+        val f = new java.io.File(d)
+        val tmpfs =
+          try java.nio.file.Files.getFileStore(f.toPath).`type`() == "tmpfs"
+          catch { case _: Throwable => false }
+        if (tmpfs) (f.getUsableSpace * 3) / 10 else (f.getUsableSpace * 8) / 10
+      }.sum
 
   /** Effective bytes one candidate pair costs in shuffle transit —
     * CALIBRATED, not guessed: the 6.4M ladder build's bounded
@@ -163,21 +177,24 @@ object GraphAnn {
 
   /** Number of sequential WAVES the kNN candidate stage splits into
     * so its transient pair shuffle fits local scratch (r14 — the
-    * automatic replacement for hand-pooled SCALE_LOCAL_DIR scratch):
+    * automatic replacement for hand-pooled SCALE_LOCAL_DIR sizing):
     * the (t, sig) bucket space is hash-partitioned into `waves`
     * slices, each wave scores only its slice's pairs and folds into
     * a running per-src top-M (disk-backed, N·M rows), so peak
     * transient usage is ~volume/waves instead of the whole
-    * Σ b·min(b, cap) at once. Budget = 25% of usable local-dir
-    * bytes: a wave holds two live shuffle generations (candidate
-    * pairs → pair agg → per-src window) plus the two running top-M
-    * snapshots, and on this box the default local dir is RAM-backed
-    * tmpfs whose statvfs headroom the JVM heap also competes for.
+    * Σ b·min(b, cap) at once. Sizing: a wave carries its pair volume
+    * through TWO live shuffle generations (candidate join → pair
+    * agg, then agg → per-src window), so a wave costs
+    * 2·[[PairShuffleBytes]] per pair; it may claim a third of
+    * scratch (the rest stays for the signature windows, the merge
+    * snapshots, and not-yet-collected earlier stages). Division is
+    * arranged pairs-per-wave-first so a pathological estimate cannot
+    * overflow; the cap bounds the sequential job count.
     */
   private[graft] def wavesForVolume(pairCount: Long, usableBytes: Long): Int = {
-    val budget = math.max(1L, usableBytes / 4)
+    val pairsPerWave = math.max(1L, usableBytes / 3 / (2L * PairShuffleBytes))
     math.min(64L, math.max(1L,
-      (pairCount * PairShuffleBytes + budget - 1) / budget)).toInt
+      (pairCount + pairsPerWave - 1) / pairsPerWave)).toInt
   }
 
   /** The kNN candidate stage shared by the metric-generic builds:
@@ -246,9 +263,10 @@ object GraphAnn {
           .filter(col("bn") <= maxBucket)
           .agg(coalesce(sum(col("bn") * (col("bn") - lit(1L))), lit(0L)))
           .head().getLong(0)
-        val w = wavesForVolume(pairs, localScratchUsableBytes(corpus.sparkSession))
-        if (w > 1) println(s"GRAFT knnTopD: n=$n pairs=$pairs -> $w waves " +
-          s"(usable=${localScratchUsableBytes(corpus.sparkSession) / (1L << 30)}G)")
+        val usable = localScratchUsableBytes(corpus.sparkSession)
+        val w = wavesForVolume(pairs, usable)
+        println(s"GRAFT knnTopD: n=$n pairs=$pairs -> $w wave(s) " +
+          s"(scratch=${usable / (1L << 30)}G)")
         w
       }
     }

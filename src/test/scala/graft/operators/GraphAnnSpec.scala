@@ -159,17 +159,19 @@ class GraphAnnSpec extends SparkSpec {
   test("wavesForVolume: capacity-derived, bounded, and 1 whenever the volume fits") {
     import GraphAnn.{wavesForVolume, PairShuffleBytes}
     val G = 1L << 30
-    // fits in a quarter of scratch -> single pass
+    // small volumes -> single pass (a wave may claim usable/3, and
+    // each pair costs 2x its 24 B transit — two live generations)
     assert(wavesForVolume(1000L, 100L * G) === 1)
     assert(wavesForVolume(G / PairShuffleBytes / 4, 100L * G) === 1)
     // the 6.4M-calibrated point: ~1.6e9 pairs ≈ 40 GB of transit
-    // against this box's ~113 GB default local dir -> 2 waves
-    assert(wavesForVolume(1600000000L, 113L * G) === 2)
+    // against this box's ~101 GB media-adjusted default pool
+    // (disk·0.8 + tmpfs·0.3) -> 2–3 bounded waves
+    assert(wavesForVolume(1600000000L, 101L * G) === 3)
     // the 25.6M projection (~4x) splits further
-    assert(wavesForVolume(6400000000L, 113L * G) === 6)
-    // degenerate capacity never divides by zero, and the wave count
-    // is capped (a pathological estimate must not schedule thousands
-    // of sequential jobs)
+    assert(wavesForVolume(6600000000L, 101L * G) === 9)
+    // degenerate capacity never divides by zero or overflows, and
+    // the wave count is capped (a pathological estimate must not
+    // schedule thousands of sequential jobs)
     assert(wavesForVolume(Long.MaxValue / PairShuffleBytes, 1L) === 64)
   }
 }

@@ -111,6 +111,14 @@ object TuneScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the corpus checkpoint lives in the storage pool; the default
+      // 0.5 storageFraction PROTECTS it from eviction and the first
+      // 25.6M build aborted with UNABLE_TO_ACQUIRE_MEMORY in the
+      // candidate sort while half the heap sat in unevictable
+      // storage. 0.25 keeps the checkpoint cached when there's room
+      // and lets execution reclaim it (it spills to local dirs) when
+      // the big shuffles need the pages.
+      .config("spark.memory.storageFraction", "0.25")
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.local.dir", localDirs.mkString(","))
       .config("spark.ui.enabled", "false")
@@ -131,6 +139,13 @@ object TuneScale {
     }
 
     for (n <- sizes) {
+      // shuffle width scales with the corpus (the 100-TB sizing rule
+      // applied to this box): at 25.6M rows a cpus-wide shuffle puts
+      // ~10⁷ candidate pairs in ONE task's sort and execution memory
+      // aborts; ~1 partition per 100k rows bounds per-task state,
+      // and AQE coalesces the excess on the small stages.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, math.min(2048L, n / 100000L)).toString)
       val corpus = vectors(spark, 0L, n, dim, centers).localCheckpoint(true)
       val queries = vectors(spark, n, n + nq, dim, centers)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

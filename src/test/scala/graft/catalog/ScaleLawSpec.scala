@@ -24,11 +24,15 @@ class ScaleLawSpec extends SparkSpec {
 
   test("graph explored budget grows logarithmically: +one constant walk per 8x of corpus") {
     val m = 8
-    val sizes = Seq(10000L, 80000L, 640000L, 5120000L, 40960000L)
+    // pinned through 3.3×10⁸ rows (r14 — an octave past the verdict's
+    // 1.6×10⁸ ask): the formula half of the certification; the
+    // empirical half is the TuneScale ladder, measured to 25.6M
+    val sizes = Seq(10000L, 80000L, 640000L, 5120000L, 40960000L,
+      327680000L)
     val budgets = sizes.map(n => cd.graphExploredBudget(m, n, 10))
     // each x8 adds exactly one layer...
     val levels = sizes.map(n => cd.graphMaxLevelFor(m, n))
-    assert(levels === Seq(4, 5, 6, 7, 8))
+    assert(levels === Seq(4, 5, 6, 7, 8, 9))
     // ...and the whole budget obeys the r13 scale-serve law at every
     // point: one exhaustive model-scale layer (≤ the 131,072-row
     // cap — the basin-coverage constant), plus one stepped walk per
@@ -53,6 +57,8 @@ class ScaleLawSpec extends SparkSpec {
       s"640k->5.12M must be one walk + the beam step, got ${deltas(2)}")
     assert(deltas(3) === perLayerAbove,
       s"5.12M->41M must be exactly one stepped walk, got ${deltas(3)}")
+    assert(deltas(4) === perLayerAbove,
+      s"41M->328M must be exactly one stepped walk, got ${deltas(4)}")
     // in the exhaustive-base band (gate ≤ N ≤ cap) the serve scores
     // the base outright — budget = N exactly, and the serve is EXACT
     // (the r14 closure of the 100k whole-basin miss: a ≤-cap corpus

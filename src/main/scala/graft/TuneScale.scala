@@ -119,6 +119,12 @@ object TuneScale {
       // and lets execution reclaim it (it spills to local dirs) when
       // the big shuffles need the pages.
       .config("spark.memory.storageFraction", "0.25")
+      // wave slices and the corpus cut to disk via DISK_ONLY
+      // localCheckpoints; spark.rdd.compress is off by default and
+      // the 25.6M morgue showed a 28 GB uncompressed block set for
+      // state lz4 shrinks ~3x. Static conf — set here, not in the
+      // library (sessions at fixture scale don't care).
+      .config("spark.rdd.compress", "true")
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.local.dir", localDirs.mkString(","))
       .config("spark.ui.enabled", "false")

@@ -1497,21 +1497,65 @@ class CollectionData(client: ChromaSpark) {
           maxBucket = graft.operators.GraphAnn.bucketCapFor(layerN, cef, 2 * m),
           bitsPerTable = graft.operators.GraphAnn.bitsForLayer(layerN),
           n = layerN)
-      val undirected = knn2m
-        .unionByName(knn2m.select(col("dst").as("src"), col("src").as("dst"),
-          col("d")))
-        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("ed"))
+      val ring = graft.operators.GraphAnn.ringEdges(layerCorpus, Seq(1L, 37L))
+      val fwdAll = knn2m.select(col("src"), col("dst"), col("d").as("ed"))
+      val revAll = knn2m.select(col("dst").as("src"), col("src").as("dst"),
+        col("d").as("ed"))
+      val ringAll = ring.unionByName(
+        ring.select(col("dst").as("src"), col("src").as("dst")))
       val wCap = Window.partitionBy(col("src"))
         .orderBy(col("ed").asc, col("dst").asc)
-      val capped = undirected
-        .withColumn("r", row_number().over(wCap))
-        .filter(col("r") <= 3 * m)
-        .select(col("src"), col("dst"))
-      val ring = graft.operators.GraphAnn.ringEdges(layerCorpus, Seq(1L, 37L))
-      capped
-        .unionByName(ring)
-        .unionByName(ring.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+      // One src-keyed slice of symmetrize→dedup→cap→ring→distinct.
+      // Fused dedup + cap (r14): a pair surviving kNN in BOTH
+      // directions yields two copies with the SAME ed (d is carried
+      // and every collection metric is bitwise symmetric — see the
+      // re-cap note above), so under (ed asc, dst asc) the copies
+      // are adjacent and a lag-compare on dst replaces the old
+      // groupBy(src,dst).min(ed) — deleting a second
+      // 2·N·2M-row exchange, the largest remaining transient of the
+      // ≥4.2M build after the candidate stage itself.
+      def recapOf(fwd: DataFrame, rev: DataFrame,
+                  ringS: DataFrame): DataFrame = {
+        val capped = fwd.unionByName(rev)
+          .withColumn("dup", lag(col("dst"), 1).over(wCap) === col("dst"))
+          .filter(!coalesce(col("dup"), lit(false)))
+          .withColumn("r", row_number().over(wCap))
+          .filter(col("r") <= 3 * m)
+          .select(col("src"), col("dst"))
+        // distinct folds the cap-exempt ring back in; src-keyed, so
+        // running it per slice is exact
+        capped.unionByName(ringS).distinct()
+      }
+      val forcedW = graft.operators.GraphAnn.recapForcedWaves
+      if (forcedW.isEmpty &&
+          layerN < graft.operators.GraphAnn.BuildVolumeGateRows)
+        recapOf(fwdAll, revAll, ringAll)
+      else {
+        // Volume tier: the symmetrized set is 2·N·2M rows — one
+        // exchange of it cannot fit scratch at ladder scale, so the
+        // stage runs in src-hash waves like the candidate stage
+        // (every edge row of a slice keys on that slice's src;
+        // slices are disjoint, their union exact). Each slice cuts
+        // to disk eagerly so the wave's shuffles release before the
+        // next claims scratch.
+        val usable = graft.operators.GraphAnn
+          .localScratchUsableBytes(layerCorpus.sparkSession)
+        val w = forcedW.getOrElse(
+          graft.operators.GraphAnn.wavesForRecap(layerN, 2 * m, usable))
+        if (layerN >= graft.operators.GraphAnn.BuildVolumeGateRows)
+          println(s"GRAFT recap: n=$layerN -> $w wave(s) " +
+            s"(scratch=${usable / (1L << 30)}G)")
+        val slices = (0 until w).map { i =>
+          def sl(df: DataFrame): DataFrame = df.filter(
+            pmod(xxhash64(col("src")), lit(w.toLong)) === lit(i.toLong))
+          val s = recapOf(sl(fwdAll), sl(revAll), sl(ringAll))
+            .localCheckpoint(eager = true,
+              storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          System.gc()
+          s
+        }
+        slices.reduce(_ unionByName _)
+      }
     }
     // hierarchy levels: nested memberships from the deterministic
     // hash rank; lvl = the highest layer containing the node (only

@@ -167,35 +167,67 @@ object GraphAnn {
         if (tmpfs) (f.getUsableSpace * 3) / 10 else (f.getUsableSpace * 8) / 10
       }.sum
 
-  /** Effective bytes one candidate pair costs in shuffle transit —
-    * CALIBRATED, not guessed: the 6.4M ladder build's bounded
-    * candidate stage moved ~40 GB for ~1.6·10⁹ (src, dst, d) pairs
-    * (lz4-compressed shuffle of two short string ids + a double ≈
-    * 24 B/pair effective, ARCHITECTURE.md r13).
+  /** Effective bytes one candidate pair costs through the fused
+    * single-generation exchange — CALIBRATED from the r14 25.6M
+    * morgue, not modeled: the candidate join's (src, dst, d)
+    * string-id pair exchange measured 45.9 GB for 5.09·10⁸ pairs =
+    * 90 B effective after lz4. (The r13 figure of 24 B measured only
+    * the post-dedup window exchange; budgeting with it under-sized
+    * the 25.6M build ~4× and the JVM was OOM-killed mid-wave with
+    * every per-wave budget "honored".)
     */
-  private[graft] val PairShuffleBytes = 24L
+  private[graft] val PairShuffleBytes = 96L
+
+  /** Bytes one kept signature row (id + dim floats + table/sig)
+    * costs through the candidate join's build-side exchange —
+    * measured ~195 B at dim = 64 from the same morgue (6.6 GB /
+    * 34M rows); headroom for wider ids. The whole kept side rides
+    * EVERY wave, so it is the fixed per-wave cost that splitting
+    * cannot reduce — the budget subtracts it before dividing.
+    */
+  private[graft] val KeptRowBytes = 256L
 
   /** Number of sequential WAVES the kNN candidate stage splits into
-    * so its transient pair shuffle fits local scratch (r14 — the
+    * so its transient shuffle fits local scratch (r14 — the
     * automatic replacement for hand-pooled SCALE_LOCAL_DIR sizing):
-    * the (t, sig) bucket space is hash-partitioned into `waves`
-    * slices, each wave scores only its slice's pairs and folds into
-    * a running per-src top-M (disk-backed, N·M rows), so peak
-    * transient usage is ~volume/waves instead of the whole
-    * Σ b·min(b, cap) at once. Sizing: a wave carries its pair volume
-    * through TWO live shuffle generations (candidate join → pair
-    * agg, then agg → per-src window), so a wave costs
-    * 2·[[PairShuffleBytes]] per pair; it may claim a third of
-    * scratch (the rest stays for the signature windows, the merge
-    * snapshots, and not-yet-collected earlier stages). Division is
-    * arranged pairs-per-wave-first so a pathological estimate cannot
-    * overflow; the cap bounds the sequential job count.
+    * the SOURCE id space is hash-partitioned into `waves` slices
+    * (see [[knnTopD]] — per-src self-contained, no cross-wave
+    * merge), so a wave's live transit is ~pairVolume/waves plus the
+    * kept signature side it re-exchanges. A wave may claim a third
+    * of scratch: the rest stays for the previous wave's
+    * not-yet-collected files and the final union's consumers. The
+    * floor keeps a pathological kept estimate from driving the wave
+    * count to the cap; the cap bounds the sequential job count.
     */
-  private[graft] def wavesForVolume(pairCount: Long, usableBytes: Long): Int = {
-    val pairsPerWave = math.max(1L, usableBytes / 3 / (2L * PairShuffleBytes))
+  private[graft] def wavesForVolume(pairCount: Long, keptRows: Long,
+                                    usableBytes: Long): Int = {
+    val fixed = keptRows * KeptRowBytes
+    val budget = math.max(usableBytes / 3 - fixed, usableBytes / 8)
     math.min(64L, math.max(1L,
-      (pairCount + pairsPerWave - 1) / pairsPerWave)).toInt
+      (pairCount * PairShuffleBytes + budget - 1) / budget)).toInt
   }
+
+  /** Wave count for the symmetrize→dedup→cap stage of a layered
+    * build ([[graft.catalog.CollectionData]]): 2·n·k (src, dst, ed)
+    * rows through one fused src-keyed exchange plus the per-slice
+    * distinct — ~160 B/row realized with string ids (pair row + the
+    * distinct's id-only row). Same third-of-scratch claim as
+    * [[wavesForVolume]].
+    */
+  private[graft] def wavesForRecap(n: Long, k: Int,
+                                   usableBytes: Long): Int = {
+    val bytes = 2L * n * k * 160L
+    math.min(64L, math.max(1L,
+      (bytes + usableBytes / 3 - 1) / (usableBytes / 3))).toInt
+  }
+
+  /** Test hook: force the recap stage's wave count below the volume
+    * gate (its organic trigger, layerN ≥ [[BuildVolumeGateRows]], is
+    * unreachable at fixture scale — this is how the spec pins the
+    * waved recap bit-equal to the single pass). Production leaves it
+    * None.
+    */
+  @volatile private[graft] var recapForcedWaves: Option[Int] = None
 
   /** The kNN candidate stage shared by the metric-generic builds:
     * per-src top-`m` neighbors as (src, dst, d) — d IS
@@ -207,15 +239,17 @@ object GraphAnn {
     *
     * Above [[BuildVolumeGateRows]] the stage runs in
     * capacity-derived WAVES (see [[wavesForVolume]]): the realized
-    * pair volume Σ b·(b−1) is first measured from the bucket
-    * histogram (one aggregate over the signature frame — map-side
-    * combined, output is bucket-count-sized), then the bucket space
-    * is hash-split so each wave's shuffle fits the measured local
-    * scratch. Per-wave results fold into a running top-m: the final
-    * per-src top-m over the union of per-wave top-m sets equals the
-    * global top-m exactly (each true top-m pair ranks ≤ m inside
-    * its own wave; ties break (d asc, dst asc) in both passes), so
-    * wave staging is bit-invisible in the artifact. Below the gate:
+    * pair volume Σ b·(b−1) and kept-row count are first measured
+    * from the bucket histogram (one aggregate over the signature
+    * frame — map-side combined, output is bucket-count-sized), then
+    * the SOURCE id space is hash-split so each wave's shuffle fits
+    * the measured local scratch. A wave filters only the JOIN'S
+    * PROBE side — the kept side stays whole — so every source's
+    * complete candidate set ranks inside exactly one wave and the
+    * union of slices IS the global result (no cross-wave merge; the
+    * r13 shape's running top-m fold re-exchanged N·m rows per wave
+    * and its bucket-keyed slices were why the fold existed at all).
+    * Wave staging is bit-invisible in the artifact. Below the gate:
     * one wave, the certified single-pass shape.
     */
   private[graft] def knnTopD(corpus: DataFrame, m: Int,
@@ -228,82 +262,87 @@ object GraphAnn {
       VectorOps.hashHyperplanes(bitsPerTable, dim, t, seed))
     val sig = corpus.select(col("vec_id"), col("vec"),
       posexplode(graft.functions.LshSignatures(col("vec"), allPlanes)).as(Seq("t", "sig")))
+    // Bucket census FIRST — one map-side-combined aggregate whose
+    // output is bucket-count-sized. It serves both masters: the
+    // kept-bucket semi-join below and the realized pair volume the
+    // wave sizing needs (measured, not modeled: clustered sign
+    // patterns make Σ b·(b−1) diverge arbitrarily from 8N·E[b] —
+    // the r13 lesson, learned twice).
+    val bnTab = sig.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+    // Over-cap buckets die BEFORE any wide exchange: on clustered
+    // corpora MOST signature rows land in mega-buckets (87% of the
+    // 25.6M ladder's), and the old in-exchange bn window shuffled
+    // them — vectors aboard — only to drop them on arrival. The
+    // explicit broadcast ships the kept keys to the scan side; at
+    // fixture scale it is a sub-MB table, at ladder scale tens of
+    // MB (one entry per surviving bucket, never per row).
+    val kept = sig.join(
+      broadcast(bnTab.select(col("t"), col("sig"))),
+      Seq("t", "sig"), "left_semi")
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("d").asc, col("dst").asc)
-    // per-src top-m over one bucket slice (or everything, waves = 1).
     // Candidate scoring is MAP-SIDE on the co-partitioned bucket
-    // join — (src, dst, d) is all that ever shuffles after it
-    // (r12): the old shape dropDuplicates'd pairs that still carried
-    // BOTH vectors, so the pair-sized exchange moved ~2·dim floats
-    // per candidate — at 10⁶ rows that is a ~10²-GB shuffle for a
-    // ~GB of ids+distances. Dedup across tables rides the
-    // same-keyed (src, dst) hash agg (identical d on every copy).
-    def topOf(slice: DataFrame): DataFrame = {
-      val sized = slice.withColumn("bn",
-        count(lit(1)).over(Window.partitionBy(col("t"), col("sig"))))
-        .filter(col("bn") <= maxBucket)
-      sized.as("a").join(sized.as("b"),
+    // join — (src, dst, d) is all that ever shuffles after it.
+    // Fused dedup + rank, ONE src-keyed exchange (r14 — the r13
+    // shape's groupBy(src,dst).min(d) was a SECOND pair-sized
+    // exchange, 45.9 GB at the 25.6M morgue): the same (src, dst)
+    // surfaces once per shared table with the SAME d (dist is
+    // deterministic on the same two vectors), so under
+    // (d asc, dst asc) the copies are ADJACENT and a lag-compare on
+    // dst IS the dedup (dst identifies the pair within a src
+    // partition). The rank window shares the dedup window's
+    // partitioning and sort — no extra exchange, no extra sort.
+    def topOf(probe: DataFrame): DataFrame =
+      probe.as("a").join(kept.as("b"),
           col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
           dist(col("a.vec"), col("b.vec")).as("d"))
-        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+        .withColumn("dup", lag(col("dst"), 1).over(wTop) === col("dst"))
+        .filter(!coalesce(col("dup"), lit(false)))
         .withColumn("r", row_number().over(wTop))
         .filter(col("r") <= m)
         .select(col("src"), col("dst"), col("d"))
-    }
     val waves = forcedWaves.getOrElse {
       if (n < BuildVolumeGateRows) 1
       else {
-        // measured, not modeled: clustered sign patterns make the
-        // realized Σ b·(b−1) diverge arbitrarily from 8N·E[b] (the
-        // r13 lesson — the 6.4M build died twice on the difference)
-        val pairs = sig.groupBy(col("t"), col("sig"))
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= maxBucket)
-          .agg(coalesce(sum(col("bn") * (col("bn") - lit(1L))), lit(0L)))
-          .head().getLong(0)
+        val volRow = bnTab.agg(
+          coalesce(sum(col("bn") * (col("bn") - lit(1L))), lit(0L)),
+          coalesce(sum(col("bn")), lit(0L))).head()
+        val (pairs, keptRows) = (volRow.getLong(0), volRow.getLong(1))
         val usable = localScratchUsableBytes(corpus.sparkSession)
-        val w = wavesForVolume(pairs, usable)
-        println(s"GRAFT knnTopD: n=$n pairs=$pairs -> $w wave(s) " +
-          s"(scratch=${usable / (1L << 30)}G)")
+        val w = wavesForVolume(pairs, keptRows, usable)
+        println(s"GRAFT knnTopD: n=$n pairs=$pairs kept=$keptRows " +
+          s"-> $w wave(s) (scratch=${usable / (1L << 30)}G)")
         w
       }
     }
-    if (waves <= 1) topOf(sig)
+    if (waves <= 1) topOf(kept)
     else {
-      // wave filter keys on (t, sig) — a function of the BUCKET, so
-      // filtering groups before the bucket-size window is exact
-      def sliceOf(w: Int): DataFrame = sig.filter(
-        pmod(xxhash64(concat_ws(":", col("t"), col("sig"))), lit(waves.toLong))
-          === lit(w.toLong))
-      var acc: DataFrame = null
-      for (w <- 0 until waves) {
-        val waveTop = topOf(sliceOf(w))
-        val merged =
-          if (acc == null) waveTop
-          else acc.unionByName(waveTop)
-            // the same (src, dst) can surface in two waves via
-            // different tables — same d, the min is the dedup
-            .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
-            .withColumn("r", row_number().over(wTop))
-            .filter(col("r") <= m)
-            .select(col("src"), col("dst"), col("d"))
-        // EAGER disk-backed cut per wave: the running top-m state is
-        // N·m rows of (src, dst, d) — bounded, unlike the wave
-        // shuffles it summarizes — and materializing it lets the
-        // context cleaner retire the wave's shuffle files before the
-        // next wave claims scratch. DISK_ONLY keeps the heap out of
-        // the accounting (the state is read once, by the next merge).
-        acc = merged.localCheckpoint(eager = true,
-          storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        // the previous snapshot and the wave's shuffles are
-        // unreachable now — a GC nudge lets ContextCleaner free
-        // their blocks/files promptly instead of at an arbitrary
-        // later collection (the transient budget assumes it)
+      // SRC-sliced waves: the filter keys on the PROBE side's id
+      // only, so it pushes below that side's exchange while the
+      // kept side stays whole — every source's complete candidate
+      // set ranks inside one wave, slices are src-disjoint, and
+      // their union is the exact global result. Each slice is cut
+      // to disk eagerly so the wave's shuffles go unreachable
+      // before the next wave claims scratch; the GC nudge lets
+      // ContextCleaner free them promptly (the transient budget in
+      // [[wavesForVolume]] assumes one wave's files live at a time,
+      // plus the not-yet-collected previous wave's).
+      val slices = (0 until waves).map { w =>
+        val slice = topOf(kept.filter(
+          pmod(xxhash64(col("vec_id")), lit(waves.toLong)) === lit(w.toLong)))
+          .localCheckpoint(eager = true,
+            storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
         System.gc()
+        if (n >= BuildVolumeGateRows)
+          println(s"GRAFT knnTopD: wave ${w + 1}/$waves cut " +
+            s"(scratch free=${localScratchUsableBytes(corpus.sparkSession) / (1L << 30)}G)")
+        slice
       }
-      acc
+      slices.reduce(_ unionByName _)
     }
   }
 

@@ -1953,4 +1953,47 @@ class CollectionDataSpec extends SparkSpec {
       "forked collections must take the scan path")
     assert(got.collect().map(_.getString(1)).toSeq === Seq("w001", "new0"))
   }
+
+  test("recap wave staging is bit-invisible: forced waves yield the single-pass edge set exactly") {
+    // the r14 volume-tier claim (CollectionData.navigableEdges): the
+    // symmetrize→dedup→cap→ring→distinct stage runs in src-hash
+    // waves above BuildVolumeGateRows; every edge row keys on its
+    // slice's src, so slices are disjoint and their union is the
+    // global result. recapForcedWaves exercises it at fixture scale;
+    // a fresh annIndexRoot per variant defeats the content-keyed
+    // artifact cache (identical content would otherwise reuse the
+    // first build and the comparison would be vacuous).
+    def edgesOf(tag: String, waves: Option[Int]): Set[(String, String)] = {
+      val wh = Files.createTempDirectory(s"graft-recapw-$tag").toString
+      val root = Files.createTempDirectory(s"graft-recapw-idx-$tag").toString
+      graft.operators.GraphAnn.recapForcedWaves = waves
+      spark.conf.set("spark.graft.collection.annIndexRoot", root)
+      try {
+        val c = new ChromaSpark(spark, wh)
+        val d = new CollectionData(c)
+        c.createCollection("rw", Some(Map("hnsw:space" -> "l2", "hnsw:M" -> "8")))
+        d.add("rw", items((0 until 400).map { i =>
+          (f"r$i%05d", Seq((i % 23).toFloat, (i % 7).toFloat), s"d$i", "{}")
+        }: _*))
+        val q = Seq((1L, Seq(3f, 2f))).toDF("query_id", "qvec")
+        val res = d.query("rw", q, nResults = 3, include = Nil)
+        res.collect()
+        val idx = res.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten.find(_.contains("collgraph"))
+          .getOrElse(fail("rw does not serve from the graph tier"))
+          .replaceAll("/(base|edges|edges_l\\d+|levels|entries|params)$", "")
+        spark.read.parquet(s"$idx/edges").select("src", "dst")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      } finally {
+        graft.operators.GraphAnn.recapForcedWaves = None
+        spark.conf.unset("spark.graft.collection.annIndexRoot")
+      }
+    }
+    val single = edgesOf("s", None)
+    assert(single.nonEmpty)
+    assert(edgesOf("w3", Some(3)) === single, "3-wave recap diverged from single-pass")
+    assert(edgesOf("w5", Some(5)) === single, "5-wave recap diverged from single-pass")
+  }
 }

@@ -157,21 +157,28 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("wavesForVolume: capacity-derived, bounded, and 1 whenever the volume fits") {
-    import GraphAnn.{wavesForVolume, PairShuffleBytes}
+    import GraphAnn.{wavesForVolume, wavesForRecap, PairShuffleBytes}
     val G = 1L << 30
-    // small volumes -> single pass (a wave may claim usable/3, and
-    // each pair costs 2x its 24 B transit — two live generations)
-    assert(wavesForVolume(1000L, 100L * G) === 1)
-    assert(wavesForVolume(G / PairShuffleBytes / 4, 100L * G) === 1)
-    // the 6.4M-calibrated point: ~1.6e9 pairs ≈ 40 GB of transit
-    // against this box's ~101 GB media-adjusted default pool
-    // (disk·0.8 + tmpfs·0.3) -> 2–3 bounded waves
-    assert(wavesForVolume(1600000000L, 101L * G) === 3)
-    // the 25.6M projection (~4x) splits further
-    assert(wavesForVolume(6600000000L, 101L * G) === 9)
+    // small volumes -> single pass (a wave may claim usable/3 less
+    // the kept side it re-exchanges, each pair costing its measured
+    // 96 B through the one fused exchange)
+    assert(wavesForVolume(1000L, 1000L, 100L * G) === 1)
+    assert(wavesForVolume(G / PairShuffleBytes / 4, 1000L, 100L * G) === 1)
+    // the 6.4M ladder point (1.21e9 measured pairs, ~7.6e6 kept
+    // rows) against this box's ~101 GB media-adjusted default pool
+    // (disk·0.8 + tmpfs·0.3) -> a few bounded waves
+    assert(wavesForVolume(1210000000L, 7600000L, 101L * G) === 4)
+    // the 25.6M measured point (3.05e9 pairs) splits further
+    assert(wavesForVolume(3053767512L, 24000000L, 101L * G) === 10)
+    // a huge kept side cannot starve the budget below usable/8
+    assert(wavesForVolume(1210000000L, 2000000000L, 101L * G) === 9)
     // degenerate capacity never divides by zero or overflows, and
     // the wave count is capped (a pathological estimate must not
     // schedule thousands of sequential jobs)
-    assert(wavesForVolume(Long.MaxValue / PairShuffleBytes, 1L) === 64)
+    assert(wavesForVolume(Long.MaxValue / PairShuffleBytes, 0L, 24L) === 64)
+    // recap sizing: 2·n·k rows at 160 B vs a third of scratch —
+    // the 25.6M/2m=16 point needs a handful of waves, fixtures one
+    assert(wavesForRecap(10000L, 16, 101L * G) === 1)
+    assert(wavesForRecap(25600000L, 16, 101L * G) === 4)
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** r14 measurement harness (guide §1): run ONE declared query N times
+  * under a job listener so the per-rep wall clock decomposes into the
+  * Spark jobs it schedules — the bench medians say WHICH query is
+  * expensive, this says WHY (how many jobs, which call sites, how much
+  * of the rep is job time vs driver-side planning gaps). Iteration
+  * tool only: never touches BENCH_LOCAL.json or any artifact the
+  * driver reads.
+  *
+  * Usage: sbt "runMain graft.ProfileQuery <query> <sfDir> [reps]"
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60)))
+          .getOrElse("?")
+        jobs.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val st = jobs.remove(je.jobId)
+        if (st != null)
+          done.add((je.jobId, System.nanoTime() - st._1, st._2))
+      }
+    })
+    // one warm run (JIT/codegen), then timed reps
+    fn(spark, sfDir).count()
+    (1 to reps).foreach { r =>
+      done.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener drain
+      import scala.jdk.CollectionConverters._
+      val byJob = done.asScala.toSeq.sortBy(_._1)
+      val jobSum = byJob.map(_._2).sum / 1e9
+      println(f"== rep $r: wall $wall%.2f s, ${byJob.size} jobs, job time $jobSum%.2f s (gap ${wall - jobSum}%.2f s)")
+      val bySite = byJob.groupBy(_._3).map { case (s, xs) =>
+        (s, xs.size, xs.map(_._2).sum / 1e9)
+      }.toSeq.sortBy(-_._3)
+      bySite.take(25).foreach { case (s, n, t) =>
+        println(f"   $t%7.3f s  n=$n%-4d $s")
+      }
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -584,6 +584,25 @@ object GraphAnn {
         .join(q, "query_id")
         .select(col("query_id"), col("vec_id"), dist(col("qvec"), col("vec")).as("d"))
     }
+    // Fused per-hop dedup + rank, ONE query-keyed exchange (r14,
+    // guide §2.4 — the knnTopD idiom applied to the serve): the hop
+    // used to plan THREE exchanges — dropDuplicates(query_id,
+    // vec_id) on the expansion, the same again on the scored union,
+    // and the rank window's hash(query_id) — and under AQE each
+    // exchange materializes as its own sequential job, so a
+    // hops-deep serve was paying 3·hops driver round-trips (and at
+    // scale, 3·hops shuffles of the same model-scale rows). Every
+    // copy of a (query_id, vec_id) candidate carries the BITWISE
+    // same d — dist is a deterministic expression of (qvec, vec),
+    // whichever hop scored it — so after a (vec_id) sort inside the
+    // query partition the copies are adjacent and a lag-compare IS
+    // the dedup; the rank window shares the same hash(query_id)
+    // partitioning and merely re-sorts. The pre-score expansion
+    // dedup is dropped outright: duplicate dsts re-score to the
+    // identical d (map-side broadcast joins, no exchange touched)
+    // and die in the same lag-compare. Values are unchanged — only
+    // exchange count moves (3·hops → hops).
+    val wDedup = Window.partitionBy(col("query_id")).orderBy(col("vec_id"))
     var beam = scoreOf(seeds.select(col("query_id"), col("vec_id")))
     for (h <- 1 to hops) {
       val beamK =
@@ -595,11 +614,11 @@ object GraphAnn {
         .join(graph.withColumnRenamed("src", "vec_id"),
           if (graphPb) Seq("vec_id", "pb") else Seq("vec_id"))
         .select(col("query_id"), col("dst").as("vec_id"))
-        .dropDuplicates("query_id", "vec_id")
       val candidates = scoreOf(expanded)
         .unionByName(beam.select(col("query_id"), col("vec_id"), col("d")))
-        .dropDuplicates("query_id", "vec_id")
       beam = candidates
+        .withColumn("dup", lag(col("vec_id"), 1).over(wDedup) === col("vec_id"))
+        .filter(!coalesce(col("dup"), lit(false)))
         .withColumn("r", row_number().over(wBeam))
         .filter(col("r") <= ef)
         .select(col("query_id"), col("vec_id"), col("d"))
@@ -687,15 +706,25 @@ object GraphAnn {
     import sess.implicits._
     var beam = scoreOf(
       q.select(col("query_id")).crossJoin(broadcast(starts.toDF("vec_id"))))
+    // Fused per-hop dedup + rank (r14, guide §2.4 — the
+    // [[beamSearchSeeded]] shape): the two dropDuplicates and the
+    // rank window used to plan three exchanges per hop; copies of a
+    // (query_id, vec_id) candidate carry the bitwise-identical score
+    // (cosine is a deterministic expression of (qvec, vec)), so a
+    // (vec_id) sort inside the query partition makes them adjacent,
+    // a lag-compare is the dedup, and the rank window reuses the
+    // same hash(query_id) partitioning. Values unchanged — 3·hops
+    // exchanges become hops.
+    val wDedup = Window.partitionBy(col("query_id")).orderBy(col("vec_id"))
     for (h <- 1 to hops) {
       val expanded = beam
         .join(graph.withColumnRenamed("src", "vec_id"), "vec_id")
         .select(col("query_id"), col("dst").as("vec_id"))
-        .dropDuplicates("query_id", "vec_id")
       val candidates = scoreOf(expanded)
         .unionByName(beam.select(col("query_id"), col("vec_id"), col("score")))
-        .dropDuplicates("query_id", "vec_id")
       beam = candidates
+        .withColumn("dup", lag(col("vec_id"), 1).over(wDedup) === col("vec_id"))
+        .filter(!coalesce(col("dup"), lit(false)))
         .withColumn("r", row_number().over(wBeam))
         .filter(col("r") <= ef)
         .select(col("query_id"), col("vec_id"), col("score"))

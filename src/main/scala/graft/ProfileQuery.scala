@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +25,8 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+    println(s"==== $name")
     val fn = SparkEntry.queries(name)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
@@ -61,6 +63,7 @@ object ProfileQuery {
         println(f"   $t%7.3f s  n=$n%-4d $s")
       }
       spark.catalog.clearCache(); System.gc()
+    }
     }
     spark.stop()
   }

@@ -713,7 +713,16 @@ object TextAnalysis {
       .withColumn("rd", row_number().over(wDoc).cast("long"))
       .filter(col("rd") <= prof)
       .select(col("doc_id"), col("lang").as("true_lang"), col("g"), col("rd"))
-    val langs = langProf.select(col("lang").as("cand")).distinct()
+    // Candidate languages = those with a profile. Deriving them from
+    // langProf re-ran the whole corpus-sized explode → count → rank
+    // branch a THIRD time (the plan showed 3 scans + 3 Generates for
+    // 2 logical passes — r14, guide §2.4); a lang has a profile row
+    // iff it has ≥1 train trigram iff it has a train doc of length
+    // ≥ 3 (the tokenizer emits len−2 ≥ 1 grams for such a doc), so
+    // the distinct over the doc frame is EXACTLY the same set at
+    // doc-scan cost, no explode.
+    val langs = docs.filter(col("is_train") && length(col("t")) >= 3)
+      .select(col("lang").as("cand")).distinct()
     val dist = docProf.crossJoin(broadcast(langs))
       .join(broadcast(langProf.select(col("lang").as("cand"), col("g"), col("rl"))),
         Seq("cand", "g"), "left")

@@ -30,11 +30,17 @@ object ProfileQuery {
     val fn = SparkEntry.queries(name)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    // SQL executions carry the caller's call site in their
+    // description — the decomposition the job events lack (every job
+    // reads "withThreadLocalCaptured" under the async SQL executor)
+    val sqlStart = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60)))
+        val eid = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.root.id")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))))
+        val site = eid.flatMap(id => Option(sqlStart.get(id.toLong)).map(_._2))
           .getOrElse("?")
         jobs.put(js.jobId, (System.nanoTime(), site))
       }
@@ -43,6 +49,13 @@ object ProfileQuery {
         if (st != null)
           done.add((je.jobId, System.nanoTime() - st._1, st._2))
       }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            sqlStart.put(s.executionId,
+              (System.nanoTime(), s.description.takeWhile(_ != '\n').take(70)))
+          case _ => ()
+        }
     })
     // one warm run (JIT/codegen), then timed reps
     fn(spark, sfDir).count()

@@ -2365,8 +2365,22 @@ class CollectionData(client: ChromaSpark) {
                 .filter(col("cum_before") < need || col("c_rank") <= nprobe)
                 .select(col("query_id"), col("c_id"))
             }
-          val probeLabels = probes.select(col("c_id")).distinct()
-            .collect().map(_.getInt(0)).sorted // model-scale: ≤ 65536 cell ids
+          // ONE execution of the probe plan (r14, guide §2.4): the
+          // ranked-cells pipeline used to run TWICE per call — once
+          // collected (c_id only) for the planning-time literal
+          // partition filter, and once more re-executed in-plan as
+          // the candidate join's broadcast build inside the final
+          // action. The probe set is |Q| × nprobe rows — model-scale
+          // by the serve's batch contract — so collect it once and
+          // re-inject the identical rows as a LOCAL relation: same
+          // values by construction (one materialization of one
+          // deterministic plan), half the probe executions, and the
+          // local build side costs the final action no extra stages.
+          val probeRows = probes.select(col("query_id"), col("c_id")).collect()
+          val probeLabels = probeRows.map(_.getInt(1)).distinct.sorted // ≤ 65536 cell ids
+          val probesLocal = spark.createDataFrame(
+            java.util.Arrays.asList(probeRows: _*),
+            probes.select(col("query_id"), col("c_id")).schema)
           // LITERAL partition filter → planning-time directory pruning;
           // the per-query cell assignment then comes from the broadcast
           // probe map, so each base row pairs only with the queries
@@ -2375,7 +2389,7 @@ class CollectionData(client: ChromaSpark) {
             .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
           if (touched.nonEmpty)
             base = base.filter(!col("id").isin(touched: _*))
-          val baseCand = base.join(broadcast(probes), col("label") === col("c_id"))
+          val baseCand = base.join(broadcast(probesLocal), col("label") === col("c_id"))
             .select(col("query_id"), col("id"), col("embedding"),
               col("document"), col("metadata_json"))
           var cand = deltaLive match {

@@ -195,17 +195,32 @@ object VectorIndex {
     val cents = broadcast(IndexCache.readCached(spark, s"$indexDir/centroids"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
+    // ONE execution of the probe ranking (r14, guide §2.4): the
+    // per-query cell ranking used to run twice — once inside
+    // [[probedVectors]]'s label collect, once more in-plan as the
+    // scoring join's broadcast build. Collect the model-scale
+    // (query_id, c_id) assignment once, derive the literal partition
+    // filter from the same rows, and re-inject them as a LOCAL
+    // relation; qvec re-attaches from the (already tiny) queries
+    // frame. Values identical — one materialization of one
+    // deterministic plan.
     val probes = queries.select(col("query_id"), col("qvec"))
       .join(cents)
-      .select(col("query_id"), col("qvec"), col("c_id"),
+      .select(col("query_id"), col("c_id"),
         VectorOps.cosine(col("qvec"), col("centroid")).as("c_score"))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("c_id"))
+      .select(col("query_id"), col("c_id"))
+    val probeRows = probes.collect()
+    val probeLabels = probeRows.map(_.getInt(1)).distinct.sorted
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    probedVectors(spark, indexDir, queries, nprobe)
-      .join(broadcast(probes), col("label") === col("c_id"))
+    IndexCache.readCached(spark, s"$indexDir/vectors")
+      .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
+      .join(broadcast(probesLocal), col("label") === col("c_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         VectorOps.cosine(col("qvec"), col("vec")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -275,14 +290,22 @@ object VectorIndex {
                     oversample: Int = 16): DataFrame = {
     val plan = filteredProbePlan(spark, indexDir, queries, predicate,
       need = oversample.toLong * k)
-    val probeLabels = plan.select(col("c_id")).distinct()
-      .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
+    // ONE execution of the adaptive probe plan (r14, guide §2.4): it
+    // used to run twice — collected for the literal partition filter
+    // and re-executed in-plan (match-count scan included) as the
+    // candidate join's broadcast build. Collect the model-scale
+    // (query_id, c_id) rows once and re-inject them as a LOCAL
+    // relation; values identical by construction.
+    val planRows = plan.collect()
+    val probeLabels = planRows.map(_.getInt(1)).distinct.sorted // ≤ kClusters ints
+    val planLocal = spark.createDataFrame(
+      java.util.Arrays.asList(planRows: _*), plan.schema)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     IndexCache.readCached(spark, s"$indexDir/vectors")
-      .filter(col("label").isin(probeLabels: _*))
+      .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
       .filter(predicate)
-      .join(broadcast(plan.join(queries.select(col("query_id"), col("qvec")), "query_id")),
+      .join(broadcast(planLocal.join(queries.select(col("query_id"), col("qvec")), "query_id")),
         col("label") === col("c_id"))
       .select(col("query_id"), col("vec_id"),
         VectorOps.cosine(col("qvec"), col("vec")).as("score"))
@@ -358,11 +381,19 @@ object VectorIndex {
     val (m, kCodes, dim) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
     val flat = cb.getSeq[Double](3).toArray
     val probes = VectorOps.ivfPqProbes(queries, cents, flat, nprobe, m, kCodes, dim)
-    val probeLabels = probes.select(col("label")).distinct()
-      .collect().map(_.getInt(0)).sorted // model-scale: ≤ kClusters ints
+    // ONE execution of the probe + ADC-table plan (r14, guide §2.4):
+    // it used to run twice — collected for the literal partition
+    // filter and re-executed in-plan inside ivfPqSearch. The rows are
+    // |Q| × nprobe with an m·kCodes LUT each — model metadata — so
+    // collect once and re-inject as a LOCAL relation; values
+    // identical by construction.
+    val probeRows = probes.collect()
+    val probeLabels = probeRows.map(_.getInt(1)).distinct.sorted // ≤ kClusters ints
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val codes = IndexCache.readCached(spark, s"$indexDir/codes")
-      .filter(col("label").isin(probeLabels: _*))
-    VectorOps.ivfPqSearch(queries, codes, floats, probes, k, m, kCodes, shortlist)
+      .filter(col("label").isin(probeLabels.map(_.asInstanceOf[Any]): _*))
+    VectorOps.ivfPqSearch(queries, codes, floats, probesLocal, k, m, kCodes, shortlist)
   }
 
   /** Incremental maintenance for the PQ layout: encode `delta`

@@ -746,10 +746,18 @@ object Relational {
   def q59CvOls(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val cents = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(100.0) + lit(0.5)).cast("long")
+    // Materialized once (r14, guide §1.2 "don't compute things
+    // twice"): the fold assignment's md5+conv runs per row, and BOTH
+    // passes (the per-fold moments and the per-row residual MAE)
+    // consume the same 3-long projection — lazily composed, each
+    // pass re-scanned lineitem and re-hashed every order key. The
+    // checkpointed frame is 3 longs/row; values are unchanged (the
+    // same deterministic projection, computed once).
     val li = Tables.lineitem(s, dir).select(
       (conv(substring(md5(concat(lit("cv:"), col("l_orderkey").cast("string"))),
         1, 4), 16, 10).cast("long") % k).as("fold"),
       cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      .localCheckpoint(true)
     val perFold = li.groupBy(col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
